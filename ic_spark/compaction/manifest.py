@@ -1,0 +1,156 @@
+"""Lightweight snapshot-versioned table manifest (JSON) with atomic swap.
+
+Stands in for the Iceberg catalog + manifest-list layer the reference
+drives through iceberg-rs (``core/src/compaction/mod.rs:44-72, 81-119``):
+
+- snapshots are immutable entries listing data files and delete files
+  (each with a sequence number and content type);
+- ``commit_rewrite`` is the RewriteFiles transaction analog: one atomic
+  manifest swap that adds the new files and drops the replaced ones;
+- ``expire_snapshots`` drops all but the current snapshot (reference
+  ``expire_snapshot``, mod.rs:81-88) and reports files safe to delete.
+
+Atomicity is write-temp + ``os.replace`` — the same guarantee level as
+an Iceberg metadata-JSON pointer swap on a POSIX store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+
+from ic_spark.compaction.request import FileContent, FileScanTask
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    files: list[dict]  # {"path", "sequence_number", "content", "equality_ids"}
+
+
+class ManifestTable:
+    """A directory-backed table: ``{root}/manifest.json`` + data files."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_path = os.path.join(root, "manifest.json")
+
+    # -- state ---------------------------------------------------------
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"current_snapshot_id": None, "snapshots": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _store(self, state: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic swap
+
+    # -- snapshot API --------------------------------------------------
+
+    def current_snapshot(self) -> Snapshot | None:
+        state = self._load()
+        sid = state["current_snapshot_id"]
+        if sid is None:
+            return None
+        for s in state["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return Snapshot(s["snapshot_id"], s["timestamp_ms"], s["files"])
+        return None
+
+    def scan_tasks(self) -> tuple[list[FileScanTask], list[FileScanTask], list[FileScanTask]]:
+        """Plan the current snapshot into (data, pos-delete, eq-delete) tasks.
+
+        Analog of ``get_tasks_from_table`` (reference mod.rs:121-171);
+        delete tasks are deduped by path like the reference's HashSet
+        guard (:143-158).
+        """
+        snap = self.current_snapshot()
+        if snap is None:
+            return [], [], []
+        data, pos, eq = [], [], []
+        seen: set[str] = set()
+        for f in snap.files:
+            task = FileScanTask(
+                data_file_path=f["path"],
+                sequence_number=f.get("sequence_number", 0),
+                content=FileContent[f.get("content", "DATA")],
+                equality_ids=tuple(f.get("equality_ids", ())),
+                file_size_in_bytes=f.get("file_size_in_bytes", 0),
+            )
+            if task.content is FileContent.DATA:
+                data.append(task)
+            elif task.data_file_path not in seen:
+                seen.add(task.data_file_path)
+                (pos if task.content is FileContent.POSITION_DELETES else eq).append(task)
+        return data, pos, eq
+
+    def append_snapshot(self, files: list[dict]) -> int:
+        """Add a snapshot whose file list = current files + ``files``."""
+        state = self._load()
+        cur = self.current_snapshot()
+        base = list(cur.files) if cur else []
+        sid = (state["current_snapshot_id"] or 0) + 1
+        state["snapshots"].append(
+            {
+                "snapshot_id": sid,
+                "timestamp_ms": int(time.time() * 1000),
+                "files": base + files,
+            }
+        )
+        state["current_snapshot_id"] = sid
+        self._store(state)
+        return sid
+
+    def commit_rewrite(self, added: list[dict], removed_paths: set[str]) -> int:
+        """RewriteFiles transaction: one atomic add+delete swap.
+
+        Reference mod.rs:66-72 (``rewrite_files`` action → commit).
+        """
+        state = self._load()
+        cur = self.current_snapshot()
+        kept = [f for f in (cur.files if cur else []) if f["path"] not in removed_paths]
+        sid = (state["current_snapshot_id"] or 0) + 1
+        state["snapshots"].append(
+            {
+                "snapshot_id": sid,
+                "timestamp_ms": int(time.time() * 1000),
+                "files": kept + added,
+            }
+        )
+        state["current_snapshot_id"] = sid
+        self._store(state)
+        return sid
+
+    def expire_snapshots(self) -> list[str]:
+        """Keep only the current snapshot; return now-unreferenced paths.
+
+        Reference ``expire_snapshot`` (mod.rs:81-88).  Does NOT unlink —
+        the caller owns physical deletion, like Iceberg's
+        ``expire_snapshots`` returning the orphan list.
+        """
+        state = self._load()
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        live = {f["path"] for f in cur.files}
+        orphans = sorted(
+            {
+                f["path"]
+                for s in state["snapshots"]
+                if s["snapshot_id"] != cur.snapshot_id
+                for f in s["files"]
+            }
+            - live
+        )
+        state["snapshots"] = [s for s in state["snapshots"] if s["snapshot_id"] == cur.snapshot_id]
+        self._store(state)
+        return orphans

@@ -1,0 +1,167 @@
+"""Merge-on-read plan construction.
+
+Builds the reference's ONE query shape as a lazy DataFrame chain
+(reference SQL generator:
+``core/src/executor/datafusion/datafusion_processor.rs:254-308``; context
+builder ``:371-477``):
+
+    SELECT <user columns> FROM data
+      [LEFT ANTI JOIN pos_deletes ON file_path AND pos]
+      [LEFT ANTI JOIN eq_deletes_i ON eq_cols AND data.seq < del.seq]...
+
+Spark-first choices (vs. the reference's hand-built scan):
+
+- Hidden columns come from Spark's file-source metadata columns —
+  ``_metadata.file_path`` and ``_metadata.row_index`` — computed inside
+  the vectorized Parquet scan, before any shuffle, so the file→row
+  mapping is exact (reference per-file counter:
+  ``iceberg_file_task_scan.rs:234-247``).
+- The per-file sequence number is a per-scan-group literal
+  (reference ``add_seq_num_into_batch``,
+  ``iceberg_file_task_scan.rs:265-280``): files are grouped by
+  sequence number and each group is ONE multi-path vectorized scan, so
+  a table with N files but few distinct sequence numbers stays a few
+  scans, not N.
+- Delete tables are broadcast when small (the typical case — delete
+  files are a fraction of data); at 100 TB the anti-join then never
+  shuffles the data side.  AQE handles the large-delete fallback by
+  switching to sort-merge at runtime.
+- Catalyst prunes columns: equality-delete scans read only the
+  equality-id columns; the final ``select(user_cols)`` drops hidden
+  columns so they never leak into written files (reference
+  ``datafusion_processor.rs:447-448``).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ic_spark.compaction.request import (
+    SYS_HIDDEN_FILE_PATH,
+    SYS_HIDDEN_POS,
+    SYS_HIDDEN_SEQ_NUM,
+    FileContent,
+    FileScanTask,
+    RewriteFilesRequest,
+    split_equality_delete_groups,
+)
+
+# Below this total byte size a delete table gets an explicit broadcast
+# hint.  (AQE would usually discover this, but being explicit removes a
+# shuffle of the — potentially 100 TB — data side from the static plan.)
+BROADCAST_DELETE_BYTES = 256 * 1024 * 1024
+
+
+def _scan_with_hidden_cols(
+    spark: SparkSession,
+    tasks: list[FileScanTask],
+    schema=None,
+    with_seq: bool = False,
+    with_pos: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame | None:
+    """Scan file tasks, grouped by sequence number, with hidden columns.
+
+    One multi-path vectorized scan per distinct sequence number; hidden
+    columns are derived at scan time (metadata columns + one literal),
+    i.e. before any shuffle can break file→row identity.
+    """
+    if not tasks:
+        return None
+    by_seq: dict[int, list[str]] = defaultdict(list)
+    for t in tasks:
+        by_seq[t.sequence_number].append(t.data_file_path)
+
+    parts: list[DataFrame] = []
+    for seq in sorted(by_seq):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*by_seq[seq])
+        cols: list = []
+        if columns:
+            cols.extend(F.col(c) for c in columns)
+        else:
+            cols.append(F.col("*"))
+        if with_seq:
+            # Reference add_seq_num_into_batch: per-file constant.
+            cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
+        if with_pos:
+            # Reference add_file_path_pos_into_batch: path + running
+            # per-file row index.  _metadata.row_index matches the
+            # reference's index_start counter exactly (physical Parquet
+            # row order).
+            cols.append(F.col("_metadata.file_path").alias(SYS_HIDDEN_FILE_PATH))
+            cols.append(F.col("_metadata.row_index").alias(SYS_HIDDEN_POS))
+        parts.append(df.select(*cols))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _maybe_broadcast(df: DataFrame, tasks: list[FileScanTask]) -> DataFrame:
+    total = sum(t.file_size_in_bytes for t in tasks)
+    # Unknown sizes (0) count as small — delete files are small in the
+    # reference's operating regime; AQE corrects us if not.
+    if total <= BROADCAST_DELETE_BYTES:
+        return F.broadcast(df)
+    return df
+
+
+def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> DataFrame:
+    """Construct the MoR DataFrame: data minus deleted rows, user schema.
+
+    Semantic port of ``build_merge_on_read`` + ``SqlBuilder.build``
+    (reference datafusion_processor.rs:254-308, 371-477).
+    """
+    has_pos = bool(request.position_delete_files)
+    has_eq = bool(request.equality_delete_files)
+    user_cols = [f.name for f in request.schema.fields]
+
+    data = _scan_with_hidden_cols(
+        spark,
+        request.data_files,
+        schema=request.schema,
+        with_seq=has_eq,   # seq only added when equality deletes exist
+        with_pos=has_pos,  # path/pos only when position deletes exist
+    )
+    if data is None:
+        raise ValueError("rewrite request has no data files")
+
+    if has_pos:
+        # Position-delete schema is fixed (file_path, pos) — reference
+        # datafusion_processor.rs:350-368.  Equi anti-join on both keys.
+        pos_del = _scan_with_hidden_cols(spark, request.position_delete_files)
+        pos_del = pos_del.toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+        pos_del = _maybe_broadcast(pos_del, request.position_delete_files)
+        data = data.join(
+            pos_del, on=[SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS], how="left_anti"
+        )
+
+    if has_eq:
+        # One anti-join per order-sensitive equality-id group, chained in
+        # task order (reference :279-305, group split :376-400).
+        for group in split_equality_delete_groups(request.equality_delete_files):
+            eq_cols = list(group.equality_ids)
+            eq_del = _scan_with_hidden_cols(
+                spark,
+                list(group.tasks),
+                with_seq=True,
+                columns=eq_cols,
+            )
+            eq_del = _maybe_broadcast(eq_del, list(group.tasks))
+            # Strict '<': a delete only applies to data with a strictly
+            # OLDER sequence number (reference :300-304) — same-sequence
+            # data survives.
+            cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(f"e.{SYS_HIDDEN_SEQ_NUM}")
+            for c in eq_cols:
+                cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
+            data = data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
+
+    # Final projection: hidden columns never leak (reference :447-448).
+    return data.select(*user_cols)

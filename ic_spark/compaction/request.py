@@ -1,0 +1,145 @@
+"""Request/response model for the rewrite-files (compaction) operation.
+
+Python mirror of the reference's native structs:
+
+- ``FileScanTask`` — reference ``core/src/parser/proto.rs:113-131`` /
+  ``core/proto/iceberg.proto:117-127``: the unit of scan work
+  (path, sequence number, content type, equality ids).
+- ``RewriteFilesRequest`` — reference ``core/src/executor/mod.rs:50-57``.
+- ``RewriteFilesStat`` — reference ``core/src/executor/mod.rs:81-87``.
+
+Spark difference: we don't carry per-task byte ranges or projected field
+ids — Spark's FileSourceScanExec does its own split planning and Catalyst
+prunes columns; a task here is (path, seq_num, content) and the engine
+reads per-sequence-number groups with one vectorized Parquet scan each.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql.types import StructType
+
+# Hidden (engine-injected) column names — reference
+# core/src/executor/datafusion/datafusion_processor.rs:37-40.
+SYS_HIDDEN_SEQ_NUM = "sys_hidden_seq_num"
+SYS_HIDDEN_FILE_PATH = "sys_hidden_file_path"
+SYS_HIDDEN_POS = "sys_hidden_pos"
+SYS_HIDDEN_COLS = (SYS_HIDDEN_SEQ_NUM, SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+
+
+class FileContent(Enum):
+    """Iceberg file content type — reference core/proto/iceberg.proto."""
+
+    DATA = 0
+    POSITION_DELETES = 1
+    EQUALITY_DELETES = 2
+
+
+@dataclass(frozen=True)
+class FileScanTask:
+    """One input file for the rewrite.
+
+    ``equality_ids`` names the columns forming the equality-delete key
+    (the reference uses Iceberg field IDs; we use column names — same
+    information, Spark resolves by name).
+    """
+
+    data_file_path: str
+    sequence_number: int = 0
+    content: FileContent = FileContent.DATA
+    equality_ids: tuple[str, ...] = ()
+    file_size_in_bytes: int = 0
+    record_count: int = 0
+
+
+@dataclass(frozen=True)
+class EqualityDeleteGroup:
+    """A run of equality-delete tasks sharing one ``equality_ids`` list.
+
+    The reference opens a NEW delete table each time the id-list changes
+    while streaming the task list (order-sensitive grouping — reference
+    core/src/executor/datafusion/datafusion_processor.rs:376-400).
+    """
+
+    equality_ids: tuple[str, ...]
+    tasks: tuple[FileScanTask, ...]
+
+
+def split_equality_delete_groups(
+    tasks: list[FileScanTask],
+) -> list[EqualityDeleteGroup]:
+    """Order-sensitive grouping by consecutive equality_ids runs.
+
+    Direct semantic port of the builder loop at reference
+    datafusion_processor.rs:376-400: a new group starts whenever the
+    id-list differs from the previous task's, even if an identical list
+    appeared earlier.
+    """
+    groups: list[EqualityDeleteGroup] = []
+    run: list[FileScanTask] = []
+    current_ids: tuple[str, ...] | None = None
+    for task in tasks:
+        if task.content is not FileContent.EQUALITY_DELETES:
+            raise ValueError(f"not an equality-delete task: {task}")
+        if current_ids is None or task.equality_ids != current_ids:
+            if run:
+                groups.append(EqualityDeleteGroup(current_ids, tuple(run)))
+            run = []
+            current_ids = task.equality_ids
+        run.append(task)
+    if run:
+        groups.append(EqualityDeleteGroup(current_ids, tuple(run)))
+    return groups
+
+
+@dataclass
+class RewriteFilesRequest:
+    """Everything needed to rewrite one table's files.
+
+    Reference core/src/executor/mod.rs:50-57 (FileIO is replaced by
+    Spark's Hadoop-FS layer; dir_path is where new files land).
+    """
+
+    schema: StructType
+    data_files: list[FileScanTask] = field(default_factory=list)
+    position_delete_files: list[FileScanTask] = field(default_factory=list)
+    equality_delete_files: list[FileScanTask] = field(default_factory=list)
+    dir_path: str = ""
+    partition_by: list[str] = field(default_factory=list)
+    target_partitions: int = 4
+    data_file_prefix: str = "10"
+
+
+@dataclass
+class RewriteFilesStat:
+    """Reference core/src/executor/mod.rs:81-87."""
+
+    rewritten_files_count: int = 0
+    added_files_count: int = 0
+    rewritten_bytes: int = 0
+    failed_data_files_count: int = 0
+
+
+@dataclass
+class DataFileMeta:
+    """Output file metadata — reference core/proto/iceberg.proto:184-202.
+
+    Per-column stats are computed with one aggregation over the written
+    data (count/min/max/null-count), matching what the Iceberg writer
+    collects natively.
+    """
+
+    file_path: str
+    file_format: str
+    record_count: int
+    file_size_in_bytes: int
+    partition_values: dict | None = None
+    column_stats: dict | None = None
+
+
+@dataclass
+class RewriteFilesResponse:
+    data_files: list[DataFileMeta] = field(default_factory=list)
+    stat: RewriteFilesStat = field(default_factory=RewriteFilesStat)

@@ -1,0 +1,112 @@
+"""Rewrite execution: run the MoR plan and write fresh Parquet data files.
+
+Reference: write loop ``core/src/executor/datafusion/mod.rs:101-142``
+(per-partition async writers → DataFile stats), fanout partition writer
+``:176-188``.
+
+Spark-first: ``df.write.parquet`` already writes one file per task in
+parallel (the reference's tokio-task-per-stream is Spark's executor
+model).  Partitioned tables use ``repartition(partition_cols)`` +
+``partitionBy`` — the repartition makes each output partition owned by
+few tasks, avoiding the small-files explosion a naive fanout causes at
+scale.  DataFile stats (count/min/max/null per column) are computed by
+one aggregation pass, like the Iceberg writer collects natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ic_spark.compaction.planner import build_merge_on_read
+from ic_spark.compaction.request import (
+    DataFileMeta,
+    RewriteFilesRequest,
+    RewriteFilesResponse,
+    RewriteFilesStat,
+)
+
+
+def _collect_column_stats(df: DataFrame) -> dict:
+    """One aggregation pass → per-column {count, null_count, min, max}.
+
+    Mirrors the DataFile stats the reference returns
+    (core/proto/iceberg.proto:184-202) without a second data read.
+    """
+    aggs = [F.count(F.lit(1)).alias("__row_count")]
+    for f_ in df.schema.fields:
+        c = f_.name
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+        # min/max undefined for complex types; skip them like Iceberg does.
+        if f_.dataType.typeName() not in ("array", "map", "struct", "binary"):
+            aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+            aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row.pop("__row_count")
+    stats: dict = {"record_count": total, "columns": {}}
+    for f_ in df.schema.fields:
+        c = f_.name
+        stats["columns"][c] = {
+            "null_count": total - row.get(f"{c}__nonnull", 0),
+            "min": row.get(f"{c}__min"),
+            "max": row.get(f"{c}__max"),
+        }
+    return stats
+
+
+def _list_written_files(dir_path: str) -> list[tuple[str, int]]:
+    out = []
+    for root, _dirs, files in os.walk(dir_path):
+        for name in files:
+            if name.endswith(".parquet"):
+                p = os.path.join(root, name)
+                out.append((p, os.path.getsize(p)))
+    return sorted(out)
+
+
+def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteFilesResponse:
+    """Execute the full rewrite: MoR plan → write → stats.
+
+    Reference entry point ``RewriteFilesRequest -> RewriteFilesResponse``
+    (core/src/executor/mod.rs:39-47, executed by
+    core/src/executor/datafusion/mod.rs:85-142).
+    """
+    df = build_merge_on_read(spark, request)
+
+    writer_df = df
+    if request.partition_by:
+        # Fanout write (reference mod.rs:176-188): shuffle rows to their
+        # partition first so each output partition is written by few
+        # tasks — bounded file counts at any scale.
+        writer_df = df.repartition(*[F.col(c) for c in request.partition_by])
+        writer = writer_df.write.partitionBy(*request.partition_by)
+    else:
+        writer_df = df.repartition(request.target_partitions)
+        writer = writer_df.write
+
+    writer.mode("overwrite").parquet(request.dir_path)
+
+    stats = _collect_column_stats(df)
+    files = _list_written_files(request.dir_path)
+    data_files = [
+        DataFileMeta(
+            file_path=p,
+            file_format="parquet",
+            record_count=-1,  # per-file counts live in the parquet footer
+            file_size_in_bytes=size,
+            column_stats=stats["columns"],
+        )
+        for p, size in files
+    ]
+    rewritten_bytes = sum(t.file_size_in_bytes for t in request.data_files)
+    stat = RewriteFilesStat(
+        rewritten_files_count=len(request.data_files)
+        + len(request.position_delete_files)
+        + len(request.equality_delete_files),
+        added_files_count=len(data_files),
+        rewritten_bytes=rewritten_bytes,
+        failed_data_files_count=0,
+    )
+    return RewriteFilesResponse(data_files=data_files, stat=stat)

@@ -1,0 +1,52 @@
+"""Fixture-table loading.
+
+The driver materializes the TPC-H-ish star schema + events/documents/
+embeddings as one Parquet file per table per scale factor
+(``TESTDATA.md``).  Loading goes through ``spark.read.parquet`` so the
+vectorized reader, column pruning, and predicate pushdown all apply; at
+cluster scale the same call reads a partitioned directory tree and
+Catalyst prunes partitions from the pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; customer/supplier/part grow with SF but
+# stay orders of magnitude below the fact tables).  Used as broadcast-join
+# hints in the query layer.
+SMALL_DIMS = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql queries)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

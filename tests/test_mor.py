@@ -1,0 +1,352 @@
+"""Merge-on-read compaction scenarios (FIXTURES.md §B4).
+
+Each scenario synthesizes data/delete Parquet files, runs the MoR plan,
+and checks results against a DuckDB oracle computing the same anti-join
+SQL.  Mirrors the reference's SQL-generation tests
+(core/src/executor/datafusion/datafusion_processor.rs:563-815) at the
+results level rather than the SQL-string level.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.compaction import (
+    Compaction,
+    FileScanTask,
+    ManifestTable,
+    RewriteFilesRequest,
+    build_merge_on_read,
+    rewrite_files,
+)
+from ic_spark.compaction.request import (
+    FileContent,
+    split_equality_delete_groups,
+)
+
+from tests.conftest import normalize
+
+
+def spark_uri(path: str) -> str:
+    """The exact string _metadata.file_path yields for a local file."""
+    return "file:" + os.path.abspath(path)
+
+
+def write_parquet(spark, path: str, rows, schema: str) -> str:
+    """Write a SINGLE parquet file; returns the file path (not the dir).
+
+    coalesce(1) keeps row order == input order so _metadata.row_index is
+    predictable for position-delete fixtures.
+    """
+    df = spark.createDataFrame(rows, schema=schema)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    return os.path.join(path, files[0])
+
+
+@pytest.fixture(scope="module")
+def mor_files(spark, tmp_path_factory):
+    """B1/B2/B3 fixture family: 3 data files (seq 1,2,3), pos deletes,
+    two equality-delete groups with different id-lists."""
+    base = tmp_path_factory.mktemp("mor")
+    d = {}
+    # Data files: (id, name, dec, ts, tags); seq 1..3; ids don't overlap.
+    d["data1"] = write_parquet(
+        spark,
+        str(base / "data1"),
+        [(i, f"n{i}", float(i), ["a", "b"]) for i in range(0, 10)],
+        "id int, name string, dec double, tags array<string>",
+    )
+    d["data2"] = write_parquet(
+        spark,
+        str(base / "data2"),
+        [(i, f"n{i}", float(i), ["c"]) for i in range(10, 20)],
+        "id int, name string, dec double, tags array<string>",
+    )
+    d["data3"] = write_parquet(
+        spark,
+        str(base / "data3"),
+        [(i, f"n{i}", float(i), []) for i in range(20, 30)],
+        "id int, name string, dec double, tags array<string>",
+    )
+    # Position deletes: rows 0,1 of data1 and row 5 of data2.
+    d["pos1"] = write_parquet(
+        spark,
+        str(base / "pos1"),
+        [
+            (spark_uri(d["data1"]), 0),
+            (spark_uri(d["data1"]), 1),
+            (spark_uri(d["data2"]), 5),
+        ],
+        "sys_hidden_file_path string, sys_hidden_pos long",
+    )
+    # Equality deletes group A (ids=[id]), seq 2: deletes id 5 (seq1 data
+    # only — data2 has seq 2, strict <), id 15 (no effect: same seq).
+    d["eq_a"] = write_parquet(
+        spark,
+        str(base / "eq_a"),
+        [(5,), (15,)],
+        "id int",
+    )
+    # Equality deletes group B (ids=[id, name]), seq 4: deletes (20,'n20').
+    d["eq_b"] = write_parquet(
+        spark,
+        str(base / "eq_b"),
+        [(20, "n20"), (21, "nope")],
+        "id int, name string",
+    )
+    d["base"] = str(base)
+    return d
+
+
+def data_tasks(d):
+    return [
+        FileScanTask(d["data1"], sequence_number=1),
+        FileScanTask(d["data2"], sequence_number=2),
+        FileScanTask(d["data3"], sequence_number=3),
+    ]
+
+
+def user_schema(spark, d):
+    return spark.read.parquet(d["data1"]).schema
+
+
+def collected_ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_no_deletes_plain_rewrite(spark, mor_files):
+    """B4.1 — no deletes: plain rewrite passes all rows through."""
+    req = RewriteFilesRequest(schema=user_schema(spark, mor_files), data_files=data_tasks(mor_files))
+    df = build_merge_on_read(spark, req)
+    assert collected_ids(df) == list(range(30))
+    assert df.columns == ["id", "name", "dec", "tags"]  # no hidden leakage
+
+
+def test_position_deletes_only(spark, mor_files):
+    """B4.2 — (file_path, pos) anti-join removes exactly the named rows."""
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        position_delete_files=[FileScanTask(mor_files["pos1"], content=FileContent.POSITION_DELETES)],
+    )
+    df = build_merge_on_read(spark, req)
+    assert collected_ids(df) == sorted(set(range(30)) - {0, 1, 15})
+    assert df.columns == ["id", "name", "dec", "tags"]
+
+
+def test_equality_deletes_strict_seq(spark, mor_files):
+    """B4.3 + B4.4 — eq delete applies only to strictly older sequence
+    numbers: seq-2 delete of id=5 removes it (data seq 1), but id=15
+    (data seq 2, same seq) is KEPT."""
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        equality_delete_files=[
+            FileScanTask(
+                mor_files["eq_a"],
+                sequence_number=2,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            )
+        ],
+    )
+    df = build_merge_on_read(spark, req)
+    ids = collected_ids(df)
+    assert 5 not in ids  # deleted: data seq 1 < delete seq 2
+    assert 15 in ids  # kept: data seq 2 == delete seq 2 (strict <)
+    assert ids == sorted(set(range(30)) - {5})
+
+
+def test_both_delete_kinds(spark, mor_files):
+    """B4.5 — position + equality deletes compose."""
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        position_delete_files=[FileScanTask(mor_files["pos1"], content=FileContent.POSITION_DELETES)],
+        equality_delete_files=[
+            FileScanTask(
+                mor_files["eq_a"],
+                sequence_number=2,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            )
+        ],
+    )
+    df = build_merge_on_read(spark, req)
+    assert collected_ids(df) == sorted(set(range(30)) - {0, 1, 5, 15})
+
+
+def test_two_equality_groups_interleaved(spark, mor_files):
+    """B4.6 — id-list change along the task list opens a new delete
+    table; both groups apply with their own seq guards."""
+    eq_tasks = [
+        FileScanTask(
+            mor_files["eq_a"],
+            sequence_number=2,
+            content=FileContent.EQUALITY_DELETES,
+            equality_ids=("id",),
+        ),
+        FileScanTask(
+            mor_files["eq_b"],
+            sequence_number=4,
+            content=FileContent.EQUALITY_DELETES,
+            equality_ids=("id", "name"),
+        ),
+    ]
+    groups = split_equality_delete_groups(eq_tasks)
+    assert [g.equality_ids for g in groups] == [("id",), ("id", "name")]
+
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        equality_delete_files=eq_tasks,
+    )
+    df = build_merge_on_read(spark, req)
+    ids = collected_ids(df)
+    # group A: id=5 deleted; group B: (20,'n20') deleted (seq 3 < 4);
+    # (21,'nope') matches no row on (id,name).
+    assert ids == sorted(set(range(30)) - {5, 20})
+    assert 21 in ids
+
+
+def test_group_splitting_order_sensitive():
+    """Reference :376-400 — identical id-list reappearing later forms a
+    NEW group, not a merge with the earlier one."""
+    t = lambda ids: FileScanTask(
+        "x", content=FileContent.EQUALITY_DELETES, equality_ids=ids
+    )
+    groups = split_equality_delete_groups([t(("a",)), t(("a", "b")), t(("a",))])
+    assert [g.equality_ids for g in groups] == [("a",), ("a", "b"), ("a",)]
+    assert [len(g.tasks) for g in groups] == [1, 1, 1]
+
+
+def test_mor_against_duckdb_oracle(spark, mor_files):
+    """Full scenario hash-checked against DuckDB running the reference's
+    generated SQL shape directly (LEFT ANTI JOIN chain)."""
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        position_delete_files=[FileScanTask(mor_files["pos1"], content=FileContent.POSITION_DELETES)],
+        equality_delete_files=[
+            FileScanTask(
+                mor_files["eq_a"],
+                sequence_number=2,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            ),
+            FileScanTask(
+                mor_files["eq_b"],
+                sequence_number=4,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id", "name"),
+            ),
+        ],
+    )
+    df = build_merge_on_read(spark, req).select("id", "name", "dec")
+
+    con = duckdb.connect()
+    oracle_sql = f"""
+    WITH data AS (
+        SELECT *, 1 AS seq, filename AS fp, file_row_number AS pos
+        FROM read_parquet('{mor_files["data1"]}', filename=true, file_row_number=true)
+        UNION ALL
+        SELECT *, 2, filename, file_row_number
+        FROM read_parquet('{mor_files["data2"]}', filename=true, file_row_number=true)
+        UNION ALL
+        SELECT *, 3, filename, file_row_number
+        FROM read_parquet('{mor_files["data3"]}', filename=true, file_row_number=true)
+    ),
+    pos_del AS (
+        SELECT replace(sys_hidden_file_path, 'file:', '') AS fp, sys_hidden_pos AS pos
+        FROM read_parquet('{mor_files["pos1"]}')
+    ),
+    eq_a AS (SELECT id, 2 AS seq FROM read_parquet('{mor_files["eq_a"]}')),
+    eq_b AS (SELECT id, name, 4 AS seq FROM read_parquet('{mor_files["eq_b"]}'))
+    SELECT d.id, d.name, d.dec FROM data d
+    ANTI JOIN pos_del p ON d.fp = p.fp AND d.pos = p.pos
+    ANTI JOIN eq_a a ON d.id = a.id AND d.seq < a.seq
+    ANTI JOIN eq_b b ON d.id = b.id AND d.name = b.name AND d.seq < b.seq
+    """
+    oracle_rows = con.sql(oracle_sql).fetchall()
+    spark_rows = [(r.id, r.name, r.dec) for r in df.collect()]
+    assert normalize(spark_rows) == normalize(oracle_rows)
+    con.close()
+
+
+def test_full_compact_and_expire(spark, mor_files, tmp_path):
+    """End-to-end orchestration (reference mod.rs:43-88): manifest table
+    → full_compact → single compacted snapshot → expire."""
+    table = ManifestTable(str(tmp_path / "tbl"))
+    table.append_snapshot(
+        [
+            {"path": mor_files["data1"], "sequence_number": 1, "content": "DATA"},
+            {"path": mor_files["data2"], "sequence_number": 2, "content": "DATA"},
+            {"path": mor_files["data3"], "sequence_number": 3, "content": "DATA"},
+            {"path": mor_files["pos1"], "content": "POSITION_DELETES"},
+            {
+                "path": mor_files["eq_a"],
+                "sequence_number": 2,
+                "content": "EQUALITY_DELETES",
+                "equality_ids": ["id"],
+            },
+        ]
+    )
+    comp = Compaction(spark)
+    resp = comp.full_compact(table, user_schema(spark, mor_files), target_partitions=2)
+    assert resp.stat.rewritten_files_count == 5
+    assert resp.stat.added_files_count >= 1
+
+    # Post-compaction snapshot has only DATA files; reading them gives
+    # exactly the MoR result.
+    data, pos, eq = table.scan_tasks()
+    assert pos == [] and eq == []
+    out = spark.read.parquet(*[t.data_file_path for t in data])
+    assert sorted(r.id for r in out.collect()) == sorted(set(range(30)) - {0, 1, 5, 15})
+
+    # Determinism (B4.8): second compaction of the same inputs yields the
+    # same row multiset.
+    orphans = comp.expire_snapshot(table)
+    assert mor_files["pos1"] in orphans
+
+
+def test_deterministic_rewrite(spark, mor_files, tmp_path):
+    """B4.8 — same inputs → identical output content (two runs)."""
+    req = lambda i: RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        position_delete_files=[FileScanTask(mor_files["pos1"], content=FileContent.POSITION_DELETES)],
+        dir_path=str(tmp_path / f"out{i}"),
+        target_partitions=2,
+    )
+    r1 = rewrite_files(spark, req(1))
+    r2 = rewrite_files(spark, req(2))
+    df1 = spark.read.parquet(str(tmp_path / "out1"))
+    df2 = spark.read.parquet(str(tmp_path / "out2"))
+    rows1 = normalize([tuple(r) for r in df1.select("id", "name", "dec").collect()])
+    rows2 = normalize([tuple(r) for r in df2.select("id", "name", "dec").collect()])
+    assert rows1 == rows2
+    assert r1.stat.added_files_count == r2.stat.added_files_count
+
+
+def test_partitioned_fanout_write(spark, mor_files, tmp_path):
+    """B4.7 — partitioned rewrite routes rows to partition dirs."""
+    schema = user_schema(spark, mor_files)
+    req = RewriteFilesRequest(
+        schema=schema,
+        data_files=data_tasks(mor_files),
+        dir_path=str(tmp_path / "part_out"),
+        partition_by=["name"],
+    )
+    rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "part_out"))
+    assert sorted(r.id for r in out.collect()) == list(range(30))
+    # partition dirs exist
+    import os as _os
+
+    assert any(p.startswith("name=") for p in _os.listdir(tmp_path / "part_out"))
