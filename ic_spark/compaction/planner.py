@@ -113,6 +113,28 @@ def _maybe_broadcast(df: DataFrame, tasks: list[FileScanTask]) -> DataFrame:
     return df
 
 
+def apply_position_deletes(data: DataFrame, pos_del: DataFrame) -> DataFrame:
+    """Equi anti-join on (file_path, pos) — reference O7
+    (datafusion_processor.rs:265-277).  ``pos_del`` columns must be
+    (sys_hidden_file_path, sys_hidden_pos); ``data`` must carry both."""
+    return data.join(
+        pos_del, on=[SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS], how="left_anti"
+    )
+
+
+def apply_equality_deletes(
+    data: DataFrame, eq_del: DataFrame, eq_cols: list[str]
+) -> DataFrame:
+    """Anti-join on equality columns + STRICT seq guard — reference O8
+    (datafusion_processor.rs:279-305).  A delete applies only to data
+    with a strictly OLDER sequence number (:300-304) — same-sequence
+    data survives.  Both sides must carry ``sys_hidden_seq_num``."""
+    cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(f"e.{SYS_HIDDEN_SEQ_NUM}")
+    for c in eq_cols:
+        cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
+    return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
+
+
 def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> DataFrame:
     """Construct the MoR DataFrame: data minus deleted rows, user schema.
 
@@ -135,13 +157,11 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
 
     if has_pos:
         # Position-delete schema is fixed (file_path, pos) — reference
-        # datafusion_processor.rs:350-368.  Equi anti-join on both keys.
+        # datafusion_processor.rs:350-368.
         pos_del = _scan_with_hidden_cols(spark, request.position_delete_files)
         pos_del = pos_del.toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
         pos_del = _maybe_broadcast(pos_del, request.position_delete_files)
-        data = data.join(
-            pos_del, on=[SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS], how="left_anti"
-        )
+        data = apply_position_deletes(data, pos_del)
 
     if has_eq:
         # One anti-join per order-sensitive equality-id group, chained in
@@ -155,13 +175,7 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
                 columns=eq_cols,
             )
             eq_del = _maybe_broadcast(eq_del, list(group.tasks))
-            # Strict '<': a delete only applies to data with a strictly
-            # OLDER sequence number (reference :300-304) — same-sequence
-            # data survives.
-            cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(f"e.{SYS_HIDDEN_SEQ_NUM}")
-            for c in eq_cols:
-                cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
-            data = data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
+            data = apply_equality_deletes(data, eq_del, eq_cols)
 
     # Final projection: hidden columns never leak (reference :447-448).
     return data.select(*user_cols)

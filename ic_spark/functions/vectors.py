@@ -1,0 +1,35 @@
+"""Vector math over ``array<float|double>`` columns.
+
+All pure Catalyst expressions (``zip_with``/``aggregate`` higher-order
+functions) — they run inside whole-stage codegen on the JVM, no Python
+boundary, so a 100 TB embedding scan stays vectorized end to end.
+Accumulation is in DOUBLE regardless of input element type (matches the
+DuckDB oracle casting to DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

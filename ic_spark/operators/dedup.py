@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all shuffle-frugal and UDF-free (pure Catalyst
+expressions — higher-order array functions + xxhash64):
+
+- **exact**: hash-groupBy on content (or normalized content).  One
+  shuffle on the 64-bit hash; survivors are the min-id per group.
+- **n-gram Jaccard**: exact pairwise Jaccard within blocking keys —
+  the verification step for candidate pairs (never run unblocked at
+  scale: the block keeps the self-join quadratic cost bounded).
+- **MinHash + LSH**: signature = per-permutation min over shingle
+  hashes; banding turns near-duplicate search into an equi-join on
+  (band, band_hash) — the only shuffle is on band keys, so cost is
+  O(docs × bands), independent of pair count.
+- **SimHash**: 64-bit locality-sensitive fingerprint via per-bit
+  majority vote over token hashes; near-dups differ in few bits.
+
+The driver-facing oracle checks cover the exact/Jaccard/fingerprint
+operators; MinHash/SimHash use engine-specific hash functions
+(xxhash64) with no DuckDB equivalent, so their correctness is
+established by property tests (see tests/test_operators.py) and a
+rows-only driver check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ic_spark.functions.text import tokens, word_shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Keep one row (min id) per distinct content value.
+
+    Dedup key is ``xxhash64(content)`` so the shuffle key is 8 bytes,
+    not the document body — at 100 TB that is the difference between
+    shuffling hashes and shuffling the corpus.  Collision risk at 2^64
+    is negligible for practical corpus sizes (~10^10 docs → p≈1e-7).
+    """
+    c: Column = F.col(content_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    keyed = df.withColumn("__h", F.xxhash64(c))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Dedup on the order-insensitive token fingerprint (bag-of-words
+    identity) — catches shuffled/reordered copies exact dedup misses."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(content_col)))))
+    )
+    keyed = df.withColumn("__fp", fp)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ------------------------------------------------------------- jaccard
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs sharing a blocking key.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    The blocking keys bound the quadratic blow-up: the self-join is an
+    equi-join on the block, so Spark shuffles each side once and AQE
+    splits skewed blocks.  Oversized blocks are the scale hazard —
+    choose blocks so max |block| is ~10^3-10^4.
+    """
+    toks = F.array_distinct(tokens(F.col(content_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"), *block_cols, toks.alias("__toks")
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        F.col("__toks").alias("__ta"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__toks").alias("__tb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"__b_{c}"))
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.col("__ta")) + F.size(F.col("__tb")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, on=cond, how="inner")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- minhash + lsh
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-permutation min over shingle hashes.
+
+    The j-th permutation is ``xxhash64(shingle, j)`` (seeded hash ≈
+    independent permutation).  All per-row work — no shuffle at all;
+    the expression runs inside codegen over the corpus scan.
+    """
+    sh = word_shingles(F.col(content_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
+
+    Explode each signature into ``bands`` (band_idx, band_hash) keys;
+    pairs agreeing on ANY band meet in an equi-join on the band key.
+    Shuffle cost: O(docs × bands) rows of 16 bytes — no pairwise term.
+    With sig=64, b=16, r=4 the S-curve threshold is ≈ (1/16)^(1/4) ≈ 0.5
+    Jaccard.  Downstream, verify candidates with exact Jaccard
+    (``token_jaccard_pairs`` on the candidate set).
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) — per-bit majority vote over token hashes.
+
+    For each of ``bits`` positions, sum +1/-1 votes from every token's
+    hash bit, then pack sign bits into one bigint.  Pure expression
+    (zip_with accumulate over tokens) — no shuffle, no UDF.  Hamming
+    distance between simhashes ≈ 1 - cosine similarity of token
+    frequency vectors; near-dups land within a few bits.
+    """
+    toks = tokens(F.col(content_col))
+    zero = F.array_repeat(F.lit(0), bits)
+    # Shift amounts must be literal ints in Spark, so the per-bit
+    # structure is unrolled driver-side (bits is small and fixed); the
+    # per-ROW work is still one codegen expression, no UDF.
+    bit_votes = lambda t: F.array(
+        *[
+            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(bits)
+        ]
+    )
+    votes = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y)
+    )
+    # Materialize the vote array once, then pack bits from the column
+    # reference (keeps the expression tree linear in `bits`).
+    with_votes = df.select(F.col(id_col).alias("id"), votes.alias("__votes"))
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.element_at(F.col("__votes"), i + 1) > 0,
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return with_votes.select("id", packed.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit_count is a Spark built-in."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media items are opaque ``binary`` payloads plus a typed metadata
+struct.  All Spark-side mechanics are real — schema, Arrow-batched
+``mapInPandas`` transforms, partition sizing — while the codec calls
+themselves are stubbed (the image/audio libraries are not in this
+container): decode either raises ``NotImplementedError`` (strict mode)
+or produces a deterministic fake derived from the payload bytes, so
+the pipeline shape is testable end to end.
+
+Scale notes baked into the design:
+
+- ``mapInPandas`` processes Arrow batches; ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` bounds batch memory when payloads are large.
+- Binary payloads should ride in their own column so Parquet column
+  pruning skips them when a query touches only metadata.
+- repartition by a size-balanced key before heavy decode so one
+  executor doesn't get all the 4K videos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+        StructField("feature", StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None, kind: str) -> str:
+    """Deterministic stand-in for a real codec: sha-derived token.
+
+    Replace with PIL/torchaudio/ffmpeg calls when available; the Spark
+    plumbing (batch shape, schema, partitioning) is unchanged.
+    """
+    if payload is None:
+        return "empty"
+    digest = hashlib.sha256(payload).hexdigest()[:16]
+    return f"{kind}-feat-{digest}"
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over media rows.
+
+    ``strict=True`` raises NotImplementedError where the real codec
+    would run — marking exactly the boundary a deployment must fill in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "plug a real decoder into extract_features()"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "content_sha": pdf["payload"].map(
+                        lambda b: "" if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": [
+                        _fake_decode(b, k)
+                        for b, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_metadata_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never touches the payload column, so
+    Parquet column pruning skips the heavy bytes entirely."""
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(F.col("width")).alias("avg_width"),
+        F.avg(F.col("duration_ms")).alias("avg_duration_ms"),
+    )

@@ -1,0 +1,263 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search.
+
+Operators with portable semantics carry a DuckDB oracle; MinHash/
+SimHash/LSH use engine hash functions (xxhash64) with no DuckDB
+equivalent, so they are declared WITHOUT oracle (driver records the
+weaker rows-only check) and their correctness properties are pinned by
+tests/test_operators.py instead (determinism, exact-dup detection,
+LSH-vs-brute-force recall).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ic_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    token_jaccard_pairs,
+)
+from ic_spark.operators.similarity import brute_force_top_k, lsh_top_k
+from ic_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    langid_heuristic,
+    quality_score,
+    tokens,
+)
+from ic_spark.queries.registry import query
+from ic_spark.tables import load_table
+
+SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+# ------------------------------------------------------------- dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str):
+    """Exact dedup on content hash; survivors = min doc_id per text."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str):
+    """Bag-of-words dedup: catches token-reordered copies."""
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(d, "text", "doc_id").select("doc_id")
+
+
+@query(
+    "dedup_token_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+             AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    """,
+    headline=True,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str):
+    """Exact pairwise token-set Jaccard within (lang, source) blocks."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    No SQL oracle (xxhash64-based signatures); rows-only driver check.
+    Properties pinned in tests: exact duplicates always pair; verified
+    Jaccard is exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    # Verify candidates with exact 3-shingle Jaccard (broadcast the
+    # candidate ids back onto the docs; candidate set << corpus).
+    from ic_spark.functions.text import word_shingles
+
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    pairs = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    """64-bit SimHash fingerprint per document (rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+# ------------------------------------------------------ text analysis
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           ROUND(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.5 * LEAST(1.0, len(toks) / 50.0)
+               + 0.5 * LEAST(1.0, len(list_intersect(toks, {SQL_STOPLIST})) / 3.0), 6)
+             AS quality,
+           CASE WHEN len(list_intersect(toks, {SQL_STOPLIST})) >= 2
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM t
+    """,
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        langid_heuristic(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------- similarity
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(CAST(c.cv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(CAST(c.cv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+                          c.neighbor_id ASC
+               ) AS rank
+        FROM c, q WHERE q.query_id <> c.neighbor_id
+    ) WHERE rank <= 10
+    """,
+    headline=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id < 5 (broadcast
+    queries × streamed corpus; map-side partial top-k)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_top_k(
+        e, e.where(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@query("sim_lsh_topk", oracle=None)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str):
+    """Hyperplane-LSH bucketed approximate top-k (rows-only check;
+    recall vs brute force pinned in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=10,
+        n_planes=6,
+    )
+
+
+@query(
+    "sim_embedding_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str):
+    from ic_spark.functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )

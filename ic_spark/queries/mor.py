@@ -1,0 +1,172 @@
+"""Merge-on-read delete application as oracle-checkable queries.
+
+These run the ACTUAL compaction operators
+(``apply_position_deletes`` / ``apply_equality_deletes`` from
+``ic_spark.compaction.planner``) over delete sets derived
+deterministically from the fixture tables, so the driver's DuckDB
+comparison hash-checks the reference's core query shape end to end.
+(The file-level path — real parquet files, ``_metadata`` hidden
+columns, manifest commit — is exercised in tests/test_mor.py; it needs
+synthesized files, which a read-only query can't create.)
+
+Simulation mapping (documented in each oracle):
+- "file" := l_orderkey % 3 (three virtual files, seq = file id + 1)
+- "pos"  := l_orderkey * 10 + l_linenumber (unique row position)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ic_spark.compaction.planner import (
+    apply_equality_deletes,
+    apply_position_deletes,
+)
+from ic_spark.compaction.request import (
+    SYS_HIDDEN_FILE_PATH,
+    SYS_HIDDEN_POS,
+    SYS_HIDDEN_SEQ_NUM,
+)
+from ic_spark.queries.registry import query
+from ic_spark.tables import load_table
+
+# Virtual file layout shared by Spark queries and oracle SQL.
+SQL_DATA = """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           CAST('file_' || (l_orderkey % 3) AS VARCHAR) AS fp,
+           l_orderkey * 10 + l_linenumber AS pos,
+           (l_orderkey % 3) + 1 AS seq
+    FROM lineitem
+"""
+
+
+def _data_with_hidden(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        F.concat(F.lit("file_"), (F.col("l_orderkey") % 3).cast("string")).alias(
+            SYS_HIDDEN_FILE_PATH
+        ),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias(SYS_HIDDEN_POS),
+        ((F.col("l_orderkey") % 3) + 1).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+    )
+
+
+@query(
+    "mor_position_delete",
+    oracle=f"""
+    WITH data AS ({SQL_DATA}),
+    pos_del AS (
+        SELECT CAST('file_' || (o_orderkey % 3) AS VARCHAR) AS fp,
+               o_orderkey * 10 + 1 AS pos
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.l_quantity
+    FROM data d ANTI JOIN pos_del p ON d.fp = p.fp AND d.pos = p.pos
+    """,
+    headline=True,
+)
+def mor_position_delete(spark: SparkSession, sf_dir: str):
+    """Position-delete anti-join (reference O7) over virtual files."""
+    data = _data_with_hidden(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    pos_del = o.where(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("file_"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            SYS_HIDDEN_FILE_PATH
+        ),
+        (F.col("o_orderkey") * 10 + 1).cast("long").alias(SYS_HIDDEN_POS),
+    )
+    out = apply_position_deletes(data, F.broadcast(pos_del))
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "mor_equality_delete",
+    oracle=f"""
+    WITH data AS ({SQL_DATA}),
+    eq_del AS (
+        -- delete key (l_partkey) at sequence 2: applies only to seq-1 data
+        SELECT p_partkey AS l_partkey, 2 AS seq FROM part WHERE p_partkey % 5 = 0
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.l_partkey
+    FROM data d ANTI JOIN eq_del e ON d.l_partkey = e.l_partkey AND d.seq < e.seq
+    """,
+    headline=True,
+)
+def mor_equality_delete(spark: SparkSession, sf_dir: str):
+    """Equality-delete anti-join with STRICT sequence guard (reference
+    O8): delete seq 2 removes matching rows only from virtual file 0
+    (seq 1); files with seq ≥ 2 keep their rows."""
+    data = _data_with_hidden(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    eq_del = p.where(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.lit(2).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+    )
+    out = apply_equality_deletes(data, F.broadcast(eq_del), ["l_partkey"])
+    return out.select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+@query(
+    "mor_full_merge_on_read",
+    oracle=f"""
+    WITH data AS ({SQL_DATA}),
+    pos_del AS (
+        SELECT CAST('file_' || (o_orderkey % 3) AS VARCHAR) AS fp,
+               o_orderkey * 10 + 1 AS pos
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    eq_a AS (
+        SELECT p_partkey AS l_partkey, 2 AS seq FROM part WHERE p_partkey % 5 = 0
+    ),
+    eq_b AS (
+        -- second group on a DIFFERENT id-list (partkey, suppkey), seq 3
+        SELECT p_partkey AS l_partkey, s_suppkey AS l_suppkey, 3 AS seq
+        FROM part, supplier WHERE p_partkey % 13 = 0 AND s_suppkey % 2 = 0
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.l_partkey, d.l_suppkey
+    FROM data d
+    ANTI JOIN pos_del p ON d.fp = p.fp AND d.pos = p.pos
+    ANTI JOIN eq_a a ON d.l_partkey = a.l_partkey AND d.seq < a.seq
+    ANTI JOIN eq_b b ON d.l_partkey = b.l_partkey AND d.l_suppkey = b.l_suppkey
+                    AND d.seq < b.seq
+    """,
+    headline=True,
+)
+def mor_full_merge_on_read(spark: SparkSession, sf_dir: str):
+    """The reference's complete query shape: position deletes + two
+    equality-delete groups with different id-lists, chained in task
+    order, each with its own strict seq guard."""
+    data = _data_with_hidden(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    pos_del = o.where(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("file_"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            SYS_HIDDEN_FILE_PATH
+        ),
+        (F.col("o_orderkey") * 10 + 1).cast("long").alias(SYS_HIDDEN_POS),
+    )
+    eq_a = p.where(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.lit(2).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+    )
+    eq_b = (
+        p.where(F.col("p_partkey") % 13 == 0)
+        .crossJoin(s.where(F.col("s_suppkey") % 2 == 0))
+        .select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.lit(3).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+        )
+    )
+    out = apply_position_deletes(data, F.broadcast(pos_del))
+    out = apply_equality_deletes(out, F.broadcast(eq_a), ["l_partkey"])
+    out = apply_equality_deletes(out, F.broadcast(eq_b), ["l_partkey", "l_suppkey"])
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

@@ -41,6 +41,9 @@ def get_spark(app_name: str = "ic_spark", shuffle_partitions: str | None = None)
         # ANSI off: the oracle (DuckDB) and the reference both use
         # permissive SQL semantics for casts/overflow.
         .config("spark.sql.ansi.enabled", "false")
+        # The events fixture stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamps (SURVEY §1.2) — read as long and convert at load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

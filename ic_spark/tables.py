@@ -10,6 +10,7 @@ Catalyst prunes partitions from the pushed filters.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -37,7 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
+        # exactly what DuckDB's ns→µs cast does — so oracle comparisons
+        # agree.
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # Integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 2^53 exact range, so float division is off by 1µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

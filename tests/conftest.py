@@ -38,7 +38,8 @@ def normalize(rows, ndigits: int = 6):
             return round(v, ndigits)
         return v
 
-    return sorted(tuple(norm_val(v) for v in r) for r in rows)
+    # repr-keyed sort: total order even with None / mixed types.
+    return sorted((tuple(norm_val(v) for v in r) for r in rows), key=repr)
 
 
 def assert_df_matches_oracle(df, con, sql: str, ndigits: int = 6):

@@ -1,0 +1,126 @@
+"""Property tests for the non-oracle operators (MinHash-LSH, SimHash,
+hyperplane LSH, as-of join, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.operators.asof import asof_join
+from ic_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    hamming_distance,
+)
+from ic_spark.operators.similarity import brute_force_top_k, lsh_top_k
+from ic_spark.operators.multimodal import extract_features, media_metadata_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about database engines and query planning systems"),
+    (5, "spark streaming watermarks bound state growth for unbounded event sources"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_exact_dup_always_pairs(spark, docs_df):
+    sigs = minhash_signatures(docs_df, "doc_id", "text")
+    rows = {r.id: r.sig for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical text → identical signature
+    cands = minhash_lsh_candidates(sigs)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup always a candidate
+    # dissimilar docs should not pair with everything
+    assert (4, 5) not in pairs
+
+
+def test_minhash_near_dup_high_overlap(spark, docs_df):
+    sigs = minhash_signatures(docs_df, "doc_id", "text")
+    rows = {r.id: r.sig for r in sigs.collect()}
+    overlap_near = sum(a == b for a, b in zip(rows[1], rows[3])) / len(rows[1])
+    overlap_far = sum(a == b for a, b in zip(rows[1], rows[4])) / len(rows[1])
+    assert overlap_near > overlap_far
+    assert overlap_near > 0.5
+
+
+def test_simhash_distance_ordering(spark, docs_df):
+    sh = {r.id: r.simhash for r in simhash(docs_df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    df = spark.createDataFrame(
+        [(sh[1], sh[3], sh[4])], "a long, near long, far long"
+    ).select(
+        hamming_distance(F.col("a"), F.col("near")).alias("d_near"),
+        hamming_distance(F.col("a"), F.col("far")).alias("d_far"),
+    )
+    row = df.collect()[0]
+    assert row.d_near < row.d_far
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = brute_force_top_k(e, q, k=10).select("query_id", "neighbor_id").collect()
+    approx = lsh_top_k(e, q, k=10, dim=64, n_planes=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 hyperplanes → 16 buckets over 500 vecs; recall is approximate
+    # by design but must be far above chance (10/500 = 2%).
+    assert recall > 0.3, f"LSH recall suspiciously low: {recall}"
+
+
+def test_asof_exact_match_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], "k long, t long, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)], "k long, t long, v double"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", right_payload=["v"])
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[(1, 10)] == 100.0  # exact match included
+    assert got[(1, 20)] == 150.0  # latest at-or-before
+    assert got[(2, 5)] is None  # nothing at-or-before
+
+    strict = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["v"], allow_exact_matches=False,
+    )
+    got2 = {(r.k, r.t): r.v for r in strict.collect()}
+    assert got2[(1, 10)] is None  # strictly-before excludes the tie
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(b"\x89PNG fake"), 64, 64, None),
+            (2, "audio", "audio/wav", bytearray(b"RIFF fake"), None, None, 1200),
+            (3, "image", "image/png", None, 32, 32, None),
+        ],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    feats = extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[1].n_bytes == 9 and rows[1].feature.startswith("image-feat-")
+    assert rows[3].feature == "empty"
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert {k: v.feature for k, v in rows.items()} == again
+
+    stats = {r.kind: r.n_items for r in media_metadata_stats(media).collect()}
+    assert stats == {"image": 2, "audio": 1}
+
+    with pytest.raises(Exception):
+        extract_features(media, strict=True).collect()

@@ -1,0 +1,34 @@
+"""Every registry query vs its DuckDB oracle at sf0.001.
+
+This mirrors the driver's correctness gate (column-name-sorted,
+order-insensitive compare) so a green run here predicts a green
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ic_spark.queries import REGISTRY
+
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    assert_df_matches_oracle(df, oracle, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    """Non-SQL-expressible ops: runs, stable schema, deterministic."""
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    rows1 = sorted(map(tuple, df.collect()))
+    rows2 = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
+    assert rows1 == rows2, f"{name} is not deterministic"
