@@ -1,0 +1,93 @@
+"""Remote-execution surface: request decode → rewrite → response encode.
+
+Mirror of the reference's gRPC ``CompactorService``
+(``core/proto/iceberg.proto:224-227``, ``services/compactor/src/rpc.rs:27-55``)
+and its proto decode/encode layer (``core/src/parser/proto.rs:36-154,
+380-434``), re-expressed as a transport-agnostic JSON contract: the
+service decodes a fully-described rewrite request (schema + file scan
+tasks), executes it, and returns new data-file metadata.  Like the
+reference, the service does NOT commit — the caller owns the
+transaction (rpc.rs leaves the catalog untouched).
+
+A gRPC/REST wrapper is a thin shim over ``CompactorService.rewrite_files``;
+kept out so the engine has zero server dependencies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from ic_spark.compaction.request import (
+    FileContent,
+    FileScanTask,
+    RewriteFilesRequest,
+    RewriteFilesResponse,
+)
+from ic_spark.compaction.writer import rewrite_files
+
+
+def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
+    """JSON → RewriteFilesRequest.
+
+    Expected shape (analog of PbRewriteFilesRequest):
+    {
+      "schema": <StructType.jsonValue()>,
+      "dir_path": str,
+      "data_files": [{"path", "sequence_number"}...],
+      "position_delete_files": [{"path"}...],
+      "equality_delete_files": [{"path", "sequence_number", "equality_ids"}...],
+      "partition_by": [col...], "target_partitions": int,
+    }
+    """
+    schema = StructType.fromJson(payload["schema"])
+
+    def tasks(key: str, content: FileContent) -> list[FileScanTask]:
+        return [
+            FileScanTask(
+                data_file_path=t["path"],
+                sequence_number=t.get("sequence_number", 0),
+                content=content,
+                equality_ids=tuple(t.get("equality_ids", ())),
+                file_size_in_bytes=t.get("file_size_in_bytes", 0),
+            )
+            for t in payload.get(key, [])
+        ]
+
+    return RewriteFilesRequest(
+        schema=schema,
+        data_files=tasks("data_files", FileContent.DATA),
+        position_delete_files=tasks("position_delete_files", FileContent.POSITION_DELETES),
+        equality_delete_files=tasks("equality_delete_files", FileContent.EQUALITY_DELETES),
+        dir_path=payload["dir_path"],
+        partition_by=list(payload.get("partition_by", [])),
+        target_partitions=int(payload.get("target_partitions", 4)),
+        data_file_prefix=str(payload.get("data_file_prefix", "10")),
+    )
+
+
+def encode_response(response: RewriteFilesResponse) -> dict[str, Any]:
+    """RewriteFilesResponse → JSON (analog of the proto encoder)."""
+    return {
+        "data_files": [asdict(f) for f in response.data_files],
+        "stat": asdict(response.stat),
+    }
+
+
+class CompactorService:
+    """The reference's service surface: RewriteFiles + Echo."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def rewrite_files(self, payload: dict[str, Any]) -> dict[str, Any]:
+        request = decode_request(payload)
+        response = rewrite_files(self.spark, request)
+        return encode_response(response)
+
+    def echo(self, message: str) -> str:
+        """Liveness probe (reference Echo RPC)."""
+        return message

@@ -30,6 +30,22 @@ from pyspark.sql import Column, DataFrame, Window
 from ic_spark.functions.text import tokens, word_shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-wide parallelism before a heavy per-row map.
+
+    A small table read from one file gets one input partition, which
+    serializes expression-heavy operators (minhash/simhash) onto a
+    single core.  Repartition up to the session's default parallelism
+    when the scan is narrower; leave wide inputs alone (at cluster
+    scale, file splits already provide parallelism and the shuffle
+    would be pure cost).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(
@@ -124,19 +140,48 @@ def minhash_signatures(
     content_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — per-permutation min over shingle hashes.
 
-    The j-th permutation is ``xxhash64(shingle, j)`` (seeded hash ≈
-    independent permutation).  All per-row work — no shuffle at all;
-    the expression runs inside codegen over the corpus scan.
+    Cost discipline: shingles are built and string-hashed EXACTLY ONCE
+    per row (one ``xxhash64`` pass); the ``num_hashes`` permutations
+    are then affine maps ``a_j*h + b_j`` (universal hashing, Java-long
+    wraparound) over the 64-bit base hashes — long multiply-adds inside
+    codegen, no repeated string work.  Naively embedding the shingle
+    expression under each permutation re-tokenizes the document
+    num_hashes times (~100x slower at corpus scale).
+
+    All per-row work — no shuffle; streams with the corpus scan.
     """
-    sh = word_shingles(F.col(content_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    import random
+
+    rng = random.Random(seed)
+    # Unrolled driver-side with SCALAR literals per permutation: array
+    # literals indexed inside a lambda are re-materialized per element
+    # evaluation (higher-order fns are interpreted, not codegen'd),
+    # which turns O(shingles × perms) into an allocation storm.
+    a = [rng.randrange(1, 2**61, 2) for _ in range(num_hashes)]  # odd multipliers
+    b = [rng.randrange(2**61) for _ in range(num_hashes)]
+
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(content_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__h"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    def _perm(aj: int, bj: int):
+        # Closure factory: PySpark infers lambda arity from the Python
+        # signature, so default-arg capture would break resolution.
+        return lambda h: F.lit(aj).cast("long") * h + F.lit(bj).cast("long")
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__h"), _perm(a[j], b[j])))
+            for j in range(num_hashes)
+        ]
+    )
+    return base.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -200,23 +245,28 @@ def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 64) -> Dat
     distance between simhashes ≈ 1 - cosine similarity of token
     frequency vectors; near-dups land within a few bits.
     """
-    toks = tokens(F.col(content_col))
     zero = F.array_repeat(F.lit(0), bits)
-    # Shift amounts must be literal ints in Spark, so the per-bit
-    # structure is unrolled driver-side (bits is small and fixed); the
-    # per-ROW work is still one codegen expression, no UDF.
-    bit_votes = lambda t: F.array(
+    # Token hashes are computed ONCE per token (materialized projection);
+    # the per-bit vote works on the long hash.  Shift amounts must be
+    # literal ints in Spark, so the per-bit structure is unrolled
+    # driver-side (bits is small and fixed); the per-ROW work is one
+    # codegen expression, no UDF.
+    hashed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(content_col)), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    bit_votes = lambda h: F.array(
         *[
-            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             for i in range(bits)
         ]
     )
     votes = F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y)
+        F.col("__th"), zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y)
     )
     # Materialize the vote array once, then pack bits from the column
     # reference (keeps the expression tree linear in `bits`).
-    with_votes = df.select(F.col(id_col).alias("id"), votes.alias("__votes"))
+    with_votes = hashed.select("id", votes.alias("__votes"))
     packed = F.lit(0).cast("long")
     for i in range(bits):
         packed = packed.bitwiseOR(

@@ -8,7 +8,9 @@ from ic_spark.queries.registry import REGISTRY, Query, query
 
 # Import for side effect: each module registers its queries.
 from ic_spark.queries import tpch  # noqa: F401
+from ic_spark.queries import tpch2  # noqa: F401
 from ic_spark.queries import analytics  # noqa: F401
+from ic_spark.queries import analytics2  # noqa: F401
 from ic_spark.queries import mor  # noqa: F401
 from ic_spark.queries import llm  # noqa: F401
 

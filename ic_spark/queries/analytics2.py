@@ -1,0 +1,236 @@
+"""Window frames, percentiles, array aggregation, regexp scalar
+functions, outer-join shapes, and embedding-cosine near-dup pairs —
+widening the §2 category coverage with oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+
+from ic_spark.functions.vectors import cosine_similarity
+from ic_spark.queries.registry import query
+from ic_spark.queries.tpch import DEC
+from ic_spark.tables import load_table
+
+
+@query(
+    "window_range_frame_trailing_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_trailing_spend(spark: SparkSession, sf_dir: str):
+    """Trailing-30-day spend per customer — a RANGE (value-based) frame,
+    not ROWS: all orders within 30 days are summed regardless of count,
+    and same-day orders share one frame."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d_spend"
+        ),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           LAST_VALUE(l_partkey) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+           NTH_VALUE(l_partkey, 2) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str):
+    """(l_orderkey, l_linenumber) is NOT unique in the fixture — the
+    window order adds l_partkey so the projected value is total-ordered
+    (a non-total window order makes first/last/nth nondeterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_default = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w_full = w_default.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w_default).alias("first_part"),
+        F.last("l_partkey").over(w_full).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w_full).alias("second_part"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact interpolated percentiles (Spark ``percentile`` == SQL
+    percentile_cont semantics — NOT the approximate sketch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "agg_filtered_counts",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           COUNT(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str):
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.count(F.when(F.col("n_nationkey") % 2 == 0, 1)).alias("n_even"),
+    )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+    SELECT p_brand, list_sort(list(p_size)) AS sizes,
+           list_sort(list_distinct(list(p_type))) AS types
+    FROM part GROUP BY p_brand
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str):
+    """Array aggregation; sorted so the result is order-deterministic
+    (collect_list order is not guaranteed under parallel agg)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_sort(F.collect_list("p_size")).alias("sizes"),
+        F.array_sort(F.array_distinct(F.collect_list("p_type"))).alias("types"),
+    )
+
+
+@query(
+    "scalar_regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([0-9]+)', 1) AS first_number,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           translate(p_brand, '#', '-') AS brand_dash,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_type) AS type_rev,
+           COALESCE(NULLIF(p_type, 'PROMO'), 'is-promo') AS type_or_flag
+    FROM part
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.coalesce(F.nullif("p_type", F.lit("PROMO")), F.lit("is-promo")).alias(
+            "type_or_flag"
+        ),
+    )
+
+
+@query(
+    "join_full_outer_balance",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9500)
+    SELECT COALESCE(r.c_custkey, s.o_custkey) AS custkey, r.c_acctbal, s.spend
+    FROM rich r FULL OUTER JOIN spend s ON r.c_custkey = s.o_custkey
+    """,
+)
+def join_full_outer_balance(spark: SparkSession, sf_dir: str):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend"))
+    )
+    rich = c.where(F.col("c_acctbal") > 9500).select("c_custkey", "c_acctbal")
+    return rich.join(spend, rich.c_custkey == spend.o_custkey, "full_outer").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_acctbal",
+        "spend",
+    )
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup pairs, label-blocked (the block bounds
+    the self-join quadratic cost; at scale the block would be an LSH
+    bucket instead of a label — see hyperplane_lsh_buckets)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("__bl"),
+        F.col("embedding").alias("__eb"),
+    )
+    cos = cosine_similarity(F.col("__ea"), F.col("__eb"))
+    return (
+        a.join(b, (F.col("label") == F.col("__bl")) & (F.col("id_a") < F.col("id_b")))
+        .where(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -98,19 +98,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     Jaccard is exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3)
-    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
-    # Verify candidates with exact 3-shingle Jaccard (broadcast the
-    # candidate ids back onto the docs; candidate set << corpus).
+    # Signatures feed BOTH sides of the LSH self-join and the verify
+    # step — persist so the (scan + shingle + hash) pass runs once.
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3).persist()
+    sigs.count()  # materialize NOW: both self-join sides would otherwise race and compute it twice
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).persist()
+    cands.count()
+    # Verify candidates with exact 3-shingle Jaccard.  Shingles are
+    # only materialized for documents that appear in a candidate pair
+    # (semi-join first): the expensive array work runs on the candidate
+    # set, not the corpus — at 100 TB that is the difference between
+    # re-shingling everything and re-shingling ~0.1%.
     from ic_spark.functions.text import word_shingles
 
-    sh = d.select(
-        F.col("doc_id"),
-        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    sh = (
+        d.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        .select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+        )
     )
     pairs = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
+        cands.join(F.broadcast(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})), on="id_a")
+        .join(F.broadcast(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})), on="id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter

@@ -1,0 +1,97 @@
+"""File-format readers/writers.
+
+The reference scans Parquet/Avro/ORC file tasks (format enum at
+``core/src/parser/proto.rs:282-289``) and writes Parquet data files
+(``core/src/executor/datafusion/mod.rs:152-190``).  Spark covers all
+three natively (Avro via the ``spark-avro`` module — gated: not bundled
+in every distribution), plus JSON/CSV for ingest convenience.
+
+All readers go through the DataSource V2 path → vectorized scans,
+column pruning, predicate pushdown.  ``read_files`` accepts an explicit
+schema: at 100 TB, schema inference is a full extra pass over data —
+never rely on it in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+SUPPORTED_READ_FORMATS = ("parquet", "orc", "json", "csv", "avro")
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro")
+        # The format resolves lazily; probe with an impossible load to
+        # trigger classloading without reading data.
+        spark.read.format("avro").schema(StructType([])).load("/nonexistent-probe")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find" not in str(e) and "AVRO" not in str(e).upper()
+
+
+def read_files(
+    spark: SparkSession,
+    paths: list[str] | str,
+    file_format: str = "parquet",
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Read files of a supported format into a DataFrame.
+
+    Raises NotImplementedError for Avro when the spark-avro module is
+    absent (it is not bundled in this container) — the call signature
+    and semantics are the supported surface.
+    """
+    fmt = file_format.lower()
+    if fmt not in SUPPORTED_READ_FORMATS:
+        raise ValueError(f"unsupported format: {file_format}")
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        # Inference needs an extra pass; allow it for convenience
+        # formats but surface the choice via option.
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if fmt == "avro":
+        if not _avro_available(spark):
+            raise NotImplementedError(
+                "Avro requires the spark-avro module (org.apache.spark:spark-avro); "
+                "not bundled in this environment"
+            )
+        return reader.format("avro").options(**options).load(paths)
+    return getattr(reader.options(**options), fmt)(*paths)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_partitions: int | None = None,
+    **options,
+) -> None:
+    """Write a DataFrame as files; partitioned layouts repartition by
+    the partition columns first (bounded file count — reference fanout
+    writer O14)."""
+    fmt = file_format.lower()
+    if fmt == "csv":
+        options.setdefault("header", "true")  # symmetric with read_files
+    out = df
+    if partition_by:
+        out = df.repartition(*partition_by)
+    elif target_partitions:
+        out = df.repartition(target_partitions)
+    writer = out.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "avro":
+        writer.format("avro").save(path)
+    else:
+        getattr(writer, fmt)(path)

@@ -1,0 +1,109 @@
+"""Source formats, LPT scheduler, and the compactor service surface."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ic_spark.compaction.service import CompactorService
+from ic_spark.plans.scheduling import split_n_groups
+from ic_spark.sources.formats import read_files, write_files
+
+from tests.conftest import SF_DIR, normalize
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    df = read_files(spark, f"{SF_DIR}/nation.parquet", "parquet")
+    want = normalize(map(tuple, df.collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_files(df, path, fmt, target_partitions=2)
+        back = read_files(spark, path, fmt, schema=df.schema)
+        got = normalize(map(tuple, back.collect()))
+        assert got == want, f"round-trip mismatch for {fmt}"
+
+
+def test_avro_gated(spark, tmp_path):
+    with pytest.raises((NotImplementedError, Exception)):
+        read_files(spark, str(tmp_path / "nope"), "avro")
+
+
+def test_read_multiple_paths(spark):
+    df = read_files(
+        spark, [f"{SF_DIR}/nation.parquet", f"{SF_DIR}/nation.parquet"], "parquet"
+    )
+    assert df.count() == 50  # both paths scanned
+
+
+# ---------------------------------------------------------- scheduler
+
+
+def test_lpt_balance_and_determinism():
+    rng = random.Random(7)
+    tasks = [(i, rng.randrange(1, 1000)) for i in range(200)]
+    first = split_n_groups(tasks, 8, weight=lambda t: t[1])
+    # deterministic over many repetitions (reference pins 10k reps)
+    for _ in range(1000):
+        assert split_n_groups(tasks, 8, weight=lambda t: t[1]) == first
+    # balanced: max group weight within (max_task + avg) bound (LPT bound)
+    weights = [sum(w for _, w in g) for g in first]
+    avg = sum(weights) / len(weights)
+    max_task = max(w for _, w in tasks)
+    assert max(weights) <= avg + max_task
+
+
+def test_lpt_skewed_isolates_giant():
+    tasks = [("giant", 10_000)] + [(f"t{i}", 10) for i in range(30)]
+    groups = split_n_groups(tasks, 4, weight=lambda t: t[1])
+    giant_group = next(g for g in groups if ("giant", 10_000) in g)
+    assert len(giant_group) == 1  # nothing co-scheduled with the giant
+
+
+def test_lpt_edge_cases():
+    assert split_n_groups([], 3, weight=lambda t: 1) == [[], [], []]
+    assert split_n_groups([("a", 5)], 3, weight=lambda t: t[1]) == [[("a", 5)], [], []]
+    with pytest.raises(ValueError):
+        split_n_groups([("a", 1)], 0, weight=lambda t: t[1])
+
+
+# ------------------------------------------------------------ service
+
+
+def test_service_rewrite_files_json_contract(spark, tmp_path):
+    # Build a tiny data file + position-delete file.
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id int, val string"
+    )
+    data_dir = str(tmp_path / "svc_data")
+    src.coalesce(1).write.parquet(data_dir)
+    import os
+
+    data_file = next(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    pd = spark.createDataFrame(
+        [("file:" + data_file, 0)], "sys_hidden_file_path string, sys_hidden_pos long"
+    )
+    pd_dir = str(tmp_path / "svc_pd")
+    pd.coalesce(1).write.parquet(pd_dir)
+    pd_file = next(
+        os.path.join(pd_dir, f) for f in os.listdir(pd_dir) if f.endswith(".parquet")
+    )
+
+    svc = CompactorService(spark)
+    assert svc.echo("ping") == "ping"
+    out = svc.rewrite_files(
+        {
+            "schema": src.schema.jsonValue(),
+            "dir_path": str(tmp_path / "svc_out"),
+            "data_files": [{"path": data_file, "sequence_number": 1}],
+            "position_delete_files": [{"path": pd_file}],
+            "target_partitions": 1,
+        }
+    )
+    assert out["stat"]["rewritten_files_count"] == 2
+    assert out["stat"]["added_files_count"] >= 1
+    assert all(f["file_format"] == "parquet" for f in out["data_files"])
+    back = spark.read.parquet(str(tmp_path / "svc_out"))
+    assert sorted(r.id for r in back.collect()) == list(range(1, 10))  # row 0 deleted

@@ -40,3 +40,33 @@ def test_streaming_dedup(spark):
     got = run_to_memory_sink(spark, stream, "t_dedup", "append")
     n_ids = batch_events(spark).select("event_id").distinct().count()
     assert got.count() == n_ids
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: final per-user totals == batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends a row per (batch, user); the LAST row per user
+    # is the final running total.
+    got = (
+        spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+    )
+    want = (
+        batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
