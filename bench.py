@@ -35,12 +35,17 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    # Two reps, report the min: the shared host shows bursty CPU steal,
+    # and min-of-reps measures the engine rather than the neighbors.
     timings: dict[str, float] = {}
     for q in headline:
-        start = time.perf_counter()
-        n = q.fn(spark, SF_DIR).count()
-        timings[q.name] = round(time.perf_counter() - start, 3)
-        print(f"# {q.name}: {timings[q.name]}s ({n} rows)", file=sys.stderr)
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            start = time.perf_counter()
+            rows = q.fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - start)
+        timings[q.name] = round(best, 3)
+        print(f"# {q.name}: {timings[q.name]}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

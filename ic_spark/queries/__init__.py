@@ -13,5 +13,6 @@ from ic_spark.queries import analytics  # noqa: F401
 from ic_spark.queries import analytics2  # noqa: F401
 from ic_spark.queries import mor  # noqa: F401
 from ic_spark.queries import llm  # noqa: F401
+from ic_spark.queries import llm2  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,155 @@
+"""Second batch of text/LLM-pipeline queries: BPE-ish tokenization,
+rolling-hash fingerprints, token frequency analysis, pivot, and
+approximate sketches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ic_spark.operators.topk import grouped_top_k
+from ic_spark.queries.registry import query
+from ic_spark.tables import load_table
+
+# Word-ish / number / single-punct pieces — the "BPE-ish" pre-tokenizer
+# shape (split on category boundaries, keep punctuation as tokens).
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_bpeish_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS bpeish_tokens
+    FROM documents
+    """,
+)
+def text_bpeish_token_count(spark: SparkSession, sf_dir: str):
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (word / number / punctuation pieces)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH), 0)).alias(
+            "bpeish_tokens"
+        ),
+    )
+
+
+@query(
+    "text_rolling_hash_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0, list_transform(string_split(text, ' '),
+               t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str):
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    per-token md5-derived ints, mod 2^31-1 (exact integer arithmetic in
+    both engines — intermediate values stay < 2^52, no overflow).
+
+    Complements the order-insensitive md5 fingerprint: reordered copies
+    get different rolling hashes but identical bag-of-words prints.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    rolling = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + tok_hash(t)) % F.lit(2147483647),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT tok, n FROM (
+        SELECT tok, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rnk
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ) WHERE rnk <= 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str):
+    """Corpus token frequencies via explode → count → top-20 (map-side
+    partial agg keeps the shuffle at vocabulary size, not token count)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grouped_top_k(
+            counts.withColumn("__g", F.lit(1)),
+            ["__g"],
+            [F.col("n").desc(), F.col("tok").asc()],
+            20,
+        )
+        .select("tok", "n")
+    )
+
+
+@query(
+    "text_token_positions",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, tok
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    )
+    WHERE i <= 5
+    """,
+)
+def text_token_positions(spark: SparkSession, sf_dir: str):
+    """posexplode: first five (position, token) pairs per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .where(F.col("pos") < 5)
+    )
+
+
+@query(
+    "pivot_returnflag_revenue",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str):
+    """Pivot with an explicit value list (explicit values keep the output
+    schema static — at scale, value discovery is an extra full pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@query("agg_approx_sketches", oracle=None)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str):
+    """Approximate sketches (HLL distinct count, quantile sketch) —
+    engine-specific estimators, so no cross-engine oracle; the accuracy
+    property (±5% of exact) is pinned in tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )

@@ -124,3 +124,33 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         extract_features(media, strict=True).collect()
+
+
+def test_approx_sketches_accuracy(spark):
+    """approx_count_distinct within rsd bounds; approx median near exact."""
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: (r.n, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_median_price)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+        .collect()
+    }
+    for k, (n, med) in exact.items():
+        an, amed = approx[k]
+        assert abs(an - n) / n < 0.05, f"{k}: hll {an} vs exact {n}"
+        assert abs(amed - med) / med < 0.05, f"{k}: median {amed} vs exact {med}"
