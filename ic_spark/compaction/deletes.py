@@ -1,0 +1,142 @@
+"""Delete-file writers: produce the position/equality delete files the
+merge-on-read plan consumes.
+
+The reference only APPLIES deletes (its compaction reads delete files
+written by upstream Iceberg writers); a complete engine needs the
+producing side too:
+
+- ``write_position_deletes`` — evaluate a predicate over current data
+  files and persist matching (file_path, row_index) pairs in the fixed
+  position-delete schema (reference datafusion_processor.rs:350-368).
+- ``write_equality_deletes`` — persist a key-set as an equality-delete
+  file associated with equality_ids and a sequence number (reference
+  :480-505).
+
+Both append to the ManifestTable under a NEW sequence number, so a
+subsequent MoR scan/compaction hides the targeted rows without
+rewriting data (the whole point of merge-on-read: deletes are O(delete
+size), compaction amortizes the rewrite).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.request import (
+    SYS_HIDDEN_FILE_PATH,
+    SYS_HIDDEN_POS,
+    FileContent,
+)
+
+
+def _next_sequence_number(table: ManifestTable) -> int:
+    snap = table.current_snapshot()
+    if snap is None:
+        return 1
+    return max((f.get("sequence_number", 0) for f in snap.files), default=0) + 1
+
+
+def _write_single_file(df: DataFrame, dir_path: str) -> str:
+    df.coalesce(1).write.mode("overwrite").parquet(dir_path)
+    files = [f for f in os.listdir(dir_path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    return os.path.join(dir_path, files[0])
+
+
+def write_position_deletes(
+    spark: SparkSession,
+    table: ManifestTable,
+    predicate: Column,
+) -> int:
+    """DELETE WHERE predicate, merge-on-read style.
+
+    Scans current data files with metadata columns, evaluates the
+    predicate, and writes the matching row positions as a
+    position-delete file.  Returns the new snapshot id.
+
+    The scan reads only columns the predicate needs plus metadata —
+    Catalyst prunes the rest, so a delete touching 0.1% of rows costs a
+    filtered scan + a tiny write, not a table rewrite.
+    """
+    data, _, _ = table.scan_tasks()
+    if not data:
+        raise ValueError("table has no data files")
+    df = spark.read.parquet(*[t.data_file_path for t in data])
+    matches = df.where(predicate).select(
+        F.col("_metadata.file_path").alias(SYS_HIDDEN_FILE_PATH),
+        F.col("_metadata.row_index").alias(SYS_HIDDEN_POS),
+    )
+    out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
+    path = _write_single_file(matches, out_dir)
+    seq = _next_sequence_number(table)
+    return table.append_snapshot(
+        [
+            {
+                "path": path,
+                "sequence_number": seq,
+                "content": FileContent.POSITION_DELETES.name,
+                "file_size_in_bytes": os.path.getsize(path),
+            }
+        ]
+    )
+
+
+def write_equality_deletes(
+    spark: SparkSession,
+    table: ManifestTable,
+    keys: DataFrame,
+    equality_ids: list[str],
+) -> int:
+    """DELETE by key-set: rows matching any key row on ``equality_ids``
+    become invisible for data with OLDER sequence numbers (strict `<` —
+    rows written at/after this delete's sequence survive, reference
+    :300-304).  Returns the new snapshot id."""
+    missing = [c for c in equality_ids if c not in keys.columns]
+    if missing:
+        raise ValueError(f"key DataFrame missing equality columns: {missing}")
+    out_dir = os.path.join(table.root, f"eq-del-{uuid.uuid4().hex[:12]}")
+    path = _write_single_file(keys.select(*equality_ids).distinct(), out_dir)
+    seq = _next_sequence_number(table)
+    return table.append_snapshot(
+        [
+            {
+                "path": path,
+                "sequence_number": seq,
+                "content": FileContent.EQUALITY_DELETES.name,
+                "equality_ids": list(equality_ids),
+                "file_size_in_bytes": os.path.getsize(path),
+            }
+        ]
+    )
+
+
+def read_table(
+    spark: SparkSession,
+    table: ManifestTable,
+    schema=None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Merge-on-read SELECT over a snapshot (current by default;
+    pass ``snapshot_id`` for time travel): data files minus all
+    applicable deletes — the read path every query against a MoR table
+    uses (compaction is the same plan + a write)."""
+    from ic_spark.compaction.planner import build_merge_on_read
+    from ic_spark.compaction.request import RewriteFilesRequest
+
+    data, pos, eq = table.scan_tasks(snapshot_id)
+    if not data:
+        raise ValueError("table has no data files")
+    if schema is None:
+        schema = spark.read.parquet(data[0].data_file_path).schema
+    request = RewriteFilesRequest(
+        schema=schema,
+        data_files=data,
+        position_delete_files=pos,
+        equality_delete_files=eq,
+    )
+    return build_merge_on_read(spark, request)

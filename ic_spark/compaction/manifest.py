@@ -56,24 +56,43 @@ class ManifestTable:
 
     # -- snapshot API --------------------------------------------------
 
+    def snapshots(self) -> list[Snapshot]:
+        """All retained snapshots, oldest first (time-travel surface)."""
+        state = self._load()
+        return [
+            Snapshot(s["snapshot_id"], s["timestamp_ms"], s["files"])
+            for s in state["snapshots"]
+        ]
+
+    def snapshot_at(self, snapshot_id: int) -> Snapshot | None:
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        return None
+
     def current_snapshot(self) -> Snapshot | None:
         state = self._load()
         sid = state["current_snapshot_id"]
         if sid is None:
             return None
-        for s in state["snapshots"]:
-            if s["snapshot_id"] == sid:
-                return Snapshot(s["snapshot_id"], s["timestamp_ms"], s["files"])
-        return None
+        return self.snapshot_at(sid)
 
-    def scan_tasks(self) -> tuple[list[FileScanTask], list[FileScanTask], list[FileScanTask]]:
-        """Plan the current snapshot into (data, pos-delete, eq-delete) tasks.
+    def scan_tasks(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[FileScanTask], list[FileScanTask], list[FileScanTask]]:
+        """Plan a snapshot into (data, pos-delete, eq-delete) tasks.
 
-        Analog of ``get_tasks_from_table`` (reference mod.rs:121-171);
+        Analog of ``get_tasks_from_table`` (reference mod.rs:121-171:
+        ``table.scan().snapshot_id(id)`` — time travel included);
         delete tasks are deduped by path like the reference's HashSet
         guard (:143-158).
         """
-        snap = self.current_snapshot()
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = self.snapshot_at(snapshot_id)
+            if snap is None:
+                raise ValueError(f"snapshot {snapshot_id} not found")
         if snap is None:
             return [], [], []
         data, pos, eq = [], [], []

@@ -234,3 +234,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str):
         .where(cos >= 0.35)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query(
+    "range_join_error_windows",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS error_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, w.error_id
+    FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str):
+    """Keyless interval join: events falling inside any 10-minute
+    window opened by an 'error' event — bucketed to avoid the
+    nested-loop cross product (see operators/rangejoin.py)."""
+    from ic_spark.operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = interval_join(
+        e.select("event_id", "ts"),
+        w,
+        left_time="ts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_width_seconds=600,
+    )
+    return joined.select("event_id", "error_id")

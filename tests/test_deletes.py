@@ -1,0 +1,117 @@
+"""Delete writers + MoR read path + time travel: the full DELETE
+lifecycle (write data → delete by predicate → delete by key → read →
+compact → read), verified against a DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.compaction import Compaction, ManifestTable
+from ic_spark.compaction.deletes import (
+    read_table,
+    write_equality_deletes,
+    write_position_deletes,
+)
+
+from tests.conftest import SF_DIR, normalize
+
+
+@pytest.fixture()
+def table_with_data(spark, tmp_path):
+    """ManifestTable over two data files split from sf0.001 lineitem."""
+    table = ManifestTable(str(tmp_path / "tbl"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    files = []
+    for i, pred in enumerate(["l_orderkey % 2 = 0", "l_orderkey % 2 = 1"]):
+        d = str(tmp_path / f"data{i}")
+        li.where(pred).coalesce(1).write.parquet(d)
+        f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+        files.append(
+            {"path": f, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(f)}
+        )
+    table.append_snapshot(files)
+    return table, li
+
+
+def test_position_delete_lifecycle(spark, table_with_data):
+    table, li = table_with_data
+    n0 = li.count()
+    write_position_deletes(spark, table, F.col("l_quantity") > 45)
+    out = read_table(spark, table)
+    n_deleted = li.where("l_quantity > 45").count()
+    assert out.count() == n0 - n_deleted
+    assert out.where("l_quantity > 45").count() == 0
+
+
+def test_equality_delete_strict_seq_on_new_data(spark, table_with_data, tmp_path):
+    """Keys deleted at seq N do not affect data appended at seq > N."""
+    table, li = table_with_data
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "l_orderkey long")
+    write_equality_deletes(spark, table, keys, ["l_orderkey"])
+
+    out = read_table(spark, table)
+    assert out.where("l_orderkey in (1,2,3)").count() == 0
+
+    # Append NEW data for orderkey=1 at a later sequence — must survive.
+    newer = li.where("l_orderkey = 1").limit(2)
+    d = str(tmp_path / "newer")
+    newer.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 99, "content": "DATA"}]
+    )
+    out2 = read_table(spark, table)
+    assert out2.where("l_orderkey = 1").count() == 2  # strict '<' keeps them
+
+
+def test_delete_then_compact_oracle(spark, table_with_data):
+    """After deletes + compaction, the rewritten table matches a DuckDB
+    oracle computing the same predicate/key filters directly."""
+    table, li = table_with_data
+    write_position_deletes(spark, table, F.col("l_linenumber") == 7)
+    keys = spark.createDataFrame([(10,), (20,)], "l_orderkey long")
+    write_equality_deletes(spark, table, keys, ["l_orderkey"])
+
+    comp = Compaction(spark)
+    resp = comp.full_compact(table, li.schema)
+    assert resp.stat.added_files_count >= 1
+    data, pos, eq = table.scan_tasks()
+    assert pos == [] and eq == []
+
+    out = spark.read.parquet(*[t.data_file_path for t in data])
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')
+        WHERE l_linenumber <> 7 AND l_orderkey NOT IN (10, 20)
+        """
+    ).fetchall()
+    got = [tuple(r) for r in out.collect()]
+    assert normalize(got) == normalize(oracle)
+    con.close()
+
+
+def test_time_travel(spark, table_with_data):
+    table, li = table_with_data
+    n0 = li.count()
+    s1 = table.current_snapshot().snapshot_id
+    write_position_deletes(spark, table, F.col("l_quantity") > 45)
+    s2 = table.current_snapshot().snapshot_id
+    assert s2 != s1
+    # current read sees the delete; read at s1 sees the original rows.
+    assert read_table(spark, table).count() < n0
+    assert read_table(spark, table, snapshot_id=s1).count() == n0
+    # snapshots are enumerable for inspection
+    assert [s.snapshot_id for s in table.snapshots()] == [s1, s2]
+
+
+def test_equality_delete_requires_key_columns(spark, table_with_data):
+    table, _ = table_with_data
+    bad = spark.createDataFrame([(1,)], "wrong_col long")
+    with pytest.raises(ValueError, match="missing equality columns"):
+        write_equality_deletes(spark, table, bad, ["l_orderkey"])

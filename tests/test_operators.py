@@ -154,3 +154,80 @@ def test_approx_sketches_accuracy(spark):
         an, amed = approx[k]
         assert abs(an - n) / n < 0.05, f"{k}: hll {an} vs exact {n}"
         assert abs(amed - med) / med < 0.05, f"{k}: median {amed} vs exact {med}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from ic_spark.operators.skew import salted_join
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR, normalize
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    r = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    salted = salted_join(li, r, on="l_orderkey", salt_n=4).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    assert normalize(map(tuple, salted.collect())) == normalize(
+        map(tuple, plain.collect())
+    )
+
+
+def test_two_stage_agg_equals_plain(spark):
+    from ic_spark.operators.skew import two_stage_agg
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR, normalize
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    staged = two_stage_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__ps"),
+            F.count(F.lit(1)).alias("__pn"),
+        ],
+        final_aggs=[
+            F.sum("__ps").cast("double").alias("s"),
+            F.sum("__pn").alias("n"),
+        ],
+    )
+    assert normalize(map(tuple, staged.collect())) == normalize(
+        map(tuple, plain.collect())
+    )
+
+
+def test_interval_join_bucket_boundaries(spark):
+    """Bucketed keyless interval join == naive theta join, including
+    intervals that span buckets and end exactly on boundaries."""
+    from ic_spark.operators.rangejoin import interval_join
+    from tests.conftest import normalize
+
+    left = spark.createDataFrame(
+        [(i, i * 100) for i in range(50)], "lid long, t long"
+    ).select("lid", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [
+            (1, 0, 300),      # spans buckets at width 200
+            (2, 200, 400),    # ends exactly on a boundary
+            (3, 350, 351),    # sub-bucket interval
+            (4, 4800, 5200),  # tail
+        ],
+        "rid long, s long, e long",
+    ).select("rid", F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e"))
+    bucketed = interval_join(
+        left, right, "t", "s", "e", bucket_width_seconds=200
+    ).select("lid", "rid")
+    naive = (
+        left.crossJoin(right)
+        .where((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .select("lid", "rid")
+    )
+    assert normalize(map(tuple, bucketed.collect())) == normalize(
+        map(tuple, naive.collect())
+    )

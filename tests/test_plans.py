@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the plan properties that matter at
+100 TB must survive refactors — filters reaching the parquet scan,
+column pruning, broadcast joins where a side is small, and no
+nested-loop joins sneaking into keyed paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ic_spark.queries import REGISTRY
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached parquet
+    # pruned: the 11-column table reads only the 7 needed columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+
+
+def test_mor_anti_joins_are_broadcast(spark):
+    plan = plan_of(spark, "mor_full_merge_on_read")
+    assert plan.count("BroadcastHashJoin LeftAnti") == 3  # pos + 2 eq groups
+    assert "SortMergeJoin LeftAnti" not in plan  # data side never shuffles
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Grouped top-k must push partial limits into the shuffle
+    (WindowGroupLimit) — shuffle O(groups×k), not O(rows)."""
+    plan = plan_of(spark, "window_topk_revenue_per_brand")
+    assert "WindowGroupLimit" in plan
+
+
+def test_interval_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "range_join_error_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_prunes_to_needed_columns(spark):
+    plan = plan_of(spark, "dedup_exact")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
