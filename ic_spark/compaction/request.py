@@ -110,6 +110,10 @@ class RewriteFilesRequest:
     partition_by: list[str] = field(default_factory=list)
     target_partitions: int = 4
     data_file_prefix: str = "10"
+    # Analog of Iceberg write.target-file-size-bytes / the reference's
+    # Parquet WriterProperties: bound output file size by row count
+    # (0 = unbounded, one file per task).
+    max_records_per_file: int = 0
 
 
 @dataclass

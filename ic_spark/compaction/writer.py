@@ -86,6 +86,8 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         writer_df = df.repartition(request.target_partitions)
         writer = writer_df.write
 
+    if request.max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
     writer.mode("overwrite").parquet(request.dir_path)
 
     stats = _collect_column_stats(df)

@@ -268,3 +268,37 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str):
         bucket_width_seconds=600,
     )
     return joined.select("event_id", "error_id")
+
+
+@query(
+    "scalar_map_functions",
+    oracle="""
+    WITH m AS (
+        SELECT s_suppkey,
+               MAP(['name', 'nation'], [s_name, CAST(s_nationkey AS VARCHAR)]) AS info
+        FROM supplier
+    )
+    SELECT s_suppkey,
+           info['name'][1] AS name_val,
+           info['nation'][1] AS nation_val,
+           list_sort(map_keys(info)) AS keys,
+           cardinality(info) AS n_entries
+    FROM m
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str):
+    """Map construction/access — map output columns themselves are kept
+    out of the result (map iteration order is engine-specific; scalars
+    extracted from the map are portable)."""
+    s = load_table(spark, sf_dir, "supplier")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("nation")),
+        F.array(F.col("s_name"), F.col("s_nationkey").cast("string")),
+    )
+    return s.select(
+        "s_suppkey",
+        F.element_at(m, "name").alias("name_val"),
+        F.element_at(m, "nation").alias("nation_val"),
+        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.size(m).alias("n_entries"),
+    )
