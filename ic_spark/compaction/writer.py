@@ -82,8 +82,15 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         # tasks — bounded file counts at any scale.
         writer_df = df.repartition(*[F.col(c) for c in request.partition_by])
         writer = writer_df.write.partitionBy(*request.partition_by)
-    else:
+    elif request.target_partitions > 0:
+        # Reference parity (O11): round-robin to a fixed output width.
+        # At large scale prefer target_partitions=0: write the join
+        # output partitions directly (no extra full shuffle — AQE has
+        # already right-sized them) and bound files with
+        # max_records_per_file.
         writer_df = df.repartition(request.target_partitions)
+        writer = writer_df.write
+    else:
         writer = writer_df.write
 
     if request.max_records_per_file > 0:

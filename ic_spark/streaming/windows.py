@@ -30,6 +30,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow deterministic).  ts arrives as long nanos (the fixture
     is TIMESTAMP(NANOS)); truncate to micros exactly like the batch
     loader."""
+    from ic_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # FileStreamSource needs a directory; point it at sf_dir and filter
     # to the events file.

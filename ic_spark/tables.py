@@ -37,7 +37,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession (e.g. the driver's)
+    behave like ours: ns-timestamp parquet readable, UTC wall clock so
+    LTZ timestamps collect identically to the DuckDB oracle.  Both
+    confs are runtime-settable SQLConfs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos via
