@@ -161,13 +161,19 @@ def minhash_signatures(
     # literals indexed inside a lambda are re-materialized per element
     # evaluation (higher-order fns are interpreted, not codegen'd),
     # which turns O(shingles × perms) into an allocation storm.
-    a = [rng.randrange(1, 2**61, 2) for _ in range(num_hashes)]  # odd multipliers
-    b = [rng.randrange(2**61) for _ in range(num_hashes)]
+    #
+    # Overflow discipline: ANSI mode (Spark 4 default) makes long
+    # overflow an ERROR, so the affine map must stay inside int64 —
+    # base hashes are first reduced to 31 bits (pmod), multipliers and
+    # offsets are < 2^31, so a*h + b < 2^63.
+    a = [rng.randrange(1, 2**31, 2) for _ in range(num_hashes)]  # odd multipliers
+    b = [rng.randrange(2**31) for _ in range(num_hashes)]
 
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
-            word_shingles(F.col(content_col), shingle_n), lambda s: F.xxhash64(s)
+            word_shingles(F.col(content_col), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(2**31).cast("long")),
         ).alias("__h"),
     )
     def _perm(aj: int, bj: int):

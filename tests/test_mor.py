@@ -350,3 +350,31 @@ def test_partitioned_fanout_write(spark, mor_files, tmp_path):
     import os as _os
 
     assert any(p.startswith("name=") for p in _os.listdir(tmp_path / "part_out"))
+
+
+def test_equality_delete_null_keys_never_match(spark, mor_files, tmp_path):
+    """NULL values in an equality-delete file match nothing (SQL equality
+    semantics — the reference's generated `=` predicate behaves the
+    same); data rows with NULL keys likewise survive."""
+    null_eq = write_parquet(
+        spark,
+        str(tmp_path / "null_eq"),
+        [(None,), (5,)],
+        "id int",
+    )
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        equality_delete_files=[
+            FileScanTask(
+                null_eq,
+                sequence_number=9,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            )
+        ],
+    )
+    df = build_merge_on_read(spark, req)
+    ids = collected_ids(df)
+    assert 5 not in ids          # real key applied
+    assert len(ids) == 29        # only id=5 removed; NULL deleted nothing

@@ -231,3 +231,19 @@ def test_interval_join_bucket_boundaries(spark):
     assert normalize(map(tuple, bucketed.collect())) == normalize(
         map(tuple, naive.collect())
     )
+
+
+def test_minhash_safe_under_ansi_mode(spark, docs_df):
+    """Spark 4 defaults ANSI on (long overflow = error); the engine's
+    own session disables it, but driver-owned sessions may not — the
+    operator must work either way."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        sigs = minhash_signatures(docs_df, "doc_id", "text")
+        rows = {r.id: r.sig for r in sigs.collect()}
+        assert rows[1] == rows[2]
+        cands = minhash_lsh_candidates(sigs)
+        assert (1, 2) in {(r.id_a, r.id_b) for r in cands.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

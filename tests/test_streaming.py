@@ -70,3 +70,12 @@ def test_stateful_running_totals(spark):
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
     assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    from ic_spark.streaming.windows import sliding_window_counts
+
+    stream = sliding_window_counts(stream_events(spark, SF_DIR))
+    got = run_to_memory_sink(spark, stream, "t_slide", "complete")
+    want = sliding_window_counts(batch_events(spark))
+    assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
