@@ -302,3 +302,72 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str):
         F.array_sort(F.map_keys(m)).alias("keys"),
         F.size(m).alias("n_entries"),
     )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str):
+    """Bivariate statistics (rounded to 4 digits: the running-moment
+    accumulation differs in summation order between engines; agreement
+    to ~1e-10 relative is expected, 4 digits is safely inside it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(DISTINCT l.l_orderkey) AS waiting_orders
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l.l_orderkey AND l3.l_suppkey <> l.l_suppkey
+          AND l3.l_shipdate > l.l_shipdate
+    )
+    GROUP BY s.s_name
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str):
+    """Q21 reshaped: per supplier, orders it shares with other suppliers
+    where it shipped strictly last (EXISTS + NOT EXISTS = semi + anti
+    join composition)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    base = s.join(li, s.s_suppkey == li.l_suppkey)
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    not_last = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return not_last.groupBy("s_name").agg(
+        F.countDistinct("l_orderkey").alias("waiting_orders")
+    )
