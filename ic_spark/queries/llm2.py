@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from ic_spark.operators.topk import grouped_top_k
+from ic_spark.queries.llm import SQL_STOPLIST as SQL_STOPLIST_REF
 from ic_spark.queries.registry import query
 from ic_spark.tables import load_table
 
@@ -152,4 +153,56 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               -- ROUND mirrors quality_score()'s own 6-digit rounding:
+               -- averaging unrounded values drifts in the 6th digit.
+               ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+                   + 0.5 * LEAST(1.0, len(list_intersect(string_split(text, ' '), {SQL_STOPLIST_REF})) / 3.0), 6)
+               AS quality
+        FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+        SELECT * FROM kept
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           -- integer-exact mean: quality is a 6-decimal quantum, so sum
+           -- the millionths as BIGINT (no float-summation boundary flips)
+           CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000) AS avg_quality
+    FROM deduped GROUP BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
+    """End-to-end corpus cleaning — the composed shape of a training-data
+    job: quality-score filter → exact dedup (min doc_id per content) →
+    per-source stats.  Each stage is one of the engine's operators; the
+    whole pipeline stays lazy, so Catalyst collapses it into
+    scan → filter → one dedup shuffle → one agg shuffle."""
+    from ic_spark.functions.text import quality_score, tokens as _tokens
+    from ic_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    kept = scored.where(F.col("quality") >= 0.5)
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(_tokens(F.col("text")))), 6).alias("avg_tokens"),
+        (
+            F.sum(F.round(F.col("quality") * 1000000).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * 1000000)
+        ).alias("avg_quality"),
     )
