@@ -107,3 +107,44 @@ def test_service_rewrite_files_json_contract(spark, tmp_path):
     assert all(f["file_format"] == "parquet" for f in out["data_files"])
     back = spark.read.parquet(str(tmp_path / "svc_out"))
     assert sorted(r.id for r in back.collect()) == list(range(1, 10))  # row 0 deleted
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Joining two tables bucketed on the join key must not shuffle
+    either side (no Exchange above the scans)."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    li = read_files(spark, f"{SF_DIR}/lineitem.parquet", "parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = read_files(spark, f"{SF_DIR}/orders.parquet", "parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    bl, bo = read_bucketed(spark, "b_lineitem"), read_bucketed(spark, "b_orders")
+    # disable broadcast so the co-located layout is what saves the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, on="l_orderkey")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        # results still correct vs plain join
+        plain = li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
