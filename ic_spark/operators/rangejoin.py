@@ -34,12 +34,35 @@ def interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join left rows to right intervals containing their timestamp
-    (start inclusive, end exclusive)."""
+    (start inclusive, end exclusive).
+
+    The range predicate is part of the JOIN CONDITION, not a post-join
+    filter — a post-join ``.where`` on a left/full join would silently
+    drop the null-extended unmatched rows, degenerating the outer join
+    to inner.
+    """
+    how = how.replace("outer", "").rstrip("_") or "full"
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"interval_join: unsupported how={how!r}")
     in_range = (F.col(left_time) >= F.col(right_start)) & (
         F.col(left_time) < F.col(right_end)
     )
     if on is not None:
-        return left.join(right, on=on, how=how).where(in_range)
+        cond = (left[on] == right[on]) & in_range
+        joined = left.join(right, cond, how)
+        # Collapse the duplicated key column the way `on=<name>` would:
+        # for outer joins the surviving side's key may be null.
+        if how == "full":
+            key = F.coalesce(left[on], right[on])
+        elif how == "right":
+            key = right[on]
+        else:
+            key = left[on]
+        return joined.select(
+            key.alias(on),
+            *[left[c] for c in left.columns if c != on],
+            *[right[c] for c in right.columns if c != on],
+        )
 
     w = bucket_width_seconds
     l_bucketed = left.withColumn(
@@ -56,8 +79,26 @@ def interval_join(
             )
         ),
     )
-    return (
-        l_bucketed.join(r_bucketed, on="__bucket", how=how)
+    inner = (
+        l_bucketed.join(r_bucketed, on="__bucket", how="inner")
         .where(in_range)
         .drop("__bucket")
+    )
+    if how == "inner":
+        return inner
+    if how == "left":
+        # Bucket replication makes a direct outer join wrong (one
+        # null-extended row per probed bucket).  Instead: inner matches
+        # plus an anti-join for left rows with no in-range interval.
+        unmatched = l_bucketed.join(
+            r_bucketed,
+            (l_bucketed["__bucket"] == r_bucketed["__bucket"]) & in_range,
+            "left_anti",
+        ).drop("__bucket")
+        null_right = unmatched.select(
+            "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema]
+        )
+        return inner.unionByName(null_right)
+    raise ValueError(
+        f"interval_join without an equi key supports how='inner'/'left', got {how!r}"
     )

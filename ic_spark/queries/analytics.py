@@ -392,19 +392,21 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str):
     oracle="""
     WITH marks AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM marks
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
            ROUND(SUM(value), 4) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
@@ -417,9 +419,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
+    # Gap measured in whole microseconds on BOTH sides (oracle uses
+    # epoch_us deltas) — second-truncated casts would disagree with the
+    # oracle's full-precision interval on fractional-second boundaries.
     new_session = (
         F.when(
-            prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+            prev.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+            1,
         ).otherwise(0)
     )
     marks = e.select("user_id", "ts", "event_id", "value", new_session.alias("new_session"))

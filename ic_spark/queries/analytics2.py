@@ -120,18 +120,25 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str):
 @query(
     "agg_array_collect",
     oracle="""
-    SELECT p_brand, list_sort(list(p_size)) AS sizes,
-           list_sort(list_distinct(list(p_type))) AS types
+    SELECT p_brand,
+           array_to_string(list_sort(list(p_size)), ',') AS sizes,
+           array_to_string(list_sort(list_distinct(list(p_type))), ',') AS types
     FROM part GROUP BY p_brand
     """,
 )
 def agg_array_collect(spark: SparkSession, sf_dir: str):
     """Array aggregation; sorted so the result is order-deterministic
-    (collect_list order is not guaranteed under parallel agg)."""
+    (collect_list order is not guaranteed under parallel agg), then
+    serialized to a joined string — list-valued cells are unhashable in
+    the driver's pandas canonicalizer."""
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
-        F.array_sort(F.collect_list("p_size")).alias("sizes"),
-        F.array_sort(F.array_distinct(F.collect_list("p_type"))).alias("types"),
+        F.array_join(
+            F.array_sort(F.collect_list("p_size")).cast("array<string>"), ","
+        ).alias("sizes"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("p_type"))), ","
+        ).alias("types"),
     )
 
 
@@ -281,14 +288,15 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str):
     SELECT s_suppkey,
            info['name'][1] AS name_val,
            info['nation'][1] AS nation_val,
-           list_sort(map_keys(info)) AS keys,
-           cardinality(info) AS n_entries
+           array_to_string(list_sort(map_keys(info)), ',') AS keys,
+           CAST(cardinality(info) AS BIGINT) AS n_entries
     FROM m
     """,
 )
 def scalar_map_functions(spark: SparkSession, sf_dir: str):
-    """Map construction/access — map output columns themselves are kept
-    out of the result (map iteration order is engine-specific; scalars
+    """Map construction/access — map/array output columns are serialized
+    to strings (map iteration order is engine-specific and list cells
+    are unhashable in the driver's pandas canonicalizer; scalars
     extracted from the map are portable)."""
     s = load_table(spark, sf_dir, "supplier")
     m = F.map_from_arrays(
@@ -299,8 +307,8 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str):
         "s_suppkey",
         F.element_at(m, "name").alias("name_val"),
         F.element_at(m, "nation").alias("nation_val"),
-        F.array_sort(F.map_keys(m)).alias("keys"),
-        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.size(m).cast("long").alias("n_entries"),
     )
 
 

@@ -185,8 +185,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str):
     "q12_priority_shipping",
     oracle="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) AS big_line_count,
-           SUM(CASE WHEN l.l_quantity <= 25 THEN 1 ELSE 0 END) AS small_line_count
+           CAST(SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_line_count,
+           CAST(SUM(CASE WHEN l.l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS small_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -233,6 +233,42 @@ def test_interval_join_bucket_boundaries(spark):
     )
 
 
+def test_interval_join_outer_keeps_unmatched(spark):
+    """Outer variants must keep null-extended unmatched rows — the range
+    predicate is part of the join condition, not a post-join filter
+    (which would silently degrade outer to inner)."""
+    from ic_spark.operators.rangejoin import interval_join
+    from tests.conftest import normalize
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 900), (3, "b", 150)], "lid long, k string, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(10, "a", 0, 200), (11, "b", 500, 600)], "rid long, k string, s long, e long"
+    ).select(
+        "rid", "k", F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e")
+    )
+    # Equi-key left join: lid=2 (out of range) and lid=3 (wrong window)
+    # survive with null rid.
+    eq = interval_join(left, right, "t", "s", "e", on="k", how="left")
+    got = normalize((r.lid, r.rid) for r in eq.select("lid", "rid").collect())
+    assert got == normalize([(1, 10), (2, None), (3, None)])
+    assert eq.columns.count("k") == 1  # key collapsed like on=<name>
+
+    # Full outer keeps both unmatched sides.
+    fo = interval_join(left, right, "t", "s", "e", on="k", how="full")
+    got = normalize((r.lid, r.rid) for r in fo.select("lid", "rid").collect())
+    assert got == normalize([(1, 10), (2, None), (3, None), (None, 11)])
+
+    # Keyless bucketed left join: unmatched left rows null-extend, and
+    # bucket replication must not duplicate them.
+    kl = interval_join(
+        left.drop("k"), right.drop("k"), "t", "s", "e", bucket_width_seconds=100, how="left"
+    )
+    got = normalize((r.lid, r.rid) for r in kl.select("lid", "rid").collect())
+    assert got == normalize([(1, 10), (3, 10), (2, None)])
+
+
 def test_minhash_safe_under_ansi_mode(spark, docs_df):
     """Spark 4 defaults ANSI on (long overflow = error); the engine's
     own session disables it, but driver-owned sessions may not — the
