@@ -15,7 +15,7 @@ from ic_spark.operators.asof import asof_join
 from ic_spark.operators.topk import grouped_top_k
 from ic_spark.queries.registry import query
 from ic_spark.queries.tpch import DEC, SQL_DEC, _d, _disc_price, _dsum, SQL_DISC_PRICE
-from ic_spark.tables import load_table
+from ic_spark.tables import load_table, maybe_broadcast
 
 
 # ------------------------------------------------------------- windows
@@ -40,7 +40,7 @@ def window_topk_revenue_per_brand(spark: SparkSession, sf_dir: str):
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     per_part = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(_dsum(_disc_price()).alias("revenue"))
     )

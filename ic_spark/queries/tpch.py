@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from ic_spark.queries.registry import query
-from ic_spark.tables import load_table
+from ic_spark.tables import load_table, maybe_broadcast
 
 DEC = "decimal(18,2)"
 
@@ -145,7 +145,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, sf_dir, "supplier"),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -213,7 +213,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(
@@ -309,7 +309,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str):
     p = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .where(
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
@@ -388,7 +388,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str):
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(p, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(_dsum(_disc_price()).alias("revenue"))
     )

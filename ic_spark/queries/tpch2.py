@@ -12,7 +12,7 @@ from pyspark.sql import SparkSession, Window
 
 from ic_spark.queries.registry import query
 from ic_spark.queries.tpch import DEC, SQL_DEC, SQL_DISC_PRICE, _d, _disc_price, _dsum
-from ic_spark.tables import load_table
+from ic_spark.tables import load_table, maybe_broadcast
 
 
 @query(
@@ -35,7 +35,7 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str):
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     ps = li.select("l_partkey", "l_suppkey").distinct()
-    joined = ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+    joined = ps.join(maybe_broadcast(s, sf_dir, "supplier"), ps.l_suppkey == s.s_suppkey)
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
     )
@@ -125,7 +125,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
             F.broadcast(r.where(F.col("r_name") == "EUROPE")),
             F.col("cn_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -170,8 +170,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str):
     o = load_table(spark, sf_dir, "orders")
     cost = _d("p_retailprice") * F.lit(0.8).cast(DEC) * _d("l_quantity")
     return (
-        li.join(F.broadcast(p.where(F.col("p_name").like("%5%"))), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p.where(F.col("p_name").like("%5%")), sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -239,7 +239,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str):
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
-        F.broadcast(s)
+        maybe_broadcast(s, sf_dir, "supplier")
         .join(revenue, s.s_suppkey == revenue.supplier_no)
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -263,11 +263,13 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str):
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
         ps.join(
-            F.broadcast(
+            maybe_broadcast(
                 p.where(
                     (F.col("p_brand") != "Brand#1")
                     & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
-                )
+                ),
+                sf_dir,
+                "part",
             ),
             ps.l_partkey == p.p_partkey,
         )
@@ -298,7 +300,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#3")), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p.where(F.col("p_brand") == "Brand#3"), sf_dir, "part"), li.l_partkey == p.p_partkey)
         .join(part_avg.withColumnRenamed("l_partkey", "pa_key"), F.col("l_partkey") == F.col("pa_key"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg((_dsum(_d("l_extendedprice")) / 7.0).alias("avg_yearly"))

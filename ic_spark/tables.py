@@ -10,6 +10,8 @@ Catalyst prunes partitions from the pushed filters.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,6 +37,46 @@ SMALL_DIMS = ("region", "nation")
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
+
+
+# On-disk gate for broadcast-join hints on SF-scaled dimensions.  128 MiB
+# of parquet decompresses to well under typical executor/driver headroom;
+# above it the hint is withheld and AQE's runtime statistics decide.
+_BROADCAST_HINT_BYTES = 128 << 20
+
+
+def _source_bytes(path: str) -> int | None:
+    """On-disk size of a parquet file or directory; None if not statable
+    (e.g. an object-store URI on a cluster — AQE decides there)."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast-hint a dimension only when it is provably small.
+
+    region/nation are constant-size at any scale factor — always hinted.
+    Every other dimension grows linearly with SF, and a hard
+    ``F.broadcast`` hint cannot be demoted by AQE — at 100× the fixture
+    scale it becomes a driver/executor OOM.  The hint is therefore gated
+    on the on-disk size of the *unfiltered* source file (an upper bound
+    for any filtered subset passed in); when the size is unknown, no
+    hint is emitted and AQE's runtime stats make the broadcast decision.
+    """
+    if name in SMALL_DIMS:
+        return F.broadcast(df)
+    size = _source_bytes(table_path(sf_dir, name))
+    if size is not None and size <= _BROADCAST_HINT_BYTES:
+        return F.broadcast(df)
+    return df
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

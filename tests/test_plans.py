@@ -55,3 +55,26 @@ def test_dedup_exact_prunes_to_needed_columns(spark):
     plan = plan_of(spark, "dedup_exact")
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_broadcast_hint_gated_by_dim_size(spark, monkeypatch):
+    """Broadcast hints on SF-scaled dims must be withheld when the
+    backing file is large — a hard hint cannot be demoted by AQE and
+    OOMs the driver at 100× scale."""
+    import ic_spark.tables as T
+
+    sdf = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR)
+    hinted = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in hinted  # tiny fixture: hint fires
+
+    monkeypatch.setattr(T, "_BROADCAST_HINT_BYTES", 0)
+    s = T.load_table(spark, SF_DIR, "supplier")
+    # SF-scaled dim over threshold: no hint emitted.
+    assert "ResolvedHint" not in T.maybe_broadcast(
+        s, SF_DIR, "supplier"
+    )._jdf.queryExecution().analyzed().toString()
+    # Constant-size dims stay hinted regardless of threshold.
+    n = T.load_table(spark, SF_DIR, "nation")
+    assert "ResolvedHint" in T.maybe_broadcast(
+        n, SF_DIR, "nation"
+    )._jdf.queryExecution().analyzed().toString()
