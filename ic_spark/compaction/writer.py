@@ -9,8 +9,9 @@ parallel (the reference's tokio-task-per-stream is Spark's executor
 model).  Partitioned tables use ``repartition(partition_cols)`` +
 ``partitionBy`` — the repartition makes each output partition owned by
 few tasks, avoiding the small-files explosion a naive fanout causes at
-scale.  DataFile stats (count/min/max/null per column) are computed by
-one aggregation pass, like the Iceberg writer collects natively.
+scale.  DataFile stats (count/min/max/null per column) are read back
+from the written parquet FOOTERS — a metadata-only pass, so the rewrite
+plan executes exactly once regardless of data size.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from ic_spark.compaction.planner import build_merge_on_read
 from ic_spark.compaction.request import (
@@ -29,31 +30,71 @@ from ic_spark.compaction.request import (
 )
 
 
-def _collect_column_stats(df: DataFrame) -> dict:
-    """One aggregation pass → per-column {count, null_count, min, max}.
+def _json_safe(v):
+    """Stat values must survive the JSON/proto codec: temporal, decimal
+    and byte stats become strings, everything else passes through."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
 
-    Mirrors the DataFile stats the reference returns
-    (core/proto/iceberg.proto:184-202) without a second data read.
+
+def _partition_values_from_path(path: str, base_dir: str) -> dict[str, str]:
+    """Decode hive-style ``col=value`` segments between base_dir and file."""
+    from urllib.parse import unquote
+
+    rel = os.path.relpath(os.path.dirname(path), base_dir)
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
+    return out
+
+
+def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
+    """Per-file DataFile stats read from the parquet FOOTER — a pure
+    metadata read, no second execution of the rewrite plan.
+
+    The reference returns real per-file record counts and column stats
+    (core/src/parser/proto.rs:404-434); Spark's parquet writer already
+    wrote exactly those into the footer, so re-aggregating the input
+    DataFrame (which would re-run the whole MoR join at 100 TB) is
+    wasted work.
+    Returns (record_count, column_stats, partition_values).
     """
-    aggs = [F.count(F.lit(1)).alias("__row_count")]
-    for f_ in df.schema.fields:
-        c = f_.name
-        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-        # min/max undefined for complex types; skip them like Iceberg does.
-        if f_.dataType.typeName() not in ("array", "map", "struct", "binary"):
-            aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
-            aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
-    row = df.agg(*aggs).collect()[0].asDict()
-    total = row.pop("__row_count")
-    stats: dict = {"record_count": total, "columns": {}}
-    for f_ in df.schema.fields:
-        c = f_.name
-        stats["columns"][c] = {
-            "null_count": total - row.get(f"{c}__nonnull", 0),
-            "min": row.get(f"{c}__min"),
-            "max": row.get(f"{c}__max"),
-        }
-    return stats
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf (array/map/struct) — skip like Iceberg
+                continue
+            st = col.statistics
+            entry = cols.setdefault(name, {"null_count": 0, "min": None, "max": None})
+            if st is None:
+                entry["null_count"] = None
+                continue
+            if entry["null_count"] is not None:
+                entry["null_count"] += st.null_count if st.null_count is not None else 0
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                entry["min"] = mn if entry["min"] is None else min(entry["min"], mn)
+                entry["max"] = mx if entry["max"] is None else max(entry["max"], mx)
+    parts = _partition_values_from_path(path, base_dir)
+    for k, v in parts.items():
+        # Partition columns never reach the data pages; their value is
+        # exact from the directory name.
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            cols[k] = {"null_count": md.num_rows, "min": None, "max": None}
+        else:
+            cols[k] = {"null_count": 0, "min": v, "max": v}
+    return md.num_rows, cols, parts
 
 
 def _list_written_files(dir_path: str) -> list[tuple[str, int]]:
@@ -97,18 +138,22 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
     writer.mode("overwrite").parquet(request.dir_path)
 
-    stats = _collect_column_stats(df)
     files = _list_written_files(request.dir_path)
-    data_files = [
-        DataFileMeta(
-            file_path=p,
-            file_format="parquet",
-            record_count=-1,  # per-file counts live in the parquet footer
-            file_size_in_bytes=size,
-            column_stats=stats["columns"],
+    data_files = []
+    for p, size in files:
+        record_count, column_stats, partition_values = _stats_from_footer(
+            p, request.dir_path
         )
-        for p, size in files
-    ]
+        data_files.append(
+            DataFileMeta(
+                file_path=p,
+                file_format="parquet",
+                record_count=record_count,
+                file_size_in_bytes=size,
+                partition_values=partition_values or None,
+                column_stats=column_stats,
+            )
+        )
     rewritten_bytes = sum(t.file_size_in_bytes for t in request.data_files)
     stat = RewriteFilesStat(
         rewritten_files_count=len(request.data_files)

@@ -378,3 +378,70 @@ def test_equality_delete_null_keys_never_match(spark, mor_files, tmp_path):
     ids = collected_ids(df)
     assert 5 not in ids          # real key applied
     assert len(ids) == 29        # only id=5 removed; NULL deleted nothing
+
+
+def test_rewrite_stats_single_pass_real_counts(spark, mor_files, tmp_path):
+    """Stats come from the written parquet footers: per-file record_count
+    is real, column min/max/null present, and the rewrite plan executes
+    exactly ONE Spark job (no post-write re-aggregation of the MoR
+    plan — at 100 TB a second pass doubles the job)."""
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        position_delete_files=[
+            FileScanTask(mor_files["pos1"], content=FileContent.POSITION_DELETES)
+        ],
+        dir_path=str(tmp_path / "stats_out"),
+        target_partitions=3,
+    )
+    sc = spark.sparkContext
+    # Warm-up run: one-time schema-inference/file-listing jobs happen on
+    # the first touch of the input files and would skew the job counts.
+    rewrite_files(spark, req)
+    sc.setJobGroup("rewrite-stats-test", "single-pass check")
+    try:
+        resp = rewrite_files(spark, req)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("rewrite-stats-test")
+
+    # Footer-based stats are a pure metadata read: re-collecting them for
+    # every written file must spawn ZERO Spark jobs (the old path re-ran
+    # the full MoR plan as a second aggregation pass).
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    sc.setJobGroup("rewrite-stats-metadata", "footer stats only")
+    try:
+        for f in resp.data_files:
+            _stats_from_footer(f.file_path, req.dir_path)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("rewrite-stats-metadata") == []
+
+    # And the whole rewrite stays within the write's own job budget
+    # (AQE accounts broadcast stages as separate jobs; a second full
+    # pass would at least double this).
+    assert len(jobs) <= 4, jobs
+
+    # ids 0,1 deleted from data1; 5 deleted from data2 → 27 rows
+    assert sum(f.record_count for f in resp.data_files) == 27
+    assert all(f.record_count >= 0 for f in resp.data_files)
+    by_min = [f.column_stats["id"] for f in resp.data_files]
+    assert all(s["null_count"] == 0 for s in by_min)
+    assert min(s["min"] for s in by_min) == 2
+    assert max(s["max"] for s in by_min) == 29
+
+
+def test_partitioned_rewrite_stats_have_partition_values(spark, mor_files, tmp_path):
+    req = RewriteFilesRequest(
+        schema=user_schema(spark, mor_files),
+        data_files=data_tasks(mor_files),
+        dir_path=str(tmp_path / "pstats_out"),
+        partition_by=["name"],
+    )
+    resp = rewrite_files(spark, req)
+    assert sum(f.record_count for f in resp.data_files) == 30
+    for f in resp.data_files:
+        assert f.partition_values and "name" in f.partition_values
+        st = f.column_stats["name"]
+        assert st["min"] == st["max"] == f.partition_values["name"]
