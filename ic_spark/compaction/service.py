@@ -9,8 +9,9 @@ tasks), executes it, and returns new data-file metadata.  Like the
 reference, the service does NOT commit — the caller owns the
 transaction (rpc.rs leaves the catalog untouched).
 
-A gRPC/REST wrapper is a thin shim over ``CompactorService.rewrite_files``;
-kept out so the engine has zero server dependencies.
+The network transport lives in ``ic_spark.compaction.transport``
+(stdlib HTTP server speaking JSON or the protobuf wire format from
+``ic_spark.compaction.proto``; gRPC where grpcio exists).
 """
 
 from __future__ import annotations

@@ -1,0 +1,291 @@
+"""Protobuf wire-format codec + network transport tests.
+
+Mirrors the reference's proto round-trip tests
+(core/src/parser/proto.rs:549-786: nested schema decode, task lists,
+equality ids) and its tonic server surface (services/compactor/src/
+rpc.rs:27-55) — here over the stdlib HTTP transport with both JSON and
+proto bodies.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from ic_spark.compaction import proto
+from ic_spark.compaction.request import (
+    FileContent,
+    FileScanTask,
+    RewriteFilesRequest,
+)
+
+
+# ------------------------------------------------------------ wire level
+
+
+def test_varint_roundtrip_edges():
+    for n in (0, 1, 127, 128, 300, 2**31 - 1, 2**63 - 1):
+        buf = proto._enc_varint(n)
+        got, i = proto._dec_varint(buf, 0)
+        assert got == n and i == len(buf)
+    # negative int64 → 10-byte two's complement, decoded back signed
+    buf = proto._enc_varint(-3)
+    assert len(buf) == 10
+    got, _ = proto._dec_varint(buf, 0)
+    assert proto._signed(got) == -3
+
+
+def test_packed_and_unpacked_repeated_decode():
+    msg = proto.encode(
+        "FileScanTaskDescriptor", {"data_file_path": "/x", "equality_ids": [1, 2, 300]}
+    )
+    d = proto.decode("FileScanTaskDescriptor", msg)
+    assert d["equality_ids"] == [1, 2, 300]
+    # hand-build UNPACKED encoding of field 9 (proto2-style writers)
+    unpacked = (
+        proto._tag(9, 0) + proto._enc_varint(1) + proto._tag(9, 0) + proto._enc_varint(2)
+    )
+    assert proto.decode("FileScanTaskDescriptor", unpacked)["equality_ids"] == [1, 2]
+
+
+def test_unknown_fields_skipped():
+    body = proto.encode("EchoRequest", {"message": "hi"})
+    extra = proto._tag(99, 0) + proto._enc_varint(7)  # unknown varint field
+    assert proto.decode("EchoRequest", extra + body)["message"] == "hi"
+
+
+# ------------------------------------------------------- schema bridge
+
+
+def test_nested_schema_roundtrip():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DecimalType(18, 2), True),
+            T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+            T.StructField(
+                "props", T.MapType(T.StringType(), T.DoubleType(), True), True
+            ),
+            T.StructField(
+                "addr",
+                T.StructType(
+                    [
+                        T.StructField("street", T.StringType(), True),
+                        T.StructField("zip", T.IntegerType(), False),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("ts_ntz", T.TimestampNTZType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+        ]
+    )
+    wire = proto.encode("SchemaDescriptor", proto.schema_to_proto(schema))
+    back = proto.schema_from_proto(proto.decode("SchemaDescriptor", wire))
+    assert back == schema
+
+
+def test_schema_field_ids_are_sequential_depth_first():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.IntegerType()), True),
+            T.StructField("b", T.LongType(), True),
+        ]
+    )
+    d = proto.schema_to_proto(schema)
+    assert d["fields"][0]["id"] == 1  # a
+    assert d["fields"][0]["list"]["id"] == 2  # a.element
+    assert d["fields"][1]["id"] == 3  # b
+
+
+# ------------------------------------------------------ request bridge
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("dec", T.DoubleType(), True),
+        ]
+    )
+
+
+def test_request_proto_roundtrip():
+    req = RewriteFilesRequest(
+        schema=_schema(),
+        data_files=[
+            FileScanTask("/d/a.parquet", sequence_number=1, file_size_in_bytes=100),
+            FileScanTask("/d/b.parquet", sequence_number=2),
+        ],
+        position_delete_files=[
+            FileScanTask("/d/p.parquet", content=FileContent.POSITION_DELETES)
+        ],
+        equality_delete_files=[
+            FileScanTask(
+                "/d/e.parquet",
+                sequence_number=3,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id", "name"),
+            )
+        ],
+        dir_path="/out",
+        partition_by=["name"],
+        target_partitions=7,
+        max_records_per_file=1000,
+    )
+    back = proto.request_from_proto(proto.request_to_proto(req))
+    assert back.schema == req.schema
+    assert back.dir_path == "/out"
+    assert back.partition_by == ["name"]
+    assert back.target_partitions == 7
+    assert back.max_records_per_file == 1000
+    assert [t.data_file_path for t in back.data_files] == ["/d/a.parquet", "/d/b.parquet"]
+    assert back.data_files[0].sequence_number == 1
+    assert back.data_files[0].file_size_in_bytes == 100
+    assert back.position_delete_files[0].content is FileContent.POSITION_DELETES
+    eq = back.equality_delete_files[0]
+    assert eq.equality_ids == ("id", "name")  # ids → names via schema
+    assert eq.sequence_number == 3
+
+
+def test_response_proto_roundtrip():
+    from ic_spark.compaction.request import (
+        DataFileMeta,
+        RewriteFilesResponse,
+        RewriteFilesStat,
+    )
+
+    resp = RewriteFilesResponse(
+        data_files=[
+            DataFileMeta(
+                file_path="/out/f1.parquet",
+                file_format="parquet",
+                record_count=27,
+                file_size_in_bytes=1234,
+                column_stats={
+                    "id": {"null_count": 0, "min": 2, "max": 29},
+                    "name": {"null_count": 1, "min": "a", "max": "z"},
+                },
+            )
+        ],
+        stat=RewriteFilesStat(5, 1, 999, 0),
+    )
+    wire = proto.response_to_proto(resp, _schema())
+    back = proto.response_from_proto(wire, _schema())
+    f = back.data_files[0]
+    assert f.file_path == "/out/f1.parquet" and f.record_count == 27
+    assert f.column_stats["id"] == {"null_count": 0, "min": "2", "max": "29"}
+    assert f.column_stats["name"]["max"] == "z"
+    assert back.stat.rewritten_files_count == 5
+    assert back.stat.rewritten_bytes == 999
+
+
+# -------------------------------------------------------- transport e2e
+
+
+@pytest.fixture()
+def fixture_files(spark, tmp_path):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id int, val string")
+    data_dir = str(tmp_path / "t_data")
+    src.coalesce(1).write.parquet(data_dir)
+    data_file = next(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    pd = spark.createDataFrame(
+        [("file:" + data_file, 0)], "sys_hidden_file_path string, sys_hidden_pos long"
+    )
+    pd_dir = str(tmp_path / "t_pd")
+    pd.coalesce(1).write.parquet(pd_dir)
+    pd_file = next(
+        os.path.join(pd_dir, f) for f in os.listdir(pd_dir) if f.endswith(".parquet")
+    )
+    return src, data_file, pd_file
+
+
+def test_http_transport_json_and_proto(spark, tmp_path, fixture_files):
+    from ic_spark.compaction.transport import CompactorServer, call
+
+    src, data_file, pd_file = fixture_files
+    server = CompactorServer(spark).start()
+    try:
+        # Echo over both codecs (liveness probe, rpc.rs Echo).
+        assert call("127.0.0.1", server.port, "Echo", {"message": "ping"}, False) == {
+            "message": "ping"
+        }
+        raw = call(
+            "127.0.0.1",
+            server.port,
+            "Echo",
+            proto.encode("EchoRequest", {"message": "pong"}),
+            True,
+        )
+        assert proto.decode("EchoResponse", raw)["message"] == "pong"
+
+        # RewriteFiles over JSON.
+        out = call(
+            "127.0.0.1",
+            server.port,
+            "RewriteFiles",
+            {
+                "schema": src.schema.jsonValue(),
+                "dir_path": str(tmp_path / "json_out"),
+                "data_files": [{"path": data_file, "sequence_number": 1}],
+                "position_delete_files": [{"path": pd_file}],
+                "target_partitions": 1,
+            },
+            False,
+        )
+        assert out["stat"]["rewritten_files_count"] == 2
+        back = spark.read.parquet(str(tmp_path / "json_out"))
+        assert sorted(r.id for r in back.collect()) == list(range(1, 10))
+
+        # RewriteFiles over the protobuf wire format.
+        req = RewriteFilesRequest(
+            schema=src.schema,
+            data_files=[FileScanTask(data_file, sequence_number=1)],
+            position_delete_files=[
+                FileScanTask(pd_file, content=FileContent.POSITION_DELETES)
+            ],
+            dir_path=str(tmp_path / "proto_out"),
+            target_partitions=1,
+        )
+        raw = call(
+            "127.0.0.1",
+            server.port,
+            "RewriteFiles",
+            proto.request_to_proto(req),
+            True,
+        )
+        resp = proto.response_from_proto(raw, src.schema)
+        assert resp.stat.rewritten_files_count == 2
+        assert sum(f.record_count for f in resp.data_files) == 9
+        back = spark.read.parquet(str(tmp_path / "proto_out"))
+        assert sorted(r.id for r in back.collect()) == list(range(1, 10))
+    finally:
+        server.stop()
+
+
+def test_transport_unknown_rpc_is_404(spark):
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from ic_spark.compaction.transport import CompactorServer
+
+    server = CompactorServer(spark).start()
+    try:
+        req = Request(
+            f"http://127.0.0.1:{server.port}/compactor.CompactorService/Nope",
+            data=b"{}",
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(HTTPError) as e:
+            urlopen(req)
+        assert e.value.code == 404
+    finally:
+        server.stop()
