@@ -99,11 +99,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     """
     d = load_table(spark, sf_dir, "documents")
     # Signatures feed BOTH sides of the LSH self-join and the verify
-    # step — persist so the (scan + shingle + hash) pass runs once.
+    # step — persist so the (scan + shingle + hash) pass is cached after
+    # first compute.  No eager count() barriers: they serialized two
+    # extra jobs for no measured win (concurrent first-compute of a
+    # persisted deterministic plan is safe; worst case one partition is
+    # computed twice, in parallel).
     sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3).persist()
-    sigs.count()  # materialize NOW: both self-join sides would otherwise race and compute it twice
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).persist()
-    cands.count()
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
     # (semi-join first): the expensive array work runs on the candidate
