@@ -21,14 +21,18 @@ SUPPORTED_READ_FORMATS = ("parquet", "orc", "json", "csv", "avro")
 
 
 def _avro_available(spark: SparkSession) -> bool:
+    """Probe the JVM classloader for the spark-avro module directly —
+    exception-message sniffing on a fake load path is brittle across
+    Spark versions."""
     try:
-        spark.read.format("avro")
-        # The format resolves lazily; probe with an impossible load to
-        # trigger classloading without reading data.
-        spark.read.format("avro").schema(StructType([])).load("/nonexistent-probe")
+        # AvroDataSourceV2 is the provider the "avro" format resolves
+        # to; AvroFileFormat alone ships with core and proves nothing.
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.AvroDataSourceV2"
+        )
         return True
-    except Exception as e:  # noqa: BLE001
-        return "Failed to find" not in str(e) and "AVRO" not in str(e).upper()
+    except Exception:  # noqa: BLE001 — Py4JJavaError(ClassNotFound)
+        return False
 
 
 def read_files(
