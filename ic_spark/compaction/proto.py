@@ -472,15 +472,18 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
     }
     if req.partition_by:
         config["partition_by"] = ",".join(req.partition_by)
-    return encode(
-        "RewriteFilesRequest",
-        {
-            "file_scan_task_descriptor": tasks,
-            "rewrite_file_config": config,
-            "dir_path": req.dir_path,
-            "schema": schema_to_proto(req.schema),
-        },
-    )
+    msg: dict[str, Any] = {
+        "file_scan_task_descriptor": tasks,
+        "rewrite_file_config": config,
+        "dir_path": req.dir_path,
+        "schema": schema_to_proto(req.schema),
+    }
+    if req.file_io:
+        msg["file_io_builder"] = {
+            "scheme_str": req.file_io.get("scheme", ""),
+            "props": req.file_io.get("props", {}),
+        }
+    return encode("RewriteFilesRequest", msg)
 
 
 def request_from_proto(buf: bytes) -> RewriteFilesRequest:
@@ -503,7 +506,13 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             )
         )
     cfg = d.get("rewrite_file_config", {})
+    fio = d.get("file_io_builder")
     return RewriteFilesRequest(
+        file_io=(
+            {"scheme": fio.get("scheme_str", ""), "props": fio.get("props", {})}
+            if fio
+            else None
+        ),
         schema=schema,
         data_files=buckets[FileContent.DATA],
         position_delete_files=buckets[FileContent.POSITION_DELETES],

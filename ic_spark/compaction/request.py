@@ -114,6 +114,10 @@ class RewriteFilesRequest:
     # Parquet WriterProperties: bound output file size by row count
     # (0 = unbounded, one file per task).
     max_records_per_file: int = 0
+    # Reference FileIoBuilder (proto.rs:93-98): {"scheme": str,
+    # "props": {...}} — applied to the session's Hadoop conf before the
+    # rewrite so s3a/gs paths resolve (sources/fileio.py).
+    file_io: dict | None = None
 
 
 @dataclass

@@ -68,6 +68,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         target_partitions=int(payload.get("target_partitions", 4)),
         data_file_prefix=str(payload.get("data_file_prefix", "10")),
         max_records_per_file=int(payload.get("max_records_per_file", 0)),
+        file_io=payload.get("file_io"),
     )
 
 

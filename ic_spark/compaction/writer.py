@@ -114,6 +114,15 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
     (core/src/executor/mod.rs:39-47, executed by
     core/src/executor/datafusion/mod.rs:85-142).
     """
+    if request.file_io:
+        from ic_spark.sources.fileio import apply_file_io
+
+        apply_file_io(
+            spark,
+            request.file_io.get("scheme", ""),
+            request.file_io.get("props", {}),
+        )
+
     df = build_merge_on_read(spark, request)
 
     writer_df = df

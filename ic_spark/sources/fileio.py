@@ -1,0 +1,54 @@
+"""Object-store FileIO configuration — the reference's ``FileIoBuilder``
+(``core/proto/iceberg.proto:129-132``, decoded at
+``core/src/parser/proto.rs:93-98``) carries an Iceberg FileIO scheme +
+property map (S3/GCS endpoints and credentials) alongside each rewrite
+request.
+
+Spark reads object stores through the Hadoop filesystem layer, so the
+analog is mapping Iceberg FileIO property names onto the corresponding
+``fs.s3a.*`` / ``fs.gs.*`` Hadoop configuration keys on the session.
+The mapping itself is exercised by tests; actually reaching S3 needs
+the hadoop-aws jar on the cluster classpath (not bundled here — the
+same deployment step any Spark-on-S3 job requires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Iceberg FileIO property → Hadoop conf key (S3A / GCS connectors).
+_S3_PROPS = {
+    "s3.endpoint": "fs.s3a.endpoint",
+    "s3.access-key-id": "fs.s3a.access.key",
+    "s3.secret-access-key": "fs.s3a.secret.key",
+    "s3.session-token": "fs.s3a.session.token",
+    "s3.region": "fs.s3a.endpoint.region",
+    "s3.path-style-access": "fs.s3a.path.style.access",
+    "s3.connect-timeout": "fs.s3a.connection.timeout",
+    "client.region": "fs.s3a.endpoint.region",
+}
+_GCS_PROPS = {
+    "gcs.project-id": "fs.gs.project.id",
+    "gcs.oauth2.token": "fs.gs.auth.access.token.provider",
+}
+
+
+def apply_file_io(
+    spark: SparkSession, scheme: str, props: dict[str, str]
+) -> dict[str, str]:
+    """Apply FileIO properties to the session's Hadoop configuration.
+
+    Known Iceberg property names map to their connector key; unknown
+    ones pass through under ``fs.<scheme>.`` so connector-specific
+    extras still reach the filesystem.  Returns the applied mapping.
+    """
+    table = {**_S3_PROPS, **_GCS_PROPS}
+    applied: dict[str, str] = {}
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    for key, value in props.items():
+        hkey = table.get(key, f"fs.{scheme}.{key}") if scheme else table.get(key)
+        if hkey is None:
+            continue
+        hconf.set(hkey, value)
+        applied[hkey] = value
+    return applied

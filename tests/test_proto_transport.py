@@ -289,3 +289,34 @@ def test_transport_unknown_rpc_is_404(spark):
         assert e.value.code == 404
     finally:
         server.stop()
+
+
+def test_file_io_builder_roundtrip_and_hadoop_conf(spark):
+    from ic_spark.sources.fileio import apply_file_io
+
+    req = RewriteFilesRequest(
+        schema=_schema(),
+        dir_path="s3a://bucket/out",
+        file_io={
+            "scheme": "s3a",
+            "props": {
+                "s3.endpoint": "http://minio:9000",
+                "s3.access-key-id": "AK",
+                "s3.secret-access-key": "SK",
+                "s3.path-style-access": "true",
+                "custom-flag": "7",
+            },
+        },
+    )
+    back = proto.request_from_proto(proto.request_to_proto(req))
+    assert back.file_io == req.file_io
+    assert back.dir_path == "s3a://bucket/out"
+
+    applied = apply_file_io(spark, back.file_io["scheme"], back.file_io["props"])
+    assert applied["fs.s3a.endpoint"] == "http://minio:9000"
+    assert applied["fs.s3a.access.key"] == "AK"
+    assert applied["fs.s3a.path.style.access"] == "true"
+    assert applied["fs.s3a.custom-flag"] == "7"  # unknown → pass-through
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert hconf.get("fs.s3a.secret.key") == "SK"
