@@ -161,3 +161,144 @@ def lsh_top_k(
     ).select(
         "query_id", "neighbor_id", F.round(F.col("__cos"), 6).alias("cosine"), "rank"
     )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    refine_iters: int = 0,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: the ``nlist`` lowest-id corpus
+    vectors as deterministic seeds, optionally refined with Lloyd
+    iterations (groupBy-mean over the full corpus, centroids broadcast
+    as literals each round).
+
+    Scale: the collect is ``nlist`` rows (an index parameter, thousands
+    at most — like any broadcast side), never corpus-sized; each refine
+    iteration is one scan + one nlist-group aggregation.  Seeded
+    selection keeps the index deterministic and oracle-checkable;
+    refinement trades that for tighter cells (float mean ordering is
+    engine-specific), so queries wanting a DuckDB oracle use
+    ``refine_iters=0``.
+    """
+    seeds = (
+        corpus.select(F.col(id_col).alias("cid"), _as_dl(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )
+    cents = [list(r.cv) for r in seeds]
+    for _ in range(refine_iters):
+        assigned = corpus.select(
+            _nearest_centroid_idx(F.col(vec_col), cents).alias("__cell"),
+            _as_dl(vec_col).alias("__v"),
+        )
+        means = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("__v", i + 1))
+                        for i in range(len(cents[0]))
+                    ]
+                ).alias("__mean")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r["__cell"] - 1] = list(r["__mean"])
+    return cents
+
+
+def _as_dl(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def _centroid_cosines(vec: F.Column, cents: list[list[float]]) -> F.Column:
+    """array<double> of cosine(vec, centroid_i) — centroids inlined as
+    literals so assignment runs inside the scan, no join."""
+    return F.array(
+        *[
+            cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+
+
+def _nearest_centroid_idx(vec: F.Column, cents: list[list[float]]) -> F.Column:
+    """1-based index of the max-cosine centroid; ties take the first
+    occurrence (lowest index), matching ORDER BY cos DESC, idx."""
+    arr = _centroid_cosines(vec, cents)
+    return F.array_position(arr, F.array_max(arr)).cast("int")
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``nlist``
+    cells, probe each query's ``nprobe`` nearest cells only.
+
+    The inverted-file shape: corpus vectors get ONE cell id computed in
+    the scan (no shuffle, no join); queries explode to their nprobe
+    best cells; candidates meet in an equi-join on cell id, so the
+    scored set is ~``nprobe/nlist`` of the corpus per query instead of
+    all of it.  Recall knob = nprobe (and centroid quality via
+    ``refine_iters``).  At 100 TB: cell ids are 4-byte ints attached at
+    scan time, the probe join broadcasts the (small) query side, and the
+    final top-k uses shuffle-side partial limits (WindowGroupLimit).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, refine_iters)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _nearest_centroid_idx(F.col(vec_col), cents).alias("__cell"),
+    )
+    # Query side: rank all nlist cells by cosine, keep the top nprobe.
+    # Tiny interpreted arrays (nlist entries) on the SMALL side only.
+    # Index stored NEGATED so the ascending struct sort + reverse yields
+    # (cosine desc, index asc) — the same tie order as the oracle's
+    # ORDER BY cos DESC, idx.
+    coss = _centroid_cosines(F.col(vec_col), cents)
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                coss,
+                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+            )
+        )
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int"))
+        ).alias("__cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.col("__cos").desc(), F.col("neighbor_id").asc()], k
+    ).select(
+        "query_id", "neighbor_id", F.round(F.col("__cos"), 6).alias("cosine"), "rank"
+    )

@@ -20,8 +20,8 @@ from ic_spark.queries import llm2  # noqa: F401
 # (the reference's one real query shape), the LLM-pipeline suite, and the
 # TPC-H reshapes come first; then ten analytics entries chosen so every
 # distinct capability (streaming windows, sessionization, as-of/range
-# joins, top-k, array/map outputs, percentiles, full-outer join,
-# embedding near-dup) has a driver-visible row. The remaining variants
+# joins, array/map outputs, full-outer join, embedding near-dup) has a
+# driver-visible row. The remaining variants
 # (redundant scalar/window/setop shapes) sit past the window but keep
 # full DuckDB-oracle coverage in tests/test_queries_oracle.py.
 _PRIORITY = [
@@ -40,6 +40,7 @@ _PRIORITY = [
     "text_quality_langid",
     "text_fingerprint",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_embedding_stats",
     "text_bpeish_token_count",
@@ -75,7 +76,6 @@ _PRIORITY = [
     "events_sessionization",
     "asof_join_latest_order",
     "range_join_error_windows",
-    "window_topk_revenue_per_brand",
     "agg_array_collect",
     "scalar_map_functions",
     "join_full_outer_balance",

@@ -21,7 +21,7 @@ from ic_spark.operators.dedup import (
     simhash,
     token_jaccard_pairs,
 )
-from ic_spark.operators.similarity import brute_force_top_k, lsh_top_k
+from ic_spark.operators.similarity import brute_force_top_k, ivf_top_k, lsh_top_k
 from ic_spark.functions.text import (
     EN_STOPWORDS,
     doc_fingerprint,
@@ -237,6 +237,62 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "embeddings")
     return brute_force_top_k(
         e, e.where(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (
+        SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cvv,
+               (SELECT s.cidx FROM seeds s
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                         s.cidx ASC LIMIT 1) AS cell
+        FROM embeddings e
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                   s.cidx AS cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), s.cv) DESC,
+                              s.cidx ASC) AS pr
+            FROM embeddings q, seeds s WHERE q.vec_id < 5
+        ) WHERE pr <= 4
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT p.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(p.qv, c.cvv), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(p.qv, c.cvv) DESC, c.neighbor_id ASC
+               ) AS rank
+        FROM probes p JOIN corpus c ON p.cell = c.cell
+        WHERE p.query_id <> c.neighbor_id
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF approximate top-10: corpus coarse-quantized into 16 cells
+    (deterministic lowest-id seed centroids → oracle-checkable), each
+    query probes its 4 nearest cells.  The scale path for ANN when the
+    query set is too big to broadcast against the whole corpus: scored
+    candidates are ~nprobe/nlist of the corpus per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
     )
 
 

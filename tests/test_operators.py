@@ -81,6 +81,51 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall > 0.3, f"LSH recall suspiciously low: {recall}"
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    from ic_spark.operators.similarity import ivf_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = brute_force_top_k(e, q, k=10).select("query_id", "neighbor_id").collect()
+    approx = ivf_top_k(e, q, k=10, nlist=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # Probing half the cells (4/8) must recover well above chance.
+    assert recall > 0.3, f"IVF recall suspiciously low: {recall}"
+
+    again = ivf_top_k(e, q, k=10, nlist=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in again} == approx_set  # deterministic
+
+    # nprobe = nlist probes every cell → exact results.
+    full = ivf_top_k(e, q, k=10, nlist=8, nprobe=8).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
+
+
+def test_ivf_lloyd_refinement_runs(spark):
+    """refine_iters>0 (the non-oracle scale path) must produce valid
+    cells and not degrade recall to chance."""
+    from ic_spark.operators.similarity import ivf_centroids, ivf_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_centroids(e, "vec_id", "embedding", nlist=4, refine_iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    q = e.where(F.col("vec_id") < 3)
+    out = ivf_top_k(e, q, k=5, nlist=4, nprobe=2, refine_iters=1).collect()
+    assert len(out) > 0
+    assert all(r.rank <= 5 for r in out)
+
+
 def test_asof_exact_match_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], "k long, t long, ev string"
