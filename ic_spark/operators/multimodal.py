@@ -103,6 +103,88 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize: same schema out, payload replaced by
+    the resized bytes, width/height set to the target box.
+
+    The codec call is the stub boundary (``strict=True`` raises where
+    PIL/libvips would run); the fake emits deterministic bytes derived
+    from (payload sha, target box) so downstream plumbing — including
+    exact-dedup over resized payloads — is testable.
+    """
+    target_w, target_h = width, height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image codecs not available in this environment; "
+                    "plug PIL/libvips into resize_images()"
+                )
+            is_img = pdf["kind"] == "image"
+
+            def fake_resize(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                tag = f"-resized-{target_w}x{target_h}".encode()
+                return hashlib.sha256(b).digest() + tag
+
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(fake_resize)
+            pdf.loc[is_img, "width"] = target_w
+            pdf.loc[is_img, "height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
+    """Video → frame rows, one per ``every_ms`` of duration.
+
+    The fan-out SHAPE is the real logic (frame count comes from the
+    duration_ms metadata; output rows ≫ input rows, which is why this
+    must be mapInPandas and not a scalar UDF); only the frame-grab
+    itself is stubbed.  Feed the result to ``resize_images`` /
+    ``extract_features`` for a full video pipeline.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "video codecs not available in this environment; "
+                    "plug ffmpeg into sample_frames()"
+                )
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or r["duration_ms"] is None:
+                    continue
+                n = max(1, int(r["duration_ms"]) // every_ms)
+                base = b"" if r["payload"] is None else r["payload"]
+                for i in range(n):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["payload"].append(
+                        hashlib.sha256(base + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never touches the payload column, so
     Parquet column pruning skips the heavy bytes entirely."""

@@ -171,6 +171,38 @@ def test_multimodal_plumbing(spark):
         extract_features(media, strict=True).collect()
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    from ic_spark.operators.multimodal import resize_images, sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(b"\x89PNG fake"), 640, 480, None),
+            (2, "video", "video/mp4", bytearray(b"mp4 fake"), 1920, 1080, 3500),
+            (3, "audio", "audio/wav", bytearray(b"RIFF fake"), None, None, 1200),
+        ],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    resized = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert (resized[1].width, resized[1].height) == (224, 224)
+    assert resized[1].payload != b"\x89PNG fake"  # payload replaced
+    assert (resized[2].width, resized[2].height) == (1920, 1080)  # non-image untouched
+    assert bytes(resized[3].payload) == b"RIFF fake"
+    # deterministic
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 224, 224).collect()}
+    assert again[1] == bytes(resized[1].payload)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {r.media_id for r in frames} == {2}  # only the video fans out
+    assert sorted(r.frame_idx for r in frames) == [0, 1, 2]  # 3500ms // 1000
+    assert sorted(r.ts_ms for r in frames) == [0, 1000, 2000]
+    assert len({bytes(r.payload) for r in frames}) == 3  # per-frame payloads
+
+    with pytest.raises(Exception):
+        resize_images(media, 10, 10, strict=True).collect()
+    with pytest.raises(Exception):
+        sample_frames(media, strict=True).collect()
+
+
 def test_approx_sketches_accuracy(spark):
     """approx_count_distinct within rsd bounds; approx median near exact."""
     from ic_spark.tables import load_table
