@@ -79,3 +79,66 @@ def test_sliding_window_stream_equals_batch(spark):
     got = run_to_memory_sink(spark, stream, "t_slide", "complete")
     want = sliding_window_counts(batch_events(spark))
     assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
+
+
+def test_stream_static_join_equals_batch(spark):
+    from ic_spark.streaming.joins import stream_static_join
+
+    static = (
+        batch_events(spark)
+        .select("user_id")
+        .distinct()
+        .withColumn("flag", F.col("user_id") % 2 == 0)
+    )
+    stream = stream_static_join(
+        stream_events(spark, SF_DIR).select("event_id", "user_id", "value"),
+        static,
+        on="user_id",
+    )
+    got = run_to_memory_sink(spark, stream, "t_ss_join", "append")
+    want = stream_static_join(
+        batch_events(spark).select("event_id", "user_id", "value"), static, on="user_id"
+    )
+    assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Watermarked stream-stream join with a mandatory time bound ==
+    the equivalent batch interval join (availableNow drains both
+    sides)."""
+    from ic_spark.streaming.joins import stream_stream_interval_join
+
+    def left_side(df):
+        return df.select("event_id", "user_id", F.col("ts").alias("l_ts"))
+
+    def right_side(df):
+        return df.select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            "value",
+        )
+
+    stream = stream_stream_interval_join(
+        left_side(stream_events(spark, SF_DIR)),
+        right_side(stream_events(spark, SF_DIR)),
+        key="user_id",
+        left_time="l_ts",
+        right_time="r_ts",
+        max_delay="10 minutes",
+    )
+    got = run_to_memory_sink(spark, stream, "t_ssij", "append")
+
+    b = batch_events(spark)
+    lb, rb = left_side(b), right_side(b)
+    cond = (
+        (lb["user_id"] == rb["user_id"])
+        & (rb["r_ts"] >= lb["l_ts"] - F.expr("INTERVAL 10 minutes"))
+        & (rb["r_ts"] <= lb["l_ts"])
+    )
+    want = lb.join(rb, cond).select(
+        lb["user_id"], "event_id", "l_ts", "r_event_id", "r_ts", "value"
+    )
+    got = got.select("user_id", "event_id", "l_ts", "r_event_id", "r_ts", "value")
+    assert got.count() == want.count() > 0
+    assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
