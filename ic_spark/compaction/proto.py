@@ -437,6 +437,58 @@ def schema_from_proto(d: dict) -> T.StructType:
 
 _PARQUET = 2  # DataFileFormat.PARQUET
 
+# Transform.TransformWithoutInner enum (iceberg.proto:19-34).
+_TRANSFORM_ENUM = {
+    "identity": 0,
+    "year": 1,
+    "month": 2,
+    "day": 3,
+    "hour": 4,
+    "void": 5,
+}
+_ENUM_TRANSFORM = {v: k for k, v in _TRANSFORM_ENUM.items()}
+
+
+def _partition_spec_to_proto(spec: list[dict], name_to_id: dict[str, int]) -> dict:
+    fields = []
+    for i, p in enumerate(spec):
+        name = p["transform"]
+        if name == "bucket":
+            tf = {"bucket": int(p["n"])}
+        elif name == "truncate":
+            tf = {"truncate": int(p["width"])}
+        else:
+            tf = {"transform_without_inner": _TRANSFORM_ENUM[name]}
+        fields.append(
+            {
+                "source_id": name_to_id.get(p.get("source", p["name"]), 0),
+                "field_id": 1000 + i,  # Iceberg partition-field id range
+                "name": p["name"],
+                "transform": tf,
+            }
+        )
+    return {"spec_id": 0, "partition_fields": fields}
+
+
+def _partition_spec_from_proto(d: dict, id_to_name: dict[int, str]) -> list[dict]:
+    out = []
+    for f in d.get("partition_fields", []):
+        tf = f.get("transform", {})
+        entry: dict[str, Any] = {
+            "name": f.get("name", ""),
+            "source": id_to_name.get(f.get("source_id", 0), ""),
+        }
+        if "bucket" in tf:
+            entry["transform"] = "bucket"
+            entry["n"] = tf["bucket"]
+        elif "truncate" in tf:
+            entry["transform"] = "truncate"
+            entry["width"] = tf["truncate"]
+        else:
+            entry["transform"] = _ENUM_TRANSFORM[tf.get("transform_without_inner", 0)]
+        out.append(entry)
+    return out
+
 
 def _top_level_ids(schema: T.StructType) -> dict[str, int]:
     """Column name → field id for TOP-LEVEL columns under the same
@@ -483,6 +535,10 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
             "scheme_str": req.file_io.get("scheme", ""),
             "props": req.file_io.get("props", {}),
         }
+    if req.partition_spec:
+        msg["partition_spec"] = _partition_spec_to_proto(
+            req.partition_spec, name_to_id
+        )
     return encode("RewriteFilesRequest", msg)
 
 
@@ -507,11 +563,15 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
         )
     cfg = d.get("rewrite_file_config", {})
     fio = d.get("file_io_builder")
+    pspec = d.get("partition_spec")
     return RewriteFilesRequest(
         file_io=(
             {"scheme": fio.get("scheme_str", ""), "props": fio.get("props", {})}
             if fio
             else None
+        ),
+        partition_spec=(
+            _partition_spec_from_proto(pspec, id_to_name) if pspec else None
         ),
         schema=schema,
         data_files=buckets[FileContent.DATA],

@@ -118,6 +118,12 @@ class RewriteFilesRequest:
     # "props": {...}} — applied to the session's Hadoop conf before the
     # rewrite so s3a/gs paths resolve (sources/fileio.py).
     file_io: dict | None = None
+    # Reference PartitionSpec (iceberg.proto:58-61): transform-aware
+    # partitioning.  Each entry {"name": partition column, "source":
+    # source column, "transform": identity|year|month|day|hour|void|
+    # bucket|truncate, +"n"/"width" params}.  Takes precedence over the
+    # raw-column ``partition_by``.
+    partition_spec: list[dict] | None = None
 
 
 @dataclass

@@ -69,6 +69,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         data_file_prefix=str(payload.get("data_file_prefix", "10")),
         max_records_per_file=int(payload.get("max_records_per_file", 0)),
         file_io=payload.get("file_io"),
+        partition_spec=payload.get("partition_spec"),
     )
 
 

@@ -126,7 +126,25 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
     df = build_merge_on_read(spark, request)
 
     writer_df = df
-    if request.partition_by:
+    if request.partition_spec:
+        # Transform-aware fanout (reference PartitionSpec): derive each
+        # partition column with its Iceberg transform, shuffle rows to
+        # their partition, and let partitionBy route the derived column
+        # into directory names only — source columns stay in the data
+        # files, like Iceberg's metadata-held partition values.
+        from ic_spark.compaction.transforms import transform_column
+
+        types = {f_.name: f_.dataType for f_ in df.schema.fields}
+        names = []
+        for p in request.partition_spec:
+            src = p.get("source", p["name"])
+            writer_df = writer_df.withColumn(
+                p["name"], transform_column(p, F.col(src), types.get(src))
+            )
+            names.append(p["name"])
+        writer_df = writer_df.repartition(*[F.col(n) for n in names])
+        writer = writer_df.write.partitionBy(*names)
+    elif request.partition_by:
         # Fanout write (reference mod.rs:176-188): shuffle rows to their
         # partition first so each output partition is written by few
         # tasks — bounded file counts at any scale.

@@ -320,3 +320,42 @@ def test_file_io_builder_roundtrip_and_hadoop_conf(spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
     assert hconf.get("fs.s3a.secret.key") == "SK"
+
+
+def test_partition_spec_proto_roundtrip():
+    spec = [
+        {"name": "id_bucket", "source": "id", "transform": "bucket", "n": 16},
+        {"name": "name_pre", "source": "name", "transform": "truncate", "width": 2},
+        {"name": "id_ident", "source": "id", "transform": "identity"},
+        {"name": "nil", "source": "dec", "transform": "void"},
+    ]
+    req = RewriteFilesRequest(schema=_schema(), dir_path="/o", partition_spec=spec)
+    back = proto.request_from_proto(proto.request_to_proto(req))
+    assert back.partition_spec == spec
+
+
+def test_partition_spec_transform_write(spark, tmp_path, fixture_files):
+    """Transform-aware fanout: partition dirs carry the DERIVED value,
+    data files keep the source column."""
+    import os as _os
+
+    from ic_spark.compaction.writer import rewrite_files
+
+    src, data_file, _ = fixture_files
+    req = RewriteFilesRequest(
+        schema=src.schema,
+        data_files=[FileScanTask(data_file, sequence_number=1)],
+        dir_path=str(tmp_path / "pspec_out"),
+        partition_spec=[
+            {"name": "id_bucket", "source": "id", "transform": "bucket", "n": 2}
+        ],
+    )
+    resp = rewrite_files(spark, req)
+    dirs = [p for p in _os.listdir(tmp_path / "pspec_out") if p.startswith("id_bucket=")]
+    assert sorted(dirs) == ["id_bucket=0", "id_bucket=1"]
+    back = spark.read.parquet(str(tmp_path / "pspec_out"))
+    assert sorted(r.id for r in back.collect()) == list(range(10))
+    assert "val" in back.columns  # source columns intact in the data
+    assert sum(f.record_count for f in resp.data_files) == 10
+    # partition value recorded per output file
+    assert all(f.partition_values.get("id_bucket") in ("0", "1") for f in resp.data_files)
