@@ -445,3 +445,37 @@ def test_partitioned_rewrite_stats_have_partition_values(spark, mor_files, tmp_p
         assert f.partition_values and "name" in f.partition_values
         st = f.column_stats["name"]
         assert st["min"] == st["max"] == f.partition_values["name"]
+
+
+def test_schema_evolution_added_column(spark, tmp_path):
+    """Old data files written before a column was added must compact
+    cleanly under the NEW schema: the request schema drives every scan,
+    and rows from old files surface null for the added column (Iceberg
+    add-column semantics)."""
+    old = spark.createDataFrame([(i, f"o{i}") for i in range(5)], "id int, name string")
+    new = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(5, 10)], "id int, name string, score double"
+    )
+    paths = {}
+    for tag, df in (("old", old), ("new", new)):
+        p = str(tmp_path / tag)
+        df.coalesce(1).write.parquet(p)
+        paths[tag] = next(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    req = RewriteFilesRequest(
+        schema=new.schema,
+        data_files=[
+            FileScanTask(paths["old"], sequence_number=1),
+            FileScanTask(paths["new"], sequence_number=2),
+        ],
+        dir_path=str(tmp_path / "evo_out"),
+        target_partitions=1,
+    )
+    resp = rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "evo_out"))
+    assert out.columns == ["id", "name", "score"]
+    got = {r.id: r.score for r in out.collect()}
+    assert all(got[i] is None for i in range(5))          # old rows: null
+    assert all(got[i] == float(i) for i in range(5, 10))  # new rows: value
+    assert sum(f.record_count for f in resp.data_files) == 10
