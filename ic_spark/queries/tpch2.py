@@ -156,7 +156,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    WHERE p.p_name LIKE '%5%'
+    WHERE p.p_name LIKE '%gear%'
     GROUP BY nation, o_year
     """,
 )
@@ -170,7 +170,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str):
     o = load_table(spark, sf_dir, "orders")
     cost = _d("p_retailprice") * F.lit(0.8).cast(DEC) * _d("l_quantity")
     return (
-        li.join(maybe_broadcast(p.where(F.col("p_name").like("%5%")), sf_dir, "part"), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p.where(F.col("p_name").like("%gear%")), sf_dir, "part"), li.l_partkey == p.p_partkey)
         .join(maybe_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -336,4 +336,103 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS {SQL_DEC})) AS qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    vals AS (
+        SELECT ps.l_partkey,
+               SUM(ps.qty * CAST(p.p_retailprice AS {SQL_DEC})) AS value
+        FROM ps
+          JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          JOIN part p     ON ps.l_partkey = p.p_partkey
+        WHERE n.n_name = 'NATION_1'
+        GROUP BY ps.l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, CAST(value AS DOUBLE) AS value
+    FROM vals
+    WHERE value > (SELECT SUM(value) * 0.001 FROM vals)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str):
+    """Q11 reshaped (no partsupp in the fixture): the part-supplier
+    relation and its 'stock value' derive from lineitem quantities ×
+    part retail price; keep parts whose NATION_1 value exceeds 0.1% of
+    the national total (HAVING over a scalar aggregate of the same
+    derived table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_d("l_quantity")).alias("qty")
+    )
+    vals = (
+        ps.join(maybe_broadcast(s, sf_dir, "supplier"), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.where(F.col("n_name") == "NATION_1")), F.col("s_nationkey") == n.n_nationkey)
+        .join(maybe_broadcast(p, sf_dir, "part"), ps.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("qty") * _d("p_retailprice")).alias("value"))
+    )
+    threshold = vals.agg((F.sum("value") * F.lit(0.001)).alias("t"))
+    return (
+        vals.crossJoin(F.broadcast(threshold))
+        .where(F.col("value") > F.col("t"))
+        .select(F.col("l_partkey").alias("ps_partkey"), F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS {SQL_DEC})) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%gear%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE n.n_name = 'NATION_2'
+      AND sh.qty > (SELECT 0.8 * AVG(qty) FROM shipped)
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str):
+    """Q20 reshaped (no partsupp availqty): NATION_2 suppliers who
+    shipped more than 80% of the average supplier quantity of gear
+    parts in 1997 (semi-join shape + scalar subquery threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(maybe_broadcast(p.where(F.col("p_name").like("%gear%")), sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_d("l_quantity")).alias("qty"))
+    )
+    avg_qty = shipped.agg((F.lit(0.8) * F.avg("qty")).alias("aq"))
+    return (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .where(F.col("qty") > F.col("aq"))
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n.where(F.col("n_name") == "NATION_2")), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
