@@ -249,17 +249,24 @@ def setop_intersect(spark: SparkSession, sf_dir: str):
 @query(
     "setop_except",
     oracle="""
-    SELECT c_custkey FROM customer
-    EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str):
-    c = load_table(spark, sf_dir, "customer")
+    """Recent (2000+) orderers who never placed a 400k+ order.  (Every
+    fixture customer has SOME order, so the naive customers-minus-
+    orderers EXCEPT is structurally empty — no evidence.)"""
     o = load_table(spark, sf_dir, "orders")
-    return c.select("c_custkey").subtract(
-        o.select(F.col("o_custkey").alias("c_custkey"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
     )
+    return recent.subtract(big)
 
 
 @query(

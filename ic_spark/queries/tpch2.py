@@ -317,20 +317,27 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c.c_nationkey
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str):
-    """Q22 reshaped: above-average-balance customers with no orders,
-    grouped by nation (scalar subquery + anti join)."""
+    """Q22 reshaped: above-average-balance customers with no RECENT
+    (2000+) orders, grouped by nation (scalar subquery + anti join).
+    The recency filter keeps the result non-degenerate — every fixture
+    customer has at least one all-time order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("a"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
