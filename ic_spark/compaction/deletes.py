@@ -140,3 +140,34 @@ def read_table(
         equality_delete_files=eq,
     )
     return build_merge_on_read(spark, request)
+
+
+def read_incremental(
+    spark: SparkSession,
+    table: ManifestTable,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Rows APPENDED between two snapshots (exclusive..inclusive) — the
+    CDC-style incremental consumer: scan only the files added in the
+    range, never re-reading history.  Rejects ranges containing
+    rewrites or new deletes (see ``ManifestTable.incremental_tasks``).
+    Returns an empty DataFrame of the table schema when nothing was
+    appended."""
+    from ic_spark.compaction.planner import build_merge_on_read
+    from ic_spark.compaction.request import RewriteFilesRequest
+
+    added = table.incremental_tasks(from_snapshot_id, to_snapshot_id)
+    if not added:
+        if schema is None:
+            data, _, _ = table.scan_tasks()
+            if not data:
+                raise ValueError("empty table and no schema given")
+            schema = spark.read.parquet(data[0].data_file_path).schema
+        return spark.createDataFrame([], schema)
+    if schema is None:
+        schema = spark.read.parquet(added[0].data_file_path).schema
+    return build_merge_on_read(
+        spark, RewriteFilesRequest(schema=schema, data_files=added)
+    )

@@ -112,6 +112,53 @@ class ManifestTable:
                 (pos if task.content is FileContent.POSITION_DELETES else eq).append(task)
         return data, pos, eq
 
+    def incremental_tasks(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[FileScanTask]:
+        """DATA files added after ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (current by default) — the incremental append
+        scan (Iceberg ``IncrementalAppendScan`` semantics).
+
+        Raises if the range contains a rewrite (files removed) or new
+        delete files: those snapshots change or retract already-read
+        rows, which an append-only consumer cannot represent —
+        the same condition Iceberg rejects non-append operations on.
+        """
+        frm = self.snapshot_at(from_snapshot_id)
+        if frm is None:
+            raise ValueError(f"snapshot {from_snapshot_id} not found")
+        to = (
+            self.current_snapshot()
+            if to_snapshot_id is None
+            else self.snapshot_at(to_snapshot_id)
+        )
+        if to is None:
+            raise ValueError(f"snapshot {to_snapshot_id} not found")
+        old_paths = {f["path"] for f in frm.files}
+        new_by_path = {f["path"]: f for f in to.files}
+        removed = old_paths - set(new_by_path)
+        if removed:
+            raise ValueError(
+                f"snapshots {from_snapshot_id}..{to.snapshot_id} rewrite "
+                f"{len(removed)} file(s); incremental append scan undefined"
+            )
+        added = [f for p, f in new_by_path.items() if p not in old_paths]
+        deletes = [f for f in added if f.get("content", "DATA") != "DATA"]
+        if deletes:
+            raise ValueError(
+                f"snapshots {from_snapshot_id}..{to.snapshot_id} add "
+                f"{len(deletes)} delete file(s); incremental append scan undefined"
+            )
+        return [
+            FileScanTask(
+                data_file_path=f["path"],
+                sequence_number=f.get("sequence_number", 0),
+                content=FileContent.DATA,
+                file_size_in_bytes=f.get("file_size_in_bytes", 0),
+            )
+            for f in added
+        ]
+
     def append_snapshot(self, files: list[dict]) -> int:
         """Add a snapshot whose file list = current files + ``files``."""
         state = self._load()

@@ -115,3 +115,41 @@ def test_equality_delete_requires_key_columns(spark, table_with_data):
     bad = spark.createDataFrame([(1,)], "wrong_col long")
     with pytest.raises(ValueError, match="missing equality columns"):
         write_equality_deletes(spark, table, bad, ["l_orderkey"])
+
+
+def test_incremental_append_scan(spark, table_with_data, tmp_path):
+    """read_incremental returns exactly the rows appended in the
+    snapshot range, never history; rewrite/delete ranges are rejected."""
+    from ic_spark.compaction.deletes import read_incremental
+
+    table, li = table_with_data
+    s1 = table.current_snapshot().snapshot_id
+
+    add1 = li.limit(3)
+    d = str(tmp_path / "inc1")
+    add1.coalesce(1).write.parquet(d)
+    f1 = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    s2 = table.append_snapshot([{"path": f1, "sequence_number": 2, "content": "DATA"}])
+
+    add2 = li.limit(5)
+    d = str(tmp_path / "inc2")
+    add2.coalesce(1).write.parquet(d)
+    f2 = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    s3 = table.append_snapshot([{"path": f2, "sequence_number": 3, "content": "DATA"}])
+
+    assert read_incremental(spark, table, s1, s2).count() == 3
+    assert read_incremental(spark, table, s2, s3).count() == 5
+    assert read_incremental(spark, table, s1).count() == 8  # to current
+    assert read_incremental(spark, table, s3).count() == 0  # empty range
+    assert read_incremental(spark, table, s3).schema == add2.schema
+
+    # A delete snapshot in the range breaks append-only semantics.
+    write_position_deletes(spark, table, F.col("l_linenumber") == 1)
+    with pytest.raises(ValueError, match="delete file"):
+        read_incremental(spark, table, s1)
+
+    # A compaction (rewrite) in the range does too.
+    comp = Compaction(spark)
+    comp.full_compact(table, li.schema)
+    with pytest.raises(ValueError, match="rewrite"):
+        read_incremental(spark, table, s1)
