@@ -70,5 +70,72 @@ class Compaction:
         table.commit_rewrite(added, removed)
         return response
 
+    def compact_small_files(
+        self,
+        table: ManifestTable,
+        schema: StructType,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        target_group_bytes: int = 512 * 1024 * 1024,
+        target_partitions: int = 1,
+    ) -> RewriteFilesResponse:
+        """Binpack maintenance: rewrite only DATA files under
+        ``small_file_bytes``, merged in size-balanced groups of
+        ~``target_group_bytes`` (LPT, reference O10 semantics).  Files
+        already large enough are left untouched — at a 100 TB table this
+        is the routine operation; whole-table rewrites are the rare one.
+
+        Delete-file semantics of a PARTIAL rewrite: position and
+        equality deletes are applied while rewriting each group, and the
+        delete files stay in the manifest — rewritten rows re-enter at a
+        new sequence number above every delete (immune to re-application
+        under the strict ``<`` guard) while deletes keep guarding the
+        files that were not rewritten.  Delete files are only dropped by
+        a subsequent ``full_compact``.
+        """
+        from ic_spark.plans.scheduling import split_n_groups
+
+        data, pos, eq = table.scan_tasks()
+        small = [t for t in data if t.file_size_in_bytes < small_file_bytes]
+        if len(small) < 2 and not (small and (pos or eq)):
+            return RewriteFilesResponse()  # nothing worth merging
+        total = sum(t.file_size_in_bytes for t in small)
+        n_groups = max(1, -(-total // target_group_bytes)) if total else 1
+        groups = [g for g in split_n_groups(small, n_groups, lambda t: t.file_size_in_bytes) if g]
+
+        merged = RewriteFilesResponse()
+        new_seq = max((t.sequence_number for t in data + eq), default=0) + 1
+        added: list[dict] = []
+        for group in groups:
+            out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
+            response = rewrite_files(
+                self.spark,
+                RewriteFilesRequest(
+                    schema=schema,
+                    data_files=group,
+                    position_delete_files=pos,
+                    equality_delete_files=eq,
+                    dir_path=out_dir,
+                    target_partitions=target_partitions,
+                ),
+            )
+            merged.data_files.extend(response.data_files)
+            added.extend(
+                {
+                    "path": f.file_path,
+                    "sequence_number": new_seq,
+                    "content": "DATA",
+                    "file_size_in_bytes": f.file_size_in_bytes,
+                }
+                for f in response.data_files
+            )
+        removed = {t.data_file_path for t in small}
+        table.commit_rewrite(added, removed)
+        # Delete files are applied but retained (see docstring), so the
+        # rewritten count covers only the data files actually replaced.
+        merged.stat.rewritten_files_count = len(small)
+        merged.stat.added_files_count = len(merged.data_files)
+        merged.stat.rewritten_bytes = total
+        return merged
+
     def expire_snapshot(self, table: ManifestTable) -> list[str]:
         return table.expire_snapshots()

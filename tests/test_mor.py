@@ -479,3 +479,67 @@ def test_schema_evolution_added_column(spark, tmp_path):
     assert all(got[i] is None for i in range(5))          # old rows: null
     assert all(got[i] == float(i) for i in range(5, 10))  # new rows: value
     assert sum(f.record_count for f in resp.data_files) == 10
+
+
+def test_compact_small_files_binpack(spark, tmp_path):
+    """Binpack maintenance: small files merge, large files stay, deletes
+    apply to rewritten rows but remain in the manifest, and the final
+    table content is unchanged minus the deletes."""
+    from ic_spark.compaction import Compaction, ManifestTable
+
+    table = ManifestTable(str(tmp_path / "tbl"))
+    files = []
+    # Three small files + one "large" file (threshold set between them).
+    for i in range(3):
+        p = str(tmp_path / f"small{i}")
+        spark.createDataFrame(
+            [(j, f"s{j}") for j in range(i * 10, i * 10 + 10)], "id int, name string"
+        ).coalesce(1).write.parquet(p)
+        f = next(os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet"))
+        files.append(
+            {"path": f, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(f)}
+        )
+    p = str(tmp_path / "large")
+    spark.createDataFrame(
+        [(j, f"L{j}") for j in range(100, 160)], "id int, name string"
+    ).coalesce(1).write.parquet(p)
+    big = next(os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet"))
+    big_size = os.path.getsize(big)
+    files.append(
+        {"path": big, "sequence_number": 1, "content": "DATA",
+         "file_size_in_bytes": big_size}
+    )
+    # Equality delete for two ids (seq 2 > data seq 1 → applies).
+    pd = str(tmp_path / "eq")
+    spark.createDataFrame([(5,), (105,)], "id int").coalesce(1).write.parquet(pd)
+    eqf = next(os.path.join(pd, n) for n in os.listdir(pd) if n.endswith(".parquet"))
+    files.append(
+        {"path": eqf, "sequence_number": 2, "content": "EQUALITY_DELETES",
+         "equality_ids": ["id"], "file_size_in_bytes": os.path.getsize(eqf)}
+    )
+    table.append_snapshot(files)
+
+    comp = Compaction(spark)
+    resp = comp.compact_small_files(
+        table, spark.createDataFrame([], "id int, name string").schema,
+        small_file_bytes=big_size,  # the large file is exactly not-small
+    )
+    assert resp.stat.rewritten_files_count == 3
+    assert resp.stat.added_files_count >= 1
+
+    data, pos, eq = table.scan_tasks()
+    paths = {t.data_file_path for t in data}
+    assert big in paths                     # large file untouched
+    assert len(eq) == 1                     # delete file retained
+    # Rewritten rows carry a new sequence above the delete's.
+    new_seqs = {t.sequence_number for t in data if t.data_file_path != big}
+    assert new_seqs == {3}
+
+    # Reading the table now: id=5 gone (applied in rewrite, immune to
+    # re-application), id=105 gone (delete still guards the large file).
+    from ic_spark.compaction.deletes import read_table
+
+    out = read_table(spark, table)
+    ids = sorted(r.id for r in out.collect())
+    assert ids == sorted((set(range(30)) | set(range(100, 160))) - {5, 105})
