@@ -277,6 +277,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
         WHERE p.query_id <> c.neighbor_id
     ) WHERE rank <= 10
     """,
+    headline=True,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF approximate top-10: corpus coarse-quantized into 16 cells
