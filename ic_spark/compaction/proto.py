@@ -524,6 +524,13 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
     }
     if req.partition_by:
         config["partition_by"] = ",".join(req.partition_by)
+    if req.sort_order:
+        # The reference request proto carries no sort-order message
+        # (only DataFile.sort_order_id); ride the config map.
+        import json as _json
+
+        config["sort_order"] = _json.dumps(req.sort_order)
+        config["sort_order_id"] = str(req.sort_order_id)
     msg: dict[str, Any] = {
         "file_scan_task_descriptor": tasks,
         "rewrite_file_config": config,
@@ -573,6 +580,12 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
         partition_spec=(
             _partition_spec_from_proto(pspec, id_to_name) if pspec else None
         ),
+        sort_order=(
+            __import__("json").loads(cfg["sort_order"])
+            if "sort_order" in cfg
+            else None
+        ),
+        sort_order_id=int(cfg.get("sort_order_id", 0)),
         schema=schema,
         data_files=buckets[FileContent.DATA],
         position_delete_files=buckets[FileContent.POSITION_DELETES],
@@ -596,6 +609,8 @@ def response_to_proto(resp: RewriteFilesResponse, schema: T.StructType | None = 
             "record_count": f.record_count,
             "file_size_in_bytes": f.file_size_in_bytes,
         }
+        if f.sort_order_id is not None:
+            d["sort_order_id"] = f.sort_order_id
         if f.column_stats and name_to_id:
             nulls, lowers, uppers = {}, {}, {}
             for col, st in f.column_stats.items():
@@ -646,6 +661,7 @@ def response_from_proto(buf: bytes, schema: T.StructType | None = None) -> Rewri
                 record_count=f.get("record_count", 0),
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
                 column_stats=stats or None,
+                sort_order_id=f.get("sort_order_id"),
             )
         )
     s = d.get("stat", {})

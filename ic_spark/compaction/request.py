@@ -124,6 +124,13 @@ class RewriteFilesRequest:
     # bucket|truncate, +"n"/"width" params}.  Takes precedence over the
     # raw-column ``partition_by``.
     partition_spec: list[dict] | None = None
+    # Iceberg sort order (DataFile.sort_order_id, iceberg.proto:199):
+    # each entry {"column": str, "desc": bool, "nulls_first": bool}.
+    # Rows are sorted WITHIN each output task/partition — a local sort,
+    # no extra shuffle — so min/max footer stats become selective and
+    # scans with predicates on the sort columns skip row groups.
+    sort_order: list[dict] | None = None
+    sort_order_id: int = 0
 
 
 @dataclass
@@ -151,6 +158,7 @@ class DataFileMeta:
     file_size_in_bytes: int
     partition_values: dict | None = None
     column_stats: dict | None = None
+    sort_order_id: int | None = None
 
 
 @dataclass

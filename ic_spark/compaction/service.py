@@ -70,6 +70,8 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         max_records_per_file=int(payload.get("max_records_per_file", 0)),
         file_io=payload.get("file_io"),
         partition_spec=payload.get("partition_spec"),
+        sort_order=payload.get("sort_order"),
+        sort_order_id=int(payload.get("sort_order_id", 0)),
     )
 
 

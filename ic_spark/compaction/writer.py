@@ -126,6 +126,7 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
     df = build_merge_on_read(spark, request)
 
     writer_df = df
+    partition_names: list[str] = []
     if request.partition_spec:
         # Transform-aware fanout (reference PartitionSpec): derive each
         # partition column with its Iceberg transform, shuffle rows to
@@ -135,21 +136,19 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         from ic_spark.compaction.transforms import transform_column
 
         types = {f_.name: f_.dataType for f_ in df.schema.fields}
-        names = []
         for p in request.partition_spec:
             src = p.get("source", p["name"])
             writer_df = writer_df.withColumn(
                 p["name"], transform_column(p, F.col(src), types.get(src))
             )
-            names.append(p["name"])
-        writer_df = writer_df.repartition(*[F.col(n) for n in names])
-        writer = writer_df.write.partitionBy(*names)
+            partition_names.append(p["name"])
+        writer_df = writer_df.repartition(*[F.col(n) for n in partition_names])
     elif request.partition_by:
         # Fanout write (reference mod.rs:176-188): shuffle rows to their
         # partition first so each output partition is written by few
         # tasks — bounded file counts at any scale.
-        writer_df = df.repartition(*[F.col(c) for c in request.partition_by])
-        writer = writer_df.write.partitionBy(*request.partition_by)
+        partition_names = list(request.partition_by)
+        writer_df = df.repartition(*[F.col(c) for c in partition_names])
     elif request.target_partitions > 0:
         # Reference parity (O11): round-robin to a fixed output width.
         # At large scale prefer target_partitions=0: write the join
@@ -157,9 +156,32 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         # already right-sized them) and bound files with
         # max_records_per_file.
         writer_df = df.repartition(request.target_partitions)
-        writer = writer_df.write
-    else:
-        writer = writer_df.write
+
+    if request.sort_order:
+        # Iceberg sort order: LOCAL sort within each write task — no
+        # extra shuffle — so footer min/max on the sort columns become
+        # disjoint and predicate scans skip whole row groups/files.
+        sort_cols = []
+        for s in request.sort_order:
+            c = F.col(s["column"])
+            if s.get("desc"):
+                c = (
+                    c.desc_nulls_first()
+                    if s.get("nulls_first")
+                    else c.desc_nulls_last()
+                )
+            else:
+                c = (
+                    c.asc_nulls_first()
+                    if s.get("nulls_first", True)
+                    else c.asc_nulls_last()
+                )
+            sort_cols.append(c)
+        writer_df = writer_df.sortWithinPartitions(*sort_cols)
+
+    writer = writer_df.write
+    if partition_names:
+        writer = writer.partitionBy(*partition_names)
 
     if request.max_records_per_file > 0:
         writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
@@ -179,6 +201,7 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
                 file_size_in_bytes=size,
                 partition_values=partition_values or None,
                 column_stats=column_stats,
+                sort_order_id=request.sort_order_id if request.sort_order else None,
             )
         )
     rewritten_bytes = sum(t.file_size_in_bytes for t in request.data_files)

@@ -359,3 +359,38 @@ def test_partition_spec_transform_write(spark, tmp_path, fixture_files):
     assert sum(f.record_count for f in resp.data_files) == 10
     # partition value recorded per output file
     assert all(f.partition_values.get("id_bucket") in ("0", "1") for f in resp.data_files)
+
+
+def test_sort_order_write_and_roundtrip(spark, tmp_path, fixture_files):
+    """Sorted writes: rows locally ordered within each file so footer
+    min/max on the sort columns are disjoint; sort_order_id travels on
+    the request (config map) and comes back on each DataFile."""
+    from ic_spark.compaction.writer import rewrite_files
+
+    src, data_file, _ = fixture_files
+    req = RewriteFilesRequest(
+        schema=src.schema,
+        data_files=[FileScanTask(data_file, sequence_number=1)],
+        dir_path=str(tmp_path / "sorted_out"),
+        target_partitions=2,
+        sort_order=[{"column": "id", "desc": True, "nulls_first": False}],
+        sort_order_id=7,
+    )
+    back = proto.request_from_proto(proto.request_to_proto(req))
+    assert back.sort_order == req.sort_order
+    assert back.sort_order_id == 7
+
+    resp = rewrite_files(spark, req)
+    assert all(f.sort_order_id == 7 for f in resp.data_files)
+    wire = proto.response_from_proto(proto.response_to_proto(resp, src.schema), src.schema)
+    assert all(f.sort_order_id == 7 for f in wire.data_files)
+
+    # Each written file is internally descending by id.
+    import pyarrow.parquet as pq
+
+    for f in resp.data_files:
+        ids = pq.read_table(f.file_path, columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids, reverse=True)
+    # All rows present.
+    out = spark.read.parquet(str(tmp_path / "sorted_out"))
+    assert sorted(r.id for r in out.collect()) == list(range(10))
