@@ -78,3 +78,23 @@ def test_broadcast_hint_gated_by_dim_size(spark, monkeypatch):
     assert "ResolvedHint" in T.maybe_broadcast(
         n, SF_DIR, "nation"
     )._jdf.queryExecution().analyzed().toString()
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune partitions
+    at runtime (DPP): the fact scan's PartitionFilters carries a
+    dynamicpruning subquery instead of reading every partition — at
+    100 TB the difference between scanning one day and the whole table."""
+    import pyspark.sql.functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 10).alias("pkey"), (F.col("id") * 2).alias("v")
+    ).write.partitionBy("pkey").parquet(fact_dir)
+    dim = spark.createDataFrame([(3, "three"), (7, "seven")], "pkey long, name string")
+
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.where(F.col("name") == "three"), on="pkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 1000  # only partition pkey=3
