@@ -123,15 +123,26 @@ def apply_position_deletes(data: DataFrame, pos_del: DataFrame) -> DataFrame:
 
 
 def apply_equality_deletes(
-    data: DataFrame, eq_del: DataFrame, eq_cols: list[str]
+    data: DataFrame, eq_del: DataFrame, eq_cols: list[str], null_safe: bool = False
 ) -> DataFrame:
     """Anti-join on equality columns + STRICT seq guard — reference O8
     (datafusion_processor.rs:279-305).  A delete applies only to data
     with a strictly OLDER sequence number (:300-304) — same-sequence
-    data survives.  Both sides must carry ``sys_hidden_seq_num``."""
+    data survives.  Both sides must carry ``sys_hidden_seq_num``.
+
+    NULL keys: the reference builds plain ``=`` conditions, under which
+    null never matches — null-keyed data rows always survive and
+    null-keyed delete rows delete nothing (the default here).  The
+    Iceberg spec instead treats null as equal to null for equality
+    deletes; pass ``null_safe=True`` for spec semantics (``<=>``)."""
     cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(f"e.{SYS_HIDDEN_SEQ_NUM}")
     for c in eq_cols:
-        cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
+        eq = (
+            F.col(f"d.{c}").eqNullSafe(F.col(f"e.{c}"))
+            if null_safe
+            else F.col(f"d.{c}") == F.col(f"e.{c}")
+        )
+        cond = cond & eq
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 

@@ -543,3 +543,24 @@ def test_compact_small_files_binpack(spark, tmp_path):
     out = read_table(spark, table)
     ids = sorted(r.id for r in out.collect())
     assert ids == sorted((set(range(30)) | set(range(100, 160))) - {5, 105})
+
+
+def test_equality_delete_null_key_semantics(spark, tmp_path):
+    """Plain-equality deletes (reference behavior): null keys never
+    match — null-keyed data survives, null-keyed deletes delete
+    nothing.  null_safe=True flips to Iceberg-spec null==null."""
+    from ic_spark.compaction.planner import apply_equality_deletes
+    from ic_spark.compaction.request import SYS_HIDDEN_SEQ_NUM
+
+    data = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1), (3, "c", 1)],
+        f"id int, k string, {SYS_HIDDEN_SEQ_NUM} long",
+    )
+    dels = spark.createDataFrame(
+        [(None, 2), ("c", 2)], f"k string, {SYS_HIDDEN_SEQ_NUM} long"
+    )
+    kept = apply_equality_deletes(data, dels, ["k"])
+    assert sorted(r.id for r in kept.collect()) == [1, 2]  # null survives
+
+    kept_ns = apply_equality_deletes(data, dels, ["k"], null_safe=True)
+    assert sorted(r.id for r in kept_ns.collect()) == [1]  # null==null deletes
