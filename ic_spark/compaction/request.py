@@ -131,6 +131,10 @@ class RewriteFilesRequest:
     # scans with predicates on the sort columns skip row groups.
     sort_order: list[dict] | None = None
     sort_order_id: int = 0
+    # Z-order clustering: 2-3 non-negative int columns whose Morton-
+    # interleaved key drives the local sort (multi-dimensional file
+    # skipping).  Mutually exclusive with sort_order.
+    zorder_by: list[str] | None = None
 
 
 @dataclass

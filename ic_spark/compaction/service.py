@@ -72,6 +72,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         partition_spec=payload.get("partition_spec"),
         sort_order=payload.get("sort_order"),
         sort_order_id=int(payload.get("sort_order_id", 0)),
+        zorder_by=payload.get("zorder_by"),
     )
 
 

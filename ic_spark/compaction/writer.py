@@ -157,7 +157,18 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         # max_records_per_file.
         writer_df = df.repartition(request.target_partitions)
 
-    if request.sort_order:
+    if request.zorder_by:
+        # Morton-curve clustering: one derived key, local sort, key
+        # dropped before write — files end up tight in EVERY interleaved
+        # dimension's min/max, not just a single lead column's.
+        from ic_spark.functions.zorder import zorder_key
+
+        writer_df = (
+            writer_df.withColumn("__zkey", zorder_key(*request.zorder_by))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif request.sort_order:
         # Iceberg sort order: LOCAL sort within each write task — no
         # extra shuffle — so footer min/max on the sort columns become
         # disjoint and predicate scans skip whole row groups/files.

@@ -360,3 +360,65 @@ def test_minhash_safe_under_ansi_mode(spark, docs_df):
         assert (1, 2) in {(r.id_a, r.id_b) for r in cands.collect()}
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_zorder_key_matches_reference_morton(spark):
+    """zorder_key == a bit-at-a-time Python Morton encoding, 2D and 3D."""
+    from ic_spark.functions.zorder import zorder_key
+
+    def morton(vals, bits):
+        out = 0
+        for b in range(bits):
+            for i, v in enumerate(vals):
+                out |= ((v >> b) & 1) << (b * len(vals) + i)
+        return out
+
+    rows = [(x, y, z) for x in (0, 1, 5, 1000, 2**20) for y in (0, 3, 77) for z in (0, 9)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got2 = {
+        (r.x, r.y): r.k
+        for r in df.select("x", "y", zorder_key("x", "y").alias("k")).collect()
+    }
+    for x, y, _ in rows:
+        assert got2[(x, y)] == morton([x, y], 32), (x, y)
+    got3 = {
+        (r.x, r.y, r.z): r.k
+        for r in df.select("x", "y", "z", zorder_key("x", "y", "z").alias("k")).collect()
+    }
+    for x, y, z in rows:
+        assert got3[(x, y, z)] == morton([x & 0x1FFFFF, y, z], 21), (x, y, z)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered rewrite: per-file footer ranges are narrow in BOTH
+    interleaved columns, unlike a single-column sort."""
+    import os
+
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.writer import rewrite_files
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(i, i % n, i // n) for i in range(n * n)], "id long, x long, y long"
+    )
+    p = str(tmp_path / "grid")
+    grid.coalesce(1).write.parquet(p)
+    f = next(os.path.join(p, q) for q in os.listdir(p) if q.endswith(".parquet"))
+    req = RewriteFilesRequest(
+        schema=grid.schema,
+        data_files=[FileScanTask(f, sequence_number=1)],
+        dir_path=str(tmp_path / "z_out"),
+        target_partitions=1,
+        max_records_per_file=256,  # 16 files over the 64x64 grid
+        zorder_by=["x", "y"],
+    )
+    resp = rewrite_files(spark, req)
+    assert len(resp.data_files) >= 8
+    # A 256-row Morton block of a 64x64 grid spans a 16x16 tile: both
+    # dimensions bounded at sqrt(rows), not one tight and one full-range.
+    for fmeta in resp.data_files:
+        xs, ys = fmeta.column_stats["x"], fmeta.column_stats["y"]
+        assert xs["max"] - xs["min"] <= 16, fmeta
+        assert ys["max"] - ys["min"] <= 16, fmeta
+    out = spark.read.parquet(str(tmp_path / "z_out"))
+    assert out.count() == n * n
