@@ -32,3 +32,27 @@ def test_rows_only_query_runs(spark, name):
     rows1 = sorted(map(tuple, df.collect()))
     rows2 = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     assert rows1 == rows2, f"{name} is not deterministic"
+
+
+def test_driver_window_contains_flagship_queries():
+    """The correctness driver checks only the FIRST 50 registry entries;
+    the flagship MoR queries and the LLM-pipeline suite must stay inside
+    that window (round-1 lesson: import order silently demoted them)."""
+    from ic_spark.queries import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    for name in (
+        "mor_position_delete",
+        "mor_equality_delete",
+        "mor_full_merge_on_read",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "pipeline_clean_corpus",
+        "q1_pricing_summary",
+        "events_sessionization",
+        "asof_join_latest_order",
+    ):
+        assert name in window, f"{name} fell outside the driver's 50-query window"
