@@ -297,6 +297,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("sim_ivf_topk_arrow", oracle=None, headline=True)
+def sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str):
+    """Same IVF search with the Arrow/numpy cell assigner — the scale
+    path (one matmul per batch instead of nlist interpreted cosines per
+    row; ~2x faster at sf0.1).  Rows-only check; end-to-end agreement
+    with the expression path is pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
+        use_arrow=True,
+    )
+
+
 @query("sim_lsh_topk", oracle=None)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str):
     """Hyperplane-LSH bucketed approximate top-k (rows-only check;

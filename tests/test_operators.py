@@ -422,3 +422,23 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         assert ys["max"] - ys["min"] <= 16, fmeta
     out = spark.read.parquet(str(tmp_path / "z_out"))
     assert out.count() == n * n
+
+
+def test_ivf_arrow_assignment_agrees_with_expression(spark):
+    """The Arrow/numpy cell assigner (scale path) must agree with the
+    oracle-exact expression path — identical result pairs end to end."""
+    from ic_spark.operators.similarity import ivf_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    expr = ivf_top_k(e, q, k=10, nlist=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    arrow = ivf_top_k(e, q, k=10, nlist=8, nprobe=4, use_arrow=True).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in arrow} == {
+        (r.query_id, r.neighbor_id) for r in expr
+    }
