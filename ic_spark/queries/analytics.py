@@ -270,6 +270,48 @@ def setop_except(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "setop_union_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str):
+    """Multiset union: rows in both branches appear twice."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return urgent.unionAll(big)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str):
+    """Multiset difference: each right occurrence cancels ONE left
+    occurrence (a customer with 3 recent orders and 1 big order keeps
+    2 rows) — distinct semantics from the EXCEPT DISTINCT query."""
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return recent.exceptAll(big)
+
+
+@query(
     "setop_union_distinct",
     oracle="""
     SELECT c_custkey FROM customer WHERE c_acctbal > 9000
