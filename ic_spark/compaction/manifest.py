@@ -25,6 +25,10 @@ from dataclasses import dataclass
 from ic_spark.compaction.request import FileContent, FileScanTask
 
 
+class CommitConflictError(RuntimeError):
+    """A rewrite commit lost an optimistic-concurrency race."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -176,13 +180,37 @@ class ManifestTable:
         self._store(state)
         return sid
 
-    def commit_rewrite(self, added: list[dict], removed_paths: set[str]) -> int:
+    def commit_rewrite(
+        self, added: list[dict], removed_paths: set[str], expected_snapshot_id: int | None = None
+    ) -> int:
         """RewriteFiles transaction: one atomic add+delete swap.
 
         Reference mod.rs:66-72 (``rewrite_files`` action → commit).
+
+        Optimistic concurrency: every removed file must still be live in
+        the current snapshot — if a concurrent writer already rewrote or
+        deleted one, committing would silently resurrect/duplicate its
+        rows, so the commit fails with :class:`CommitConflictError`
+        (Iceberg's validation of a stale rewrite).  Pass
+        ``expected_snapshot_id`` to additionally require the table not
+        to have moved AT ALL since planning.
         """
         state = self._load()
         cur = self.current_snapshot()
+        if expected_snapshot_id is not None:
+            actual = cur.snapshot_id if cur else None
+            if actual != expected_snapshot_id:
+                raise CommitConflictError(
+                    f"table moved: expected snapshot {expected_snapshot_id}, "
+                    f"current is {actual}"
+                )
+        live = {f["path"] for f in (cur.files if cur else [])}
+        stale = sorted(removed_paths - live)
+        if stale:
+            raise CommitConflictError(
+                f"{len(stale)} file(s) no longer live (concurrent rewrite?): "
+                f"{stale[:3]}..."
+            )
         kept = [f for f in (cur.files if cur else []) if f["path"] not in removed_paths]
         sid = (state["current_snapshot_id"] or 0) + 1
         state["snapshots"].append(

@@ -564,3 +564,39 @@ def test_equality_delete_null_key_semantics(spark, tmp_path):
 
     kept_ns = apply_equality_deletes(data, dels, ["k"], null_safe=True)
     assert sorted(r.id for r in kept_ns.collect()) == [1]  # null==null deletes
+
+
+def test_commit_rewrite_conflict_detection(spark, tmp_path):
+    """A rewrite planned against files a concurrent writer already
+    replaced must FAIL, not silently resurrect old rows."""
+    from ic_spark.compaction.manifest import CommitConflictError, ManifestTable
+
+    table = ManifestTable(str(tmp_path / "cc"))
+    table.append_snapshot([{"path": "/data/a.parquet", "sequence_number": 1, "content": "DATA"}])
+    base = table.current_snapshot().snapshot_id
+
+    # Writer 1 commits first — /data/a.parquet is gone.
+    table.commit_rewrite(
+        [{"path": "/data/b.parquet", "sequence_number": 2, "content": "DATA"}],
+        {"/data/a.parquet"},
+    )
+    # Writer 2 planned against the old snapshot: stale removal set.
+    with pytest.raises(CommitConflictError, match="no longer live"):
+        table.commit_rewrite(
+            [{"path": "/data/c.parquet", "sequence_number": 2, "content": "DATA"}],
+            {"/data/a.parquet"},
+        )
+    # Strict mode: any table movement at all is a conflict.
+    with pytest.raises(CommitConflictError, match="table moved"):
+        table.commit_rewrite(
+            [{"path": "/data/d.parquet", "sequence_number": 3, "content": "DATA"}],
+            set(),
+            expected_snapshot_id=base,
+        )
+    # Non-conflicting commit on the fresh snapshot succeeds.
+    sid = table.commit_rewrite(
+        [{"path": "/data/e.parquet", "sequence_number": 3, "content": "DATA"}],
+        {"/data/b.parquet"},
+        expected_snapshot_id=table.current_snapshot().snapshot_id,
+    )
+    assert sid == table.current_snapshot().snapshot_id
