@@ -1,0 +1,94 @@
+"""Pack documents into fixed-token-budget training shards.
+
+The training-data write path: documents, in a deterministic global
+order, are assigned to consecutive shards of ~``tokens_per_shard``
+tokens each (a document never splits across shards).  The shard id of a
+document is ``floor(tokens_before_it / tokens_per_shard)`` — a global
+running sum.
+
+Computing a global cumulative sum naively (one window over everything)
+serializes the whole dataset through a single task.  This implements
+the standard DISTRIBUTED prefix sum instead:
+
+1. range-partition by the order key (the only full shuffle);
+2. one cheap aggregation job collects P per-partition subtotals;
+3. the driver prefix-sums those P numbers (P ≈ thousands, trivial);
+4. an Arrow-batched partition-local pass (``mapInPandas`` over the
+   partition-sorted rows) adds each row's within-partition running sum
+   to its partition's starting offset.  A window over the partition id
+   would plan a second full hash exchange — Spark cannot see that rows
+   are already grouped — so the local pass is the no-shuffle form.
+
+Token counts are integers, so the running sum — and therefore every
+shard id — is exact and engine-independent: the whole operator is
+checkable against a single-window SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    tokens_per_shard: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``shard_id``: consecutive fixed-budget shard assignment.
+
+    ``order_cols`` must be a deterministic total order (e.g. a unique
+    document id) — shard contents are only reproducible if the order is.
+    """
+    range_args = ([num_partitions] if num_partitions else []) + [
+        F.col(c) for c in order_cols
+    ]
+    ranged = (
+        df.repartitionByRange(*range_args)
+        .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+
+    # P subtotals → driver prefix sum (P is the partition count, tiny).
+    subtotals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(F.sum(token_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "__pid"]
+        + [StructField("shard_id", LongType(), False)]
+    )
+    per_shard = tokens_per_shard
+
+    def assign(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            t = pdf[token_col].astype("int64")
+            cum = t.cumsum() + carry
+            out = pdf.drop(columns=["__pid"])
+            out["shard_id"] = ((cum - t) // per_shard).astype("int64")
+            carry = int(cum.iloc[-1])
+            yield out
+
+    return ranged.mapInPandas(assign, schema=out_schema)
+
+
+def shard_summary(packed: DataFrame, token_col: str) -> DataFrame:
+    """(shard_id, n_docs, total_tokens) — the shard manifest."""
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).alias("total_tokens"),
+    )

@@ -206,3 +206,42 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
             / (F.count(F.lit(1)) * 1000000)
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "pack_training_shards",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(
+                 (SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / 5000.0) AS BIGINT) AS shard_id
+        FROM toks
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard_id
+    """,
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str):
+    """Training-shard packing: documents in doc_id order fill
+    consecutive ~5k-token shards (a doc never splits).  Spark side is
+    the DISTRIBUTED prefix sum (range partition → driver offset sum →
+    partition-local Arrow cumsum); the oracle is the single-window
+    definition — integer token counts make them exactly equal."""
+    from ic_spark.functions.text import token_count
+    from ic_spark.operators.packing import pack_shards, shard_summary
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    packed = pack_shards(toks, "n_tokens", ["doc_id"], 5000)
+    return shard_summary(packed, "n_tokens").select(
+        "shard_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )

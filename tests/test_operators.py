@@ -442,3 +442,32 @@ def test_ivf_arrow_assignment_agrees_with_expression(spark):
     assert {(r.query_id, r.neighbor_id) for r in arrow} == {
         (r.query_id, r.neighbor_id) for r in expr
     }
+
+
+def test_pack_shards_invariants(spark):
+    """Distributed prefix-sum packing: shard ids are consecutive from 0,
+    every shard except the last stops only once its budget is crossed,
+    docs never split, and the result is identical across partition
+    counts (global order, not partition layout, decides)."""
+    from ic_spark.operators.packing import pack_shards
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 300
+
+    def run(parts):
+        packed = pack_shards(df, "n_tokens", ["doc_id"], budget, num_partitions=parts)
+        return {r.doc_id: r.shard_id for r in packed.collect()}
+
+    a, b, c = run(1), run(4), run(13)
+    assert a == b == c  # layout-independent
+
+    # Reference single-threaded packing.
+    want, cum = {}, 0
+    for doc_id, t in rows:
+        want[doc_id] = cum // budget
+        cum += t
+    assert a == want
+
+    shards = sorted(set(a.values()))
+    assert shards == list(range(len(shards)))  # consecutive from 0
