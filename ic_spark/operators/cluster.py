@@ -1,0 +1,85 @@
+"""Connected components over near-duplicate pairs — the dedup endgame.
+
+Pairwise similarity (Jaccard/MinHash/SimHash) yields EDGES; what a
+cleaning pipeline needs is the partition into duplicate CLUSTERS with
+one survivor each.  Transitivity matters: A~B and B~C put A,B,C in one
+cluster even when A~C was never scored.
+
+Algorithm: iterative minimum-label propagation.  Every node starts
+labeled with itself; each round a node takes the min of its label and
+its neighbors' labels; at fixpoint each component carries its smallest
+member id.  Rounds = O(component diameter) — near-dup components are
+shallow (stars/cliques around a common document), so convergence is a
+handful of rounds, each one equi-join + min-aggregate over the EDGE
+set (small — pairs that passed the similarity threshold), never the
+corpus.  The driver loop holds only a changed-count per round: an
+iterative algorithm is legitimately driver-coordinated, the data never
+leaves the cluster.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """(node, component) from undirected (id_a, id_b) pairs; component =
+    smallest node id reachable.  Raises if not converged in max_iters
+    (a guard against pathological chain graphs, not a sampling cut)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        # localCheckpoint each round: without it the logical plan nests
+        # one join level per iteration and Catalyst analysis grows
+        # exponentially (observed: driver OOM on a 12-node chain).
+        # Checkpointing materializes the round AND truncates lineage, so
+        # every iteration plans against a flat scan.
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+
+
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every clustered duplicate except the smallest-id member.
+
+    Documents in no pair are singletons and always survive — the
+    components join touches only the (small) clustered subset."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

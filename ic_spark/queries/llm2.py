@@ -245,3 +245,48 @@ def pack_training_shards(spark: SparkSession, sf_dir: str):
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("total_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, dst AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id,
+           MIN(LEAST(node, label)) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str):
+    """Transitive near-dup clusters: token-Jaccard pairs (>=0.8, blocked
+    by lang+source) become edges; each clustered document gets the
+    smallest doc_id in its connected component.  Spark runs iterative
+    min-label propagation over the (small) edge set; the oracle is the
+    recursive-CTE transitive closure — identical fixpoint."""
+    from ic_spark.operators.cluster import connected_components
+    from ic_spark.operators.dedup import token_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(d, "doc_id", "text", ["lang", "source"], threshold=0.8)
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

@@ -471,3 +471,32 @@ def test_pack_shards_invariants(spark):
 
     shards = sorted(set(a.values()))
     assert shards == list(range(len(shards)))  # consecutive from 0
+
+
+def test_connected_components_transitivity_and_survivors(spark):
+    from ic_spark.operators.cluster import connected_components, dedup_survivors
+
+    # Chain 1-2-3-4 (diameter 3), pair (10,11), singleton 99.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_survivors(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 99]  # one survivor per cluster + untouched singleton
+
+
+def test_connected_components_iteration_guard(spark):
+    from ic_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iters=2)
+    comps = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(comps.values()) == {0}
