@@ -33,3 +33,29 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def linf_norm(a: Column | str) -> Column:
+    """max(|x|) — the symmetric-quantization scale denominator."""
+    return F.array_max(F.transform(_as_double(a), lambda x: F.abs(x)))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: round(127 * x / max|x|).
+
+    The storage form for 100 TB embedding corpora — 4x smaller than
+    float32, and cosine ranking degrades only at the 1/127 resolution.
+    Keep the scale (``linf_norm / 127``) alongside to dequantize.
+    Zero vectors map to zeros (guarded denominator).
+    """
+    denom = F.greatest(linf_norm(a), F.lit(1e-30))
+    return F.transform(
+        _as_double(a),
+        lambda x: F.round(F.lit(127.0) * x / denom).cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: Column | str, scale: Column) -> Column:
+    """int8 codes × per-vector scale → approximate float64 vector."""
+    qc = F.col(q) if isinstance(q, str) else q
+    return F.transform(qc, lambda x: x.cast("double") * scale)

@@ -290,3 +290,37 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str):
     return connected_components(pairs.select("id_a", "id_b")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(amax / 127.0, 9) AS scale,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(ROUND(127.0 * x / GREATEST(amax, 1e-30), 0) AS BIGINT) AS VARCHAR)),
+             ',') AS codes
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str):
+    """Symmetric int8 quantization of the embedding corpus — the 4x
+    storage shrink for large vector stores.  Codes serialize to a joined
+    string (list cells are unhashable in the driver canonicalizer); the
+    per-vector scale rides alongside for dequantization."""
+    from ic_spark.functions.vectors import linf_norm, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(linf_norm(F.col("embedding")) / 127.0, 9).alias("scale"),
+        F.array_join(
+            quantize_int8(F.col("embedding")).cast("array<string>"), ","
+        ).alias("codes"),
+    )

@@ -500,3 +500,37 @@ def test_connected_components_iteration_guard(spark):
         connected_components(chain, max_iters=2)
     comps = {r.node: r.component for r in connected_components(chain).collect()}
     assert set(comps.values()) == {0}
+
+
+def test_int8_quantization_roundtrip(spark):
+    from ic_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        linf_norm,
+        quantize_int8,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(50)
+    scale = linf_norm(F.col("embedding")) / F.lit(127.0)
+    rt = e.select(
+        "vec_id",
+        cosine_similarity(
+            F.col("embedding"), dequantize_int8(quantize_int8(F.col("embedding")), scale)
+        ).alias("cos"),
+        F.array_max(
+            F.transform(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    dequantize_int8(quantize_int8(F.col("embedding")), scale),
+                    lambda a, b: F.abs(a - b),
+                ),
+                lambda x: x,
+            )
+        ).alias("max_err"),
+        scale.alias("s"),
+    )
+    for r in rt.collect():
+        assert r.cos > 0.999, r  # ranking-preserving fidelity
+        assert r.max_err <= r.s / 2 + 1e-12, r  # per-element bound
