@@ -1,0 +1,47 @@
+"""Deterministic stratified sampling — training-data mixture control.
+
+Corpus mixing wants "n_k documents per stratum" (language, source,
+quality band), reproducibly.  ``df.sampleBy`` is fraction-based and
+seed-dependent across engines; this instead takes the first ``n_k``
+rows per stratum under a deterministic integer SCRAMBLE of the id —
+a fixed pseudo-random order both Spark and any SQL oracle compute
+bit-identically (Knuth multiplicative hashing: ``id * 2654435761 mod
+2^32``), so the selected set is exact, engine-independent, and
+hash-checkable.
+
+Scale: one shuffle on the stratum key; the per-stratum top-n uses the
+same WindowGroupLimit partial-limit path as every other top-k — shuffle
+traffic is O(strata × n), not corpus-sized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+KNUTH = 2654435761  # 2^32 / golden ratio, classic multiplicative hash
+
+
+def scramble(id_col: F.Column | str) -> F.Column:
+    """Deterministic pseudo-random order key: (id * KNUTH) mod 2^32.
+
+    Pure int64 arithmetic (no overflow for ids < 2^31 — pmod the input
+    first if bigger), identical in any engine.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c.cast("long"), F.lit(2**31)) * F.lit(KNUTH), F.lit(2**32))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_cols: list[str], id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in scrambled-id order
+    (ties broken by the raw id — total order, fully reproducible)."""
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        scramble(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

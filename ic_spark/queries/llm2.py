@@ -324,3 +324,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str):
             quantize_int8(F.col("embedding")).cast("array<string>"), ","
         ).alias("codes"),
     )
+
+
+@query(
+    "sample_corpus_mix",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296 ASC,
+                          doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def sample_corpus_mix(spark: SparkSession, sf_dir: str):
+    """Deterministic stratified sample: 40 documents per language under
+    a fixed integer scramble — reproducible corpus mixing, exact and
+    engine-independent (vs seed-dependent fraction sampling)."""
+    from ic_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang", "source"), ["lang"], "doc_id", 40
+    )

@@ -98,3 +98,8 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 1000  # only partition pkey=3
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    plan = plan_of(spark, "sample_corpus_mix")
+    assert "WindowGroupLimit" in plan  # shuffle O(strata x n), not corpus

@@ -394,3 +394,25 @@ def test_sort_order_write_and_roundtrip(spark, tmp_path, fixture_files):
     # All rows present.
     out = spark.read.parquet(str(tmp_path / "sorted_out"))
     assert sorted(r.id for r in out.collect()) == list(range(10))
+
+
+def test_transport_serves_concurrent_requests(spark):
+    """ThreadingHTTPServer handles parallel RPCs — a hung client must
+    not block others (the reference server is async tonic)."""
+    import concurrent.futures
+
+    from ic_spark.compaction.transport import CompactorServer, call
+
+    server = CompactorServer(spark).start()
+    try:
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            futs = [
+                pool.submit(
+                    call, "127.0.0.1", server.port, "Echo", {"message": f"m{i}"}, False
+                )
+                for i in range(16)
+            ]
+            got = sorted(f.result(timeout=30)["message"] for f in futs)
+        assert got == sorted(f"m{i}" for i in range(16))
+    finally:
+        server.stop()
