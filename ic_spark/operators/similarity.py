@@ -25,7 +25,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ic_spark.functions.vectors import cosine_similarity, dot
+from ic_spark.functions.vectors import cosine_similarity
 from ic_spark.operators.topk import grouped_top_k
 
 
@@ -91,14 +91,14 @@ def hyperplane_lsh_buckets(
     scan.  Identical hyperplanes on every call with the same seed.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col(vec_col), plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(bit)
-    return df.withColumn(bucket_col, bucket)
+        pa = "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+        bits.append(f"(CASE WHEN {_dot_sql(v, pa)} > 0.0D THEN {1 << i}L ELSE 0L END)")
+    # One JVM-side parse instead of n_planes x dim F.lit py4j round trips
+    # (same Catalyst tree, same sign decisions — see _centroid_cosines).
+    return df.withColumn(bucket_col, F.expr(" | ".join(bits)))
 
 
 def lsh_top_k(
@@ -195,7 +195,7 @@ def ivf_centroids(
     cents = [list(r.cv) for r in seeds]
     for _ in range(refine_iters):
         assigned = corpus.select(
-            _nearest_centroid_idx(F.col(vec_col), cents).alias("__cell"),
+            _nearest_centroid_idx(vec_col, cents).alias("__cell"),
             _as_dl(vec_col).alias("__v"),
         )
         means = (
@@ -220,22 +220,56 @@ def _as_dl(col) -> F.Column:
     return c.cast("array<double>")
 
 
-def _centroid_cosines(vec: F.Column, cents: list[list[float]]) -> F.Column:
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right double fold — the same IEEE op sequence as the
+    ``aggregate``-HOF ``dot`` above, so the result is bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``dot()`` — identical Catalyst tree, parsed JVM-side."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _centroid_cosines(vec_col: str, cents: list[list[float]]) -> F.Column:
     """array<double> of cosine(vec, centroid_i) — centroids inlined as
-    literals so assignment runs inside the scan, no join."""
-    return F.array(
-        *[
-            cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c]))
-            for c in cents
-        ]
-    )
+    literals so assignment runs inside the scan, no join.
+
+    Built as ONE ``F.expr`` SQL string: constructing it from per-literal
+    ``F.lit`` Columns costs nlist x dim py4j round trips (~2 s of driver
+    time per query at 16 x 64) vs one millisecond parse.  Centroid norms
+    are precomputed driver-side (``_py_dot`` is fold-order identical),
+    which also removes nlist x dim wasted multiplies per corpus row."""
+    import math
+
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    vnorm = f"sqrt({_dot_sql(v, v)})"
+    terms = []
+    for c in cents:
+        ca = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        cnorm = f"{math.sqrt(_py_dot(c, c))!r}D"
+        terms.append(f"({_dot_sql(v, ca)} / ({vnorm} * {cnorm}))")
+    return F.expr("array(" + ", ".join(terms) + ")")
 
 
-def _nearest_centroid_idx(vec: F.Column, cents: list[list[float]]) -> F.Column:
+def _nearest_centroid_idx(vec_col: str, cents: list[list[float]]) -> F.Column:
     """1-based index of the max-cosine centroid; ties take the first
-    occurrence (lowest index), matching ORDER BY cos DESC, idx."""
-    arr = _centroid_cosines(vec, cents)
-    return F.array_position(arr, F.array_max(arr)).cast("int")
+    occurrence (lowest index), matching ORDER BY cos DESC, idx.
+
+    Single-pass: max over (cosine, -index) structs evaluates the cosine
+    array once per row — ``array_position(arr, array_max(arr))`` walks
+    the (expensive, interpreted) array expression twice."""
+    best = F.array_max(
+        F.zip_with(
+            _centroid_cosines(vec_col, cents),
+            F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+            lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+        )
+    )
+    return (-best["ni"]).cast("int")
 
 
 def _arrow_cell_assigner(cents: list[list[float]]):
@@ -287,13 +321,18 @@ def ivf_top_k(
     scan time, the probe join broadcasts the (small) query side, and the
     final top-k uses shuffle-side partial limits (WindowGroupLimit).
     """
+    from ic_spark.operators.dedup import _spread
+
     cents = ivf_centroids(corpus, id_col, vec_col, nlist, refine_iters)
     cell = (
         _arrow_cell_assigner(cents)(_as_dl(vec_col))
         if use_arrow
-        else _nearest_centroid_idx(F.col(vec_col), cents)
+        else _nearest_centroid_idx(vec_col, cents)
     )
-    cb = corpus.select(
+    # Cell assignment is the expensive per-row step (nlist interpreted
+    # cosines, or one matmul per Arrow batch); a single-file corpus
+    # would otherwise run it on one core.
+    cb = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         cell.alias("__cell"),
@@ -303,7 +342,7 @@ def ivf_top_k(
     # Index stored NEGATED so the ascending struct sort + reverse yields
     # (cosine desc, index asc) — the same tie order as the oracle's
     # ORDER BY cos DESC, idx.
-    coss = _centroid_cosines(F.col(vec_col), cents)
+    coss = _centroid_cosines(vec_col, cents)
     ranked = F.reverse(
         F.array_sort(
             F.zip_with(
