@@ -176,16 +176,17 @@ def minhash_signatures(
             lambda s: F.pmod(F.xxhash64(s), F.lit(2**31).cast("long")),
         ).alias("__h"),
     )
-    def _perm(aj: int, bj: int):
-        # Closure factory: PySpark infers lambda arity from the Python
-        # signature, so default-arg capture would break resolution.
-        return lambda h: F.lit(aj).cast("long") * h + F.lit(bj).cast("long")
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__h"), _perm(a[j], b[j])))
+    # One JVM-side parse: building num_hashes transforms from F.lit
+    # Columns costs ~10 py4j round trips per permutation (~1 s of
+    # driver time per query at 64 perms); the SQL string yields the
+    # identical Catalyst tree (CAST(aj AS BIGINT) * h + bj).
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(`__h`, h -> {a[j]}L * h + {b[j]}L))"
             for j in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return base.select("id", sig.alias("sig"))
 
