@@ -50,6 +50,10 @@ _PRIORITY = [
     "pivot_returnflag_revenue",
     "agg_approx_sketches",
     "pipeline_clean_corpus",
+    "pack_training_shards",
+    "dedup_cluster_components",
+    "embedding_quantize_int8",
+    "sample_corpus_mix",
     # TPC-H reshapes (joins / aggregations / subquery shapes).
     "q1_pricing_summary",
     "q2_min_acctbal_supplier",
@@ -59,18 +63,18 @@ _PRIORITY = [
     "q6_revenue_forecast",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
     "q10_returned_items",
     "q12_priority_shipping",
     "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
     "q16_parts_supplier_count",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q21_multi_supplier_orders",
-    "q22_global_sales_opportunity",
+    # Deliberately past the window (capability attested in-window by a
+    # sibling shape; full oracle coverage stays in pytest): q9/q14
+    # (multi-join + conditional agg — q5/q7/q8/q12/q19), q15 (max
+    # subquery — q2), q22 (NOT EXISTS + avg subquery — q4/q21).
     # One representative per remaining capability.
     "events_tumbling_window",
     "events_sessionization",
