@@ -1,0 +1,73 @@
+"""Structured Streaming ingest into a ``ManifestTable``.
+
+The streaming write path of a lakehouse table: each micro-batch lands
+as parquet files in a batch-scoped directory, then an ``append_snapshot``
+commit makes them visible atomically — readers (``read_table``,
+``read_incremental``) see whole batches or nothing.
+
+Exactly-once without a sidecar log: the output directory is derived
+from the batch id, and the MANIFEST is the commit log.  When Spark
+replays a batch after a failure (foreachBatch is at-least-once), the
+sink sees the batch's files already committed and skips — the
+rewrite-then-commit idempotence pattern every table-format streaming
+sink (Iceberg/Delta) uses.
+
+At scale the per-batch write is a normal distributed parquet write
+(one file per partition of the micro-batch); only the file LIST touches
+the driver, matching the manifest design.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ic_spark.compaction.manifest import ManifestTable
+
+
+def manifest_append_sink(table: ManifestTable, name: str = "stream"):
+    """Build a ``foreachBatch`` callable appending each micro-batch to
+    ``table``::
+
+        q = (df.writeStream.outputMode("append")
+               .foreachBatch(manifest_append_sink(tbl))
+               .option("checkpointLocation", ckpt).start())
+
+    Batches commit in order; replays of an already-committed batch id
+    are no-ops (idempotent against foreachBatch's at-least-once).
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        out_dir = os.path.join(table.root, f"{name}-batch-{batch_id:08d}")
+        cur = table.current_snapshot()
+        marker = out_dir + os.sep
+        if cur and any(f["path"].startswith(marker) for f in cur.files):
+            return  # replayed batch, already committed
+        df.write.mode("overwrite").parquet(out_dir)
+        parts = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        if not parts:  # empty micro-batch
+            return
+        snap = table.current_snapshot()
+        seq = (
+            max((f.get("sequence_number", 0) for f in snap.files), default=0) + 1
+            if snap
+            else 1
+        )
+        table.append_snapshot(
+            [
+                {
+                    "path": p,
+                    "sequence_number": seq,
+                    "content": "DATA",
+                    "file_size_in_bytes": os.path.getsize(p),
+                }
+                for p in parts
+            ]
+        )
+
+    return write_batch

@@ -1,0 +1,113 @@
+"""Metadata tables, snapshot diff, and the streaming append sink."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from ic_spark.compaction.deletes import read_table, write_equality_deletes
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.metadata_tables import read_metadata_table, snapshot_diff
+from ic_spark.streaming.sink import manifest_append_sink
+
+
+def _mk_table(spark, tmp_path, rows, name):
+    table = ManifestTable(str(tmp_path / name))
+    out = str(tmp_path / f"{name}-data")
+    spark.range(rows).withColumn("v", F.col("id") * 2).coalesce(1).write.parquet(out)
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    table.append_snapshot(
+        [
+            {
+                "path": p,
+                "sequence_number": 1,
+                "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(p),
+            }
+            for p in files
+        ]
+    )
+    return table
+
+
+def test_metadata_snapshots_files_history(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, 10, "meta")
+    write_equality_deletes(
+        spark, table, spark.range(2).select(F.col("id")), ["id"]
+    )
+
+    snaps = read_metadata_table(spark, table, "snapshots").collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert [s.is_current for s in snaps] == ["false", "true"]
+    assert snaps[1].data_files == 1
+    assert snaps[1].equality_delete_files == 1
+    assert snaps[1].total_size_bytes > 0
+
+    files = read_metadata_table(spark, table, "files")
+    by_content = {r.content: r for r in files.collect()}
+    assert set(by_content) == {"DATA", "EQUALITY_DELETES"}
+    assert by_content["EQUALITY_DELETES"].equality_ids == ["id"]
+    # Metadata is queryable like any relation.
+    assert files.where(F.col("content") == "DATA").count() == 1
+
+    hist = read_metadata_table(spark, table, "history").collect()
+    assert [(h.snapshot_id, h.parent_id) for h in hist] == [(1, None), (2, 1)]
+    assert hist[1].files_added == 1 and hist[1].files_removed == 0
+
+
+def test_snapshot_diff_added_removed(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, 10, "diff")
+    write_equality_deletes(spark, table, spark.range(3), ["id"])
+    diff = {
+        (r.change, r.content)
+        for r in snapshot_diff(spark, table, 1).collect()
+    }
+    assert diff == {("added", "EQUALITY_DELETES")}
+
+
+def test_streaming_append_sink_exactly_once(spark, tmp_path):
+    # Three single-file inputs -> maxFilesPerTrigger=1 gives three
+    # micro-batches under availableNow.
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    table = ManifestTable(str(tmp_path / "sink_tbl"))
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(manifest_append_sink(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snaps = table.snapshots()
+    assert len(snaps) == 3, [s.snapshot_id for s in snaps]
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    assert got == list(range(30))
+
+    # Replay of a committed batch id must be a no-op (foreachBatch is
+    # at-least-once; the manifest is the commit log).
+    sink = manifest_append_sink(table)
+    sink(spark.range(5), 2)
+    assert len(table.snapshots()) == 3
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(
+        range(30)
+    )
+
+    # A genuinely new batch id commits.
+    sink(spark.range(30, 35).coalesce(1), 3)
+    assert len(table.snapshots()) == 4
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(
+        range(35)
+    )
