@@ -1,0 +1,142 @@
+"""Training-data prep queries: PII scrubbing, token-window chunking,
+repetition/quality signals.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ic_spark.operators.textprep import (
+    PII_PATTERNS,
+    chunk_documents,
+    pii_counts,
+    repetition_stats,
+    scrub_pii,
+)
+from ic_spark.queries.registry import query
+from ic_spark.tables import load_table
+
+# The synthetic corpus contains no PII, so the query plants
+# deterministic fake PII derived from doc_id — the scrub is then
+# actually exercised (and its result hash-checked) on every row.
+_PII_RAW_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or ',"
+    " '555-', lpad(CAST(pmod(doc_id, 10000) AS STRING), 4, '0'),"
+    " ' ip 10.0.', CAST(pmod(doc_id, 256) AS STRING), '.1')"
+)
+_PII_RAW_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '"
+    " || '555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+def _duck_scrub(expr: str) -> str:
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_PII_RAW_DUCK} AS raw FROM documents)
+    SELECT doc_id,
+           {_duck_scrub('raw')} AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[0][0]}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[1][0]}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[2][0]}')) AS INT) AS n_ips
+    FROM raw
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str):
+    """PII redaction over the corpus: emails, phone numbers, IPv4s
+    replaced by typed placeholders, with per-pattern audit counts.
+    Pure regexp expressions in codegen — at 100 TB this is a map-only
+    pass fused into the scan (no shuffle, no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_PII_RAW_SPARK).alias("raw"))
+    n_emails, n_phones, n_ips = pii_counts("raw")
+    return raw.select(
+        "doc_id",
+        scrub_pii("raw").alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+    )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(t, s, s + 31)) AS INT) AS n_tokens
+    FROM (
+        SELECT doc_id, t,
+               generate_subscripts(starts, 1) - 1 AS i,
+               unnest(starts) AS s
+        FROM (
+            SELECT doc_id, t,
+                   range(1, greatest(len(t) - 8, 1) + 1, 24) AS starts
+            FROM toks
+        )
+    )
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str):
+    """Sliding-window chunking: 32-token chunks, 8-token overlap — the
+    sequence-prep step before packing.  chunk_idx is 0-based within the
+    document."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        d.select("doc_id", "text"), "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    uni_counts AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+    ),
+    uni AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS d, MAX(c) AS m
+        FROM uni_counts GROUP BY doc_id
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' ')
+               )) AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    bi_counts AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b
+    ),
+    bi AS (
+        SELECT doc_id, SUM(c) AS bn, MAX(c) AS btop FROM bi_counts GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens,
+           ROUND(CAST(d AS DOUBLE) / n_tokens, 6) AS distinct_token_frac,
+           ROUND(CAST(m AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           ROUND(CAST(btop AS DOUBLE) / bn, 6) AS top_bigram_frac
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str):
+    """Gopher-style repetition signals per document: distinct-token
+    fraction and top unigram/bigram frequency fractions — the standard
+    boilerplate/degenerate-text filters in corpus cleaning."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d.select("doc_id", "text"), "doc_id", "text")

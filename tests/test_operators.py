@@ -534,3 +534,46 @@ def test_int8_quantization_roundtrip(spark):
     for r in rt.collect():
         assert r.cos > 0.999, r  # ranking-preserving fidelity
         assert r.max_err <= r.s / 2 + 1e-12, r  # per-element bound
+
+
+# ------------------------------------------------------------- textprep
+
+
+def test_chunk_documents_boundaries(spark):
+    from ic_spark.operators.textprep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(40))),  # 40 toks: 2 chunks
+            (2, " ".join(f"w{i}" for i in range(32))),  # exactly one window
+            (3, "a b c"),  # shorter than one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 40 tokens: starts 1 and 25; second chunk is the 16-token tail.
+    assert rows[(1, 0)].n_tokens == 32
+    assert rows[(1, 1)].n_tokens == 16
+    assert rows[(1, 1)].chunk_text.split()[:8] == [f"w{i}" for i in range(24, 32)]
+    # 32 tokens: the trailing fragment would duplicate the overlap — not emitted.
+    assert [k for k in rows if k[0] == 2] == [(2, 0)]
+    # Short doc: one partial chunk, all tokens.
+    assert rows[(3, 0)].n_tokens == 3
+    # Overlap >= chunk size is rejected.
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_scrub_pii_patterns(spark):
+    from ic_spark.operators.textprep import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.org call 555-0042 from 192.168.0.1 ok 1234-56",)],
+        "raw string",
+    )
+    got = df.select(
+        scrub_pii("raw").alias("s"), *[c.alias(f"c{i}") for i, c in enumerate(pii_counts("raw"))]
+    ).first()
+    assert got.s == "mail <EMAIL> call <PHONE> from <IP> ok 1234-56"
+    assert (got.c0, got.c1, got.c2) == (1, 1, 1)
