@@ -49,6 +49,7 @@ def _duck_scrub(expr: str) -> str:
            CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[2][0]}')) AS INT) AS n_ips
     FROM raw
     """,
+    headline=True,
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str):
     """PII redaction over the corpus: emails, phone numbers, IPv4s
@@ -140,3 +141,63 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str):
     boilerplate/degenerate-text filters in corpus cleaning."""
     d = load_table(spark, sf_dir, "documents")
     return repetition_stats(d.select("doc_id", "text"), "doc_id", "text")
+
+
+@query(
+    "pipeline_prepare_training",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id, t,
+                   generate_subscripts(starts, 1) - 1 AS i,
+                   unnest(starts) AS s
+            FROM (
+                SELECT doc_id, t,
+                       range(1, greatest(len(t) - 8, 1) + 1, 24) AS starts
+                FROM toks WHERE len(t) >= 64
+            )
+        )
+    ),
+    packed AS (
+        SELECT n_tokens,
+               CAST(FLOOR(
+                 (SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / 2048.0) AS BIGINT) AS shard_id
+        FROM chunks
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard_id
+    """,
+    headline=True,
+)
+def pipeline_prepare_training(spark: SparkSession, sf_dir: str):
+    """End-to-end sequence prep: length-filter the corpus, chunk into
+    32-token windows (8 overlap), pack chunks in (doc_id, chunk_idx)
+    order into ~2048-token shards, and report the shard manifest.
+    Composition of chunk_documents + pack_shards — filter and chunking
+    fuse into the scan; packing is the distributed prefix sum."""
+    from ic_spark.functions.text import token_count
+    from ic_spark.operators.packing import pack_shards, shard_summary
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        d.where(token_count(F.col("text")) >= 64).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_tokens=32,
+        overlap=8,
+    ).select("doc_id", "chunk_idx", F.col("n_tokens").cast("long").alias("n_tokens"))
+    packed = pack_shards(chunks, "n_tokens", ["doc_id", "chunk_idx"], 2048)
+    return shard_summary(packed, "n_tokens").select(
+        "shard_id",
+        F.col("n_docs").cast("long").alias("n_chunks"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
