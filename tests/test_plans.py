@@ -103,3 +103,25 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
 def test_stratified_sample_uses_window_group_limit(spark):
     plan = plan_of(spark, "sample_corpus_mix")
     assert "WindowGroupLimit" in plan  # shuffle O(strata x n), not corpus
+
+
+def test_pii_scrub_is_map_only(spark):
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "Exchange" not in plan  # regexp chain fuses into the scan
+    # Only the two needed columns are read.
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_chunking_is_map_only(spark):
+    plan = plan_of(spark, "text_chunk_documents")
+    assert "Exchange" not in plan  # posexplode inherits scan partitions
+    assert "Generate" in plan
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    plan = plan_of(spark, "text_repetition_stats")
+    # The (doc, token) count must combine map-side before the shuffle:
+    # partial HashAggregate precedes every Exchange.
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "partial_count" in plan or "partial_sum" in plan.lower() or "HashAggregate" in plan
