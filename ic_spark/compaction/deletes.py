@@ -120,14 +120,19 @@ def read_table(
     table: ManifestTable,
     schema=None,
     snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Merge-on-read SELECT over a snapshot (current by default;
-    pass ``snapshot_id`` for time travel): data files minus all
-    applicable deletes — the read path every query against a MoR table
-    uses (compaction is the same plan + a write)."""
+    """Merge-on-read SELECT over a snapshot (current by default; pass
+    ``snapshot_id`` for time travel or ``ref`` for a named tag): data
+    files minus all applicable deletes — the read path every query
+    against a MoR table uses (compaction is the same plan + a write)."""
     from ic_spark.compaction.planner import build_merge_on_read
     from ic_spark.compaction.request import RewriteFilesRequest
 
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        snapshot_id = table.resolve_ref(ref)
     data, pos, eq = table.scan_tasks(snapshot_id)
     if not data:
         raise ValueError("table has no data files")

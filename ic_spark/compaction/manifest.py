@@ -225,26 +225,78 @@ class ManifestTable:
         return sid
 
     def expire_snapshots(self) -> list[str]:
-        """Keep only the current snapshot; return now-unreferenced paths.
+        """Keep the current snapshot plus every ref target; return
+        now-unreferenced paths.
 
         Reference ``expire_snapshot`` (mod.rs:81-88).  Does NOT unlink —
-        the caller owns physical deletion, like Iceberg's
+        the caller owns physical deletion (``vacuum``), like Iceberg's
         ``expire_snapshots`` returning the orphan list.
         """
         state = self._load()
         cur = self.current_snapshot()
         if cur is None:
             return []
-        live = {f["path"] for f in cur.files}
+        keep_ids = {cur.snapshot_id} | set(state.get("refs", {}).values())
+        keep = [s for s in state["snapshots"] if s["snapshot_id"] in keep_ids]
+        live = {f["path"] for s in keep for f in s["files"]}
         orphans = sorted(
             {
                 f["path"]
                 for s in state["snapshots"]
-                if s["snapshot_id"] != cur.snapshot_id
+                if s["snapshot_id"] not in keep_ids
                 for f in s["files"]
             }
             - live
         )
-        state["snapshots"] = [s for s in state["snapshots"] if s["snapshot_id"] == cur.snapshot_id]
+        state["snapshots"] = keep
         self._store(state)
         return orphans
+
+    # -- refs (tags) ---------------------------------------------------
+
+    def set_ref(self, name: str, snapshot_id: int) -> None:
+        """Tag a snapshot (Iceberg ref semantics): the target survives
+        ``expire_snapshots`` and is addressable by name."""
+        state = self._load()
+        if not any(s["snapshot_id"] == snapshot_id for s in state["snapshots"]):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        state.setdefault("refs", {})[name] = snapshot_id
+        self._store(state)
+
+    def remove_ref(self, name: str) -> None:
+        state = self._load()
+        state.get("refs", {}).pop(name, None)
+        self._store(state)
+
+    def refs(self) -> dict[str, int]:
+        return dict(self._load().get("refs", {}))
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref: {name!r}")
+        return refs[name]
+
+    # -- physical cleanup ----------------------------------------------
+
+    def vacuum(self) -> tuple[list[str], list[str]]:
+        """Expire old snapshots AND unlink their orphan files.
+
+        Returns (deleted, skipped).  Only paths INSIDE the table root
+        are unlinked — files the manifest references elsewhere (shared
+        fixtures, external imports) are reported as skipped, never
+        touched.  Missing files are tolerated (idempotent re-run).
+        """
+        root = os.path.abspath(self.root) + os.sep
+        deleted, skipped = [], []
+        for p in self.expire_snapshots():
+            ap = os.path.abspath(p)
+            if not ap.startswith(root):
+                skipped.append(p)
+                continue
+            try:
+                os.unlink(ap)
+                deleted.append(p)
+            except FileNotFoundError:
+                deleted.append(p)
+        return deleted, skipped

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from ic_spark.compaction.deletes import read_table, write_equality_deletes
 from ic_spark.compaction.manifest import ManifestTable
@@ -111,3 +112,61 @@ def test_streaming_append_sink_exactly_once(spark, tmp_path):
     assert sorted(r.id for r in read_table(spark, table).collect()) == list(
         range(35)
     )
+
+
+def test_refs_protect_snapshots_and_vacuum(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, 10, "refs")
+    write_equality_deletes(spark, table, spark.range(2), ["id"])  # snap 2
+    write_equality_deletes(spark, table, spark.range(4), ["id"])  # snap 3
+
+    table.set_ref("before-deletes", 1)
+    with pytest.raises(ValueError):
+        table.set_ref("nope", 99)
+
+    orphans = table.expire_snapshots()
+    # Snapshot 2's delete file is referenced by snapshot 3 (cumulative
+    # file list), so nothing is orphaned; snapshots 1 and 3 survive.
+    assert orphans == []
+    assert [s.snapshot_id for s in table.snapshots()] == [1, 3]
+
+    # The tagged snapshot is addressable by name and readable.
+    assert table.resolve_ref("before-deletes") == 1
+    got = sorted(r.id for r in read_table(spark, table, ref="before-deletes").collect())
+    assert got == list(range(10))
+    # Current view applies both delete sets.
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(range(4, 10))
+
+    # Dropping the ref exposes snapshot 1's files... but they live
+    # OUTSIDE the table root (shared fixture dir) -> vacuum skips them.
+    table.remove_ref("before-deletes")
+    deleted, skipped = table.vacuum()
+    assert deleted == []  # eq-del files of snap 2/3 are still live
+    assert skipped == []  # data file is still in the current snapshot
+    assert [s.snapshot_id for s in table.snapshots()] == [3]
+
+
+def test_vacuum_unlinks_only_table_local_orphans(spark, tmp_path):
+    table = _mk_table(spark, tmp_path, 6, "vac")
+    write_equality_deletes(spark, table, spark.range(1), ["id"])  # snap 2, in-root
+    eq_path = [
+        f["path"] for f in table.current_snapshot().files
+        if f["content"] == "EQUALITY_DELETES"
+    ][0]
+    assert eq_path.startswith(str(tmp_path / "vac"))
+    # Replace table contents entirely: a rewrite commit removing everything.
+    out = str(tmp_path / "vac" / "newdata")
+    spark.range(100, 104).coalesce(1).write.parquet(out)
+    new_files = [
+        {"path": os.path.join(out, f), "sequence_number": 3, "content": "DATA",
+         "file_size_in_bytes": 1}
+        for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    removed = {f["path"] for f in table.current_snapshot().files}
+    table.commit_rewrite(new_files, removed)
+
+    deleted, skipped = table.vacuum()
+    # The in-root equality-delete file is physically gone; the original
+    # data file (outside the table root) is skipped, not unlinked.
+    assert eq_path in deleted and not os.path.exists(eq_path)
+    assert len(skipped) == 1 and os.path.exists(skipped[0])
+    assert sorted(r.id for r in read_table(spark, table).collect()) == [100, 101, 102, 103]
