@@ -115,6 +115,68 @@ def write_equality_deletes(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table: ManifestTable,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE/upsert write — the Iceberg v2 upsert pattern (what Flink's
+    upsert sink commits per checkpoint): ONE snapshot containing the
+    batch's data files plus an equality-delete file on ``key_cols`` at
+    the SAME sequence number.
+
+    The strict ``<`` sequence guard in ``apply_equality_deletes``
+    (reference datafusion_processor.rs:300-304) makes the delete hide
+    only OLDER rows with those keys, so the batch's own rows survive:
+    matched keys are replaced, unmatched keys are plain inserts.  Cost
+    is O(batch) — a table-sized rewrite never happens; compaction
+    amortizes delete application later.
+
+    Rows within one batch must be key-unique (same contract as a keyed
+    upsert stream); duplicates share the batch's sequence number and
+    would ALL survive.  Returns the new snapshot id.
+    """
+    missing = [c for c in key_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source missing key columns: {missing}")
+    seq = _next_sequence_number(table)
+    batch = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table.root, f"upsert-data-{batch}")
+    source.write.parquet(data_dir)
+    entries = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(data_dir, name)
+        entries.append(
+            {
+                "path": p,
+                "sequence_number": seq,
+                "content": FileContent.DATA.name,
+                "file_size_in_bytes": os.path.getsize(p),
+            }
+        )
+    if not entries:
+        raise ValueError("source wrote no data files (empty batch?)")
+    # Keys come from a column-pruned scan of the files just written —
+    # one cheap columnar pass, not a second execution of the source plan.
+    keys = spark.read.parquet(data_dir).select(*key_cols).distinct()
+    eq_path = _write_single_file(
+        keys, os.path.join(table.root, f"eq-del-{batch}")
+    )
+    entries.append(
+        {
+            "path": eq_path,
+            "sequence_number": seq,
+            "content": FileContent.EQUALITY_DELETES.name,
+            "equality_ids": list(key_cols),
+            "file_size_in_bytes": os.path.getsize(eq_path),
+        }
+    )
+    return table.append_snapshot(entries)
+
+
 def read_table(
     spark: SparkSession,
     table: ManifestTable,

@@ -30,6 +30,7 @@ _PRIORITY = [
     "mor_position_delete",
     "mor_equality_delete",
     "mor_full_merge_on_read",
+    "mor_upsert_latest",
     # LLM-pipeline operators (dedup / similarity / text analysis).
     "dedup_exact",
     "dedup_fingerprint",
@@ -47,7 +48,8 @@ _PRIORITY = [
     "text_bpeish_token_count",
     "text_rolling_hash_fingerprint",
     "text_top_tokens",
-    "text_token_positions",
+    # text_token_positions: demoted past the window (posexplode shape
+    # attested by text_top_tokens); oracle coverage stays in pytest.
     "pivot_returnflag_revenue",
     "agg_approx_sketches",
     "pipeline_clean_corpus",

@@ -170,3 +170,66 @@ def mor_full_merge_on_read(spark: SparkSession, sf_dir: str):
     out = apply_equality_deletes(out, F.broadcast(eq_a), ["l_partkey"])
     out = apply_equality_deletes(out, F.broadcast(eq_b), ["l_partkey", "l_suppkey"])
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
+@query(
+    "mor_upsert_latest",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, 1 AS seq FROM lineitem
+    ),
+    upd AS (
+        SELECT l_orderkey, l_linenumber, l_quantity + 100 AS l_quantity,
+               2 AS seq
+        FROM lineitem WHERE l_orderkey % 13 = 0
+    ),
+    merged AS (
+        SELECT * FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM upd u
+            WHERE u.l_orderkey = b.l_orderkey
+              AND u.l_linenumber = b.l_linenumber
+              AND b.seq < u.seq
+        )
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN seq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM merged
+    """,
+)
+def mor_upsert_latest(spark: SparkSession, sf_dir: str):
+    """Upsert read semantics (reference O8 seq guard powering MERGE):
+    a batch at seq 2 replaces same-key rows from seq 1 and keeps its
+    own rows — the exact plan ``merge_upsert`` commits via data +
+    equality-delete files at one sequence number.  Simulated over
+    lineitem so the DuckDB oracle can hash-check it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lit(1).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+    )
+    upd = li.where(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + 100).alias("l_quantity"),
+        F.lit(2).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
+    )
+    dels = upd.select("l_orderkey", "l_linenumber", SYS_HIDDEN_SEQ_NUM)
+    # No broadcast hint: the delete side scales with lineitem (1/13 of
+    # its keys) — AQE decides broadcast-vs-shuffle from runtime size.
+    merged = apply_equality_deletes(
+        base, dels, ["l_orderkey", "l_linenumber"]
+    ).unionByName(upd)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col(SYS_HIDDEN_SEQ_NUM) == 2, 1).otherwise(0)
+        ).alias("n_updated"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

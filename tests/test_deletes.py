@@ -153,3 +153,65 @@ def test_incremental_append_scan(spark, table_with_data, tmp_path):
     comp.full_compact(table, li.schema)
     with pytest.raises(ValueError, match="rewrite"):
         read_incremental(spark, table, s1)
+
+
+def test_merge_upsert_lifecycle(spark, tmp_path):
+    """Upsert commits data + equality delete at ONE sequence: matched
+    keys replaced, new keys inserted, batch's own rows survive; a later
+    upsert wins over an earlier one (DuckDB-oracle checked)."""
+    from ic_spark.compaction.deletes import merge_upsert
+
+    table = ManifestTable(str(tmp_path / "ups"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(8)], "id long, val string, gen int"
+    )
+    d = str(tmp_path / "base")
+    base.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+
+    # Batch 1: replace ids 2,3; insert ids 8,9.
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame(
+            [(2, "b2", 2), (3, "b3", 2), (8, "b8", 2), (9, "b9", 2)],
+            "id long, val string, gen int",
+        ),
+        ["id"],
+    )
+    got = {(r.id, r.val, r.gen) for r in read_table(spark, table).collect()}
+    want = {(i, f"v{i}", 1) for i in range(8) if i not in (2, 3)} | {
+        (2, "b2", 2), (3, "b3", 2), (8, "b8", 2), (9, "b9", 2)
+    }
+    assert got == want
+
+    # Batch 2 over batch 1: id 3 again + id 9 again -> latest wins.
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame(
+            [(3, "c3", 3), (9, "c9", 3)], "id long, val string, gen int"
+        ),
+        ["id"],
+    )
+    got2 = {(r.id, r.val, r.gen) for r in read_table(spark, table).collect()}
+    want2 = (want - {(3, "b3", 2), (9, "b9", 2)}) | {(3, "c3", 3), (9, "c9", 3)}
+    assert got2 == want2
+
+    # One snapshot per upsert; each carries DATA + EQUALITY_DELETES.
+    snap = table.current_snapshot()
+    last_seq = max(fi["sequence_number"] for fi in snap.files)
+    contents = {fi["content"] for fi in snap.files
+                if fi["sequence_number"] == last_seq}
+    assert contents == {"DATA", "EQUALITY_DELETES"}
+
+    # Compaction folds everything back into plain data files.
+    Compaction(spark).full_compact(table, base.schema)
+    got3 = {(r.id, r.val, r.gen) for r in read_table(spark, table).collect()}
+    assert got3 == want2
+    assert all(fi["content"] == "DATA" for fi in table.current_snapshot().files)
+
+    with pytest.raises(ValueError, match="missing key columns"):
+        merge_upsert(spark, table, base.select("val"), ["id"])
