@@ -120,6 +120,7 @@ def merge_upsert(
     table: ManifestTable,
     source: DataFrame,
     key_cols: list[str],
+    batch_tag: str | None = None,
 ) -> int:
     """MERGE/upsert write — the Iceberg v2 upsert pattern (what Flink's
     upsert sink commits per checkpoint): ONE snapshot containing the
@@ -136,14 +137,18 @@ def merge_upsert(
     Rows within one batch must be key-unique (same contract as a keyed
     upsert stream); duplicates share the batch's sequence number and
     would ALL survive.  Returns the new snapshot id.
+
+    ``batch_tag`` pins the output directories to a deterministic name
+    (streaming replays overwrite the same half-written dir instead of
+    leaking a new one); callers own the committed-already check.
     """
     missing = [c for c in key_cols if c not in source.columns]
     if missing:
         raise ValueError(f"source missing key columns: {missing}")
     seq = _next_sequence_number(table)
-    batch = uuid.uuid4().hex[:12]
+    batch = batch_tag or uuid.uuid4().hex[:12]
     data_dir = os.path.join(table.root, f"upsert-data-{batch}")
-    source.write.parquet(data_dir)
+    source.write.mode("overwrite").parquet(data_dir)
     entries = []
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".parquet"):

@@ -71,3 +71,36 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
         )
 
     return write_batch
+
+
+def manifest_upsert_sink(
+    table: ManifestTable, key_cols: list[str], name: str = "upsert"
+):
+    """Build a ``foreachBatch`` callable UPSERTING each micro-batch into
+    ``table`` by key — the continuous-CDC ingest pattern (Flink's
+    upsert sink writing Iceberg v2)::
+
+        q = (changes.writeStream.outputMode("update")
+               .foreachBatch(manifest_upsert_sink(tbl, ["id"]))
+               .option("checkpointLocation", ckpt).start())
+
+    Each batch commits ONE snapshot holding its data files plus an
+    equality-delete file on ``key_cols`` at the same sequence number
+    (``merge_upsert``), so later batches' rows replace earlier rows
+    with the same key while the batch's own rows survive the delete.
+    Replays of a committed batch id are no-ops: the batch-id-derived
+    directory already appears in the manifest, which is the commit log.
+    """
+    from ic_spark.compaction.deletes import merge_upsert
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        tag = f"{name}-{batch_id:08d}"
+        marker = os.path.join(table.root, f"upsert-data-{tag}") + os.sep
+        cur = table.current_snapshot()
+        if cur and any(f["path"].startswith(marker) for f in cur.files):
+            return  # replayed batch, already committed
+        if df.isEmpty():
+            return
+        merge_upsert(df.sparkSession, table, df, key_cols, batch_tag=tag)
+
+    return write_batch

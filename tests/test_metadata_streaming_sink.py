@@ -170,3 +170,50 @@ def test_vacuum_unlinks_only_table_local_orphans(spark, tmp_path):
     assert eq_path in deleted and not os.path.exists(eq_path)
     assert len(skipped) == 1 and os.path.exists(skipped[0])
     assert sorted(r.id for r in read_table(spark, table).collect()) == [100, 101, 102, 103]
+
+
+def test_streaming_upsert_sink_cdc(spark, tmp_path):
+    """Keyed micro-batches upsert: later batches replace same-key rows,
+    replays are no-ops, and the final state equals last-writer-wins."""
+    from ic_spark.streaming.sink import manifest_upsert_sink
+
+    table = ManifestTable(str(tmp_path / "ups_tbl"))
+    sink = manifest_upsert_sink(table, ["id"])
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    sink(mk([(1, "a1"), (2, "a2"), (3, "a3")]), 0)
+    sink(mk([(2, "b2"), (4, "b4")]), 1)
+
+    got = sorted((r.id, r.v) for r in read_table(spark, table).collect())
+    assert got == [(1, "a1"), (2, "b2"), (3, "a3"), (4, "b4")]
+
+    # Replay of batch 1 (at-least-once foreachBatch): no new snapshot.
+    n = len(table.snapshots())
+    sink(mk([(2, "XX"), (4, "XX")]), 1)
+    assert len(table.snapshots()) == n
+    assert sorted((r.id, r.v) for r in read_table(spark, table).collect()) == got
+
+    # Empty micro-batch: no-op.
+    sink(mk([]), 2)
+    assert len(table.snapshots()) == n
+
+    # Through a real stream: per-row files -> one micro-batch per file.
+    src = str(tmp_path / "ups_src")
+    mk([(3, "c3")]).coalesce(1).write.mode("append").parquet(src)
+    mk([(5, "c5")]).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(manifest_upsert_sink(table, ["id"], name="s2"))
+        .option("checkpointLocation", str(tmp_path / "ups_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = dict(
+        (r.id, r.v) for r in read_table(spark, table).collect()
+    )
+    assert final[3] == "c3" and final[5] == "c5"
+    assert final[1] == "a1" and final[2] == "b2" and final[4] == "b4"
