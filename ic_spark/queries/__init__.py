@@ -15,6 +15,7 @@ from ic_spark.queries import mor  # noqa: F401
 from ic_spark.queries import llm  # noqa: F401
 from ic_spark.queries import llm2  # noqa: F401
 from ic_spark.queries import llm3  # noqa: F401
+from ic_spark.queries import udfs  # noqa: F401
 
 # The driver's correctness sweep covers the FIRST 50 registry entries, so
 # the registry is explicitly ordered: the flagship merge-on-read queries

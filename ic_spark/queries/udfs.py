@@ -1,0 +1,107 @@
+"""UDF-surface queries: grouped-map applyInPandas, grouped-agg
+pandas UDAF, and a Python UDTF — each hash-checked against a DuckDB
+oracle so the Arrow boundary's numeric semantics (median/quantile
+interpolation, row fan-out) are pinned, not just exercised.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ic_spark.operators.grouped import mad_outliers, trimmed_mean
+from ic_spark.functions.udtf_fns import register_sentence_split
+from ic_spark.queries.registry import query
+from ic_spark.tables import load_table
+
+
+@query(
+    "prep_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+        FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.lang, m.med, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+        SELECT lang, any_value(med) AS med, median(adev) AS mad
+        FROM dev GROUP BY lang
+    )
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(m.med AS DOUBLE) AS med,
+           CAST(m.mad AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m.med)
+                              > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM documents d JOIN mad m USING (lang)
+    GROUP BY m.lang, m.med, m.mad
+    """,
+)
+def prep_mad_outliers(spark: SparkSession, sf_dir: str):
+    """Per-language doc-length outliers (median/MAD) via grouped-map
+    applyInPandas — nested medians, one Arrow pass per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mad_outliers(docs, "lang", "n_chars", k=3.0)
+
+
+@query(
+    "prep_trimmed_mean_chars",
+    oracle="""
+    WITH band AS (
+        SELECT lang,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS lo,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(AVG(CASE WHEN CAST(d.n_chars AS DOUBLE) BETWEEN b.lo AND b.hi
+                         THEN CAST(d.n_chars AS DOUBLE) END) AS DOUBLE)
+               AS trimmed_mean,
+           CAST(COUNT(d.n_chars) AS BIGINT) AS n_rows
+    FROM documents d JOIN band b USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def prep_trimmed_mean_chars(spark: SparkSession, sf_dir: str):
+    """10%-trimmed mean doc length per language via a grouped-agg
+    pandas UDAF (numpy quantile == DuckDB quantile_cont)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return trimmed_mean(docs, "lang", "n_chars", trim=0.1)
+
+
+@query(
+    "text_sentence_split_udtf",
+    oracle=r"""
+    WITH sent AS (
+        SELECT d.lang, trim(s.part) AS sentence
+        FROM documents d,
+             unnest(regexp_split_to_array(d.text, '[.!?]+\s+')) AS s(part)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(length(sentence)) AS BIGINT) AS total_chars,
+           CAST(MAX(length(sentence)) AS BIGINT) AS max_chars
+    FROM sent WHERE sentence <> ''
+    GROUP BY lang
+    """,
+)
+def text_sentence_split_udtf(spark: SparkSession, sf_dir: str):
+    """Sentence fan-out via a Python UDTF in a SQL LATERAL join,
+    aggregated per language so the oracle hash-checks the fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    name = register_sentence_split(spark)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT lang,
+               COUNT(*) AS n_sentences,
+               SUM(length(sentence)) AS total_chars,
+               MAX(length(sentence)) AS max_chars
+        FROM udtf_docs, LATERAL {name}(text) AS s
+        GROUP BY lang
+        """
+    )

@@ -577,3 +577,28 @@ def test_scrub_pii_patterns(spark):
     ).first()
     assert got.s == "mail <EMAIL> call <PHONE> from <IP> ok 1234-56"
     assert (got.c0, got.c1, got.c2) == (1, 1, 1)
+
+
+def test_grouped_udf_operators(spark):
+    """applyInPandas / pandas-UDAF operators: exact semantics on a
+    hand-computed group, plus argument validation."""
+    import pytest
+    from ic_spark.operators.grouped import mad_outliers, trimmed_mean
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]]
+        + [("b", float(v)) for v in [10, 20]],
+        "g string, v double",
+    )
+    mo = {r.g: r for r in mad_outliers(df, "g", "v", k=3.0).collect()}
+    # group a: med=3, adev=[2,1,0,1,97] -> mad=1; outliers: |x-3|>3 -> 100
+    assert mo["a"].med == 3.0 and mo["a"].mad == 1.0
+    assert mo["a"].n_rows == 5 and mo["a"].n_outliers == 1
+    # group b: med=15, mad=5, no |x-15|>15
+    assert mo["b"].med == 15.0 and mo["b"].mad == 5.0 and mo["b"].n_outliers == 0
+
+    tm = {r.g: r for r in trimmed_mean(df, "g", "v", trim=0.2).collect()}
+    # a: q20=1.8, q80=4.2 -> kept [2,3,4] -> 3.0
+    assert tm["a"].trimmed_mean == 3.0 and tm["a"].n_rows == 5
+    with pytest.raises(ValueError, match="trim"):
+        trimmed_mean(df, "g", "v", trim=0.5)
