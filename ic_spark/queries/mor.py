@@ -81,7 +81,10 @@ def mor_position_delete(spark: SparkSession, sf_dir: str):
         ),
         (F.col("o_orderkey") * 10 + 1).cast("long").alias(SYS_HIDDEN_POS),
     )
-    out = apply_position_deletes(data, F.broadcast(pos_del))
+    # No broadcast hint: the delete side is a fixed FRACTION of an
+    # SF-scaled table, so a hard hint is a driver OOM at 100x scale.
+    # AQE converts to broadcast at runtime while the side is small.
+    out = apply_position_deletes(data, pos_del)
     return out.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
@@ -108,7 +111,7 @@ def mor_equality_delete(spark: SparkSession, sf_dir: str):
         F.col("p_partkey").alias("l_partkey"),
         F.lit(2).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
     )
-    out = apply_equality_deletes(data, F.broadcast(eq_del), ["l_partkey"])
+    out = apply_equality_deletes(data, eq_del, ["l_partkey"])  # AQE sizes it
     return out.select("l_orderkey", "l_linenumber", "l_partkey")
 
 
@@ -166,9 +169,11 @@ def mor_full_merge_on_read(spark: SparkSession, sf_dir: str):
             F.lit(3).cast("long").alias(SYS_HIDDEN_SEQ_NUM),
         )
     )
-    out = apply_position_deletes(data, F.broadcast(pos_del))
-    out = apply_equality_deletes(out, F.broadcast(eq_a), ["l_partkey"])
-    out = apply_equality_deletes(out, F.broadcast(eq_b), ["l_partkey", "l_suppkey"])
+    # Delete sides scale with SF (fractions of orders/part x supplier):
+    # no hard hints; AQE broadcasts them at runtime while small.
+    out = apply_position_deletes(data, pos_del)
+    out = apply_equality_deletes(out, eq_a, ["l_partkey"])
+    out = apply_equality_deletes(out, eq_b, ["l_partkey", "l_suppkey"])
     return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
 
