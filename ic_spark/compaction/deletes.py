@@ -149,17 +149,24 @@ def merge_upsert(
     batch = batch_tag or uuid.uuid4().hex[:12]
     data_dir = os.path.join(table.root, f"upsert-data-{batch}")
     source.write.mode("overwrite").parquet(data_dir)
+    from ic_spark.compaction.writer import _stats_from_footer
+
     entries = []
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".parquet"):
             continue
         p = os.path.join(data_dir, name)
+        record_count, column_stats, _ = _stats_from_footer(p, data_dir)
         entries.append(
             {
                 "path": p,
                 "sequence_number": seq,
                 "content": FileContent.DATA.name,
                 "file_size_in_bytes": os.path.getsize(p),
+                # Footer stats → manifest: upserted files are
+                # file-skippable by later stat-filtered scans.
+                "record_count": record_count,
+                "column_stats": column_stats,
             }
         )
     if not entries:
@@ -188,11 +195,19 @@ def read_table(
     schema=None,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Merge-on-read SELECT over a snapshot (current by default; pass
     ``snapshot_id`` for time travel or ``ref`` for a named tag): data
     files minus all applicable deletes — the read path every query
-    against a MoR table uses (compaction is the same plan + a write)."""
+    against a MoR table uses (compaction is the same plan + a write).
+
+    ``where`` is a conjunction of ``(col, op, value)`` triples (op in
+    ``= < <= > >=``) applied TWICE: at planning time against manifest
+    column stats (file skipping — unmatched files never enter the scan)
+    and as a Spark row filter (pushed to the parquet reader for the
+    files that survive).  Returns an empty DataFrame of the table
+    schema when every data file is pruned."""
     from ic_spark.compaction.planner import build_merge_on_read
     from ic_spark.compaction.request import RewriteFilesRequest
 
@@ -200,8 +215,14 @@ def read_table(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or ref, not both")
         snapshot_id = table.resolve_ref(ref)
-    data, pos, eq = table.scan_tasks(snapshot_id)
+    data, pos, eq = table.scan_tasks(snapshot_id, data_filter=where)
     if not data:
+        if where:
+            all_data, _, _ = table.scan_tasks(snapshot_id)
+            if all_data:  # pruned to nothing, not an empty table
+                if schema is None:
+                    schema = spark.read.parquet(all_data[0].data_file_path).schema
+                return spark.createDataFrame([], schema)
         raise ValueError("table has no data files")
     if schema is None:
         schema = spark.read.parquet(data[0].data_file_path).schema
@@ -211,7 +232,20 @@ def read_table(
         position_delete_files=pos,
         equality_delete_files=eq,
     )
-    return build_merge_on_read(spark, request)
+    out = build_merge_on_read(spark, request)
+    if where:
+        import operator
+
+        ops = {
+            "=": operator.eq,
+            "<": operator.lt,
+            "<=": operator.le,
+            ">": operator.gt,
+            ">=": operator.ge,
+        }
+        for col, op, value in where:
+            out = out.where(ops[op](F.col(col), F.lit(value)))
+    return out
 
 
 def read_incremental(

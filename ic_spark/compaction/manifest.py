@@ -29,6 +29,39 @@ class CommitConflictError(RuntimeError):
     """A rewrite commit lost an optimistic-concurrency race."""
 
 
+_PRUNE_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
+    """Can any row of this file satisfy ALL predicates, judging only by
+    the manifest's per-column min/max?  Conservative: missing stats or
+    mixed value types mean "maybe" (keep the file)."""
+    stats = file_entry.get("column_stats") or {}
+    for col, op, value in data_filter:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op: {op!r}")
+        st = stats.get(col)
+        if not st:
+            continue
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and not (lo <= value <= hi):
+                return False
+            if op == "<" and not (lo < value):
+                return False
+            if op == "<=" and not (lo <= value):
+                return False
+            if op == ">" and not (hi > value):
+                return False
+            if op == ">=" and not (hi >= value):
+                return False
+        except TypeError:
+            continue  # incomparable types (e.g. str stats vs int) → keep
+    return True
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -82,7 +115,9 @@ class ManifestTable:
         return self.snapshot_at(sid)
 
     def scan_tasks(
-        self, snapshot_id: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        data_filter: list[tuple] | None = None,
     ) -> tuple[list[FileScanTask], list[FileScanTask], list[FileScanTask]]:
         """Plan a snapshot into (data, pos-delete, eq-delete) tasks.
 
@@ -90,6 +125,15 @@ class ManifestTable:
         ``table.scan().snapshot_id(id)`` — time travel included);
         delete tasks are deduped by path like the reference's HashSet
         guard (:143-158).
+
+        ``data_filter`` is a conjunction of ``(col, op, value)`` triples
+        (op in ``= < <= > >=``) evaluated against each data file's
+        manifest ``column_stats`` min/max — Iceberg's manifest-level
+        file skipping: at 100 TB this is what turns a point/range query
+        into a scan of a handful of files instead of the whole table.
+        Files without stats for a referenced column always survive
+        (pruning must never change results), and delete files are never
+        pruned (a surviving data file may need any of them).
         """
         if snapshot_id is None:
             snap = self.current_snapshot()
@@ -110,6 +154,8 @@ class ManifestTable:
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
             )
             if task.content is FileContent.DATA:
+                if data_filter and not _file_may_match(f, data_filter):
+                    continue
                 data.append(task)
             elif task.data_file_path not in seen:
                 seen.add(task.data_file_path)

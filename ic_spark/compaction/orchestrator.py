@@ -64,6 +64,10 @@ class Compaction:
                 "sequence_number": max((t.sequence_number for t in data + eq), default=0) + 1,
                 "content": "DATA",
                 "file_size_in_bytes": f.file_size_in_bytes,
+                # Footer-derived stats land in the manifest so later
+                # scans can file-skip (manifest._file_may_match).
+                "record_count": f.record_count,
+                "column_stats": f.column_stats,
             }
             for f in response.data_files
         ]
@@ -125,6 +129,8 @@ class Compaction:
                     "sequence_number": new_seq,
                     "content": "DATA",
                     "file_size_in_bytes": f.file_size_in_bytes,
+                    "record_count": f.record_count,
+                    "column_stats": f.column_stats,
                 }
                 for f in response.data_files
             )

@@ -215,3 +215,66 @@ def test_merge_upsert_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing key columns"):
         merge_upsert(spark, table, base.select("val"), ["id"])
+
+
+def test_manifest_file_skipping(spark, tmp_path):
+    """Stat-filtered scans prune files at PLANNING time (Iceberg
+    manifest min/max skipping): unmatched files never enter the Spark
+    plan, results are unchanged, and deletes still apply."""
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    table = ManifestTable(str(tmp_path / "fs"))
+    entries = []
+    for i in range(3):  # disjoint id ranges: [0,100) [100,200) [200,300)
+        d = str(tmp_path / f"fs_data{i}")
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.parquet(d)
+        p = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+        rc, cs, _ = _stats_from_footer(p, d)
+        entries.append(
+            {"path": p, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(p),
+             "record_count": rc, "column_stats": cs}
+        )
+    table.append_snapshot(entries)
+
+    data, _, _ = table.scan_tasks(data_filter=[("id", ">=", 150), ("id", "<", 250)])
+    assert len(data) == 2
+    data, _, _ = table.scan_tasks(data_filter=[("id", "=", 50)])
+    assert len(data) == 1
+    # Missing stats / unknown column -> conservative keep.
+    data, _, _ = table.scan_tasks(data_filter=[("nope", "=", 1)])
+    assert len(data) == 3
+
+    df = read_table(spark, table, where=[("id", ">=", 150), ("id", "<", 250)])
+    assert len(df.inputFiles()) == 2  # file 0 skipped at planning
+    assert sorted(r.id for r in df.collect()) == list(range(150, 250))
+
+    # Pruned-to-nothing: empty result with the table schema, no error.
+    empty = read_table(spark, table, where=[("id", ">", 10_000)])
+    assert empty.count() == 0 and empty.schema == df.schema
+
+    # Deletes still apply inside a stat-filtered read.
+    write_equality_deletes(
+        spark, table, spark.createDataFrame([(160,)], "id long"), ["id"]
+    )
+    got = read_table(spark, table, where=[("id", ">=", 150), ("id", "<", 250)])
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(150, 250) if i != 160
+    ]
+
+
+def test_compaction_commits_column_stats(spark, table_with_data):
+    """full_compact writes footer-derived stats into the manifest, so a
+    freshly compacted table is immediately file-skippable."""
+    table, li = table_with_data
+    Compaction(spark).full_compact(table, li.schema)
+    snap = table.current_snapshot()
+    assert snap.files and all(
+        f["record_count"] > 0 and "l_orderkey" in f["column_stats"]
+        for f in snap.files
+    )
+    top = max(f["column_stats"]["l_orderkey"]["max"] for f in snap.files)
+    data, _, _ = table.scan_tasks(data_filter=[("l_orderkey", ">", top)])
+    assert data == []
