@@ -209,22 +209,63 @@ class ManifestTable:
             for f in added
         ]
 
-    def append_snapshot(self, files: list[dict]) -> int:
-        """Add a snapshot whose file list = current files + ``files``."""
+    def append_snapshot(self, files: list[dict], stage: bool = False) -> int:
+        """Add a snapshot whose file list = current files + ``files``.
+
+        With ``stage=True`` the snapshot is recorded but the current
+        pointer does NOT move — the write-audit-publish pattern: readers
+        keep seeing the old table, the staged snapshot is auditable via
+        ``read_table(snapshot_id=...)``, and ``publish_snapshot`` flips
+        the pointer once validation passes.  Unpublished staged
+        snapshots are dropped by ``expire_snapshots`` (tag them with a
+        ref to keep them across maintenance).
+        """
         state = self._load()
         cur = self.current_snapshot()
         base = list(cur.files) if cur else []
-        sid = (state["current_snapshot_id"] or 0) + 1
-        state["snapshots"].append(
-            {
-                "snapshot_id": sid,
-                "timestamp_ms": int(time.time() * 1000),
-                "files": base + files,
-            }
-        )
-        state["current_snapshot_id"] = sid
+        # max+1, not current+1: staged snapshots hold ids past current.
+        sid = max((s["snapshot_id"] for s in state["snapshots"]), default=0) + 1
+        entry = {
+            "snapshot_id": sid,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": base + files,
+        }
+        if stage:
+            entry["staged"] = True
+            entry["parent_snapshot_id"] = state["current_snapshot_id"]
+        state["snapshots"].append(entry)
+        if not stage:
+            state["current_snapshot_id"] = sid
         self._store(state)
         return sid
+
+    def publish_snapshot(self, snapshot_id: int, force: bool = False) -> None:
+        """WAP publish: make an audited staged snapshot current.
+
+        Optimistic-concurrency: if the table moved since the snapshot
+        was staged (its recorded parent is no longer current), the
+        staged file list would silently drop the concurrent changes, so
+        the publish raises :class:`CommitConflictError` unless
+        ``force=True`` (the caller re-audited against the new state).
+        """
+        state = self._load()
+        for s in state["snapshots"]:
+            if s["snapshot_id"] != snapshot_id:
+                continue
+            if not s.pop("staged", False):
+                raise ValueError(f"snapshot {snapshot_id} is not staged")
+            parent = s.pop("parent_snapshot_id", None)
+            if not force and parent != state["current_snapshot_id"]:
+                s["staged"] = True  # leave state untouched on failure
+                s["parent_snapshot_id"] = parent
+                raise CommitConflictError(
+                    f"table moved since staging: parent {parent}, "
+                    f"current {state['current_snapshot_id']}"
+                )
+            state["current_snapshot_id"] = snapshot_id
+            self._store(state)
+            return
+        raise ValueError(f"snapshot {snapshot_id} not found")
 
     def commit_rewrite(
         self, added: list[dict], removed_paths: set[str], expected_snapshot_id: int | None = None
@@ -258,7 +299,8 @@ class ManifestTable:
                 f"{stale[:3]}..."
             )
         kept = [f for f in (cur.files if cur else []) if f["path"] not in removed_paths]
-        sid = (state["current_snapshot_id"] or 0) + 1
+        # max+1, not current+1: staged (WAP) snapshots hold ids past current.
+        sid = max((s["snapshot_id"] for s in state["snapshots"]), default=0) + 1
         state["snapshots"].append(
             {
                 "snapshot_id": sid,

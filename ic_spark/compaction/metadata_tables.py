@@ -61,11 +61,24 @@ _HISTORY_SCHEMA = StructType(
 )
 
 
+_REFS_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("snapshot_id", LongType(), False),
+        StructField("type", StringType(), False),
+    ]
+)
+
+
 def read_metadata_table(
     spark: SparkSession, table: ManifestTable, kind: str
 ) -> DataFrame:
-    """``kind`` in {"snapshots", "files", "history"} — the Iceberg
-    metadata-table surface (snapshots / data_files / history)."""
+    """``kind`` in {"snapshots", "files", "history", "refs"} — the
+    Iceberg metadata-table surface (snapshots / data_files / history /
+    refs)."""
+    if kind == "refs":
+        rows = [(n, sid, "tag") for n, sid in sorted(table.refs().items())]
+        return spark.createDataFrame(rows, _REFS_SCHEMA)
     snaps = table.snapshots()
     current = table.current_snapshot()
     cur_id = current.snapshot_id if current else None

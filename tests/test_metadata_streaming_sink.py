@@ -217,3 +217,51 @@ def test_streaming_upsert_sink_cdc(spark, tmp_path):
     )
     assert final[3] == "c3" and final[5] == "c5"
     assert final[1] == "a1" and final[2] == "b2" and final[4] == "b4"
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a staged append is invisible to readers, auditable by
+    snapshot id, published atomically after validation, and conflicts
+    if the table moved since staging."""
+    from ic_spark.compaction.manifest import CommitConflictError
+
+    table = _mk_table(spark, tmp_path, 5, "wap")
+
+    d = str(tmp_path / "wap_new")
+    spark.range(100, 103).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    sid = table.append_snapshot(
+        [{"path": f, "sequence_number": 2, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}],
+        stage=True,
+    )
+
+    # Readers still see the old table; the staged snapshot is auditable.
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(range(5))
+    audited = sorted(r.id for r in read_table(spark, table, snapshot_id=sid).collect())
+    assert audited == list(range(5)) + [100, 101, 102]
+
+    table.publish_snapshot(sid)
+    assert table.current_snapshot().snapshot_id == sid
+    assert sorted(r.id for r in read_table(spark, table).collect()) == audited
+    with pytest.raises(ValueError, match="not staged"):
+        table.publish_snapshot(sid)
+
+    # Stage again, move the table concurrently -> publish conflicts.
+    sid2 = table.append_snapshot(
+        [{"path": f, "sequence_number": 3, "content": "DATA",
+          "file_size_in_bytes": 1}],
+        stage=True,
+    )
+    write_equality_deletes(spark, table, spark.range(1), ["id"])  # moves current
+    with pytest.raises(CommitConflictError, match="moved since staging"):
+        table.publish_snapshot(sid2)
+    table.publish_snapshot(sid2, force=True)  # caller re-audited
+    assert table.current_snapshot().snapshot_id == sid2
+
+    # refs metadata table exposes tags.
+    from ic_spark.compaction.metadata_tables import read_metadata_table
+    table.set_ref("audit-base", 1)
+    refs = [(r.name, r.snapshot_id, r.type)
+            for r in read_metadata_table(spark, table, "refs").collect()]
+    assert refs == [("audit-base", 1, "tag")]
