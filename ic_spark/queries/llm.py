@@ -115,15 +115,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     sh = (
-        d.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
             F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
         )
     )
     pairs = (
-        cands.join(F.broadcast(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})), on="id_a")
-        .join(F.broadcast(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})), on="id_b")
+        # No broadcast hints: the candidate set (and its shingle
+        # arrays) scales with near-dup density x corpus size — a hard
+        # hint OOMs the driver on dup-heavy corpora. AQE broadcasts at
+        # runtime while the sides are actually small.
+        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
