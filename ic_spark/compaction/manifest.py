@@ -367,6 +367,47 @@ class ManifestTable:
 
     # -- physical cleanup ----------------------------------------------
 
+    def remove_orphan_files(
+        self, older_than_s: float = 3 * 24 * 3600, delete: bool = False
+    ) -> list[str]:
+        """Parquet files under the table root referenced by NO retained
+        snapshot (Iceberg's remove_orphan_files): leftovers of failed
+        writes and aborted stages.
+
+        ``older_than_s`` guards against racing an in-flight writer whose
+        files are not yet committed — Iceberg's default is the same
+        3-day cutoff; tests pass 0.  Listing only, unless
+        ``delete=True``.
+        """
+        referenced = {
+            os.path.abspath(f["path"])
+            for s in self._load()["snapshots"]
+            for f in s["files"]
+        }
+        cutoff = time.time() - older_than_s
+        orphans = []
+        for root, _dirs, files in os.walk(self.root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.abspath(os.path.join(root, name))
+                if p in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue
+                orphans.append(p)
+        orphans.sort()
+        if delete:
+            for p in orphans:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+        return orphans
+
     def vacuum(self) -> tuple[list[str], list[str]]:
         """Expire old snapshots AND unlink their orphan files.
 

@@ -74,6 +74,68 @@ class Compaction:
         table.commit_rewrite(added, removed)
         return response
 
+    def rewrite_position_deletes(self, table: ManifestTable) -> dict:
+        """Delete-file maintenance (Iceberg's RewritePositionDeleteFiles):
+        merge all position-delete files into one and drop DANGLING
+        entries — rows pointing at data files no longer live, which
+        every MoR read was still scanning and anti-joining for nothing.
+
+        Streaming CDC ingest produces one tiny delete file per batch;
+        without this action a month of 1-minute batches is ~43k delete
+        files whose UNION dominates scan planning.  The rewrite is
+        O(delete data), never touches data files, and commits as one
+        atomic swap.  The live-path prune joins against the manifest's
+        file list — manifest-scale metadata the driver already holds,
+        so broadcasting it is free at any table size.
+
+        Returns ``{"merged": n_input_files, "kept_rows": n}``.
+        """
+        import pyspark.sql.functions as F
+
+        from ic_spark.compaction.writer import _stats_from_footer
+
+        data, pos, _eq = table.scan_tasks()
+        if not pos:
+            return {"merged": 0, "kept_rows": 0}
+        live = self.spark.createDataFrame(
+            [(t.data_file_path,) for t in data] or [("",)], "path string"
+        )
+        pd_df = self.spark.read.parquet(*[t.data_file_path for t in pos])
+        fp, ps = pd_df.columns[:2]  # fixed (file_path, pos) schema
+        pruned = (
+            pd_df.withColumn(
+                "__norm", F.regexp_replace(F.col(fp), "^file:", "")
+            )
+            .join(F.broadcast(live), F.col("__norm") == F.col("path"), "left_semi")
+            .drop("__norm")
+            .dropDuplicates([fp, ps])
+        )
+        out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
+        pruned.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        merged_path = next(
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet")
+        )
+        kept_rows, _, _ = _stats_from_footer(merged_path, out_dir)
+        removed = {t.data_file_path for t in pos}
+        if kept_rows == 0:
+            table.commit_rewrite([], removed)  # all dangling: just drop
+        else:
+            table.commit_rewrite(
+                [
+                    {
+                        "path": merged_path,
+                        "sequence_number": max(t.sequence_number for t in pos),
+                        "content": "POSITION_DELETES",
+                        "file_size_in_bytes": os.path.getsize(merged_path),
+                        "record_count": kept_rows,
+                    }
+                ],
+                removed,
+            )
+        return {"merged": len(pos), "kept_rows": kept_rows}
+
     def compact_small_files(
         self,
         table: ManifestTable,

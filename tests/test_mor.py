@@ -600,3 +600,96 @@ def test_commit_rewrite_conflict_detection(spark, tmp_path):
         expected_snapshot_id=table.current_snapshot().snapshot_id,
     )
     assert sid == table.current_snapshot().snapshot_id
+
+
+def test_rewrite_position_deletes_merges_and_prunes(spark, tmp_path):
+    """Delete-file maintenance: N position-delete files merge into one,
+    dangling entries (pointing at rewritten data files) are dropped,
+    and MoR reads are unchanged."""
+    from ic_spark.compaction.deletes import (
+        read_table,
+        write_position_deletes,
+    )
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.compaction.orchestrator import Compaction
+
+    table = ManifestTable(str(tmp_path / "rpd"))
+    d = str(tmp_path / "rpd_data")
+    spark.range(100).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    import pyspark.sql.functions as F
+
+    write_position_deletes(spark, table, F.col("id") < 5)
+    write_position_deletes(spark, table, F.col("id") >= 95)
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 2
+    before = sorted(r.id for r in read_table(spark, table).collect())
+    assert before == list(range(5, 95))
+
+    stats = Compaction(spark).rewrite_position_deletes(table)
+    assert stats["merged"] == 2 and stats["kept_rows"] == 10
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1
+    assert sorted(r.id for r in read_table(spark, table).collect()) == before
+
+    # Replace the data file entirely -> every delete entry dangles ->
+    # the next rewrite drops the delete file altogether.
+    d2 = str(tmp_path / "rpd_data2")
+    spark.range(200, 210).coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    table.commit_rewrite(
+        [{"path": f2, "sequence_number": 2, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f2)}],
+        {f},
+    )
+    stats = Compaction(spark).rewrite_position_deletes(table)
+    assert stats["kept_rows"] == 0
+    _, pos, _ = table.scan_tasks()
+    assert pos == []
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(range(200, 210))
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan listing finds unreferenced parquet under the table root,
+    respects the age cutoff, and never touches referenced files."""
+    from ic_spark.compaction.manifest import ManifestTable
+
+    table = ManifestTable(str(tmp_path / "orph"))
+    d = str(tmp_path / "orph" / "data")
+    spark.range(10).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    # A failed write's leftover + a staged snapshot's file.
+    stray_dir = str(tmp_path / "orph" / "aborted")
+    spark.range(3).coalesce(1).write.parquet(stray_dir)
+    stray = next(
+        os.path.join(stray_dir, n)
+        for n in os.listdir(stray_dir) if n.endswith(".parquet")
+    )
+    staged_dir = str(tmp_path / "orph" / "staged")
+    spark.range(4).coalesce(1).write.parquet(staged_dir)
+    staged = next(
+        os.path.join(staged_dir, n)
+        for n in os.listdir(staged_dir) if n.endswith(".parquet")
+    )
+    table.append_snapshot(
+        [{"path": staged, "sequence_number": 2, "content": "DATA",
+          "file_size_in_bytes": 1}],
+        stage=True,
+    )
+
+    # Default 3-day cutoff: fresh files are protected.
+    assert table.remove_orphan_files() == []
+    got = table.remove_orphan_files(older_than_s=0)
+    assert got == [os.path.abspath(stray)]  # staged file is referenced
+    assert os.path.exists(stray)  # listing only
+    table.remove_orphan_files(older_than_s=0, delete=True)
+    assert not os.path.exists(stray)
+    assert os.path.exists(f) and os.path.exists(staged)
