@@ -365,6 +365,35 @@ class ManifestTable:
             raise ValueError(f"unknown ref: {name!r}")
         return refs[name]
 
+    def count_rows(self, snapshot_id: int | None = None) -> int | None:
+        """COUNT(*) answered from manifest metadata alone — Iceberg's
+        aggregate pushdown to stats: sum of per-file ``record_count``
+        when the snapshot has no delete files (deletes hide an unknown
+        number of rows, so the metadata answer would over-count).
+
+        Returns None when metadata can't answer (delete files present,
+        or any data file lacks a record count) — the caller falls back
+        to ``read_table(...).count()``.  At 100 TB this is the
+        difference between a manifest read and a full scan for the
+        most common dashboard query there is.
+        """
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_at(snapshot_id)
+        )
+        if snap is None:
+            return 0
+        total = 0
+        for f in snap.files:
+            if f.get("content", "DATA") != "DATA":
+                return None  # deletes present: metadata can't answer
+            rc = f.get("record_count")
+            if rc is None or rc < 0:
+                return None
+            total += rc
+        return total
+
     # -- physical cleanup ----------------------------------------------
 
     def remove_orphan_files(

@@ -105,3 +105,35 @@ def text_sentence_split_udtf(spark: SparkSession, sf_dir: str):
         GROUP BY lang
         """
     )
+
+
+@query(
+    "prep_contamination_check",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(len(w) - 3, 0) + 1),
+                   i -> array_to_string(w[i+1:i+3], ' ')))) AS gram
+        FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 97 <> 0)
+    SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id
+    """,
+)
+def prep_contamination_check(spark: SparkSession, sf_dir: str):
+    """Train/eval word-3-gram contamination pairs (eval set = every
+    97th doc).  Oracle joins on gram STRINGS; the production path
+    (hashed=True, xxhash64 keys) is pinned equal by pytest."""
+    from ic_spark.operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(tr, ev, n=3, hashed=False)

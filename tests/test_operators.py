@@ -602,3 +602,40 @@ def test_grouped_udf_operators(spark):
     assert tm["a"].trimmed_mean == 3.0 and tm["a"].n_rows == 5
     with pytest.raises(ValueError, match="trim"):
         trimmed_mean(df, "g", "v", trim=0.5)
+
+
+def test_contamination_hashed_equals_unhashed(spark):
+    """xxhash64 gram keys (production) flag exactly the same pairs as
+    joining on gram strings (oracle path)."""
+    from ic_spark.operators.contamination import contamination_overlap
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.where("doc_id % 97 = 0")
+    tr = docs.where("doc_id % 97 <> 0")
+    a = contamination_overlap(tr, ev, n=3, hashed=True)
+    b = contamination_overlap(tr, ev, n=3, hashed=False)
+    ra = sorted((r.train_id, r.eval_id, r.n_shared) for r in a.collect())
+    rb = sorted((r.train_id, r.eval_id, r.n_shared) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+def test_count_rows_from_manifest(spark, tmp_path):
+    """COUNT(*) from manifest stats: exact when delete-free, None
+    (fallback) when deletes or missing counts make it unanswerable."""
+    from ic_spark.compaction.deletes import merge_upsert, write_equality_deletes
+    from ic_spark.compaction.manifest import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "cr"))
+    assert t.count_rows() == 0
+    merge_upsert(spark, t, spark.range(100).selectExpr("id", "id AS v"), ["id"])
+    # upsert commits an equality-delete file -> metadata can't answer
+    assert t.count_rows() is None
+    from ic_spark.compaction.orchestrator import Compaction
+    from ic_spark.compaction.deletes import read_table
+    Compaction(spark).full_compact(t, read_table(spark, t).schema)
+    assert t.count_rows() == 100
+    sid = t.current_snapshot().snapshot_id
+    write_equality_deletes(spark, t, spark.range(5), ["id"])
+    assert t.count_rows() is None          # deletes present again
+    assert t.count_rows(snapshot_id=sid) == 100  # time-travel still exact
