@@ -277,3 +277,25 @@ def read_incremental(
     return build_merge_on_read(
         spark, RewriteFilesRequest(schema=schema, data_files=added)
     )
+
+
+def register_mor_view(
+    spark: SparkSession,
+    table: ManifestTable,
+    name: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Expose a MoR table to SQL: registers ``read_table``'s lazy plan
+    as a temp view so ``spark.sql(f"SELECT ... FROM {name}")`` works —
+    the full query surface (joins, windows, aggregations) over
+    merge-on-read data with deletes applied.
+
+    The view captures the snapshot AS OF registration (the manifest is
+    read at plan-build time); re-register after new commits to see
+    them.  Catalyst still prunes columns and pushes filters through the
+    view into the underlying parquet scans.
+    """
+    df = read_table(spark, table, snapshot_id=snapshot_id, ref=ref)
+    df.createOrReplaceTempView(name)
+    return df

@@ -278,3 +278,30 @@ def test_compaction_commits_column_stats(spark, table_with_data):
     top = max(f["column_stats"]["l_orderkey"]["max"] for f in snap.files)
     data, _, _ = table.scan_tasks(data_filter=[("l_orderkey", ">", top)])
     assert data == []
+
+
+def test_register_mor_view_sql(spark, table_with_data):
+    """SQL over a MoR table: deletes applied, pushdown through the view."""
+    from ic_spark.compaction.deletes import register_mor_view
+
+    table, li = table_with_data
+    keys = spark.createDataFrame([(1,), (2,)], "l_orderkey long")
+    write_equality_deletes(spark, table, keys, ["l_orderkey"])
+    register_mor_view(spark, table, "mor_li")
+
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(l_quantity) AS q FROM mor_li"
+    ).collect()[0]
+    expect = li.where("l_orderkey NOT IN (1, 2)")
+    assert got.n == expect.count()
+    # Aggregations/joins compose over the view.
+    top = spark.sql(
+        """SELECT l_orderkey, COUNT(*) AS lines FROM mor_li
+           GROUP BY l_orderkey ORDER BY lines DESC, l_orderkey LIMIT 3"""
+    ).collect()
+    assert len(top) == 3 and all(r.lines >= 1 for r in top)
+    # Filter through the view reaches the parquet scan (pushdown).
+    plan = spark.sql(
+        "SELECT l_orderkey FROM mor_li WHERE l_orderkey = 7"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan
