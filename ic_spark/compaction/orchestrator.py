@@ -136,6 +136,96 @@ class Compaction:
             )
         return {"merged": len(pos), "kept_rows": kept_rows}
 
+    def convert_equality_deletes(self, table: ManifestTable) -> dict:
+        """Convert equality deletes to position deletes (Iceberg's
+        minor-compaction step, what Flink tables run between
+        checkpoints and full compactions).
+
+        Equality deletes are cheap to WRITE (a key set, no scan) but
+        expensive to READ: every MoR scan replays one anti-join per
+        equality-id group against the key sets forever.  This action
+        pays the scan once — semi-join the current data against each
+        group under the same strict ``<`` sequence guard, record the
+        matched ``(file_path, pos)`` pairs — and commits them as one
+        position-delete file replacing ALL equality-delete files.
+        Reads after it do a single positional anti-join.
+
+        Exactness: an equality delete at seq S only ever hides rows
+        with seq < S, all of which exist NOW; rows appended later get
+        seq > S and were never affected.  Position deletes pin exactly
+        the currently-hidden rows and can't touch future files.  So
+        the visible set is identical for every future snapshot.
+
+        Returns ``{"converted": n_eq_files, "delete_rows": n}``.
+        """
+        import pyspark.sql.functions as F
+
+        from ic_spark.compaction.planner import _scan_with_hidden_cols
+        from ic_spark.compaction.request import (
+            SYS_HIDDEN_FILE_PATH,
+            SYS_HIDDEN_POS,
+            SYS_HIDDEN_SEQ_NUM,
+            split_equality_delete_groups,
+        )
+        from ic_spark.compaction.writer import _stats_from_footer
+
+        data, _pos, eq = table.scan_tasks()
+        if not eq:
+            return {"converted": 0, "delete_rows": 0}
+        if not data:
+            table.commit_rewrite([], {t.data_file_path for t in eq})
+            return {"converted": len(eq), "delete_rows": 0}
+
+        hidden = [SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS, SYS_HIDDEN_SEQ_NUM]
+        matched = None
+        for group in split_equality_delete_groups(eq):
+            eq_cols = list(group.equality_ids)
+            scan = _scan_with_hidden_cols(
+                self.spark,
+                data,
+                with_seq=True,
+                with_pos=True,
+                columns=eq_cols,
+            )
+            eq_del = _scan_with_hidden_cols(
+                self.spark, list(group.tasks), with_seq=True, columns=eq_cols
+            )
+            cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(
+                f"e.{SYS_HIDDEN_SEQ_NUM}"
+            )
+            for c in eq_cols:
+                cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
+            hit = (
+                scan.alias("d")
+                .join(eq_del.alias("e"), on=cond, how="left_semi")
+                .select(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+            )
+            matched = hit if matched is None else matched.unionByName(hit)
+        matched = matched.dropDuplicates([SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS])
+
+        out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
+        matched.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        merged_path = next(
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet")
+        )
+        rows, _, _ = _stats_from_footer(merged_path, out_dir)
+        removed = {t.data_file_path for t in eq}
+        added = []
+        if rows > 0:
+            added.append(
+                {
+                    "path": merged_path,
+                    "sequence_number": max(t.sequence_number for t in eq),
+                    "content": "POSITION_DELETES",
+                    "file_size_in_bytes": os.path.getsize(merged_path),
+                    "record_count": rows,
+                }
+            )
+        table.commit_rewrite(added, removed)
+        return {"converted": len(eq), "delete_rows": rows}
+
     def compact_small_files(
         self,
         table: ManifestTable,

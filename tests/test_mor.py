@@ -693,3 +693,56 @@ def test_remove_orphan_files(spark, tmp_path):
     table.remove_orphan_files(older_than_s=0, delete=True)
     assert not os.path.exists(stray)
     assert os.path.exists(f) and os.path.exists(staged)
+
+
+def test_convert_equality_deletes_to_position(spark, tmp_path):
+    """Eq->pos conversion: visible rows identical, eq files replaced by
+    one position-delete file, and rows re-inserted AFTER conversion
+    stay visible (the strict-seq semantics are preserved exactly)."""
+    from ic_spark.compaction.deletes import (
+        read_table,
+        write_equality_deletes,
+    )
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.compaction.orchestrator import Compaction
+
+    table = ManifestTable(str(tmp_path / "conv"))
+    d = str(tmp_path / "conv_data")
+    spark.range(50).selectExpr("id", "id % 5 AS k").coalesce(2).write.parquet(d)
+    table.append_snapshot(
+        [{"path": os.path.join(d, n), "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(os.path.join(d, n))}
+         for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+    )
+    # Two groups with different id-lists.
+    write_equality_deletes(
+        spark, table, spark.createDataFrame([(0,)], "k long"), ["k"]
+    )
+    write_equality_deletes(
+        spark, table, spark.createDataFrame([(7,), (9,)], "id long"), ["id"]
+    )
+    before = sorted(r.id for r in read_table(spark, table).collect())
+    assert before == [i for i in range(50) if i % 5 != 0 and i not in (7, 9)]
+
+    stats = Compaction(spark).convert_equality_deletes(table)
+    assert stats["converted"] == 2 and stats["delete_rows"] == 12
+    _, pos, eq = table.scan_tasks()
+    assert eq == [] and len(pos) == 1
+    assert sorted(r.id for r in read_table(spark, table).collect()) == before
+
+    # Re-insert a previously-deleted key AFTER conversion: visible
+    # (same as under the original strict-< equality semantics).
+    d2 = str(tmp_path / "conv_new")
+    spark.createDataFrame([(7, 2)], "id long, k long").coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f2, "sequence_number": 9, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f2)}]
+    )
+    after = sorted(r.id for r in read_table(spark, table).collect())
+    assert after == sorted(before + [7])
+
+    # Idempotent no-op when no equality deletes remain.
+    assert Compaction(spark).convert_equality_deletes(table) == {
+        "converted": 0, "delete_rows": 0
+    }
