@@ -65,17 +65,25 @@ def interval_join(
         )
 
     w = bucket_width_seconds
+
+    def _epoch_seconds(name: str):
+        # TIMESTAMP_NTZ (how stock Spark 4 reads tz-less parquet µs)
+        # cannot cast straight to BIGINT under ANSI; hop through
+        # TIMESTAMP first (legal for both types; session tz is a
+        # consistent shift on both sides, so bucket alignment holds).
+        return F.col(name).cast("timestamp").cast("long")
+
     l_bucketed = left.withColumn(
-        "__bucket", F.floor(F.col(left_time).cast("long") / w)
+        "__bucket", F.floor(_epoch_seconds(left_time) / w)
     )
     r_bucketed = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_start).cast("long") / w),
+                F.floor(_epoch_seconds(right_start) / w),
                 # end is exclusive: an interval ending exactly on a
                 # bucket boundary does not reach into the next bucket.
-                F.floor((F.col(right_end).cast("long") - 1) / w),
+                F.floor((_epoch_seconds(right_end) - 1) / w),
             )
         ),
     )

@@ -468,13 +468,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
-    # Gap measured in whole microseconds on BOTH sides (oracle uses
-    # epoch_us deltas) — second-truncated casts would disagree with the
-    # oracle's full-precision interval on fractional-second boundaries.
+    # Full-precision 30-min gap via timestamp+interval comparison: works
+    # for both TIMESTAMP and TIMESTAMP_NTZ (the fixtures store µs
+    # without tz, which a stock ANSI session reads as NTZ — where
+    # unix_micros/cast-to-long are analysis errors), and matches the
+    # oracle's epoch_us delta exactly on fractional-second boundaries.
     new_session = (
         F.when(
             prev.isNull()
-            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+            | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0)
     )
