@@ -35,6 +35,18 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    # Warm the Python UDF workers too (fork + numpy/pandas import is a
+    # one-time ~2-3 s cost across 32 workers that would otherwise land
+    # entirely on the first Arrow-UDF query).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ping(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 32, 1, 32).select(_ping("id")).count()
+
     # Two reps, report the min: the shared host shows bursty CPU steal,
     # and min-of-reps measures the engine rather than the neighbors.
     timings: dict[str, float] = {}

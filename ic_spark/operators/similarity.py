@@ -373,3 +373,57 @@ def ivf_top_k(
     ).select(
         "query_id", "neighbor_id", F.round(F.col("__cos"), 6).alias("cosine"), "rank"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.35,
+    refine_iters: int = 0,
+    use_arrow: bool = False,
+) -> DataFrame:
+    """SemDeDup-style clustered semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540): coarse-quantize the corpus into ``nlist``
+    cells, then within each cell drop every vector that has a LOWER-id
+    neighbor with cosine >= ``threshold``.  Survivors (the min-id
+    representative of each near-duplicate chain, greedy by id) are
+    returned with their cell id.
+
+    Scale shape: cell assignment is an expression (or Arrow matmul)
+    over the scan — no shuffle, no join; the pairwise step is an
+    equi-join ON THE CELL ID, so the quadratic term is bounded by cell
+    size (grow nlist with corpus size to keep cells constant-sized);
+    the drop set shuffles only 8-byte ids.  This is the clustered
+    counterpart of the flat label-blocked near-dup pair query
+    (dedup_embedding_cosine) — at 100 TB the cells ARE the blocks, so
+    no blocking column is needed.
+    """
+    from ic_spark.operators.dedup import _spread
+
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, refine_iters)
+    cell = (
+        _arrow_cell_assigner(cents)(_as_dl(vec_col))
+        if use_arrow
+        else _nearest_centroid_idx(vec_col, cents)
+    )
+    tagged = _spread(corpus).withColumn("__cell", cell)
+    right = tagged.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__cell").alias("__cellb"),
+    )
+    dup = (
+        tagged.select(F.col(id_col), F.col(vec_col), "__cell")
+        .join(
+            right,
+            (F.col("__cell") == F.col("__cellb")) & (F.col("__idb") < F.col(id_col)),
+        )
+        .where(cosine_similarity(F.col(vec_col), F.col("__vb")) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return tagged.join(dup, on=id_col, how="left_anti").withColumnRenamed(
+        "__cell", "cell"
+    )

@@ -39,6 +39,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_semantic_cells",
     "text_token_stats",
     "text_quality_langid",
     "text_fingerprint",
@@ -71,7 +72,8 @@ _PRIORITY = [
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
+    # q17_small_quantity_revenue: demoted past the window (correlated
+    # scalar-subquery shape attested by q2/q18); oracle stays in pytest.
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q21_multi_supplier_orders",

@@ -21,7 +21,12 @@ from ic_spark.operators.dedup import (
     simhash,
     token_jaccard_pairs,
 )
-from ic_spark.operators.similarity import brute_force_top_k, ivf_top_k, lsh_top_k
+from ic_spark.operators.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_top_k,
+    semantic_dedup,
+)
 from ic_spark.functions.text import (
     EN_STOPWORDS,
     doc_fingerprint,
@@ -318,6 +323,42 @@ def sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str):
         nprobe=4,
         use_arrow=True,
     )
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle="""
+    WITH seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+               (SELECT s.cidx FROM seeds s
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                         s.cidx ASC LIMIT 1) AS cell
+        FROM embeddings e
+    )
+    SELECT a.vec_id, a.label, a.cell
+    FROM assigned a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM assigned b
+        WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+          AND list_cosine_similarity(b.v, a.v) >= 0.35
+    )
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
+    """SemDeDup-style clustered semantic dedup: coarse-quantize into 16
+    cells (deterministic lowest-id seeds -> oracle-checkable), drop any
+    vector with a lower-id in-cell neighbor at cosine >= 0.35; min-id
+    survivors keep their cell id.  The clustered scale path for
+    embedding near-dup removal (cells bound the quadratic term)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", nlist=16, threshold=0.35
+    ).select("vec_id", "label", "cell")
 
 
 @query("sim_lsh_topk", oracle=None)

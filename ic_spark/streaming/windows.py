@@ -42,8 +42,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with tz).  The session tz is
+        # pinned to UTC (ensure_session_confs), so this cast preserves
+        # the wall clock and stream results collect identically to the
+        # batch path that windows the NTZ column directly.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

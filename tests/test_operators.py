@@ -444,6 +444,54 @@ def test_ivf_arrow_assignment_agrees_with_expression(spark):
     }
 
 
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup clustered dedup: survivors are exactly the vectors with
+    no lower-id in-cell neighbor above threshold (checked against a
+    naive driver-side recomputation); arrow and expression assigners
+    agree; threshold=1.1 keeps everything."""
+    import math
+
+    from ic_spark.operators.similarity import semantic_dedup
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(e, nlist=8, threshold=0.35)
+    got = {(r.vec_id, r.cell) for r in out.select("vec_id", "cell").collect()}
+
+    # Naive reference: recompute cells + drops in Python.
+    rows = sorted(
+        ((r.vec_id, list(r.embedding)) for r in e.collect()), key=lambda t: t[0]
+    )
+    cents = [v for _, v in rows[:8]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    def cell_of(v):
+        sims = [cos(v, c) for c in cents]
+        return max(range(8), key=lambda i: (sims[i], -i)) + 1
+
+    cells = {vid: cell_of(v) for vid, v in rows}
+    vecs = dict(rows)
+    want = set()
+    for vid, v in rows:
+        dup = any(
+            cells[o] == cells[vid] and o < vid and cos(vecs[o], v) >= 0.35
+            for o, _ in rows
+        )
+        if not dup:
+            want.add((vid, cells[vid]))
+    assert got == want
+
+    arrow = semantic_dedup(e, nlist=8, threshold=0.35, use_arrow=True)
+    assert {(r.vec_id, r.cell) for r in arrow.select("vec_id", "cell").collect()} == got
+
+    keep_all = semantic_dedup(e, nlist=8, threshold=1.1)
+    assert keep_all.count() == e.count()
+
+
 def test_pack_shards_invariants(spark):
     """Distributed prefix-sum packing: shard ids are consecutive from 0,
     every shard except the last stops only once its budget is crossed,
