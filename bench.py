@@ -38,14 +38,14 @@ def main() -> None:
     # Warm the Python UDF workers too (fork + numpy/pandas import is a
     # one-time ~2-3 s cost across 32 workers that would otherwise land
     # entirely on the first Arrow-UDF query).
-    import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _ping(s: pd.Series) -> pd.Series:
+    # No parameter hints: `from __future__ import annotations` would
+    # stringify them, which pandas_udf's hint inference rejects.
+    def _ping(s):
         return s
 
-    spark.range(0, 32, 1, 32).select(_ping("id")).count()
+    spark.range(0, 32, 1, 32).select(pandas_udf(_ping, "long")("id")).count()
 
     # Two reps, report the min: the shared host shows bursty CPU steal,
     # and min-of-reps measures the engine rather than the neighbors.

@@ -102,6 +102,54 @@ def text_top_tokens(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tfidf, rank FROM (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                          tf.tok ASC) AS rank
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    """Per-document top-3 TF-IDF terms.  Scale shape: term frequencies
+    aggregate map-side (shuffle is vocabulary x docs-containing, not
+    token count); document frequency joins on the token key WITHOUT a
+    broadcast hint (vocabulary grows with the corpus — AQE makes the
+    runtime call); the corpus size enters as a broadcast single-row
+    cross join, not a driver-side constant; top-3 per doc uses
+    shuffle-side partial limits (WindowGroupLimit)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select("doc_id", "tok", tfidf.alias("__s"))
+    )
+    return grouped_top_k(
+        scored, ["doc_id"], [F.col("__s").desc(), F.col("tok").asc()], 3
+    ).select("doc_id", "tok", F.round(F.col("__s"), 6).alias("tfidf"), "rank")
+
+
+@query(
     "text_token_positions",
     oracle="""
     SELECT doc_id, i - 1 AS pos, tok

@@ -17,7 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-SUPPORTED_READ_FORMATS = ("parquet", "orc", "json", "csv", "avro")
+SUPPORTED_READ_FORMATS = (
+    "parquet",
+    "orc",
+    "json",
+    "csv",
+    "avro",
+    # Ingest formats beyond the reference's enum: raw text (one row per
+    # line — JSONL pre-split, log ingest) and binaryFile (whole-file
+    # bytes + path/length/modtime — the ingest path for multimodal
+    # payload columns; see operators/multimodal.py).
+    "text",
+    "binaryfile",
+)
 
 
 def _avro_available(spark: SparkSession) -> bool:
@@ -69,6 +81,10 @@ def read_files(
                 "not bundled in this environment"
             )
         return reader.format("avro").options(**options).load(paths)
+    if fmt == "binaryfile":
+        # binaryFile ignores user schemas (fixed: path/modificationTime/
+        # length/content) and is read-only.
+        return spark.read.format("binaryFile").options(**options).load(paths)
     return getattr(reader.options(**options), fmt)(*paths)
 
 
@@ -85,6 +101,8 @@ def write_files(
     the partition columns first (bounded file count — reference fanout
     writer O14)."""
     fmt = file_format.lower()
+    if fmt == "binaryfile":
+        raise ValueError("binaryFile is a read-only format")
     if fmt == "csv":
         options.setdefault("header", "true")  # symmetric with read_files
     out = df

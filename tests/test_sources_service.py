@@ -24,6 +24,26 @@ def test_roundtrip_formats(spark, tmp_path):
         assert got == want, f"round-trip mismatch for {fmt}"
 
 
+def test_text_and_binaryfile_formats(spark, tmp_path):
+    """text: one row per line round-trip; binaryFile: whole-file bytes +
+    metadata (the multimodal ingest path), read-only."""
+    lines = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "value string")
+    tpath = str(tmp_path / "rt_text")
+    write_files(lines, tpath, "text", target_partitions=1)
+    back = read_files(spark, tpath, "text")
+    assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+
+    blob = tmp_path / "payload.bin"
+    blob.write_bytes(b"\x00\x01binary-payload\xff")
+    bdf = read_files(spark, str(tmp_path), "binaryFile", pathGlobFilter="*.bin")
+    rows = bdf.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 17 and bytes(rows[0].content) == blob.read_bytes()
+    assert rows[0].path.endswith("payload.bin")
+    with pytest.raises(ValueError, match="read-only"):
+        write_files(bdf, str(tmp_path / "nope"), "binaryFile")
+
+
 def test_avro_gated(spark, tmp_path):
     with pytest.raises((NotImplementedError, Exception)):
         read_files(spark, str(tmp_path / "nope"), "avro")
