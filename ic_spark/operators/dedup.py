@@ -88,6 +88,42 @@ def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame
     )
 
 
+def incremental_dedup(
+    increment: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the
+    continuous-ingest shape: keep increment rows whose content (a) does
+    not occur anywhere in the corpus and (b) is the min-id occurrence
+    within the increment itself.
+
+    Scale: both sides reduce to 8-byte xxhash64 keys before any join —
+    the corpus side projects ONLY the content column (Parquet column
+    pruning skips everything else) and ships distinct hashes into a
+    hash anti-join; history is never re-deduped, only probed.  Compose
+    with ``read_incremental`` to dedup exactly the files a snapshot
+    range appended.
+    """
+
+    def key(col: Column) -> Column:
+        if normalize:
+            col = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+        return F.xxhash64(col)
+
+    inc = increment.withColumn("__h", key(F.col(content_col)))
+    seen = corpus.select(key(F.col(content_col)).alias("__h")).distinct()
+    fresh = inc.join(seen, "__h", "left_anti")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
 # ------------------------------------------------------------- jaccard
 
 def token_jaccard_pairs(

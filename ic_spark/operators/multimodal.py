@@ -193,3 +193,54 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
         F.avg(F.col("width")).alias("avg_width"),
         F.avg(F.col("duration_ms")).alias("avg_duration_ms"),
     )
+
+
+MIME_BY_EXT = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "gif": ("image", "image/gif"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def ingest_binary_files(
+    spark, path: str, glob: str | None = None, kind: str | None = None
+) -> DataFrame:
+    """Ingest raw media files into the MEDIA_SCHEMA shape via Spark's
+    binaryFile source (whole-file bytes + path/length/modtime; scans
+    distribute one file per task, so a directory of millions of images
+    parallelizes naturally).
+
+    ``media_id`` is xxhash64 of the file path — stable across re-runs,
+    computed JVM-side.  kind/mime come from the extension (or the
+    explicit ``kind`` override); width/height/duration stay null until
+    a real decode fills them (extract_features / resize_images mark
+    that codec boundary).
+    """
+    from ic_spark.sources.formats import read_files
+
+    raw = read_files(spark, path, "binaryFile", **({"pathGlobFilter": glob} if glob else {}))
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    kind_col = F.lit(kind)
+    mime_col = F.lit(None).cast("string")
+    if kind is None:
+        kind_col = F.lit("other")
+        for e, (k, _m) in MIME_BY_EXT.items():
+            kind_col = F.when(ext == e, F.lit(k)).otherwise(kind_col)
+    for e, (_k, m) in MIME_BY_EXT.items():
+        mime_col = F.when(ext == e, F.lit(m)).otherwise(mime_col)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        kind_col.alias("kind"),
+        mime_col.alias("mime"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

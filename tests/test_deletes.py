@@ -155,6 +155,55 @@ def test_incremental_append_scan(spark, table_with_data, tmp_path):
         read_incremental(spark, table, s1)
 
 
+def test_incremental_dedup_against_corpus(spark, tmp_path):
+    """Continuous-ingest dedup: a snapshot delta is deduped against the
+    pre-existing corpus (anti-join on content hashes) AND within itself
+    (min-id survivor) — history is probed, never re-deduped."""
+    from ic_spark.compaction.deletes import read_incremental, read_table
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.operators.dedup import incremental_dedup
+
+    table = ManifestTable(str(tmp_path / "docs"))
+    base = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text"), (2, "gamma text")],
+        "doc_id long, text string",
+    )
+
+    def commit(df, seq):
+        d = str(tmp_path / f"seq{seq}")
+        df.coalesce(1).write.parquet(d)
+        f = next(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+        return table.append_snapshot(
+            [{"path": f, "sequence_number": seq, "content": "DATA"}]
+        )
+
+    s1 = commit(base, 1)
+    # Delta: 10 dups base row 0; 11/13 duplicate each other; 12 is fresh.
+    delta = spark.createDataFrame(
+        [(10, "alpha text"), (11, "delta text"), (12, "epsilon text"),
+         (13, "delta text")],
+        "doc_id long, text string",
+    )
+    s2 = commit(delta, 2)
+
+    inc = read_incremental(spark, table, s1, s2)
+    corpus = read_table(spark, table, snapshot_id=s1)
+    out = incremental_dedup(inc, corpus, "text", "doc_id")
+    assert {(r.doc_id, r.text) for r in out.collect()} == {
+        (11, "delta text"),
+        (12, "epsilon text"),
+    }
+
+    # Normalized mode catches whitespace/case variants already ingested.
+    messy = spark.createDataFrame(
+        [(20, "  ALPHA   text "), (21, "zeta text")], "doc_id long, text string"
+    )
+    out2 = incremental_dedup(messy, corpus, "text", "doc_id", normalize=True)
+    assert [r.doc_id for r in out2.collect()] == [21]
+
+
 def test_merge_upsert_lifecycle(spark, tmp_path):
     """Upsert commits data + equality delete at ONE sequence: matched
     keys replaced, new keys inserted, batch's own rows survive; a later

@@ -171,6 +171,35 @@ def test_multimodal_plumbing(spark):
         extract_features(media, strict=True).collect()
 
 
+def test_multimodal_binaryfile_ingest(spark, tmp_path):
+    """binaryFile directory -> MEDIA_SCHEMA rows -> feature extraction:
+    the end-to-end ingest path for raw media files."""
+    from ic_spark.operators.multimodal import MEDIA_SCHEMA, ingest_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake image")
+    (tmp_path / "b.mp4").write_bytes(b"\x00\x00ftyp fake video")
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    media = ingest_binary_files(spark, str(tmp_path), glob="*.{png,mp4}")
+    assert [f.name for f in media.schema.fields] == [f.name for f in MEDIA_SCHEMA.fields]
+    rows = {r.kind: r for r in media.collect()}
+    assert set(rows) == {"image", "video"}
+    assert rows["image"].mime == "image/png"
+    assert bytes(rows["image"].payload) == b"\x89PNG fake image"
+    assert rows["video"].mime == "video/mp4"
+    # stable ids: same path -> same media_id across reads
+    again = {r.kind: r.media_id for r in ingest_binary_files(
+        spark, str(tmp_path), glob="*.{png,mp4}").collect()}
+    assert {k: r.media_id for k, r in rows.items()} == again
+
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(v.startswith(("image-feat-", "video-feat-")) for v in feats.values())
+
+    # kind override wins over extension sniffing
+    forced = ingest_binary_files(spark, str(tmp_path), glob="*.png", kind="image")
+    assert [r.kind for r in forced.collect()] == ["image"]
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     from ic_spark.operators.multimodal import resize_images, sample_frames
 
