@@ -132,6 +132,7 @@ def token_jaccard_pairs(
     content_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    hash_tokens: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing a blocking key.
 
@@ -140,8 +141,17 @@ def token_jaccard_pairs(
     equi-join on the block, so Spark shuffles each side once and AQE
     splits skewed blocks.  Oversized blocks are the scale hazard —
     choose blocks so max |block| is ~10^3-10^4.
+
+    ``hash_tokens`` (default) intersects sorted xxhash64 arrays instead
+    of string arrays — 8-byte compares cut pairwise time ~2x and the
+    shuffled token payload ~proportionally.  Jaccard values are
+    identical unless two DISTINCT tokens inside one compared pair
+    collide at 64 bits (~n_tokens^2/2^64 per pair — negligible); pass
+    False for the collision-free string path.
     """
     toks = F.array_distinct(tokens(F.col(content_col)))
+    if hash_tokens:
+        toks = F.array_sort(F.transform(toks, lambda t: F.xxhash64(t)))
     base = df.select(
         F.col(id_col).alias("__id"), *block_cols, toks.alias("__toks")
     )
