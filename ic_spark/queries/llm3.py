@@ -201,3 +201,96 @@ def pipeline_prepare_training(spark: SparkSession, sf_dir: str):
         F.col("n_docs").cast("long").alias("n_chunks"),
         F.col("total_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(CAST(f.c AS DOUBLE) / total.n)), 6) AS avg_logprob
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str):
+    """CCNet-style unigram language-model quality score: the corpus
+    itself is the model (P(tok) = corpus frequency / corpus size) and
+    each document scores the mean log-probability of its tokens — low
+    scores flag gibberish/outlier documents for filtering.
+
+    Scale shape: the model is ONE vocabulary-sized aggregate reused via
+    an equi-join on the token (no broadcast hint — vocabulary grows
+    with the corpus, AQE decides at runtime); the corpus total enters
+    as a broadcast single-row cross join; per-doc scoring is a map-side
+    partial avg on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.select(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "dedup_chunk_spans",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               md5(array_to_string(list_slice(t, s, s + 31), ' ')) AS h
+        FROM (
+            SELECT doc_id, t,
+                   generate_subscripts(starts, 1) - 1 AS i,
+                   unnest(starts) AS s
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS t,
+                       range(1, greatest(len(string_split(text, ' ')) - 0, 1) + 1, 32) AS starts
+                FROM documents
+            )
+        )
+    ),
+    dups AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM chunks GROUP BY h HAVING COUNT(*) > 1
+    )
+    SELECT c.doc_id, c.chunk_idx, d.dup_count
+    FROM chunks c JOIN dups d USING (h)
+    """,
+)
+def dedup_chunk_spans(spark: SparkSession, sf_dir: str):
+    """Exact substring-level dedup (the chunked analog of Lee et al.'s
+    dedup of repeated training spans): non-overlapping 32-token chunks,
+    hashed; every (doc, chunk) whose text occurs at more than one
+    position corpus-wide is flagged with its occurrence count.
+    Downstream, flagged spans are cut from documents rather than
+    dropping whole near-identical docs.
+
+    Scale shape: chunks shuffle as (hash, doc, idx) triples — md5 here
+    for oracle portability; swap xxhash64 at the 100 TB operating point
+    for an 8-byte shuffle key.  The group-by and the flag join are both
+    on the hash key; document text never joins against document text."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        d.select("doc_id", "text"), "doc_id", "text", chunk_tokens=32, overlap=0
+    ).select("doc_id", "chunk_idx", F.md5(F.col("chunk_text")).alias("h"))
+    dups = (
+        chunks.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+    return chunks.join(dups, "h").select("doc_id", "chunk_idx", "dup_count")

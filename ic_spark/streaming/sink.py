@@ -104,3 +104,44 @@ def manifest_upsert_sink(
         merge_upsert(df.sparkSession, table, df, key_cols, batch_tag=tag)
 
     return write_batch
+
+
+def manifest_dedup_append_sink(
+    table: ManifestTable,
+    content_col: str,
+    id_col: str,
+    name: str = "dedup",
+    normalize: bool = False,
+):
+    """Build a ``foreachBatch`` callable appending each micro-batch
+    MINUS duplicates — the continuous-ingest dedup pipeline in one
+    sink: every batch is deduped against the already-committed corpus
+    (8-byte-hash anti-join; history is probed, never re-deduped) and
+    within itself (min-id survivor), then committed atomically.
+
+    Scale: the probe side projects only ``content_col`` from the
+    corpus (Parquet column pruning) and reduces to distinct xxhash64
+    keys before the anti-join, so per-batch cost is
+    O(batch + corpus-hash-scan), never corpus x batch.  Replays of a
+    committed batch id are no-ops (same manifest-as-commit-log pattern
+    as ``manifest_append_sink``).
+    """
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.operators.dedup import incremental_dedup
+
+    append = manifest_append_sink(table, name=name)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        if table.current_snapshot() is None:
+            deduped = incremental_dedup(
+                df, df.limit(0), content_col, id_col, normalize=normalize
+            )
+        else:
+            corpus = read_table(spark, table)
+            deduped = incremental_dedup(
+                df, corpus, content_col, id_col, normalize=normalize
+            )
+        append(deduped, batch_id)
+
+    return write_batch

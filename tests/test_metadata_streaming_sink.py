@@ -114,6 +114,55 @@ def test_streaming_append_sink_exactly_once(spark, tmp_path):
     )
 
 
+def test_streaming_dedup_append_sink(spark, tmp_path):
+    """Dedup-on-ingest: each micro-batch is deduped against the
+    committed corpus and within itself before appending."""
+    from ic_spark.streaming.sink import manifest_dedup_append_sink
+
+    src = str(tmp_path / "dsrc")
+    # Batch files arrive in name order (FileStreamSource sorts): batch 0
+    # has an internal dup (ids 1/2 share text), batch 1 re-sends "aa"
+    # and adds fresh "cc".
+    spark.createDataFrame(
+        [(0, "aa"), (1, "bb"), (2, "bb")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b0")
+    spark.createDataFrame(
+        [(10, "aa"), (11, "cc")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    table = ManifestTable(str(tmp_path / "dedup_tbl"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(manifest_dedup_append_sink(table, "text", "doc_id"))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.text) for r in read_table(spark, table).collect()}
+    # Batch order isn't guaranteed between b0/b1 globs, but either order
+    # keeps exactly one row per distinct text with the batch-local min id.
+    texts = sorted(t for _, t in got)
+    assert texts == ["aa", "bb", "cc"]
+    by_text = {t: i for i, t in got}
+    assert by_text["bb"] == 1  # min-id survivor within its batch
+    assert by_text["aa"] in (0, 10) and by_text["cc"] == 11
+
+    # Replay of a committed batch id is a no-op.
+    sink = manifest_dedup_append_sink(table, "text", "doc_id")
+    sink(spark.createDataFrame([(99, "zz")], "doc_id long, text string"), 0)
+    assert {t for _, t in
+            {(r.doc_id, r.text) for r in read_table(spark, table).collect()}
+            } == {"aa", "bb", "cc"}
+
+
 def test_refs_protect_snapshots_and_vacuum(spark, tmp_path):
     table = _mk_table(spark, tmp_path, 10, "refs")
     write_equality_deletes(spark, table, spark.range(2), ["id"])  # snap 2
