@@ -14,10 +14,12 @@ Parity notes (SURVEY §7 hard part 4):
 - ``bucket`` — Iceberg specifies murmur3_x86_32 over a type-specific
   byte serialization.  Spark's ``F.hash`` IS murmur3_x86_32 but with
   seed 42 over Spark's internal layout, so bucket ids differ from
-  Iceberg's for the same value.  Within THIS engine bucketing is
-  consistent and deterministic; interop with Iceberg-written bucket
-  layouts requires the iceberg-spark runtime's ``system.bucket``
-  function (documented deviation).
+  Iceberg's for the same value.  The fast default (``bucket``) is
+  engine-consistent; the SPEC-EXACT variant (``iceberg_bucket``,
+  ``functions/iceberg_hash.py``) reproduces Iceberg's hash bit-for-bit
+  in pure Catalyst expressions — verified against the spec's published
+  test vectors — so layouts interoperate with Iceberg-written tables
+  without the iceberg-spark runtime.
 - ``truncate`` — ints/longs floor toward negative infinity in width-
   sized bins; strings truncate to width chars; decimals scale-preserve.
 """
@@ -103,6 +105,10 @@ def transform_column(spec: dict, col: Column, data_type=None) -> Column:
         return TRANSFORMS[name](col)
     if name == "bucket":
         return bucket(int(spec["n"]), col)
+    if name == "iceberg_bucket":
+        from ic_spark.functions.iceberg_hash import iceberg_bucket
+
+        return iceberg_bucket(int(spec["n"]), col, data_type)
     if name == "truncate":
         width = int(spec["width"])
         from pyspark.sql.types import StringType

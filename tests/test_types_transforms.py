@@ -147,3 +147,96 @@ def test_fanout_write_with_transforms(spark, ts_df, tmp_path):
         {0, (datetime.date(1971, 3, 2) - datetime.date(1970, 1, 1)).days,
          (datetime.date(2024, 12, 31) - datetime.date(1970, 1, 1)).days}
     )
+
+
+def test_iceberg_bucket_spec_vectors(spark):
+    """The pure-expression murmur3 must reproduce the Iceberg spec's
+    published hash test vectors (Appendix B) bit-for-bit, ANSI on."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.functions.iceberg_hash import (
+        iceberg_hash_long,
+        iceberg_hash_string,
+        iceberg_hash_bytes,
+    )
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.ansi.enabled", "true")
+    micros_ts = 1510871468000000  # 2017-11-16T22:31:08 UTC
+    time_us = (22 * 3600 + 31 * 60 + 8) * 1_000_000
+    df = ns.createDataFrame(
+        [(34, 17486, micros_ts, time_us, "iceberg", bytearray(b"\x00\x01\x02\x03"))],
+        "v long, d long, ts long, t long, s string, b binary",
+    )
+    r = df.select(
+        iceberg_hash_long(F.col("v")).alias("hl"),
+        iceberg_hash_long(F.col("d")).alias("hd"),
+        iceberg_hash_long(F.col("ts")).alias("hts"),
+        iceberg_hash_long(F.col("t")).alias("ht"),
+        iceberg_hash_string(F.col("s")).alias("hs"),
+        iceberg_hash_bytes(F.col("b")).alias("hb"),
+    ).collect()[0]
+    assert r.hl == 2017239379  # int/long 34
+    assert r.hd == -653330422  # date 2017-11-16
+    assert r.hts == -2047944441  # timestamp 2017-11-16T22:31:08
+    assert r.ht == -662762989  # time 22:31:08
+    assert r.hs == 1210000089  # string "iceberg"
+    assert r.hb == -188683207  # binary 0x00010203
+
+
+def test_iceberg_hash_matches_python_reference(spark):
+    """Expression == driver-side reference murmur3 on random longs,
+    strings (incl. multi-byte UTF-8 and empty), and binaries."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.functions.iceberg_hash import (
+        iceberg_hash_bytes,
+        iceberg_hash_long,
+        iceberg_hash_string,
+        py_hash_long,
+        py_murmur3_32,
+    )
+
+    random.seed(11)
+    longs = [random.randint(-2**63, 2**63 - 1) for _ in range(200)] + [
+        0, -1, 2**63 - 1, -(2**63)]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r.h for r in ldf.select(iceberg_hash_long(F.col("v")).alias("h")).collect()]
+    assert got == [py_hash_long(v) for v in longs]
+
+    strs = [""] + [
+        "".join(random.choice("abz09 é中\U0001F600") for _ in range(random.randint(0, 19)))
+        for _ in range(150)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = [r.h for r in sdf.select(iceberg_hash_string(F.col("s")).alias("h")).collect()]
+    assert got == [py_murmur3_32(s.encode()) for s in strs]
+
+    bins = [bytes(random.randint(0, 255) for _ in range(random.randint(0, 13)))
+            for _ in range(80)]
+    bdf = spark.createDataFrame([(bytearray(b),) for b in bins], "b binary")
+    got = [r.h for r in bdf.select(iceberg_hash_bytes(F.col("b")).alias("h")).collect()]
+    assert got == [py_murmur3_32(b) for b in bins]
+
+
+def test_iceberg_bucket_transform_dispatch(spark, ts_df):
+    """iceberg_bucket partition transform: correct range, type dispatch
+    (date/timestamp/string/long), deterministic, and usable in a
+    partitioned fanout write."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import DateType, StringType
+
+    from ic_spark.functions.iceberg_hash import py_hash_long
+    from ic_spark.compaction.transforms import transform_column
+
+    spec = {"transform": "iceberg_bucket", "n": 8}
+    out = ts_df.select(
+        transform_column(spec, F.col("id")).alias("bi"),
+        transform_column(spec, F.col("ts").cast("date"), DateType()).alias("bd"),
+        transform_column(spec, F.col("ts").cast("string"), StringType()).alias("bs"),
+    ).collect()
+    assert all(0 <= r.bi < 8 and 0 <= r.bd < 8 and 0 <= r.bs < 8 for r in out)
+    ids = [r.id for r in ts_df.select("id").collect()]
+    assert [r.bi for r in out] == [(py_hash_long(v) & 0x7FFFFFFF) % 8 for v in ids]
