@@ -108,7 +108,7 @@ def transform_column(spec: dict, col: Column, data_type=None) -> Column:
     if name == "iceberg_bucket":
         from ic_spark.functions.iceberg_hash import iceberg_bucket
 
-        return iceberg_bucket(int(spec["n"]), col, data_type)
+        return iceberg_bucket(int(spec["n"]), col, data_type, spec.get("logical"))
     if name == "truncate":
         width = int(spec["width"])
         from pyspark.sql.types import StringType

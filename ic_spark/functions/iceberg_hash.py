@@ -120,8 +120,11 @@ def iceberg_hash_bytes(col: Column) -> Column:
     and higher-order functions are the loop Catalyst has.  Interpreted
     per block, so reserve for partition keys, not 100-MB payloads.
     """
-    hx = F.hex(col)
-    n_bytes = F.length(col)
+    return _hash_hex(F.hex(col), F.length(col))
+
+
+def _hash_hex(hx: Column, n_bytes: Column) -> Column:
+    """murmur3_x86_32 over bytes given as a hex STRING (2 chars/byte)."""
     n_blocks = F.floor(n_bytes / 4).cast("int")
 
     def byte_at(i: Column) -> Column:
@@ -161,25 +164,83 @@ def iceberg_hash_string(col: Column) -> Column:
     return iceberg_hash_bytes(F.encode(col, "UTF-8"))
 
 
-def iceberg_bucket(n: int, col: Column, data_type=None) -> Column:
+def iceberg_hash_uuid(col: Column) -> Column:
+    """UUID in canonical string form hashes its 16 big-endian bytes
+    (spec: java.util.UUID msb/lsb serialization == the hex digits)."""
+    return _hash_hex(F.upper(F.replace(col, F.lit("-"), F.lit(""))), F.lit(16))
+
+
+def iceberg_hash_decimal(col: Column, scale: int) -> Column:
+    """Decimal(p<=18, s): hash of the UNSCALED value's minimal-length
+    two's-complement big-endian bytes (java BigInteger.toByteArray).
+
+    The unscaled long renders as 16 fixed hex chars via ``conv`` (which
+    wraps negatives to 64-bit two's complement); the minimal byte count
+    is picked with exact signed-range comparisons (no float log), and
+    the hex tail of that length IS the minimal big-endian encoding.
+    """
+    u = (col * F.lit(10**scale)).cast("long")
+    return _let(
+        u,
+        lambda uv: _let(
+            _min_signed_bytes(uv),
+            lambda nb: _hash_hex(
+                F.substring(
+                    F.lpad(F.conv(uv.cast("string"), 10, 16), 16, "0"),
+                    (F.lit(17) - nb * 2).cast("int"),
+                    (nb * 2).cast("int"),
+                ),
+                nb,
+            ),
+        ),
+    )
+
+
+def _min_signed_bytes(v: Column) -> Column:
+    """Minimal two's-complement byte length of a long: the smallest L
+    with -2^(8L-1) <= v < 2^(8L-1) (exact comparisons, matches
+    BigInteger.toByteArray: -128 -> 1 byte, -129 -> 2, 0 -> 1)."""
+    out = F.lit(8)
+    for L in range(7, 0, -1):
+        lo, hi = -(1 << (8 * L - 1)), (1 << (8 * L - 1)) - 1
+        out = F.when((v >= F.lit(lo)) & (v <= F.lit(hi)), F.lit(L)).otherwise(out)
+    return out
+
+
+def iceberg_bucket(
+    n: int, col: Column, data_type=None, logical: str | None = None
+) -> Column:
     """Spec-exact Iceberg bucket id in [0, n): ``(hash & MaxInt) % n``.
 
     Dispatches on the column's Spark type: strings/binary hash their
     bytes; date promotes to days-from-epoch; timestamps promote to
-    micros; int/long hash as 8-byte LE longs.
+    micros; decimals hash minimal big-endian unscaled bytes; int/long
+    hash as 8-byte LE longs.  ``logical="uuid"`` marks a StringType
+    column carrying canonical UUIDs (Iceberg UUID maps to Spark string
+    — the bytes, not the text, must hash).
     """
     from pyspark.sql.types import (
         BinaryType,
         DateType,
+        DecimalType,
         StringType,
         TimestampNTZType,
         TimestampType,
     )
 
-    if isinstance(data_type, StringType):
+    if logical == "uuid":
+        h = iceberg_hash_uuid(col)
+    elif isinstance(data_type, StringType):
         h = iceberg_hash_string(col)
     elif isinstance(data_type, BinaryType):
         h = iceberg_hash_bytes(col)
+    elif isinstance(data_type, DecimalType):
+        if data_type.precision > 18:
+            raise NotImplementedError(
+                "iceberg_bucket on decimal needs precision <= 18 "
+                "(unscaled value must fit a long)"
+            )
+        h = iceberg_hash_decimal(col, data_type.scale)
     elif isinstance(data_type, DateType):
         h = iceberg_hash_long(
             F.datediff(col, F.lit("1970-01-01").cast("date"))
@@ -229,3 +290,13 @@ def py_murmur3_32(data: bytes, seed: int = 0) -> int:
 
 def py_hash_long(v: int) -> int:
     return py_murmur3_32(struct.pack("<q", v))
+
+
+def py_min_signed_be(v: int) -> bytes:
+    """Minimal two's-complement big-endian bytes (BigInteger.toByteArray
+    parity: -128 -> b'\\x80', 0 -> b'\\x00')."""
+    if v >= 0:
+        length = v.bit_length() // 8 + 1
+    else:
+        length = (-v - 1).bit_length() // 8 + 1
+    return v.to_bytes(length, "big", signed=True)

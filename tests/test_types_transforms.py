@@ -183,6 +183,24 @@ def test_iceberg_bucket_spec_vectors(spark):
     assert r.hs == 1210000089  # string "iceberg"
     assert r.hb == -188683207  # binary 0x00010203
 
+    import decimal
+
+    from ic_spark.functions.iceberg_hash import (
+        iceberg_hash_decimal,
+        iceberg_hash_uuid,
+    )
+
+    df2 = ns.createDataFrame(
+        [(decimal.Decimal("14.20"), "f79c3e09-677c-4bbd-a479-3f349cb785e7")],
+        "d decimal(10,2), u string",
+    )
+    r2 = df2.select(
+        iceberg_hash_decimal(F.col("d"), 2).alias("hd"),
+        iceberg_hash_uuid(F.col("u")).alias("hu"),
+    ).collect()[0]
+    assert r2.hd == -500754589  # decimal 14.20
+    assert r2.hu == 1488055340  # uuid f79c3e09-...
+
 
 def test_iceberg_hash_matches_python_reference(spark):
     """Expression == driver-side reference murmur3 on random longs,
@@ -219,6 +237,22 @@ def test_iceberg_hash_matches_python_reference(spark):
     bdf = spark.createDataFrame([(bytearray(b),) for b in bins], "b binary")
     got = [r.h for r in bdf.select(iceberg_hash_bytes(F.col("b")).alias("h")).collect()]
     assert got == [py_murmur3_32(b) for b in bins]
+
+    # decimals: minimal two's-complement BE incl. the -128/-129 boundary
+    import decimal
+
+    from ic_spark.functions.iceberg_hash import (
+        iceberg_hash_decimal,
+        py_min_signed_be,
+    )
+
+    dvals = [decimal.Decimal(v) / 100 for v in
+             [0, -1, 127, 128, -128, -129, 10**16, -(10**16)] +
+             [random.randint(-10**15, 10**15) for _ in range(60)]]
+    ddf = spark.createDataFrame([(v,) for v in dvals], "d decimal(18,2)")
+    got = [r.h for r in ddf.select(
+        iceberg_hash_decimal(F.col("d"), 2).alias("h")).collect()]
+    assert got == [py_murmur3_32(py_min_signed_be(int(v * 100))) for v in dvals]
 
 
 def test_iceberg_bucket_transform_dispatch(spark, ts_df):
