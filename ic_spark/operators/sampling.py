@@ -45,3 +45,52 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def u01(id_col: F.Column | str) -> F.Column:
+    """Deterministic uniform-[0,1) from an id: the Knuth scramble
+    divided by 2^32 — pure integer arithmetic then one exact division,
+    so ANY SQL engine reproduces it bit-identically (no seed, no md5
+    hex-parsing portability problems)."""
+    return scramble(id_col).cast("double") / F.lit(float(2**32))
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    target_total: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual-training
+    alpha-sampling scheme): stratum s gets expected share
+    ``n_s^alpha / sum_t n_t^alpha`` of ``target_total`` rows, taken as
+    an independent deterministic Bernoulli per row with acceptance
+    ``min(1, target * share / n_s)`` — alpha < 1 upsamples the tail
+    strata relative to their natural frequency.
+
+    Deterministic and engine-portable: the per-row coin is ``u01(id)``
+    (md5-derived), so the selected set is exact and oracle-checkable —
+    no seed-dependent ``sample()``.  Scale: one stratum-count aggregate
+    (strata-sized), broadcast back; the filter is a scan-side predicate,
+    no shuffle of the corpus.
+    """
+    counts = df.groupBy(*stratum_cols).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        *stratum_cols,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.col("__z")
+            / F.col("__n").cast("double"),
+        ).alias("__p"),
+    )
+    return (
+        df.join(F.broadcast(rates), on=stratum_cols)
+        .where(u01(id_col) < F.col("__p"))
+        .drop("__p")
+    )

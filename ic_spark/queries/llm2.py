@@ -397,3 +397,33 @@ def sample_corpus_mix(spark: SparkSession, sf_dir: str):
     return stratified_sample(
         d.select("doc_id", "lang", "source"), ["lang"], "doc_id", 40
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.7)) AS z FROM counts),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, 100.0 * pow(CAST(n AS DOUBLE), 0.7) / z.z
+                          / CAST(n AS DOUBLE)) AS p
+        FROM counts CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST((d.doc_id % 2147483648) * 2654435761 % 4294967296 AS DOUBLE)
+          / 4294967296.0 < r.p
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str):
+    """Temperature-weighted source mixing (alpha = 0.7, the multilingual
+    alpha-sampling scheme): each source's expected share of 100 sampled
+    docs is n^0.7-proportional, taken with a deterministic per-row
+    Bernoulli (Knuth-scramble u01 — engine-portable, no seed)."""
+    from ic_spark.operators.sampling import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        d.select("doc_id", "source"), ["source"], "doc_id", 100, alpha=0.7
+    )
