@@ -193,6 +193,10 @@ def ivf_centroids(
         .collect()
     )
     cents = [list(r.cv) for r in seeds]
+    if not cents:
+        # Downstream expressions (sequence(-1, -nlist, -1)) are invalid
+        # for zero centroids; fail with the actual cause instead.
+        raise ValueError("ivf_centroids: corpus has no rows to seed from")
     for _ in range(refine_iters):
         assigned = corpus.select(
             _nearest_centroid_idx(vec_col, cents).alias("__cell"),
