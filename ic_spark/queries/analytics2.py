@@ -379,3 +379,57 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str):
     return not_last.groupBy("s_name").agg(
         F.countDistinct("l_orderkey").alias("waiting_orders")
     )
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str):
+    """Distribution window functions (percent_rank / cume_dist) —
+    rounds to 6 so the k/(n-1) doubles hash identically cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@query(
+    "unpivot_returnflag_metrics",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM base
+    UNPIVOT (value FOR metric IN (total_qty, total_price, n_items))
+    """,
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str):
+    """Wide->long unpivot (melt) of per-returnflag aggregates — the
+    inverse of pivot_returnflag_revenue; Spark's native unpivot operator
+    (no UNION ALL re-scan: one pass, rows fan out in the projection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return base.unpivot(
+        ["l_returnflag"], ["total_qty", "total_price", "n_items"], "metric", "value"
+    )
