@@ -244,3 +244,53 @@ def ingest_binary_files(
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame:
+    """Arrow-batched media embedding: (media_id, kind, embedding) with
+    ``array<float>`` of ``dim`` — the encoder stage of multimodal
+    retrieval (CLIP-style image/audio towers in a real deployment).
+
+    The encoder here is the stubbed codec boundary: a deterministic
+    pseudo-embedding derived from sha-512 of the payload bytes (so
+    identical payloads embed identically and tests are exact);
+    ``strict=True`` raises where the real model forward pass belongs.
+    Output plugs directly into operators/similarity.py (brute-force /
+    LSH / IVF top-k) and semantic_dedup — the same 100 TB path as text
+    embeddings: encode at scan, never shuffle payload bytes.
+    """
+    if dim > 128:
+        raise ValueError("fake encoder supports dim <= 128 (sha512 budget)")
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media encoders not available in this environment; "
+                    "plug a real model into embed_media()"
+                )
+
+            def enc(b):
+                if b is None:
+                    return None
+                d = hashlib.sha512(bytes(b)).digest()
+                return [(d[i] - 128) / 128.0 for i in range(dim)]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": pdf["payload"].map(enc),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

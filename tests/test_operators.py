@@ -200,6 +200,39 @@ def test_multimodal_binaryfile_ingest(spark, tmp_path):
     assert [r.kind for r in forced.collect()] == ["image"]
 
 
+def test_multimodal_retrieval_pipeline(spark, tmp_path):
+    """Ingest -> embed -> ANN, end to end: binary files become
+    MEDIA_SCHEMA rows, the (stubbed) encoder yields deterministic
+    embeddings, and brute-force cosine top-k retrieves the duplicate
+    payload as the nearest neighbor with cosine 1.0."""
+    from ic_spark.operators.multimodal import embed_media, ingest_binary_files
+    from ic_spark.operators.similarity import brute_force_top_k
+
+    (tmp_path / "a.png").write_bytes(b"payload-A" * 10)
+    (tmp_path / "b.png").write_bytes(b"payload-B" * 10)
+    (tmp_path / "c.png").write_bytes(b"payload-A" * 10)  # dup of a
+
+    media = ingest_binary_files(spark, str(tmp_path), glob="*.png")
+    emb = embed_media(media, dim=16)
+    rows = {r.media_id: r.embedding for r in emb.collect()}
+    assert len(rows) == 3 and all(len(v) == 16 for v in rows.values())
+
+    by_payload = {}
+    for r in media.select("media_id", "payload").collect():
+        by_payload.setdefault(bytes(r.payload), []).append(r.media_id)
+    dup_a, dup_c = sorted(by_payload[b"payload-A" * 10])
+
+    top = brute_force_top_k(
+        emb, emb.where(F.col("media_id") == dup_a),
+        id_col="media_id", vec_col="embedding", k=1,
+    ).collect()
+    assert len(top) == 1
+    assert top[0].neighbor_id == dup_c and abs(top[0].cosine - 1.0) < 1e-6
+
+    with pytest.raises(Exception):
+        embed_media(media, strict=True).collect()
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     from ic_spark.operators.multimodal import resize_images, sample_frames
 
