@@ -433,3 +433,62 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str):
     return base.unpivot(
         ["l_returnflag"], ["total_qty", "total_price", "n_items"], "metric", "value"
     )
+
+
+@query(
+    "agg_median_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(MEDIAN(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS med_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_median_grouping_id(spark: SparkSession, sf_dir: str):
+    """Exact median + grouping_id over a rollup: grouping_id's bit
+    pattern (which columns are aggregated away) matches DuckDB's
+    GROUPING(); median is the exact interpolated percentile both
+    engines define identically for doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.median(F.col("l_quantity").cast("double")).alias("med_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "med_qty", "n")
+    )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'F'))
+               AS not_finished,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS demoted,
+           CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN -1
+                ELSE o_custkey END AS cust_nvl
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str):
+    """Null-safe comparison (<=> == IS NOT DISTINCT FROM, exercised
+    against genuinely-null values via NULLIF), COALESCE/NULLIF chains,
+    and explicit null defaulting — the null-semantics corner of the
+    scalar surface."""
+    o = load_table(spark, sf_dir, "orders")
+    st_null = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.col("o_orderstatus").eqNullSafe(st_null).alias("not_finished"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("urgent!")
+        ).alias("demoted"),
+        F.when(st_null.isNull(), F.lit(-1))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_nvl"),
+    )
