@@ -45,7 +45,11 @@ def main() -> None:
     def _ping(s):
         return s
 
-    spark.range(0, 32, 1, 32).select(pandas_udf(_ping, "long")("id")).count()
+    # Aggregate OVER the UDF output — count() alone lets ColumnPruning
+    # drop the (deterministic) UDF column and no worker ever forks.
+    spark.range(0, 32, 1, 32).select(
+        pandas_udf(_ping, "long")("id").alias("x")
+    ).agg({"x": "sum"}).collect()
 
     # Two reps, report the min: the shared host shows bursty CPU steal,
     # and min-of-reps measures the engine rather than the neighbors.

@@ -248,7 +248,36 @@ def iceberg_bucket(
     elif isinstance(data_type, (TimestampType, TimestampNTZType)):
         h = iceberg_hash_long(F.unix_micros(col.cast("timestamp")))
     else:
-        h = iceberg_hash_long(col)
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        if data_type is not None and not isinstance(
+            data_type, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            # float/double bucketing is forbidden by the spec; anything
+            # else unlisted has no serialization here.  Failing eagerly
+            # beats the ANSI-off silent alternative (cast -> NULL ->
+            # every row in bucket NULL, layout quietly non-interoperable).
+            raise NotImplementedError(
+                f"iceberg_bucket: unsupported type {data_type} "
+                "(pass the correct data_type for string/binary/decimal/"
+                "date/timestamp columns)"
+            )
+        v = col.cast("long")
+        if data_type is None:
+            # No type given: accept integral values but make a bad cast
+            # LOUD even with ANSI off (assert_true returns NULL when the
+            # predicate holds, so the `when` branch always selects v).
+            v = F.when(
+                F.assert_true(
+                    col.isNull() | v.isNotNull(),
+                    F.lit(
+                        "iceberg_bucket: value not castable to long — "
+                        "pass data_type for non-integral columns"
+                    ),
+                ).isNull(),
+                v,
+            )
+        h = iceberg_hash_long(v)
     return F.pmod(h.cast("long").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)).cast(
         "int"
     )

@@ -46,6 +46,15 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _content_key(c: Column, normalize: bool) -> Column:
+    """The ONE normalization rule shared by every exact-dedup path
+    (batch, incremental, streaming ingest) — divergence here would make
+    the paths disagree on what counts as a duplicate."""
+    if normalize:
+        return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return c
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(
@@ -61,10 +70,9 @@ def exact_dedup(
     shuffling hashes and shuffling the corpus.  Collision risk at 2^64
     is negligible for practical corpus sizes (~10^10 docs → p≈1e-7).
     """
-    c: Column = F.col(content_col)
-    if normalize:
-        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
-    keyed = df.withColumn("__h", F.xxhash64(c))
+    keyed = df.withColumn(
+        "__h", F.xxhash64(_content_key(F.col(content_col), normalize))
+    )
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -109,9 +117,7 @@ def incremental_dedup(
     """
 
     def key(col: Column) -> Column:
-        if normalize:
-            col = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
-        return F.xxhash64(col)
+        return F.xxhash64(_content_key(col, normalize))
 
     inc = increment.withColumn("__h", key(F.col(content_col)))
     seen = corpus.select(key(F.col(content_col)).alias("__h")).distinct()

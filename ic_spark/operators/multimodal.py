@@ -259,8 +259,10 @@ def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame
     LSH / IVF top-k) and semantic_dedup — the same 100 TB path as text
     embeddings: encode at scan, never shuffle payload bytes.
     """
-    if dim > 128:
-        raise ValueError("fake encoder supports dim <= 128 (sha512 budget)")
+    if dim > 64:
+        raise ValueError(
+            "fake encoder supports dim <= 64 (sha512 digest is 64 bytes)"
+        )
     from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(

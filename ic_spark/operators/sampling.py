@@ -70,8 +70,8 @@ def temperature_sample(
     strata relative to their natural frequency.
 
     Deterministic and engine-portable: the per-row coin is ``u01(id)``
-    (md5-derived), so the selected set is exact and oracle-checkable —
-    no seed-dependent ``sample()``.  Scale: one stratum-count aggregate
+    (Knuth-scramble arithmetic), so the selected set is exact and
+    oracle-checkable — no seed-dependent ``sample()``.  Scale: one stratum-count aggregate
     (strata-sized), broadcast back; the filter is a scan-side predicate,
     no shuffle of the corpus.
     """
