@@ -81,9 +81,15 @@ def interval_join(
         F.explode(
             F.sequence(
                 F.floor(_epoch_seconds(right_start) / w),
-                # end is exclusive: an interval ending exactly on a
-                # bucket boundary does not reach into the next bucket.
-                F.floor((_epoch_seconds(right_end) - 1) / w),
+                # end is exclusive: the last included instant is
+                # end - 1µs.  (sec(end) - 1 would be wrong for
+                # fractional-second ends: it drops the final partial
+                # second and can miss a bucket-boundary-straddling
+                # match.)
+                F.floor(
+                    (F.col(right_end).cast("timestamp")
+                     - F.expr("INTERVAL 1 MICROSECOND")).cast("long") / w
+                ),
             )
         ),
     )
@@ -109,4 +115,70 @@ def interval_join(
         return inner.unionByName(null_right)
     raise ValueError(
         f"interval_join without an equi key supports how='inner'/'left', got {how!r}"
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_width_seconds: int = 86400,
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals, half-open):
+    pairs where ``l_start < r_end AND r_start < l_end``.
+
+    With an equi key: hash join on the key with the overlap predicate
+    folded into the join condition.  Without one, a theta join would be
+    a cross product; instead BOTH sides register in every time bucket
+    they touch and pairs meet on the bucket key — and each pair is
+    emitted exactly ONCE, in the canonical bucket where the later of
+    the two intervals starts (no distinct/dedup pass, which would
+    shuffle the matched output a second time).  Shuffle is linear in
+    rows x buckets-per-interval, never quadratic.
+    """
+    overlap = (F.col(left_start) < F.col(f"__r_{right_end}")) & (
+        F.col(f"__r_{right_start}") < F.col(left_end)
+    )
+    r = right
+    for c in (right_start, right_end):
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    if on is not None:
+        cond = (left[on] == r[on]) & overlap
+        return (
+            left.join(r, cond, "inner")
+            .drop(r[on])
+            .withColumnsRenamed({f"__r_{right_start}": right_start,
+                                 f"__r_{right_end}": right_end})
+        )
+
+    w = bucket_width_seconds
+
+    def _sec(name: str):
+        return F.col(name).cast("timestamp").cast("long")
+
+    def _buckets(start: str, end: str):
+        # exclusive end: last included instant is end - 1µs (exact for
+        # fractional-second ends, unlike sec(end) - 1).
+        last = (
+            F.col(end).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND")
+        ).cast("long")
+        return F.explode(F.sequence(F.floor(_sec(start) / w), F.floor(last / w)))
+
+    lb = left.withColumn("__bucket", _buckets(left_start, left_end))
+    rb = r.withColumn(
+        "__bucket", _buckets(f"__r_{right_start}", f"__r_{right_end}")
+    )
+    canonical = F.col("__bucket") == F.greatest(
+        F.floor(_sec(left_start) / w), F.floor(_sec(f"__r_{right_start}") / w)
+    )
+    return (
+        lb.join(rb, on="__bucket", how="inner")
+        .where(overlap & canonical)
+        .drop("__bucket")
+        .withColumnsRenamed({f"__r_{right_start}": right_start,
+                             f"__r_{right_end}": right_end})
     )

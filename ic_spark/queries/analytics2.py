@@ -492,3 +492,42 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str):
         .otherwise(F.col("o_custkey"))
         .alias("cust_nvl"),
     )
+
+
+@query(
+    "overlap_join_error_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT event_id AS error_id, ts AS es, ts + INTERVAL 10 MINUTE AS ee
+        FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts AS ps, ts + INTERVAL 5 MINUTE AS pe
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, p.purchase_id
+    FROM e JOIN p ON e.es < p.pe AND p.ps < e.ee
+    """,
+)
+def overlap_join_error_purchase(spark: SparkSession, sf_dir: str):
+    """Keyless interval-OVERLAP join: 10-minute error windows crossed
+    with 5-minute purchase windows wherever they intersect — bucketed
+    (1 h buckets) with canonical-bucket emission, so the theta join
+    never becomes a cross product and no dedup pass re-shuffles the
+    output."""
+    from ic_spark.operators.rangejoin import overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("es"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("ee"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("pe"),
+    )
+    return overlap_join(
+        e, p, "es", "ee", "ps", "pe", bucket_width_seconds=3600
+    ).select("error_id", "purchase_id")

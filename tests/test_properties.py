@@ -95,6 +95,52 @@ def test_interval_join_matches_naive(spark, points, intervals, width):
     )
 
 
+@FEW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(1, 400)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(1, 400)), min_size=1, max_size=12
+    ),
+    width=st.sampled_from([7, 100, 256]),
+)
+def test_overlap_join_matches_naive(spark, lefts, rights, width):
+    """Bucketed interval-OVERLAP join == naive theta join — canonical-
+    bucket emission must produce each overlapping pair exactly once.
+    Inputs use MICROSECOND offsets so fractional-second interval ends
+    exercise the exclusive-end bucketing."""
+    from ic_spark.operators.rangejoin import overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(lefts)],
+        "lid long, s long, e long",
+    ).select(
+        "lid",
+        F.timestamp_micros(F.col("s") * 1_000_000 + 500_000).alias("ls"),
+        F.timestamp_micros(F.col("e") * 1_000_000 + 500_000).alias("le"),
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(rights)],
+        "rid long, s long, e long",
+    ).select(
+        "rid",
+        F.timestamp_micros(F.col("s") * 1_000_000 + 250_000).alias("rs"),
+        F.timestamp_micros(F.col("e") * 1_000_000 + 250_000).alias("re"),
+    )
+    fast = overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width_seconds=width
+    ).select("lid", "rid")
+    naive = (
+        ldf.crossJoin(rdf)
+        .where((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .select("lid", "rid")
+    )
+    fast_rows = [tuple(r) for r in fast.collect()]
+    assert len(fast_rows) == len(set(fast_rows))  # exactly-once emission
+    assert normalize(fast_rows) == normalize(map(tuple, naive.collect()))
+
+
 def test_rewrite_max_records_per_file(spark, tmp_path):
     """max_records_per_file bounds output file sizes (writer knob)."""
     import os
