@@ -427,3 +427,28 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str):
     return temperature_sample(
         d.select("doc_id", "source"), ["source"], "doc_id", 100, alpha=0.7
     )
+
+
+@query("agg_hll_partials_rollup", oracle=None)
+def agg_hll_partials_rollup(spark: SparkSession, sf_dir: str):
+    """Re-aggregatable distinct counts: per-(returnflag, linestatus)
+    HLL sketches built ONCE, then UNIONED up to per-returnflag
+    estimates — the pattern that makes distinct-count rollups work at
+    100 TB (pre-aggregated sketch partials merge; raw distinct counts
+    don't).  Engine-specific binary sketches, so rows-only driver
+    check; merge==direct accuracy is pinned in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("pk_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("pk_sketch")).alias(
+                "approx_distinct_parts"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select("l_returnflag", "approx_distinct_parts", "n_rows")
+    )

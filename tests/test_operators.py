@@ -749,3 +749,36 @@ def test_count_rows_from_manifest(spark, tmp_path):
     write_equality_deletes(spark, t, spark.range(5), ["id"])
     assert t.count_rows() is None          # deletes present again
     assert t.count_rows(snapshot_id=sid) == 100  # time-travel still exact
+
+
+def test_hll_partials_merge_losslessly(spark):
+    """Unioning per-group HLL partials must equal sketching the union
+    directly (HLL union is lossless at equal lgK) and land within 5% of
+    the exact distinct count — the re-aggregatable rollup property."""
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    merged = {
+        r.l_returnflag: r.est
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_partkey").alias("s"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r.l_returnflag: r.est
+        for r in li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert merged == direct  # lossless merge
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
