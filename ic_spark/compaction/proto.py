@@ -531,6 +531,12 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
 
         config["sort_order"] = _json.dumps(req.sort_order)
         config["sort_order_id"] = str(req.sort_order_id)
+    if req.bloom_filter_cols:
+        config["bloom_filter_cols"] = ",".join(req.bloom_filter_cols)
+    if req.bloom_filter_ndv:
+        import json as _json2
+
+        config["bloom_filter_ndv"] = _json2.dumps(req.bloom_filter_ndv)
     msg: dict[str, Any] = {
         "file_scan_task_descriptor": tasks,
         "rewrite_file_config": config,
@@ -586,6 +592,16 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             else None
         ),
         sort_order_id=int(cfg.get("sort_order_id", 0)),
+        bloom_filter_cols=(
+            cfg["bloom_filter_cols"].split(",")
+            if cfg.get("bloom_filter_cols")
+            else None
+        ),
+        bloom_filter_ndv=(
+            __import__("json").loads(cfg["bloom_filter_ndv"])
+            if cfg.get("bloom_filter_ndv")
+            else None
+        ),
         schema=schema,
         data_files=buckets[FileContent.DATA],
         position_delete_files=buckets[FileContent.POSITION_DELETES],

@@ -135,6 +135,16 @@ class RewriteFilesRequest:
     # interleaved key drives the local sort (multi-dimensional file
     # skipping).  Mutually exclusive with sort_order.
     zorder_by: list[str] | None = None
+    # Parquet bloom filters on these columns (write.parquet.bloom-
+    # filter-enabled.column.* in Iceberg terms): row-group-level point
+    # -lookup skipping for high-cardinality keys where min/max stats
+    # can't prune (e.g. uuid/hash ids).  Read side is automatic — the
+    # vectorized Parquet reader consults blooms for = and IN filters.
+    bloom_filter_cols: list[str] | None = None
+    # Expected distinct values per bloom column (sizes the filter —
+    # parquet-mr's default 1M NDV costs ~1 MB per row group per column;
+    # size it to the real key cardinality).
+    bloom_filter_ndv: dict | None = None
 
 
 @dataclass

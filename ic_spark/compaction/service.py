@@ -73,6 +73,8 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         sort_order=payload.get("sort_order"),
         sort_order_id=int(payload.get("sort_order_id", 0)),
         zorder_by=payload.get("zorder_by"),
+        bloom_filter_cols=payload.get("bloom_filter_cols"),
+        bloom_filter_ndv=payload.get("bloom_filter_ndv"),
     )
 
 

@@ -196,6 +196,13 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
 
     if request.max_records_per_file > 0:
         writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
+    for c in request.bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        ndv = (request.bloom_filter_ndv or {}).get(c)
+        if ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", int(ndv)
+            )
     writer.mode("overwrite").parquet(request.dir_path)
 
     files = _list_written_files(request.dir_path)

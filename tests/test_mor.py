@@ -746,3 +746,73 @@ def test_convert_equality_deletes_to_position(spark, tmp_path):
     assert Compaction(spark).convert_equality_deletes(table) == {
         "converted": 0, "delete_rows": 0
     }
+
+
+def test_bloom_filter_write_knob(spark, tmp_path):
+    """bloom_filter_cols writes parquet bloom filters (file grows by the
+    filter bytes; sized-down by bloom_filter_ndv), results stay exact,
+    and the knob round-trips both request codecs."""
+    import os
+
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.writer import rewrite_files
+
+    src = spark.range(0, 20000).selectExpr("id", "concat('k', id) AS key")
+    d = str(tmp_path / "bloom_src")
+    src.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+
+    def run(out, **kw):
+        resp = rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=src.schema,
+                data_files=[FileScanTask(f, sequence_number=1)],
+                dir_path=str(tmp_path / out),
+                target_partitions=1,
+                **kw,
+            ),
+        )
+        return sum(df.file_size_in_bytes for df in resp.data_files)
+
+    plain = run("plain")
+    big = run("bloom_big", bloom_filter_cols=["key"])
+    sized = run(
+        "bloom_sized",
+        bloom_filter_cols=["key"],
+        bloom_filter_ndv={"key": 20000},
+    )
+    assert big > plain  # a bloom actually landed in the file
+    assert plain < sized < big  # NDV sizing shrinks it
+
+    got = (
+        spark.read.parquet(str(tmp_path / "bloom_sized"))
+        .where(F.col("key") == "k19999")
+        .collect()
+    )
+    assert [(r.id, r.key) for r in got] == [(19999, "k19999")]
+
+    # codec round-trips: JSON payload (client shape) and protobuf wire
+    from ic_spark.compaction.proto import request_from_proto, request_to_proto
+    from ic_spark.compaction.service import decode_request
+
+    rt = decode_request(
+        {
+            "schema": src.schema.jsonValue(),
+            "dir_path": "/x",
+            "data_files": [{"path": f, "sequence_number": 1}],
+            "bloom_filter_cols": ["key"],
+            "bloom_filter_ndv": {"key": 20000},
+        }
+    )
+    assert rt.bloom_filter_cols == ["key"] and rt.bloom_filter_ndv == {"key": 20000}
+
+    req = RewriteFilesRequest(
+        schema=src.schema,
+        data_files=[FileScanTask(f, sequence_number=1)],
+        bloom_filter_cols=["key"],
+        bloom_filter_ndv={"key": 20000},
+    )
+    rt2 = request_from_proto(request_to_proto(req))
+    assert rt2.bloom_filter_cols == ["key"]
+    assert rt2.bloom_filter_ndv == {"key": 20000}
