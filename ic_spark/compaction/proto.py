@@ -531,6 +531,8 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
 
         config["sort_order"] = _json.dumps(req.sort_order)
         config["sort_order_id"] = str(req.sort_order_id)
+    if req.compression:
+        config["compression"] = req.compression
     if req.bloom_filter_cols:
         config["bloom_filter_cols"] = ",".join(req.bloom_filter_cols)
     if req.bloom_filter_ndv:
@@ -602,6 +604,7 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             if cfg.get("bloom_filter_ndv")
             else None
         ),
+        compression=cfg.get("compression"),
         schema=schema,
         data_files=buckets[FileContent.DATA],
         position_delete_files=buckets[FileContent.POSITION_DELETES],

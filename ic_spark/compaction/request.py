@@ -145,6 +145,9 @@ class RewriteFilesRequest:
     # parquet-mr's default 1M NDV costs ~1 MB per row group per column;
     # size it to the real key cardinality).
     bloom_filter_ndv: dict | None = None
+    # Output codec (reference WriterProperties analog): snappy (Spark
+    # default) / zstd / gzip / lz4 / none.
+    compression: str | None = None
 
 
 @dataclass

@@ -75,6 +75,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         zorder_by=payload.get("zorder_by"),
         bloom_filter_cols=payload.get("bloom_filter_cols"),
         bloom_filter_ndv=payload.get("bloom_filter_ndv"),
+        compression=payload.get("compression"),
     )
 
 

@@ -196,6 +196,8 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
 
     if request.max_records_per_file > 0:
         writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
+    if request.compression:
+        writer = writer.option("compression", request.compression)
     for c in request.bloom_filter_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         ndv = (request.bloom_filter_ndv or {}).get(c)

@@ -816,3 +816,50 @@ def test_bloom_filter_write_knob(spark, tmp_path):
     rt2 = request_from_proto(request_to_proto(req))
     assert rt2.bloom_filter_cols == ["key"]
     assert rt2.bloom_filter_ndv == {"key": 20000}
+
+
+def test_compression_codec_knob(spark, tmp_path):
+    """compression on the request picks the output codec: zstd files
+    are named *.zstd.parquet, read back exactly, and the knob
+    round-trips both codecs."""
+    import os
+
+    from ic_spark.compaction.proto import request_from_proto, request_to_proto
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.service import decode_request
+    from ic_spark.compaction.writer import rewrite_files
+
+    src = spark.range(0, 5000).selectExpr("id", "id * 3 AS v")
+    d = str(tmp_path / "c_src")
+    src.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    out = str(tmp_path / "c_out")
+    rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=src.schema,
+            data_files=[FileScanTask(f, sequence_number=1)],
+            dir_path=out,
+            target_partitions=1,
+            compression="zstd",
+        ),
+    )
+    names = [n for n in os.listdir(out) if n.endswith(".parquet")]
+    assert names and all(".zstd." in n for n in names), names
+    assert spark.read.parquet(out).count() == 5000
+
+    req = RewriteFilesRequest(
+        schema=src.schema, data_files=[FileScanTask(f)], compression="zstd"
+    )
+    assert request_from_proto(request_to_proto(req)).compression == "zstd"
+    assert (
+        decode_request(
+            {
+                "schema": src.schema.jsonValue(),
+                "dir_path": "/x",
+                "data_files": [{"path": f}],
+                "compression": "zstd",
+            }
+        ).compression
+        == "zstd"
+    )
