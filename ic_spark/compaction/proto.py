@@ -18,6 +18,7 @@ fresh schema) and resolves them back by position on decode.
 
 from __future__ import annotations
 
+import json
 import struct
 from typing import Any
 
@@ -527,18 +528,16 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
     if req.sort_order:
         # The reference request proto carries no sort-order message
         # (only DataFile.sort_order_id); ride the config map.
-        import json as _json
-
-        config["sort_order"] = _json.dumps(req.sort_order)
+        config["sort_order"] = json.dumps(req.sort_order)
         config["sort_order_id"] = str(req.sort_order_id)
     if req.compression:
         config["compression"] = req.compression
     if req.bloom_filter_cols:
-        config["bloom_filter_cols"] = ",".join(req.bloom_filter_cols)
+        # JSON, not ",".join — a column name containing a comma must
+        # survive the round trip (same encoding as bloom_filter_ndv).
+        config["bloom_filter_cols"] = json.dumps(req.bloom_filter_cols)
     if req.bloom_filter_ndv:
-        import json as _json2
-
-        config["bloom_filter_ndv"] = _json2.dumps(req.bloom_filter_ndv)
+        config["bloom_filter_ndv"] = json.dumps(req.bloom_filter_ndv)
     msg: dict[str, Any] = {
         "file_scan_task_descriptor": tasks,
         "rewrite_file_config": config,
@@ -589,18 +588,18 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             _partition_spec_from_proto(pspec, id_to_name) if pspec else None
         ),
         sort_order=(
-            __import__("json").loads(cfg["sort_order"])
+            json.loads(cfg["sort_order"])
             if "sort_order" in cfg
             else None
         ),
         sort_order_id=int(cfg.get("sort_order_id", 0)),
         bloom_filter_cols=(
-            cfg["bloom_filter_cols"].split(",")
+            json.loads(cfg["bloom_filter_cols"])
             if cfg.get("bloom_filter_cols")
             else None
         ),
         bloom_filter_ndv=(
-            __import__("json").loads(cfg["bloom_filter_ndv"])
+            json.loads(cfg["bloom_filter_ndv"])
             if cfg.get("bloom_filter_ndv")
             else None
         ),

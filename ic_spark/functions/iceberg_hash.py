@@ -245,8 +245,25 @@ def iceberg_bucket(
         h = iceberg_hash_long(
             F.datediff(col, F.lit("1970-01-01").cast("date"))
         )
-    elif isinstance(data_type, (TimestampType, TimestampNTZType)):
-        h = iceberg_hash_long(F.unix_micros(col.cast("timestamp")))
+    elif isinstance(data_type, TimestampNTZType):
+        # Iceberg reads an NTZ wall clock AS epoch micros directly; a
+        # cast-to-timestamp here would re-interpret the wall clock in
+        # the SESSION timezone and silently diverge under non-UTC
+        # sessions.  Decompose arithmetically instead — date/hour/
+        # minute/date_part on an NTZ column are all tz-independent.
+        micros = (
+            F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            )
+            * F.lit(86_400_000_000).cast("long")
+            + F.hour(col).cast("long") * F.lit(3_600_000_000).cast("long")
+            + F.minute(col).cast("long") * F.lit(60_000_000).cast("long")
+            # date_part SECOND is decimal(8,6) incl. the micro fraction.
+            + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+        )
+        h = iceberg_hash_long(micros)
+    elif isinstance(data_type, TimestampType):
+        h = iceberg_hash_long(F.unix_micros(col))
     else:
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 

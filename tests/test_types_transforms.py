@@ -202,6 +202,43 @@ def test_iceberg_bucket_spec_vectors(spark):
     assert r2.hu == 1488055340  # uuid f79c3e09-...
 
 
+def test_iceberg_bucket_ntz_session_tz_independent(spark):
+    """TIMESTAMP_NTZ bucketing must read the wall clock AS epoch micros
+    (Iceberg spec) regardless of session timezone — a tz-dependent cast
+    would silently shift bucket ids under non-UTC sessions."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from ic_spark.functions.iceberg_hash import iceberg_bucket, iceberg_hash_long
+
+    wall = datetime.datetime(2017, 11, 16, 22, 31, 8, 123456)
+    micros = int(
+        wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    got = {}
+    for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.session.timeZone", tz)
+        ns.conf.set("spark.sql.ansi.enabled", "true")
+        df = ns.createDataFrame([(wall, micros)], "ts timestamp_ntz, us long")
+        row = df.select(
+            iceberg_bucket(4096, F.col("ts"), data_type=TimestampNTZType()).alias(
+                "b"
+            ),
+            F.pmod(
+                iceberg_hash_long(F.col("us")).cast("long").bitwiseAND(
+                    F.lit(0x7FFFFFFF)
+                ),
+                F.lit(4096),
+            ).alias("want"),
+        ).collect()[0]
+        assert row.b == row.want, tz
+        got[tz] = row.b
+    assert len(set(got.values())) == 1, got
+
+
 def test_iceberg_hash_matches_python_reference(spark):
     """Expression == driver-side reference murmur3 on random longs,
     strings (incl. multi-byte UTF-8 and empty), and binaries."""
