@@ -41,6 +41,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def portable_hash60(c: Column) -> Column:
+    """Oracle-portable 60-bit non-negative hash: the first 15 hex chars
+    of md5, read as an integer.  Bit-identical in DuckDB via
+    ``CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)`` — the
+    bridge that lets MinHash/SimHash declarations carry a SQL oracle
+    (the production paths keep xxhash64: one 8-byte JVM hash instead of
+    a crypto digest + hex parse).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH60_SQL = (
+    "CAST(concat('0x', substring(md5({s}), 1, 15)) AS BIGINT)"
+)
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of sorted distinct tokens.
 

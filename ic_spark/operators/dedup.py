@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from ic_spark.functions.text import tokens, word_shingles
+from ic_spark.functions.text import portable_hash60, tokens, word_shingles
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -186,6 +186,19 @@ def token_jaccard_pairs(
 
 # ------------------------------------------------------- minhash + lsh
 
+def minhash_perms(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (multiplier, offset) affine-permutation constants — factored
+    out so the DuckDB oracle SQL can inline the SAME constants as the
+    Spark expression (universal hashing over 31-bit base hashes; odd
+    multipliers < 2^31 keep ``a*h + b`` inside int64 under ANSI)."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, 2**31, 2) for _ in range(num_hashes)]
+    b = [rng.randrange(2**31) for _ in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -193,22 +206,26 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — per-permutation min over shingle hashes.
 
     Cost discipline: shingles are built and string-hashed EXACTLY ONCE
     per row (one ``xxhash64`` pass); the ``num_hashes`` permutations
-    are then affine maps ``a_j*h + b_j`` (universal hashing, Java-long
-    wraparound) over the 64-bit base hashes — long multiply-adds inside
+    are then universal hashes ``(a_j*h + b_j) mod p`` (p = 2^31 - 1)
+    over the 31-bit base hashes — long multiply-add-mods inside
     codegen, no repeated string work.  Naively embedding the shingle
     expression under each permutation re-tokenizes the document
     num_hashes times (~100x slower at corpus scale).
 
     All per-row work — no shuffle; streams with the corpus scan.
-    """
-    import random
 
-    rng = random.Random(seed)
+    ``portable=True`` swaps the shingle hash for the md5-derived
+    :func:`portable_hash60` so a DuckDB oracle can reproduce signatures
+    bit-for-bit; the default xxhash64 stays the production path (one
+    8-byte JVM hash vs crypto digest + hex parse per shingle).
+    """
     # Unrolled driver-side with SCALAR literals per permutation: array
     # literals indexed inside a lambda are re-materialized per element
     # evaluation (higher-order fns are interpreted, not codegen'd),
@@ -218,24 +235,39 @@ def minhash_signatures(
     # overflow an ERROR, so the affine map must stay inside int64 —
     # base hashes are first reduced to 31 bits (pmod), multipliers and
     # offsets are < 2^31, so a*h + b < 2^63.
-    a = [rng.randrange(1, 2**31, 2) for _ in range(num_hashes)]  # odd multipliers
-    b = [rng.randrange(2**31) for _ in range(num_hashes)]
+    a, b = minhash_perms(num_hashes, seed)
 
+    shingle_hash = (
+        (lambda s: F.pmod(portable_hash60(s), F.lit(2**31).cast("long")))
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(2**31).cast("long")))
+    )
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(content_col), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(2**31).cast("long")),
+            shingle_hash,
         ).alias("__h"),
     )
+    if use_arrow:
+        # Same signatures, vectorized kernel (see _arrow_minhash_udf);
+        # shingling + base hashing stay JVM-side expressions.
+        return base.select("id", _arrow_minhash_udf(a, b)(F.col("__h")).alias("sig"))
     # One JVM-side parse: building num_hashes transforms from F.lit
     # Columns costs ~10 py4j round trips per permutation (~1 s of
     # driver time per query at 64 perms); the SQL string yields the
-    # identical Catalyst tree (CAST(aj AS BIGINT) * h + bj).
+    # identical Catalyst tree.
+    #
+    # The mod-p wrap (p = 2^31 - 1, Mersenne prime) is what makes the
+    # permutations INDEPENDENT: without it `a*h + b` never overflows
+    # int64 and is therefore monotone in h, so every "permutation"
+    # ranks shingles identically and array_min degenerates to an
+    # affine map of the ONE smallest base hash — 64 copies of a single
+    # minhash, banding all-or-nothing, S-curve gone.
     sig = F.expr(
         "array("
         + ", ".join(
-            f"array_min(transform(`__h`, h -> {a[j]}L * h + {b[j]}L))"
+            f"array_min(transform(`__h`, h -> pmod({a[j]}L * h + {b[j]}L, 2147483647L)))"
             for j in range(num_hashes)
         )
         + ")"
@@ -243,10 +275,51 @@ def minhash_signatures(
     return base.select("id", sig.alias("sig"))
 
 
+def _arrow_minhash_udf(a: list[int], b: list[int]):
+    """Vectorized (Arrow-batched numpy) signature kernel — identical
+    int64 arithmetic to the expression path ((a_j*h + b_j) mod p, exact
+    in int64: a,h < 2^31 so a*h + b < 2^62), so signatures are
+    bit-equal (pinned in tests) while the 64 interpreted HOF passes
+    become 64 vectorized passes over one concatenated hash buffer
+    (~3x at sf0.1).  The permutation loop uses ``np.minimum.reduceat``
+    over per-row segment starts — no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.asarray(a, dtype=np.int64)
+    B = np.asarray(b, dtype=np.int64)
+    P = np.int64(2147483647)
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def sig(hs):
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        # Zero-shingle rows (can't occur for non-null text — split()
+        # yields at least ['']) would corrupt reduceat segments; guard.
+        if (lens == 0).any():
+            raise ValueError("minhash: empty shingle array")
+        H = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs])
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # (perms, rows): one reduceat per permutation keeps peak memory
+        # at one |H| buffer instead of a (perms x |H|) matrix.
+        out = np.empty((len(A), len(lens)), dtype=np.int64)
+        for j in range(len(A)):
+            out[j] = np.minimum.reduceat((A[j] * H + B[j]) % P, starts)
+        return pd.Series(list(out.T))
+
+    return pandas_udf(sig, "array<long>")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
 
@@ -256,24 +329,29 @@ def minhash_lsh_candidates(
     With sig=64, b=16, r=4 the S-curve threshold is ≈ (1/16)^(1/4) ≈ 0.5
     Jaccard.  Downstream, verify candidates with exact Jaccard
     (``token_jaccard_pairs`` on the candidate set).
+
+    ``portable=True`` keeps the joined band values as the (string) join
+    key instead of xxhash64-compressing them — join semantics are
+    identical (the hash only narrows the shuffled key to 8 bytes), and
+    a DuckDB oracle can build the same string key.
     """
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = signatures.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
@@ -295,7 +373,13 @@ def minhash_lsh_candidates(
 
 # ------------------------------------------------------------- simhash
 
-def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """(id, simhash: bigint) — per-bit majority vote over token hashes.
 
     For each of ``bits`` positions, sum +1/-1 votes from every token's
@@ -303,16 +387,25 @@ def simhash(df: DataFrame, id_col: str, content_col: str, bits: int = 64) -> Dat
     (zip_with accumulate over tokens) — no shuffle, no UDF.  Hamming
     distance between simhashes ≈ 1 - cosine similarity of token
     frequency vectors; near-dups land within a few bits.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit
+    :func:`portable_hash60` (so a DuckDB oracle reproduces the votes);
+    callers must then keep ``bits <= 60``.
     """
+    if portable and bits > 60:
+        raise ValueError("portable simhash: bits must be <= 60 (60-bit hash)")
     zero = F.array_repeat(F.lit(0), bits)
     # Token hashes are computed ONCE per token (materialized projection);
     # the per-bit vote works on the long hash.  Shift amounts must be
     # literal ints in Spark, so the per-bit structure is unrolled
     # driver-side (bits is small and fixed); the per-ROW work is one
     # codegen expression, no UDF.
+    token_hash = (
+        (lambda t: portable_hash60(t)) if portable else (lambda t: F.xxhash64(t))
+    )
     hashed = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(content_col)), lambda t: F.xxhash64(t)).alias("__th"),
+        F.transform(tokens(F.col(content_col)), token_hash).alias("__th"),
     )
     bit_votes = lambda h: F.array(
         *[

@@ -278,6 +278,45 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "range_join_left_unmatched",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS error_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, w.error_id
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') e
+    LEFT JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def range_join_left_unmatched(spark: SparkSession, sf_dir: str):
+    """Keyless LEFT interval join: purchases matched into 10-minute
+    error windows, with purchases outside every window null-extended.
+    Exercises the correctness-subtle outer path of the bucketed
+    interval join (inner matches ∪ anti-join null-extension — a naive
+    outer join over the replicated buckets would emit one null row per
+    probed bucket; see operators/rangejoin.py)."""
+    from ic_spark.operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = interval_join(
+        e.where(F.col("event_type") == "purchase").select("event_id", "ts"),
+        w,
+        left_time="ts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_width_seconds=600,
+        how="left",
+    )
+    return joined.select("event_id", "error_id")
+
+
+@query(
     "scalar_map_functions",
     oracle="""
     WITH m AS (

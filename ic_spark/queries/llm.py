@@ -17,6 +17,7 @@ from ic_spark.operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
     minhash_lsh_candidates,
+    minhash_perms,
     minhash_signatures,
     simhash,
     token_jaccard_pairs,
@@ -104,13 +105,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     """
     d = load_table(spark, sf_dir, "documents")
     # Signatures feed BOTH sides of the LSH self-join and the verify
-    # step — persist so the (scan + shingle + hash) pass is cached after
-    # first compute.  No eager count() barriers: they serialized two
-    # extra jobs for no measured win (concurrent first-compute of a
-    # persisted deterministic plan is safe; worst case one partition is
-    # computed twice, in parallel).
+    # step — persist AND barrier with count(): the r2 no-barrier
+    # variant let 3-4 downstream consumers start concurrent first
+    # computes of the signature plan, re-running the (now mod-p,
+    # pricier) 64-permutation expression up to 4x (~17 s vs ~7 s cold
+    # at sf0.1).  Two extra ~0.1 s jobs buy single-compute certainty.
     sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3).persist()
+    sigs.count()
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).persist()
+    cands.count()
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
     # (semi-join first): the expensive array work runs on the candidate
@@ -148,9 +151,157 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str):
-    """64-bit SimHash fingerprint per document (rows-only check)."""
+    """64-bit SimHash fingerprint per document — the production path
+    (xxhash64 token hashes; rows-only check).  The oracle-checked
+    portable variant below pins the identical vote/pack pipeline."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text")
+
+
+# --------------------------- oracle-portable minhash/simhash variants
+#
+# The production paths above hash with xxhash64 (engine-specific — no
+# DuckDB equivalent, so the driver can only do a rows-only check).
+# These variants run the SAME pipeline with the md5-derived 60-bit
+# portable hash (functions/text.py::portable_hash60), which DuckDB can
+# reproduce bit-for-bit — giving the driver a full hash-checked row.
+# pytest pins portable == xxhash64 on the verified-pair output
+# (tests/test_operators.py), bridging the oracle back to the
+# production path the same way prep_contamination_check does.
+
+_MINHASH_NUM, _MINHASH_N, _MINHASH_BANDS, _MINHASH_R = 64, 3, 16, 4
+
+
+def _minhash_portable_oracle(threshold: float = 0.5) -> str:
+    a, b = minhash_perms(_MINHASH_NUM)
+    # (a*h + b) % p with p = 2^31 - 1 — the same mod-p wrap as the
+    # Spark expression (operands are non-negative, so DuckDB's % ==
+    # Spark's pmod).
+    sig_terms = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a[j]} * h + {b[j]}) % 2147483647))"
+        for j in range(_MINHASH_NUM)
+    )
+    band_list = ", ".join(str(i) for i in range(_MINHASH_BANDS))
+    n, r = _MINHASH_N, _MINHASH_R
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(t) - {n}, 0) + 1),
+                              i -> array_to_string(list_slice(t, i + 1, i + {n}), ' ')) AS shingles
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(shingles, s ->
+                 CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS hs
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               [{sig_terms}] AS sig
+        FROM hashed
+    ),
+    bands AS (
+        SELECT doc_id, band,
+               array_to_string(list_slice(sig, band * {r} + 1, band * {r} + {r}), ',') AS bkey
+        FROM sigs, (SELECT unnest([{band_list}]) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    dsh AS (
+        SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+    FROM cand c JOIN dsh x ON x.doc_id = c.id_a JOIN dsh y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH near-dup pairs with the oracle-portable md5 hash —
+    the driver-checked twin of dedup_minhash_lsh (same signatures →
+    banding → exact-Jaccard-verify pipeline, same permutation
+    constants; only the shingle hash and the band-key compression
+    differ, neither of which changes join semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_hashes=_MINHASH_NUM, shingle_n=_MINHASH_N,
+        portable=True,
+    ).persist()
+    sigs.count()  # barrier: see dedup_minhash_lsh
+    cands = minhash_lsh_candidates(
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True
+    ).persist()
+    cands.count()
+    from ic_spark.functions.text import word_shingles
+
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    sh = (
+        d.join(cand_ids, on="doc_id", how="left_semi")
+        .select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles(F.col("text"), _MINHASH_N)).alias("sh"),
+        )
+    )
+    pairs = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 60
+
+
+def _simhash_portable_oracle() -> str:
+    vote = (
+        "CASE WHEN list_sum(list_transform(hs, h -> "
+        "CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN {w} ELSE 0 END"
+    )
+    packed = "\n         + ".join(
+        vote.format(i=i, w=1 << i) for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t ->
+                 CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST({packed} AS BIGINT) AS simhash
+    FROM th
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str):
+    """60-bit SimHash with the oracle-portable md5 token hash — the
+    driver-checked twin of dedup_simhash (identical per-bit majority
+    vote + sign-bit packing; only the token hash differs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS, portable=True)
 
 
 # ------------------------------------------------------ text analysis
@@ -361,10 +512,63 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
     ).select("vec_id", "label", "cell")
 
 
-@query("sim_lsh_topk", oracle=None)
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    """DuckDB oracle for hyperplane LSH: the hyperplanes are seeded
+    driver-side floats, so they can be embedded as literals — the
+    bucket is then plain sign-of-dot-product arithmetic in both
+    engines (no engine hash anywhere in this operator)."""
+    from ic_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            pa = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}, {pa}) > 0.0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH cb AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+               {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+        FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+        FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM qb
+    ),
+    scored AS (
+        SELECT DISTINCT p.query_id, cb.neighbor_id,
+               list_cosine_similarity(cb.cv, p.qv) AS cos_raw
+        FROM probes p JOIN cb ON p.bucket = cb.bucket
+        WHERE p.query_id <> cb.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str):
-    """Hyperplane-LSH bucketed approximate top-k (rows-only check;
-    recall vs brute force pinned in tests)."""
+    """Hyperplane-LSH bucketed approximate top-k.  Oracle-checked: the
+    hyperplanes are seeded literals, so DuckDB reproduces the exact
+    buckets, multiprobe set, and ranking (recall vs brute force is
+    additionally pinned in tests)."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_top_k(
         e,

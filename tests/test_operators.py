@@ -63,6 +63,70 @@ def test_simhash_distance_ordering(spark, docs_df):
     assert row.d_near < row.d_far
 
 
+def test_minhash_permutations_independent(spark, docs_df):
+    """Anti-degeneracy guard: without the mod-p wrap, ``a*h + b`` is
+    monotone in h, every permutation selects the SAME argmin shingle,
+    and the 64-hash signature collapses to 64 affine images of one
+    value (banding goes all-or-nothing).  Recover the winning base
+    hash per permutation and require more than one distinct winner."""
+    from ic_spark.operators.dedup import minhash_perms
+
+    p = 2147483647
+    a, b = minhash_perms(64)
+    sig = {r.id: r.sig for r in minhash_signatures(docs_df, "doc_id", "text").collect()}[4]
+    winners = {
+        ((s - bj) * pow(aj, -1, p)) % p for s, aj, bj in zip(sig, a, b)
+    }
+    assert len(winners) > 1, "all permutations picked the same shingle — degenerate"
+
+
+def test_minhash_arrow_equals_expression(spark):
+    """The vectorized numpy signature kernel must be bit-equal to the
+    expression path — same int64 arithmetic, no float anywhere."""
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    e = sorted(map(tuple, minhash_signatures(d, "doc_id", "text").collect()))
+    a = sorted(
+        map(tuple, minhash_signatures(d, "doc_id", "text", use_arrow=True).collect())
+    )
+    assert e == a
+
+
+def test_minhash_portable_equals_x64_pairs(spark):
+    """The oracle bridge: the md5-portable window query and the
+    xxhash64 production query must emit the SAME verified near-dup
+    pairs on the fixture corpus — same pipeline, same permutation
+    constants, only the base hash differs, and the exact-Jaccard
+    verify step washes out per-family banding luck at these
+    similarity levels (all fixture pairs sit far above the 0.5
+    S-curve threshold, where P[band miss] < 1e-10)."""
+    from ic_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    a = sorted(map(tuple, REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()))
+    b = sorted(
+        map(tuple, REGISTRY["dedup_minhash_lsh_portable"].fn(spark, SF_DIR).collect())
+    )
+    assert a == b
+
+
+def test_simhash_portable_properties(spark, docs_df):
+    """Portable (md5, 60-bit) simhash preserves the production
+    variant's contract: exact dups identical, near dups closer than
+    far pairs, values inside 60 bits."""
+    sh = {
+        r.id: r.simhash
+        for r in simhash(docs_df, "doc_id", "text", bits=60, portable=True).collect()
+    }
+    assert sh[1] == sh[2]
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    d_near = bin(sh[1] ^ sh[3]).count("1")
+    d_far = bin(sh[1] ^ sh[4]).count("1")
+    assert d_near < d_far
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     from ic_spark.tables import load_table
     from tests.conftest import SF_DIR

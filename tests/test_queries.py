@@ -46,13 +46,20 @@ def test_driver_window_contains_flagship_queries():
         "mor_equality_delete",
         "mor_full_merge_on_read",
         "dedup_exact",
-        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_portable",
+        "dedup_simhash_portable",
         "dedup_embedding_cosine",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
+        "sim_lsh_topk",
+        "range_join_left_unmatched",
         "pipeline_clean_corpus",
         "q1_pricing_summary",
         "events_sessionization",
         "asof_join_latest_order",
     ):
         assert name in window, f"{name} fell outside the driver's 50-query window"
+    # Every window row must carry an oracle — the whole point of r3's
+    # window rebuild is a 50/50 hash-checked CORRECTNESS file.
+    no_oracle = [n for n in window if not REGISTRY[n].oracle]
+    assert no_oracle == [], f"window rows without an oracle: {no_oracle}"
