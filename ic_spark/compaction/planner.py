@@ -39,6 +39,7 @@ from collections import defaultdict
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ic_spark.compaction.evolution import evolved_projection, validate_file_schemas
 from ic_spark.compaction.request import (
     SYS_HIDDEN_FILE_PATH,
     SYS_HIDDEN_POS,
@@ -62,12 +63,21 @@ def _scan_with_hidden_cols(
     with_seq: bool = False,
     with_pos: bool = False,
     columns: list[str] | None = None,
+    name_mapping: dict | None = None,
 ) -> DataFrame | None:
     """Scan file tasks, grouped by sequence number, with hidden columns.
 
     One multi-path vectorized scan per distinct sequence number; hidden
     columns are derived at scan time (metadata columns + one literal),
     i.e. before any shuffle can break file→row identity.
+
+    Schema evolution: with an enforced ``schema``, old files null-fill
+    added columns and Spark's Parquet reader applies widening reads;
+    footers are validated first so a spec-illegal narrowing fails at
+    plan time instead of corrupting (evolution.py).  With a
+    ``name_mapping`` (renamed columns), the scan switches to Parquet
+    schema merging + an evolved projection that coalesces the current
+    name with its historical names.
     """
     if not tasks:
         return None
@@ -75,14 +85,25 @@ def _scan_with_hidden_cols(
     for t in tasks:
         by_seq[t.sequence_number].append(t.data_file_path)
 
+    if schema is not None:
+        validate_file_schemas(
+            [t.data_file_path for t in tasks], schema, name_mapping
+        )
+
     parts: list[DataFrame] = []
     for seq in sorted(by_seq):
         reader = spark.read
-        if schema is not None:
+        if schema is not None and not name_mapping:
             reader = reader.schema(schema)
+        elif name_mapping:
+            # Renames: merge old+new footers so both name generations
+            # are visible to the evolved projection.
+            reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*by_seq[seq])
         cols: list = []
-        if columns:
+        if name_mapping and schema is not None:
+            cols.extend(evolved_projection(df.schema, schema, name_mapping))
+        elif columns:
             cols.extend(F.col(c) for c in columns)
         else:
             cols.append(F.col("*"))
@@ -162,6 +183,7 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
         schema=request.schema,
         with_seq=has_eq,   # seq only added when equality deletes exist
         with_pos=has_pos,  # path/pos only when position deletes exist
+        name_mapping=request.name_mapping,
     )
     if data is None:
         raise ValueError("rewrite request has no data files")

@@ -538,6 +538,10 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
         config["bloom_filter_cols"] = json.dumps(req.bloom_filter_cols)
     if req.bloom_filter_ndv:
         config["bloom_filter_ndv"] = json.dumps(req.bloom_filter_ndv)
+    if req.name_mapping:
+        # Iceberg carries this as the schema.name-mapping.default table
+        # property; the request proto has no field for it → config map.
+        config["name_mapping"] = json.dumps(req.name_mapping)
     msg: dict[str, Any] = {
         "file_scan_task_descriptor": tasks,
         "rewrite_file_config": config,
@@ -604,6 +608,9 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             else None
         ),
         compression=cfg.get("compression"),
+        name_mapping=(
+            json.loads(cfg["name_mapping"]) if cfg.get("name_mapping") else None
+        ),
         schema=schema,
         data_files=buckets[FileContent.DATA],
         position_delete_files=buckets[FileContent.POSITION_DELETES],

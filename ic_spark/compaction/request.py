@@ -148,6 +148,12 @@ class RewriteFilesRequest:
     # Output codec (reference WriterProperties analog): snappy (Spark
     # default) / zstd / gzip / lz4 / none.
     compression: str | None = None
+    # Schema-evolution name mapping (Iceberg schema.name-mapping.default
+    # analog): {current field name: [historical names, ...]}.  Lets data
+    # files written before a RENAME resolve their columns to the current
+    # request schema; widening promotions (int->long, float->double,
+    # decimal precision) apply on top.  See compaction/evolution.py.
+    name_mapping: dict | None = None
 
 
 @dataclass

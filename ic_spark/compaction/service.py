@@ -76,6 +76,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         bloom_filter_cols=payload.get("bloom_filter_cols"),
         bloom_filter_ndv=payload.get("bloom_filter_ndv"),
         compression=payload.get("compression"),
+        name_mapping=payload.get("name_mapping"),
     )
 
 

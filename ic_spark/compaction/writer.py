@@ -75,15 +75,24 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
             name = col.path_in_schema
             if "." in name:  # nested leaf (array/map/struct) — skip like Iceberg
                 continue
-            st = col.statistics
             entry = cols.setdefault(name, {"null_count": 0, "min": None, "max": None})
+            try:
+                st = col.statistics
+                null_count = None if st is None else st.null_count
+                has_min_max = st is not None and st.has_min_max
+                mn = _json_safe(st.min) if has_min_max else None
+                mx = _json_safe(st.max) if has_min_max else None
+            except Exception:
+                # pyarrow can't deserialize stats for every logical type
+                # (e.g. int32-backed decimals) — treat as absent, like
+                # an Iceberg column with no recorded bounds.
+                st, null_count, has_min_max, mn, mx = None, None, False, None, None
             if st is None:
                 entry["null_count"] = None
                 continue
             if entry["null_count"] is not None:
-                entry["null_count"] += st.null_count if st.null_count is not None else 0
-            if st.has_min_max:
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                entry["null_count"] += null_count if null_count is not None else 0
+            if has_min_max:
                 entry["min"] = mn if entry["min"] is None else min(entry["min"], mn)
                 entry["max"] = mx if entry["max"] is None else max(entry["max"], mx)
     parts = _partition_values_from_path(path, base_dir)

@@ -32,6 +32,11 @@ _PRIORITY = [
     "mor_equality_delete",
     "mor_full_merge_on_read",
     "mor_upsert_latest",
+    # Two-schema table: rename + widen + add column + seq-guarded
+    # delete over REAL files (r2 verdict #5). Slot freed by demoting
+    # text_bpeish_token_count (token counting attested in-window by
+    # text_token_stats; its oracle stays in pytest).
+    "mor_schema_evolution",
     # LLM-pipeline operators (dedup / similarity / text analysis).
     "dedup_exact",
     "dedup_fingerprint",
@@ -51,7 +56,6 @@ _PRIORITY = [
     "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_embedding_stats",
-    "text_bpeish_token_count",
     "text_rolling_hash_fingerprint",
     "text_top_tokens",
     # text_token_positions: demoted past the window (posexplode shape

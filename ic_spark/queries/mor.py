@@ -238,3 +238,95 @@ def mor_upsert_latest(spark: SparkSession, sf_dir: str):
         ).alias("n_updated"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "mor_schema_evolution",
+    oracle="""
+    WITH old_gen AS (
+        -- seq-1 files: pre-evolution schema (int key, float balance
+        -- under the OLD name; no s_name column yet)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+               CAST(CAST(s_acctbal AS REAL) AS DOUBLE) AS s_acctbal,
+               CAST(NULL AS VARCHAR) AS s_name,
+               1 AS seq
+        FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    new_gen AS (
+        SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+               s_name, 2 AS seq
+        FROM supplier WHERE s_suppkey % 2 = 1
+    ),
+    data AS (SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen),
+    dels AS (SELECT s_suppkey, 2 AS seq FROM supplier WHERE s_suppkey % 7 = 0)
+    SELECT d.s_suppkey, d.s_acctbal, d.s_name
+    FROM data d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dels e
+        WHERE e.s_suppkey = d.s_suppkey AND d.seq < e.seq
+    )
+    """,
+)
+def mor_schema_evolution(spark: SparkSession, sf_dir: str):
+    """Merge-on-read over a TWO-SCHEMA table — real files, full
+    evolution matrix (Iceberg spec "Schema Evolution"; the reference
+    resolves file columns against the request schema by field id).
+
+    Old-generation files (seq 1) hold ``(s_suppkey int, s_balance
+    float)`` — the request schema has since RENAMED ``s_balance`` →
+    ``s_acctbal``, WIDENED int→long and float→double, and ADDED
+    ``s_name``.  New-generation files (seq 2) are current-schema.  An
+    equality delete at seq 2 removes ``s_suppkey % 7 = 0`` rows from
+    strictly-older files only (O8 seq guard).  The scan resolves old
+    columns through ``name_mapping`` (schema.name-mapping.default
+    analog) with footer-validated widening — compaction/evolution.py.
+    """
+    import os
+    import tempfile
+
+    from ic_spark.compaction.planner import build_merge_on_read
+    from ic_spark.compaction.request import (
+        FileContent,
+        FileScanTask,
+        RewriteFilesRequest,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="mor_evo_")
+
+    def one_file(df, tag: str) -> FileScanTask:
+        p = os.path.join(tmp, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        f = next(
+            os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+        )
+        return f
+
+    old = s.where(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey").cast("int").alias("s_suppkey"),
+        F.col("s_acctbal").cast("float").alias("s_balance"),
+    )
+    new = s.where(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        "s_name",
+    )
+    dels = s.where(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+
+    req = RewriteFilesRequest(
+        schema=new.schema,
+        data_files=[
+            FileScanTask(one_file(old, "old"), sequence_number=1),
+            FileScanTask(one_file(new, "new"), sequence_number=2),
+        ],
+        equality_delete_files=[
+            FileScanTask(
+                one_file(dels, "del"),
+                sequence_number=2,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("s_suppkey",),
+            )
+        ],
+        name_mapping={"s_acctbal": ["s_balance"]},
+    )
+    return build_merge_on_read(spark, req)

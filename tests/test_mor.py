@@ -863,3 +863,155 @@ def test_compression_codec_knob(spark, tmp_path):
         ).compression
         == "zstd"
     )
+
+
+# ------------------------------------------------------- schema evolution
+# Iceberg spec evolution matrix beyond add-column: widening promotions
+# (int->long, float->double, decimal precision) and rename via the
+# name-mapping fallback (schema.name-mapping.default analog).
+
+
+def test_schema_evolution_widening_promotions(spark, tmp_path):
+    """Old int/float columns read as long/double under the new schema;
+    values are exact."""
+    old = write_parquet(
+        spark, str(tmp_path / "wold"),
+        [(1, 1.5), (2, 2.5)], "id int, score float",
+    )
+    from decimal import Decimal
+    new = write_parquet(
+        spark, str(tmp_path / "wnew"),
+        [(3, 3.5), (4, 4.5)], "id long, score double",
+    )
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id long, score double").schema,
+        data_files=[FileScanTask(old, sequence_number=1),
+                    FileScanTask(new, sequence_number=2)],
+        dir_path=str(tmp_path / "wout"),
+        target_partitions=1,
+    )
+    rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "wout"))
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double"
+    ]
+    got = {r.id: r.score for r in out.collect()}
+    assert got == {1: 1.5, 2: 2.5, 3: 3.5, 4: 4.5}
+
+
+def test_schema_evolution_decimal_precision_widening(spark, tmp_path):
+    from decimal import Decimal
+
+    old = write_parquet(
+        spark, str(tmp_path / "dold"),
+        [(1, Decimal("1.25"))], "id int, amt decimal(5,2)",
+    )
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id long, amt decimal(12,2)").schema,
+        data_files=[FileScanTask(old, sequence_number=1)],
+        dir_path=str(tmp_path / "dout"),
+        target_partitions=1,
+    )
+    rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "dout")).collect()
+    assert out[0].amt == Decimal("1.25")
+
+
+def test_schema_evolution_illegal_narrowing_rejected(spark, tmp_path):
+    """Spark's reader would silently misread decimal(5,2) under an int
+    schema (1.25 -> 125); the footer validator must reject it at plan
+    time instead."""
+    from decimal import Decimal
+
+    f = write_parquet(
+        spark, str(tmp_path / "nold"),
+        [(1, Decimal("1.25"))], "id int, amt decimal(5,2)",
+    )
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id int, amt int").schema,
+        data_files=[FileScanTask(f, sequence_number=1)],
+        dir_path=str(tmp_path / "nout"),
+    )
+    with pytest.raises(ValueError, match="not promotable"):
+        build_merge_on_read(spark, req)
+    # long->int and decimal scale change are equally illegal
+    f2 = write_parquet(spark, str(tmp_path / "nold2"), [(1,)], "id long")
+    req2 = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id int").schema,
+        data_files=[FileScanTask(f2, sequence_number=1)],
+        dir_path=str(tmp_path / "nout2"),
+    )
+    with pytest.raises(ValueError, match="not promotable"):
+        build_merge_on_read(spark, req2)
+
+
+def test_schema_evolution_rename_via_name_mapping(spark, tmp_path):
+    """Files written before a rename resolve through name_mapping; new
+    files use the current name; values line up row-for-row."""
+    old = write_parquet(
+        spark, str(tmp_path / "rold"),
+        [(1, "a"), (2, "b")], "id int, title string",
+    )
+    new = write_parquet(
+        spark, str(tmp_path / "rnew"),
+        [(3, "c"), (4, None)], "id int, name string",
+    )
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id int, name string").schema,
+        data_files=[FileScanTask(old, sequence_number=1),
+                    FileScanTask(new, sequence_number=2)],
+        dir_path=str(tmp_path / "rout"),
+        target_partitions=1,
+        name_mapping={"name": ["title"]},
+    )
+    rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "rout"))
+    assert out.columns == ["id", "name"]
+    got = {r.id: r.name for r in out.collect()}
+    # genuinely-null new-file value must NOT fall back to the old column
+    assert got == {1: "a", 2: "b", 3: "c", 4: None}
+
+
+def test_schema_evolution_rename_plus_widen_plus_add(spark, tmp_path):
+    """The combined case: rename AND widen one column across the rename,
+    plus an added column, with deletes applied on top."""
+    old = write_parquet(
+        spark, str(tmp_path / "cold"),
+        [(1, 10), (2, 20)], "id int, qty int",
+    )
+    new = write_parquet(
+        spark, str(tmp_path / "cnew"),
+        [(3, 30, "x"), (4, 40, "y")], "id int, quantity long, tag string",
+    )
+    eq = write_parquet(spark, str(tmp_path / "ceq"), [(2,), (4,)], "id int")
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id int, quantity long, tag string").schema,
+        data_files=[FileScanTask(old, sequence_number=1),
+                    FileScanTask(new, sequence_number=1)],
+        equality_delete_files=[
+            FileScanTask(eq, sequence_number=2,
+                         content=FileContent.EQUALITY_DELETES,
+                         equality_ids=("id",))
+        ],
+        dir_path=str(tmp_path / "cout"),
+        target_partitions=1,
+        name_mapping={"quantity": ["qty"]},
+    )
+    rewrite_files(spark, req)
+    out = spark.read.parquet(str(tmp_path / "cout"))
+    got = {r.id: (r.quantity, r.tag) for r in out.collect()}
+    assert got == {1: (10, None), 3: (30, "x")}
+
+
+def test_name_mapping_proto_roundtrip(spark):
+    from ic_spark.compaction.proto import request_from_proto, request_to_proto
+
+    req = RewriteFilesRequest(
+        schema=spark.createDataFrame([], "id int, name string").schema,
+        data_files=[FileScanTask("/tmp/x.parquet", sequence_number=1)],
+        dir_path="/tmp/out",
+        name_mapping={"name": ["title", "old,comma"]},
+    )
+    wire = request_to_proto(req)
+    back = request_from_proto(wire)
+    assert back.name_mapping == {"name": ["title", "old,comma"]}

@@ -45,6 +45,7 @@ def test_driver_window_contains_flagship_queries():
         "mor_position_delete",
         "mor_equality_delete",
         "mor_full_merge_on_read",
+        "mor_schema_evolution",
         "dedup_exact",
         "dedup_minhash_lsh_portable",
         "dedup_simhash_portable",
