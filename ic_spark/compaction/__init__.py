@@ -15,6 +15,7 @@ from ic_spark.compaction.request import (
 )
 from ic_spark.compaction.planner import build_merge_on_read
 from ic_spark.compaction.writer import rewrite_files
+from ic_spark.compaction.iceberg_meta import IcebergTable
 from ic_spark.compaction.manifest import ManifestTable
 from ic_spark.compaction.orchestrator import Compaction
 
@@ -22,6 +23,7 @@ __all__ = [
     "Compaction",
     "EqualityDeleteGroup",
     "FileScanTask",
+    "IcebergTable",
     "ManifestTable",
     "RewriteFilesRequest",
     "RewriteFilesResponse",

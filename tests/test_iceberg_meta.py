@@ -1,0 +1,340 @@
+"""Spec-format Iceberg metadata: Avro codec + v2 table layout + planning.
+
+Covers the public Iceberg table-spec behaviors: metadata JSON required
+fields, Avro manifest lists/manifests, sequence-number inheritance,
+Hadoop-catalog optimistic commits, and the full compact cycle running
+over spec metadata through the same orchestrator as the JSON manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ic_spark.compaction.iceberg_meta import (
+    ADDED,
+    EXISTING,
+    IcebergTable,
+    iceberg_to_spark_schema,
+    schema_to_iceberg,
+    serialize_bound,
+)
+from ic_spark.compaction.manifest import CommitConflictError
+from ic_spark.sources.avro_io import read_container, write_container
+
+from tests.test_mor import write_parquet
+
+
+# ------------------------------------------------------------ avro codec
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                },
+            },
+            {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 4}},
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "col", "symbols": ["R", "G", "B"]},
+            },
+        ],
+    }
+    recs = [
+        {
+            "b": True, "i": -2**31, "l": 2**62, "f": 0.5, "d": -1.25,
+            "s": "héllo", "by": b"\x00\xff", "u": None, "arr": [1, -2, 3],
+            "m": {"k1": "v1", "k2": "v2"}, "nested": {"x": "deep"},
+            "fx": b"\x01\x02\x03\x04", "e": "G",
+        },
+        {
+            "b": False, "i": 7, "l": -9, "f": 1.0, "d": 2.0, "s": "",
+            "by": b"", "u": 42, "arr": [], "m": {}, "nested": {"x": None},
+            "fx": b"abcd", "e": "B",
+        },
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_container(p, schema, recs, metadata={"k": "v"}, codec=codec)
+        got_schema, meta, got = read_container(p)
+        # float survives at 32-bit precision; ours are exactly representable
+        assert got == recs
+        assert meta["k"] == b"v"
+        assert got_schema["name"] == "t"
+
+
+def test_avro_long_zigzag_boundaries(tmp_path):
+    schema = {"type": "record", "name": "z",
+              "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, 2**31, -(2**31), 2**62, -(2**62)]
+    p = str(tmp_path / "z.avro")
+    write_container(p, schema, [{"v": v} for v in vals])
+    _, _, got = read_container(p)
+    assert [r["v"] for r in got] == vals
+
+
+def test_avro_multi_block_read(tmp_path):
+    """Files written block-per-append by other writers must still read:
+    emulate by concatenating two single-block bodies with one header."""
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "int"}]}
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    sync = b"S" * 16
+    write_container(p1, schema, [{"v": 1}], codec="null", sync_marker=sync)
+    write_container(p2, schema, [{"v": 2}, {"v": 3}], codec="null", sync_marker=sync)
+    with open(p1, "rb") as f:
+        full = f.read()
+    with open(p2, "rb") as f:
+        other = f.read()
+    # second file's block starts right after its header (same sync)
+    block = other[other.index(sync) + 16:]
+    with open(p1, "wb") as f:
+        f.write(full + block)
+    _, _, got = read_container(p1)
+    assert [r["v"] for r in got] == [1, 2, 3]
+
+
+# ------------------------------------------------------- serialization
+
+
+def test_serialize_bounds_spec_formats():
+    from decimal import Decimal
+
+    import pyspark.sql.types as T
+
+    assert serialize_bound(T.IntegerType(), 1) == b"\x01\x00\x00\x00"
+    assert serialize_bound(T.LongType(), -1) == b"\xff" * 8
+    assert serialize_bound(T.StringType(), "ab") == b"ab"
+    assert serialize_bound(T.BooleanType(), True) == b"\x01"
+    # decimal: minimal big-endian two's-complement of unscaled value
+    assert serialize_bound(T.DecimalType(9, 2), Decimal("1.25")) == b"\x7d"
+    # sign bit forces a second byte at 128
+    assert serialize_bound(T.DecimalType(9, 2), Decimal("1.28")) == b"\x00\x80"
+    assert serialize_bound(T.DecimalType(9, 2), Decimal("-1.25")) == b"\x83"
+    assert serialize_bound(T.DoubleType(), None) is None
+
+
+def test_schema_conversion_roundtrip(spark):
+    sch = spark.createDataFrame(
+        [], "id long, name string, score double, ok boolean, d date, amt decimal(10,2)"
+    ).schema
+    ice = schema_to_iceberg(sch)
+    assert [f["id"] for f in ice["fields"]] == [1, 2, 3, 4, 5, 6]
+    assert ice["fields"][5]["type"] == "decimal(10, 2)"
+    back = iceberg_to_spark_schema(ice)
+    assert back == sch
+
+
+# ------------------------------------------------------------ the table
+
+
+@pytest.fixture()
+def simple_schema(spark):
+    return spark.createDataFrame([], "id int, name string").schema
+
+
+def test_create_writes_spec_metadata(tmp_path, simple_schema):
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    assert tbl.version() == 1
+    meta = tbl.metadata()
+    for key in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "sort-orders", "snapshots",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == -1
+    assert tbl.schema() == simple_schema
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        assert f.read() == "1"
+    with pytest.raises(ValueError, match="already exists"):
+        IcebergTable.create(loc, simple_schema)
+
+
+def test_append_scan_sequence_inheritance(spark, tmp_path, simple_schema):
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"),
+                       [(1, "a"), (2, "b")], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"),
+                       [(3, "c")], "id int, name string")
+    tbl.append_snapshot([
+        {"path": f1, "content": "DATA", "record_count": 2,
+         "file_size_in_bytes": os.path.getsize(f1),
+         "column_stats": {"id": {"min": 1, "max": 2, "null_count": 0}}},
+    ])
+    tbl.append_snapshot([
+        {"path": f2, "content": "DATA", "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(f2)},
+    ])
+    data, pos, eq = tbl.scan_tasks()
+    assert pos == [] and eq == []
+    by_path = {t.data_file_path: t.sequence_number for t in data}
+    # first file committed at seq 1, second at seq 2 — INHERITED (the
+    # manifest stores null for ADDED entries)
+    assert by_path == {f1: 1, f2: 2}
+
+    # the raw manifest really does store null for the ADDED entry
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    added_entries = []
+    for mf in manifests:
+        _, mmeta, entries = read_container(mf["manifest_path"])
+        assert mmeta["format-version"] == b"2"
+        added_entries += [e for e in entries if e["status"] == ADDED]
+    assert all(e["sequence_number"] is None for e in added_entries)
+
+    # bounds serialized into the manifest for the stats-bearing file
+    all_entries = [e for mf in manifests
+                   for e in read_container(mf["manifest_path"])[2]]
+    e1 = next(e for e in all_entries if e["data_file"]["file_path"] == f1)
+    lows = {kv["key"]: kv["value"] for kv in e1["data_file"]["lower_bounds"]}
+    assert lows[1] == b"\x01\x00\x00\x00"  # id field-id=1, int 1 LE
+
+
+def test_mor_plan_from_spec_metadata(spark, tmp_path):
+    """Data + equality-delete files committed to spec metadata plan into
+    the SAME MoR DataFrame the JSON manifest produces."""
+    from ic_spark.compaction.planner import build_merge_on_read
+    from ic_spark.compaction.request import RewriteFilesRequest
+
+    schema = spark.createDataFrame([], "id int, name string").schema
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, schema)
+    d1 = write_parquet(spark, str(tmp_path / "d1"),
+                       [(i, f"n{i}") for i in range(10)], "id int, name string")
+    tbl.append_snapshot([
+        {"path": d1, "content": "DATA", "record_count": 10,
+         "file_size_in_bytes": os.path.getsize(d1)},
+    ])
+    dl = write_parquet(spark, str(tmp_path / "del"), [(3,), (7,)], "id int")
+    tbl.append_snapshot([
+        {"path": dl, "content": "EQUALITY_DELETES", "equality_ids": ["id"],
+         "record_count": 2, "file_size_in_bytes": os.path.getsize(dl)},
+    ])
+    data, pos, eq = tbl.scan_tasks()
+    assert [t.sequence_number for t in data] == [1]
+    assert eq[0].equality_ids == ("id",)  # field-id mapped back to name
+    assert eq[0].sequence_number == 2
+    req = RewriteFilesRequest(
+        schema=schema, data_files=data,
+        position_delete_files=pos, equality_delete_files=eq,
+    )
+    ids = sorted(r.id for r in build_merge_on_read(spark, req).collect())
+    assert ids == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_commit_conflict_on_version_race(tmp_path, simple_schema, spark):
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"), [(1, "a")], "id int, name string")
+    entry = {"path": f1, "content": "DATA", "record_count": 1,
+             "file_size_in_bytes": 1}
+    tbl.append_snapshot([entry])
+    # simulate a racer that already created v3
+    v3 = os.path.join(loc, "metadata", "v3.metadata.json")
+    with open(v3, "w") as f:
+        json.dump(tbl.metadata(), f)
+    with pytest.raises(CommitConflictError):
+        tbl.append_snapshot([entry])
+
+
+def test_rewrite_commit_and_stale_plan_rejected(spark, tmp_path, simple_schema):
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"), [(1, "a")], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"), [(2, "b")], "id int, name string")
+    tbl.append_snapshot([
+        {"path": f1, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1},
+    ])
+    sid1 = tbl.current_snapshot_id()
+    tbl.commit_rewrite(
+        [{"path": f2, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1}],
+        {f1},
+    )
+    data, _, _ = tbl.scan_tasks()
+    assert [t.data_file_path for t in data] == [f2]
+    # f1 is gone — removing it again is a stale plan
+    with pytest.raises(CommitConflictError, match="no longer live"):
+        tbl.commit_rewrite([], {f1})
+    # expected-snapshot guard
+    with pytest.raises(CommitConflictError, match="table moved"):
+        tbl.commit_rewrite([], {f2}, expected_snapshot_id=sid1)
+
+
+def test_expire_snapshots_returns_orphans(spark, tmp_path, simple_schema):
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"), [(1, "a")], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"), [(2, "b")], "id int, name string")
+    tbl.append_snapshot([
+        {"path": f1, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1},
+    ])
+    tbl.commit_rewrite(
+        [{"path": f2, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1}],
+        {f1},
+    )
+    orphans = tbl.expire_snapshots()
+    assert orphans == [f1]
+    assert len(tbl.snapshots()) == 1
+    data, _, _ = tbl.scan_tasks()
+    assert [t.data_file_path for t in data] == [f2]
+
+
+def test_full_compact_over_spec_metadata(spark, tmp_path):
+    """The SAME orchestrator that drives the JSON manifest runs the full
+    compact cycle over real Iceberg metadata."""
+    from ic_spark.compaction import Compaction
+
+    schema = spark.createDataFrame([], "id int, name string").schema
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, schema)
+    d1 = write_parquet(spark, str(tmp_path / "d1"),
+                       [(i, f"a{i}") for i in range(10)], "id int, name string")
+    d2 = write_parquet(spark, str(tmp_path / "d2"),
+                       [(i, f"b{i}") for i in range(10, 20)], "id int, name string")
+    tbl.append_snapshot([
+        {"path": d1, "content": "DATA", "record_count": 10,
+         "file_size_in_bytes": os.path.getsize(d1)},
+        {"path": d2, "content": "DATA", "record_count": 10,
+         "file_size_in_bytes": os.path.getsize(d2)},
+    ])
+    dl = write_parquet(spark, str(tmp_path / "del"), [(0,), (15,)], "id int")
+    tbl.append_snapshot([
+        {"path": dl, "content": "EQUALITY_DELETES", "equality_ids": ["id"],
+         "record_count": 2, "file_size_in_bytes": os.path.getsize(dl)},
+    ])
+    resp = Compaction(spark).full_compact(tbl, schema, target_partitions=1)
+    assert sum(f.record_count for f in resp.data_files) == 18
+
+    data, pos, eq = tbl.scan_tasks()
+    assert pos == [] and eq == []  # deletes consumed by the rewrite
+    out = spark.read.parquet(*[t.data_file_path for t in data])
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [i for i in range(20) if i not in (0, 15)]
+    # rewrite snapshot recorded as a replace with inherited seq 3
+    assert [t.sequence_number for t in data] == [3]
+    snap = tbl._snapshot(None)
+    assert snap["summary"]["operation"] == "replace"
