@@ -126,3 +126,139 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.col("__top") / F.col("n_tokens"), 6).alias("top_token_frac"),
         F.round(F.col("__btop") / F.col("__bn"), 6).alias("top_bigram_frac"),
     )
+
+
+# --------------------------------------------------- quality filtering
+#
+# Document-level quality gates from the public Gopher (Rae et al. 2021,
+# §A.1.1) and C4 (Raffel et al. 2020, §2.2) pipelines — the standard
+# pre-training corpus filters.  Pure Catalyst expressions (split +
+# higher-order array functions); each signal documents its DuckDB
+# equivalent so the oracle SQL stays in lockstep.  At 100 TB these are
+# embarrassingly parallel scan-side maps: no shuffle, no UDF.
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-rule quality signals + pass flag per document.
+
+    Signals (paper §A.1.1): token-count bounds, mean word length
+    bounds, symbol-to-word ratio (# and …), bullet-started /
+    ellipsis-ended line fractions, fraction of words containing an
+    alphabetic character, and a minimum distinct-stopword requirement.
+
+    Ratios are rounded to 6 digits so cross-engine float hashing is
+    stable.  ``passes_gopher`` is an int (1/0) for the same reason.
+    """
+    from ic_spark.functions.text import _stopword_hits, tokens
+
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / n.cast("double"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n.cast("double"), 6
+    )
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((hash_count + ellipsis_count) / n.cast("double"), 6)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).rlike("^[-*•]"),
+            )
+        )
+        / n_lines.cast("double"),
+        6,
+    )
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$")))
+        / n_lines.cast("double"),
+        6,
+    )
+    stop_hits = _stopword_hits(text)
+    passes = (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
+        passes.cast("int").alias("passes_gopher"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning + document gate.
+
+    Line rules (paper §2.2): keep only lines that end in terminal
+    punctuation and have at least ``min_words_per_line`` words.
+    Document rules: drop pages containing "lorem ipsum" or a curly
+    brace; require ``min_sentences`` sentences AFTER line cleaning.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_total, keep_doc).
+    All line work happens inside one ``filter``/``array_join`` over the
+    split array — scan-side, shuffle-free.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike("[.!?\"]$")
+        & (F.size(F.split(F.trim(l), " ")) >= min_words_per_line),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.split(clean, "[.!?]")) - 1
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    keep = (~has_lorem) & (~has_brace) & (n_sentences >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
+        keep.cast("int").alias("keep_doc"),
+    )

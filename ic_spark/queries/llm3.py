@@ -14,6 +14,7 @@ from ic_spark.operators.textprep import (
     repetition_stats,
     scrub_pii,
 )
+from ic_spark.queries.llm import SQL_STOPLIST
 from ic_spark.queries.registry import query
 from ic_spark.tables import load_table
 
@@ -294,3 +295,129 @@ def dedup_chunk_spans(spark: SparkSession, sf_dir: str):
         .where(F.col("dup_count") > 1)
     )
     return chunks.join(dups, "h").select("doc_id", "chunk_idx", "dup_count")
+
+
+# ----------------------------------------------- quality-filter gates
+
+# The synthetic corpus is punctuation-free single-line text, so the
+# queries PLANT deterministic structure from doc_id (same trick as the
+# PII queries above): symbol runs, bullet/ellipsis lines and
+# lorem-ipsum/brace markers — every Gopher/C4 rule then actually fires
+# on a known subset and the whole signal matrix is hash-checked.
+
+_GOPHER_RAW_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN ' ## ## ##' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat('\\n- bullet one two', '\\n- more') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN '\\nterse line...' ELSE '' END)"
+)
+_GOPHER_RAW_DUCK = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' ## ## ##' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one two' || chr(10) || '- more' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'terse line...' ELSE '' END"
+)
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_GOPHER_RAW_DUCK} AS t FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, t,
+               string_split(t, ' ') AS toks,
+               string_split(t, chr(10)) AS lines
+        FROM raw
+    ),
+    m AS (
+        SELECT doc_id,
+            len(toks) AS n_tokens,
+            ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT)))
+                  / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+            ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  / CAST(len(toks) AS DOUBLE), 6) AS alpha_word_frac,
+            ROUND(((len(t) - len(replace(t, '#', '')))
+                   + (len(t) - len(replace(t, '...', ''))) / 3)
+                  / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+            ROUND(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+                  / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_frac,
+            ROUND(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+                  / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_frac,
+            len(list_intersect(toks, {SQL_STOPLIST})) AS stopword_hits
+        FROM sig
+    )
+    SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac, symbol_ratio,
+           bullet_line_frac, ellipsis_line_frac, stopword_hits,
+           CAST(n_tokens BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stopword_hits >= 2 AS INT) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str):
+    """Gopher quality-rule matrix (Rae et al. 2021 §A.1.1) with every
+    rule exercised via planted doc_id-derived structure."""
+    from ic_spark.operators.textprep import gopher_quality_signals
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_RAW_SPARK).alias("gtext")
+    )
+    return gopher_quality_signals(d, "doc_id", "gtext")
+
+
+_C4_RAW_SPARK = (
+    "concat(regexp_replace(text, ' (merge|join) ', '.\\n'),"
+    " CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END)"
+)
+_C4_RAW_DUCK = (
+    "regexp_replace(text, ' (merge|join) ', '.' || chr(10), 'g')"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END"
+)
+
+
+@query(
+    "text_c4_clean",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_C4_RAW_DUCK} AS t FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, t,
+               string_split(t, chr(10)) AS lines,
+               list_filter(string_split(t, chr(10)),
+                           l -> regexp_matches(rtrim(l), '[.!?"]$')
+                                AND len(string_split(trim(l), ' ')) >= 3) AS kept
+        FROM raw
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string yields NULL for an empty list;
+           -- Spark's array_join yields ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           len(kept) AS n_lines_kept,
+           len(lines) AS n_lines_total,
+           CAST(NOT contains(lower(t), 'lorem ipsum')
+                AND NOT contains(t, '{{')
+                AND len(string_split_regex(
+                        COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) - 1 >= 3
+                AS INT) AS keep_doc
+    FROM sig
+    """,
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-words line filter, lorem-ipsum/brace page gates,
+    min-sentence requirement after cleaning.  Lines derived
+    deterministically from the fixture (merge/join → sentence breaks)."""
+    from ic_spark.operators.textprep import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_RAW_SPARK).alias("ctext")
+    )
+    return c4_line_filter(d, "doc_id", "ctext")

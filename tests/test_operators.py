@@ -846,3 +846,52 @@ def test_hll_partials_merge_losslessly(spark):
     assert merged == direct  # lossless merge
     for k, est in merged.items():
         assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+# -------------------------------------------------- gopher / c4 filters
+
+
+def test_gopher_rules_fire_individually(spark):
+    from ic_spark.operators.textprep import gopher_quality_signals
+
+    good = "the quick brown fox jumps over a lazy dog and runs far " * 5
+    docs = [
+        (1, good),                                   # passes everything
+        (2, "tok " * 10),                            # too short
+        (3, good + " " + "# " * 40),                 # symbol ratio + short words
+        (4, good + "\n- b one\n- b two\n- b three"), # bullets (frac < 0.9 → ok)
+        (5, "\n".join(["- b" for _ in range(20)]) + "\n" + good),  # bullet-heavy
+        (6, good + "\n" + "\n".join(f"line {i}..." for i in range(20))),  # ellipsis
+        (7, ("zz " * 60).strip()),                   # no stopwords, short words
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in gopher_quality_signals(df, "doc_id", "text").collect()}
+    assert out[1].passes_gopher == 1
+    assert out[2].passes_gopher == 0 and out[2].n_tokens < 50
+    assert out[3].passes_gopher == 0 and out[3].symbol_ratio > 0.1
+    assert out[4].passes_gopher == 1 and 0 < out[4].bullet_line_frac <= 0.9
+    assert out[5].passes_gopher == 0 and out[5].bullet_line_frac > 0.9
+    assert out[6].passes_gopher == 0 and out[6].ellipsis_line_frac > 0.3
+    assert out[7].passes_gopher == 0 and out[7].stopword_hits == 0
+
+
+def test_c4_line_rules(spark):
+    from ic_spark.operators.textprep import c4_line_filter
+
+    docs = [
+        # three well-formed sentences → kept, doc kept
+        (1, "this is sentence one.\nthis is sentence two.\nand here is three."),
+        # short line + unterminated line dropped; only 1 sentence → doc dropped
+        (2, "too short.\nno terminal punctuation here\nthis one survives fine."),
+        (3, "good sentence number one.\nlorem ipsum dolor sit amet.\nmore text here."),
+        (4, "code block follows {\nint main.\nreturn zero.\nend of it all."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[1].keep_doc == 1 and out[1].n_lines_kept == 3
+    assert out[2].keep_doc == 0 and out[2].n_lines_kept == 1
+    assert out[2].clean_text == "this one survives fine."
+    assert out[3].keep_doc == 0  # lorem ipsum gate
+    assert out[4].keep_doc == 0  # brace gate
+    assert out[5].keep_doc == 0 and out[5].clean_text == ""
