@@ -146,9 +146,23 @@ def validate_file_schemas(
                 phys[name] = from_arrow_type(footer.types[i])
             except Exception:
                 continue  # exotic arrow type: let the scan decide
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        def footer_ambiguous(src: DataType, dst: DataType) -> bool:
+            # A Parquet timestamp column maps to TIMESTAMP or
+            # TIMESTAMP_NTZ depending on isAdjustedToUTC + session conf;
+            # the arrow-footer view can't distinguish how Spark will
+            # read it — not a corruption case, leave it to the scan.
+            ts = (TimestampType, TimestampNTZType)
+            return isinstance(src, ts) and isinstance(dst, ts)
+
         for field in request_schema.fields:
             for n in [field.name, *_aliases(name_mapping, field.name)]:
-                if n in phys and not is_promotable(phys[n], field.dataType):
+                if (
+                    n in phys
+                    and not is_promotable(phys[n], field.dataType)
+                    and not footer_ambiguous(phys[n], field.dataType)
+                ):
                     raise ValueError(
                         f"schema evolution: file {path} column '{n}' has type "
                         f"{phys[n].simpleString()}, not promotable to requested "

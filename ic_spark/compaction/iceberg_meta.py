@@ -756,3 +756,121 @@ class IcebergTable:
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(new_meta, expected_version=version)
         return sorted(orphans)
+
+
+# ------------------------------------------------- schema evolution ops
+
+def _evolve(tbl: IcebergTable, mutate) -> int:
+    """Commit a metadata version whose schemas list gains one schema.
+
+    ``mutate(fields, meta) -> (new_fields, last_column_id)`` transforms a
+    deep copy of the current schema's field list.  Snapshots are
+    untouched — schema updates are metadata-only commits (Iceberg spec:
+    "Schema Evolution" is free; data files are never rewritten).
+    """
+    import copy
+
+    meta = tbl.metadata()
+    version = tbl.version()
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    fields, last_col = mutate(copy.deepcopy(cur["fields"]), meta)
+    new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(meta["schemas"]) + [
+        {"type": "struct", "schema-id": new_id, "fields": fields}
+    ]
+    new_meta["current-schema-id"] = new_id
+    new_meta["last-column-id"] = last_col
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    tbl._commit_metadata(new_meta, expected_version=version)
+    return new_id
+
+
+def add_column(tbl: IcebergTable, name: str, spark_type: T.DataType) -> int:
+    """Spec add-column: new field id past last-column-id; always optional
+    (old files null-fill — required would break existing data)."""
+
+    def mutate(fields, meta):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fid = meta["last-column-id"] + 1
+        fields.append(
+            {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": spark_to_iceberg_type(spark_type),
+            }
+        )
+        return fields, fid
+
+    return _evolve(tbl, mutate)
+
+
+def rename_column(tbl: IcebergTable, old: str, new: str) -> int:
+    """Spec rename: the field ID is the identity; only the name moves."""
+
+    def mutate(fields, meta):
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        tgt = next((f for f in fields if f["name"] == old), None)
+        if tgt is None:
+            raise ValueError(f"no column {old!r}")
+        tgt["name"] = new
+        return fields, meta["last-column-id"]
+
+    return _evolve(tbl, mutate)
+
+
+def promote_column(tbl: IcebergTable, name: str, spark_type: T.DataType) -> int:
+    """Spec widening promotion — validated by the same rule the scan
+    enforces (evolution.is_promotable), so metadata can never declare a
+    type the reader would corrupt on."""
+    from ic_spark.compaction.evolution import is_promotable
+
+    def mutate(fields, meta):
+        tgt = next((f for f in fields if f["name"] == name), None)
+        if tgt is None:
+            raise ValueError(f"no column {name!r}")
+        src_t = iceberg_to_spark_type(tgt["type"])
+        if not is_promotable(src_t, spark_type):
+            raise ValueError(
+                f"cannot promote {name}: {src_t.simpleString()} -> "
+                f"{spark_type.simpleString()} is not an Iceberg widening"
+            )
+        tgt["type"] = spark_to_iceberg_type(spark_type)
+        return fields, meta["last-column-id"]
+
+    return _evolve(tbl, mutate)
+
+
+def name_mapping_from_history(tbl: IcebergTable) -> dict[str, list[str]] | None:
+    """Derive the scan name-mapping from the schemas list: for each
+    CURRENT field id, every name it carried in older schema versions.
+    This is exactly what Iceberg's schema.name-mapping.default encodes
+    for files written without field ids."""
+    meta = tbl.metadata()
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    mapping: dict[str, list[str]] = {}
+    for f in cur["fields"]:
+        prior = []
+        for s in meta["schemas"]:
+            if s["schema-id"] == meta["current-schema-id"]:
+                continue
+            for g in s["fields"]:
+                if g["id"] == f["id"] and g["name"] != f["name"] and g["name"] not in prior:
+                    prior.append(g["name"])
+        if prior:
+            mapping[f["name"]] = prior
+    return mapping or None
+
+
+# bind as methods for a fluent table API
+IcebergTable.add_column = add_column
+IcebergTable.rename_column = rename_column
+IcebergTable.promote_column = promote_column
+IcebergTable.name_mapping = name_mapping_from_history

@@ -35,11 +35,25 @@ class Compaction:
     def full_compact(
         self,
         table: ManifestTable,
-        schema: StructType,
+        schema: StructType | None = None,
         partition_by: list[str] | None = None,
         target_partitions: int = 4,
     ) -> RewriteFilesResponse:
-        """Reference mod.rs:43-79: plan → rewrite → commit swap."""
+        """Reference mod.rs:43-79: plan → rewrite → commit swap.
+
+        With ``schema=None`` the table's own current schema drives the
+        rewrite (spec-metadata tables know it), and any schema-history
+        name-mapping rides along so files written before a rename
+        resolve — i.e. compaction UPGRADES old-schema files to the
+        current schema, which is exactly Iceberg compaction behavior.
+        """
+        if schema is None:
+            if not hasattr(table, "schema"):
+                raise ValueError("schema required for tables without schema metadata")
+            schema = table.schema()
+        name_mapping = (
+            table.name_mapping() if hasattr(table, "name_mapping") else None
+        )
         data, pos, eq = table.scan_tasks()
         if not data:
             return RewriteFilesResponse()
@@ -54,6 +68,7 @@ class Compaction:
             dir_path=out_dir,
             partition_by=partition_by or [],
             target_partitions=target_partitions,
+            name_mapping=name_mapping,
         )
         response = rewrite_files(self.spark, request)
 

@@ -338,3 +338,71 @@ def test_full_compact_over_spec_metadata(spark, tmp_path):
     assert [t.sequence_number for t in data] == [3]
     snap = tbl._snapshot(None)
     assert snap["summary"]["operation"] == "replace"
+
+
+# ------------------------------------------------- schema evolution ops
+
+
+def test_update_schema_commits_new_schema_version(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = spark.createDataFrame([], "id int, bal float").schema
+    tbl = IcebergTable.create(str(tmp_path / "tbl"), schema)
+    tbl.rename_column("bal", "balance")
+    tbl.promote_column("balance", T.DoubleType())
+    tbl.promote_column("id", T.LongType())
+    tbl.add_column("tag", T.StringType())
+    meta = tbl.metadata()
+    assert len(meta["schemas"]) == 5  # original + 4 evolutions
+    assert meta["last-column-id"] == 3
+    cur = tbl.schema()
+    assert [(f.name, f.dataType.simpleString()) for f in cur.fields] == [
+        ("id", "bigint"), ("balance", "double"), ("tag", "string"),
+    ]
+    # rename derived from history by FIELD ID
+    assert tbl.name_mapping() == {"balance": ["bal"]}
+    # illegal updates rejected
+    with pytest.raises(ValueError, match="not an Iceberg widening"):
+        tbl.promote_column("balance", T.IntegerType())
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("tag", T.StringType())
+    with pytest.raises(ValueError, match="no column"):
+        tbl.rename_column("ghost", "x")
+
+
+def test_full_compact_upgrades_old_schema_files(spark, tmp_path):
+    """End-to-end: files written under schema v0, table evolved
+    (rename + widen + add), compaction with NO explicit schema rewrites
+    everything under the current schema via the history name-mapping."""
+    from ic_spark.compaction import Compaction
+
+    old_schema = spark.createDataFrame([], "id int, bal float").schema
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, old_schema)
+    f_old = write_parquet(spark, str(tmp_path / "old"),
+                          [(1, 1.5), (2, 2.5)], "id int, bal float")
+    tbl.append_snapshot([
+        {"path": f_old, "content": "DATA", "record_count": 2,
+         "file_size_in_bytes": os.path.getsize(f_old)},
+    ])
+    import pyspark.sql.types as T
+
+    tbl.rename_column("bal", "balance")
+    tbl.promote_column("balance", T.DoubleType())
+    tbl.promote_column("id", T.LongType())
+    tbl.add_column("tag", T.StringType())
+    f_new = write_parquet(spark, str(tmp_path / "new"),
+                          [(3, 3.5, "x")], "id long, balance double, tag string")
+    tbl.append_snapshot([
+        {"path": f_new, "content": "DATA", "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(f_new)},
+    ])
+    resp = Compaction(spark).full_compact(tbl, target_partitions=1)
+    assert sum(f.record_count for f in resp.data_files) == 3
+    data, _, _ = tbl.scan_tasks()
+    out = spark.read.parquet(*[t.data_file_path for t in data])
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("id", "bigint"), ("balance", "double"), ("tag", "string"),
+    ]
+    got = {r.id: (r.balance, r.tag) for r in out.collect()}
+    assert got == {1: (1.5, None), 2: (2.5, None), 3: (3.5, "x")}
