@@ -110,7 +110,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # computes of the signature plan, re-running the (now mod-p,
     # pricier) 64-permutation expression up to 4x (~17 s vs ~7 s cold
     # at sf0.1).  Two extra ~0.1 s jobs buy single-compute certainty.
-    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3).persist()
+    # Arrow signature kernel: bit-equal to the expression path (pinned
+    # by test_minhash_arrow_equals_expression) but the 64 interpreted
+    # higher-order-function passes become 64 vectorized numpy passes
+    # over one concatenated hash buffer — the signature stage dominated
+    # this query's wall time after the mod-p independence fix.
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_hashes=64, shingle_n=3, use_arrow=True
+    ).persist()
     sigs.count()
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).persist()
     cands.count()
