@@ -32,6 +32,90 @@ class CommitConflictError(RuntimeError):
 _PRUNE_OPS = {"=", "<", "<=", ">", ">="}
 
 
+def _coerce_partition_value(pv, like):
+    """Hive directory names store partition values as strings; coerce
+    back toward the comparison literal's type (int ordinals, bucket ids,
+    truncated numerics).  Failure to coerce means "don't prune"."""
+    if pv is None or not isinstance(pv, str):
+        return pv
+    if isinstance(like, bool):
+        return None
+    if isinstance(like, int):
+        try:
+            return int(pv)
+        except ValueError:
+            return None
+    if isinstance(like, float):
+        try:
+            return float(pv)
+        except ValueError:
+            return None
+    return pv
+
+
+def _file_may_match_partition(
+    file_entry: dict, specs: dict[str, list[dict]], data_filter: list[tuple]
+) -> bool:
+    """Partition-level pruning under spec evolution: judge each file by
+    ITS OWN partition spec (``spec_id``) and recorded partition values —
+    files written under an older spec are evaluated against that spec,
+    exactly Iceberg's per-spec residual evaluation.  Conservative
+    everywhere: unknown spec, missing partition value, or an
+    unevaluable transform keeps the file.
+    """
+    from ic_spark.compaction.transforms import (
+        MONOTONE_TRANSFORMS,
+        apply_transform_py,
+    )
+
+    spec = specs.get(str(file_entry.get("spec_id", 0)))
+    partition = file_entry.get("partition") or {}
+    if not spec or not partition:
+        return True
+    for col, op, value in data_filter:
+        for field in spec:
+            if field.get("source", field["name"]) != col:
+                continue
+            tname = field["transform"]
+            lit = value
+            # Iceberg's strict-projection boundary adjustment: for an
+            # exclusive bound on an INTEGER source, `k < v` has the same
+            # row set as `k <= v-1`, and t(v-1) can land in the previous
+            # partition — tightening e.g. `k < 100` to prune the
+            # trunc-100 bin "100" itself.  Integer-valued monotone
+            # transforms only; anything else keeps the inclusive bound.
+            if (
+                isinstance(value, int)
+                and not isinstance(value, bool)
+                and tname in ("identity", "truncate")
+            ):
+                if op == "<":
+                    lit = value - 1
+                elif op == ">":
+                    lit = value + 1
+            ok, tv = apply_transform_py(field, lit, field.get("source_type"))
+            if not ok:
+                continue
+            pv = _coerce_partition_value(partition.get(field["name"]), tv)
+            if pv is None:
+                continue  # null partition / not recorded / uncoercible
+            if tname in MONOTONE_TRANSFORMS:
+                try:
+                    if op == "=" and pv != tv:
+                        return False
+                    if op in ("<", "<=") and pv > tv:
+                        return False
+                    if op in (">", ">=") and pv < tv:
+                        return False
+                except TypeError:
+                    continue
+            elif tname in ("bucket", "iceberg_bucket"):
+                # Hash buckets: only equality can prune.
+                if op == "=" and pv != tv:
+                    return False
+    return True
+
+
 def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
     """Can any row of this file satisfy ALL predicates, judging only by
     the manifest's per-column min/max?  Conservative: missing stats or
@@ -91,6 +175,69 @@ class ManifestTable:
             json.dump(state, f, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic swap
 
+    # -- partition-spec evolution --------------------------------------
+    #
+    # Iceberg tables carry a REGISTRY of partition specs: each data file
+    # records the spec it was written under (``spec_id``), new writes
+    # use the default spec, and changing the layout never rewrites
+    # existing files — scans evaluate every file against its own spec.
+    # (Iceberg spec "Partition Evolution"; the reference ships a
+    # PartitionSpec per rewrite request, core/proto/iceberg.proto:18-61.)
+
+    def partition_specs(self) -> dict[str, list[dict]]:
+        state = self._load()
+        return state.get("partition_specs", {"0": []})
+
+    def default_spec_id(self) -> int:
+        return self._load().get("default_spec_id", 0)
+
+    def partition_spec(self, spec_id: int | None = None) -> list[dict]:
+        """Spec fields for ``spec_id`` (default: the table's current
+        default spec).  Spec 0 is the implicit unpartitioned spec."""
+        specs = self.partition_specs()
+        sid = self.default_spec_id() if spec_id is None else spec_id
+        if str(sid) not in specs:
+            raise ValueError(f"unknown partition spec id {sid}")
+        return specs[str(sid)]
+
+    def update_partition_spec(self, fields: list[dict]) -> int:
+        """Evolve the table's partitioning: register ``fields`` as a new
+        spec and make it the default for FUTURE writes.  Existing files
+        keep their recorded spec — no data moves (metadata-only, like
+        Iceberg ``ALTER TABLE ... ADD PARTITION FIELD``).
+
+        Each field: ``{"name", "transform", "source"?, "n"?/"width"?,
+        "source_type"?}`` (``source_type`` enables bucket pruning —
+        see transforms.apply_transform_py).
+        """
+        for f in fields:
+            if "name" not in f or "transform" not in f:
+                raise ValueError(f"spec field needs name+transform: {f}")
+            if f["name"] == f.get("source", f["name"]):
+                # The fanout writer emits the partition value as a NEW
+                # derived column routed into directory names; reusing
+                # the source column's name would route the source data
+                # itself into dir names and drop it from the data files
+                # (per-file scans would lose the column).
+                raise ValueError(
+                    f"spec field name must differ from source column: {f}"
+                )
+        state = self._load()
+        specs = state.get("partition_specs", {"0": []})
+        # Re-registering an identical spec is a no-op (idempotent DDL).
+        for sid, existing in specs.items():
+            if existing == fields:
+                state["default_spec_id"] = int(sid)
+                state["partition_specs"] = specs
+                self._store(state)
+                return int(sid)
+        new_id = max(int(s) for s in specs) + 1
+        specs[str(new_id)] = fields
+        state["partition_specs"] = specs
+        state["default_spec_id"] = new_id
+        self._store(state)
+        return new_id
+
     # -- snapshot API --------------------------------------------------
 
     def snapshots(self) -> list[Snapshot]:
@@ -143,6 +290,7 @@ class ManifestTable:
                 raise ValueError(f"snapshot {snapshot_id} not found")
         if snap is None:
             return [], [], []
+        specs = self.partition_specs()
         data, pos, eq = [], [], []
         seen: set[str] = set()
         for f in snap.files:
@@ -155,6 +303,10 @@ class ManifestTable:
             )
             if task.content is FileContent.DATA:
                 if data_filter and not _file_may_match(f, data_filter):
+                    continue
+                if data_filter and not _file_may_match_partition(
+                    f, specs, data_filter
+                ):
                     continue
                 data.append(task)
             elif task.data_file_path not in seen:

@@ -54,6 +54,16 @@ class Compaction:
         name_mapping = (
             table.name_mapping() if hasattr(table, "name_mapping") else None
         )
+        # Partition-spec evolution: rewrite under the table's CURRENT
+        # default spec — files written under older specs (or before any
+        # partitioning) come out re-laid-out in the new spec, which is
+        # exactly how Iceberg compaction migrates a table's layout after
+        # ALTER TABLE ... ADD PARTITION FIELD.
+        spec_id, spec_fields = 0, None
+        if partition_by is None and hasattr(table, "default_spec_id"):
+            spec_id = table.default_spec_id()
+            fields = table.partition_spec(spec_id)
+            spec_fields = fields or None
         data, pos, eq = table.scan_tasks()
         if not data:
             return RewriteFilesResponse()
@@ -67,16 +77,19 @@ class Compaction:
             equality_delete_files=eq,
             dir_path=out_dir,
             partition_by=partition_by or [],
+            partition_spec=spec_fields,
             target_partitions=target_partitions,
             name_mapping=name_mapping,
         )
         response = rewrite_files(self.spark, request)
 
         removed = {t.data_file_path for t in data + pos + eq}
-        added = [
-            {
+        new_seq = max((t.sequence_number for t in data + eq), default=0) + 1
+        added = []
+        for f in response.data_files:
+            entry = {
                 "path": f.file_path,
-                "sequence_number": max((t.sequence_number for t in data + eq), default=0) + 1,
+                "sequence_number": new_seq,
                 "content": "DATA",
                 "file_size_in_bytes": f.file_size_in_bytes,
                 # Footer-derived stats land in the manifest so later
@@ -84,8 +97,10 @@ class Compaction:
                 "record_count": f.record_count,
                 "column_stats": f.column_stats,
             }
-            for f in response.data_files
-        ]
+            if spec_fields:
+                entry["spec_id"] = spec_id
+                entry["partition"] = f.partition_values or {}
+            added.append(entry)
         table.commit_rewrite(added, removed)
         return response
 

@@ -93,6 +93,107 @@ TRANSFORMS = {
     "hour": hours,
 }
 
+# Transforms that preserve ordering of their source values — for these,
+# range predicates on the source translate to range predicates on the
+# partition value (the basis of partition-level file pruning).  Bucket
+# is deliberately absent (hash buckets support only equality pruning).
+MONOTONE_TRANSFORMS = {"identity", "year", "month", "day", "hour", "truncate"}
+
+
+def _as_datetime(value):
+    """Coerce a predicate literal to datetime for temporal transforms."""
+    import datetime as dt
+
+    if isinstance(value, dt.datetime):
+        return value
+    if isinstance(value, dt.date):
+        return dt.datetime(value.year, value.month, value.day)
+    if isinstance(value, str):
+        return dt.datetime.fromisoformat(value)
+    raise TypeError(f"not a temporal literal: {value!r}")
+
+
+def apply_transform_py(spec: dict, value, source_type: str | None = None):
+    """Driver-side evaluation of a transform on a plain Python literal —
+    the planning-time mirror of :func:`transform_column`, used for
+    manifest partition pruning (evaluating ``t(predicate_literal)``
+    without a Spark job).
+
+    Returns ``(ok, transformed)``; ``ok=False`` means the transform
+    cannot be evaluated faithfully for this value/type and the caller
+    must NOT prune (pruning is only ever an optimization — a wrong
+    bucket id here would silently drop matching files, so every
+    ambiguous case opts out instead).
+
+    ``source_type`` disambiguates hash serializations: Spark's ``F.hash``
+    commits to the column's physical type (int columns hash 4 bytes,
+    long columns 8), so engine-``bucket`` pruning requires it to be
+    ``"int"`` or ``"long"``.  Spec-exact ``iceberg_bucket`` promotes all
+    integrals to long (Iceberg spec) and hashes strings as UTF-8.
+    """
+    import datetime as dt
+    import struct
+
+    name = spec["transform"]
+    if name == "identity":
+        return True, value
+    if name == "void":
+        return False, None
+    if name in ("year", "month", "day", "hour"):
+        try:
+            v = _as_datetime(value)
+        except (TypeError, ValueError):
+            return False, None
+        if name == "year":
+            return True, v.year - 1970
+        if name == "month":
+            return True, (v.year - 1970) * 12 + v.month - 1
+        if name == "day":
+            return True, (v.date() - dt.date(1970, 1, 1)).days
+        epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return True, int((v - epoch).total_seconds() // 3600)
+    if name == "truncate":
+        w = int(spec["width"])
+        if isinstance(value, str):
+            return True, value[:w]
+        if isinstance(value, int) and not isinstance(value, bool):
+            return True, value - (value % w)  # Python % floors: spec semantics
+        return False, None
+    if name == "bucket":
+        # Engine-consistent bucket = pmod(F.hash(col), n); F.hash is
+        # murmur3_x86_32 seed 42 over the column's physical layout.
+        # Pinned equal to F.hash in tests/test_types_transforms.py.
+        from ic_spark.functions.iceberg_hash import py_murmur3_32
+
+        if not isinstance(value, int) or isinstance(value, bool):
+            return False, None
+        n = int(spec["n"])
+        if source_type == "int":
+            if not (-(1 << 31) <= value < (1 << 31)):
+                return False, None
+            h = py_murmur3_32(struct.pack("<i", value), seed=42)
+        elif source_type == "long":
+            h = py_murmur3_32(struct.pack("<q", value), seed=42)
+        else:
+            return False, None  # physical type unknown -> no pruning
+        return True, h % n if h % n >= 0 else h % n + n
+    if name == "iceberg_bucket":
+        from ic_spark.functions.iceberg_hash import py_hash_long, py_murmur3_32
+
+        n = int(spec["n"])
+        if isinstance(value, bool):
+            return False, None
+        if isinstance(value, int):
+            h = py_hash_long(value)  # spec: integrals promote to long
+        elif isinstance(value, str) and spec.get("logical") != "uuid":
+            h = py_murmur3_32(value.encode("utf-8"))
+        elif isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+            h = py_hash_long((value - dt.date(1970, 1, 1)).days)
+        else:
+            return False, None
+        return True, (h & 0x7FFFFFFF) % n
+    return False, None
+
 
 def transform_column(spec: dict, col: Column, data_type=None) -> Column:
     """Apply a transform spec {"transform": name, ...params} to a column.

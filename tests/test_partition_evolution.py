@@ -1,0 +1,268 @@
+"""Partition-spec evolution: spec registry, per-file-spec pruning, and
+compaction-driven layout migration.
+
+Iceberg semantics under test (spec "Partition Evolution"; reference
+ships one PartitionSpec per rewrite request, core/proto/iceberg.proto:18-61):
+- evolving the spec is metadata-only — existing files keep their spec;
+- scans evaluate each file against ITS OWN spec (old and new layouts
+  coexist in one snapshot);
+- compaction rewrites everything under the CURRENT default spec.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.compaction import Compaction, ManifestTable
+from ic_spark.compaction.deletes import read_table, write_position_deletes
+from ic_spark.compaction.manifest import _file_may_match_partition
+from ic_spark.compaction.transforms import apply_transform_py
+from ic_spark.functions.iceberg_hash import py_murmur3_32
+
+
+# ------------------------------------------------------------- registry
+
+def test_spec_registry_update_and_idempotence(tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    assert t.default_spec_id() == 0
+    assert t.partition_spec() == []  # implicit unpartitioned spec
+
+    day = [{"name": "ts_day", "source": "ts", "transform": "day"}]
+    sid1 = t.update_partition_spec(day)
+    assert sid1 == 1 and t.default_spec_id() == 1
+    assert t.partition_spec() == day
+    assert t.partition_spec(0) == []  # old spec still addressable
+
+    hour = [{"name": "ts_hour", "source": "ts", "transform": "hour"}]
+    sid2 = t.update_partition_spec(hour)
+    assert sid2 == 2 and t.default_spec_id() == 2
+
+    # Re-registering an existing spec flips the default, mints no id.
+    assert t.update_partition_spec(day) == sid1
+    assert t.default_spec_id() == sid1
+    assert set(t.partition_specs()) == {"0", "1", "2"}
+
+    with pytest.raises(ValueError, match="differ from source"):
+        t.update_partition_spec([{"name": "k", "source": "k", "transform": "identity"}])
+    with pytest.raises(ValueError, match="name\\+transform"):
+        t.update_partition_spec([{"name": "x"}])
+
+
+# ------------------------------------- driver-side transform evaluation
+
+def test_apply_transform_py_matrix():
+    import datetime as dt
+
+    ok, v = apply_transform_py({"transform": "identity"}, 42)
+    assert ok and v == 42
+    assert apply_transform_py({"transform": "void"}, 42)[0] is False
+
+    ts = dt.datetime(2024, 3, 5, 14, 30)
+    assert apply_transform_py({"transform": "year"}, ts) == (True, 54)
+    assert apply_transform_py({"transform": "month"}, ts) == (True, 54 * 12 + 2)
+    assert apply_transform_py({"transform": "day"}, ts) == (
+        True,
+        (dt.date(2024, 3, 5) - dt.date(1970, 1, 1)).days,
+    )
+    hours = int(
+        (ts - dt.datetime(1970, 1, 1)).total_seconds() // 3600
+    )
+    assert apply_transform_py({"transform": "hour"}, ts) == (True, hours)
+    # ISO strings evaluate identically (predicate literals are often str).
+    assert apply_transform_py({"transform": "day"}, "2024-03-05 14:30:00") == (
+        True,
+        (dt.date(2024, 3, 5) - dt.date(1970, 1, 1)).days,
+    )
+
+    # truncate floors toward -inf (Iceberg), strings cut at width.
+    assert apply_transform_py({"transform": "truncate", "width": 100}, 250) == (True, 200)
+    assert apply_transform_py({"transform": "truncate", "width": 100}, -1) == (True, -100)
+    assert apply_transform_py({"transform": "truncate", "width": 3}, "abcdef") == (True, "abc")
+
+    # bucket without a physical type cannot prune.
+    assert apply_transform_py({"transform": "bucket", "n": 8}, 5)[0] is False
+
+
+def test_engine_bucket_py_matches_f_hash(spark):
+    """The driver-side bucket used for pruning must agree with the
+    engine's F.hash-based bucket for BOTH physical int and long — a
+    mismatch would silently prune files containing matching rows."""
+    vals = [0, 1, -1, 7, 150, 2**31 - 1, -(2**31), 123456789]
+    n = 8
+    rows = spark.createDataFrame(
+        [(v, v) for v in vals], "i int, l long"
+    ).select(
+        "i",
+        "l",
+        F.pmod(F.hash("i"), F.lit(n)).alias("bi"),
+        F.pmod(F.hash("l"), F.lit(n)).alias("bl"),
+    ).collect()
+    for r in rows:
+        ok, bi = apply_transform_py({"transform": "bucket", "n": n}, r.i, "int")
+        assert ok and bi == r.bi, f"int bucket mismatch for {r.i}"
+        ok, bl = apply_transform_py({"transform": "bucket", "n": n}, r.l, "long")
+        assert ok and bl == r.bl, f"long bucket mismatch for {r.l}"
+
+    # iceberg_bucket pruning agrees with the spec-exact expression path
+    # (8-byte-LE long serialization, seed 0).
+    for v in vals:
+        ok, b = apply_transform_py({"transform": "iceberg_bucket", "n": n}, v)
+        assert ok and b == (py_murmur3_32(struct.pack("<q", v)) & 0x7FFFFFFF) % n
+
+
+# ------------------------------------------------- per-spec file pruning
+
+def _entry(path, spec_id, partition, seq=1):
+    return {
+        "path": path,
+        "sequence_number": seq,
+        "content": "DATA",
+        "file_size_in_bytes": 1,
+        "spec_id": spec_id,
+        "partition": partition,
+    }
+
+
+def test_file_may_match_partition_per_spec():
+    specs = {
+        "0": [],
+        "1": [{"name": "k_t", "source": "k", "transform": "truncate", "width": 100}],
+        "2": [{"name": "k_b", "source": "k", "transform": "bucket", "n": 8,
+               "source_type": "long"}],
+    }
+    old = _entry("f1", 1, {"k_t": "100"})  # hive dirs stringify values
+    new = _entry("f2", 2, {"k_b": "3"})
+    unpart = _entry("f0", 0, {})
+
+    # truncate is monotone: range + equality pruning.
+    assert _file_may_match_partition(old, specs, [("k", "=", 150)])
+    assert not _file_may_match_partition(old, specs, [("k", "=", 250)])
+    assert _file_may_match_partition(old, specs, [("k", ">=", 199)])
+    assert not _file_may_match_partition(old, specs, [("k", "<", 100)])
+    assert _file_may_match_partition(old, specs, [("k", "<", 101)])
+
+    # bucket prunes ONLY on equality, judged by the file's own spec.
+    ok, b150 = apply_transform_py(
+        {"transform": "bucket", "n": 8}, 150, "long"
+    )
+    assert ok
+    hit = _file_may_match_partition(new, specs, [("k", "=", 150)])
+    assert hit == (b150 == 3)
+    assert _file_may_match_partition(new, specs, [("k", "<", 0)])  # range: keep
+
+    # Unpartitioned-spec files and unknown columns never prune.
+    assert _file_may_match_partition(unpart, specs, [("k", "=", 1)])
+    assert _file_may_match_partition(old, specs, [("other", "=", 1)])
+
+    # Null/missing partition value -> conservative keep.
+    assert _file_may_match_partition(_entry("f3", 1, {}), specs, [("k", "=", 250)])
+
+
+def test_scan_tasks_partition_pruning_two_specs(spark, tmp_path):
+    """Files written under two different specs coexist; a filtered scan
+    prunes each against its own spec and results stay exact."""
+    t = ManifestTable(str(tmp_path / "pe"))
+    t.update_partition_spec(
+        [{"name": "k_t", "source": "k", "transform": "truncate", "width": 100}]
+    )
+    entries = []
+    for lo in (0, 100, 200):  # three spec-1 files, k in [lo, lo+100)
+        d = str(tmp_path / f"pe_s1_{lo}")
+        spark.range(lo, lo + 100).selectExpr("id AS k", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(d)
+        p = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+        # No column_stats on purpose: pruning must come from the
+        # partition tuple, not manifest min/max.
+        entries.append(_entry(p, 1, {"k_t": str(lo)}))
+    t.append_snapshot(entries)
+
+    sid2 = t.update_partition_spec(
+        [{"name": "k_b", "source": "k", "transform": "bucket", "n": 4,
+          "source_type": "long"}]
+    )
+    bucket_of = {}
+    d2 = str(tmp_path / "pe_s2")
+    df2 = spark.range(300, 400).selectExpr(
+        "id AS k", "id * 2 AS v", "pmod(hash(id), 4) AS b"
+    )
+    for b in range(4):
+        dd = os.path.join(d2, str(b))
+        part = df2.where(F.col("b") == b).drop("b")
+        if part.isEmpty():
+            continue
+        part.coalesce(1).write.parquet(dd)
+        p = next(os.path.join(dd, n) for n in os.listdir(dd) if n.endswith(".parquet"))
+        bucket_of[b] = p
+        t.append_snapshot([_entry(p, sid2, {"k_b": str(b)})])
+
+    n_files = 3 + len(bucket_of)
+    data, _, _ = t.scan_tasks()
+    assert len(data) == n_files
+
+    # k = 150: one spec-1 file (trunc 100) + one spec-2 bucket survive.
+    data, _, _ = t.scan_tasks(data_filter=[("k", "=", 150)])
+    ok, b150 = apply_transform_py(
+        {"transform": "bucket", "n": 4}, 150, "long"
+    )
+    assert ok
+    got = {d.data_file_path for d in data}
+    assert got == {entries[1]["path"], bucket_of[b150]}
+
+    # Range k >= 250: spec-1 file [200,300) + ALL spec-2 buckets
+    # (bucket can't range-prune).
+    data, _, _ = t.scan_tasks(data_filter=[("k", ">=", 250)])
+    got = {d.data_file_path for d in data}
+    assert got == {entries[2]["path"], *bucket_of.values()}
+
+    # End-to-end: pruned read returns exactly the filtered rows.
+    df = read_table(spark, t, where=[("k", ">=", 250)])
+    assert sorted(r.k for r in df.collect()) == list(range(250, 400))
+
+
+def test_full_compact_migrates_to_current_spec(spark, tmp_path):
+    """Evolving the spec then compacting rewrites old-layout files under
+    the new spec: entries carry the new spec_id + partition values,
+    visible rows are unchanged, and the new layout prunes."""
+    t = ManifestTable(str(tmp_path / "mig"))
+    d = str(tmp_path / "mig_data")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS v").coalesce(
+        1
+    ).write.parquet(d)
+    p = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    t.append_snapshot(
+        [{"path": p, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(p)}]
+    )
+    # A position delete rides along: compaction must apply it while
+    # migrating the layout.
+    write_position_deletes(spark, t, F.col("k") == 7)
+    before = {(r.k, r.v) for r in read_table(spark, t).collect()}
+    assert len(before) == 999
+
+    sid = t.update_partition_spec(
+        [{"name": "k_t", "source": "k", "transform": "truncate", "width": 250,
+          "source_type": "long"}]
+    )
+    schema = spark.read.parquet(p).schema
+    resp = Compaction(spark).full_compact(t, schema)
+    assert resp.stat.added_files_count >= 4  # one per truncate bin
+
+    snap = t.current_snapshot()
+    data_entries = [f for f in snap.files if f.get("content", "DATA") == "DATA"]
+    assert all(f["spec_id"] == sid for f in data_entries)
+    parts = {f["partition"]["k_t"] for f in data_entries}
+    assert parts == {"0", "250", "500", "750"}
+
+    after = {(r.k, r.v) for r in read_table(spark, t).collect()}
+    assert after == before  # migration is layout-only
+
+    # The migrated layout actually prunes: k = 600 touches one bin.
+    data, _, _ = t.scan_tasks(data_filter=[("k", "=", 600)])
+    assert {f.data_file_path for f in data} == {
+        f["path"] for f in data_entries if f["partition"]["k_t"] == "500"
+    }
