@@ -422,7 +422,16 @@ class IcebergTable:
         out = []
         for pf in spec["fields"]:
             src = by_id[pf["source-id"]]
-            ice_t = src["type"]
+            # Partition struct fields are typed by the TRANSFORM's
+            # result type (Iceberg spec): bucket/temporal ordinals are
+            # int; truncate/identity keep the source type.
+            transform = pf["transform"]
+            if transform.startswith("bucket[") or transform in (
+                "year", "month", "day", "hour"
+            ):
+                ice_t = "int"
+            else:
+                ice_t = src["type"]
             avro_t = {
                 "int": "int",
                 "long": "long",
@@ -468,8 +477,24 @@ class IcebergTable:
                 name_to_field[c]["id"] for c in f["equality_ids"] if c in name_to_field
             ]
         content = _ENUM_TO_CONTENT[FileContent[f.get("content", "DATA")]]
+        # Both the writer ("partition_values", hive-dir strings) and the
+        # orchestrator ("partition") feed this; coerce values to the
+        # partition struct's avro field types so the typed encoder
+        # round-trips (dir names stringify ints).
+        avro_types = {
+            pf["name"]: pf["type"][1] for pf in self._partition_avro_fields(meta)
+        }
         partition = {}
-        for pf_name, pf_val in (f.get("partition_values") or {}).items():
+        raw = f.get("partition_values") or f.get("partition") or {}
+        for pf_name, pf_val in raw.items():
+            t = avro_types.get(pf_name)
+            try:
+                if t in ("int", "long"):
+                    pf_val = int(pf_val)
+                elif t in ("float", "double"):
+                    pf_val = float(pf_val)
+            except (TypeError, ValueError):
+                pf_val = None  # untyped / null partition
             partition[pf_name] = pf_val
         return {
             "content": content,
@@ -635,6 +660,112 @@ class IcebergTable:
         ]
         self._commit_metadata(new_meta, expected_version=expected_version)
         return sid
+
+    # -- partition-spec evolution --------------------------------------
+
+    def default_spec_id(self) -> int:
+        return self.metadata()["default-spec-id"]
+
+    def partition_spec(self, spec_id: int | None = None) -> list[dict]:
+        """Spec fields in the writer's shape ({"name", "transform",
+        "source", "n"/"width"}).  Metadata ``bucket[N]`` reads back as
+        ``iceberg_bucket`` — spec-format tables always use the
+        spec-exact bucket so layouts interoperate with real Iceberg
+        readers."""
+        meta = self.metadata()
+        sid = meta["default-spec-id"] if spec_id is None else spec_id
+        spec = next(
+            (p for p in meta["partition-specs"] if p["spec-id"] == sid), None
+        )
+        if spec is None:
+            raise ValueError(f"unknown partition spec id {sid}")
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        out = []
+        for pf in spec["fields"]:
+            field = {
+                "name": pf["name"],
+                "source": id_to_name[pf["source-id"]],
+            }
+            t = pf["transform"]
+            if t.startswith("bucket["):
+                field["transform"] = "iceberg_bucket"
+                field["n"] = int(t[len("bucket[") : -1])
+            elif t.startswith("truncate["):
+                field["transform"] = "truncate"
+                field["width"] = int(t[len("truncate[") : -1])
+            else:
+                field["transform"] = t
+            out.append(field)
+        return out
+
+    def update_partition_spec(self, fields: list[dict]) -> int:
+        """Evolve the partition layout: register a new spec in
+        ``partition-specs`` and point ``default-spec-id`` at it —
+        metadata-only, existing snapshots untouched (Iceberg
+        ``ALTER TABLE ... ADD/REPLACE PARTITION FIELD``).
+
+        ``fields`` use the writer's shape; ``bucket``/``iceberg_bucket``
+        both serialize as spec ``bucket[N]`` (and execute spec-exact).
+        """
+        meta = self.metadata()
+        version = self.version()
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+        next_pid = meta.get("last-partition-id", 999) + 1
+        ice_fields = []
+        for f in fields:
+            if "name" not in f or "transform" not in f:
+                raise ValueError(f"spec field needs name+transform: {f}")
+            src = f.get("source", f["name"])
+            if f["name"] == src:
+                raise ValueError(
+                    f"spec field name must differ from source column: {f}"
+                )
+            if src not in name_to_id:
+                raise ValueError(f"unknown source column: {src}")
+            t = f["transform"]
+            if t in ("bucket", "iceberg_bucket"):
+                t = f"bucket[{int(f['n'])}]"
+            elif t == "truncate":
+                t = f"truncate[{int(f['width'])}]"
+            elif t not in ("identity", "void", "year", "month", "day", "hour"):
+                raise ValueError(f"unknown transform: {f['transform']}")
+            ice_fields.append(
+                {
+                    "name": f["name"],
+                    "transform": t,
+                    "source-id": name_to_id[src],
+                    "field-id": next_pid,
+                }
+            )
+            next_pid += 1
+        # Idempotent DDL: an identical existing spec just becomes default.
+        for p in meta["partition-specs"]:
+            if [
+                {k: x[k] for k in ("name", "transform", "source-id")}
+                for x in p["fields"]
+            ] == [
+                {k: x[k] for k in ("name", "transform", "source-id")}
+                for x in ice_fields
+            ]:
+                new_meta = dict(meta)
+                new_meta["default-spec-id"] = p["spec-id"]
+                self._commit_metadata(new_meta, expected_version=version)
+                return p["spec-id"]
+        new_id = max(p["spec-id"] for p in meta["partition-specs"]) + 1
+        new_meta = dict(meta)
+        new_meta["partition-specs"] = list(meta["partition-specs"]) + [
+            {"spec-id": new_id, "fields": ice_fields}
+        ]
+        new_meta["default-spec-id"] = new_id
+        new_meta["last-partition-id"] = next_pid - 1
+        self._commit_metadata(new_meta, expected_version=version)
+        return new_id
 
     # -- ManifestTable-compatible surface ------------------------------
 

@@ -63,7 +63,14 @@ class Compaction:
         if partition_by is None and hasattr(table, "default_spec_id"):
             spec_id = table.default_spec_id()
             fields = table.partition_spec(spec_id)
-            spec_fields = fields or None
+            # Only derived-column specs route through the transform
+            # writer; a legacy identity spec whose field reuses the
+            # source column's name would move the column itself into
+            # directory names (and out of the data files).
+            if fields and all(
+                f["name"] != f.get("source", f["name"]) for f in fields
+            ):
+                spec_fields = fields
         data, pos, eq = table.scan_tasks()
         if not data:
             return RewriteFilesResponse()

@@ -224,6 +224,64 @@ def test_scan_tasks_partition_pruning_two_specs(spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == list(range(250, 400))
 
 
+def test_iceberg_table_spec_evolution_and_compact(spark, tmp_path):
+    """Spec-format metadata: update_partition_spec commits a new spec in
+    partition-specs, compaction migrates the layout, and the manifest's
+    typed partition struct round-trips the values."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.sources.avro_io import read_container
+
+    schema = spark.createDataFrame([], "k long, v long").schema
+    tbl = IcebergTable.create(str(tmp_path / "it"), schema)
+    d = str(tmp_path / "it_seed")
+    spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(d)
+    p = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": p, "content": "DATA", "record_count": 400,
+          "file_size_in_bytes": os.path.getsize(p)}]
+    )
+
+    sid = tbl.update_partition_spec(
+        [{"name": "k_t", "source": "k", "transform": "truncate", "width": 200}]
+    )
+    assert sid == 1 and tbl.default_spec_id() == 1
+    meta = tbl.metadata()
+    assert len(meta["partition-specs"]) == 2
+    spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 1)
+    assert spec["fields"][0]["transform"] == "truncate[200]"
+    assert spec["fields"][0]["field-id"] == 1000
+    # Round-trip back to the writer shape.
+    assert tbl.partition_spec() == [
+        {"name": "k_t", "source": "k", "transform": "truncate", "width": 200}
+    ]
+    # bucket serializes as spec bucket[N] and reads back spec-exact.
+    sid2 = tbl.update_partition_spec(
+        [{"name": "k_b", "source": "k", "transform": "bucket", "n": 4}]
+    )
+    assert tbl.partition_spec(sid2) == [
+        {"name": "k_b", "source": "k", "transform": "iceberg_bucket", "n": 4}
+    ]
+    assert tbl.update_partition_spec(
+        [{"name": "k_t", "source": "k", "transform": "truncate", "width": 200}]
+    ) == sid  # idempotent DDL flips default back
+
+    resp = Compaction(spark).full_compact(tbl, schema)
+    assert resp.stat.added_files_count == 2  # one per truncate bin
+
+    # Typed partition values survive the Avro manifest round-trip.
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    _, _, entries = read_container(manifests[0]["manifest_path"])
+    assert {e["data_file"]["partition"]["k_t"] for e in entries} == {0, 200}
+    assert manifests[0]["partition_spec_id"] == sid
+
+    data, _, _ = tbl.scan_tasks()
+    out = spark.read.parquet(*[t.data_file_path for t in data])
+    assert sorted(r.k for r in out.collect()) == list(range(400))
+
+
 def test_full_compact_migrates_to_current_spec(spark, tmp_path):
     """Evolving the spec then compacting rewrites old-layout files under
     the new spec: entries carry the new spec_id + partition values,
