@@ -248,6 +248,87 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    ufreq AS (SELECT tok, COUNT(*) AS c FROM flat GROUP BY tok),
+    utotal AS (SELECT COUNT(*) AS n FROM flat),
+    bi AS (
+        SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    bfreq AS (SELECT prev, cur, COUNT(*) AS cb FROM bi GROUP BY prev, cur)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(
+               0.75 * CAST(f.cb AS DOUBLE) / up.c
+             + 0.25 * CAST(uc.c AS DOUBLE) / ut.n)), 6) AS avg_logprob
+    FROM bi b
+    JOIN bfreq f ON f.prev = b.prev AND f.cur = b.cur
+    JOIN ufreq up ON up.tok = b.prev
+    JOIN ufreq uc ON uc.tok = b.cur
+    CROSS JOIN utotal ut
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str):
+    """Interpolated bigram language-model quality score (the KenLM-lite
+    step up from text_unigram_logprob): each document averages
+    ``log(0.75 * P(cur|prev) + 0.25 * P(cur))`` over its adjacent token
+    pairs, with ``P(cur|prev) = c(prev,cur) / c(prev)`` estimated from
+    the corpus itself.  The unigram interpolation floor keeps unseen-ish
+    transitions finite, so gibberish with real words but impossible
+    word ORDER now scores low too — the main blind spot of a pure
+    unigram filter.  Documents with fewer than two tokens have no
+    bigrams and drop out (same in the oracle).
+
+    Scale shape: the model is two corpus-sized aggregates (bigram and
+    unigram frequency tables) reused via equi-joins on the gram — no
+    broadcast hints (gram vocabularies grow with the corpus; AQE
+    decides), no doc x doc term anywhere.  At 100 TB the string gram
+    keys would be xxhash64-compressed on the shuffle exactly like
+    operators/contamination.py does; the string path here is the
+    oracle-portable declaration of the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = d.select("doc_id", t.alias("t"))
+    # zip_with over two shifted slices: slice length size-1 is 0 for
+    # single-token docs (empty bigram array), never negative.
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (p, c) -> struct(p AS prev, c AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    flat = base.select(F.explode("t").alias("tok"))
+    ufreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    utotal = flat.select(F.count(F.lit(1)).alias("n"))
+    bfreq = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    prob = (
+        F.lit(0.75) * F.col("cb").cast("double") / F.col("up_c")
+        + F.lit(0.25) * F.col("uc_c").cast("double") / F.col("n")
+    )
+    return (
+        bi.join(bfreq, ["prev", "cur"])
+        .join(ufreq.select(F.col("tok").alias("prev"), F.col("c").alias("up_c")), "prev")
+        .join(ufreq.select(F.col("tok").alias("cur"), F.col("c").alias("uc_c")), "cur")
+        .crossJoin(F.broadcast(utotal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(prob)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
     "dedup_chunk_spans",
     oracle="""
     WITH chunks AS (
