@@ -37,6 +37,12 @@ _PRIORITY = [
     # text_bpeish_token_count (token counting attested in-window by
     # text_token_stats; its oracle stays in pytest).
     "mor_schema_evolution",
+    # Two-SPEC table: real fanout-written files pruned by each file's
+    # own partition spec + seq-guarded delete (partition evolution).
+    # Slot freed by demoting text_fingerprint (content fingerprinting
+    # attested in-window by dedup_fingerprint and
+    # text_rolling_hash_fingerprint; its oracle stays in pytest).
+    "mor_partition_evolution",
     # LLM-pipeline operators (dedup / similarity / text analysis).
     "dedup_exact",
     "dedup_fingerprint",
@@ -51,7 +57,6 @@ _PRIORITY = [
     "dedup_semantic_cells",
     "text_token_stats",
     "text_quality_langid",
-    "text_fingerprint",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_lsh_topk",

@@ -330,3 +330,105 @@ def mor_schema_evolution(spark: SparkSession, sf_dir: str):
         name_mapping={"s_acctbal": ["s_balance"]},
     )
     return build_merge_on_read(spark, req)
+
+
+@query(
+    "mor_partition_evolution",
+    oracle="""
+    WITH bound AS (SELECT CAST(max(o_orderkey) // 3 AS BIGINT) AS lo FROM orders)
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o, bound b
+    WHERE o.o_orderkey >= b.lo
+      AND NOT (o.o_orderkey % 2 = 0 AND o.o_orderkey % 11 = 0)
+    """,
+)
+def mor_partition_evolution(spark: SparkSession, sf_dir: str):
+    """Merge-on-read over a TWO-PARTITION-SPEC table — real files
+    written through the transform-aware fanout writer, pruned by each
+    file's OWN spec (Iceberg "Partition Evolution"; reference ships a
+    PartitionSpec per rewrite, core/proto/iceberg.proto:18-61).
+
+    Even-key orders land under spec 1 (coarse truncate bins, seq 1);
+    the table then evolves to spec 2 (bins half the width) and odd-key
+    orders land under it (seq 2).  Neither generation records column
+    stats, so the ``o_orderkey >= lo`` scan filter can only skip files
+    via their partition tuples — evaluated against the spec each file
+    was written under, with the integer boundary adjustment.  An
+    equality delete at seq 2 hides ``%11`` rows from strictly-older
+    (spec-1) files only, proving deletes ride through a pruned,
+    evolved-layout read unchanged.  Over-pruning anywhere would drop
+    rows and fail the driver's hash check.
+    """
+    import os
+    import tempfile
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.compaction.request import (
+        FileContent,
+        FileScanTask,
+        RewriteFilesRequest,
+    )
+    from ic_spark.compaction.writer import rewrite_files
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mk = o.agg(F.max("o_orderkey")).collect()[0][0]  # metadata-scale collect
+    tmp = tempfile.mkdtemp(prefix="mor_pe_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+
+    def one_file(df, tag: str) -> str:
+        p = os.path.join(tmp, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        return next(
+            os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+        )
+
+    def fanout(df, tag: str, spec: list[dict], seq: int, spec_id: int):
+        src = one_file(df, f"src_{tag}")
+        resp = rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=df.schema,
+                data_files=[FileScanTask(src, sequence_number=seq)],
+                dir_path=os.path.join(tmp, f"out_{tag}"),
+                partition_spec=spec,
+                target_partitions=0,
+            ),
+        )
+        # No column_stats on purpose: partition tuples must carry the
+        # pruning alone.
+        t.append_snapshot(
+            [
+                {"path": f.file_path, "sequence_number": seq, "content": "DATA",
+                 "file_size_in_bytes": f.file_size_in_bytes,
+                 "spec_id": spec_id, "partition": f.partition_values or {}}
+                for f in resp.data_files
+            ]
+        )
+
+    w1, w2 = mk // 4 + 1, mk // 8 + 1
+    spec1 = [{"name": "ok_t", "source": "o_orderkey", "transform": "truncate",
+              "width": w1, "source_type": "long"}]
+    sid1 = t.update_partition_spec(spec1)
+    fanout(o.where(F.col("o_orderkey") % 2 == 0), "even", spec1, 1, sid1)
+
+    spec2 = [{"name": "ok_t2", "source": "o_orderkey", "transform": "truncate",
+              "width": w2, "source_type": "long"}]
+    sid2 = t.update_partition_spec(spec2)
+    fanout(o.where(F.col("o_orderkey") % 2 == 1), "odd", spec2, 2, sid2)
+
+    dels = one_file(
+        o.where(F.col("o_orderkey") % 11 == 0).select("o_orderkey"), "del"
+    )
+    t.append_snapshot(
+        [{"path": dels, "sequence_number": 2, "content": "EQUALITY_DELETES",
+          "equality_ids": ["o_orderkey"],
+          "file_size_in_bytes": os.path.getsize(dels)}]
+    )
+
+    lo = mk // 3
+    return read_table(spark, t, where=[("o_orderkey", ">=", lo)]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
