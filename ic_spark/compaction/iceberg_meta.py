@@ -154,6 +154,35 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
     return None  # dates/timestamps arrive as strings from footer stats: skip
 
 
+def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
+    """Inverse of :func:`serialize_bound` (spec Appendix D) — used to
+    re-hydrate manifest lower/upper bounds for planning-time skipping."""
+    if b is None:
+        return None
+    try:
+        if isinstance(dt, T.BooleanType):
+            return b != b"\x00"
+        if isinstance(dt, T.IntegerType):
+            return struct.unpack("<i", b)[0]
+        if isinstance(dt, T.LongType):
+            return struct.unpack("<q", b)[0]
+        if isinstance(dt, T.FloatType):
+            return struct.unpack("<f", b)[0]
+        if isinstance(dt, T.DoubleType):
+            return struct.unpack("<d", b)[0]
+        if isinstance(dt, T.StringType):
+            return b.decode("utf-8")
+        if isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+
+            return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
+                -dt.scale
+            )
+    except (ValueError, TypeError, struct.error):
+        return None
+    return None
+
+
 # -------------------------------------------------------- avro schemas
 
 
@@ -571,6 +600,14 @@ class IcebergTable:
     def _live_entries(self, snapshot: dict | None) -> list[tuple[dict, int]]:
         """(manifest_entry, inherited_sequence_number) for every live
         file of ``snapshot`` — sequence-number inheritance applied."""
+        return [(e, s) for e, s, _ in self._live_entries_with_spec(snapshot)]
+
+    def _live_entries_with_spec(
+        self, snapshot: dict | None
+    ) -> list[tuple[dict, int, int]]:
+        """Like :meth:`_live_entries` plus each entry's manifest-level
+        ``partition_spec_id`` (the spec its partition tuple was written
+        under — per-spec pruning needs it)."""
         if snapshot is None:
             return []
         out = []
@@ -583,7 +620,7 @@ class IcebergTable:
                 seq = e["sequence_number"]
                 if seq is None:  # spec: inherit from the manifest list
                     seq = mf["sequence_number"]
-                out.append((e, seq))
+                out.append((e, seq, mf.get("partition_spec_id", 0)))
         return out
 
     def _commit_snapshot(
@@ -788,18 +825,45 @@ class IcebergTable:
         return self._commit_snapshot(meta, version, carried + new, "append")
 
     def scan_tasks(
-        self, snapshot_id: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        data_filter: list[tuple] | None = None,
     ) -> tuple[list[FileScanTask], list[FileScanTask], list[FileScanTask]]:
         """Plan (data, pos-delete, eq-delete) tasks from spec metadata —
-        same triple ``build_merge_on_read`` consumes."""
+        same triple ``build_merge_on_read`` consumes.
+
+        ``data_filter`` is the ManifestTable-shaped conjunction of
+        ``(col, op, value)`` triples: data files are skipped on their
+        manifest lower/upper bounds AND their partition tuple evaluated
+        against the spec each manifest was written under (delete files
+        are never pruned)."""
+        from ic_spark.compaction.manifest import (
+            _file_may_match,
+            _file_may_match_partition,
+        )
+
         meta = self.metadata()
         schema = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
         id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        id_to_type = {
+            f["id"]: iceberg_to_spark_type(f["type"]) for f in schema["fields"]
+        }
+        specs_by_id: dict[str, list[dict]] = {}
+        if data_filter:
+            for p in meta["partition-specs"]:
+                try:
+                    specs_by_id[str(p["spec-id"])] = self.partition_spec(
+                        p["spec-id"]
+                    )
+                except (KeyError, ValueError):
+                    continue  # unresolvable spec -> no pruning under it
         data, pos, eq = [], [], []
         seen: set[str] = set()
-        for e, seq in self._live_entries(self._snapshot(snapshot_id)):
+        for e, seq, spec_id in self._live_entries_with_spec(
+            self._snapshot(snapshot_id)
+        ):
             df = e["data_file"]
             task = FileScanTask(
                 data_file_path=df["file_path"],
@@ -811,6 +875,27 @@ class IcebergTable:
                 file_size_in_bytes=df["file_size_in_bytes"],
             )
             if task.content is FileContent.DATA:
+                if data_filter:
+                    stats: dict[str, dict] = {}
+                    for kind, key in (("lower_bounds", "min"), ("upper_bounds", "max")):
+                        for kv in df.get(kind) or []:
+                            fid = kv["key"]
+                            if fid not in id_to_name:
+                                continue
+                            v = deserialize_bound(id_to_type[fid], kv["value"])
+                            if v is not None:
+                                stats.setdefault(id_to_name[fid], {})[key] = v
+                    probe = {
+                        "column_stats": stats,
+                        "spec_id": spec_id,
+                        "partition": df.get("partition") or {},
+                    }
+                    if not _file_may_match(probe, data_filter):
+                        continue
+                    if not _file_may_match_partition(
+                        probe, specs_by_id, data_filter
+                    ):
+                        continue
                 data.append(task)
             elif task.data_file_path not in seen:
                 seen.add(task.data_file_path)

@@ -282,6 +282,59 @@ def test_iceberg_table_spec_evolution_and_compact(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == list(range(400))
 
 
+def test_iceberg_scan_tasks_prunes_on_bounds_and_partition(spark, tmp_path):
+    """Spec-metadata planning-time skipping: data files prune on Avro
+    manifest lower/upper bounds AND on partition tuples evaluated per
+    manifest spec; delete files never prune."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    schema = spark.createDataFrame([], "k long, v long").schema
+    tbl = IcebergTable.create(str(tmp_path / "ip"), schema)
+    sid = tbl.update_partition_spec(
+        [{"name": "k_t", "source": "k", "transform": "truncate", "width": 100,
+          "source_type": "long"}]
+    )
+    paths = {}
+    for lo in (0, 100, 200):
+        d = str(tmp_path / f"ip_{lo}")
+        spark.range(lo, lo + 100).selectExpr("id AS k", "id AS v").coalesce(
+            1
+        ).write.parquet(d)
+        p = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+        rc, cs, _ = _stats_from_footer(p, d)
+        paths[lo] = p
+        # File 200 carries ONLY a partition tuple (no stats): pruning
+        # must come from the per-spec partition path for it.
+        tbl.append_snapshot(
+            [{"path": p, "content": "DATA", "record_count": rc,
+              "file_size_in_bytes": os.path.getsize(p),
+              "column_stats": None if lo == 200 else cs,
+              "partition": {"k_t": lo}}]
+        )
+    dl = str(tmp_path / "ip_del")
+    spark.createDataFrame([(5,)], "k long").coalesce(1).write.parquet(dl)
+    dp = next(os.path.join(dl, n) for n in os.listdir(dl) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": dp, "content": "EQUALITY_DELETES", "equality_ids": ["k"],
+          "record_count": 1, "file_size_in_bytes": os.path.getsize(dp)}]
+    )
+
+    data, _, eq = tbl.scan_tasks(data_filter=[("k", "=", 150)])
+    assert {t.data_file_path for t in data} == {paths[100]}  # bounds prune
+    assert len(eq) == 1  # delete files survive any filter
+
+    data, _, _ = tbl.scan_tasks(data_filter=[("k", ">=", 250)])
+    assert {t.data_file_path for t in data} == {paths[200]}  # partition prunes
+
+    data, _, _ = tbl.scan_tasks(data_filter=[("k", "<", 100)])
+    assert {t.data_file_path for t in data} == {paths[0]}
+
+    data, _, _ = tbl.scan_tasks()
+    assert len(data) == 3  # no filter, no pruning
+    assert tbl.default_spec_id() == sid
+
+
 def test_full_compact_migrates_to_current_spec(spark, tmp_path):
     """Evolving the spec then compacting rewrites old-layout files under
     the new spec: entries carry the new spec_id + partition values,
