@@ -944,30 +944,76 @@ class IcebergTable:
         ]
         return self._commit_snapshot(meta, version, kept + new, "replace")
 
+    # -- snapshot refs (Iceberg metadata ``refs``: tags + branches) ----
+
+    def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:
+        """Record a named ref (spec ``refs`` map in table metadata).
+        Tags pin a snapshot for time travel; branches name a movable
+        head.  Refs survive snapshot expiration."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be tag|branch: {ref_type}")
+        meta = self.metadata()
+        version = self.version()
+        if all(s["snapshot-id"] != snapshot_id for s in meta["snapshots"]):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        new_meta = dict(meta)
+        refs = dict(meta.get("refs", {}))
+        refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        new_meta["refs"] = refs
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(new_meta, expected_version=version)
+
+    def remove_ref(self, name: str) -> None:
+        meta = self.metadata()
+        version = self.version()
+        refs = dict(meta.get("refs", {}))
+        refs.pop(name, None)
+        new_meta = dict(meta)
+        new_meta["refs"] = refs
+        self._commit_metadata(new_meta, expected_version=version)
+
+    def refs(self) -> dict[str, int]:
+        return {
+            n: r["snapshot-id"] for n, r in self.metadata().get("refs", {}).items()
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.metadata().get("refs", {})
+        if name not in refs:
+            raise ValueError(f"unknown ref: {name}")
+        return refs[name]["snapshot-id"]
+
     def expire_snapshots(self) -> list[str]:
-        """Retain only the current snapshot; return orphaned data-file
-        paths (caller owns physical deletion, like Iceberg)."""
+        """Retain the current snapshot plus every ref target; return
+        orphaned data-file paths (caller owns physical deletion, like
+        Iceberg ``expireSnapshots`` honoring retained refs)."""
         meta = self.metadata()
         version = self.version()
         cur = self._snapshot(None)
         if cur is None:
             return []
+        keep_ids = {cur["snapshot-id"]} | {
+            r["snapshot-id"] for r in meta.get("refs", {}).values()
+        }
+        retained = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
         keep_paths = {
-            e["data_file"]["file_path"] for e, _ in self._live_entries(cur)
+            e["data_file"]["file_path"]
+            for s in retained
+            for e, _ in self._live_entries(s)
         }
         orphans: set[str] = set()
         for s in meta["snapshots"]:
-            if s["snapshot-id"] == cur["snapshot-id"]:
+            if s["snapshot-id"] in keep_ids:
                 continue
             for e, _ in self._live_entries(s):
                 p = e["data_file"]["file_path"]
                 if p not in keep_paths:
                     orphans.add(p)
         new_meta = dict(meta)
-        new_meta["snapshots"] = [cur]
+        new_meta["snapshots"] = retained
         new_meta["snapshot-log"] = [
             x for x in meta.get("snapshot-log", [])
-            if x["snapshot-id"] == cur["snapshot-id"]
+            if x["snapshot-id"] in keep_ids
         ]
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(new_meta, expected_version=version)

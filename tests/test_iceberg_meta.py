@@ -303,6 +303,40 @@ def test_expire_snapshots_returns_orphans(spark, tmp_path, simple_schema):
     assert [t.data_file_path for t in data] == [f2]
 
 
+def test_refs_survive_expiration(spark, tmp_path, simple_schema):
+    """Spec ``refs``: a tag pins its snapshot (and that snapshot's
+    files) through expire_snapshots; time travel through the tag keeps
+    working; removing the tag releases the snapshot."""
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"), [(1, "a")], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"), [(2, "b")], "id int, name string")
+    sid1 = tbl.append_snapshot(
+        [{"path": f1, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1}]
+    )
+    tbl.set_ref("v1", sid1)
+    with pytest.raises(ValueError, match="not found"):
+        tbl.set_ref("bad", 123456)
+    with pytest.raises(ValueError, match="tag|branch"):
+        tbl.set_ref("x", sid1, ref_type="bookmark")
+    tbl.commit_rewrite(
+        [{"path": f2, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1}],
+        {f1},
+    )
+
+    orphans = tbl.expire_snapshots()
+    assert orphans == []  # f1 pinned by the v1 tag
+    assert len(tbl.snapshots()) == 2
+    assert tbl.refs() == {"v1": sid1}
+    data, _, _ = tbl.scan_tasks(snapshot_id=tbl.resolve_ref("v1"))
+    assert [t.data_file_path for t in data] == [f1]
+
+    tbl.remove_ref("v1")
+    orphans = tbl.expire_snapshots()
+    assert orphans == [f1]  # released with the tag
+    assert len(tbl.snapshots()) == 1
+
+
 def test_full_compact_over_spec_metadata(spark, tmp_path):
     """The SAME orchestrator that drives the JSON manifest runs the full
     compact cycle over real Iceberg metadata."""
