@@ -70,18 +70,64 @@ _REFS_SCHEMA = StructType(
 )
 
 
+def _as_snapshots(table) -> tuple[list, int | None]:
+    """Normalize either table flavor to (ManifestTable-shaped Snapshot
+    list, current_snapshot_id) so every metadata table reads both the
+    JSON-manifest and the spec-format (Avro) metadata identically."""
+    if isinstance(table, ManifestTable):
+        cur = table.current_snapshot()
+        return table.snapshots(), (cur.snapshot_id if cur else None)
+    # Spec-format IcebergTable: rebuild files-dicts from Avro manifests.
+    from ic_spark.compaction.iceberg_meta import _CONTENT_TO_ENUM
+    from ic_spark.compaction.manifest import Snapshot
+
+    meta = table.metadata()
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    out = []
+    for s in meta["snapshots"]:
+        files = []
+        for e, seq in table._live_entries(s):
+            df = e["data_file"]
+            files.append(
+                {
+                    "path": df["file_path"],
+                    "content": _CONTENT_TO_ENUM[df["content"]].name,
+                    "sequence_number": seq,
+                    "equality_ids": [
+                        id_to_name[i]
+                        for i in (df["equality_ids"] or [])
+                        if i in id_to_name
+                    ],
+                    "file_size_in_bytes": df["file_size_in_bytes"],
+                }
+            )
+        out.append(Snapshot(s["snapshot-id"], s["timestamp-ms"], files))
+    cur_id = meta.get("current-snapshot-id")
+    return out, (None if cur_id in (-1, None) else cur_id)
+
+
 def read_metadata_table(
     spark: SparkSession, table: ManifestTable, kind: str
 ) -> DataFrame:
     """``kind`` in {"snapshots", "files", "history", "refs"} — the
     Iceberg metadata-table surface (snapshots / data_files / history /
-    refs)."""
+    refs) over either table flavor (JSON manifest or spec metadata)."""
     if kind == "refs":
-        rows = [(n, sid, "tag") for n, sid in sorted(table.refs().items())]
+        types = {}
+        if not isinstance(table, ManifestTable):  # spec refs carry a type
+            types = {
+                n: r.get("type", "tag")
+                for n, r in table.metadata().get("refs", {}).items()
+            }
+        rows = [
+            (n, sid, types.get(n, "tag")) for n, sid in sorted(table.refs().items())
+        ]
         return spark.createDataFrame(rows, _REFS_SCHEMA)
-    snaps = table.snapshots()
-    current = table.current_snapshot()
-    cur_id = current.snapshot_id if current else None
+    snaps, cur_id = _as_snapshots(table)
+    current = next((s for s in snaps if s.snapshot_id == cur_id), None)
 
     if kind == "snapshots":
         rows = []
@@ -150,14 +196,12 @@ def snapshot_diff(
     """File-level CDC between two snapshots: one row per file that was
     added or removed, with its content type — what a downstream sync
     job consumes to mirror table changes without a full re-scan."""
-    frm = table.snapshot_at(from_snapshot_id)
+    snaps, cur_id = _as_snapshots(table)
+    by_id = {s.snapshot_id: s for s in snaps}
+    frm = by_id.get(from_snapshot_id)
     if frm is None:
         raise ValueError(f"snapshot {from_snapshot_id} not found")
-    to = (
-        table.current_snapshot()
-        if to_snapshot_id is None
-        else table.snapshot_at(to_snapshot_id)
-    )
+    to = by_id.get(cur_id if to_snapshot_id is None else to_snapshot_id)
     if to is None:
         raise ValueError(f"snapshot {to_snapshot_id} not found")
     old = {f["path"]: f for f in frm.files}

@@ -337,6 +337,49 @@ def test_refs_survive_expiration(spark, tmp_path, simple_schema):
     assert len(tbl.snapshots()) == 1
 
 
+def test_metadata_tables_over_spec_metadata(spark, tmp_path, simple_schema):
+    """The snapshots/files/history/refs metadata tables and file-level
+    CDC read spec-format Avro metadata through the same surface as the
+    JSON manifest."""
+    from ic_spark.compaction.metadata_tables import (
+        read_metadata_table,
+        snapshot_diff,
+    )
+
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"), [(1, "a")], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"), [(2, "b")], "id int, name string")
+    sid1 = tbl.append_snapshot(
+        [{"path": f1, "content": "DATA", "record_count": 1, "file_size_in_bytes": 11}]
+    )
+    tbl.set_ref("v1", sid1, ref_type="branch")
+    sid2 = tbl.commit_rewrite(
+        [{"path": f2, "content": "DATA", "record_count": 1, "file_size_in_bytes": 22}],
+        {f1},
+    )
+
+    snaps = read_metadata_table(spark, tbl, "snapshots").collect()
+    assert [(r.snapshot_id, r.is_current, r.data_files) for r in snaps] == [
+        (sid1, "false", 1),
+        (sid2, "true", 1),
+    ]
+    files = read_metadata_table(spark, tbl, "files").collect()
+    assert [(r.path, r.content, r.file_size_in_bytes) for r in files] == [
+        (f2, "DATA", 22)
+    ]
+    hist = read_metadata_table(spark, tbl, "history").collect()
+    assert [(r.snapshot_id, r.parent_id, r.files_added, r.files_removed) for r in hist] == [
+        (sid1, None, 1, 0),
+        (sid2, sid1, 1, 1),
+    ]
+    refs = read_metadata_table(spark, tbl, "refs").collect()
+    assert [(r.name, r.snapshot_id, r.type) for r in refs] == [(f"v1", sid1, "branch")]
+
+    diff = snapshot_diff(spark, tbl, sid1).collect()
+    assert {(r.change, r.path) for r in diff} == {("added", f2), ("removed", f1)}
+
+
 def test_full_compact_over_spec_metadata(spark, tmp_path):
     """The SAME orchestrator that drives the JSON manifest runs the full
     compact cycle over real Iceberg metadata."""
