@@ -904,6 +904,49 @@ class IcebergTable:
                 )
         return data, pos, eq
 
+    def incremental_tasks(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> list[FileScanTask]:
+        """DATA files added after ``from_snapshot_id`` (Iceberg
+        ``IncrementalAppendScan`` over spec metadata).  Rejects ranges
+        containing rewrites or new delete files — those change or
+        retract already-read rows, which an append-only consumer cannot
+        represent (same condition ManifestTable.incremental_tasks and
+        Iceberg itself enforce)."""
+        frm = self._snapshot(from_snapshot_id)
+        to = self._snapshot(to_snapshot_id)
+        if to is None:
+            raise ValueError(f"snapshot {to_snapshot_id} not found")
+        old = {e["data_file"]["file_path"] for e, _ in self._live_entries(frm)}
+        new_entries = {
+            e["data_file"]["file_path"]: (e, s)
+            for e, s in self._live_entries(to)
+        }
+        removed = old - set(new_entries)
+        if removed:
+            raise ValueError(
+                f"snapshots {from_snapshot_id}..{to['snapshot-id']} rewrite "
+                f"{len(removed)} file(s); incremental append scan undefined"
+            )
+        added = [(e, s) for p, (e, s) in new_entries.items() if p not in old]
+        deletes = [
+            e for e, _ in added if e["data_file"]["content"] != CONTENT_DATA
+        ]
+        if deletes:
+            raise ValueError(
+                f"snapshots {from_snapshot_id}..{to['snapshot-id']} add "
+                f"{len(deletes)} delete file(s); incremental append scan undefined"
+            )
+        return [
+            FileScanTask(
+                data_file_path=e["data_file"]["file_path"],
+                sequence_number=s,
+                content=FileContent.DATA,
+                file_size_in_bytes=e["data_file"]["file_size_in_bytes"],
+            )
+            for e, s in added
+        ]
+
     def commit_rewrite(
         self,
         added: list[dict],

@@ -337,6 +337,54 @@ def test_refs_survive_expiration(spark, tmp_path, simple_schema):
     assert len(tbl.snapshots()) == 1
 
 
+def test_incremental_and_mor_read_over_spec_metadata(spark, tmp_path, simple_schema):
+    """Spec-metadata parity for the consumption paths: incremental
+    append scans between snapshots, and the full read_table MoR read
+    with planning-time filter + ref-based time travel."""
+    from ic_spark.compaction.deletes import read_table
+
+    loc = str(tmp_path / "tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f1 = write_parquet(spark, str(tmp_path / "d1"),
+                       [(i, f"a{i}") for i in range(5)], "id int, name string")
+    f2 = write_parquet(spark, str(tmp_path / "d2"),
+                       [(i, f"b{i}") for i in range(5, 10)], "id int, name string")
+    sid1 = tbl.append_snapshot(
+        [{"path": f1, "content": "DATA", "record_count": 5, "file_size_in_bytes": 1}]
+    )
+    tbl.set_ref("first", sid1)
+    tbl.append_snapshot(
+        [{"path": f2, "content": "DATA", "record_count": 5, "file_size_in_bytes": 1}]
+    )
+
+    inc = tbl.incremental_tasks(sid1)
+    assert [t.data_file_path for t in inc] == [f2]
+    assert inc[0].sequence_number == 2  # inherited commit seq
+
+    # read_table duck-types over spec metadata: filter + ref travel.
+    df = read_table(spark, tbl, where=[("id", ">=", 3)])
+    assert sorted(r.id for r in df.collect()) == list(range(3, 10))
+    old = read_table(spark, tbl, ref="first")
+    assert sorted(r.id for r in old.collect()) == list(range(5))
+
+    # A delete file in the range breaks append-only semantics.
+    dl = write_parquet(spark, str(tmp_path / "del"), [(6,)], "id int")
+    tbl.append_snapshot(
+        [{"path": dl, "content": "EQUALITY_DELETES", "equality_ids": ["id"],
+          "record_count": 1, "file_size_in_bytes": 1}]
+    )
+    with pytest.raises(ValueError, match="delete file"):
+        tbl.incremental_tasks(sid1)
+    # ...and a rewrite breaks it too.
+    f3 = write_parquet(spark, str(tmp_path / "d3"), [(99, "z")], "id int, name string")
+    tbl.commit_rewrite(
+        [{"path": f3, "content": "DATA", "record_count": 1, "file_size_in_bytes": 1}],
+        {f1},
+    )
+    with pytest.raises(ValueError, match="rewrite"):
+        tbl.incremental_tasks(sid1)
+
+
 def test_metadata_tables_over_spec_metadata(spark, tmp_path, simple_schema):
     """The snapshots/files/history/refs metadata tables and file-level
     CDC read spec-format Avro metadata through the same surface as the
