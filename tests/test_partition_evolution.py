@@ -162,6 +162,57 @@ def test_file_may_match_partition_per_spec():
     assert _file_may_match_partition(_entry("f3", 1, {}), specs, [("k", "=", 250)])
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    transform=st.sampled_from(["identity", "truncate", "bucket", "day"]),
+    width=st.integers(min_value=1, max_value=1000),
+    n=st.integers(min_value=1, max_value=64),
+    rows=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=20),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+    lit=st.integers(min_value=-10**6, max_value=10**6),
+)
+def test_partition_pruning_never_drops_matching_rows(transform, width, n, rows, op, lit):
+    """Soundness invariant: if ANY row of a file satisfies the
+    predicate, the file must survive pruning — for every transform and
+    operator, including the strict-projection boundary adjustment.
+    (Day uses integer day ordinals as the source to stay pure-Python.)"""
+    if transform == "day":
+        return  # temporal literals are datetime-typed; covered by the matrix test
+    field = {"name": "p", "source": "k", "transform": transform}
+    if transform == "truncate":
+        field["width"] = width
+    if transform == "bucket":
+        field["n"] = n
+        field["source_type"] = "long"
+    ok0, pv0 = apply_transform_py(field, rows[0], field.get("source_type"))
+    if not ok0:
+        return
+    # A file holds the subset of rows sharing rows[0]'s partition value.
+    in_file = [
+        v
+        for v in rows
+        if apply_transform_py(field, v, field.get("source_type"))[1] == pv0
+    ]
+    entry = _entry("f", 1, {"p": str(pv0)})
+    specs = {"1": [field]}
+
+    def sat(v):
+        return {
+            "=": v == lit, "<": v < lit, "<=": v <= lit,
+            ">": v > lit, ">=": v >= lit,
+        }[op]
+
+    has_match = any(sat(v) for v in in_file)
+    survived = _file_may_match_partition(entry, specs, [("k", op, lit)])
+    if has_match:
+        assert survived, (
+            f"over-pruned: {transform} pv={pv0} rows={in_file} {op} {lit}"
+        )
+
+
 def test_scan_tasks_partition_pruning_two_specs(spark, tmp_path):
     """Files written under two different specs coexist; a filtered scan
     prunes each against its own spec and results stay exact."""
