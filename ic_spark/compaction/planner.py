@@ -81,17 +81,34 @@ def _scan_with_hidden_cols(
     """
     if not tasks:
         return None
-    by_seq: dict[int, list[str]] = defaultdict(list)
+    # Group by (sequence number, file format): one multi-path scan per
+    # group.  The reference's task list mixes formats freely
+    # (DataFileFormat enum, proto.rs:282-289).
+    by_seq: dict[tuple[int, str], list[str]] = defaultdict(list)
     for t in tasks:
-        by_seq[t.sequence_number].append(t.data_file_path)
+        fmt = getattr(t, "file_format", "parquet") or "parquet"
+        by_seq[(t.sequence_number, fmt)].append(t.data_file_path)
 
     if schema is not None:
-        validate_file_schemas(
-            [t.data_file_path for t in tasks], schema, name_mapping
-        )
+        # Footer validation is a Parquet-metadata check.
+        parquet_paths = [
+            t.data_file_path
+            for t in tasks
+            if (getattr(t, "file_format", "parquet") or "parquet") == "parquet"
+        ]
+        if parquet_paths:
+            validate_file_schemas(parquet_paths, schema, name_mapping)
 
     parts: list[DataFrame] = []
-    for seq in sorted(by_seq):
+    for seq, fmt in sorted(by_seq):
+        paths = by_seq[(seq, fmt)]
+        if fmt != "parquet":
+            parts.append(
+                _scan_non_parquet_group(
+                    spark, paths, fmt, seq, schema, with_seq, with_pos, columns
+                )
+            )
+            continue
         reader = spark.read
         if schema is not None and not name_mapping:
             reader = reader.schema(schema)
@@ -99,7 +116,7 @@ def _scan_with_hidden_cols(
             # Renames: merge old+new footers so both name generations
             # are visible to the evolved projection.
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*by_seq[seq])
+        df = reader.parquet(*paths)
         cols: list = []
         if name_mapping and schema is not None:
             cols.extend(evolved_projection(df.schema, schema, name_mapping))
@@ -123,6 +140,63 @@ def _scan_with_hidden_cols(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _scan_non_parquet_group(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str,
+    seq: int,
+    schema,
+    with_seq: bool,
+    with_pos: bool,
+    columns: list[str] | None,
+) -> DataFrame:
+    """Scan one (seq, format) group of Avro or ORC data files.
+
+    Avro: the distributed pure-Python codec scan (sources/avro_scan.py)
+    computes exact per-file running row positions during decode — the
+    reference's ``index_start`` accumulation — so position deletes work.
+    ORC: Spark's native vectorized reader; ``_metadata.row_index`` is a
+    Parquet-only metadata column, so position deletes over ORC are
+    honestly rejected (equality deletes and plain scans are fine).
+    """
+    if fmt == "avro":
+        from ic_spark.sources import avro_scan
+
+        df = avro_scan.read_avro_distributed(
+            spark, paths, schema=schema, columns=columns, with_path_pos=with_pos
+        )
+        cols: list = []
+        if columns:
+            cols.extend(F.col(c) for c in columns)
+        else:
+            cols.extend(
+                F.col(c)
+                for c in df.columns
+                if c not in (avro_scan.FILE_PATH_COL, avro_scan.POS_COL)
+            )
+        if with_seq:
+            cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
+        if with_pos:
+            cols.append(F.col(avro_scan.FILE_PATH_COL).alias(SYS_HIDDEN_FILE_PATH))
+            cols.append(F.col(avro_scan.POS_COL).alias(SYS_HIDDEN_POS))
+        return df.select(*cols)
+    if fmt == "orc":
+        if with_pos:
+            raise NotImplementedError(
+                "position deletes over ORC data files need a row-index "
+                "metadata column, which Spark exposes only for Parquet"
+            )
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.orc(*paths)
+        cols = [F.col(c) for c in columns] if columns else [F.col("*")]
+        if with_seq:
+            cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
+        return df.select(*cols)
+    raise ValueError(f"unsupported data file format: {fmt}")
 
 
 def _maybe_broadcast(df: DataFrame, tasks: list[FileScanTask]) -> DataFrame:

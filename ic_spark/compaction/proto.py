@@ -438,6 +438,11 @@ def schema_from_proto(d: dict) -> T.StructType:
 
 _PARQUET = 2  # DataFileFormat.PARQUET
 
+# DataFileFormat enum (iceberg.proto:11; decode_data_file_format,
+# reference proto.rs:282-289): 0=Avro, 1=Orc, 2=Parquet.
+_FORMAT_ENUM = {"avro": 0, "orc": 1, "parquet": _PARQUET}
+_FORMAT_NAME = {v: k for k, v in _FORMAT_ENUM.items()}
+
 # Transform.TransformWithoutInner enum (iceberg.proto:19-34).
 _TRANSFORM_ENUM = {
     "identity": 0,
@@ -513,7 +518,7 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
                 "record_count": t.record_count,
                 "data_file_path": t.data_file_path,
                 "data_file_content": t.content.value,
-                "data_file_format": _PARQUET,
+                "data_file_format": _FORMAT_ENUM[t.file_format],
                 "sequence_number": t.sequence_number,
                 "equality_ids": [name_to_id[c] for c in t.equality_ids],
             }
@@ -577,6 +582,7 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
                 ),
                 file_size_in_bytes=t.get("length", 0),
                 record_count=t.get("record_count", 0),
+                file_format=_FORMAT_NAME[t.get("data_file_format", _PARQUET)],
             )
         )
     cfg = d.get("rewrite_file_config", {})

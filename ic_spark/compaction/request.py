@@ -52,6 +52,8 @@ class FileScanTask:
     equality_ids: tuple[str, ...] = ()
     file_size_in_bytes: int = 0
     record_count: int = 0
+    # Reference DataFileFormat enum (proto.rs:282-289): avro/orc/parquet.
+    file_format: str = "parquet"
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,7 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
                 content=content,
                 equality_ids=tuple(t.get("equality_ids", ())),
                 file_size_in_bytes=t.get("file_size_in_bytes", 0),
+                file_format=t.get("file_format", "parquet"),
             )
             for t in payload.get(key, [])
         ]

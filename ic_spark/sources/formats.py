@@ -56,9 +56,10 @@ def read_files(
 ) -> DataFrame:
     """Read files of a supported format into a DataFrame.
 
-    Raises NotImplementedError for Avro when the spark-avro module is
-    absent (it is not bundled in this container) — the call signature
-    and semantics are the supported surface.
+    Avro resolves to the JVM spark-avro module when present (the scale
+    path: splittable, vectorized) and otherwise to the distributed
+    pure-Python codec fallback (sources/avro_scan.py) — the format
+    works in every environment.
     """
     fmt = file_format.lower()
     if fmt not in SUPPORTED_READ_FORMATS:
@@ -76,10 +77,13 @@ def read_files(
         options.setdefault("header", "true")
     if fmt == "avro":
         if not _avro_available(spark):
-            raise NotImplementedError(
-                "Avro requires the spark-avro module (org.apache.spark:spark-avro); "
-                "not bundled in this environment"
-            )
+            # Distributed pure-Python fallback: binaryFile scan +
+            # mapInPandas codec (sources/avro_scan.py).  Per-file
+            # parallelism — the JVM module (splittable, vectorized) is
+            # preferred whenever its class is on the classpath.
+            from ic_spark.sources.avro_scan import read_avro_distributed
+
+            return read_avro_distributed(spark, paths, schema=schema)
         return reader.format("avro").options(**options).load(paths)
     if fmt == "binaryfile":
         # binaryFile ignores user schemas (fixed: path/modificationTime/
@@ -114,6 +118,16 @@ def write_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "avro":
+        if not _avro_available(df.sparkSession):
+            # The read side has a distributed pure-Python fallback; the
+            # write side stays gated — the reference writes Parquet only
+            # (core/src/executor/datafusion/mod.rs:152-190), and a
+            # Python-side distributed writer could not match JVM
+            # committer semantics (task attempts, rename protocols).
+            raise NotImplementedError(
+                "Avro writes require the spark-avro module; "
+                "use sources.avro_io.write_container for metadata-scale files"
+            )
         writer.format("avro").save(path)
     else:
         getattr(writer, fmt)(path)

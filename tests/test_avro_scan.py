@@ -1,0 +1,300 @@
+"""Distributed Avro data-file scans (sources/avro_scan.py).
+
+The reference scans Avro file tasks (DataFileFormat enum 0=Avro,
+reference core/src/parser/proto.rs:282-289); spark-avro is absent in
+this container, so reads go through the binaryFile + mapInPandas
+pure-Python codec path — these tests prove that path end-to-end,
+including merge-on-read hidden columns over Avro data files.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ic_spark.compaction.planner import build_merge_on_read
+from ic_spark.compaction.request import FileContent, FileScanTask, RewriteFilesRequest
+from ic_spark.sources.avro_io import write_container
+from ic_spark.sources.avro_scan import (
+    avro_to_spark_schema,
+    read_avro_distributed,
+    read_header,
+)
+from ic_spark.sources.formats import read_files, write_files
+
+SIMPLE_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+    ],
+}
+
+
+def _write_simple(tmp_path, n_files=2, rows_per_file=3):
+    paths = []
+    k = 0
+    for i in range(n_files):
+        recs = []
+        for _ in range(rows_per_file):
+            recs.append(
+                {
+                    "id": k,
+                    "name": None if k % 3 == 2 else f"n{k}",
+                    "score": k * 0.5,
+                }
+            )
+            k += 1
+        p = str(tmp_path / f"part-{i}.avro")
+        write_container(p, SIMPLE_SCHEMA, recs, codec="deflate" if i % 2 else "null")
+        paths.append(p)
+    return paths
+
+
+def test_avro_read_files_fallback(spark, tmp_path):
+    """read_files("avro") works without spark-avro via the distributed
+    codec fallback; schema comes from the writer schema."""
+    paths = _write_simple(tmp_path)
+    df = read_files(spark, paths, "avro")
+    assert [f.name for f in df.schema.fields] == ["id", "name", "score"]
+    assert isinstance(df.schema["id"].dataType, LongType)
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert len(rows) == 6
+    assert rows[2].name is None and rows[1].name == "n1"
+    assert rows[5].score == 2.5
+
+
+def test_avro_logical_and_nested_types(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "amt",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "pt",
+                "type": {
+                    "type": "record",
+                    "name": "pt_t",
+                    "fields": [
+                        {"name": "x", "type": "int"},
+                        {"name": "y", "type": "int"},
+                    ],
+                },
+            },
+        ],
+    }
+    unscaled = 123456  # 1234.56
+    recs = [
+        {
+            "d": 19723,  # 2024-01-01
+            "ts": 1_704_110_400_000_000,  # 2024-01-01T12:00:00Z
+            "amt": unscaled.to_bytes(4, "big", signed=True),
+            "tags": ["a", "b"],
+            "props": {"k": 7},
+            "pt": {"x": 1, "y": 2},
+        }
+    ]
+    p = str(tmp_path / "typed.avro")
+    write_container(p, schema, recs)
+    df = read_avro_distributed(spark, p)
+    row = df.collect()[0]
+    assert row.d == datetime.date(2024, 1, 1)
+    assert row.ts == datetime.datetime(2024, 1, 1, 12, 0, 0)
+    assert row.amt == decimal.Decimal("1234.56")
+    assert row.tags == ["a", "b"] and row.props == {"k": 7}
+    assert row.pt.x == 1 and row.pt.y == 2
+
+
+def test_avro_schema_discovery_and_null_fill(spark, tmp_path):
+    """An enforced wider Spark schema null-fills columns absent from the
+    file — same added-column semantics as the Parquet evolution path."""
+    paths = _write_simple(tmp_path, n_files=1)
+    assert avro_to_spark_schema(read_header(paths[0])).fieldNames() == [
+        "id",
+        "name",
+        "score",
+    ]
+    wider = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("added", IntegerType()),
+        ]
+    )
+    df = read_avro_distributed(spark, paths, schema=wider)
+    rows = df.collect()
+    assert all(r.added is None for r in rows)
+    assert sorted(r.id for r in rows) == [0, 1, 2]
+
+
+def test_avro_path_pos_hidden_columns(spark, tmp_path):
+    """Positions are the running record index per file in decode order —
+    the reference's index_start accumulation."""
+    paths = _write_simple(tmp_path, n_files=2, rows_per_file=4)
+    df = read_avro_distributed(spark, paths, with_path_pos=True)
+    per_file = {}
+    for r in df.collect():
+        per_file.setdefault(r._avro_file_path, []).append((r._avro_pos, r.id))
+    assert len(per_file) == 2
+    for pairs in per_file.values():
+        poss = [p for p, _ in sorted(pairs)]
+        ids = [i for _, i in sorted(pairs)]
+        assert poss == [0, 1, 2, 3]
+        assert ids == sorted(ids)  # pos follows decode (write) order
+
+
+def test_mor_over_avro_data_files(spark, tmp_path):
+    """Merge-on-read with BOTH delete flavors over Avro data files:
+    position deletes hit exact (file, pos) pairs; equality deletes obey
+    the strict sequence guard."""
+    paths = _write_simple(tmp_path, n_files=2, rows_per_file=4)  # ids 0..7
+    user_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    # Position-delete file (parquet, fixed 2-col schema): kill pos 1 of file 0.
+    pos_del = spark.createDataFrame(
+        [(f"file:{paths[0]}", 1)], "file_path string, pos long"
+    )
+    pdpath = str(tmp_path / "pos_del")
+    pos_del.coalesce(1).write.parquet(pdpath)
+    # Equality-delete file at seq 5 on id: kills id=6 (data seq 1 < 5)
+    eq_del = spark.createDataFrame([(6,), (99,)], "id long")
+    edpath = str(tmp_path / "eq_del")
+    eq_del.coalesce(1).write.parquet(edpath)
+
+    request = RewriteFilesRequest(
+        schema=user_schema,
+        data_files=[
+            FileScanTask(p, sequence_number=1, file_format="avro") for p in paths
+        ],
+        position_delete_files=[FileScanTask(pdpath, content=FileContent.POSITION_DELETES)],
+        equality_delete_files=[
+            FileScanTask(
+                edpath,
+                sequence_number=5,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            )
+        ],
+        dir_path=str(tmp_path / "out"),
+    )
+    out = build_merge_on_read(spark, request)
+    assert out.columns == ["id", "name", "score"]
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5, 7]  # pos-delete killed 1, eq-delete killed 6
+
+
+def test_mor_mixed_parquet_and_avro_groups(spark, tmp_path):
+    """One request mixing Parquet and Avro data files — per-(seq, format)
+    scan groups union into one plan."""
+    avro_paths = _write_simple(tmp_path, n_files=1, rows_per_file=3)  # ids 0..2
+    pq = spark.createDataFrame(
+        [(10, "p10", 1.0), (11, "p11", 2.0)], "id long, name string, score double"
+    )
+    pqdir = tmp_path / "data_pq"
+    pq.coalesce(1).write.parquet(str(pqdir))
+    pqpath = str(next(pqdir.glob("part-*.parquet")))  # a task names a FILE
+    user_schema = pq.schema
+    request = RewriteFilesRequest(
+        schema=user_schema,
+        data_files=[
+            FileScanTask(avro_paths[0], sequence_number=1, file_format="avro"),
+            FileScanTask(pqpath, sequence_number=2, file_format="parquet"),
+        ],
+        dir_path=str(tmp_path / "out"),
+    )
+    out = build_merge_on_read(spark, request)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 10, 11]
+
+
+def test_mor_orc_equality_ok_position_rejected(spark, tmp_path):
+    orc = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    opath = str(tmp_path / "data_orc")
+    orc.coalesce(1).write.orc(opath)
+    eq_del = spark.createDataFrame([(2,)], "id long")
+    edpath = str(tmp_path / "eq_del")
+    eq_del.coalesce(1).write.parquet(edpath)
+    schema = orc.schema
+    request = RewriteFilesRequest(
+        schema=schema,
+        data_files=[FileScanTask(opath, sequence_number=1, file_format="orc")],
+        equality_delete_files=[
+            FileScanTask(
+                edpath,
+                sequence_number=5,
+                content=FileContent.EQUALITY_DELETES,
+                equality_ids=("id",),
+            )
+        ],
+        dir_path=str(tmp_path / "out"),
+    )
+    out = build_merge_on_read(spark, request)
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+    bad = RewriteFilesRequest(
+        schema=schema,
+        data_files=[FileScanTask(opath, sequence_number=1, file_format="orc")],
+        position_delete_files=[
+            FileScanTask(edpath, content=FileContent.POSITION_DELETES)
+        ],
+        dir_path=str(tmp_path / "out2"),
+    )
+    with pytest.raises(NotImplementedError, match="ORC"):
+        build_merge_on_read(spark, bad).collect()
+
+
+def test_avro_write_stays_gated(spark, tmp_path):
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_files(df, str(tmp_path / "nope"), "avro")
+
+
+def test_file_format_survives_proto_roundtrip(spark):
+    from ic_spark.compaction.proto import request_from_proto, request_to_proto
+
+    schema = StructType([StructField("id", LongType())])
+    req = RewriteFilesRequest(
+        schema=schema,
+        data_files=[
+            FileScanTask("/a.avro", sequence_number=3, file_format="avro"),
+            FileScanTask("/b.parquet", sequence_number=3, file_format="parquet"),
+            FileScanTask("/c.orc", sequence_number=3, file_format="orc"),
+        ],
+        dir_path="/out",
+    )
+    back = request_from_proto(request_to_proto(req))
+    assert [t.file_format for t in back.data_files] == ["avro", "parquet", "orc"]

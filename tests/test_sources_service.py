@@ -44,8 +44,20 @@ def test_text_and_binaryfile_formats(spark, tmp_path):
         write_files(bdf, str(tmp_path / "nope"), "binaryFile")
 
 
-def test_avro_gated(spark, tmp_path):
-    with pytest.raises((NotImplementedError, Exception)):
+def test_avro_reads_via_fallback(spark, tmp_path):
+    """Avro reads no longer gate on spark-avro: the distributed
+    pure-Python codec path serves them (full coverage in
+    tests/test_avro_scan.py).  A missing path still fails fast."""
+    from ic_spark.sources.avro_io import write_container
+
+    p = str(tmp_path / "one.avro")
+    write_container(
+        p,
+        {"type": "record", "name": "r", "fields": [{"name": "v", "type": "long"}]},
+        [{"v": 41}, {"v": 1}],
+    )
+    assert sorted(r.v for r in read_files(spark, p, "avro").collect()) == [1, 41]
+    with pytest.raises(Exception):
         read_files(spark, str(tmp_path / "nope"), "avro")
 
 
