@@ -1,0 +1,365 @@
+"""Copy-on-write row-level operations: DELETE / UPDATE / MERGE.
+
+The reference engine applies row-level changes only via merge-on-read
+delete files (its one query shape — SURVEY §2.1).  These are the
+copy-on-write counterparts every Iceberg-style table surface offers
+(`DELETE FROM`, `UPDATE`, `MERGE INTO` with write.delete.mode=
+copy-on-write): rewrite exactly the files that contain affected rows,
+commit the swap atomically, leave every other file untouched.
+
+Scale design (100 TB discipline):
+
+- **File-level rewrite granularity.**  Candidate files come from
+  manifest column stats (``scan_tasks(data_filter=...)``) for
+  predicate ops, and from a key-bounds-pruned file-touch probe for
+  MERGE — an untouched file is never read, never rewritten.
+- **The existing MoR plan is the read path**: candidate files are read
+  with all applicable deletes applied (planner.build_merge_on_read), so
+  already-deleted rows cannot resurrect, and the rewrite output
+  re-enters at a sequence number above every delete (immune to
+  re-application under the strict ``<`` guard) — same semantics as
+  ``compact_small_files`` partial rewrites.
+- **Touch detection is column-pruned**: the MERGE probe scans key
+  columns + ``_metadata.file_path`` only, and the driver collects
+  DISTINCT FILE PATHS (bounded by file count, same order as a manifest
+  listing — never rows).
+- Delete files are retained in the manifest (they still guard
+  unrewritten files); ``full_compact`` drops them later.
+
+Contrast with ``deletes.merge_upsert`` (the MoR merge): upsert costs
+O(batch) and defers the join to read time; ``merge_into`` here pays the
+join once and keeps reads clean — the classic Iceberg
+merge-on-read / copy-on-write trade.
+"""
+
+from __future__ import annotations
+
+import operator
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+from ic_spark.compaction.writer import rewrite_files
+
+_OPS = {
+    "=": operator.eq,
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+}
+
+
+def predicate_column(where: list[tuple]):
+    """Conjunction of ``(col, op, value)`` triples → one boolean Column.
+
+    The same triple format ``read_table``/``scan_tasks`` use, so one
+    predicate drives BOTH manifest-stats file skipping and the row
+    filter."""
+    if not where:
+        raise ValueError("empty predicate")
+    cond = None
+    for col, op, value in where:
+        c = _OPS[op](F.col(col), F.lit(value))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _infer_schema(spark: SparkSession, table: ManifestTable) -> StructType:
+    if hasattr(table, "schema"):
+        return table.schema()
+    data, _, _ = table.scan_tasks()
+    if not data:
+        raise ValueError("empty table and no schema given")
+    return spark.read.parquet(data[0].data_file_path).schema
+
+
+def _next_seq(data, eq) -> int:
+    return max((t.sequence_number for t in data + eq), default=0) + 1
+
+
+def _rewrite_and_commit(
+    spark: SparkSession,
+    table: ManifestTable,
+    schema: StructType,
+    candidates: list[FileScanTask],
+    pos: list[FileScanTask],
+    eq: list[FileScanTask],
+    transform,
+    extra_added: list[dict] | None = None,
+) -> dict:
+    """Rewrite ``candidates`` through ``transform``; one atomic commit
+    removing them and adding the outputs (+ ``extra_added`` entries)."""
+    new_seq = _next_seq(candidates, eq)
+    out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
+    response = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=schema,
+            data_files=candidates,
+            position_delete_files=pos,
+            equality_delete_files=eq,
+            dir_path=out_dir,
+            target_partitions=max(1, len(candidates)),
+        ),
+        transform=transform,
+    )
+    added = [
+        {
+            "path": f.file_path,
+            "sequence_number": new_seq,
+            "content": "DATA",
+            "file_size_in_bytes": f.file_size_in_bytes,
+            "record_count": f.record_count,
+            "column_stats": f.column_stats,
+        }
+        for f in response.data_files
+    ]
+    added.extend(extra_added or [])
+    snapshot_id = table.commit_rewrite(
+        added, {t.data_file_path for t in candidates}
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rewritten_files_count": len(candidates),
+        "added_files_count": len(added),
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    table: ManifestTable,
+    where: list[tuple],
+    schema: StructType | None = None,
+) -> dict:
+    """Copy-on-write ``DELETE FROM table WHERE ...``.
+
+    Candidate files are stats-pruned by the predicate (a file whose
+    manifest min/max cannot match is never read); survivors of each
+    candidate file are rewritten without the matching rows."""
+    if schema is None:
+        schema = _infer_schema(spark, table)
+    _, pos, eq = table.scan_tasks()
+    candidates, _, _ = table.scan_tasks(data_filter=where)
+    if not candidates:
+        return {"snapshot_id": None, "rewritten_files_count": 0, "added_files_count": 0}
+    # NULL predicate result means "not matched" for DELETE: keep the row.
+    pred = predicate_column(where)
+    return _rewrite_and_commit(
+        spark,
+        table,
+        schema,
+        candidates,
+        pos,
+        eq,
+        lambda df: df.where(~F.coalesce(pred, F.lit(False))),
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: ManifestTable,
+    where: list[tuple],
+    assignments: dict[str, object],
+    schema: StructType | None = None,
+) -> dict:
+    """Copy-on-write ``UPDATE table SET col = expr WHERE ...``.
+
+    ``assignments`` maps column name → Column or SQL expression string
+    (evaluated over the row's current values).  Only files whose stats
+    may contain matching rows are rewritten; non-matching rows inside
+    them are carried over byte-identical in value."""
+    if schema is None:
+        schema = _infer_schema(spark, table)
+    field_names = {f.name for f in schema.fields}
+    unknown = set(assignments) - field_names
+    if unknown:
+        raise ValueError(f"assignments for unknown columns: {sorted(unknown)}")
+    _, pos, eq = table.scan_tasks()
+    candidates, _, _ = table.scan_tasks(data_filter=where)
+    if not candidates:
+        return {"snapshot_id": None, "rewritten_files_count": 0, "added_files_count": 0}
+    pred = predicate_column(where)
+
+    def apply_updates(df: DataFrame) -> DataFrame:
+        out = df
+        for col, expr in assignments.items():
+            new = F.expr(expr) if isinstance(expr, str) else expr
+            out = out.withColumn(
+                col,
+                F.when(pred, new.cast(df.schema[col].dataType)).otherwise(
+                    F.col(col)
+                ),
+            )
+        return out.select(*[f.name for f in schema.fields])
+
+    return _rewrite_and_commit(
+        spark, table, schema, candidates, pos, eq, apply_updates
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    table: ManifestTable,
+    source: DataFrame,
+    key_cols: list[str],
+    schema: StructType | None = None,
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> dict:
+    """Copy-on-write ``MERGE INTO table USING source ON keys``.
+
+    ``when_matched="update"`` replaces each matched target row with its
+    source row (source must carry the full table schema);
+    ``when_matched="delete"`` drops matched target rows.  Unmatched
+    source rows are appended as inserts unless ``insert_not_matched``
+    is False.
+
+    Only files actually CONTAINING matched keys are rewritten: a
+    key-bounds stats prune (min/max of the first key, two-row driver
+    aggregate over the source) narrows the probe scan, then a
+    column-pruned semi-join against the source keys yields the touched
+    file set via ``_metadata.file_path``.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete: {when_matched}")
+    if schema is None:
+        schema = _infer_schema(spark, table)
+    field_names = [f.name for f in schema.fields]
+    missing = [c for c in key_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source missing key columns: {missing}")
+    if when_matched == "update" or insert_not_matched:
+        lacking = [c for c in field_names if c not in source.columns]
+        if lacking:
+            raise ValueError(
+                f"full-row merge needs every table column in source; missing {lacking}"
+            )
+
+    all_data, pos, eq = table.scan_tasks()
+    if not all_data:
+        raise ValueError("table has no data files")
+
+    # Key-bounds prune: files outside [min, max] of the first key can't
+    # contain a match.  Two-row aggregate — source executes once here.
+    k0 = key_cols[0]
+    bounds = source.agg(
+        F.min(k0).alias("lo"), F.max(k0).alias("hi")
+    ).collect()[0]
+    probe_filter = None
+    if bounds.lo is not None:
+        probe_filter = [(k0, ">=", bounds.lo), (k0, "<=", bounds.hi)]
+    probe_tasks, _, _ = table.scan_tasks(data_filter=probe_filter)
+
+    source_keys = source.select(*key_cols).distinct()
+    touched_paths: set[str] = set()
+    if probe_tasks:
+        probe = spark.read.parquet(
+            *[t.data_file_path for t in probe_tasks]
+        ).select(*key_cols, F.col("_metadata.file_path").alias("__fp"))
+        touched_paths = {
+            r["__fp"]
+            for r in probe.join(source_keys, on=key_cols, how="left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        }
+    # _metadata.file_path yields file:-prefixed URIs; manifests store
+    # plain paths — match on both spellings.
+    candidates = [
+        t
+        for t in all_data
+        if t.data_file_path in touched_paths
+        or f"file:{t.data_file_path}" in touched_paths
+    ]
+
+    needs_full_rows = when_matched == "update" or insert_not_matched
+    marked_source = (
+        source.select(*field_names).withColumn("__merge_src", F.lit(True))
+        if needs_full_rows
+        else None
+    )
+
+    def apply_merge(target: DataFrame) -> DataFrame:
+        if when_matched == "delete":
+            out = target.join(source_keys, on=key_cols, how="left_anti")
+        else:
+            # Prefix source value columns so the post-join projection
+            # never hits alias-resolution ambiguity on the key columns.
+            s2 = marked_source.select(
+                *key_cols,
+                *[
+                    F.col(c).alias(f"__s_{c}")
+                    for c in field_names
+                    if c not in key_cols
+                ],
+                "__merge_src",
+            )
+            joined = target.join(s2, on=key_cols, how="left")
+            matched = F.col("__merge_src").isNotNull()
+            out = joined.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in key_cols
+                        else F.when(matched, F.col(f"__s_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                    for c in field_names
+                ]
+            )
+        if insert_not_matched:
+            # Not-matched = source keys absent from the whole table.  A
+            # key present anywhere makes its file touched, so the
+            # candidate rows are the complete match set.
+            inserts = marked_source.join(
+                target.select(*key_cols), on=key_cols, how="left_anti"
+            ).select(*field_names)
+            out = out.unionByName(inserts)
+        return out
+
+    if not candidates:
+        if not insert_not_matched:
+            return {
+                "snapshot_id": None,
+                "rewritten_files_count": 0,
+                "added_files_count": 0,
+            }
+        # Pure insert: no files to rewrite — append the source.
+        seq = _next_seq(all_data, eq)
+        ins_dir = os.path.join(table.root, f"merge-ins-{uuid.uuid4().hex[:12]}")
+        source.select(*field_names).write.mode("overwrite").parquet(ins_dir)
+        entries = []
+        from ic_spark.compaction.writer import _stats_from_footer
+
+        for name in sorted(os.listdir(ins_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(ins_dir, name)
+            record_count, column_stats, _ = _stats_from_footer(p, ins_dir)
+            entries.append(
+                {
+                    "path": p,
+                    "sequence_number": seq,
+                    "content": "DATA",
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "record_count": record_count,
+                    "column_stats": column_stats,
+                }
+            )
+        snapshot_id = table.commit_rewrite(entries, set())
+        return {
+            "snapshot_id": snapshot_id,
+            "rewritten_files_count": 0,
+            "added_files_count": len(entries),
+        }
+
+    return _rewrite_and_commit(
+        spark, table, schema, candidates, pos, eq, apply_merge
+    )

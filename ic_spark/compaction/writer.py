@@ -116,12 +116,21 @@ def _list_written_files(dir_path: str) -> list[tuple[str, int]]:
     return sorted(out)
 
 
-def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteFilesResponse:
+def rewrite_files(
+    spark: SparkSession,
+    request: RewriteFilesRequest,
+    transform=None,
+) -> RewriteFilesResponse:
     """Execute the full rewrite: MoR plan → write → stats.
 
     Reference entry point ``RewriteFilesRequest -> RewriteFilesResponse``
     (core/src/executor/mod.rs:39-47, executed by
     core/src/executor/datafusion/mod.rs:85-142).
+
+    ``transform`` (optional, in-process only — not part of the wire
+    request) maps the MoR DataFrame before the write; it must preserve
+    the request schema.  The copy-on-write row operations
+    (compaction/rowops.py) use it to drop or update rows mid-rewrite.
     """
     if request.file_io:
         from ic_spark.sources.fileio import apply_file_io
@@ -133,6 +142,8 @@ def rewrite_files(spark: SparkSession, request: RewriteFilesRequest) -> RewriteF
         )
 
     df = build_merge_on_read(spark, request)
+    if transform is not None:
+        df = transform(df)
 
     writer_df = df
     partition_names: list[str] = []
