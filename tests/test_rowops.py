@@ -143,6 +143,38 @@ def test_merge_into_pure_insert(spark, id_table):
     assert len(rows) == 32 and rows[100] == 1 and rows[101] == 2
 
 
+def test_rowops_over_spec_metadata_table(spark, tmp_path):
+    """COW ops duck-type over the spec-format Iceberg metadata table:
+    delete + merge on an IcebergTable with Avro manifests."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path / "spec_tbl")
+    df = spark.range(0, 20).select("id", (F.col("id") + 100).alias("v"))
+    tbl = IcebergTable.create(loc, df.schema)
+    d = str(tmp_path / "seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    rc, cs, _ = _stats_from_footer(f, d)
+    tbl.append_snapshot(
+        [
+            {
+                "path": f,
+                "content": "DATA",
+                "record_count": rc,
+                "file_size_in_bytes": os.path.getsize(f),
+                "column_stats": cs,
+            }
+        ]
+    )
+    delete_where(spark, tbl, [("id", "=", 3)])
+    src = spark.createDataFrame([(4, -4), (40, -40)], "id long, v long")
+    merge_into(spark, tbl, src, ["id"])
+    rows = {r.id: r.v for r in read_table(spark, tbl).collect()}
+    assert 3 not in rows
+    assert rows[4] == -4 and rows[40] == -40
+    assert len(rows) == 20  # 20 - 1 deleted + 1 inserted
+
+
 def test_merge_into_oracle(spark, id_table):
     """Full MERGE semantics vs a DuckDB MERGE-equivalent query."""
     src_rows = [(3, 333), (13, 1313), (23, 2323), (77, 7777)]
