@@ -86,6 +86,123 @@ def write_position_deletes(
     )
 
 
+def write_deletion_vectors(
+    spark: SparkSession,
+    table: ManifestTable,
+    predicate: Column,
+) -> int:
+    """DELETE WHERE predicate as Iceberg-v3-style deletion VECTORS.
+
+    Same scan as :func:`write_position_deletes`, but matching positions
+    are packed into one roaring bitmap per data file (executor-side
+    ``applyInPandas`` — the driver only ever sees COMPRESSED bitmaps,
+    a few MB per 100M deleted rows) and stored as ``deletion-vector-v1``
+    blobs in one Puffin file (sources/puffin.py).
+
+    V3 semantics: at most one DV per data file.  Existing DVs for the
+    affected data files are UNIONED into the new blobs, and every blob
+    of a superseded puffin file that references an unaffected data file
+    is carried forward, so the commit (one atomic swap) preserves the
+    one-DV-per-file invariant at file granularity.  Plain parquet
+    position-delete files are left alone — reads union both flavors.
+
+    Returns the new snapshot id.
+    """
+    from ic_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        PuffinBlob,
+        deserialize_dv_blob,
+        read_puffin,
+        serialize_dv_blob,
+        write_puffin,
+    )
+
+    data, pos, _eq = table.scan_tasks()
+    if not data:
+        raise ValueError("table has no data files")
+    df = spark.read.parquet(*[t.data_file_path for t in data])
+    matches = df.where(predicate).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        fp = pdf["file_path"].iloc[0]
+        positions = pdf["pos"].tolist()
+        return pd.DataFrame(
+            {
+                "file_path": [fp],
+                "dv": [serialize_dv_blob(positions)],
+                "cardinality": [len(set(positions))],
+            }
+        )
+
+    packed = matches.groupBy("file_path").applyInPandas(
+        pack, schema="file_path string, dv binary, cardinality long"
+    )
+    # (ref -> framed blob bytes, cardinality).  Bitmaps stay OPAQUE
+    # unless an existing DV for the same file forces a union.
+    merged: dict[str, tuple[bytes, int]] = {
+        r.file_path: (bytes(r.dv), r.cardinality) for r in packed.collect()
+    }
+    if not merged:
+        raise ValueError("predicate matched no rows")
+
+    superseded: set[str] = set()
+    carried: dict[str, tuple[bytes, int]] = {}
+    for t in pos:
+        if t.file_format != "puffin":
+            continue
+        existing = [
+            b for b in read_puffin(t.data_file_path) if b.type == DV_BLOB_TYPE
+        ]
+        refs = {b.properties.get("referenced-data-file", "") for b in existing}
+        if not refs & merged.keys():
+            continue  # untouched puffin file stays as-is
+        superseded.add(t.data_file_path)
+        for b in existing:
+            ref = b.properties.get("referenced-data-file", "")
+            if ref in merged:
+                union = sorted(
+                    set(deserialize_dv_blob(merged[ref][0]))
+                    | set(deserialize_dv_blob(b.data))
+                )
+                merged[ref] = (serialize_dv_blob(union), len(union))
+            else:
+                # carried forward byte-identical, never decoded
+                card = int(b.properties.get("cardinality", "0"))
+                carried[ref] = (b.data, card)
+    merged.update(carried)
+
+    blobs = [
+        PuffinBlob(
+            type=DV_BLOB_TYPE,
+            data=blob,
+            properties={
+                "referenced-data-file": ref,
+                "cardinality": str(card),
+            },
+        )
+        for ref, (blob, card) in sorted(merged.items())
+    ]
+    out_path = os.path.join(
+        table.root, f"dv-{uuid.uuid4().hex[:12]}", "deletes.puffin"
+    )
+    write_puffin(out_path, blobs)
+    seq = _next_sequence_number(table)
+    entry = {
+        "path": out_path,
+        "sequence_number": seq,
+        "content": FileContent.POSITION_DELETES.name,
+        "file_format": "puffin",
+        "file_size_in_bytes": os.path.getsize(out_path),
+        "record_count": sum(card for _, card in merged.values()),
+    }
+    return table.commit_rewrite([entry], superseded)
+
+
 def write_equality_deletes(
     spark: SparkSession,
     table: ManifestTable,

@@ -300,6 +300,10 @@ class ManifestTable:
                 content=FileContent[f.get("content", "DATA")],
                 equality_ids=tuple(f.get("equality_ids", ())),
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
+                # "puffin" marks deletion-vector files (Iceberg v3
+                # analog, sources/puffin.py); data files may be
+                # avro/orc/parquet.
+                file_format=f.get("file_format", "parquet"),
             )
             if task.content is FileContent.DATA:
                 if data_filter and not _file_may_match(f, data_filter):

@@ -132,6 +132,9 @@ class Compaction:
         from ic_spark.compaction.writer import _stats_from_footer
 
         data, pos, _eq = table.scan_tasks()
+        # Deletion-vector (puffin) entries are already one compact
+        # bitmap per data file — only parquet delete files need merging.
+        pos = [t for t in pos if t.file_format != "puffin"]
         if not pos:
             return {"merged": 0, "kept_rows": 0}
         live = self.spark.createDataFrame(

@@ -199,6 +199,41 @@ def _scan_non_parquet_group(
     raise ValueError(f"unsupported data file format: {fmt}")
 
 
+def _scan_deletion_vectors(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Expand deletion-vector (Puffin) files to (file_path, pos) rows.
+
+    Iceberg v3 analog: each Puffin blob is a roaring bitmap of deleted
+    positions for one data file (sources/puffin.py).  The puffin files
+    are distributed via binaryFile and blobs expand executor-side, so
+    the expansion feeds the SAME positional anti-join as parquet
+    position-delete files — plan shape unchanged, delete data never
+    driver-side.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    def expand_dvs(batches):
+        import pandas as pd
+
+        from ic_spark.sources.puffin import read_deletion_vectors
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                for ref, positions in read_deletion_vectors(
+                    bytes(content)
+                ).items():
+                    if positions:
+                        yield pd.DataFrame({"file_path": ref, "pos": positions})
+
+    out_schema = StructType(
+        [
+            StructField("file_path", StringType(), False),
+            StructField("pos", LongType(), False),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(paths)
+    return files.select("content").mapInPandas(expand_dvs, schema=out_schema)
+
+
 def _maybe_broadcast(df: DataFrame, tasks: list[FileScanTask]) -> DataFrame:
     total = sum(t.file_size_in_bytes for t in tasks)
     # Unknown sizes (0) count as small — delete files are small in the
@@ -264,9 +299,31 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
 
     if has_pos:
         # Position-delete schema is fixed (file_path, pos) — reference
-        # datafusion_processor.rs:350-368.
-        pos_del = _scan_with_hidden_cols(spark, request.position_delete_files)
-        pos_del = pos_del.toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+        # datafusion_processor.rs:350-368.  Deletion-vector (puffin)
+        # tasks expand to the same two columns; both flavors union
+        # positionally into one anti-join side.
+        pq_tasks = [
+            t for t in request.position_delete_files if t.file_format != "puffin"
+        ]
+        dv_tasks = [
+            t for t in request.position_delete_files if t.file_format == "puffin"
+        ]
+        parts = []
+        if pq_tasks:
+            parts.append(
+                _scan_with_hidden_cols(spark, pq_tasks).toDF(
+                    SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS
+                )
+            )
+        if dv_tasks:
+            parts.append(
+                _scan_deletion_vectors(
+                    spark, [t.data_file_path for t in dv_tasks]
+                ).toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+            )
+        pos_del = parts[0]
+        for p in parts[1:]:
+            pos_del = pos_del.unionByName(p)
         pos_del = _maybe_broadcast(pos_del, request.position_delete_files)
         data = apply_position_deletes(data, pos_del)
 

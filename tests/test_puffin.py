@@ -1,0 +1,222 @@
+"""Puffin container + roaring deletion vectors (sources/puffin.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ic_spark.sources.puffin import (
+    DV_BLOB_TYPE,
+    PuffinBlob,
+    _deserialize_roaring32,
+    _serialize_roaring32,
+    deserialize_dv_blob,
+    deserialize_roaring64,
+    read_deletion_vectors,
+    read_puffin,
+    serialize_dv_blob,
+    serialize_roaring64,
+    write_deletion_vector_file,
+    write_puffin,
+)
+
+
+def test_roaring32_array_container_bytes_pinned():
+    """Spec-pinned bytes for {1, 2, 100000}: no-run cookie 12346,
+    2 containers (high 0 card 2, high 1 card 1), offset header, then
+    sorted u16 arrays."""
+    buf = _serialize_roaring32([1, 2, 100000])
+    cookie, n = struct.unpack_from("<II", buf, 0)
+    assert (cookie, n) == (12346, 2)
+    k0, c0, k1, c1 = struct.unpack_from("<HHHH", buf, 8)
+    assert (k0, c0) == (0, 1) and (k1, c1) == (1, 0)  # cardinality-1
+    off0, off1 = struct.unpack_from("<II", buf, 16)
+    assert off0 == 24 and off1 == 28  # header is 8+8+8 bytes
+    assert struct.unpack_from("<HH", buf, off0) == (1, 2)
+    assert struct.unpack_from("<H", buf, off1) == (100000 - 65536,)
+    vals, end = _deserialize_roaring32(buf, 0)
+    assert vals == [1, 2, 100000] and end == len(buf)
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [],
+        [0],
+        [0xFFFFFFFF],
+        list(range(5000)),  # bitmap container (card > 4096)
+        list(range(0, 200000, 7)),  # multi-container mix
+    ],
+)
+def test_roaring32_roundtrip(values):
+    buf = _serialize_roaring32(sorted(set(values)))
+    out, end = _deserialize_roaring32(buf, 0)
+    assert out == sorted(set(values)) and end == len(buf)
+
+
+def test_roaring32_reads_run_containers():
+    """Other writers emit run containers; build one by hand per the
+    spec (cookie 12347, run-flag bitset, 2-byte run count, start/len
+    pairs) and decode it."""
+    # one container, high key 3, runs [5..9] and [20..20]
+    cookie = (12347 & 0xFFFF) | ((1 - 1) << 16)
+    buf = struct.pack("<I", cookie)
+    buf += b"\x01"  # run flag bitset: container 0 is a run
+    buf += struct.pack("<HH", 3, 6 - 1)  # key=3, cardinality 6
+    # n < NO_OFFSET_THRESHOLD with runs → no offset header
+    buf += struct.pack("<H", 2)  # two runs
+    buf += struct.pack("<HH", 5, 4)  # 5..9
+    buf += struct.pack("<HH", 20, 0)  # 20
+    vals, end = _deserialize_roaring32(buf, 0)
+    base = 3 << 16
+    assert vals == [base + v for v in [5, 6, 7, 8, 9, 20]]
+    assert end == len(buf)
+
+
+def test_roaring64_cross_bucket():
+    positions = [0, 1, (1 << 32) + 5, (1 << 33) + 7, (1 << 40)]
+    buf = serialize_roaring64(positions)
+    (n_buckets,) = struct.unpack_from("<Q", buf, 0)
+    assert n_buckets == 4  # highs 0, 1, 2, 256
+    assert deserialize_roaring64(buf) == positions
+    with pytest.raises(ValueError, match="2\\^63"):
+        serialize_roaring64([1 << 63])
+
+
+def test_dv_blob_framing_and_crc():
+    blob = serialize_dv_blob([3, 1, 2, 3])
+    (body_len,) = struct.unpack_from(">I", blob, 0)
+    assert blob[4:8] == b"\xd1\xd3\x39\x64"
+    assert len(blob) == 4 + body_len + 4
+    assert deserialize_dv_blob(blob) == [1, 2, 3]
+    corrupted = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        deserialize_dv_blob(corrupted)
+
+
+def test_puffin_container_roundtrip(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    write_puffin(
+        p,
+        [
+            PuffinBlob(type=DV_BLOB_TYPE, data=b"abc", properties={"k": "v"}),
+            PuffinBlob(type="other-stat", data=b"\x00" * 10),
+        ],
+        properties={"created-by": "ic_spark"},
+    )
+    blobs = read_puffin(p)
+    assert [b.type for b in blobs] == [DV_BLOB_TYPE, "other-stat"]
+    assert blobs[0].data == b"abc" and blobs[0].properties == {"k": "v"}
+    assert blobs[1].length == 10
+    # reading from bytes works too (the executor-side path)
+    raw = open(p, "rb").read()
+    assert read_puffin(raw)[0].data == b"abc"
+    with pytest.raises(ValueError, match="not a Puffin"):
+        read_puffin(b"nope")
+
+
+def test_dv_delete_lifecycle(spark, tmp_path):
+    """write_deletion_vectors → MoR read applies the bitmaps; a second
+    DV write supersedes + unions; maintenance leaves DVs alone; DuckDB
+    oracle agrees with the surviving rows."""
+    import os
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_deletion_vectors
+
+    table = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).select("id", (F.col("id") % 10).alias("bucket"))
+    entries = []
+    for i in range(2):
+        d = str(tmp_path / f"data{i}")
+        df.where(f"id % 2 = {i}").coalesce(1).write.parquet(d)
+        f = next(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+        entries.append(
+            {
+                "path": f,
+                "sequence_number": 1,
+                "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(f),
+            }
+        )
+    table.append_snapshot(entries)
+
+    write_deletion_vectors(spark, table, F.col("bucket") == 3)
+    out = read_table(spark, table)
+    assert out.where("bucket = 3").count() == 0
+    assert out.count() == 90
+
+    # second DV write must supersede the first puffin file (union, one
+    # entry) — no stacking of DV files
+    write_deletion_vectors(spark, table, F.col("bucket") == 7)
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1 and pos[0].file_format == "puffin"
+    out = read_table(spark, table)
+    assert out.where("bucket in (3, 7)").count() == 0
+    assert out.count() == 80
+
+    # maintenance: position-delete merge skips puffin entries
+    stats = Compaction(spark).rewrite_position_deletes(table)
+    assert stats == {"merged": 0, "kept_rows": 0}
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1
+
+    # oracle
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT count(*) FROM range(100) r(i) WHERE i % 10 NOT IN (3, 7)"
+    ).fetchone()[0]
+    assert out.count() == want
+
+    # full compact folds the DVs into rewritten data files and drops them
+    from ic_spark.compaction.request import FileContent  # noqa: F401
+
+    Compaction(spark).full_compact(table, df.schema)
+    data, pos, eq = table.scan_tasks()
+    assert pos == [] and eq == []
+    assert read_table(spark, table).count() == 80
+
+
+def test_dv_coexists_with_parquet_position_deletes(spark, tmp_path):
+    """Both delete flavors in one table union on read."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction import ManifestTable
+    from ic_spark.compaction.deletes import (
+        read_table,
+        write_deletion_vectors,
+        write_position_deletes,
+    )
+
+    table = ManifestTable(str(tmp_path / "tbl"))
+    d = str(tmp_path / "data")
+    spark.range(0, 50).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    write_position_deletes(spark, table, F.col("id") < 5)
+    write_deletion_vectors(spark, table, F.col("id") >= 45)
+    _, pos, _ = table.scan_tasks()
+    assert sorted(t.file_format for t in pos) == ["parquet", "puffin"]
+    ids = sorted(r.id for r in read_table(spark, table).collect())
+    assert ids == list(range(5, 45))
+
+
+def test_deletion_vector_file_multi_dv(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    entries = write_deletion_vector_file(
+        p, {"/data/a.parquet": [0, 5, 7], "/data/b.parquet": [2]}
+    )
+    assert entries["/data/a.parquet"]["cardinality"] == 3
+    back = read_deletion_vectors(p)
+    assert back == {"/data/a.parquet": [0, 5, 7], "/data/b.parquet": [2]}
