@@ -32,6 +32,12 @@ _PRIORITY = [
     "mor_equality_delete",
     "mor_full_merge_on_read",
     "mor_upsert_latest",
+    # Deletion vectors (Iceberg v3 analog): position deletes routed
+    # through roaring DV blobs — pack + expand executor-side, same
+    # anti-join.  Slot freed by demoting q4_order_priority_check
+    # (EXISTS semi-join attested in-window by q18 and q21's
+    # EXISTS + NOT EXISTS; q4's oracle stays in pytest).
+    "mor_deletion_vector",
     # Two-schema table: rename + widen + add column + seq-guarded
     # delete over REAL files (r2 verdict #5). Slot freed by demoting
     # text_bpeish_token_count (token counting attested in-window by
@@ -81,7 +87,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q2_min_acctbal_supplier",
     "q3_shipping_priority",
-    "q4_order_priority_check",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q7_volume_shipping",

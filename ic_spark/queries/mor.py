@@ -89,6 +89,73 @@ def mor_position_delete(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "mor_deletion_vector",
+    oracle="""
+    -- Deletion vectors: the Spark side routes the SAME delete set
+    -- through roaring-bitmap DV blobs (pack executor-side, expand
+    -- executor-side — sources/puffin.py); the round trip is an
+    -- identity over positions, so the oracle is the plain anti-join.
+    WITH data AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST('file_' || (l_orderkey % 3) AS VARCHAR) AS fp,
+               l_orderkey * 10 + l_linenumber AS pos
+        FROM lineitem
+    ),
+    pos_del AS (
+        SELECT CAST('file_' || (o_orderkey % 3) AS VARCHAR) AS fp,
+               o_orderkey * 10 + 1 AS pos
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.l_quantity
+    FROM data d ANTI JOIN pos_del p ON d.fp = p.fp AND d.pos = p.pos
+    """,
+)
+def mor_deletion_vector(spark: SparkSession, sf_dir: str):
+    """Position deletes as deletion VECTORS (Iceberg v3 analog): the
+    delete set is packed into one roaring bitmap per virtual file
+    (``serialize_dv_blob``, applyInPandas) and expanded back executor
+    side (``deserialize_dv_blob``, mapInPandas) before feeding the
+    reference O7 positional anti-join — a driver-checked round trip of
+    the sources/puffin.py codec at SF scale."""
+    import pandas as pd
+
+    data = _data_with_hidden(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    pos_del = o.where(F.col("o_orderkey") % 13 == 0).select(
+        F.concat(F.lit("file_"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "fp"
+        ),
+        (F.col("o_orderkey") * 10 + 1).cast("long").alias("pos"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ic_spark.sources.puffin import serialize_dv_blob
+
+        return pd.DataFrame(
+            {
+                "fp": [pdf["fp"].iloc[0]],
+                "dv": [serialize_dv_blob(pdf["pos"].tolist())],
+            }
+        )
+
+    def expand(batches):
+        from ic_spark.sources.puffin import deserialize_dv_blob
+
+        for pdf in batches:
+            for fp, dv in zip(pdf["fp"], pdf["dv"]):
+                yield pd.DataFrame(
+                    {"fp": fp, "pos": deserialize_dv_blob(bytes(dv))}
+                )
+
+    packed = pos_del.groupBy("fp").applyInPandas(pack, schema="fp string, dv binary")
+    expanded = packed.mapInPandas(expand, schema="fp string, pos long").toDF(
+        SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS
+    )
+    out = apply_position_deletes(data, expanded)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
     "mor_equality_delete",
     oracle=f"""
     WITH data AS ({SQL_DATA}),

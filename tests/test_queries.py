@@ -46,6 +46,7 @@ def test_driver_window_contains_flagship_queries():
         "mor_equality_delete",
         "mor_full_merge_on_read",
         "mor_schema_evolution",
+        "mor_deletion_vector",
         "dedup_exact",
         "dedup_minhash_lsh_portable",
         "dedup_simhash_portable",
