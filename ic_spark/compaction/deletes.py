@@ -35,6 +35,12 @@ from ic_spark.compaction.request import (
 
 
 def _next_sequence_number(table: ManifestTable) -> int:
+    if not hasattr(table, "current_snapshot"):
+        # Spec-metadata IcebergTable: sequence numbers come from the
+        # table metadata, and its commit paths assign the next one
+        # themselves — derive it from the live tasks instead.
+        data, pos, eq = table.scan_tasks()
+        return max((t.sequence_number for t in data + pos + eq), default=0) + 1
     snap = table.current_snapshot()
     if snap is None:
         return 1

@@ -873,6 +873,9 @@ class IcebergTable:
                     id_to_name[i] for i in (df["equality_ids"] or [])
                 ),
                 file_size_in_bytes=df["file_size_in_bytes"],
+                # Iceberg spells formats upper-case in manifests; the
+                # planner's (seq, format) grouping uses lower-case.
+                file_format=(df.get("file_format") or "PARQUET").lower(),
             )
             if task.content is FileContent.DATA:
                 if data_filter:

@@ -1,0 +1,459 @@
+"""Iceberg REST catalog: in-process server + client.
+
+The reference loads tables through an iceberg-rs ``Catalog``
+(``Catalog::load_table(&TableIdent)``, core/src/compaction/mod.rs:44)
+and commits transactions back through it (:66-72).  The spec-format
+metadata layer (compaction/iceberg_meta.py) already covers the
+Hadoop-catalog flavor (version-file O_EXCL commits); this module adds
+the REST catalog protocol — the flavor hosted catalogs actually speak —
+hand-implemented from the PUBLIC Iceberg REST OpenAPI spec, the same
+approach as the compactor's HTTP transport (compaction/transport.py).
+
+Implemented routes (the core table lifecycle):
+
+    GET    /v1/config
+    GET    /v1/namespaces                         list
+    POST   /v1/namespaces                         create
+    GET    /v1/namespaces/{ns}/tables             list
+    POST   /v1/namespaces/{ns}/tables             create table
+    GET    /v1/namespaces/{ns}/tables/{t}         load table
+    DELETE /v1/namespaces/{ns}/tables/{t}         drop table
+    POST   /v1/namespaces/{ns}/tables/{t}         commit table
+
+``commitTable`` applies spec-named requirements (``assert-table-uuid``,
+``assert-ref-snapshot-id``) and updates (``add-snapshot``,
+``set-snapshot-ref``, ``set-properties``, ``remove-properties``)
+against the stored metadata, re-using the O_EXCL version commit for
+atomicity — a losing racer gets HTTP 409, exactly the REST spec's
+CommitFailedException contract.
+
+Tables are stored as spec-format ``IcebergTable``s under the server's
+warehouse directory, so a client that receives ``metadata-location``
+can hand the table straight to the MoR read path and the compaction
+orchestrator.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import unquote
+from urllib.request import Request, urlopen
+
+from ic_spark.compaction.iceberg_meta import IcebergTable
+from ic_spark.compaction.manifest import CommitConflictError
+
+
+class RestError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+# ------------------------------------------------------------- backend
+
+
+class CatalogBackend:
+    """Warehouse-directory catalog state behind the REST routes.
+
+    Namespaces and table registrations live in the directory structure
+    itself (``warehouse/<ns>/<table>/metadata``) — no side database, so
+    a crashed server loses nothing.
+    """
+
+    def __init__(self, warehouse: str):
+        import os
+
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- namespaces ----------------------------------------------------
+
+    def list_namespaces(self) -> list[list[str]]:
+        import os
+
+        return sorted(
+            [n]
+            for n in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, n))
+        )
+
+    def create_namespace(self, namespace: list[str]) -> None:
+        import os
+
+        if len(namespace) != 1:
+            raise RestError(400, "only single-level namespaces supported")
+        path = os.path.join(self.warehouse, namespace[0])
+        if os.path.isdir(path):
+            raise RestError(409, f"namespace already exists: {namespace[0]}")
+        os.makedirs(path)
+
+    def _ns_dir(self, ns: str) -> str:
+        import os
+
+        path = os.path.join(self.warehouse, ns)
+        if not os.path.isdir(path):
+            raise RestError(404, f"namespace not found: {ns}")
+        return path
+
+    # -- tables --------------------------------------------------------
+
+    def list_tables(self, ns: str) -> list[dict]:
+        import os
+
+        ns_dir = self._ns_dir(ns)
+        out = []
+        for name in sorted(os.listdir(ns_dir)):
+            if os.path.isdir(os.path.join(ns_dir, name, "metadata")):
+                out.append({"namespace": [ns], "name": name})
+        return out
+
+    def _table(self, ns: str, name: str) -> IcebergTable:
+        import os
+
+        loc = os.path.join(self._ns_dir(ns), name)
+        tbl = IcebergTable(loc)
+        if tbl.version() is None:
+            raise RestError(404, f"table not found: {ns}.{name}")
+        return tbl
+
+    def load_table(self, ns: str, name: str) -> dict:
+        import os
+
+        tbl = self._table(ns, name)
+        v = tbl.version()
+        return {
+            "metadata-location": os.path.join(
+                tbl.metadata_dir, f"v{v}.metadata.json"
+            ),
+            "metadata": tbl.metadata(),
+        }
+
+    def create_table(self, ns: str, payload: dict) -> dict:
+        import os
+
+        from ic_spark.compaction.iceberg_meta import iceberg_to_spark_schema
+
+        name = payload.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise RestError(400, f"bad table name: {name!r}")
+        loc = os.path.join(self._ns_dir(ns), name)
+        if IcebergTable(loc).version() is not None:
+            raise RestError(409, f"table already exists: {ns}.{name}")
+        schema = iceberg_to_spark_schema(payload["schema"])
+        IcebergTable.create(
+            loc,
+            schema,
+            partition_by=payload.get("partition-by"),
+            properties=payload.get("properties"),
+        )
+        return self.load_table(ns, name)
+
+    def drop_table(self, ns: str, name: str, purge: bool) -> None:
+        import os
+        import shutil
+
+        tbl = self._table(ns, name)
+        if purge:
+            shutil.rmtree(tbl.root)
+        else:
+            # unregister but keep data: move metadata aside so the
+            # location stops resolving as a table
+            os.replace(tbl.metadata_dir, tbl.metadata_dir + ".dropped")
+
+    # -- commit --------------------------------------------------------
+
+    def commit_table(self, ns: str, name: str, payload: dict) -> dict:
+        tbl = self._table(ns, name)
+        meta = tbl.metadata()
+        version = tbl.version()
+
+        for req in payload.get("requirements", []):
+            rtype = req.get("type")
+            if rtype == "assert-table-uuid":
+                if meta.get("table-uuid") != req.get("uuid"):
+                    raise RestError(409, "requirement failed: table-uuid changed")
+            elif rtype == "assert-ref-snapshot-id":
+                ref = req.get("ref", "main")
+                want = req.get("snapshot-id")
+                have = (
+                    meta.get("refs", {}).get(ref, {}).get("snapshot-id")
+                    if ref != "main" or "main" in meta.get("refs", {})
+                    else (
+                        meta.get("current-snapshot-id")
+                        if meta.get("current-snapshot-id", -1) != -1
+                        else None
+                    )
+                )
+                if have != want:
+                    raise RestError(
+                        409,
+                        f"requirement failed: ref {ref} at {have}, expected {want}",
+                    )
+            else:
+                raise RestError(400, f"unsupported requirement: {rtype}")
+
+        for upd in payload.get("updates", []):
+            utype = upd.get("type")
+            if utype == "add-snapshot":
+                meta.setdefault("snapshots", []).append(upd["snapshot"])
+            elif utype == "set-snapshot-ref":
+                ref = upd.get("ref-name", "main")
+                sid = upd["snapshot-id"]
+                if not any(
+                    s["snapshot-id"] == sid for s in meta.get("snapshots", [])
+                ):
+                    raise RestError(400, f"unknown snapshot-id: {sid}")
+                if ref == "main":
+                    meta["current-snapshot-id"] = sid
+                meta.setdefault("refs", {})[ref] = {
+                    "snapshot-id": sid,
+                    "type": upd.get("snapshot-ref-type", upd.get("type-", "branch")),
+                }
+            elif utype == "set-properties":
+                meta.setdefault("properties", {}).update(upd.get("updates", {}))
+            elif utype == "remove-properties":
+                for k in upd.get("removals", []):
+                    meta.get("properties", {}).pop(k, None)
+            else:
+                raise RestError(400, f"unsupported update: {utype}")
+
+        try:
+            tbl._commit_metadata(meta, expected_version=version)
+        except CommitConflictError as exc:
+            raise RestError(409, str(exc)) from exc
+        return self.load_table(ns, name)
+
+
+# -------------------------------------------------------------- server
+
+_ROUTES = [
+    ("GET", re.compile(r"^/v1/config$"), "config"),
+    ("GET", re.compile(r"^/v1/namespaces$"), "list_ns"),
+    ("POST", re.compile(r"^/v1/namespaces$"), "create_ns"),
+    ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "list_tables"),
+    ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "create_table"),
+    ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "load"),
+    ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "commit"),
+    ("DELETE", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "drop"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    backend: CatalogBackend
+
+    def log_message(self, *args):  # quiet test output
+        pass
+
+    def _reply(self, code: int, obj: Any) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        # REST spec ErrorResponse envelope
+        self._reply(
+            code,
+            {
+                "error": {
+                    "message": message,
+                    "type": "CommitFailedException"
+                    if code == 409
+                    else "BadRequestException",
+                    "code": code,
+                }
+            },
+        )
+
+    def _dispatch(self, method: str) -> None:
+        path = self.path.split("?", 1)[0]
+        query = self.path.split("?", 1)[1] if "?" in self.path else ""
+        for m, rx, op in _ROUTES:
+            if m != method:
+                continue
+            match = rx.match(path)
+            if not match:
+                continue
+            args = [unquote(g) for g in match.groups()]
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}") if length else {}
+            b = self.backend
+            try:
+                if op == "config":
+                    self._reply(200, {"defaults": {}, "overrides": {}})
+                elif op == "list_ns":
+                    self._reply(200, {"namespaces": b.list_namespaces()})
+                elif op == "create_ns":
+                    b.create_namespace(body.get("namespace", []))
+                    self._reply(200, {"namespace": body.get("namespace", [])})
+                elif op == "list_tables":
+                    self._reply(200, {"identifiers": b.list_tables(args[0])})
+                elif op == "create_table":
+                    self._reply(200, b.create_table(args[0], body))
+                elif op == "load":
+                    self._reply(200, b.load_table(args[0], args[1]))
+                elif op == "commit":
+                    self._reply(200, b.commit_table(args[0], args[1], body))
+                elif op == "drop":
+                    b.drop_table(args[0], args[1], "purgeRequested=true" in query)
+                    self._reply(204, {})
+            except RestError as exc:
+                self._error(exc.code, str(exc))
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                self._error(500, str(exc))
+            return
+        self._error(404, f"no route: {method} {path}")
+
+    def do_GET(self) -> None:  # noqa: N802
+        self._dispatch("GET")
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._dispatch("POST")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        self._dispatch("DELETE")
+
+
+class RestCatalogServer:
+    """In-process REST catalog: ``start()`` → ``port``; ``stop()``."""
+
+    def __init__(self, warehouse: str, host: str = "127.0.0.1", port: int = 0):
+        handler = type(
+            "BoundHandler", (_Handler,), {"backend": CatalogBackend(warehouse)}
+        )
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "RestCatalogServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+# -------------------------------------------------------------- client
+
+
+class RestCatalog:
+    """Client for any Iceberg REST catalog endpoint.
+
+    ``load_table`` returns an :class:`IcebergTable` bound to the
+    metadata location's table root, so scans/compaction run unchanged:
+
+        cat = RestCatalog(f"http://127.0.0.1:{port}")
+        tbl = cat.load_table("analytics", "events")
+        Compaction(spark).full_compact(tbl)
+    """
+
+    def __init__(self, uri: str):
+        self.uri = uri.rstrip("/")
+
+    def _call(
+        self, method: str, path: str, payload: dict | None = None
+    ) -> dict:
+        req = Request(
+            f"{self.uri}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers={"Content-Type": "application/json"},
+            method=method,
+        )
+        try:
+            with urlopen(req) as resp:
+                raw = resp.read()
+        except Exception as exc:
+            body = getattr(exc, "read", lambda: b"")()
+            try:
+                message = json.loads(body)["error"]["message"]
+            except Exception:  # noqa: BLE001
+                raise exc from None
+            raise RestError(getattr(exc, "code", 500), message) from None
+        return json.loads(raw or b"{}")
+
+    def config(self) -> dict:
+        return self._call("GET", "/v1/config")
+
+    def list_namespaces(self) -> list[list[str]]:
+        return self._call("GET", "/v1/namespaces")["namespaces"]
+
+    def create_namespace(self, namespace: str) -> None:
+        self._call("POST", "/v1/namespaces", {"namespace": [namespace]})
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ids = self._call("GET", f"/v1/namespaces/{namespace}/tables")[
+            "identifiers"
+        ]
+        return [i["name"] for i in ids]
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        spark_schema,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> IcebergTable:
+        from ic_spark.compaction.iceberg_meta import schema_to_iceberg
+
+        payload = {
+            "name": name,
+            "schema": schema_to_iceberg(spark_schema),
+        }
+        if partition_by:
+            payload["partition-by"] = partition_by
+        if properties:
+            payload["properties"] = properties
+        out = self._call("POST", f"/v1/namespaces/{namespace}/tables", payload)
+        return self._table_from_location(out["metadata-location"])
+
+    def load_table(self, namespace: str, name: str) -> IcebergTable:
+        out = self._call("GET", f"/v1/namespaces/{namespace}/tables/{name}")
+        return self._table_from_location(out["metadata-location"])
+
+    def load_metadata(self, namespace: str, name: str) -> dict:
+        return self._call("GET", f"/v1/namespaces/{namespace}/tables/{name}")[
+            "metadata"
+        ]
+
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
+        suffix = "?purgeRequested=true" if purge else ""
+        self._call(
+            "DELETE", f"/v1/namespaces/{namespace}/tables/{name}{suffix}"
+        )
+
+    def commit_table(
+        self,
+        namespace: str,
+        name: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{namespace}/tables/{name}",
+            {"requirements": requirements, "updates": updates},
+        )
+
+    @staticmethod
+    def _table_from_location(metadata_location: str) -> IcebergTable:
+        import os
+
+        # .../<table root>/metadata/vN.metadata.json
+        root = os.path.dirname(os.path.dirname(metadata_location))
+        return IcebergTable(root)

@@ -212,6 +212,34 @@ def test_dv_coexists_with_parquet_position_deletes(spark, tmp_path):
     assert ids == list(range(5, 45))
 
 
+def test_dvs_over_spec_metadata_table(spark, tmp_path):
+    """Deletion vectors round-trip through spec-format Avro manifests:
+    file_format survives the manifest encode/decode (regression: it was
+    dropped, so reads tried to parquet-scan the puffin file), and
+    sequence numbering duck-types without ManifestTable internals."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import read_table, write_deletion_vectors
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    df = spark.range(0, 200).select("id", (F.col("id") % 10).alias("g"))
+    tbl = IcebergTable.create(str(tmp_path / "tbl"), df.schema)
+    d = str(tmp_path / "seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": f, "content": "DATA", "record_count": 200,
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    write_deletion_vectors(spark, tbl, F.col("g") == 4)
+    _, pos, _ = tbl.scan_tasks()
+    assert [t.file_format for t in pos] == ["puffin"]
+    out = read_table(spark, tbl)
+    assert out.count() == 180 and out.where("g = 4").count() == 0
+
+
 def test_deletion_vector_file_multi_dv(tmp_path):
     p = str(tmp_path / "dv.puffin")
     entries = write_deletion_vector_file(

@@ -1,0 +1,132 @@
+"""Iceberg REST catalog server + client (compaction/rest_catalog.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ic_spark.compaction.rest_catalog import RestCatalog, RestCatalogServer, RestError
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    server = RestCatalogServer(str(tmp_path / "warehouse")).start()
+    try:
+        yield RestCatalog(f"http://127.0.0.1:{server.port}")
+    finally:
+        server.stop()
+
+
+def test_namespace_and_table_lifecycle(spark, catalog, tmp_path):
+    assert catalog.config() == {"defaults": {}, "overrides": {}}
+    assert catalog.list_namespaces() == []
+    catalog.create_namespace("analytics")
+    assert catalog.list_namespaces() == [["analytics"]]
+    with pytest.raises(RestError) as e:
+        catalog.create_namespace("analytics")
+    assert e.value.code == 409
+
+    schema = spark.createDataFrame([], "id long, v string").schema
+    tbl = catalog.create_table("analytics", "events", schema)
+    assert catalog.list_tables("analytics") == ["events"]
+    assert tbl.schema() == schema
+    with pytest.raises(RestError) as e:
+        catalog.create_table("analytics", "events", schema)
+    assert e.value.code == 409
+
+    # the returned handle is a full IcebergTable: write + read through it
+    from ic_spark.compaction import Compaction
+    from ic_spark.compaction.deletes import read_table
+
+    d = str(tmp_path / "seed")
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": f, "content": "DATA", "record_count": 2,
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    loaded = catalog.load_table("analytics", "events")
+    assert sorted(r.id for r in read_table(spark, loaded).collect()) == [1, 2]
+    Compaction(spark).full_compact(loaded)
+    assert read_table(spark, loaded).count() == 2
+
+    catalog.drop_table("analytics", "events")
+    with pytest.raises(RestError) as e:
+        catalog.load_table("analytics", "events")
+    assert e.value.code == 404
+    assert catalog.list_tables("analytics") == []
+
+
+def test_commit_table_requirements_and_updates(spark, catalog):
+    catalog.create_namespace("ns")
+    schema = spark.createDataFrame([], "id long").schema
+    catalog.create_table("ns", "t", schema)
+    meta = catalog.load_metadata("ns", "t")
+    uuid = meta["table-uuid"]
+
+    # add a snapshot + move main, gated on the current (empty) state
+    snap = {
+        "snapshot-id": 777,
+        "sequence-number": 1,
+        "timestamp-ms": 1,
+        "manifest-list": "/nonexistent.avro",
+        "summary": {"operation": "append"},
+    }
+    out = catalog.commit_table(
+        "ns",
+        "t",
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": uuid},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
+        ],
+        updates=[
+            {"type": "add-snapshot", "snapshot": snap},
+            {"type": "set-snapshot-ref", "ref-name": "main", "snapshot-id": 777},
+            {"type": "set-properties", "updates": {"owner": "etl"}},
+        ],
+    )
+    assert out["metadata"]["current-snapshot-id"] == 777
+    assert out["metadata"]["properties"]["owner"] == "etl"
+
+    # stale expectation now → 409 (CommitFailedException contract)
+    with pytest.raises(RestError) as e:
+        catalog.commit_table(
+            "ns",
+            "t",
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}
+            ],
+            updates=[],
+        )
+    assert e.value.code == 409
+
+    # wrong uuid → 409; unknown update type → 400
+    with pytest.raises(RestError) as e:
+        catalog.commit_table(
+            "ns", "t",
+            requirements=[{"type": "assert-table-uuid", "uuid": "nope"}],
+            updates=[],
+        )
+    assert e.value.code == 409
+    with pytest.raises(RestError) as e:
+        catalog.commit_table(
+            "ns", "t", requirements=[], updates=[{"type": "mystery"}]
+        )
+    assert e.value.code == 400
+
+    # remove-properties round-trip
+    catalog.commit_table(
+        "ns", "t", requirements=[],
+        updates=[{"type": "remove-properties", "removals": ["owner"]}],
+    )
+    assert "owner" not in catalog.load_metadata("ns", "t").get("properties", {})
+
+
+def test_rest_routes_errors(catalog):
+    with pytest.raises(RestError) as e:
+        catalog.list_tables("ghost")
+    assert e.value.code == 404
+    with pytest.raises(RestError) as e:
+        catalog._call("GET", "/v1/unknown")
+    assert e.value.code == 404
