@@ -114,6 +114,31 @@ def write_deletion_vectors(
 
     Returns the new snapshot id.
     """
+    data, _pos, _eq = table.scan_tasks()
+    if not data:
+        raise ValueError("table has no data files")
+    df = spark.read.parquet(*[t.data_file_path for t in data])
+    matches = df.where(predicate).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    return commit_deletion_vectors(spark, table, matches)
+
+
+def commit_deletion_vectors(
+    spark: SparkSession,
+    table: ManifestTable,
+    matches: DataFrame,
+    extra_removed: set[str] | None = None,
+) -> int:
+    """Pack a (file_path, pos) DataFrame into DV blobs and commit.
+
+    Shared tail of :func:`write_deletion_vectors` and the orchestrator's
+    parquet→DV conversion: per-file bitmaps are built executor-side,
+    existing puffin DVs for the same data files are superseded by
+    union, and one atomic commit adds the new puffin entry while
+    removing superseded puffin files plus ``extra_removed`` paths.
+    """
     from ic_spark.sources.puffin import (
         DV_BLOB_TYPE,
         PuffinBlob,
@@ -123,14 +148,7 @@ def write_deletion_vectors(
         write_puffin,
     )
 
-    data, pos, _eq = table.scan_tasks()
-    if not data:
-        raise ValueError("table has no data files")
-    df = spark.read.parquet(*[t.data_file_path for t in data])
-    matches = df.where(predicate).select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-    )
+    _, pos, _eq2 = table.scan_tasks()
 
     def pack(pdf):
         import pandas as pd
@@ -206,7 +224,7 @@ def write_deletion_vectors(
         "file_size_in_bytes": os.path.getsize(out_path),
         "record_count": sum(card for _, card in merged.values()),
     }
-    return table.commit_rewrite([entry], superseded)
+    return table.commit_rewrite([entry], superseded | (extra_removed or set()))
 
 
 def write_equality_deletes(

@@ -26,6 +26,24 @@ from ic_spark.compaction.request import (
 from ic_spark.compaction.writer import rewrite_files
 
 
+def default_spec_fields(table) -> tuple[int, list | None]:
+    """(spec_id, fields) of the table's default partition spec when it
+    should drive a fanout rewrite, else (0, None).
+
+    Only derived-column specs route through the transform writer; a
+    legacy identity spec whose field reuses the source column's name
+    would move the column itself into directory names (and out of the
+    data files).
+    """
+    if not hasattr(table, "default_spec_id"):
+        return 0, None
+    spec_id = table.default_spec_id()
+    fields = table.partition_spec(spec_id)
+    if fields and all(f["name"] != f.get("source", f["name"]) for f in fields):
+        return spec_id, fields
+    return spec_id, None
+
+
 class Compaction:
     """Full-table compaction against a ManifestTable."""
 
@@ -59,18 +77,9 @@ class Compaction:
         # partitioning) come out re-laid-out in the new spec, which is
         # exactly how Iceberg compaction migrates a table's layout after
         # ALTER TABLE ... ADD PARTITION FIELD.
-        spec_id, spec_fields = 0, None
-        if partition_by is None and hasattr(table, "default_spec_id"):
-            spec_id = table.default_spec_id()
-            fields = table.partition_spec(spec_id)
-            # Only derived-column specs route through the transform
-            # writer; a legacy identity spec whose field reuses the
-            # source column's name would move the column itself into
-            # directory names (and out of the data files).
-            if fields and all(
-                f["name"] != f.get("source", f["name"]) for f in fields
-            ):
-                spec_fields = fields
+        spec_id, spec_fields = (
+            (0, None) if partition_by is not None else default_spec_fields(table)
+        )
         data, pos, eq = table.scan_tasks()
         if not data:
             return RewriteFilesResponse()
@@ -175,6 +184,55 @@ class Compaction:
                 removed,
             )
         return {"merged": len(pos), "kept_rows": kept_rows}
+
+    def convert_position_deletes_to_dvs(self, table: ManifestTable) -> dict:
+        """Upgrade parquet position-delete files to deletion VECTORS
+        (the Iceberg v2→v3 delete migration): read every parquet
+        position-delete file, drop dangling rows (positions of data
+        files no longer live), pack the rest into one roaring bitmap
+        per data file and commit a single puffin entry replacing ALL
+        parquet position-delete files — existing DVs are superseded by
+        union in the same atomic swap.
+
+        After this action every MoR read anti-joins against compact
+        bitmaps instead of a stack of parquet files; streaming CDC
+        ingest (one tiny delete file per batch) is the workload that
+        needs it most.
+
+        Returns ``{"converted": n_parquet_files, "dv_rows": n}``.
+        """
+        import pyspark.sql.functions as F
+
+        from ic_spark.compaction.deletes import commit_deletion_vectors
+
+        data, pos, _eq = table.scan_tasks()
+        parquet_pos = [t for t in pos if t.file_format != "puffin"]
+        if not parquet_pos:
+            return {"converted": 0, "dv_rows": 0}
+        removed = {t.data_file_path for t in parquet_pos}
+        if not data:
+            table.commit_rewrite([], removed)
+            return {"converted": len(parquet_pos), "dv_rows": 0}
+        live = self.spark.createDataFrame(
+            [(t.data_file_path,) for t in data], "path string"
+        )
+        pd_df = self.spark.read.parquet(*[t.data_file_path for t in parquet_pos])
+        fp, ps = pd_df.columns[:2]  # fixed (file_path, pos) schema
+        matches = (
+            pd_df.select(
+                F.col(fp).alias("file_path"), F.col(ps).cast("long").alias("pos")
+            )
+            .withColumn("__norm", F.regexp_replace("file_path", "^file:", ""))
+            .join(F.broadcast(live), F.col("__norm") == F.col("path"), "left_semi")
+            .drop("__norm")
+            .dropDuplicates(["file_path", "pos"])
+        )
+        n = matches.count()
+        if n == 0:
+            table.commit_rewrite([], removed)  # all dangling: just drop
+            return {"converted": len(parquet_pos), "dv_rows": 0}
+        commit_deletion_vectors(self.spark, table, matches, extra_removed=removed)
+        return {"converted": len(parquet_pos), "dv_rows": n}
 
     def convert_equality_deletes(self, table: ManifestTable) -> dict:
         """Convert equality deletes to position deletes (Iceberg's

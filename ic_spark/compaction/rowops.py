@@ -94,7 +94,16 @@ def _rewrite_and_commit(
     extra_added: list[dict] | None = None,
 ) -> dict:
     """Rewrite ``candidates`` through ``transform``; one atomic commit
-    removing them and adding the outputs (+ ``extra_added`` entries)."""
+    removing them and adding the outputs (+ ``extra_added`` entries).
+
+    Partitioned tables keep their layout: rewritten (and inserted) rows
+    re-fanout under the table's current default partition spec, same as
+    ``full_compact`` — a MERGE over a day-partitioned table does not
+    quietly degrade it to unpartitioned files.
+    """
+    from ic_spark.compaction.orchestrator import default_spec_fields
+
+    spec_id, spec_fields = default_spec_fields(table)
     new_seq = _next_seq(candidates, eq)
     out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
     response = rewrite_files(
@@ -105,12 +114,14 @@ def _rewrite_and_commit(
             position_delete_files=pos,
             equality_delete_files=eq,
             dir_path=out_dir,
+            partition_spec=spec_fields,
             target_partitions=max(1, len(candidates)),
         ),
         transform=transform,
     )
-    added = [
-        {
+    added = []
+    for f in response.data_files:
+        entry = {
             "path": f.file_path,
             "sequence_number": new_seq,
             "content": "DATA",
@@ -118,8 +129,10 @@ def _rewrite_and_commit(
             "record_count": f.record_count,
             "column_stats": f.column_stats,
         }
-        for f in response.data_files
-    ]
+        if spec_fields:
+            entry["spec_id"] = spec_id
+            entry["partition"] = f.partition_values or {}
+        added.append(entry)
     added.extend(extra_added or [])
     snapshot_id = table.commit_rewrite(
         added, {t.data_file_path for t in candidates}

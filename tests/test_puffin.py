@@ -212,6 +212,53 @@ def test_dv_coexists_with_parquet_position_deletes(spark, tmp_path):
     assert ids == list(range(5, 45))
 
 
+def test_convert_position_deletes_to_dvs(spark, tmp_path):
+    """Parquet position-delete files upgrade to one puffin DV entry;
+    visible rows identical before/after; dangling positions dropped."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_position_deletes
+
+    table = ManifestTable(str(tmp_path / "tbl"))
+    d = str(tmp_path / "data")
+    spark.range(0, 100).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    write_position_deletes(spark, table, F.col("id") < 10)
+    write_position_deletes(spark, table, F.col("id") >= 95)
+    # a dangling delete row pointing at a dead file
+    dead = spark.createDataFrame(
+        [("file:/nowhere.parquet", 0)],
+        "sys_hidden_file_path string, sys_hidden_pos long",
+    )
+    dd = str(tmp_path / "dangling")
+    dead.coalesce(1).write.parquet(dd)
+    dfp = next(os.path.join(dd, n) for n in os.listdir(dd) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": dfp, "sequence_number": 4, "content": "POSITION_DELETES",
+          "file_size_in_bytes": os.path.getsize(dfp)}]
+    )
+    before = sorted(r.id for r in read_table(spark, table).collect())
+
+    stats = Compaction(spark).convert_position_deletes_to_dvs(table)
+    assert stats == {"converted": 3, "dv_rows": 15}
+    _, pos, _ = table.scan_tasks()
+    assert [t.file_format for t in pos] == ["puffin"]
+    after = sorted(r.id for r in read_table(spark, table).collect())
+    assert after == before == list(range(10, 95))
+    # idempotent: nothing left to convert
+    assert Compaction(spark).convert_position_deletes_to_dvs(table) == {
+        "converted": 0,
+        "dv_rows": 0,
+    }
+
+
 def test_dvs_over_spec_metadata_table(spark, tmp_path):
     """Deletion vectors round-trip through spec-format Avro manifests:
     file_format survives the manifest encode/decode (regression: it was

@@ -143,6 +143,34 @@ def test_merge_into_pure_insert(spark, id_table):
     assert len(rows) == 32 and rows[100] == 1 and rows[101] == 2
 
 
+def test_rowops_preserve_partition_layout(spark, tmp_path):
+    """A COW rewrite over a table with a derived-column default spec
+    re-fanouts under that spec (like full_compact) — new entries carry
+    spec_id + partition values, so pruning keeps working."""
+    table = ManifestTable(str(tmp_path / "tbl"))
+    spec_id = table.update_partition_spec(
+        [{"name": "id_bucket", "source": "id", "transform": "truncate", "width": 10}]
+    )
+    df = spark.range(0, 40).select("id", (F.col("id") * 10).alias("value"))
+    d = str(tmp_path / "seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot([_entry(f)])
+
+    delete_where(spark, table, [("id", ">=", 0), ("id", "<", 5)])
+    files = table.current_snapshot().files
+    new_entries = [e for e in files if e["path"] != f]
+    assert new_entries, "rewrite produced no entries"
+    for e in new_entries:
+        assert e.get("spec_id") == spec_id
+        assert "id_bucket" in e.get("partition", {})
+    assert read_table(spark, table).count() == 35
+    # stats-pruned read over the partitioned layout still correct
+    assert (
+        read_table(spark, table, where=[("id", ">=", 30)]).count() == 10
+    )
+
+
 def test_rowops_over_spec_metadata_table(spark, tmp_path):
     """COW ops duck-type over the spec-format Iceberg metadata table:
     delete + merge on an IcebergTable with Avro manifests."""
