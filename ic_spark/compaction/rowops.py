@@ -224,14 +224,19 @@ def merge_into(
     schema: StructType | None = None,
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    update_assignments: dict[str, object] | None = None,
 ) -> dict:
     """Copy-on-write ``MERGE INTO table USING source ON keys``.
 
     ``when_matched="update"`` replaces each matched target row with its
-    source row (source must carry the full table schema);
-    ``when_matched="delete"`` drops matched target rows.  Unmatched
-    source rows are appended as inserts unless ``insert_not_matched``
-    is False.
+    source row (source must carry the full table schema) — or, with
+    ``update_assignments``, updates ONLY the named columns: each value
+    is a Column or SQL string evaluated over the joined row, where
+    target columns are bare names and source columns are ``src.<name>``
+    (``MERGE ... WHEN MATCHED THEN UPDATE SET v = v + src.v``
+    becomes ``{"v": "v + src.v"}``).  ``when_matched="delete"`` drops
+    matched target rows.  Unmatched source rows are appended as inserts
+    unless ``insert_not_matched`` is False.
 
     Only files actually CONTAINING matched keys are rewritten: a
     key-bounds stats prune (min/max of the first key, two-row driver
@@ -247,7 +252,14 @@ def merge_into(
     missing = [c for c in key_cols if c not in source.columns]
     if missing:
         raise ValueError(f"source missing key columns: {missing}")
-    if when_matched == "update" or insert_not_matched:
+    if update_assignments:
+        unknown = set(update_assignments) - set(field_names)
+        if unknown:
+            raise ValueError(f"assignments for unknown columns: {sorted(unknown)}")
+        keyed = set(update_assignments) & set(key_cols)
+        if keyed:
+            raise ValueError(f"cannot update merge key columns: {sorted(keyed)}")
+    if (when_matched == "update" and not update_assignments) or insert_not_matched:
         lacking = [c for c in field_names if c not in source.columns]
         if lacking:
             raise ValueError(
@@ -291,7 +303,9 @@ def merge_into(
         or f"file:{t.data_file_path}" in touched_paths
     ]
 
-    needs_full_rows = when_matched == "update" or insert_not_matched
+    needs_full_rows = (
+        when_matched == "update" and not update_assignments
+    ) or insert_not_matched
     marked_source = (
         source.select(*field_names).withColumn("__merge_src", F.lit(True))
         if needs_full_rows
@@ -304,29 +318,62 @@ def merge_into(
         else:
             # Prefix source value columns so the post-join projection
             # never hits alias-resolution ambiguity on the key columns.
-            s2 = marked_source.select(
+            src_for_update = (
+                marked_source
+                if marked_source is not None
+                else source.withColumn("__merge_src", F.lit(True))
+            )
+            s2 = src_for_update.select(
                 *key_cols,
                 *[
                     F.col(c).alias(f"__s_{c}")
-                    for c in field_names
-                    if c not in key_cols
+                    for c in src_for_update.columns
+                    if c not in key_cols and c != "__merge_src"
                 ],
                 "__merge_src",
             )
             joined = target.join(s2, on=key_cols, how="left")
             matched = F.col("__merge_src").isNotNull()
-            out = joined.select(
-                *[
-                    (
-                        F.col(c)
-                        if c in key_cols
-                        else F.when(matched, F.col(f"__s_{c}"))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                    )
-                    for c in field_names
-                ]
-            )
+            if update_assignments:
+                import re as _re
+
+                def assigned(col: str):
+                    expr = update_assignments[col]
+                    if isinstance(expr, str):
+                        # `src.<name>` refers to the source row's column
+                        expr = _re.sub(
+                            r"\bsrc\.([A-Za-z_][A-Za-z0-9_]*)", r"__s_\1", expr
+                        )
+                        new = F.expr(expr)
+                    else:
+                        new = expr
+                    return new.cast(schema[col].dataType)
+
+                out = joined.select(
+                    *[
+                        (
+                            F.when(matched, assigned(c))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in update_assignments
+                            else F.col(c)
+                        )
+                        for c in field_names
+                    ]
+                )
+            else:
+                out = joined.select(
+                    *[
+                        (
+                            F.col(c)
+                            if c in key_cols
+                            else F.when(matched, F.col(f"__s_{c}"))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                        )
+                        for c in field_names
+                    ]
+                )
         if insert_not_matched:
             # Not-matched = source keys absent from the whole table.  A
             # key present anywhere makes its file touched, so the

@@ -132,6 +132,32 @@ def test_merge_into_delete_matched(spark, id_table):
     assert ids == [i for i in range(30) if i not in (7, 8)]
 
 
+def test_merge_into_partial_assignments(spark, id_table):
+    """WHEN MATCHED THEN UPDATE SET value = value + src.delta — source
+    carries only keys + referenced columns, not the full table row."""
+    source = spark.createDataFrame(
+        [(5, 1000), (25, 2000), (99, 3000)], "id long, delta long"
+    )
+    stats = merge_into(
+        spark,
+        id_table,
+        source,
+        ["id"],
+        update_assignments={"value": "value + src.delta"},
+        insert_not_matched=False,
+    )
+    assert stats["rewritten_files_count"] == 2
+    rows = {r.id: r.value for r in read_table(spark, id_table).collect()}
+    assert len(rows) == 30  # no inserts
+    assert rows[5] == 50 + 1000 and rows[25] == 250 + 2000
+    assert rows[6] == 60  # unmatched rows untouched
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(
+            spark, id_table, source, ["id"],
+            update_assignments={"id": "id + 1"}, insert_not_matched=False,
+        )
+
+
 def test_merge_into_pure_insert(spark, id_table):
     source = spark.createDataFrame([(100, 1), (101, 2)], "id long, value long")
     before = _live_paths(id_table)
