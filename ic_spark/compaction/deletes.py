@@ -130,6 +130,7 @@ def commit_deletion_vectors(
     table: ManifestTable,
     matches: DataFrame,
     extra_removed: set[str] | None = None,
+    tag: str | None = None,
 ) -> int:
     """Pack a (file_path, pos) DataFrame into DV blobs and commit.
 
@@ -211,8 +212,10 @@ def commit_deletion_vectors(
         )
         for ref, (blob, card) in sorted(merged.items())
     ]
+    # A caller-supplied tag pins the output dir (streaming replays
+    # overwrite the same half-written file instead of leaking one).
     out_path = os.path.join(
-        table.root, f"dv-{uuid.uuid4().hex[:12]}", "deletes.puffin"
+        table.root, f"dv-{tag or uuid.uuid4().hex[:12]}", "deletes.puffin"
     )
     write_puffin(out_path, blobs)
     seq = _next_sequence_number(table)

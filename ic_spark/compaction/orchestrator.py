@@ -185,6 +185,86 @@ class Compaction:
             )
         return {"merged": len(pos), "kept_rows": kept_rows}
 
+    def compact_deletion_vectors(self, table: ManifestTable) -> dict:
+        """Merge many puffin files into one and drop dangling vectors.
+
+        A stream of disjoint-file delete batches leaves one puffin file
+        per batch (each correctly one-DV-per-data-file, but scan
+        planning unions them all).  This action copies every live blob
+        into a single puffin file — byte-identical, bitmaps only
+        DECODED when two files carry a DV for the same data file or a
+        referenced data file is no longer live — and commits one swap.
+        Driver-side and O(delete metadata): puffin files are KB-MB.
+
+        Returns ``{"merged": n_puffin_files, "dvs": n_blobs_kept}``.
+        """
+        from ic_spark.sources.puffin import (
+            DV_BLOB_TYPE,
+            PuffinBlob,
+            deserialize_dv_blob,
+            read_puffin,
+            serialize_dv_blob,
+            write_puffin,
+        )
+
+        data, pos, _eq = table.scan_tasks()
+        puffins = [t for t in pos if t.file_format == "puffin"]
+        if len(puffins) < 2:
+            return {"merged": 0, "dvs": 0}
+        live = {t.data_file_path for t in data} | {
+            f"file:{t.data_file_path}" for t in data
+        }
+        merged: dict[str, tuple[bytes, int]] = {}
+        for t in puffins:
+            for b in read_puffin(t.data_file_path):
+                if b.type != DV_BLOB_TYPE:
+                    continue
+                ref = b.properties.get("referenced-data-file", "")
+                if ref not in live:
+                    continue  # dangling vector: its data file is gone
+                card = int(b.properties.get("cardinality", "0"))
+                if ref in merged:
+                    union = sorted(
+                        set(deserialize_dv_blob(merged[ref][0]))
+                        | set(deserialize_dv_blob(b.data))
+                    )
+                    merged[ref] = (serialize_dv_blob(union), len(union))
+                else:
+                    merged[ref] = (b.data, card)
+        removed = {t.data_file_path for t in puffins}
+        if not merged:
+            table.commit_rewrite([], removed)
+            return {"merged": len(puffins), "dvs": 0}
+        blobs = [
+            PuffinBlob(
+                type=DV_BLOB_TYPE,
+                data=blob,
+                properties={
+                    "referenced-data-file": ref,
+                    "cardinality": str(card),
+                },
+            )
+            for ref, (blob, card) in sorted(merged.items())
+        ]
+        out_path = os.path.join(
+            table.root, f"dv-{uuid.uuid4().hex[:12]}", "deletes.puffin"
+        )
+        write_puffin(out_path, blobs)
+        table.commit_rewrite(
+            [
+                {
+                    "path": out_path,
+                    "sequence_number": max(t.sequence_number for t in puffins),
+                    "content": "POSITION_DELETES",
+                    "file_format": "puffin",
+                    "file_size_in_bytes": os.path.getsize(out_path),
+                    "record_count": sum(card for _, card in merged.values()),
+                }
+            ],
+            removed,
+        )
+        return {"merged": len(puffins), "dvs": len(blobs)}
+
     def convert_position_deletes_to_dvs(self, table: ManifestTable) -> dict:
         """Upgrade parquet position-delete files to deletion VECTORS
         (the Iceberg v2→v3 delete migration): read every parquet

@@ -145,3 +145,56 @@ def manifest_dedup_append_sink(
         append(deduped, batch_id)
 
     return write_batch
+
+
+def manifest_dv_delete_sink(
+    table: ManifestTable, key_cols: list[str], name: str = "dvdel"
+):
+    """Build a ``foreachBatch`` callable applying CDC DELETE events as
+    deletion vectors: each micro-batch of keys resolves to the exact
+    (file, position) pairs currently holding those keys, packed into
+    per-file roaring bitmaps and committed as one puffin entry
+    superseding earlier vectors (``commit_deletion_vectors``)::
+
+        q = (deletes.writeStream.outputMode("update")
+               .foreachBatch(manifest_dv_delete_sink(tbl, ["id"]))
+               .option("checkpointLocation", ckpt).start())
+
+    This is the v3 counterpart of ``manifest_upsert_sink``'s
+    equality-delete writes: instead of deferring the key join to every
+    future read, the sink pays it once per batch and readers anti-join
+    compact bitmaps.  The key-probe scan is column-pruned to
+    ``key_cols`` + metadata.  Replays of the last batch after a crash
+    re-commit a bitmap UNION — position sets are idempotent, so the
+    visible rows never change.
+    """
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import commit_deletion_vectors
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        tag = f"{name}-{batch_id:08d}"
+        marker = os.path.join(table.root, f"dv-{tag}") + os.sep
+        cur = table.current_snapshot()
+        if cur and any(f["path"].startswith(marker) for f in cur.files):
+            return  # replayed batch, already committed
+        if df.isEmpty():
+            return
+        spark = df.sparkSession
+        data, _, _ = table.scan_tasks()
+        if not data:
+            return
+        scan = spark.read.parquet(*[t.data_file_path for t in data]).select(
+            *key_cols,
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        matches = scan.join(
+            df.select(*key_cols).distinct(), on=key_cols, how="left_semi"
+        ).select("file_path", "pos")
+        try:
+            commit_deletion_vectors(spark, table, matches, tag=tag)
+        except ValueError:
+            return  # no key matched any live row: nothing to delete
+
+    return write_batch

@@ -314,3 +314,80 @@ def test_write_audit_publish(spark, tmp_path):
     refs = [(r.name, r.snapshot_id, r.type)
             for r in read_metadata_table(spark, table, "refs").collect()]
     assert refs == [("audit-base", 1, "tag")]
+
+
+def test_streaming_dv_delete_sink(spark, tmp_path):
+    """CDC delete batches land as deletion vectors: per-batch key sets
+    become per-file bitmaps, later batches supersede by union, replays
+    are no-ops, and misses/empty batches commit nothing."""
+    from ic_spark.streaming.sink import manifest_dv_delete_sink
+
+    table = _mk_table(spark, tmp_path, 20, "dvdel_tbl")
+    sink = manifest_dv_delete_sink(table, ["id"])
+
+    mk = lambda ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    sink(mk([3, 4]), 0)
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    assert got == [i for i in range(20) if i not in (3, 4)]
+    _, pos, _ = table.scan_tasks()
+    assert [t.file_format for t in pos] == ["puffin"]
+
+    sink(mk([10]), 1)  # supersede: still ONE puffin entry
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1 and pos[0].file_format == "puffin"
+    assert read_table(spark, table).count() == 17
+
+    # replay of committed batch 1: no new snapshot
+    n = len(table.snapshots())
+    sink(mk([10]), 1)
+    assert len(table.snapshots()) == n
+
+    # keys matching nothing / empty batch: no commit
+    sink(mk([999]), 2)
+    sink(mk([]), 3)
+    assert len(table.snapshots()) == n
+    assert read_table(spark, table).count() == 17
+
+
+def test_compact_deletion_vectors_merges_puffin_files(spark, tmp_path):
+    """Disjoint-file delete batches leave one puffin file per batch;
+    compact_deletion_vectors folds them into one, dropping dangling
+    vectors, with identical visible rows."""
+    from ic_spark.compaction import Compaction
+    from ic_spark.streaming.sink import manifest_dv_delete_sink
+
+    table = ManifestTable(str(tmp_path / "dvc_tbl"))
+    out = str(tmp_path / "dvc-data")
+    # two data files with disjoint id ranges
+    spark.range(0, 50).coalesce(1).write.parquet(out + "0")
+    spark.range(50, 100).coalesce(1).write.parquet(out + "1")
+    entries = []
+    for i in range(2):
+        f = next(
+            os.path.join(out + str(i), n)
+            for n in os.listdir(out + str(i))
+            if n.endswith(".parquet")
+        )
+        entries.append(
+            {"path": f, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(f)}
+        )
+    table.append_snapshot(entries)
+    sink = manifest_dv_delete_sink(table, ["id"])
+    mk = lambda ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    sink(mk([1, 2]), 0)    # hits file 0 only
+    sink(mk([60, 61]), 1)  # hits file 1 only -> second puffin file
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 2
+    before = sorted(r.id for r in read_table(spark, table).collect())
+
+    stats = Compaction(spark).compact_deletion_vectors(table)
+    assert stats == {"merged": 2, "dvs": 2}
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1 and pos[0].file_format == "puffin"
+    assert sorted(r.id for r in read_table(spark, table).collect()) == before
+    # idempotent below the 2-file threshold
+    assert Compaction(spark).compact_deletion_vectors(table) == {
+        "merged": 0,
+        "dvs": 0,
+    }
