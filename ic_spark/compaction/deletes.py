@@ -217,7 +217,7 @@ def commit_deletion_vectors(
     out_path = os.path.join(
         table.root, f"dv-{tag or uuid.uuid4().hex[:12]}", "deletes.puffin"
     )
-    write_puffin(out_path, blobs)
+    write_puffin(out_path, blobs)  # populates blob offsets/lengths
     seq = _next_sequence_number(table)
     entry = {
         "path": out_path,
@@ -226,6 +226,17 @@ def commit_deletion_vectors(
         "file_format": "puffin",
         "file_size_in_bytes": os.path.getsize(out_path),
         "record_count": sum(card for _, card in merged.values()),
+        # Per-vector addressing (Iceberg v3 DV manifest fields): the
+        # spec-metadata table expands this to one manifest entry per
+        # vector with referenced_data_file/content_offset/size set.
+        "deletion_vectors": {
+            b.properties["referenced-data-file"]: {
+                "offset": b.offset,
+                "length": b.length,
+                "cardinality": int(b.properties["cardinality"]),
+            }
+            for b in blobs
+        },
     }
     return table.commit_rewrite([entry], superseded | (extra_removed or set()))
 

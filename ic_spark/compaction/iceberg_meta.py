@@ -249,6 +249,11 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             _f(132, "split_offsets", _opt({"type": "array", "items": "long"}), default=None),
             _f(135, "equality_ids", _opt({"type": "array", "items": "int"}), default=None),
             _f(140, "sort_order_id", _opt("int"), default=None),
+            # v3 deletion-vector fields (spec "Data File fields"): set
+            # only on puffin DV entries — one manifest entry PER vector.
+            _f(143, "referenced_data_file", _opt("string"), default=None),
+            _f(144, "content_offset", _opt("long"), default=None),
+            _f(145, "content_size_in_bytes", _opt("long"), default=None),
         ],
     }
     return {
@@ -539,7 +544,30 @@ class IcebergTable:
             "split_offsets": None,
             "equality_ids": eq_ids,
             "sort_order_id": f.get("sort_order_id"),
+            "referenced_data_file": f.get("referenced_data_file"),
+            "content_offset": f.get("content_offset"),
+            "content_size_in_bytes": f.get("content_size_in_bytes"),
         }
+
+    def _entries_for_file(self, f: dict, meta: dict) -> list[dict]:
+        """files-dict → DataFile records; a puffin entry carrying a
+        ``deletion_vectors`` map ({ref: {offset, length, cardinality}})
+        expands to ONE record per vector with the v3 DV fields set —
+        scan planning dedupes tasks by path, so the N records still
+        yield one puffin read."""
+        dvs = f.get("deletion_vectors")
+        if not dvs:
+            return [self._entry_to_data_file(f, meta)]
+        out = []
+        for ref, info in sorted(dvs.items()):
+            sub = {k: v for k, v in f.items() if k != "deletion_vectors"}
+            sub["record_count"] = int(info.get("cardinality", 0))
+            df = self._entry_to_data_file(sub, meta)
+            df["referenced_data_file"] = ref
+            df["content_offset"] = info.get("offset")
+            df["content_size_in_bytes"] = info.get("length")
+            out.append(df)
+        return out
 
     def _write_manifest(
         self,
@@ -818,9 +846,9 @@ class IcebergTable:
         carried = [({**e, "status": EXISTING}, s) for e, s in carried]
         new = [
             ({"status": ADDED, "snapshot_id": None, "sequence_number": None,
-              "file_sequence_number": None,
-              "data_file": self._entry_to_data_file(f, meta)}, None)
+              "file_sequence_number": None, "data_file": df}, None)
             for f in files
+            for df in self._entries_for_file(f, meta)
         ]
         return self._commit_snapshot(meta, version, carried + new, "append")
 
@@ -984,9 +1012,9 @@ class IcebergTable:
         ]
         new = [
             ({"status": ADDED, "snapshot_id": None, "sequence_number": None,
-              "file_sequence_number": None,
-              "data_file": self._entry_to_data_file(f, meta)}, None)
+              "file_sequence_number": None, "data_file": df}, None)
             for f in added
+            for df in self._entries_for_file(f, meta)
         ]
         return self._commit_snapshot(meta, version, kept + new, "replace")
 

@@ -259,6 +259,14 @@ class Compaction:
                     "file_format": "puffin",
                     "file_size_in_bytes": os.path.getsize(out_path),
                     "record_count": sum(card for _, card in merged.values()),
+                    "deletion_vectors": {
+                        b.properties["referenced-data-file"]: {
+                            "offset": b.offset,
+                            "length": b.length,
+                            "cardinality": int(b.properties["cardinality"]),
+                        }
+                        for b in blobs
+                    },
                 }
             ],
             removed,

@@ -286,6 +286,27 @@ def test_dvs_over_spec_metadata_table(spark, tmp_path):
     out = read_table(spark, tbl)
     assert out.count() == 180 and out.where("g = 4").count() == 0
 
+    # v3 DV manifest fields in the raw Avro delete manifest: one entry
+    # per vector with referenced_data_file + content offset/size.
+    from ic_spark.sources.avro_io import read_container
+    from ic_spark.sources.puffin import read_puffin
+
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    delete_manifests = [m for m in manifests if m["content"] == 1]
+    assert len(delete_manifests) == 1
+    _, _, entries = read_container(delete_manifests[0]["manifest_path"])
+    dv_entries = [
+        e for e in entries if e["data_file"]["file_format"] == "puffin"
+    ]
+    assert len(dv_entries) == 1  # one data file → one vector
+    df_rec = dv_entries[0]["data_file"]
+    assert df_rec["referenced_data_file"].endswith(".parquet")
+    blob = read_puffin(df_rec["file_path"])[0]
+    assert df_rec["content_offset"] == blob.offset
+    assert df_rec["content_size_in_bytes"] == blob.length
+    assert df_rec["record_count"] == 20  # cardinality of the vector
+
 
 def test_deletion_vector_file_multi_dv(tmp_path):
     p = str(tmp_path / "dv.puffin")
