@@ -50,6 +50,21 @@ _FILES_SCHEMA = StructType(
     ]
 )
 
+_DELETE_FILES_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("content", StringType(), False),
+        StructField("file_format", StringType(), False),
+        StructField("sequence_number", LongType(), False),
+        StructField("equality_ids", ArrayType(StringType()), True),
+        StructField("record_count", LongType(), False),
+        StructField("file_size_in_bytes", LongType(), False),
+        StructField("referenced_data_file", StringType(), True),
+        StructField("content_offset", LongType(), True),
+        StructField("content_size_in_bytes", LongType(), True),
+    ]
+)
+
 _HISTORY_SCHEMA = StructType(
     [
         StructField("snapshot_id", LongType(), False),
@@ -91,19 +106,29 @@ def _as_snapshots(table) -> tuple[list, int | None]:
         files = []
         for e, seq in table._live_entries(s):
             df = e["data_file"]
-            files.append(
-                {
-                    "path": df["file_path"],
-                    "content": _CONTENT_TO_ENUM[df["content"]].name,
-                    "sequence_number": seq,
-                    "equality_ids": [
-                        id_to_name[i]
-                        for i in (df["equality_ids"] or [])
-                        if i in id_to_name
-                    ],
-                    "file_size_in_bytes": df["file_size_in_bytes"],
+            entry = {
+                "path": df["file_path"],
+                "content": _CONTENT_TO_ENUM[df["content"]].name,
+                "sequence_number": seq,
+                "equality_ids": [
+                    id_to_name[i]
+                    for i in (df["equality_ids"] or [])
+                    if i in id_to_name
+                ],
+                "file_size_in_bytes": df["file_size_in_bytes"],
+                "file_format": (df.get("file_format") or "PARQUET").lower(),
+                "record_count": df.get("record_count", 0),
+            }
+            if df.get("referenced_data_file"):
+                # spec manifests are already one entry per vector
+                entry["deletion_vectors"] = {
+                    df["referenced_data_file"]: {
+                        "offset": df.get("content_offset"),
+                        "length": df.get("content_size_in_bytes"),
+                        "cardinality": df.get("record_count", 0),
+                    }
                 }
-            )
+            files.append(entry)
         out.append(Snapshot(s["snapshot-id"], s["timestamp-ms"], files))
     cur_id = meta.get("current-snapshot-id")
     return out, (None if cur_id in (-1, None) else cur_id)
@@ -112,9 +137,9 @@ def _as_snapshots(table) -> tuple[list, int | None]:
 def read_metadata_table(
     spark: SparkSession, table: ManifestTable, kind: str
 ) -> DataFrame:
-    """``kind`` in {"snapshots", "files", "history", "refs"} — the
-    Iceberg metadata-table surface (snapshots / data_files / history /
-    refs) over either table flavor (JSON manifest or spec metadata)."""
+    """``kind`` in {"snapshots", "files", "delete_files", "history",
+    "refs"} — the Iceberg metadata-table surface over either table
+    flavor (JSON manifest or spec metadata)."""
     if kind == "refs":
         types = {}
         if not isinstance(table, ManifestTable):  # spec refs carry a type
@@ -165,6 +190,49 @@ def read_metadata_table(
             for f in current.files
         ]
         return spark.createDataFrame(rows, _FILES_SCHEMA)
+
+    if kind == "delete_files":
+        # Iceberg's delete_files metadata table: every live delete
+        # entry, with deletion vectors expanded one row per vector
+        # (v3 referenced_data_file / content offset+size fields).
+        if current is None:
+            return spark.createDataFrame([], _DELETE_FILES_SCHEMA)
+        rows = []
+        for f in current.files:
+            if f.get("content", "DATA") == "DATA":
+                continue
+            base = (
+                f["path"],
+                f.get("content"),
+                f.get("file_format", "parquet"),
+                f.get("sequence_number", 0),
+                list(f.get("equality_ids", [])) or None,
+            )
+            dvs = f.get("deletion_vectors")
+            if dvs:
+                for ref, info in sorted(dvs.items()):
+                    rows.append(
+                        base
+                        + (
+                            int(info.get("cardinality", 0)),
+                            f.get("file_size_in_bytes", 0),
+                            ref,
+                            info.get("offset"),
+                            info.get("length"),
+                        )
+                    )
+            else:
+                rows.append(
+                    base
+                    + (
+                        f.get("record_count", 0),
+                        f.get("file_size_in_bytes", 0),
+                        None,
+                        None,
+                        None,
+                    )
+                )
+        return spark.createDataFrame(rows, _DELETE_FILES_SCHEMA)
 
     if kind == "history":
         rows = []

@@ -164,6 +164,19 @@ class CatalogBackend:
             # location stops resolving as a table
             os.replace(tbl.metadata_dir, tbl.metadata_dir + ".dropped")
 
+    def rename_table(self, payload: dict) -> None:
+        import os
+
+        src, dst = payload.get("source") or {}, payload.get("destination") or {}
+        src_tbl = self._table(src["namespace"][0], src["name"])
+        dst_ns = self._ns_dir(dst["namespace"][0])
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", dst.get("name", "")):
+            raise RestError(400, f"bad table name: {dst.get('name')!r}")
+        dst_loc = os.path.join(dst_ns, dst["name"])
+        if IcebergTable(dst_loc).version() is not None:
+            raise RestError(409, f"table already exists: {dst['name']}")
+        os.replace(src_tbl.root, dst_loc)
+
     # -- commit --------------------------------------------------------
 
     def commit_table(self, ns: str, name: str, payload: dict) -> dict:
@@ -236,6 +249,7 @@ _ROUTES = [
     ("POST", re.compile(r"^/v1/namespaces$"), "create_ns"),
     ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "list_tables"),
     ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "create_table"),
+    ("POST", re.compile(r"^/v1/tables/rename$"), "rename"),
     ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "load"),
     ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "commit"),
     ("DELETE", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "drop"),
@@ -296,6 +310,9 @@ class _Handler(BaseHTTPRequestHandler):
                     self._reply(200, {"identifiers": b.list_tables(args[0])})
                 elif op == "create_table":
                     self._reply(200, b.create_table(args[0], body))
+                elif op == "rename":
+                    b.rename_table(body)
+                    self._reply(204, {})
                 elif op == "load":
                     self._reply(200, b.load_table(args[0], args[1]))
                 elif op == "commit":
@@ -430,6 +447,18 @@ class RestCatalog:
         return self._call("GET", f"/v1/namespaces/{namespace}/tables/{name}")[
             "metadata"
         ]
+
+    def rename_table(
+        self, namespace: str, name: str, to_namespace: str, to_name: str
+    ) -> None:
+        self._call(
+            "POST",
+            "/v1/tables/rename",
+            {
+                "source": {"namespace": [namespace], "name": name},
+                "destination": {"namespace": [to_namespace], "name": to_name},
+            },
+        )
 
     def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
         suffix = "?purgeRequested=true" if purge else ""

@@ -349,6 +349,50 @@ def test_streaming_dv_delete_sink(spark, tmp_path):
     assert read_table(spark, table).count() == 17
 
 
+def test_delete_files_metadata_table(spark, tmp_path):
+    """delete_files metadata table lists both flavors, DVs expanded one
+    row per vector with v3 addressing — over JSON and spec metadata."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import (
+        write_deletion_vectors,
+        write_equality_deletes,
+    )
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.metadata_tables import read_metadata_table
+
+    table = _mk_table(spark, tmp_path, 30, "delfiles")
+    write_equality_deletes(
+        spark, table, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    write_deletion_vectors(spark, table, F.col("id") >= 28)
+    rows = read_metadata_table(spark, table, "delete_files").collect()
+    by_content = {r.content: r for r in rows}
+    assert set(by_content) == {"EQUALITY_DELETES", "POSITION_DELETES"}
+    dv = by_content["POSITION_DELETES"]
+    assert dv.file_format == "puffin" and dv.record_count == 2
+    assert dv.referenced_data_file and dv.content_size_in_bytes > 0
+    assert by_content["EQUALITY_DELETES"].equality_ids == ["id"]
+
+    # spec flavor: per-vector rows come from the Avro manifest fields
+    df = spark.range(0, 20).withColumn("v", F.col("id"))
+    spec = IcebergTable.create(str(tmp_path / "delfiles_spec"), df.schema)
+    out = str(tmp_path / "delfiles_spec_seed")
+    df.coalesce(1).write.parquet(out)
+    f = next(
+        os.path.join(out, n) for n in os.listdir(out) if n.endswith(".parquet")
+    )
+    spec.append_snapshot(
+        [{"path": f, "content": "DATA", "record_count": 20,
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    write_deletion_vectors(spark, spec, F.col("id") < 3)
+    rows = read_metadata_table(spark, spec, "delete_files").collect()
+    assert len(rows) == 1 and rows[0].file_format == "puffin"
+    assert rows[0].referenced_data_file.endswith(".parquet")
+    assert rows[0].record_count == 3 and rows[0].content_offset is not None
+
+
 def test_compact_deletion_vectors_merges_puffin_files(spark, tmp_path):
     """Disjoint-file delete batches leave one puffin file per batch;
     compact_deletion_vectors folds them into one, dropping dangling

@@ -123,6 +123,23 @@ def test_commit_table_requirements_and_updates(spark, catalog):
     assert "owner" not in catalog.load_metadata("ns", "t").get("properties", {})
 
 
+def test_rename_table(spark, catalog):
+    catalog.create_namespace("a")
+    catalog.create_namespace("b")
+    schema = spark.createDataFrame([], "id long").schema
+    catalog.create_table("a", "t1", schema)
+    catalog.rename_table("a", "t1", "b", "t2")
+    assert catalog.list_tables("a") == [] and catalog.list_tables("b") == ["t2"]
+    assert catalog.load_table("b", "t2").schema() == schema
+    catalog.create_table("a", "t1", schema)
+    with pytest.raises(RestError) as e:  # destination taken
+        catalog.rename_table("a", "t1", "b", "t2")
+    assert e.value.code == 409
+    with pytest.raises(RestError) as e:  # source missing
+        catalog.rename_table("a", "ghost", "b", "t3")
+    assert e.value.code == 404
+
+
 def test_rest_routes_errors(catalog):
     with pytest.raises(RestError) as e:
         catalog.list_tables("ghost")
