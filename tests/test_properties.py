@@ -164,3 +164,36 @@ def test_rewrite_max_records_per_file(spark, tmp_path):
     assert len(files) == 10  # 1000 rows / 100 per file
     back = spark.read.parquet(out_dir)
     assert back.count() == 1000
+
+
+# ------------------------------------------------ roaring DV codec
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 20),
+            st.integers(min_value=(1 << 32) - 5, max_value=(1 << 32) + 5),
+            st.integers(min_value=0, max_value=(1 << 63) - 1),
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_roaring64_roundtrip_property(positions):
+    """Any position set round-trips through the portable 64-bit roaring
+    serialization + DV blob framing (sorted, deduped)."""
+    from ic_spark.sources.puffin import deserialize_dv_blob, serialize_dv_blob
+
+    assert deserialize_dv_blob(serialize_dv_blob(positions)) == sorted(set(positions))
+
+
+def test_roaring32_bitmap_container_boundary():
+    """Exactly 4096 lows stays an array container; 4097 flips to a
+    bitset — both round-trip at the threshold."""
+    from ic_spark.sources.puffin import _deserialize_roaring32, _serialize_roaring32
+
+    for n in (4096, 4097):
+        vals = list(range(n))
+        out, end = _deserialize_roaring32(_serialize_roaring32(vals), 0)
+        assert out == vals
