@@ -350,12 +350,15 @@ def read_table(
     schema=None,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    as_of_timestamp_ms: int | None = None,
     where: list[tuple] | None = None,
 ) -> DataFrame:
     """Merge-on-read SELECT over a snapshot (current by default; pass
-    ``snapshot_id`` for time travel or ``ref`` for a named tag): data
-    files minus all applicable deletes — the read path every query
-    against a MoR table uses (compaction is the same plan + a write).
+    ``snapshot_id`` for time travel, ``ref`` for a named tag, or
+    ``as_of_timestamp_ms`` for TIMESTAMP AS OF — the last snapshot
+    committed at or before that wall-clock instant): data files minus
+    all applicable deletes — the read path every query against a MoR
+    table uses (compaction is the same plan + a write).
 
     ``where`` is a conjunction of ``(col, op, value)`` triples (op in
     ``= < <= > >=``) applied TWICE: at planning time against manifest
@@ -366,10 +369,12 @@ def read_table(
     from ic_spark.compaction.planner import build_merge_on_read
     from ic_spark.compaction.request import RewriteFilesRequest
 
+    if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp_ms)) > 1:
+        raise ValueError("pass at most one of snapshot_id, ref, as_of_timestamp_ms")
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or ref, not both")
         snapshot_id = table.resolve_ref(ref)
+    elif as_of_timestamp_ms is not None:
+        snapshot_id = table.snapshot_id_as_of(as_of_timestamp_ms)
     data, pos, eq = table.scan_tasks(snapshot_id, data_filter=where)
     if not data:
         if where:

@@ -435,6 +435,19 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
 
+    def snapshot_id_as_of(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF over the spec snapshot-log (Iceberg time
+        travel by timestamp)."""
+        best = None
+        for entry in self.metadata().get("snapshot-log", []):
+            if entry["timestamp-ms"] <= timestamp_ms and (
+                best is None or entry["timestamp-ms"] >= best["timestamp-ms"]
+            ):
+                best = entry
+        if best is None:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return best["snapshot-id"]
+
     def _snapshot(self, snapshot_id: int | None) -> dict | None:
         meta = self.metadata()
         sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")

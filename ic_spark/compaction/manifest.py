@@ -254,6 +254,19 @@ class ManifestTable:
                 return s
         return None
 
+    def snapshot_id_as_of(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF: the last snapshot committed at or before
+        ``timestamp_ms`` (Iceberg's snapshot-log lookup)."""
+        best = None
+        for s in self.snapshots():
+            if s.timestamp_ms <= timestamp_ms and (
+                best is None or s.timestamp_ms >= best.timestamp_ms
+            ):
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return best.snapshot_id
+
     def current_snapshot(self) -> Snapshot | None:
         state = self._load()
         sid = state["current_snapshot_id"]
