@@ -226,6 +226,23 @@ class CatalogBackend:
                     "snapshot-id": sid,
                     "type": upd.get("snapshot-ref-type", upd.get("type-", "branch")),
                 }
+            elif utype == "set-statistics":
+                # Iceberg REST: register a statistics file (one entry
+                # per snapshot; replaces an existing entry for it).
+                st = upd["statistics"]
+                keep = [
+                    s
+                    for s in meta.get("statistics", [])
+                    if s.get("snapshot-id") != st.get("snapshot-id")
+                ]
+                meta["statistics"] = keep + [st]
+            elif utype == "remove-statistics":
+                sid = upd["snapshot-id"]
+                meta["statistics"] = [
+                    s
+                    for s in meta.get("statistics", [])
+                    if s.get("snapshot-id") != sid
+                ]
             elif utype == "set-properties":
                 meta.setdefault("properties", {}).update(upd.get("updates", {}))
             elif utype == "remove-properties":

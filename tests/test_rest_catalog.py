@@ -140,6 +140,62 @@ def test_rename_table(spark, catalog):
     assert e.value.code == 404
 
 
+def test_commit_statistics_updates(spark, catalog):
+    catalog.create_namespace("s")
+    catalog.create_table("s", "t", spark.range(1).schema)
+    st = {
+        "snapshot-id": 1,
+        "statistics-path": "/stats/x.puffin",
+        "file-size-in-bytes": 10,
+        "blob-metadata": [],
+    }
+    out = catalog.commit_table(
+        "s", "t", requirements=[], updates=[{"type": "set-statistics", "statistics": st}]
+    )
+    assert out["metadata"]["statistics"] == [st]
+    # re-set for the same snapshot replaces, not stacks
+    st2 = dict(st, **{"statistics-path": "/stats/y.puffin"})
+    out = catalog.commit_table(
+        "s", "t", requirements=[], updates=[{"type": "set-statistics", "statistics": st2}]
+    )
+    assert out["metadata"]["statistics"] == [st2]
+    out = catalog.commit_table(
+        "s", "t", requirements=[], updates=[{"type": "remove-statistics", "snapshot-id": 1}]
+    )
+    assert out["metadata"]["statistics"] == []
+
+
+def test_concurrent_commit_race_one_loses(spark, catalog):
+    """Two racing commitTable calls: exactly one succeeds, the loser
+    gets 409 — the REST CommitFailedException contract end to end."""
+    import threading
+
+    catalog.create_namespace("race")
+    catalog.create_table("race", "t", spark.range(1).schema)
+    results = []
+
+    def commit(tag):
+        try:
+            catalog.commit_table(
+                "race", "t", requirements=[],
+                updates=[{"type": "set-properties", "updates": {"who": tag}}],
+            )
+            results.append(("ok", tag))
+        except RestError as e:
+            results.append(("err", e.code))
+
+    # serialize on the server's version commit: fire many racers
+    threads = [threading.Thread(target=commit, args=(str(i),)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    oks = [r for r in results if r[0] == "ok"]
+    errs = [r for r in results if r[0] == "err"]
+    assert len(oks) + len(errs) == 6 and len(oks) >= 1
+    assert all(code == 409 for _, code in errs)
+
+
 def test_rest_routes_errors(catalog):
     with pytest.raises(RestError) as e:
         catalog.list_tables("ghost")
