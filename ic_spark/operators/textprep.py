@@ -262,3 +262,77 @@ def c4_line_filter(
         F.size(lines).alias("n_lines_total"),
         keep.cast("int").alias("keep_doc"),
     )
+
+
+def quality_logreg_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float = -3.0,
+) -> DataFrame:
+    """Linear quality classifier: sigmoid(bias + w·features) per doc.
+
+    The production pattern behind fastText/logreg corpus filters
+    (CCNet, GPT-3's quality classifier): features are engineered
+    expressions, weights come from an OFFLINE fit, and scoring is a
+    pure whole-stage-codegen projection — no model runtime, no UDF,
+    scan-speed at any corpus size.
+
+    Features (all SQL-expressible for oracle parity): capped token
+    count, mean word length, distinct-stopword hits, digit fraction,
+    uppercase fraction.  Ratios and the score round to 6 digits for
+    cross-engine float hashing.
+    """
+    from ic_spark.functions.text import _stopword_hits, tokens
+
+    w = {
+        "n_tokens_capped": 0.015,
+        "mean_word_len": 0.2,
+        "stop_hits": 0.35,
+        "digit_frac": -4.0,
+        "upper_frac": -2.0,
+        **(weights or {}),
+    }
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    feats = {
+        "n_tokens_capped": F.least(n, F.lit(400)).cast("double"),
+        "mean_word_len": F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / n.cast("double"),
+            6,
+        ),
+        "stop_hits": _stopword_hits(text).cast("double"),
+        "digit_frac": F.round(
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, "[0-9]", ""))
+            )
+            / F.length(text).cast("double"),
+            6,
+        ),
+        "upper_frac": F.round(
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, "[A-Z]", ""))
+            )
+            / F.length(text).cast("double"),
+            6,
+        ),
+    }
+    z = F.lit(float(bias))
+    for name, col in feats.items():
+        z = z + F.lit(float(w[name])) * col
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        *[col.alias(name) for name, col in feats.items()],
+        score.alias("quality_score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )

@@ -502,3 +502,49 @@ def text_c4_clean(spark: SparkSession, sf_dir: str):
         "doc_id", F.expr(_C4_RAW_SPARK).alias("ctext")
     )
     return c4_line_filter(d, "doc_id", "ctext")
+
+
+@query(
+    "text_quality_logreg",
+    oracle=f"""
+    -- Linear (logreg-style) quality classifier: offline-fit weights,
+    -- scoring as a pure projection.  Same features/weights as the
+    -- Spark operator; score and ratios rounded for float hashing.
+    WITH sig AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+            CAST(LEAST(len(toks), 400) AS DOUBLE) AS n_tokens_capped,
+            ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT)))
+                  / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+            CAST(len(list_intersect(toks, {SQL_STOPLIST})) AS DOUBLE) AS stop_hits,
+            ROUND((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+                  / CAST(len(text) AS DOUBLE), 6) AS digit_frac,
+            ROUND((len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')))
+                  / CAST(len(text) AS DOUBLE), 6) AS upper_frac
+        FROM sig
+    ),
+    scored AS (
+        SELECT *,
+            ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.015 * n_tokens_capped
+                                     + 0.2 * mean_word_len
+                                     + 0.35 * stop_hits
+                                     - 4.0 * digit_frac
+                                     - 2.0 * upper_frac))), 6) AS quality_score
+        FROM feats
+    )
+    SELECT doc_id, n_tokens_capped, mean_word_len, stop_hits, digit_frac,
+           upper_frac, quality_score,
+           CAST(quality_score >= 0.5 AS INT) AS keep
+    FROM scored
+    """,
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str):
+    """Offline-fit linear quality classifier scored as a pure
+    projection (the CCNet/GPT-3 corpus-filter pattern, minus the
+    model runtime)."""
+    from ic_spark.operators.textprep import quality_logreg_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_logreg_score(d, "doc_id", "text")
