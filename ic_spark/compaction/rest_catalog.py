@@ -45,6 +45,7 @@ from urllib.request import Request, urlopen
 
 from ic_spark.compaction.iceberg_meta import IcebergTable
 from ic_spark.compaction.manifest import CommitConflictError
+from ic_spark.compaction.views import IcebergView
 
 
 class RestError(Exception):
@@ -107,8 +108,14 @@ class CatalogBackend:
         ns_dir = self._ns_dir(ns)
         out = []
         for name in sorted(os.listdir(ns_dir)):
-            if os.path.isdir(os.path.join(ns_dir, name, "metadata")):
-                out.append({"namespace": [ns], "name": name})
+            tbl = IcebergTable(os.path.join(ns_dir, name))
+            if tbl.version() is None:
+                continue
+            try:
+                if "table-uuid" in tbl.metadata():  # views share the layout
+                    out.append({"namespace": [ns], "name": name})
+            except ValueError:
+                continue
         return out
 
     def _table(self, ns: str, name: str) -> IcebergTable:
@@ -116,7 +123,7 @@ class CatalogBackend:
 
         loc = os.path.join(self._ns_dir(ns), name)
         tbl = IcebergTable(loc)
-        if tbl.version() is None:
+        if tbl.version() is None or "table-uuid" not in tbl.metadata():
             raise RestError(404, f"table not found: {ns}.{name}")
         return tbl
 
@@ -176,6 +183,79 @@ class CatalogBackend:
         if IcebergTable(dst_loc).version() is not None:
             raise RestError(409, f"table already exists: {dst['name']}")
         os.replace(src_tbl.root, dst_loc)
+
+    # -- views ----------------------------------------------------------
+
+    def list_views(self, ns: str) -> list[dict]:
+        import os
+
+        ns_dir = self._ns_dir(ns)
+        out = []
+        for name in sorted(os.listdir(ns_dir)):
+            meta_dir = os.path.join(ns_dir, name, "metadata")
+            if not os.path.isdir(meta_dir):
+                continue
+            v = IcebergView(os.path.join(ns_dir, name)).version()
+            if v is None:
+                continue
+            try:
+                meta = IcebergView(os.path.join(ns_dir, name)).metadata()
+            except ValueError:
+                continue
+            if "view-uuid" in meta:
+                out.append({"namespace": [ns], "name": name})
+        return out
+
+    def _view(self, ns: str, name: str) -> "IcebergView":
+        import os
+
+        loc = os.path.join(self._ns_dir(ns), name)
+        view = IcebergView(loc)
+        if view.version() is None or "view-uuid" not in view.metadata():
+            raise RestError(404, f"view not found: {ns}.{name}")
+        return view
+
+    def create_view(self, ns: str, payload: dict) -> dict:
+        import os
+
+        name = payload.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise RestError(400, f"bad view name: {name!r}")
+        loc = os.path.join(self._ns_dir(ns), name)
+        if IcebergView(loc).version() is not None:
+            raise RestError(409, f"view already exists: {ns}.{name}")
+        IcebergView.create(
+            loc,
+            payload["sql"],
+            dialect=payload.get("dialect", "spark"),
+            properties=payload.get("properties"),
+        )
+        return self.load_view(ns, name)
+
+    def load_view(self, ns: str, name: str) -> dict:
+        import os
+
+        view = self._view(ns, name)
+        return {
+            "metadata-location": os.path.join(
+                view.metadata_dir, f"v{view.version()}.metadata.json"
+            ),
+            "metadata": view.metadata(),
+        }
+
+    def replace_view(self, ns: str, name: str, payload: dict) -> dict:
+        view = self._view(ns, name)
+        try:
+            view.replace(payload["sql"], dialect=payload.get("dialect", "spark"))
+        except CommitConflictError as exc:
+            raise RestError(409, str(exc)) from exc
+        return self.load_view(ns, name)
+
+    def drop_view(self, ns: str, name: str) -> None:
+        import shutil
+
+        view = self._view(ns, name)
+        shutil.rmtree(view.root)
 
     # -- commit --------------------------------------------------------
 
@@ -267,6 +347,11 @@ _ROUTES = [
     ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "list_tables"),
     ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "create_table"),
     ("POST", re.compile(r"^/v1/tables/rename$"), "rename"),
+    ("GET", re.compile(r"^/v1/namespaces/([^/]+)/views$"), "list_views"),
+    ("POST", re.compile(r"^/v1/namespaces/([^/]+)/views$"), "create_view"),
+    ("GET", re.compile(r"^/v1/namespaces/([^/]+)/views/([^/]+)$"), "load_view"),
+    ("POST", re.compile(r"^/v1/namespaces/([^/]+)/views/([^/]+)$"), "replace_view"),
+    ("DELETE", re.compile(r"^/v1/namespaces/([^/]+)/views/([^/]+)$"), "drop_view"),
     ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "load"),
     ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "commit"),
     ("DELETE", re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$"), "drop"),
@@ -329,6 +414,17 @@ class _Handler(BaseHTTPRequestHandler):
                     self._reply(200, b.create_table(args[0], body))
                 elif op == "rename":
                     b.rename_table(body)
+                    self._reply(204, {})
+                elif op == "list_views":
+                    self._reply(200, {"identifiers": b.list_views(args[0])})
+                elif op == "create_view":
+                    self._reply(200, b.create_view(args[0], body))
+                elif op == "load_view":
+                    self._reply(200, b.load_view(args[0], args[1]))
+                elif op == "replace_view":
+                    self._reply(200, b.replace_view(args[0], args[1], body))
+                elif op == "drop_view":
+                    b.drop_view(args[0], args[1])
                     self._reply(204, {})
                 elif op == "load":
                     self._reply(200, b.load_table(args[0], args[1]))
@@ -482,6 +578,47 @@ class RestCatalog:
         self._call(
             "DELETE", f"/v1/namespaces/{namespace}/tables/{name}{suffix}"
         )
+
+    def create_view(
+        self,
+        namespace: str,
+        name: str,
+        sql: str,
+        dialect: str = "spark",
+        properties: dict | None = None,
+    ) -> IcebergView:
+        payload = {"name": name, "sql": sql, "dialect": dialect}
+        if properties:
+            payload["properties"] = properties
+        out = self._call("POST", f"/v1/namespaces/{namespace}/views", payload)
+        return self._view_from_location(out["metadata-location"])
+
+    def load_view(self, namespace: str, name: str) -> IcebergView:
+        out = self._call("GET", f"/v1/namespaces/{namespace}/views/{name}")
+        return self._view_from_location(out["metadata-location"])
+
+    def list_views(self, namespace: str) -> list[str]:
+        ids = self._call("GET", f"/v1/namespaces/{namespace}/views")["identifiers"]
+        return [i["name"] for i in ids]
+
+    def replace_view(
+        self, namespace: str, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{namespace}/views/{name}",
+            {"sql": sql, "dialect": dialect},
+        )
+
+    def drop_view(self, namespace: str, name: str) -> None:
+        self._call("DELETE", f"/v1/namespaces/{namespace}/views/{name}")
+
+    @staticmethod
+    def _view_from_location(metadata_location: str) -> IcebergView:
+        import os
+
+        root = os.path.dirname(os.path.dirname(metadata_location))
+        return IcebergView(root)
 
     def commit_table(
         self,
