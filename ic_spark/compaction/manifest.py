@@ -378,7 +378,9 @@ class ManifestTable:
             for f in added
         ]
 
-    def append_snapshot(self, files: list[dict], stage: bool = False) -> int:
+    def append_snapshot(
+        self, files: list[dict], stage: bool = False, branch: str | None = None
+    ) -> int:
         """Add a snapshot whose file list = current files + ``files``.
 
         With ``stage=True`` the snapshot is recorded but the current
@@ -388,10 +390,24 @@ class ManifestTable:
         the pointer once validation passes.  Unpublished staged
         snapshots are dropped by ``expire_snapshots`` (tag them with a
         ref to keep them across maintenance).
+
+        With ``branch="name"`` the write lands on that BRANCH (Iceberg
+        branching): the base is the branch head (created from the
+        current snapshot if the branch is new), main readers see
+        nothing, ``read_table(ref=name)`` sees the branch, and
+        ``fast_forward`` later advances main.  Branch snapshots record
+        their parent, so fast-forward can prove ancestry.
         """
+        if stage and branch:
+            raise ValueError("pass stage or branch, not both")
         state = self._load()
         cur = self.current_snapshot()
-        base = list(cur.files) if cur else []
+        if branch is not None:
+            head = state.get("refs", {}).get(branch)
+            base_snap = self.snapshot_at(head) if head is not None else cur
+            base = list(base_snap.files) if base_snap else []
+        else:
+            base = list(cur.files) if cur else []
         # max+1, not current+1: staged snapshots hold ids past current.
         sid = max((s["snapshot_id"] for s in state["snapshots"]), default=0) + 1
         entry = {
@@ -402,11 +418,48 @@ class ManifestTable:
         if stage:
             entry["staged"] = True
             entry["parent_snapshot_id"] = state["current_snapshot_id"]
+        if branch is not None:
+            entry["parent_snapshot_id"] = (
+                head if head is not None else state["current_snapshot_id"]
+            )
         state["snapshots"].append(entry)
-        if not stage:
+        if branch is not None:
+            state.setdefault("refs", {})[branch] = sid
+        elif not stage:
             state["current_snapshot_id"] = sid
         self._store(state)
         return sid
+
+    def fast_forward(self, branch: str, force: bool = False) -> int:
+        """Advance MAIN to the branch head (Iceberg fast_forward).
+
+        Safe only when main is an ancestor of the branch head — walk
+        the branch's recorded parents; if the current snapshot is not
+        on that chain, concurrent main commits would be silently
+        discarded, so the call raises :class:`CommitConflictError`
+        unless ``force=True`` (cherry-pick-style overwrite the caller
+        has re-validated)."""
+        state = self._load()
+        head = state.get("refs", {}).get(branch)
+        if head is None:
+            raise ValueError(f"unknown branch: {branch!r}")
+        if not force:
+            by_id = {s["snapshot_id"]: s for s in state["snapshots"]}
+            node, seen = head, set()
+            ancestors = set()
+            while node is not None and node not in seen:
+                seen.add(node)
+                ancestors.add(node)
+                node = by_id.get(node, {}).get("parent_snapshot_id")
+            current = state["current_snapshot_id"]
+            if current is not None and current not in ancestors:
+                raise CommitConflictError(
+                    f"main ({current}) is not an ancestor of branch "
+                    f"{branch!r} head ({head}); rebase or pass force=True"
+                )
+        state["current_snapshot_id"] = head
+        self._store(state)
+        return head
 
     def publish_snapshot(self, snapshot_id: int, force: bool = False) -> None:
         """WAP publish: make an audited staged snapshot current.

@@ -349,6 +349,45 @@ def test_streaming_dv_delete_sink(spark, tmp_path):
     assert read_table(spark, table).count() == 17
 
 
+def test_branch_writes_and_fast_forward(spark, tmp_path):
+    """Iceberg branching: writes on a branch are invisible to main,
+    readable via ref, and fast_forward advances main only when it is an
+    ancestor of the branch head."""
+    from ic_spark.compaction.manifest import CommitConflictError
+
+    table = _mk_table(spark, tmp_path, 10, "br")
+    main_count = read_table(spark, table).count()
+
+    def extra(name, lo, hi):
+        out = str(tmp_path / name)
+        spark.range(lo, hi).withColumn("v", F.col("id") * 2).coalesce(1).write.parquet(out)
+        f = next(os.path.join(out, x) for x in os.listdir(out) if x.endswith(".parquet"))
+        return {"path": f, "sequence_number": 2, "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(f)}
+
+    table.append_snapshot([extra("b1", 100, 110)], branch="audit")
+    table.append_snapshot([extra("b2", 110, 115)], branch="audit")
+    assert read_table(spark, table).count() == main_count  # main untouched
+    assert read_table(spark, table, ref="audit").count() == main_count + 15
+
+    head = table.fast_forward("audit")
+    assert table.current_snapshot().snapshot_id == head
+    assert read_table(spark, table).count() == main_count + 15
+
+    # diverge: a main commit after branching blocks fast_forward
+    table.append_snapshot([extra("m1", 200, 201)], branch="audit2")
+    table.append_snapshot([extra("m2", 300, 302)])  # main moves
+    with pytest.raises(CommitConflictError, match="ancestor"):
+        table.fast_forward("audit2")
+    table.fast_forward("audit2", force=True)  # explicit overwrite works
+    assert read_table(spark, table).count() == main_count + 16
+
+    with pytest.raises(ValueError, match="unknown branch"):
+        table.fast_forward("ghost")
+    with pytest.raises(ValueError, match="not both"):
+        table.append_snapshot([], stage=True, branch="x")
+
+
 def test_delete_files_metadata_table(spark, tmp_path):
     """delete_files metadata table lists both flavors, DVs expanded one
     row per vector with v3 addressing — over JSON and spec metadata."""
