@@ -670,6 +670,7 @@ class IcebergTable:
         expected_version: int,
         entries_with_seq: list[tuple[dict, int | None]],
         operation: str,
+        branch: str | None = None,
     ) -> int:
         """Write manifests + manifest list + new metadata version.
 
@@ -681,6 +682,10 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         sid = int.from_bytes(os.urandom(7), "big")  # spec: unique long id
         parent = meta.get("current-snapshot-id", -1)
+        if branch is not None:
+            ref = meta.get("refs", {}).get(branch)
+            if ref is not None:
+                parent = ref["snapshot-id"]
 
         data_entries, delete_entries = [], []
         added_count = 0
@@ -732,10 +737,15 @@ class IcebergTable:
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now
         new_meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
-        new_meta["current-snapshot-id"] = sid
-        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-            {"timestamp-ms": now, "snapshot-id": sid}
-        ]
+        if branch is not None:
+            refs = dict(meta.get("refs", {}))
+            refs[branch] = {"snapshot-id": sid, "type": "branch"}
+            new_meta["refs"] = refs  # main pointer does not move
+        else:
+            new_meta["current-snapshot-id"] = sid
+            new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+                {"timestamp-ms": now, "snapshot-id": sid}
+            ]
         self._commit_metadata(new_meta, expected_version=expected_version)
         return sid
 
@@ -847,15 +857,25 @@ class IcebergTable:
 
     # -- ManifestTable-compatible surface ------------------------------
 
-    def append_snapshot(self, files: list[dict]) -> int:
+    def append_snapshot(self, files: list[dict], branch: str | None = None) -> int:
         """Append files (ManifestTable files-dict shape) as one commit.
 
         New entries carry null sequence numbers in the manifest and
         inherit this commit's sequence number (spec inheritance path).
+
+        With ``branch="name"`` the commit lands on that branch (spec
+        ``refs`` entry of type branch): the base is the branch head
+        (current snapshot for a new branch), ``current-snapshot-id``
+        does not move, and ``fast_forward`` advances main later.
         """
         meta = self.metadata()
         version = self.version()
-        carried = [(e, s) for e, s in self._live_entries(self._snapshot(None))]
+        base_id = None
+        if branch is not None:
+            ref = meta.get("refs", {}).get(branch)
+            base_id = ref["snapshot-id"] if ref else None
+        base_snap = self._snapshot(base_id)  # None → current
+        carried = [(e, s) for e, s in self._live_entries(base_snap)]
         carried = [({**e, "status": EXISTING}, s) for e, s in carried]
         new = [
             ({"status": ADDED, "snapshot_id": None, "sequence_number": None,
@@ -863,7 +883,40 @@ class IcebergTable:
             for f in files
             for df in self._entries_for_file(f, meta)
         ]
-        return self._commit_snapshot(meta, version, carried + new, "append")
+        return self._commit_snapshot(
+            meta, version, carried + new, "append", branch=branch
+        )
+
+    def fast_forward(self, branch: str, force: bool = False) -> int:
+        """Advance MAIN to the branch head when main is an ancestor of
+        it (spec ``parent-snapshot-id`` chain proves ancestry)."""
+        meta = self.metadata()
+        version = self.version()
+        ref = meta.get("refs", {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(f"unknown branch: {branch!r}")
+        head = ref["snapshot-id"]
+        current = meta.get("current-snapshot-id")
+        if not force and current not in (-1, None):
+            by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+            node, ancestors = head, set()
+            while node is not None and node not in ancestors:
+                ancestors.add(node)
+                node = by_id.get(node, {}).get("parent-snapshot-id")
+            if current not in ancestors:
+                raise CommitConflictError(
+                    f"main ({current}) is not an ancestor of branch "
+                    f"{branch!r} head ({head}); rebase or pass force=True"
+                )
+        now = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = head
+        new_meta["last-updated-ms"] = now
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now, "snapshot-id": head}
+        ]
+        self._commit_metadata(new_meta, expected_version=version)
+        return head
 
     def scan_tasks(
         self,

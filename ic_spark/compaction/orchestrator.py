@@ -322,7 +322,7 @@ class Compaction:
         commit_deletion_vectors(self.spark, table, matches, extra_removed=removed)
         return {"converted": len(parquet_pos), "dv_rows": n}
 
-    def convert_equality_deletes(self, table: ManifestTable) -> dict:
+    def convert_equality_deletes(self, table: ManifestTable, to_dvs: bool = False) -> dict:
         """Convert equality deletes to position deletes (Iceberg's
         minor-compaction step, what Flink tables run between
         checkpoints and full compactions).
@@ -388,6 +388,23 @@ class Compaction:
             )
             matched = hit if matched is None else matched.unionByName(hit)
         matched = matched.dropDuplicates([SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS])
+
+        if to_dvs:
+            # v3 target: straight to deletion vectors — one bitmap per
+            # data file, merged with any existing DVs, replacing ALL
+            # equality-delete files in the same atomic swap.
+            from ic_spark.compaction.deletes import commit_deletion_vectors
+
+            removed = {t.data_file_path for t in eq}
+            positions = matched.toDF("file_path", "pos").localCheckpoint(eager=True)
+            rows = positions.count()  # delete-scale data: a cheap job
+            if rows == 0:
+                table.commit_rewrite([], removed)  # drop the eq files
+            else:
+                commit_deletion_vectors(
+                    self.spark, table, positions, extra_removed=removed
+                )
+            return {"converted": len(eq), "delete_rows": rows}
 
         out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
         matched.coalesce(1).write.mode("overwrite").parquet(out_dir)

@@ -531,3 +531,47 @@ def test_full_compact_upgrades_old_schema_files(spark, tmp_path):
     ]
     got = {r.id: (r.balance, r.tag) for r in out.collect()}
     assert got == {1: (1.5, None), 2: (2.5, None), 3: (3.5, "x")}
+
+
+def test_spec_branch_writes_and_fast_forward(spark, tmp_path, simple_schema):
+    """Branch commits over spec metadata: refs move, main doesn't, and
+    fast_forward proves ancestry via parent-snapshot-id."""
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.manifest import CommitConflictError
+
+    loc = str(tmp_path / "br_tbl")
+    tbl = IcebergTable.create(loc, simple_schema)
+    f0 = write_parquet(spark, str(tmp_path / "br0"), [(1, "a")], "id int, name string")
+    tbl.append_snapshot([{"path": f0, "content": "DATA", "record_count": 1,
+                          "file_size_in_bytes": os.path.getsize(f0)}])
+    main_head = tbl.current_snapshot_id()
+
+    f1 = write_parquet(spark, str(tmp_path / "br1"), [(2, "b")], "id int, name string")
+    tbl.append_snapshot([{"path": f1, "content": "DATA", "record_count": 1,
+                          "file_size_in_bytes": os.path.getsize(f1)}], branch="audit")
+    f2 = write_parquet(spark, str(tmp_path / "br2"), [(3, "c")], "id int, name string")
+    tbl.append_snapshot([{"path": f2, "content": "DATA", "record_count": 1,
+                          "file_size_in_bytes": os.path.getsize(f2)}], branch="audit")
+
+    assert tbl.current_snapshot_id() == main_head  # main untouched
+    assert read_table(spark, tbl).count() == 1
+    assert read_table(spark, tbl, ref="audit").count() == 3
+    assert tbl.metadata()["refs"]["audit"]["type"] == "branch"
+
+    head = tbl.fast_forward("audit")
+    assert tbl.current_snapshot_id() == head
+    assert read_table(spark, tbl).count() == 3
+
+    # diverge: branch then move main -> fast_forward conflicts
+    f3 = write_parquet(spark, str(tmp_path / "br3"), [(4, "d")], "id int, name string")
+    tbl.append_snapshot([{"path": f3, "content": "DATA", "record_count": 1,
+                          "file_size_in_bytes": os.path.getsize(f3)}], branch="b2")
+    f4 = write_parquet(spark, str(tmp_path / "br4"), [(5, "e")], "id int, name string")
+    tbl.append_snapshot([{"path": f4, "content": "DATA", "record_count": 1,
+                          "file_size_in_bytes": os.path.getsize(f4)}])
+    with pytest.raises(CommitConflictError, match="ancestor"):
+        tbl.fast_forward("b2")
+    tbl.fast_forward("b2", force=True)
+    assert read_table(spark, tbl).count() == 4
+    with pytest.raises(ValueError, match="unknown branch"):
+        tbl.fast_forward("ghost")

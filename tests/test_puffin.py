@@ -259,6 +259,36 @@ def test_convert_position_deletes_to_dvs(spark, tmp_path):
     }
 
 
+def test_convert_equality_deletes_to_dvs(spark, tmp_path):
+    """Equality deletes convert straight to deletion vectors: the scan
+    is paid once, reads drop to a single bitmap anti-join, and visible
+    rows are identical to the equality semantics."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_equality_deletes
+
+    table = ManifestTable(str(tmp_path / "tbl"))
+    d = str(tmp_path / "data")
+    spark.range(0, 60).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    keys = spark.createDataFrame([(7,), (8,), (999,)], "id long")
+    write_equality_deletes(spark, table, keys, ["id"])
+    before = sorted(r.id for r in read_table(spark, table).collect())
+
+    stats = Compaction(spark).convert_equality_deletes(table, to_dvs=True)
+    assert stats == {"converted": 1, "delete_rows": 2}  # 999 matches nothing
+    data, pos, eq = table.scan_tasks()
+    assert eq == [] and [t.file_format for t in pos] == ["puffin"]
+    assert sorted(r.id for r in read_table(spark, table).collect()) == before
+
+
 def test_dvs_over_spec_metadata_table(spark, tmp_path):
     """Deletion vectors round-trip through spec-format Avro manifests:
     file_format survives the manifest encode/decode (regression: it was
