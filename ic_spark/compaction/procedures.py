@@ -1,0 +1,139 @@
+"""Iceberg stored-procedure façade: ``CALL system.<proc>(...)`` names.
+
+Iceberg users drive maintenance through catalog procedures
+(``CALL cat.system.rewrite_data_files('db.t')`` …).  This module maps
+those EXACT procedure names onto the engine's operators so a user
+switching from an Iceberg deployment keeps their runbooks:
+
+    from ic_spark.compaction.procedures import call
+    call(spark, "rewrite_data_files", table=tbl)
+    call(spark, "expire_snapshots", table=tbl)
+    call(spark, "fast_forward", table=tbl, branch="audit")
+
+Every procedure returns a plain dict (the procedure's output row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _compaction(spark):
+    from ic_spark.compaction.orchestrator import Compaction
+
+    return Compaction(spark)
+
+
+def rewrite_data_files(spark, table, strategy: str = "binpack", **kw):
+    """Iceberg rewrite_data_files: ``binpack`` (small-file merge) or
+    ``full`` (whole-table rewrite with delete application)."""
+    c = _compaction(spark)
+    schema = kw.get("schema")
+    if schema is None and not hasattr(table, "schema"):
+        # JSON-manifest tables carry no schema metadata: derive it from
+        # the current read (spec tables resolve their own).
+        from ic_spark.compaction.deletes import read_table
+
+        schema = read_table(spark, table).schema
+    if strategy == "full":
+        resp = c.full_compact(table, schema, **{
+            k: v for k, v in kw.items() if k in ("partition_by", "target_partitions")
+        })
+    elif strategy == "binpack":
+        resp = c.compact_small_files(
+            table,
+            schema,
+            **{
+                k: v
+                for k, v in kw.items()
+                if k in ("small_file_bytes", "target_group_bytes", "target_partitions")
+            },
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r} (binpack|full)")
+    return {
+        "rewritten_data_files_count": resp.stat.rewritten_files_count,
+        "added_data_files_count": resp.stat.added_files_count,
+        "rewritten_bytes_count": resp.stat.rewritten_bytes,
+    }
+
+
+def rewrite_position_delete_files(spark, table, **kw):
+    return _compaction(spark).rewrite_position_deletes(table)
+
+
+def convert_equality_deletes(spark, table, to_dvs: bool = False, **kw):
+    return _compaction(spark).convert_equality_deletes(table, to_dvs=to_dvs)
+
+
+def compact_deletion_vectors(spark, table, **kw):
+    return _compaction(spark).compact_deletion_vectors(table)
+
+
+def expire_snapshots(spark, table, **kw):
+    removed = table.expire_snapshots()
+    return {"deleted_data_files_count": len(removed), "orphaned_paths": removed}
+
+
+def remove_orphan_files(spark, table, **kw):
+    removed = table.remove_orphan_files(
+        **{k: v for k, v in kw.items() if k in ("older_than_ms", "dry_run")}
+    )
+    return {"orphan_file_location_count": len(removed), "paths": removed}
+
+
+def fast_forward(spark, table, branch: str, force: bool = False, **kw):
+    head = table.fast_forward(branch, force=force)
+    return {"branch_updated": "main", "latest_snapshot_id": head}
+
+
+def ancestors_of(spark, table, snapshot_id: int | None = None, **kw):
+    """Snapshot ancestry: recorded parents where present, else commit
+    order up to the starting snapshot (the JSON manifest's main line is
+    linear by construction)."""
+    snaps = table.snapshots()
+    ids = [
+        s.snapshot_id if hasattr(s, "snapshot_id") else s["snapshot-id"]
+        for s in snaps
+    ]
+    if snapshot_id is None:
+        if hasattr(table, "current_snapshot"):
+            cur = table.current_snapshot()
+            snapshot_id = cur.snapshot_id if cur else None
+        else:
+            snapshot_id = table.current_snapshot_id()
+    if snapshot_id is None:
+        return {"snapshot_ids": []}
+    if snapshot_id not in ids:
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    return {"snapshot_ids": ids[: ids.index(snapshot_id) + 1]}
+
+
+def analyze_table(spark, table, columns=None, **kw):
+    from ic_spark.compaction import stats
+
+    return stats.analyze_table(spark, table, columns)
+
+
+_PROCEDURES = {
+    "rewrite_data_files": rewrite_data_files,
+    "rewrite_position_delete_files": rewrite_position_delete_files,
+    "convert_equality_deletes": convert_equality_deletes,
+    "compact_deletion_vectors": compact_deletion_vectors,
+    "expire_snapshots": expire_snapshots,
+    "remove_orphan_files": remove_orphan_files,
+    "fast_forward": fast_forward,
+    "ancestors_of": ancestors_of,
+    "analyze_table": analyze_table,
+}
+
+
+def call(spark: SparkSession, procedure: str, **kwargs) -> dict:
+    """Dispatch by Iceberg procedure name (``system.`` prefix optional)."""
+    name = procedure.removeprefix("system.")
+    fn = _PROCEDURES.get(name)
+    if fn is None:
+        raise ValueError(
+            f"unknown procedure {procedure!r}; known: {sorted(_PROCEDURES)}"
+        )
+    return fn(spark, **kwargs)
