@@ -47,6 +47,30 @@ def _next_sequence_number(table: ManifestTable) -> int:
     return max((f.get("sequence_number", 0) for f in snap.files), default=0) + 1
 
 
+def infer_read_schema(spark: SparkSession, tasks: list) -> "StructType":
+    """Schema of a task list, format-aware: prefer a parquet footer
+    (one metadata read); avro falls back to the embedded writer schema,
+    orc to Spark's reader."""
+    pq = next(
+        (
+            t
+            for t in tasks
+            if (getattr(t, "file_format", "parquet") or "parquet") == "parquet"
+        ),
+        None,
+    )
+    if pq is not None:
+        return spark.read.parquet(pq.data_file_path).schema
+    t0 = tasks[0]
+    if t0.file_format == "avro":
+        from ic_spark.sources.avro_scan import avro_to_spark_schema, read_header
+
+        return avro_to_spark_schema(read_header(t0.data_file_path))
+    if t0.file_format == "orc":
+        return spark.read.orc(t0.data_file_path).schema
+    raise ValueError(f"cannot infer schema for format {t0.file_format!r}")
+
+
 def _write_single_file(df: DataFrame, dir_path: str) -> str:
     df.coalesce(1).write.mode("overwrite").parquet(dir_path)
     files = [f for f in os.listdir(dir_path) if f.endswith(".parquet")]
@@ -72,11 +96,12 @@ def write_position_deletes(
     data, _, _ = table.scan_tasks()
     if not data:
         raise ValueError("table has no data files")
-    df = spark.read.parquet(*[t.data_file_path for t in data])
-    matches = df.where(predicate).select(
-        F.col("_metadata.file_path").alias(SYS_HIDDEN_FILE_PATH),
-        F.col("_metadata.row_index").alias(SYS_HIDDEN_POS),
-    )
+    # Format-aware scan (parquet metadata columns / avro decode-order
+    # positions) — mixed-format tables delete correctly.
+    from ic_spark.compaction.planner import _scan_with_hidden_cols
+
+    df = _scan_with_hidden_cols(spark, data, with_pos=True)
+    matches = df.where(predicate).select(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
     out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
     path = _write_single_file(matches, out_dir)
     seq = _next_sequence_number(table)
@@ -114,13 +139,15 @@ def write_deletion_vectors(
 
     Returns the new snapshot id.
     """
+    from ic_spark.compaction.planner import _scan_with_hidden_cols
+
     data, _pos, _eq = table.scan_tasks()
     if not data:
         raise ValueError("table has no data files")
-    df = spark.read.parquet(*[t.data_file_path for t in data])
+    df = _scan_with_hidden_cols(spark, data, with_pos=True)
     matches = df.where(predicate).select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
+        F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
+        F.col(SYS_HIDDEN_POS).alias("pos"),
     )
     return commit_deletion_vectors(spark, table, matches)
 
@@ -381,11 +408,11 @@ def read_table(
             all_data, _, _ = table.scan_tasks(snapshot_id)
             if all_data:  # pruned to nothing, not an empty table
                 if schema is None:
-                    schema = spark.read.parquet(all_data[0].data_file_path).schema
+                    schema = infer_read_schema(spark, all_data)
                 return spark.createDataFrame([], schema)
         raise ValueError("table has no data files")
     if schema is None:
-        schema = spark.read.parquet(data[0].data_file_path).schema
+        schema = infer_read_schema(spark, data)
     request = RewriteFilesRequest(
         schema=schema,
         data_files=data,
@@ -430,10 +457,10 @@ def read_incremental(
             data, _, _ = table.scan_tasks()
             if not data:
                 raise ValueError("empty table and no schema given")
-            schema = spark.read.parquet(data[0].data_file_path).schema
+            schema = infer_read_schema(spark, data)
         return spark.createDataFrame([], schema)
     if schema is None:
-        schema = spark.read.parquet(added[0].data_file_path).schema
+        schema = infer_read_schema(spark, added)
     return build_merge_on_read(
         spark, RewriteFilesRequest(schema=schema, data_files=added)
     )

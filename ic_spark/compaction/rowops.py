@@ -76,7 +76,9 @@ def _infer_schema(spark: SparkSession, table: ManifestTable) -> StructType:
     data, _, _ = table.scan_tasks()
     if not data:
         raise ValueError("empty table and no schema given")
-    return spark.read.parquet(data[0].data_file_path).schema
+    from ic_spark.compaction.deletes import infer_read_schema
+
+    return infer_read_schema(spark, data)
 
 
 def _next_seq(data, eq) -> int:
@@ -284,9 +286,15 @@ def merge_into(
     source_keys = source.select(*key_cols).distinct()
     touched_paths: set[str] = set()
     if probe_tasks:
-        probe = spark.read.parquet(
-            *[t.data_file_path for t in probe_tasks]
-        ).select(*key_cols, F.col("_metadata.file_path").alias("__fp"))
+        # Format-aware probe: the planner scan yields a per-row file
+        # path for parquet (metadata column) and avro (decode path)
+        # alike, so mixed-format tables find every touched file.
+        from ic_spark.compaction.planner import _scan_with_hidden_cols
+        from ic_spark.compaction.request import SYS_HIDDEN_FILE_PATH
+
+        probe = _scan_with_hidden_cols(
+            spark, probe_tasks, with_pos=True
+        ).select(*key_cols, F.col(SYS_HIDDEN_FILE_PATH).alias("__fp"))
         touched_paths = {
             r["__fp"]
             for r in probe.join(source_keys, on=key_cols, how="left_semi")

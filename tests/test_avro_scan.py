@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -275,6 +276,53 @@ def test_mor_orc_equality_ok_position_rejected(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="ORC"):
         build_merge_on_read(spark, bad).collect()
+
+
+def test_mixed_format_table_deletes_and_merge(spark, tmp_path):
+    """Predicate deletes and MERGE over a table holding BOTH avro and
+    parquet data files: the probe/delete scans are format-aware, so
+    rows in avro files are found, deleted and updated too."""
+    from ic_spark.compaction import ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_position_deletes
+    from ic_spark.compaction.rowops import merge_into
+
+    table = ManifestTable(str(tmp_path / "mixed"))
+    # avro file: ids 0..5 (names n0..n5, scores), parquet file: ids 100..104
+    apath = str(tmp_path / "a.avro")
+    write_container(
+        apath,
+        SIMPLE_SCHEMA,
+        [{"id": i, "name": f"n{i}", "score": float(i)} for i in range(6)],
+    )
+    pq = spark.createDataFrame(
+        [(100 + i, f"p{i}", float(i)) for i in range(5)],
+        "id long, name string, score double",
+    )
+    pdir = tmp_path / "pqdata"
+    pq.coalesce(1).write.parquet(str(pdir))
+    ppath = str(next(pdir.glob("part-*.parquet")))
+    table.append_snapshot(
+        [
+            {"path": apath, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(apath), "file_format": "avro"},
+            {"path": ppath, "sequence_number": 1, "content": "DATA",
+             "file_size_in_bytes": os.path.getsize(ppath)},
+        ]
+    )
+    # delete one row from EACH format in one predicate write
+    write_position_deletes(spark, table, F.col("id").isin(2, 101))
+    ids = sorted(r.id for r in read_table(spark, table).collect())
+    assert 2 not in ids and 101 not in ids and len(ids) == 9
+
+    # merge: update a key living in the avro file + insert a new one
+    src = spark.createDataFrame(
+        [(4, "UPDATED", 9.9), (500, "NEW", 1.0)],
+        "id long, name string, score double",
+    )
+    merge_into(spark, table, src, ["id"])
+    rows = {r.id: r.name for r in read_table(spark, table).collect()}
+    assert rows[4] == "UPDATED" and rows[500] == "NEW"
+    assert len(rows) == 10 and 2 not in rows
 
 
 def test_avro_write_stays_gated(spark, tmp_path):
