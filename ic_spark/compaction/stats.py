@@ -48,15 +48,24 @@ def _current_snapshot_id(table) -> int:
 
 
 def _register(table, entry: dict) -> None:
-    """Append a statistics entry to table metadata (both flavors)."""
+    """Register a statistics entry in table metadata (both flavors).
+
+    One entry per snapshot (Iceberg REST set-statistics semantics): a
+    re-analyze at the same snapshot replaces, never stacks."""
+
+    def merged(entries: list[dict]) -> list[dict]:
+        keep = [
+            e for e in entries if e.get("snapshot-id") != entry.get("snapshot-id")
+        ]
+        return keep + [entry]
+
     if hasattr(table, "_load"):  # JSON ManifestTable
         state = table._load()
-        state.setdefault("statistics", []).append(entry)
+        state["statistics"] = merged(state.get("statistics", []))
         table._store(state)
     else:  # spec IcebergTable
-        meta = table.metadata()
-        meta = dict(meta)
-        meta["statistics"] = list(meta.get("statistics", [])) + [entry]
+        meta = dict(table.metadata())
+        meta["statistics"] = merged(meta.get("statistics", []))
         table._commit_metadata(meta, expected_version=table.version())
 
 

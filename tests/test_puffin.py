@@ -338,6 +338,52 @@ def test_dvs_over_spec_metadata_table(spark, tmp_path):
     assert df_rec["record_count"] == 20  # cardinality of the vector
 
 
+def test_dv_maintenance_over_spec_metadata(spark, tmp_path):
+    """compact_deletion_vectors and convert_equality_deletes(to_dvs)
+    duck-type over the spec-format IcebergTable."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction import Compaction
+    from ic_spark.compaction.deletes import (
+        read_table,
+        write_deletion_vectors,
+        write_equality_deletes,
+    )
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    df = spark.range(0, 100).select("id", (F.col("id") % 2).alias("half"))
+    tbl = IcebergTable.create(str(tmp_path / "spec"), df.schema)
+    entries = []
+    for i in range(2):
+        d = str(tmp_path / f"s{i}")
+        df.where(f"half = {i}").coalesce(1).write.parquet(d)
+        f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+        entries.append({"path": f, "content": "DATA", "record_count": 50,
+                        "file_size_in_bytes": os.path.getsize(f)})
+    tbl.append_snapshot(entries)
+    # two disjoint-file DV writes -> two puffin files
+    write_deletion_vectors(spark, tbl, F.col("id") == 0)   # file half=0
+    write_deletion_vectors(spark, tbl, F.col("id") == 1)   # file half=1
+    _, pos, _ = tbl.scan_tasks()
+    assert len(pos) == 2
+    stats = Compaction(spark).compact_deletion_vectors(tbl)
+    assert stats == {"merged": 2, "dvs": 2}
+    _, pos, _ = tbl.scan_tasks()
+    assert len(pos) == 1 and pos[0].file_format == "puffin"
+    assert read_table(spark, tbl).count() == 98
+
+    write_equality_deletes(
+        spark, tbl, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+    out = Compaction(spark).convert_equality_deletes(tbl, to_dvs=True)
+    assert out["delete_rows"] == 1
+    _, pos, eq = tbl.scan_tasks()
+    assert eq == [] and len(pos) == 1
+    assert read_table(spark, tbl).count() == 97
+
+
 def test_deletion_vector_file_multi_dv(tmp_path):
     p = str(tmp_path / "dv.puffin")
     entries = write_deletion_vector_file(
