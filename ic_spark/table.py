@@ -1,0 +1,203 @@
+"""Unified table façade: one object, every table operation.
+
+Users of Iceberg/Delta work against a table HANDLE with methods
+(``DeltaTable.forPath(...).delete(...)``, Iceberg's ``Table`` API);
+this module provides that ergonomic surface over the engine's
+functional core — reads with time travel, MoR and COW deletes,
+deletion vectors, MERGE, maintenance procedures, statistics, branches
+and metadata tables all hang off one object:
+
+    from ic_spark.table import Table
+    t = Table.at(spark, "/warehouse/db/events")      # either flavor
+    t.read(where=[("day", ">=", "2026-01-01")])
+    t.delete_where([("user_id", "=", 42)])           # COW
+    t.write_deletion_vectors(F.col("flagged"))       # MoR, v3 vectors
+    t.merge(source_df, ["id"])
+    t.call("rewrite_data_files", strategy="binpack")
+    t.analyze()
+
+``Table.at`` auto-detects the metadata flavor: a ``metadata/``
+directory with spec version files loads an :class:`IcebergTable`,
+otherwise the JSON :class:`ManifestTable`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    """Method façade over a ``ManifestTable`` or ``IcebergTable``."""
+
+    def __init__(self, spark: SparkSession, inner):
+        self.spark = spark
+        self.inner = inner
+
+    @classmethod
+    def at(cls, spark: SparkSession, location: str) -> "Table":
+        from ic_spark.compaction.iceberg_meta import IcebergTable
+        from ic_spark.compaction.manifest import ManifestTable
+
+        spec = IcebergTable(location)
+        if spec.version() is not None:
+            return cls(spark, spec)
+        return cls(spark, ManifestTable(location))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema,
+        partition_by: list[str] | None = None,
+        spec_metadata: bool = True,
+    ) -> "Table":
+        """New empty table; ``spec_metadata=True`` (default) writes real
+        Iceberg v2 metadata, else the JSON-manifest analog."""
+        from ic_spark.compaction.iceberg_meta import IcebergTable
+        from ic_spark.compaction.manifest import ManifestTable
+
+        if spec_metadata:
+            return cls(
+                spark, IcebergTable.create(location, schema, partition_by=partition_by)
+            )
+        return cls(spark, ManifestTable(location))
+
+    # -- reads ---------------------------------------------------------
+
+    def read(self, **kw) -> DataFrame:
+        """MoR SELECT; kwargs pass through to ``deletes.read_table``
+        (snapshot_id / ref / as_of_timestamp_ms / where / schema)."""
+        from ic_spark.compaction.deletes import read_table
+
+        return read_table(self.spark, self.inner, **kw)
+
+    def read_incremental(self, from_snapshot_id: int, **kw) -> DataFrame:
+        from ic_spark.compaction.deletes import read_incremental
+
+        return read_incremental(self.spark, self.inner, from_snapshot_id, **kw)
+
+    def to_view(self, name: str, **kw) -> DataFrame:
+        from ic_spark.compaction.deletes import register_mor_view
+
+        return register_mor_view(self.spark, self.inner, name, **kw)
+
+    def metadata_table(self, kind: str) -> DataFrame:
+        from ic_spark.compaction.metadata_tables import read_metadata_table
+
+        return read_metadata_table(self.spark, self.inner, kind)
+
+    def count(self) -> int:
+        """COUNT(*): manifest stats when delete-free, else a Spark job."""
+        n = self.inner.count_rows() if hasattr(self.inner, "count_rows") else None
+        return n if n is not None else self.read().count()
+
+    # -- writes --------------------------------------------------------
+
+    def append(self, df: DataFrame, branch: str | None = None) -> int:
+        """Write ``df`` as new data files and commit one snapshot."""
+        from ic_spark.compaction.writer import _stats_from_footer
+
+        import uuid as _uuid
+
+        out = os.path.join(self.inner.root, f"append-{_uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(out)
+        entries = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(out, name)
+            rc, cs, _ = _stats_from_footer(p, out)
+            entries.append(
+                {
+                    "path": p,
+                    "content": "DATA",
+                    "record_count": rc,
+                    "column_stats": cs,
+                    "file_size_in_bytes": os.path.getsize(p),
+                }
+            )
+        if hasattr(self.inner, "current_snapshot"):  # JSON flavor needs seq
+            from ic_spark.compaction.deletes import _next_sequence_number
+
+            seq = _next_sequence_number(self.inner)
+            for e in entries:
+                e["sequence_number"] = seq
+        kw = {"branch": branch} if branch else {}
+        return self.inner.append_snapshot(entries, **kw)
+
+    # -- row-level changes ---------------------------------------------
+
+    def delete_where(self, where: list[tuple], **kw) -> dict:
+        from ic_spark.compaction.rowops import delete_where
+
+        return delete_where(self.spark, self.inner, where, **kw)
+
+    def update_where(self, where: list[tuple], assignments: dict, **kw) -> dict:
+        from ic_spark.compaction.rowops import update_where
+
+        return update_where(self.spark, self.inner, where, assignments, **kw)
+
+    def merge(self, source: DataFrame, key_cols: list[str], **kw) -> dict:
+        from ic_spark.compaction.rowops import merge_into
+
+        return merge_into(self.spark, self.inner, source, key_cols, **kw)
+
+    def upsert(self, source: DataFrame, key_cols: list[str], **kw) -> int:
+        """MoR upsert (O(batch); compaction amortizes the join)."""
+        from ic_spark.compaction.deletes import merge_upsert
+
+        return merge_upsert(self.spark, self.inner, source, key_cols, **kw)
+
+    def write_position_deletes(self, predicate) -> int:
+        from ic_spark.compaction.deletes import write_position_deletes
+
+        return write_position_deletes(self.spark, self.inner, predicate)
+
+    def write_deletion_vectors(self, predicate) -> int:
+        from ic_spark.compaction.deletes import write_deletion_vectors
+
+        return write_deletion_vectors(self.spark, self.inner, predicate)
+
+    def write_equality_deletes(self, keys: DataFrame, equality_ids: list[str]) -> int:
+        from ic_spark.compaction.deletes import write_equality_deletes
+
+        return write_equality_deletes(self.spark, self.inner, keys, equality_ids)
+
+    # -- maintenance / stats / refs ------------------------------------
+
+    def call(self, procedure: str, **kw) -> dict:
+        from ic_spark.compaction.procedures import call
+
+        return call(self.spark, procedure, table=self.inner, **kw)
+
+    def compact(self, **kw):
+        from ic_spark.compaction.orchestrator import Compaction
+
+        return Compaction(self.spark).full_compact(self.inner, **kw)
+
+    def analyze(self, columns: list[str] | None = None, incremental: bool = False):
+        from ic_spark.compaction import stats
+
+        fn = stats.analyze_incremental if incremental else stats.analyze_table
+        return fn(self.spark, self.inner, columns)
+
+    def ndv_estimates(self) -> dict[str, float]:
+        from ic_spark.compaction.stats import column_ndv_estimates
+
+        return column_ndv_estimates(self.spark, self.inner)
+
+    def set_ref(self, name: str, snapshot_id: int, **kw) -> None:
+        self.inner.set_ref(name, snapshot_id, **kw)
+
+    def fast_forward(self, branch: str, force: bool = False) -> int:
+        return self.inner.fast_forward(branch, force=force)
+
+    def expire_snapshots(self) -> list[str]:
+        return self.inner.expire_snapshots()
+
+    # passthrough for anything else on the underlying table
+    def __getattr__(self, name):
+        return getattr(self.inner, name)

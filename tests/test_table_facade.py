@@ -1,0 +1,69 @@
+"""Unified Table façade (ic_spark/table.py): one handle end to end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.table import Table
+
+
+def test_facade_full_lifecycle_spec_flavor(spark, tmp_path):
+    """create → append → DV delete → merge → analyze → compact → read,
+    all through one handle over spec metadata."""
+    df = spark.range(0, 200).select("id", (F.col("id") % 10).alias("g"))
+    t = Table.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df)
+    assert t.count() == 200
+    assert isinstance(t.inner.metadata(), dict)  # spec flavor
+
+    t.write_deletion_vectors(F.col("g") == 9)
+    assert t.count() == 180
+    t.merge(
+        spark.createDataFrame([(5, -5), (1000, -1)], "id long, g long"), ["id"]
+    )
+    rows = {r.id: r.g for r in t.read().collect()}
+    assert rows[5] == -5 and rows[1000] == -1 and len(rows) == 181
+
+    entry = t.analyze()
+    assert entry["row-count"] == 181
+    est = t.ndv_estimates()
+    assert abs(est["id"] - 181) / 181 < 0.06
+
+    t.compact()
+    assert t.count() == 181
+    files = t.metadata_table("files")
+    assert files.where("content != 'DATA'").count() == 0  # deletes folded
+
+    # auto-detect reload
+    t2 = Table.at(spark, str(tmp_path / "t"))
+    assert t2.count() == 181 and hasattr(t2.inner, "metadata")
+
+
+def test_facade_json_flavor_cow_and_travel(spark, tmp_path):
+    df = spark.range(0, 50).select("id", (F.col("id") * 2).alias("v"))
+    t = Table.create(spark, str(tmp_path / "j"), df.schema, spec_metadata=False)
+    t.append(df)
+    first = t.inner.current_snapshot().snapshot_id
+    t.delete_where([("id", "<", 5)])
+    t.update_where([("id", "=", 10)], {"v": "v + 1"})
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert len(rows) == 45 and rows[10] == 21
+    # snapshot time travel through the same handle
+    assert t.read(snapshot_id=first).count() == 50
+    # branch write + fast forward
+    extra = spark.range(100, 103).select("id", (F.col("id") * 2).alias("v"))
+    t.append(extra, branch="wip")
+    assert t.count() == 45
+    t.fast_forward("wip")
+    assert t.count() == 48
+    out = t.call("rewrite_data_files", strategy="full")
+    assert out["added_data_files_count"] >= 1
+    assert t.count() == 48
+
+
+def test_facade_passthrough_and_errors(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "p"), spark.range(1).schema)
+    with pytest.raises(ValueError):
+        t.read()  # empty table
+    assert t.refs() == {}  # __getattr__ passthrough to the inner table
