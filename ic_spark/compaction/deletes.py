@@ -71,6 +71,20 @@ def infer_read_schema(spark: SparkSession, tasks: list) -> "StructType":
     raise ValueError(f"cannot infer schema for format {t0.file_format!r}")
 
 
+def _evolved_scan_args(table) -> dict:
+    """Schema + name-mapping kwargs for scans over spec-metadata tables
+    so delete writers resolve renamed/widened/added columns exactly
+    like reads do (plain JSON tables scan with footer schemas)."""
+    if not hasattr(table, "schema"):
+        return {}
+    return {
+        "schema": table.schema(),
+        "name_mapping": (
+            table.name_mapping() if hasattr(table, "name_mapping") else None
+        ),
+    }
+
+
 def _write_single_file(df: DataFrame, dir_path: str) -> str:
     df.coalesce(1).write.mode("overwrite").parquet(dir_path)
     files = [f for f in os.listdir(dir_path) if f.endswith(".parquet")]
@@ -97,10 +111,13 @@ def write_position_deletes(
     if not data:
         raise ValueError("table has no data files")
     # Format-aware scan (parquet metadata columns / avro decode-order
-    # positions) — mixed-format tables delete correctly.
+    # positions) — mixed-format tables delete correctly; evolved spec
+    # tables resolve under their current schema.
     from ic_spark.compaction.planner import _scan_with_hidden_cols
 
-    df = _scan_with_hidden_cols(spark, data, with_pos=True)
+    df = _scan_with_hidden_cols(
+        spark, data, with_pos=True, **_evolved_scan_args(table)
+    )
     matches = df.where(predicate).select(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
     out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
     path = _write_single_file(matches, out_dir)
@@ -144,7 +161,9 @@ def write_deletion_vectors(
     data, _pos, _eq = table.scan_tasks()
     if not data:
         raise ValueError("table has no data files")
-    df = _scan_with_hidden_cols(spark, data, with_pos=True)
+    df = _scan_with_hidden_cols(
+        spark, data, with_pos=True, **_evolved_scan_args(table)
+    )
     matches = df.where(predicate).select(
         F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
         F.col(SYS_HIDDEN_POS).alias("pos"),
@@ -403,6 +422,16 @@ def read_table(
     elif as_of_timestamp_ms is not None:
         snapshot_id = table.snapshot_id_as_of(as_of_timestamp_ms)
     data, pos, eq = table.scan_tasks(snapshot_id, data_filter=where)
+    # Spec-metadata tables know their CURRENT schema (evolution: renames
+    # resolve via name-mapping, widenings read wide, added columns
+    # null-fill) — file footers only describe the schema files were
+    # WRITTEN with.
+    name_mapping = None
+    if schema is None and hasattr(table, "schema"):
+        schema = table.schema()
+        name_mapping = (
+            table.name_mapping() if hasattr(table, "name_mapping") else None
+        )
     if not data:
         if where:
             all_data, _, _ = table.scan_tasks(snapshot_id)
@@ -418,6 +447,7 @@ def read_table(
         data_files=data,
         position_delete_files=pos,
         equality_delete_files=eq,
+        name_mapping=name_mapping,
     )
     out = build_merge_on_read(spark, request)
     if where:

@@ -198,6 +198,27 @@ class Table:
     def expire_snapshots(self) -> list[str]:
         return self.inner.expire_snapshots()
 
+    # -- schema / partition DDL (spec-metadata tables) -----------------
+
+    def add_column(self, name: str, spark_type) -> int:
+        from ic_spark.compaction.iceberg_meta import add_column
+
+        return add_column(self.inner, name, spark_type)
+
+    def rename_column(self, old: str, new: str) -> int:
+        from ic_spark.compaction.iceberg_meta import rename_column
+
+        return rename_column(self.inner, old, new)
+
+    def promote_column(self, name: str, spark_type) -> int:
+        """Widening promotion (int→long, float→double, decimal scale)."""
+        from ic_spark.compaction.iceberg_meta import promote_column
+
+        return promote_column(self.inner, name, spark_type)
+
+    def update_partition_spec(self, fields: list[dict]) -> int:
+        return self.inner.update_partition_spec(fields)
+
     # passthrough for anything else on the underlying table
     def __getattr__(self, name):
         return getattr(self.inner, name)

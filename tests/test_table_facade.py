@@ -62,6 +62,27 @@ def test_facade_json_flavor_cow_and_travel(spark, tmp_path):
     assert t.count() == 48
 
 
+def test_facade_schema_ddl(spark, tmp_path):
+    """DDL through the handle: rename + widen + add, then a read that
+    resolves old files under the new schema."""
+    df = spark.range(0, 10).select(F.col("id").cast("int").alias("id"))
+    t = Table.create(spark, str(tmp_path / "ddl"), df.schema)
+    t.append(df)
+    t.rename_column("id", "item_id")
+    t.promote_column("item_id", __import__("pyspark.sql.types", fromlist=["LongType"]).LongType())
+    t.add_column("note", __import__("pyspark.sql.types", fromlist=["StringType"]).StringType())
+    out = t.read()
+    assert out.columns == ["item_id", "note"]
+    rows = out.collect()
+    assert sorted(r.item_id for r in rows) == list(range(10))
+    assert all(r.note is None for r in rows)
+    # predicate delete resolves the CURRENT name over old-schema files
+    t.append(spark.createDataFrame([(100, "x")], "item_id long, note string"))
+    t.write_deletion_vectors(F.col("item_id") < 3)
+    ids = sorted(r.item_id for r in t.read().collect())
+    assert ids == [3, 4, 5, 6, 7, 8, 9, 100]
+
+
 def test_facade_passthrough_and_errors(spark, tmp_path):
     t = Table.create(spark, str(tmp_path / "p"), spark.range(1).schema)
     with pytest.raises(ValueError):
