@@ -106,6 +106,12 @@ def _rewrite_and_commit(
     from ic_spark.compaction.orchestrator import default_spec_fields
 
     spec_id, spec_fields = default_spec_fields(table)
+    # Evolved spec tables: rewrite resolves old file schemas through the
+    # history name-mapping, exactly like full_compact (renamed columns
+    # in files written before the rename).
+    name_mapping = (
+        table.name_mapping() if hasattr(table, "name_mapping") else None
+    )
     new_seq = _next_seq(candidates, eq)
     out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
     response = rewrite_files(
@@ -118,6 +124,7 @@ def _rewrite_and_commit(
             dir_path=out_dir,
             partition_spec=spec_fields,
             target_partitions=max(1, len(candidates)),
+            name_mapping=name_mapping,
         ),
         transform=transform,
     )
@@ -314,9 +321,22 @@ def merge_into(
     needs_full_rows = (
         when_matched == "update" and not update_assignments
     ) or insert_not_matched
-    marked_source = (
-        source.select(*field_names).withColumn("__merge_src", F.lit(True))
+    # Cast the source onto the TABLE schema up front: a wider-typed
+    # source (e.g. long where the table stores int) would otherwise
+    # upcast the union and write files violating the table schema.
+    conformed_source = (
+        source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
         if needs_full_rows
+        else None
+    )
+    marked_source = (
+        conformed_source.withColumn("__merge_src", F.lit(True))
+        if conformed_source is not None
         else None
     )
 
@@ -402,7 +422,7 @@ def merge_into(
         # Pure insert: no files to rewrite — append the source.
         seq = _next_seq(all_data, eq)
         ins_dir = os.path.join(table.root, f"merge-ins-{uuid.uuid4().hex[:12]}")
-        source.select(*field_names).write.mode("overwrite").parquet(ins_dir)
+        conformed_source.write.mode("overwrite").parquet(ins_dir)
         entries = []
         from ic_spark.compaction.writer import _stats_from_footer
 

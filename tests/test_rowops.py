@@ -158,6 +158,26 @@ def test_merge_into_partial_assignments(spark, id_table):
         )
 
 
+def test_merge_source_wider_types_conform_to_table_schema(spark, tmp_path):
+    """A source with wider column types (long where the table stores
+    int) must not upcast the rewrite — regression: the union wrote
+    bigint files that later reads rejected as non-promotable."""
+    df = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("id"), F.lit(1).cast("int").alias("v")
+    )
+    table = ManifestTable(str(tmp_path / "tbl"))
+    d = str(tmp_path / "seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot([_entry(f)])
+    src = spark.createDataFrame([(3, 99), (500, 5)], "id long, v long")  # wider
+    merge_into(spark, table, src, ["id"])
+    out = read_table(spark, table)  # read enforces the int schema
+    rows = {r.id: r.v for r in out.collect()}
+    assert rows[3] == 99 and rows[500] == 5 and len(rows) == 21
+    assert out.schema["v"].dataType.simpleString() == "int"
+
+
 def test_merge_into_pure_insert(spark, id_table):
     source = spark.createDataFrame([(100, 1), (101, 2)], "id long, value long")
     before = _live_paths(id_table)
