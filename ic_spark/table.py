@@ -97,11 +97,25 @@ class Table:
     # -- writes --------------------------------------------------------
 
     def append(self, df: DataFrame, branch: str | None = None) -> int:
-        """Write ``df`` as new data files and commit one snapshot."""
+        """Write ``df`` as new data files and commit one snapshot.
+
+        Spec-metadata tables conform the frame to the TABLE schema
+        first (order + types) — a wider-typed source can't silently
+        write files the schema rejects on read."""
         from ic_spark.compaction.writer import _stats_from_footer
 
         import uuid as _uuid
 
+        if hasattr(self.inner, "schema"):
+            import pyspark.sql.functions as F
+
+            target = self.inner.schema()
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
         out = os.path.join(self.inner.root, f"append-{_uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(out)
         entries = []

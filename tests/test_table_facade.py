@@ -81,6 +81,21 @@ def test_facade_schema_ddl(spark, tmp_path):
     t.write_deletion_vectors(F.col("item_id") < 3)
     ids = sorted(r.item_id for r in t.read().collect())
     assert ids == [3, 4, 5, 6, 7, 8, 9, 100]
+    # COW ops also rewrite old-schema files under the current names
+    t.update_where([("item_id", "=", 4)], {"note": "'touched'"})
+    t.delete_where([("item_id", "=", 9)])
+    rows = {r.item_id: r.note for r in t.read().collect()}
+    assert rows[4] == "touched" and 9 not in rows and len(rows) == 7
+
+
+def test_facade_append_conforms_types(spark, tmp_path):
+    """Appending a wider-typed frame casts onto the table schema."""
+    base = spark.range(1).select(F.col("id").cast("int").alias("id"))
+    t = Table.create(spark, str(tmp_path / "c"), base.schema)
+    t.append(spark.range(5, 8))  # long ids into an int table
+    out = t.read()
+    assert out.schema["id"].dataType.simpleString() == "int"
+    assert sorted(r.id for r in out.collect()) == [5, 6, 7]
 
 
 def test_facade_passthrough_and_errors(spark, tmp_path):
