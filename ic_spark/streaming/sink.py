@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame
 from ic_spark.compaction.manifest import ManifestTable
 
 
+def _live_paths(table) -> set[str]:
+    """Live file paths of the current snapshot — the replay-commit log.
+    Duck-types both flavors (JSON ManifestTable / spec IcebergTable)."""
+    data, pos, eq = table.scan_tasks()
+    return {t.data_file_path for t in data + pos + eq}
+
+
+def _committed(table, marker: str) -> bool:
+    return any(p.startswith(marker) for p in _live_paths(table))
+
+
 def manifest_append_sink(table: ManifestTable, name: str = "stream"):
     """Build a ``foreachBatch`` callable appending each micro-batch to
     ``table``::
@@ -40,9 +51,8 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(table.root, f"{name}-batch-{batch_id:08d}")
-        cur = table.current_snapshot()
         marker = out_dir + os.sep
-        if cur and any(f["path"].startswith(marker) for f in cur.files):
+        if _committed(table, marker):
             return  # replayed batch, already committed
         df.write.mode("overwrite").parquet(out_dir)
         parts = sorted(
@@ -52,12 +62,9 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
         )
         if not parts:  # empty micro-batch
             return
-        snap = table.current_snapshot()
-        seq = (
-            max((f.get("sequence_number", 0) for f in snap.files), default=0) + 1
-            if snap
-            else 1
-        )
+        from ic_spark.compaction.deletes import _next_sequence_number
+
+        seq = _next_sequence_number(table)
         table.append_snapshot(
             [
                 {
@@ -96,8 +103,7 @@ def manifest_upsert_sink(
     def write_batch(df: DataFrame, batch_id: int) -> None:
         tag = f"{name}-{batch_id:08d}"
         marker = os.path.join(table.root, f"upsert-data-{tag}") + os.sep
-        cur = table.current_snapshot()
-        if cur and any(f["path"].startswith(marker) for f in cur.files):
+        if _committed(table, marker):
             return  # replayed batch, already committed
         if df.isEmpty():
             return
@@ -133,7 +139,8 @@ def manifest_dedup_append_sink(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        if table.current_snapshot() is None:
+        data, _, _ = table.scan_tasks()
+        if not data:
             deduped = incremental_dedup(
                 df, df.limit(0), content_col, id_col, normalize=normalize
             )
@@ -175,8 +182,7 @@ def manifest_dv_delete_sink(
     def write_batch(df: DataFrame, batch_id: int) -> None:
         tag = f"{name}-{batch_id:08d}"
         marker = os.path.join(table.root, f"dv-{tag}") + os.sep
-        cur = table.current_snapshot()
-        if cur and any(f["path"].startswith(marker) for f in cur.files):
+        if _committed(table, marker):
             return  # replayed batch, already committed
         if df.isEmpty():
             return

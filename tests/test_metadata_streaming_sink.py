@@ -474,3 +474,39 @@ def test_compact_deletion_vectors_merges_puffin_files(spark, tmp_path):
         "merged": 0,
         "dvs": 0,
     }
+
+
+def test_streaming_sinks_over_spec_metadata(spark, tmp_path):
+    """The foreachBatch sinks duck-type over spec-format Iceberg
+    metadata: append + keyed upsert + DV delete batches commit real
+    Avro-manifest snapshots, replays are no-ops."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.streaming.sink import (
+        manifest_append_sink,
+        manifest_dv_delete_sink,
+        manifest_upsert_sink,
+    )
+
+    schema = spark.createDataFrame([], "id long, v string").schema
+    tbl = IcebergTable.create(str(tmp_path / "spec_sink"), schema)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+
+    append = manifest_append_sink(tbl)
+    append(mk([(1, "a"), (2, "b")]), 0)
+    append(mk([(3, "c")]), 1)
+    assert read_table(spark, tbl).count() == 3
+    n = len(tbl.snapshots())
+    append(mk([(9, "x")]), 1)  # replay: no-op
+    assert len(tbl.snapshots()) == n and read_table(spark, tbl).count() == 3
+
+    upsert = manifest_upsert_sink(tbl, ["id"])
+    upsert(mk([(2, "B2"), (4, "d")]), 2)
+    got = dict((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+    dv = manifest_dv_delete_sink(tbl, ["id"])
+    dv(spark.createDataFrame([(1,)], "id long"), 3)
+    got = dict((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert got == {2: "B2", 3: "c", 4: "d"}
+    _, pos, _ = tbl.scan_tasks()
+    assert any(t.file_format == "puffin" for t in pos)
