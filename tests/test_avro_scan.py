@@ -346,3 +346,49 @@ def test_file_format_survives_proto_roundtrip(spark):
     )
     back = request_from_proto(request_to_proto(req))
     assert [t.file_format for t in back.data_files] == ["avro", "parquet", "orc"]
+
+
+def test_avro_distributed_roundtrip_property(spark, tmp_path):
+    """Randomized rows (nullable strings, longs, doubles incl. edge
+    values) survive write_container → distributed scan bit-exact."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+        ],
+    }
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.one_of(st.none(), st.text(max_size=20)),
+                st.one_of(
+                    st.floats(allow_nan=False, allow_infinity=True),
+                    st.sampled_from([0.0, -0.0, 1e308, -1e308]),
+                ),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(rows):
+        import uuid as _uuid
+
+        p = str(tmp_path / f"prop-{_uuid.uuid4().hex}.avro")
+        write_container(
+            p, schema, [{"k": k, "s": s, "d": d} for k, s, d in rows]
+        )
+        got = sorted(
+            ((r.k, r.s, r.d) for r in read_avro_distributed(spark, p).collect()),
+            key=repr,
+        )
+        assert got == sorted(rows, key=repr)
+
+    check()
