@@ -887,6 +887,22 @@ class IcebergTable:
             meta, version, carried + new, "append", branch=branch
         )
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """Point main back at an earlier snapshot (metadata-only)."""
+        meta = self.metadata()
+        version = self.version()
+        if all(s["snapshot-id"] != snapshot_id for s in meta["snapshots"]):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        now = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-updated-ms"] = now
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        ]
+        self._commit_metadata(new_meta, expected_version=version)
+        return snapshot_id
+
     def fast_forward(self, branch: str, force: bool = False) -> int:
         """Advance MAIN to the branch head when main is an ancestor of
         it (spec ``parent-snapshot-id`` chain proves ancestry)."""

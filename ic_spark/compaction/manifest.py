@@ -430,6 +430,18 @@ class ManifestTable:
         self._store(state)
         return sid
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """Point MAIN back at an earlier snapshot (Iceberg
+        rollback_to_snapshot): readers instantly see the old state; no
+        files move, and the abandoned snapshots stay until
+        ``expire_snapshots``."""
+        state = self._load()
+        if not any(s["snapshot_id"] == snapshot_id for s in state["snapshots"]):
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        state["current_snapshot_id"] = snapshot_id
+        self._store(state)
+        return snapshot_id
+
     def fast_forward(self, branch: str, force: bool = False) -> int:
         """Advance MAIN to the branch head (Iceberg fast_forward).
 

@@ -87,6 +87,11 @@ def fast_forward(spark, table, branch: str, force: bool = False, **kw):
     return {"branch_updated": "main", "latest_snapshot_id": head}
 
 
+def rollback_to_snapshot(spark, table, snapshot_id: int, **kw):
+    sid = table.rollback_to_snapshot(snapshot_id)
+    return {"previous_snapshot_id": None, "current_snapshot_id": sid}
+
+
 def ancestors_of(spark, table, snapshot_id: int | None = None, **kw):
     """Snapshot ancestry: recorded parents where present, else commit
     order up to the starting snapshot (the JSON manifest's main line is
@@ -123,6 +128,7 @@ _PROCEDURES = {
     "expire_snapshots": expire_snapshots,
     "remove_orphan_files": remove_orphan_files,
     "fast_forward": fast_forward,
+    "rollback_to_snapshot": rollback_to_snapshot,
     "ancestors_of": ancestors_of,
     "analyze_table": analyze_table,
 }

@@ -58,6 +58,41 @@ def test_call_dispatch_and_maintenance_cycle(spark, proc_table):
         call(spark, "rewrite_data_files", table=table, strategy="sort")
 
 
+def test_call_rollback_to_snapshot(spark, proc_table, tmp_path):
+    """Rollback points main at an earlier snapshot on BOTH flavors."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    table = proc_table
+    first = table.current_snapshot().snapshot_id
+    d = str(tmp_path / "extra")
+    spark.range(500, 510).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 2, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    assert read_table(spark, table).count() == 70
+    out = call(spark, "rollback_to_snapshot", table=table, snapshot_id=first)
+    assert out["current_snapshot_id"] == first
+    assert read_table(spark, table).count() == 60
+    with pytest.raises(ValueError, match="not found"):
+        call(spark, "rollback_to_snapshot", table=table, snapshot_id=999)
+
+    df = spark.range(5)
+    spec = IcebergTable.create(str(tmp_path / "rb_spec"), df.schema)
+    d2 = str(tmp_path / "rb_seed")
+    df.coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    spec.append_snapshot([{"path": f2, "content": "DATA", "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(f2)}])
+    s1 = spec.current_snapshot_id()
+    spec.append_snapshot([{"path": f2, "content": "DATA", "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(f2)}])
+    assert read_table(spark, spec).count() == 10
+    spec.rollback_to_snapshot(s1)
+    assert read_table(spark, spec).count() == 5
+
+
 def test_call_fast_forward(spark, proc_table, tmp_path):
     table = proc_table
     d = str(tmp_path / "branchfile")
