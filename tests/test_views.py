@@ -79,3 +79,21 @@ def test_rest_view_routes(spark, tmp_path, nation_view_src):
         assert e.value.code == 404
     finally:
         server.stop()
+
+
+def test_view_replace_conflict_on_version_race(tmp_path, spark, nation_view_src):
+    """Two handles replacing concurrently: the O_EXCL version commit
+    lets exactly one win; the loser gets CommitConflictError."""
+    from ic_spark.compaction.manifest import CommitConflictError
+
+    loc = str(tmp_path / "race_view")
+    a = IcebergView.create(loc, "SELECT 1 AS x")
+    b = IcebergView(loc)
+    a.replace("SELECT 2 AS x")
+    with pytest.raises(CommitConflictError):
+        # b read v1 metadata; its replace targets v2 which a already wrote
+        meta = b.metadata()  # fresh read would succeed; replay a's race:
+        stale = dict(meta)
+        b._commit_metadata(stale, expected_version=1)
+    # winner's state intact
+    assert a.metadata()["current-version-id"] == 2
