@@ -258,11 +258,18 @@ def commit_deletion_vectors(
         )
         for ref, (blob, card) in sorted(merged.items())
     ]
-    # A caller-supplied tag pins the output dir (streaming replays
-    # overwrite the same half-written file instead of leaking one).
-    out_path = os.path.join(
-        table.root, f"dv-{tag or uuid.uuid4().hex[:12]}", "deletes.puffin"
-    )
+    # A caller-supplied tag pins the output dir so streaming replays are
+    # recognizable — but NEVER overwrite an existing puffin file: the
+    # prior attempt may be superseded in the CURRENT snapshot yet still
+    # referenced by OLDER retained snapshots, and rewriting it in place
+    # would retroactively change time-travel reads.  Replays land on a
+    # fresh attempt-suffixed path instead.
+    base = f"dv-{tag or uuid.uuid4().hex[:12]}"
+    out_path = os.path.join(table.root, base, "deletes.puffin")
+    attempt = 0
+    while os.path.exists(out_path):
+        attempt += 1
+        out_path = os.path.join(table.root, f"{base}-r{attempt}", "deletes.puffin")
     write_puffin(out_path, blobs)  # populates blob offsets/lengths
     seq = _next_sequence_number(table)
     entry = {

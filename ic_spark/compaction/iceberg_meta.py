@@ -983,6 +983,7 @@ class IcebergTable:
                     id_to_name[i] for i in (df["equality_ids"] or [])
                 ),
                 file_size_in_bytes=df["file_size_in_bytes"],
+                record_count=df.get("record_count") or 0,
                 # Iceberg spells formats upper-case in manifests; the
                 # planner's (seq, format) grouping uses lower-case.
                 file_format=(df.get("file_format") or "PARQUET").lower(),
@@ -1015,6 +1016,18 @@ class IcebergTable:
                 (pos if task.content is FileContent.POSITION_DELETES else eq).append(
                     task
                 )
+            elif task.content is FileContent.POSITION_DELETES and task.record_count:
+                # Per-vector DV expansion shares one puffin path; fold
+                # each vector's cardinality into the deduped task so
+                # broadcast sizing sees the file's TOTAL position count.
+                import dataclasses as _dc
+
+                for i, p in enumerate(pos):
+                    if p.data_file_path == task.data_file_path:
+                        pos[i] = _dc.replace(
+                            p, record_count=p.record_count + task.record_count
+                        )
+                        break
         return data, pos, eq
 
     def incremental_tasks(

@@ -313,6 +313,7 @@ class ManifestTable:
                 content=FileContent[f.get("content", "DATA")],
                 equality_ids=tuple(f.get("equality_ids", ())),
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
+                record_count=f.get("record_count") or 0,
                 # "puffin" marks deletion-vector files (Iceberg v3
                 # analog, sources/puffin.py); data files may be
                 # avro/orc/parquet.

@@ -234,10 +234,29 @@ def _scan_deletion_vectors(spark: SparkSession, paths: list[str]) -> DataFrame:
     return files.select("content").mapInPandas(expand_dvs, schema=out_schema)
 
 
+# Rough in-memory width of one expanded (file_path, pos) delete row —
+# used to size deletion-vector broadcasts by cardinality, since roaring
+# bitmaps compress ~100M positions into a few MB of puffin bytes.
+_DV_ROW_BYTES = 16
+
+
 def _maybe_broadcast(df: DataFrame, tasks: list[FileScanTask]) -> DataFrame:
-    total = sum(t.file_size_in_bytes for t in tasks)
-    # Unknown sizes (0) count as small — delete files are small in the
-    # reference's operating regime; AQE corrects us if not.
+    total = 0
+    for t in tasks:
+        if t.file_format == "puffin":
+            # The broadcast payload is the EXPANDED (file_path, pos)
+            # rows, not the compressed puffin bytes: size by blob
+            # cardinality (manifest record_count).  Unknown cardinality
+            # (0) must NOT count as small — a tiny run-encoded bitmap
+            # can expand to millions of rows — so skip the hint and let
+            # AQE decide from the runtime row count.
+            if t.record_count <= 0:
+                return df
+            total += t.record_count * _DV_ROW_BYTES
+        else:
+            # Unknown sizes (0) count as small — delete files are small
+            # in the reference's operating regime; AQE corrects us if not.
+            total += t.file_size_in_bytes
     if total <= BROADCAST_DELETE_BYTES:
         return F.broadcast(df)
     return df

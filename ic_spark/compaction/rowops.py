@@ -296,11 +296,15 @@ def merge_into(
         # Format-aware probe: the planner scan yields a per-row file
         # path for parquet (metadata column) and avro (decode path)
         # alike, so mixed-format tables find every touched file.
+        # Evolved spec tables resolve key columns through the current
+        # schema + name-mapping (files written before a key-column
+        # rename carry the OLD footer name), same as the delete writers.
+        from ic_spark.compaction.deletes import _evolved_scan_args
         from ic_spark.compaction.planner import _scan_with_hidden_cols
         from ic_spark.compaction.request import SYS_HIDDEN_FILE_PATH
 
         probe = _scan_with_hidden_cols(
-            spark, probe_tasks, with_pos=True
+            spark, probe_tasks, with_pos=True, **_evolved_scan_args(table)
         ).select(*key_cols, F.col(SYS_HIDDEN_FILE_PATH).alias("__fp"))
         touched_paths = {
             r["__fp"]

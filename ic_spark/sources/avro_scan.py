@@ -283,16 +283,32 @@ def read_avro_distributed(
             ]
         )
 
-    converters = {
-        f["name"]: _converter(f["type"])
-        for f in avro_schema["fields"]
-        if f["name"] in set(field_names)
-    }
+    wanted = set(field_names)
 
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Converters are built PER FILE from each container's embedded
+        # writer schema (cached by schema text): files whose schemas
+        # diverged under evolution (e.g. timestamp-millis vs -micros)
+        # each get their own logical-type conversion, instead of
+        # inheriting the first file's.
+        conv_cache: dict[str, dict] = {}
+
+        def converters_for(fschema: dict) -> dict:
+            key = json.dumps(fschema, sort_keys=True)
+            if key not in conv_cache:
+                conv_cache[key] = {
+                    f["name"]: _converter(f["type"])
+                    for f in fschema["fields"]
+                    if f["name"] in wanted
+                }
+            return conv_cache[key]
+
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                _, records = decode_container_bytes(bytes(content), str(path))
+                fschema, records = decode_container_bytes(
+                    bytes(content), str(path)
+                )
+                converters = converters_for(fschema)
                 for start in range(0, max(len(records), 1), batch_rows):
                     chunk = records[start : start + batch_rows]
                     data = {}

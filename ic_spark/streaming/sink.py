@@ -181,7 +181,11 @@ def manifest_dv_delete_sink(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         tag = f"{name}-{batch_id:08d}"
-        marker = os.path.join(table.root, f"dv-{tag}") + os.sep
+        # No trailing separator: a replayed-then-superseded batch
+        # re-commits onto an attempt-suffixed dir (dv-<tag>-rN), which
+        # must also count as committed.  Batch ids are fixed-width
+        # zero-padded, so the prefix cannot collide across batches.
+        marker = os.path.join(table.root, f"dv-{tag}")
         if _committed(table, marker):
             return  # replayed batch, already committed
         if df.isEmpty():
@@ -190,10 +194,23 @@ def manifest_dv_delete_sink(
         data, _, _ = table.scan_tasks()
         if not data:
             return
-        scan = spark.read.parquet(*[t.data_file_path for t in data]).select(
+        # Format-aware probe (parquet metadata columns / avro decode
+        # positions) resolved under the table's current schema — a raw
+        # parquet read would fail on avro/orc data files or mis-read
+        # renamed key columns (same path write_position_deletes uses).
+        from ic_spark.compaction.deletes import _evolved_scan_args
+        from ic_spark.compaction.planner import _scan_with_hidden_cols
+        from ic_spark.compaction.request import (
+            SYS_HIDDEN_FILE_PATH,
+            SYS_HIDDEN_POS,
+        )
+
+        scan = _scan_with_hidden_cols(
+            spark, data, with_pos=True, **_evolved_scan_args(table)
+        ).select(
             *key_cols,
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
+            F.col(SYS_HIDDEN_POS).alias("pos"),
         )
         matches = scan.join(
             df.select(*key_cols).distinct(), on=key_cols, how="left_semi"
