@@ -72,17 +72,20 @@ def infer_read_schema(spark: SparkSession, tasks: list) -> "StructType":
 
 
 def _evolved_scan_args(table) -> dict:
-    """Schema + name-mapping kwargs for scans over spec-metadata tables
-    so delete writers resolve renamed/widened/added columns exactly
-    like reads do (plain JSON tables scan with footer schemas)."""
-    if not hasattr(table, "schema"):
-        return {}
-    return {
-        "schema": table.schema(),
-        "name_mapping": (
-            table.name_mapping() if hasattr(table, "name_mapping") else None
-        ),
-    }
+    """Schema / name-mapping / schema-history kwargs for scans over
+    schema-tracking tables so delete writers resolve renamed/widened/
+    added/dropped columns exactly like reads do (tables without a
+    registered schema scan with footer schemas)."""
+    args: dict = {}
+    if hasattr(table, "schema"):
+        s = table.schema()
+        if s is not None:
+            args["schema"] = s
+            if hasattr(table, "name_mapping"):
+                args["name_mapping"] = table.name_mapping()
+            if hasattr(table, "schema_history"):
+                args["schema_history"] = table.schema_history()
+    return args
 
 
 def _write_single_file(df: DataFrame, dir_path: str) -> str:
@@ -429,16 +432,24 @@ def read_table(
     elif as_of_timestamp_ms is not None:
         snapshot_id = table.snapshot_id_as_of(as_of_timestamp_ms)
     data, pos, eq = table.scan_tasks(snapshot_id, data_filter=where)
-    # Spec-metadata tables know their CURRENT schema (evolution: renames
-    # resolve via name-mapping, widenings read wide, added columns
-    # null-fill) — file footers only describe the schema files were
-    # WRITTEN with.
+    # Schema-tracking tables know their CURRENT schema (evolution:
+    # renames resolve via name-mapping or field-id history, widenings
+    # read wide, added columns null-fill, dropped-then-re-added columns
+    # never resurrect) — file footers only describe the schema files
+    # were WRITTEN with.
     name_mapping = None
+    schema_history = None
     if schema is None and hasattr(table, "schema"):
         schema = table.schema()
-        name_mapping = (
-            table.name_mapping() if hasattr(table, "name_mapping") else None
-        )
+        if schema is not None:
+            name_mapping = (
+                table.name_mapping() if hasattr(table, "name_mapping") else None
+            )
+            schema_history = (
+                table.schema_history()
+                if hasattr(table, "schema_history")
+                else None
+            )
     if not data:
         if where:
             all_data, _, _ = table.scan_tasks(snapshot_id)
@@ -455,6 +466,7 @@ def read_table(
         position_delete_files=pos,
         equality_delete_files=eq,
         name_mapping=name_mapping,
+        schema_history=schema_history,
     )
     out = build_merge_on_read(spark, request)
     if where:

@@ -971,6 +971,14 @@ class IcebergTable:
                     continue  # unresolvable spec -> no pruning under it
         data, pos, eq = [], [], []
         seen: set[str] = set()
+        # Per-file write-schema resolution: multi-schema tables with
+        # activation boundaries resolve each data file's write schema
+        # from its sequence number (None for single-schema / legacy).
+        boundaries = (
+            schema_activation_boundaries(meta)
+            if len(meta["schemas"]) > 1
+            else None
+        )
         for e, seq, spec_id in self._live_entries_with_spec(
             self._snapshot(snapshot_id)
         ):
@@ -987,6 +995,7 @@ class IcebergTable:
                 # Iceberg spells formats upper-case in manifests; the
                 # planner's (seq, format) grouping uses lower-case.
                 file_format=(df.get("file_format") or "PARQUET").lower(),
+                write_schema_id=resolve_write_schema_id(boundaries, seq),
             )
             if task.content is FileContent.DATA:
                 if data_filter:
@@ -1215,6 +1224,17 @@ def _evolve(tbl: IcebergTable, mutate) -> int:
     new_meta["current-schema-id"] = new_id
     new_meta["last-column-id"] = last_col
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    # Activation boundary: files committed at sequence numbers STRICTLY
+    # ABOVE the current last-sequence-number were written under this
+    # schema (until a newer one activates).  Carried-forward entries
+    # keep their original sequence numbers, so scan planning can derive
+    # each data file's exact write schema — the field-id resolution the
+    # Iceberg spec gets from footer field ids.
+    props = dict(new_meta.get("properties", {}))
+    act = dict(json.loads(props.get("ic.schema-activation", "{}")))
+    act[str(new_id)] = meta["last-sequence-number"]
+    props["ic.schema-activation"] = json.dumps(act)
+    new_meta["properties"] = props
     tbl._commit_metadata(new_meta, expected_version=version)
     return new_id
 
@@ -1277,20 +1297,165 @@ def promote_column(tbl: IcebergTable, name: str, spark_type: T.DataType) -> int:
     return _evolve(tbl, mutate)
 
 
-def name_mapping_from_history(tbl: IcebergTable) -> dict[str, list[str]] | None:
-    """Derive the scan name-mapping from the schemas list: for each
-    CURRENT field id, every name it carried in older schema versions.
-    This is exactly what Iceberg's schema.name-mapping.default encodes
-    for files written without field ids."""
-    meta = tbl.metadata()
-    cur = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+def drop_column(tbl: IcebergTable, name: str) -> int:
+    """Spec drop-column: the field leaves the current schema; its id is
+    RETIRED (``last-column-id`` never decreases, so a later re-add of
+    the same name gets a fresh id and old files' data for the dropped
+    column can never resurrect).  Metadata-only — no file rewrite.
+
+    Rejected while any partition spec sources the column (Iceberg
+    requires the partition field be removed first) — dropping it would
+    orphan the spec's source-id.
+    """
+
+    def mutate(fields, meta):
+        tgt = next((f for f in fields if f["name"] == name), None)
+        if tgt is None:
+            raise ValueError(f"no column {name!r}")
+        for spec in meta["partition-specs"]:
+            for pf in spec["fields"]:
+                if pf["source-id"] == tgt["id"] and pf["transform"] != "void":
+                    raise ValueError(
+                        f"cannot drop {name!r}: partition spec "
+                        f"{spec['spec-id']} field {pf['name']!r} sources it; "
+                        "remove the partition field first"
+                    )
+        return [f for f in fields if f["name"] != name], meta["last-column-id"]
+
+    return _evolve(tbl, mutate)
+
+
+def move_column(
+    tbl: IcebergTable,
+    name: str,
+    before: str | None = None,
+    after: str | None = None,
+    first: bool = False,
+) -> int:
+    """Spec column reorder (``ALTER TABLE ... ALTER COLUMN c FIRST /
+    AFTER x``): field order in the schema changes; ids and data files
+    don't.  Reads project in the new order; old files resolve by id."""
+    if sum((before is not None, after is not None, first)) != 1:
+        raise ValueError("pass exactly one of before=, after=, first=True")
+
+    def mutate(fields, meta):
+        tgt = next((f for f in fields if f["name"] == name), None)
+        if tgt is None:
+            raise ValueError(f"no column {name!r}")
+        rest = [f for f in fields if f["name"] != name]
+        if first:
+            idx = 0
+        else:
+            anchor = before or after
+            pos = next(
+                (i for i, f in enumerate(rest) if f["name"] == anchor), None
+            )
+            if pos is None:
+                raise ValueError(f"no anchor column {anchor!r}")
+            idx = pos if before else pos + 1
+        return rest[:idx] + [tgt] + rest[idx:], meta["last-column-id"]
+
+    return _evolve(tbl, mutate)
+
+
+def make_optional(tbl: IcebergTable, name: str) -> int:
+    """Spec required→optional relaxation.  The inverse (optional→
+    required) is spec-illegal — existing files may hold nulls — and is
+    rejected."""
+
+    def mutate(fields, meta):
+        tgt = next((f for f in fields if f["name"] == name), None)
+        if tgt is None:
+            raise ValueError(f"no column {name!r}")
+        tgt["required"] = False
+        return fields, meta["last-column-id"]
+
+    return _evolve(tbl, mutate)
+
+
+def schema_activation_boundaries(meta: dict) -> dict[int, int] | None:
+    """{schema_id: last-sequence-number at activation} for ALL schemas,
+    or None when any non-initial schema predates boundary tracking
+    (legacy tables fall back to name-mapping resolution)."""
+    schemas = meta["schemas"]
+    act = json.loads(
+        meta.get("properties", {}).get("ic.schema-activation", "{}")
     )
+    out: dict[int, int] = {}
+    initial = min(s["schema-id"] for s in schemas)
+    for s in schemas:
+        sid = s["schema-id"]
+        if sid == initial:
+            out[sid] = -1  # active since before any data commit
+        elif str(sid) in act:
+            out[sid] = int(act[str(sid)])
+        else:
+            return None
+    return out
+
+
+def resolve_write_schema_id(
+    boundaries: dict[int, int] | None, sequence_number: int
+) -> int | None:
+    """The schema a file committed at ``sequence_number`` was written
+    under: the schema with the LARGEST activation boundary strictly
+    below the file's sequence number (ties -> newest schema id)."""
+    if boundaries is None:
+        return None
+    eligible = [
+        (b, sid) for sid, b in boundaries.items() if b < sequence_number
+    ]
+    if not eligible:
+        return None
+    return max(eligible)[1]
+
+
+def history_from_schemas(schemas: list[dict], current_id: int) -> dict:
+    """Planner-shaped schema history (RewriteFilesRequest.schema_history)
+    from an iceberg-style schemas list.  Shared by both flavors."""
+    return {
+        "current_id": current_id,
+        "schemas": {
+            s["schema-id"]: tuple(
+                (
+                    f["id"],
+                    f["name"],
+                    iceberg_to_spark_type(f["type"]),
+                    not f["required"],
+                )
+                for f in s["fields"]
+            )
+            for s in schemas
+        },
+    }
+
+
+def schema_history(tbl: IcebergTable) -> dict | None:
+    """Schema history for the spec flavor: every schema version's
+    (field_id, name, DataType, nullable) rows.  None when the table has
+    a single schema (nothing to resolve) or predates activation
+    tracking."""
+    meta = tbl.metadata()
+    if len(meta["schemas"]) <= 1:
+        return None
+    if schema_activation_boundaries(meta) is None:
+        return None
+    return history_from_schemas(meta["schemas"], meta["current-schema-id"])
+
+
+def derive_name_mapping(
+    schemas: list[dict], current_id: int
+) -> dict[str, list[str]] | None:
+    """Name-mapping from a schemas list: for each CURRENT field id,
+    every name it carried in older schema versions.  This is exactly
+    what Iceberg's schema.name-mapping.default encodes for files
+    written without field ids.  Shared by both metadata flavors."""
+    cur = next(s for s in schemas if s["schema-id"] == current_id)
     mapping: dict[str, list[str]] = {}
     for f in cur["fields"]:
         prior = []
-        for s in meta["schemas"]:
-            if s["schema-id"] == meta["current-schema-id"]:
+        for s in schemas:
+            if s["schema-id"] == current_id:
                 continue
             for g in s["fields"]:
                 if g["id"] == f["id"] and g["name"] != f["name"] and g["name"] not in prior:
@@ -1300,8 +1465,18 @@ def name_mapping_from_history(tbl: IcebergTable) -> dict[str, list[str]] | None:
     return mapping or None
 
 
+def name_mapping_from_history(tbl: IcebergTable) -> dict[str, list[str]] | None:
+    """Scan name-mapping for the spec flavor (see derive_name_mapping)."""
+    meta = tbl.metadata()
+    return derive_name_mapping(meta["schemas"], meta["current-schema-id"])
+
+
 # bind as methods for a fluent table API
 IcebergTable.add_column = add_column
 IcebergTable.rename_column = rename_column
 IcebergTable.promote_column = promote_column
+IcebergTable.drop_column = drop_column
+IcebergTable.move_column = move_column
+IcebergTable.make_optional = make_optional
 IcebergTable.name_mapping = name_mapping_from_history
+IcebergTable.schema_history = schema_history

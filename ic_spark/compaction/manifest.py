@@ -175,6 +175,242 @@ class ManifestTable:
             json.dump(state, f, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic swap
 
+    # -- schema evolution (optional registry) --------------------------
+    #
+    # Mirrors the spec flavor's field-id schema machinery: an
+    # iceberg-style schemas list with stable field ids, evolution DDL
+    # (add/rename/widen/drop/move/optional), and per-evolution
+    # sequence-number activation boundaries so scans resolve each data
+    # file against the schema it was WRITTEN under.  Tables that never
+    # call register_schema keep plain footer-schema reads (schema()
+    # returns None).
+
+    def register_schema(self, spark_schema) -> int:
+        """Register the table's initial schema (enables evolution DDL +
+        exact write-schema resolution)."""
+        from ic_spark.compaction.iceberg_meta import schema_to_iceberg
+
+        state = self._load()
+        if state.get("schemas"):
+            raise ValueError("schema already registered")
+        ice = schema_to_iceberg(spark_schema)
+        state["schemas"] = [ice]
+        state["current_schema_id"] = 0
+        state["last_column_id"] = len(ice["fields"])
+        # Initial schema is active from before any data commit.
+        state["schema_activation"] = {"0": -1}
+        self._store(state)
+        return 0
+
+    def schema(self):
+        """Current registered schema as a StructType, or None."""
+        from ic_spark.compaction.iceberg_meta import iceberg_to_spark_schema
+
+        state = self._load()
+        if not state.get("schemas"):
+            return None
+        cur = next(
+            s
+            for s in state["schemas"]
+            if s["schema-id"] == state["current_schema_id"]
+        )
+        return iceberg_to_spark_schema(cur)
+
+    def name_mapping(self):
+        from ic_spark.compaction.iceberg_meta import derive_name_mapping
+
+        state = self._load()
+        if not state.get("schemas"):
+            return None
+        return derive_name_mapping(state["schemas"], state["current_schema_id"])
+
+    def schema_history(self) -> dict | None:
+        from ic_spark.compaction.iceberg_meta import history_from_schemas
+
+        state = self._load()
+        if len(state.get("schemas") or []) <= 1:
+            return None
+        return history_from_schemas(
+            state["schemas"], state["current_schema_id"]
+        )
+
+    def _max_live_seq(self) -> int:
+        snap = self.current_snapshot()
+        if snap is None:
+            return 0
+        return max((f.get("sequence_number", 0) for f in snap.files), default=0)
+
+    def _schema_boundaries(self) -> dict[int, int] | None:
+        state = self._load()
+        if len(state.get("schemas") or []) <= 1:
+            return None
+        act = state.get("schema_activation", {})
+        out: dict[int, int] = {}
+        for s in state["schemas"]:
+            sid = s["schema-id"]
+            if str(sid) not in act:
+                return None
+            out[sid] = int(act[str(sid)])
+        return out
+
+    def _evolve_schema(self, mutate) -> int:
+        """Append a new schema version produced by ``mutate(fields,
+        state) -> (fields, last_column_id)``; record its activation
+        boundary (files committed at strictly higher sequence numbers
+        were written under it)."""
+        import copy
+
+        state = self._load()
+        if not state.get("schemas"):
+            raise ValueError("no schema registered (call register_schema)")
+        cur = next(
+            s
+            for s in state["schemas"]
+            if s["schema-id"] == state["current_schema_id"]
+        )
+        fields, last_col = mutate(copy.deepcopy(cur["fields"]), state)
+        new_id = max(s["schema-id"] for s in state["schemas"]) + 1
+        state["schemas"] = list(state["schemas"]) + [
+            {"type": "struct", "schema-id": new_id, "fields": fields}
+        ]
+        state["current_schema_id"] = new_id
+        state["last_column_id"] = last_col
+        act = dict(state.get("schema_activation", {}))
+        act[str(new_id)] = self._max_live_seq()
+        state["schema_activation"] = act
+        self._store(state)
+        return new_id
+
+    def add_column(self, name: str, spark_type) -> int:
+        """Add-column DDL: fresh field id, always optional (old files
+        null-fill)."""
+        from ic_spark.compaction.iceberg_meta import spark_to_iceberg_type
+
+        def mutate(fields, state):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} already exists")
+            fid = state["last_column_id"] + 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": name,
+                    "required": False,
+                    "type": spark_to_iceberg_type(spark_type),
+                }
+            )
+            return fields, fid
+
+        return self._evolve_schema(mutate)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename DDL: the field id is the identity; only the name moves."""
+
+        def mutate(fields, state):
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} already exists")
+            tgt = next((f for f in fields if f["name"] == old), None)
+            if tgt is None:
+                raise ValueError(f"no column {old!r}")
+            tgt["name"] = new
+            return fields, state["last_column_id"]
+
+        return self._evolve_schema(mutate)
+
+    def promote_column(self, name: str, spark_type) -> int:
+        """Widening promotion, validated by the same rule the scan
+        enforces (evolution.is_promotable)."""
+        from ic_spark.compaction.evolution import is_promotable
+        from ic_spark.compaction.iceberg_meta import (
+            iceberg_to_spark_type,
+            spark_to_iceberg_type,
+        )
+
+        def mutate(fields, state):
+            tgt = next((f for f in fields if f["name"] == name), None)
+            if tgt is None:
+                raise ValueError(f"no column {name!r}")
+            src_t = iceberg_to_spark_type(tgt["type"])
+            if not is_promotable(src_t, spark_type):
+                raise ValueError(
+                    f"cannot promote {name}: {src_t.simpleString()} -> "
+                    f"{spark_type.simpleString()} is not an Iceberg widening"
+                )
+            tgt["type"] = spark_to_iceberg_type(spark_type)
+            return fields, state["last_column_id"]
+
+        return self._evolve_schema(mutate)
+
+    def drop_column(self, name: str) -> int:
+        """Drop DDL: the field leaves the schema, its id is retired
+        (last_column_id never decreases), so a later re-add gets a
+        fresh id and old files' data never resurrects.  Rejected while
+        any partition spec sources the column."""
+
+        def mutate(fields, state):
+            tgt = next((f for f in fields if f["name"] == name), None)
+            if tgt is None:
+                raise ValueError(f"no column {name!r}")
+            for sid, spec in state.get("partition_specs", {}).items():
+                for pf in spec:
+                    if (
+                        pf.get("source", pf["name"]) == name
+                        and pf["transform"] != "void"
+                    ):
+                        raise ValueError(
+                            f"cannot drop {name!r}: partition spec {sid} "
+                            f"field {pf['name']!r} sources it; remove the "
+                            "partition field first"
+                        )
+            return [f for f in fields if f["name"] != name], state[
+                "last_column_id"
+            ]
+
+        return self._evolve_schema(mutate)
+
+    def move_column(
+        self,
+        name: str,
+        before: str | None = None,
+        after: str | None = None,
+        first: bool = False,
+    ) -> int:
+        """Reorder DDL (FIRST / BEFORE x / AFTER x): field order changes,
+        ids and data files don't."""
+        if sum((before is not None, after is not None, first)) != 1:
+            raise ValueError("pass exactly one of before=, after=, first=True")
+
+        def mutate(fields, state):
+            tgt = next((f for f in fields if f["name"] == name), None)
+            if tgt is None:
+                raise ValueError(f"no column {name!r}")
+            rest = [f for f in fields if f["name"] != name]
+            if first:
+                idx = 0
+            else:
+                anchor = before or after
+                pos = next(
+                    (i for i, f in enumerate(rest) if f["name"] == anchor),
+                    None,
+                )
+                if pos is None:
+                    raise ValueError(f"no anchor column {anchor!r}")
+                idx = pos if before else pos + 1
+            return rest[:idx] + [tgt] + rest[idx:], state["last_column_id"]
+
+        return self._evolve_schema(mutate)
+
+    def make_optional(self, name: str) -> int:
+        """required→optional relaxation (the inverse is illegal)."""
+
+        def mutate(fields, state):
+            tgt = next((f for f in fields if f["name"] == name), None)
+            if tgt is None:
+                raise ValueError(f"no column {name!r}")
+            tgt["required"] = False
+            return fields, state["last_column_id"]
+
+        return self._evolve_schema(mutate)
+
     # -- partition-spec evolution --------------------------------------
     #
     # Iceberg tables carry a REGISTRY of partition specs: each data file
@@ -306,6 +542,9 @@ class ManifestTable:
         specs = self.partition_specs()
         data, pos, eq = [], [], []
         seen: set[str] = set()
+        boundaries = self._schema_boundaries()
+        if boundaries is not None:
+            from ic_spark.compaction.iceberg_meta import resolve_write_schema_id
         for f in snap.files:
             task = FileScanTask(
                 data_file_path=f["path"],
@@ -318,6 +557,13 @@ class ManifestTable:
                 # analog, sources/puffin.py); data files may be
                 # avro/orc/parquet.
                 file_format=f.get("file_format", "parquet"),
+                write_schema_id=(
+                    resolve_write_schema_id(
+                        boundaries, f.get("sequence_number", 0)
+                    )
+                    if boundaries is not None
+                    else None
+                ),
             )
             if task.content is FileContent.DATA:
                 if data_filter and not _file_may_match(f, data_filter):

@@ -69,8 +69,13 @@ class Compaction:
             if not hasattr(table, "schema"):
                 raise ValueError("schema required for tables without schema metadata")
             schema = table.schema()
+            if schema is None:
+                raise ValueError("schema required for tables without schema metadata")
         name_mapping = (
             table.name_mapping() if hasattr(table, "name_mapping") else None
+        )
+        schema_history = (
+            table.schema_history() if hasattr(table, "schema_history") else None
         )
         # Partition-spec evolution: rewrite under the table's CURRENT
         # default spec — files written under older specs (or before any
@@ -96,6 +101,7 @@ class Compaction:
             partition_spec=spec_fields,
             target_partitions=target_partitions,
             name_mapping=name_mapping,
+            schema_history=schema_history,
         )
         response = rewrite_files(self.spark, request)
 
@@ -475,6 +481,16 @@ class Compaction:
                     equality_delete_files=eq,
                     dir_path=out_dir,
                     target_partitions=target_partitions,
+                    name_mapping=(
+                        table.name_mapping()
+                        if hasattr(table, "name_mapping")
+                        else None
+                    ),
+                    schema_history=(
+                        table.schema_history()
+                        if hasattr(table, "schema_history")
+                        else None
+                    ),
                 ),
             )
             merged.data_files.extend(response.data_files)

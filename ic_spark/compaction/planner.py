@@ -64,6 +64,7 @@ def _scan_with_hidden_cols(
     with_pos: bool = False,
     columns: list[str] | None = None,
     name_mapping: dict | None = None,
+    schema_history: dict | None = None,
 ) -> DataFrame | None:
     """Scan file tasks, grouped by sequence number, with hidden columns.
 
@@ -81,27 +82,43 @@ def _scan_with_hidden_cols(
     """
     if not tasks:
         return None
-    # Group by (sequence number, file format): one multi-path scan per
-    # group.  The reference's task list mixes formats freely
-    # (DataFileFormat enum, proto.rs:282-289).
-    by_seq: dict[tuple[int, str], list[str]] = defaultdict(list)
+    cur_sid = schema_history["current_id"] if schema_history else None
+    # Group by (sequence number, file format, write schema): one
+    # multi-path scan per group.  The reference's task list mixes
+    # formats freely (DataFileFormat enum, proto.rs:282-289); the
+    # write-schema component only splits groups on multi-schema tables
+    # with activation tracking (schema_history present).
+    by_seq: dict[tuple[int, str, int | None], list[str]] = defaultdict(list)
     for t in tasks:
         fmt = getattr(t, "file_format", "parquet") or "parquet"
-        by_seq[(t.sequence_number, fmt)].append(t.data_file_path)
+        wsid = (
+            getattr(t, "write_schema_id", None) if schema_history else None
+        )
+        by_seq[(t.sequence_number, fmt, wsid)].append(t.data_file_path)
 
     if schema is not None:
-        # Footer validation is a Parquet-metadata check.
+        # Footer validation is a Parquet-metadata check.  Groups with a
+        # known non-current write schema are validated against METADATA
+        # types instead (their footers legitimately differ — dropped or
+        # renamed columns), so only name-resolved files are checked here.
         parquet_paths = [
             t.data_file_path
             for t in tasks
             if (getattr(t, "file_format", "parquet") or "parquet") == "parquet"
+            and (
+                not schema_history
+                or getattr(t, "write_schema_id", None) in (None, cur_sid)
+            )
         ]
         if parquet_paths:
             validate_file_schemas(parquet_paths, schema, name_mapping)
 
     parts: list[DataFrame] = []
-    for seq, fmt in sorted(by_seq):
-        paths = by_seq[(seq, fmt)]
+    for key in sorted(
+        by_seq, key=lambda k: (k[0], k[1], -1 if k[2] is None else k[2])
+    ):
+        seq, fmt, wsid = key
+        paths = by_seq[key]
         if fmt != "parquet":
             parts.append(
                 _scan_non_parquet_group(
@@ -109,21 +126,31 @@ def _scan_with_hidden_cols(
                 )
             )
             continue
-        reader = spark.read
-        if schema is not None and not name_mapping:
-            reader = reader.schema(schema)
-        elif name_mapping:
-            # Renames: merge old+new footers so both name generations
-            # are visible to the evolved projection.
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
         cols: list = []
-        if name_mapping and schema is not None:
-            cols.extend(evolved_projection(df.schema, schema, name_mapping))
-        elif columns:
-            cols.extend(F.col(c) for c in columns)
+        if wsid is not None and wsid != cur_sid:
+            # Field-id resolution against the group's WRITE schema
+            # (Iceberg exact semantics): renames read the old name,
+            # widenings cast, absent ids null-fill — and a re-added
+            # column (same name, NEW id) nulls instead of resurrecting
+            # the dropped column's data.
+            df, cols = _history_projection(
+                spark, paths, schema_history, wsid, columns
+            )
         else:
-            cols.append(F.col("*"))
+            reader = spark.read
+            if schema is not None and not name_mapping:
+                reader = reader.schema(schema)
+            elif name_mapping:
+                # Renames: merge old+new footers so both name
+                # generations are visible to the evolved projection.
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*paths)
+            if name_mapping and schema is not None:
+                cols.extend(evolved_projection(df.schema, schema, name_mapping))
+            elif columns:
+                cols.extend(F.col(c) for c in columns)
+            else:
+                cols.append(F.col("*"))
         if with_seq:
             # Reference add_seq_num_into_batch: per-file constant.
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
@@ -140,6 +167,53 @@ def _scan_with_hidden_cols(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _history_projection(
+    spark: SparkSession,
+    paths: list[str],
+    schema_history: dict,
+    wsid: int,
+    columns: list[str] | None,
+):
+    """Scan one group of files under its WRITE schema and build the
+    field-id projection onto the current schema.
+
+    Returns ``(df, cols)``: the reader enforces the write schema (types
+    as written — stable reads), and each current field resolves to the
+    write schema's same-ID column (renamed: old name; widened: cast;
+    absent id: typed NULL).  Widenings are validated against the
+    metadata types (evolution.is_promotable) — no footer I/O needed.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import is_promotable
+
+    write_fields = schema_history["schemas"][wsid]
+    cur_fields = schema_history["schemas"][schema_history["current_id"]]
+    if columns:
+        wanted = set(columns)
+        cur_fields = tuple(f for f in cur_fields if f[1] in wanted)
+    write_struct = StructType(
+        [StructField(nm, tp, nullable) for _, nm, tp, nullable in write_fields]
+    )
+    df = spark.read.schema(write_struct).parquet(*paths)
+    id_to_old = {fid: (nm, tp) for fid, nm, tp, _ in write_fields}
+    cols = []
+    for fid, name, tp, _ in cur_fields:
+        if fid in id_to_old:
+            old_nm, old_tp = id_to_old[fid]
+            if old_tp != tp and not is_promotable(old_tp, tp):
+                raise ValueError(
+                    f"schema {wsid} field {old_nm!r} "
+                    f"({old_tp.simpleString()}) cannot widen to current "
+                    f"{name!r} ({tp.simpleString()})"
+                )
+            c = F.col(old_nm).cast(tp) if old_tp != tp else F.col(old_nm)
+            cols.append(c.alias(name))
+        else:
+            cols.append(F.lit(None).cast(tp).alias(name))
+    return df, cols
 
 
 def _scan_non_parquet_group(
@@ -312,6 +386,7 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
         with_seq=has_eq,   # seq only added when equality deletes exist
         with_pos=has_pos,  # path/pos only when position deletes exist
         name_mapping=request.name_mapping,
+        schema_history=request.schema_history,
     )
     if data is None:
         raise ValueError("rewrite request has no data files")

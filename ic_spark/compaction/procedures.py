@@ -29,9 +29,11 @@ def rewrite_data_files(spark, table, strategy: str = "binpack", **kw):
     ``full`` (whole-table rewrite with delete application)."""
     c = _compaction(spark)
     schema = kw.get("schema")
-    if schema is None and not hasattr(table, "schema"):
-        # JSON-manifest tables carry no schema metadata: derive it from
-        # the current read (spec tables resolve their own).
+    if schema is None and (
+        not hasattr(table, "schema") or table.schema() is None
+    ):
+        # Tables without schema metadata: derive it from the current
+        # read (schema-tracking tables resolve their own).
         from ic_spark.compaction.deletes import read_table
 
         schema = read_table(spark, table).schema

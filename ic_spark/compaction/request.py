@@ -54,6 +54,12 @@ class FileScanTask:
     record_count: int = 0
     # Reference DataFileFormat enum (proto.rs:282-289): avro/orc/parquet.
     file_format: str = "parquet"
+    # The schema id the file was WRITTEN under (derived from sequence-
+    # number boundaries recorded at each schema-evolution commit).
+    # None = unknown -> resolve columns by name / name-mapping; set ->
+    # exact field-id resolution (drop-then-re-add never resurrects old
+    # column data).  See RewriteFilesRequest.schema_history.
+    write_schema_id: int | None = None
 
 
 @dataclass(frozen=True)
@@ -156,6 +162,16 @@ class RewriteFilesRequest:
     # request schema; widening promotions (int->long, float->double,
     # decimal precision) apply on top.  See compaction/evolution.py.
     name_mapping: dict | None = None
+    # Full field-id schema history (Iceberg "Schema Evolution" exact
+    # semantics): {"current_id": int, "schemas": {schema_id:
+    # ((field_id, name, DataType, nullable), ...)}}.  When set, data
+    # file groups whose ``write_schema_id`` differs from current are
+    # projected by FIELD ID against their write schema — renames read
+    # the old column name, widenings cast, fields absent from the write
+    # schema null-fill, and a DROPPED-then-RE-ADDED column (same name,
+    # new id) never resurrects the old column's data.  Tasks without a
+    # write_schema_id fall back to name / name-mapping resolution.
+    schema_history: dict | None = None
 
 
 @dataclass

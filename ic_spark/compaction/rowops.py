@@ -72,7 +72,9 @@ def predicate_column(where: list[tuple]):
 
 def _infer_schema(spark: SparkSession, table: ManifestTable) -> StructType:
     if hasattr(table, "schema"):
-        return table.schema()
+        s = table.schema()
+        if s is not None:
+            return s
     data, _, _ = table.scan_tasks()
     if not data:
         raise ValueError("empty table and no schema given")
@@ -112,6 +114,9 @@ def _rewrite_and_commit(
     name_mapping = (
         table.name_mapping() if hasattr(table, "name_mapping") else None
     )
+    schema_history = (
+        table.schema_history() if hasattr(table, "schema_history") else None
+    )
     new_seq = _next_seq(candidates, eq)
     out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
     response = rewrite_files(
@@ -125,6 +130,7 @@ def _rewrite_and_commit(
             partition_spec=spec_fields,
             target_partitions=max(1, len(candidates)),
             name_mapping=name_mapping,
+            schema_history=schema_history,
         ),
         transform=transform,
     )

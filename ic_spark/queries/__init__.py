@@ -43,6 +43,14 @@ _PRIORITY = [
     # text_bpeish_token_count (token counting attested in-window by
     # text_token_stats; its oracle stays in pytest).
     "mor_schema_evolution",
+    # Drop-then-re-add schema evolution: the re-added column has a NEW
+    # field id, so old files must read NULL (no resurrection) — exact
+    # per-file write-schema resolution via sequence-number activation
+    # boundaries.  Slot freed by demoting q12_priority_shipping
+    # (conditional-sum shape attested in-window by q8_market_share's
+    # CASE-inside-agg and pivot_returnflag_revenue's conditional sums;
+    # q12's oracle stays in pytest).
+    "mor_schema_drop_readd",
     # Two-SPEC table: real fanout-written files pruned by each file's
     # own partition spec + seq-guarded delete (partition evolution).
     # Slot freed by demoting text_fingerprint (content fingerprinting
@@ -92,7 +100,8 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
-    "q12_priority_shipping",
+    # q12_priority_shipping: demoted past the window (see the
+    # mor_schema_drop_readd slot note); oracle stays in pytest.
     "q13_customer_distribution",
     "q16_parts_supplier_count",
     # q17_small_quantity_revenue: demoted past the window (correlated

@@ -400,6 +400,122 @@ def mor_schema_evolution(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "mor_schema_drop_readd",
+    oracle="""
+    WITH old_gen AS (
+        -- seq-1 files were written WITH a populated s_comment column,
+        -- but the column was DROPPED and RE-ADDED since: the re-added
+        -- field has a NEW id, so old files must read NULL (no
+        -- resurrection of dropped data).
+        SELECT s_suppkey, CAST(NULL AS VARCHAR) AS s_comment,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal, 1 AS seq
+        FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    new_gen AS (
+        SELECT s_suppkey, s_name AS s_comment,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal, 2 AS seq
+        FROM supplier WHERE s_suppkey % 2 = 1
+    ),
+    data AS (SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen),
+    dels AS (SELECT s_suppkey, 2 AS seq FROM supplier WHERE s_suppkey % 5 = 0)
+    SELECT d.s_suppkey, d.s_comment, d.s_acctbal
+    FROM data d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dels e
+        WHERE e.s_suppkey = d.s_suppkey AND d.seq < e.seq
+    )
+    """,
+)
+def mor_schema_drop_readd(spark: SparkSession, sf_dir: str):
+    """Merge-on-read over a DROP-then-RE-ADD table — the other half of
+    the schema-evolution matrix (Iceberg spec: a dropped field's id is
+    retired; re-adding the name allocates a NEW id, so data written for
+    the old field can never resurrect).
+
+    Gen-1 files (seq 1, even suppkeys) are written with a POPULATED
+    ``s_comment``; the column is then dropped, re-added, and MOVED
+    after the key (reorder DDL).  Gen-2 files (seq 2, odd suppkeys)
+    carry new values under the re-added field.  An equality delete
+    committed at seq 2 (same commit as gen-2 — the upsert pattern)
+    hides ``%5`` keys from strictly-older files only.  The scan
+    resolves each file against the schema it was WRITTEN under via
+    sequence-number activation boundaries (field-id resolution,
+    compaction/iceberg_meta.py) — old files null the re-added column,
+    new files read it; over-nulling or resurrection fails the hash.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StringType
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    s = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="mor_dra_")
+
+    def one_file(df, tag: str) -> str:
+        p = os.path.join(tmp, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        return next(
+            os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+        )
+
+    def entry(path, content="DATA", **kw):
+        rc, cs, _ = (
+            _stats_from_footer(path, os.path.dirname(path))
+            if content == "DATA"
+            else (0, None, None)
+        )
+        e = {
+            "path": path,
+            "content": content,
+            "file_size_in_bytes": os.path.getsize(path),
+            **kw,
+        }
+        if content == "DATA":
+            e["record_count"] = rc
+            e["column_stats"] = cs
+        return e
+
+    gen1 = s.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey",
+        # POPULATED under the original field id — must read NULL after
+        # the drop + re-add (fixture supplier has no comment column, so
+        # derive a non-null stand-in).
+        F.concat(F.lit("old-"), F.col("s_name")).alias("s_comment"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    tbl = IcebergTable.create(os.path.join(tmp, "t"), gen1.schema)
+    tbl.append_snapshot([entry(one_file(gen1, "gen1"))])  # seq 1
+
+    tbl.drop_column("s_comment")
+    tbl.add_column("s_comment", StringType())  # fresh field id
+    tbl.move_column("s_comment", after="s_suppkey")  # reorder DDL
+
+    gen2 = s.where(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        F.col("s_name").alias("s_comment"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    dels = s.where(F.col("s_suppkey") % 5 == 0).select("s_suppkey")
+    # One commit (seq 2): gen-2 data + the equality delete — the upsert
+    # pattern; the strict < guard protects same-sequence rows.
+    tbl.append_snapshot(
+        [
+            entry(one_file(gen2, "gen2")),
+            entry(
+                one_file(dels, "del"),
+                content="EQUALITY_DELETES",
+                equality_ids=["s_suppkey"],
+            ),
+        ]
+    )
+    return read_table(spark, tbl).select("s_suppkey", "s_comment", "s_acctbal")
+
+
+@query(
     "mor_partition_evolution",
     oracle="""
     WITH bound AS (SELECT CAST(max(o_orderkey) // 3 AS BIGINT) AS lo FROM orders)

@@ -106,10 +106,12 @@ class Table:
 
         import uuid as _uuid
 
-        if hasattr(self.inner, "schema"):
+        target = (
+            self.inner.schema() if hasattr(self.inner, "schema") else None
+        )
+        if target is not None:
             import pyspark.sql.functions as F
 
-            target = self.inner.schema()
             df = df.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
@@ -212,23 +214,31 @@ class Table:
     def expire_snapshots(self) -> list[str]:
         return self.inner.expire_snapshots()
 
-    # -- schema / partition DDL (spec-metadata tables) -----------------
+    # -- schema / partition DDL (both metadata flavors; the JSON flavor
+    # needs register_schema first) -------------------------------------
 
     def add_column(self, name: str, spark_type) -> int:
-        from ic_spark.compaction.iceberg_meta import add_column
-
-        return add_column(self.inner, name, spark_type)
+        return self.inner.add_column(name, spark_type)
 
     def rename_column(self, old: str, new: str) -> int:
-        from ic_spark.compaction.iceberg_meta import rename_column
-
-        return rename_column(self.inner, old, new)
+        return self.inner.rename_column(old, new)
 
     def promote_column(self, name: str, spark_type) -> int:
         """Widening promotion (int→long, float→double, decimal scale)."""
-        from ic_spark.compaction.iceberg_meta import promote_column
+        return self.inner.promote_column(name, spark_type)
 
-        return promote_column(self.inner, name, spark_type)
+    def drop_column(self, name: str) -> int:
+        """Drop a column (metadata-only; the field id retires, so a
+        later re-add of the same name never resurrects old data)."""
+        return self.inner.drop_column(name)
+
+    def move_column(self, name: str, **kw) -> int:
+        """Reorder a column: ``first=True`` / ``before=x`` / ``after=x``."""
+        return self.inner.move_column(name, **kw)
+
+    def make_optional(self, name: str) -> int:
+        """Relax a required column to optional (inverse is rejected)."""
+        return self.inner.make_optional(name)
 
     def update_partition_spec(self, fields: list[dict]) -> int:
         return self.inner.update_partition_spec(fields)

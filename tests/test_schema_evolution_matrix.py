@@ -1,0 +1,246 @@
+"""Schema-evolution matrix: drop / re-add / reorder / required→optional
+on BOTH metadata flavors (spec Avro-manifest IcebergTable and JSON
+ManifestTable), with exact per-file write-schema resolution.
+
+Semantics under test (Iceberg spec "Schema Evolution"; the reference's
+field-id handling is decoded at /root/reference/core/src/parser/
+proto.rs:171-279 — ids are the identity, names are labels):
+
+- drop retires the field id; re-adding the same NAME allocates a fresh
+  id, so data written for the dropped field can never resurrect;
+- reorder changes projection order only;
+- required→optional is legal, the inverse is not;
+- files written under older schemas resolve by FIELD ID against the
+  schema they were written with (sequence-number activation boundaries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import LongType, StringType
+
+from ic_spark.compaction.deletes import (
+    _next_sequence_number,
+    read_table,
+    write_position_deletes,
+)
+from ic_spark.compaction.iceberg_meta import IcebergTable
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.writer import _stats_from_footer
+
+
+def _mk_table(spark, tmp_path, flavor: str, tag: str):
+    root = str(tmp_path / f"{flavor}_{tag}")
+    df = spark.range(0, 10).select(
+        "id",
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    if flavor == "spec":
+        tbl = IcebergTable.create(root, df.schema)
+    else:
+        tbl = ManifestTable(root)
+        os.makedirs(root, exist_ok=True)
+        tbl.register_schema(df.schema)
+    _append(spark, tbl, df, tmp_path, f"{flavor}_{tag}_g1")
+    return tbl
+
+
+def _append(spark, tbl, df, tmp_path, tag: str):
+    d = str(tmp_path / f"seed_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    rc, cs, _ = _stats_from_footer(f, d)
+    entry = {
+        "path": f,
+        "content": "DATA",
+        "record_count": rc,
+        "file_size_in_bytes": os.path.getsize(f),
+        "column_stats": cs,
+    }
+    if isinstance(tbl, ManifestTable):
+        entry["sequence_number"] = _next_sequence_number(tbl)
+    tbl.append_snapshot([entry])
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_drop_readd_never_resurrects(spark, tmp_path, flavor):
+    tbl = _mk_table(spark, tmp_path, flavor, "dra")
+    tbl.drop_column("note")
+    assert [f.name for f in tbl.schema().fields] == ["id", "val"]
+
+    # Read after drop: the column is simply gone.
+    cols = read_table(spark, tbl).columns
+    assert cols == ["id", "val"]
+
+    tbl.add_column("note", StringType())
+    g2 = spark.range(10, 14).select(
+        "id",
+        (F.col("id") * 1.5).alias("val"),
+        F.concat(F.lit("NEW"), F.col("id")).alias("note"),
+    )
+    _append(spark, tbl, g2, tmp_path, f"{flavor}_dra_g2")
+
+    rows = {r.id: r.note for r in read_table(spark, tbl).collect()}
+    assert len(rows) == 14
+    for i in range(10):
+        assert rows[i] is None, f"dropped data resurrected for id {i}: {rows[i]}"
+    for i in range(10, 14):
+        assert rows[i] == f"NEW{i}"
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_move_column_reorders_projection(spark, tmp_path, flavor):
+    tbl = _mk_table(spark, tmp_path, flavor, "mv")
+    tbl.move_column("val", first=True)
+    assert [f.name for f in tbl.schema().fields] == ["val", "id", "note"]
+    assert read_table(spark, tbl).columns == ["val", "id", "note"]
+    tbl.move_column("val", after="id")
+    assert [f.name for f in tbl.schema().fields] == ["id", "val", "note"]
+    tbl.move_column("note", before="val")
+    assert [f.name for f in tbl.schema().fields] == ["id", "note", "val"]
+    # Values ride along with their ids regardless of order.
+    r = {x.id: (x.note, x.val) for x in read_table(spark, tbl).collect()}
+    assert r[3] == ("n3", 4.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        tbl.move_column("note")
+    with pytest.raises(ValueError, match="anchor"):
+        tbl.move_column("note", after="zzz")
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_make_optional_relaxes_required(spark, tmp_path, flavor):
+    root = str(tmp_path / f"{flavor}_opt")
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),  # required
+            StructField("v", StringType(), True),
+        ]
+    )
+    if flavor == "spec":
+        tbl = IcebergTable.create(root, schema)
+    else:
+        tbl = ManifestTable(root)
+        os.makedirs(root, exist_ok=True)
+        tbl.register_schema(schema)
+    assert not tbl.schema()["id"].nullable
+    tbl.make_optional("id")
+    assert tbl.schema()["id"].nullable
+    with pytest.raises(ValueError, match="no column"):
+        tbl.make_optional("zzz")
+
+
+def test_drop_rejected_while_partition_spec_sources_it(spark, tmp_path):
+    # Spec flavor: identity-partitioned on a column -> drop must fail.
+    root = str(tmp_path / "spec_part")
+    df = spark.range(0, 5).select("id", (F.col("id") % 2).alias("bucket"))
+    tbl = IcebergTable.create(root, df.schema, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition spec"):
+        tbl.drop_column("bucket")
+    # JSON flavor: registered spec sourcing the column.
+    root2 = str(tmp_path / "json_part")
+    t2 = ManifestTable(root2)
+    os.makedirs(root2, exist_ok=True)
+    t2.register_schema(df.schema)
+    t2.update_partition_spec(
+        [{"name": "bucket_p", "source": "bucket", "transform": "identity"}]
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        t2.drop_column("bucket")
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_full_compact_upgrades_dropped_readded(spark, tmp_path, flavor):
+    """Compaction rewrites old files under the CURRENT schema: after the
+    rewrite every file is current-generation, and the dropped data is
+    physically gone (re-read without history still nulls)."""
+    from ic_spark.compaction.orchestrator import Compaction
+
+    tbl = _mk_table(spark, tmp_path, flavor, "fc")
+    tbl.drop_column("note")
+    tbl.add_column("note", StringType())
+    g2 = spark.range(10, 12).select(
+        "id",
+        (F.col("id") * 1.5).alias("val"),
+        F.lit("fresh").alias("note"),
+    )
+    _append(spark, tbl, g2, tmp_path, f"{flavor}_fc_g2")
+    Compaction(spark).full_compact(tbl)
+    rows = {r.id: r.note for r in read_table(spark, tbl).collect()}
+    assert rows[0] is None and rows[11] == "fresh" and len(rows) == 12
+    # Post-compaction files must not even CONTAIN old note values.
+    data, _, _ = tbl.scan_tasks()
+    raw = spark.read.parquet(*[t.data_file_path for t in data])
+    assert raw.where(F.col("note").startswith("n")).count() == 0
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_mor_delete_over_drop_readd_table(spark, tmp_path, flavor):
+    """Position deletes evaluated over the evolved read: predicate on
+    the re-added column targets only new-generation rows (old rows are
+    NULL there and null never matches)."""
+    tbl = _mk_table(spark, tmp_path, flavor, "del")
+    tbl.drop_column("note")
+    tbl.add_column("note", StringType())
+    g2 = spark.range(10, 14).select(
+        "id",
+        (F.col("id") * 1.5).alias("val"),
+        F.concat(F.lit("NEW"), F.col("id")).alias("note"),
+    )
+    _append(spark, tbl, g2, tmp_path, f"{flavor}_del_g2")
+    write_position_deletes(spark, tbl, F.col("note") == "NEW11")
+    rows = {r.id for r in read_table(spark, tbl).collect()}
+    assert rows == set(range(14)) - {11}
+
+
+def test_legacy_spec_table_falls_back_to_name_mapping(spark, tmp_path):
+    """A table whose metadata predates activation tracking (property
+    stripped) must keep the name-mapping read path working."""
+    tbl = _mk_table(spark, tmp_path, "spec", "legacy")
+    tbl.rename_column("note", "remark")
+    # Strip the activation record as a legacy table would lack it.
+    v = tbl.version()
+    p = os.path.join(tbl.metadata_dir, f"v{v}.metadata.json")
+    meta = json.load(open(p))
+    meta["properties"].pop("ic.schema-activation", None)
+    json.dump(meta, open(p, "w"))
+    assert tbl.schema_history() is None  # legacy: no exact resolution
+    rows = {r.id: r.remark for r in read_table(spark, tbl).collect()}
+    assert rows[2] == "n2"  # rename still resolves via name-mapping
+
+
+def test_register_schema_twice_rejected(spark, tmp_path):
+    root = str(tmp_path / "dup")
+    t = ManifestTable(root)
+    os.makedirs(root, exist_ok=True)
+    df = spark.range(1)
+    t.register_schema(df.schema)
+    with pytest.raises(ValueError, match="already registered"):
+        t.register_schema(df.schema)
+
+
+def test_readd_gets_fresh_field_id(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path, "spec", "fid")
+    meta = tbl.metadata()
+    orig = next(
+        f
+        for s in meta["schemas"]
+        for f in s["fields"]
+        if f["name"] == "note"
+    )
+    tbl.drop_column("note")
+    tbl.add_column("note", StringType())
+    cur = next(
+        s
+        for s in tbl.metadata()["schemas"]
+        if s["schema-id"] == tbl.metadata()["current-schema-id"]
+    )
+    new = next(f for f in cur["fields"] if f["name"] == "note")
+    assert new["id"] != orig["id"]
+    assert new["id"] > orig["id"]
