@@ -25,7 +25,7 @@ from ic_spark.queries import udfs  # noqa: F401
 # joins, array/map outputs, full-outer join, embedding near-dup) has a
 # driver-visible row. The remaining variants
 # (redundant scalar/window/setop shapes) sit past the window but keep
-# full DuckDB-oracle coverage in tests/test_queries_oracle.py.
+# full DuckDB-oracle coverage in tests/test_queries.py.
 _PRIORITY = [
     # Flagship: merge-on-read delete application (reference core).
     "mor_position_delete",

@@ -451,25 +451,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str):
     (deterministic lowest-id seed centroids → oracle-checkable), each
     query probes its 4 nearest cells.  The scale path for ANN when the
     query set is too big to broadcast against the whole corpus: scored
-    candidates are ~nprobe/nlist of the corpus per query."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return ivf_top_k(
-        e,
-        e.where(F.col("vec_id") < 5),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=10,
-        nlist=16,
-        nprobe=4,
-    )
+    candidates are ~nprobe/nlist of the corpus per query.
 
-
-@query("sim_ivf_topk_arrow", oracle=None, headline=True)
-def sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str):
-    """Same IVF search with the Arrow/numpy cell assigner — the scale
-    path (one matmul per batch instead of nlist interpreted cosines per
-    row; ~2x faster at sf0.1).  Rows-only check; end-to-end agreement
-    with the expression path is pinned in tests."""
+    Runs the Arrow/numpy cell assigner (one matmul per batch instead of
+    nlist interpreted cosines per row; ~2x faster at sf0.1) — pinned
+    bit-equal to the expression assigner (``sim_ivf_topk_expr``) in
+    tests, so the shared oracle checks both."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_top_k(
         e,
@@ -480,6 +467,25 @@ def sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str):
         nlist=16,
         nprobe=4,
         use_arrow=True,
+    )
+
+
+@query("sim_ivf_topk_expr", oracle=None, headline=True)
+def sim_ivf_topk_expr(spark: SparkSession, sf_dir: str):
+    """Same IVF search with the pure-expression cell assigner (zero
+    Python in the plan — the whole-stage-codegen twin; formerly the
+    headline ``sim_ivf_topk`` path, renamed when the Arrow assigner was
+    promoted).  Rows-only check here; end-to-end agreement with the
+    Arrow path is pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
     )
 
 
