@@ -77,6 +77,16 @@ def main() -> None:
         sf1_timings = run_sf1_probe(spark)
         record["sf1_queries"] = sf1_timings
         record["sf1_value"] = round(sum(sf1_timings.values()), 3)
+        if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+            skew, uniform, skew_rows, uniform_rows = run_skew_probe(spark)
+            record["skew_queries"] = skew
+            record["skew_uniform_queries"] = uniform
+            record["skew_rows"] = skew_rows
+            record["skew_uniform_rows"] = uniform_rows
+            record["skew_ratios"] = {
+                k: round(skew[k] / uniform[k], 2) if uniform[k] else None
+                for k in skew
+            }
 
     print(json.dumps(record))
 
@@ -173,6 +183,171 @@ def run_sf1_probe(spark) -> dict[str, float]:
         timings[name] = round(best, 3)
         print(f"# sf1 {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
     return timings
+
+
+# --------------------------------------------------------- skew stress probe
+#
+# Real 100 TB corpora have hot keys the uniform sf1 replication can't
+# show: one blocking key holding ~10% of documents, one join key holding
+# ~10% of fact rows.  This probe SKEWS the sf1 data and re-times the
+# skew-sensitive queries against their uniform-sf1 numbers, so the
+# BENCH record shows whether AQE skew-split + the operators' bounded
+# designs hold wall time sub-quadratic under hot keys.
+#
+# Three skew datasets, one per phenomenon, each derived from the
+# uniform sf1 tables (mixing them would conflate "hot key" overhead
+# with legitimately bigger outputs):
+#
+# - block/: jaccard hot BLOCK — every doc_id % 10 == 0 doc relabeled
+#   (lang='en', source='hot') -> one (lang, source) block holds ~10% of
+#   the corpus, ~25-50x the pairwise work of the biggest uniform block.
+#   AQE's skew-join never fires here (a few MB of rows is far below its
+#   byte threshold) — the operator's adaptive sub-block salting + the
+#   length filter are what's under test.
+# - lsh/: minhash hot BUCKETS — docs with doc_id % 10 == 0 and >= 60
+#   tokens gain a shared 100-token prefix of corpus-foreign tokens.
+#   Signatures collide into large LSH buckets (P(band match) ~
+#   (100/160)^4 ~ 0.15) while TRUE 3-shingle Jaccard stays BELOW the
+#   0.5 verify threshold (~100 shared / >=220 union), so the candidate
+#   explosion is adversarial work the verify stage must absorb, not
+#   legitimate output growth.
+# - join/: lineitem rows with l_orderkey % 10 == 0 get l_partkey = 1
+#   (one key holds ~10% of 6M rows).  The probe joins lineitem x part
+#   on that key with broadcast DISABLED, forcing the shuffled-join path
+#   AQE's OptimizeSkewedJoin must rescue — the 100 TB fact-dim shape
+#   where the dim no longer broadcasts.
+
+SKEW_PREFIX_TOKENS = 100
+
+
+def ensure_skew_dirs(spark, sf1_dir: str) -> str:
+    import pyspark.sql.functions as F
+
+    out_dir = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/ic_spark_sf1_skew")
+    marker = os.path.join(out_dir, "_GENERATED")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    hot = F.col("doc_id") % 10 == 0
+
+    # block/: hot (lang, source) block, text untouched.
+    (
+        docs.withColumn("lang", F.when(hot, F.lit("en")).otherwise(F.col("lang")))
+        .withColumn("source", F.when(hot, F.lit("hot")).otherwise(F.col("source")))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "block", "documents.parquet"))
+    )
+
+    # lsh/: shared corpus-foreign prefix on hot long-enough docs.
+    long_enough = F.size(F.split(F.col("text"), " ")) >= 60
+    prefix = " ".join(f"zq{i}" for i in range(SKEW_PREFIX_TOKENS))
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                hot & long_enough, F.concat(F.lit(prefix + " "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lsh", "documents.parquet"))
+    )
+
+    # join/: hot l_partkey + the part dim.
+    li = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+    li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(1)).otherwise(
+            F.col("l_partkey")
+        ),
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "join", "lineitem.parquet")
+    )
+    spark.read.parquet(os.path.join(sf1_dir, "part.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "join", "part.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _join_partkey_agg(spark, d: str):
+    """Fact x dim shuffled join on the (potentially hot) part key."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(d, "part.parquet"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def run_skew_probe(spark) -> tuple[dict[str, float], dict[str, float]]:
+    sf1_dir = ensure_sf1_dir(spark)
+    t0 = time.perf_counter()
+    skew_dir = ensure_skew_dirs(spark, sf1_dir)
+    print(f"# skew data ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    def timed(fn, d) -> tuple[float, int]:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            start = time.perf_counter()
+            rows = fn(d)
+            best = min(best, time.perf_counter() - start)
+        return round(best, 3), rows
+
+    # Output rows are recorded alongside wall time: a hot block merges
+    # previously-separate blocks, so part of the skew wall is
+    # LEGITIMATE result growth (more real near-dup pairs compared and
+    # emitted), not engine overhead — rows_skew/rows_uniform shows how
+    # much.
+    skew: dict[str, float] = {}
+    uniform: dict[str, float] = {}
+    skew_rows: dict[str, int] = {}
+    uniform_rows: dict[str, int] = {}
+    for name, sub in (
+        ("dedup_token_jaccard", "block"),
+        ("dedup_minhash_lsh", "lsh"),
+    ):
+        q = REGISTRY[name]
+        uniform[name], uniform_rows[name] = timed(
+            lambda d: q.fn(spark, d).count(), sf1_dir
+        )
+        skew[name], skew_rows[name] = timed(
+            lambda d: q.fn(spark, d).count(), os.path.join(skew_dir, sub)
+        )
+        print(
+            f"# skew {name}: {skew[name]}s ({skew_rows[name]} rows) vs "
+            f"uniform {uniform[name]}s ({uniform_rows[name]} rows)",
+            file=sys.stderr,
+        )
+
+    # Forced-shuffle join: disable broadcast so AQE's skew-split path is
+    # the one under test (the 100 TB shape where the dim can't broadcast).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        uniform["join_partkey_agg"], uniform_rows["join_partkey_agg"] = timed(
+            lambda d: _join_partkey_agg(spark, d).count(), sf1_dir
+        )
+        skew["join_partkey_agg"], skew_rows["join_partkey_agg"] = timed(
+            lambda d: _join_partkey_agg(spark, d).count(),
+            os.path.join(skew_dir, "join"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    print(
+        f"# skew join_partkey_agg: {skew['join_partkey_agg']}s vs "
+        f"uniform {uniform['join_partkey_agg']}s",
+        file=sys.stderr,
+    )
+    return skew, uniform, skew_rows, uniform_rows
 
 
 if __name__ == "__main__":

@@ -139,14 +139,28 @@ def token_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     hash_tokens: bool = True,
+    subblock_target: int = 1024,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing a blocking key.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     The blocking keys bound the quadratic blow-up: the self-join is an
-    equi-join on the block, so Spark shuffles each side once and AQE
-    splits skewed blocks.  Oversized blocks are the scale hazard —
-    choose blocks so max |block| is ~10^3-10^4.
+    equi-join on the block, so Spark shuffles each side once.
+
+    HOT blocks (one key holding a large corpus fraction) are a COMPUTE
+    skew AQE cannot see — its skew-join heuristic is byte-based, and a
+    few MB of rows expanding to tens of millions of pairs stays in one
+    sort-merge task.  The operator therefore salts adaptively: rows in
+    any block larger than ``subblock_target`` are hashed into
+    ``k = ceil(|block| / subblock_target)`` sub-blocks, and pairs are
+    enumerated over the k(k+1)/2 sub-block-pair CELLS (each row
+    replicated into the k cells containing its salt), which spreads the
+    quadratic work across tasks.  Each unordered pair meets in exactly
+    one cell — (min(sa,sb), max(sa,sb)) when salts differ, the diagonal
+    cell when equal — so results are identical, and blocks at or under
+    the target keep k=1 (single diagonal cell, no replication, the
+    plain blocked join).  Block sizes come from one KB-scale broadcast
+    aggregate.
 
     ``hash_tokens`` (default) intersects sorted xxhash64 arrays instead
     of string arrays — 8-byte compares cut pairwise time ~2x and the
@@ -154,33 +168,145 @@ def token_jaccard_pairs(
     identical unless two DISTINCT tokens inside one compared pair
     collide at 64 bits (~n_tokens^2/2^64 per pair — negligible); pass
     False for the collision-free string path.
+
+    A LENGTH filter rides in the join condition: ``J(A,B) >= t``
+    implies ``min(|A|,|B|) >= t * max(|A|,|B|)`` (intersection is at
+    most the smaller set, union at least the larger), so size-mismatched
+    pairs are dropped by an integer compare before any array intersect.
+    Result-identical; on a hot block (one key holding ~10% of the
+    corpus) it cuts the quadratic intersect work to the size-compatible
+    fraction — the first line of defense the skew bench probe leans on.
     """
     toks = F.array_distinct(tokens(F.col(content_col)))
     if hash_tokens:
         toks = F.array_sort(F.transform(toks, lambda t: F.xxhash64(t)))
     base = df.select(
         F.col(id_col).alias("__id"), *block_cols, toks.alias("__toks")
+    ).withColumn("__n", F.size(F.col("__toks")))
+
+    def pair_condition(extra=None):
+        # Conjunct order matters: Catalyst evaluates the non-equi join
+        # condition in order, so the integer filters must precede the
+        # array intersect (a post-join .where would be pushed in AHEAD
+        # of them and every hash-matched pair would pay the intersect).
+        cond = F.col("id_a") < F.col("id_b")
+        for c in block_cols:
+            cond = cond & (F.col(c) == F.col(f"__b_{c}"))
+        if extra is not None:
+            cond = cond & extra
+        cond = cond & (
+            F.least(F.col("__na"), F.col("__nb")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("__na"), F.col("__nb"))
+        )
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        union = F.col("__na") + F.col("__nb") - inter
+        jac = F.round(inter.cast("double") / union.cast("double"), 6)
+        return cond & (jac >= threshold), jac
+
+    # Adaptive skew detection: one column-pruned partial-agg job over
+    # the block keys; the reduced table is |distinct blocks| rows and
+    # the driver sees ONE number.
+    counts = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    max_block = counts.agg(F.max("__bn")).collect()[0][0] or 0
+
+    if max_block <= subblock_target:
+        # Uniform corpus: the plain blocked self-join, zero overhead.
+        a = base.select(
+            F.col("__id").alias("id_a"),
+            *[F.col(c) for c in block_cols],
+            F.col("__toks").alias("__ta"),
+            F.col("__n").alias("__na"),
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"),
+            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+            F.col("__toks").alias("__tb"),
+            F.col("__n").alias("__nb"),
+        )
+        cond, jac = pair_condition()
+        return a.join(b, on=cond, how="inner").select(
+            "id_a", "id_b", jac.alias("jaccard")
+        )
+
+    # Hot blocks present: sub-block salting (see docstring).  The
+    # block-size table joins back as a broadcast.
+    k = F.greatest(
+        F.lit(1), F.ceil(F.col("__bn") / F.lit(subblock_target))
+    ).cast("int")
+    salted = base.join(F.broadcast(counts), on=block_cols).select(
+        "__id",
+        *block_cols,
+        "__toks",
+        "__n",
+        k.alias("__k"),
+        F.pmod(F.xxhash64(F.col("__id")), k).cast("int").alias("__s"),
     )
-    a = base.select(
+    # Each row lands in the k cells containing its salt: (min(s,w),
+    # max(s,w)) for w in [0, k).
+    cells = F.transform(
+        F.sequence(F.lit(0), F.col("__k") - 1),
+        lambda w: F.struct(
+            F.least(F.col("__s"), w).alias("c1"),
+            F.greatest(F.col("__s"), w).alias("c2"),
+        ),
+    )
+    exploded = salted.select(
+        "__id", *block_cols, "__toks", "__n", "__s", F.explode(cells).alias("__c")
+    ).select(
+        "__id",
+        *block_cols,
+        "__toks",
+        "__n",
+        "__s",
+        F.col("__c.c1").alias("__c1"),
+        F.col("__c.c2").alias("__c2"),
+    )
+
+    a = exploded.select(
         F.col("__id").alias("id_a"),
         *[F.col(c) for c in block_cols],
         F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+        F.col("__s").alias("__sa"),
+        "__c1",
+        "__c2",
     )
-    b = base.select(
+    # Spread the probe side by the join keys: a hot block's k(k+1)/2
+    # cells land on distinct tasks even when the other side broadcasts
+    # (AQE never flags this skew — the BYTES are small; the PAIRS are
+    # not).  The partition count is EXPLICIT: an advisory repartition
+    # would be coalesced back by AQE (the bytes look tiny) and the hot
+    # cells would collapse into one task again.  Under a shuffled join
+    # the same hash distribution satisfies the join's required
+    # clustering, so the exchange is reused, not paid twice.
+    n_spread = a.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(
+        n_spread, *[F.col(c) for c in block_cols], F.col("__c1"), F.col("__c2")
+    )
+    b = exploded.select(
         F.col("__id").alias("id_b"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
         F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+        F.col("__s").alias("__sb"),
+        F.col("__c1").alias("__bc1"),
+        F.col("__c2").alias("__bc2"),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(c) == F.col(f"__b_{c}"))
-    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
-    union = F.size(F.col("__ta")) + F.size(F.col("__tb")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b, on=cond, how="inner")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    # Equi keys: block + cell.  Equal-salt pairs co-occur in every cell
+    # touching that salt; keep only their diagonal cell so each pair is
+    # emitted exactly once.
+    cell_eq = (
+        (F.col("__c1") == F.col("__bc1"))
+        & (F.col("__c2") == F.col("__bc2"))
+        & ((F.col("__sa") != F.col("__sb")) | (F.col("__c1") == F.col("__c2")))
+    )
+    cond, jac = pair_condition(extra=cell_eq)
+    # Shuffle-hash, not broadcast: the hot path's build side carries
+    # replicated token arrays (a broadcast re-ships them to every task
+    # and serializes the build), while a two-sided shuffle on the cell
+    # keys lands each cell's rows on one task with a local hash join.
+    return a.join(b.hint("shuffle_hash"), on=cond, how="inner").select(
+        "id_a", "id_b", jac.alias("jaccard")
     )
 
 

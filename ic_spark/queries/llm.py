@@ -129,11 +129,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     from ic_spark.functions.text import word_shingles
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    # Hashed sorted shingles: 8-byte compares in the verify intersect
+    # instead of ~20-char strings (~2-3x on adversarial candidate
+    # explosions — hot LSH buckets full of near-threshold pairs).
+    # Jaccard values are identical barring 64-bit collisions inside one
+    # pair (~|sh|^2/2^64 — negligible), same trade token_jaccard_pairs
+    # documents.
     sh = (
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
-            F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(word_shingles(F.col("text"), 3)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
         )
     )
     pairs = (
@@ -143,6 +154,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
         # runtime while the sides are actually small.
         cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
+        # Length filter (J >= 0.5 needs min >= 0.5*max shingles): two
+        # int compares ahead of each intersect — result-identical.
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+            >= 0.5 * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter

@@ -895,3 +895,34 @@ def test_c4_line_rules(spark):
     assert out[3].keep_doc == 0  # lorem ipsum gate
     assert out[4].keep_doc == 0  # brace gate
     assert out[5].keep_doc == 0 and out[5].clean_text == ""
+
+
+def test_token_jaccard_subblock_salting_exactly_once(spark):
+    """Sub-block salting (hot-block compute-skew defense) must emit
+    each qualifying pair EXACTLY once and match the unsalted result:
+    forcing k>1 via a tiny subblock_target changes the plan, never the
+    answer."""
+    from ic_spark.operators.dedup import token_jaccard_pairs
+
+    rows = []
+    # One hot block of 40 docs with overlapping token sets + one small
+    # block; several exact-duplicate texts guarantee J=1.0 pairs.
+    for i in range(40):
+        toks = " ".join(f"t{j}" for j in range(i % 5, i % 5 + 20))
+        rows.append((i, "en", "hot", toks))
+    for i in range(40, 46):
+        rows.append((i, "fr", "cold", "a b c d e f g h"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+
+    plain = token_jaccard_pairs(
+        df, "doc_id", "text", ["lang", "source"], threshold=0.5,
+        subblock_target=1_000_000,  # k=1 everywhere: the unsalted plan
+    )
+    salted = token_jaccard_pairs(
+        df, "doc_id", "text", ["lang", "source"], threshold=0.5,
+        subblock_target=8,  # hot block splits into k=5 sub-blocks
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(b) == len(set((x, y) for x, y, _ in b))
+    assert len(b) > 0  # the fixture genuinely produces pairs
