@@ -141,6 +141,7 @@ def write_deletion_vectors(
     spark: SparkSession,
     table: ManifestTable,
     predicate: Column,
+    distributed: bool = False,
 ) -> int:
     """DELETE WHERE predicate as Iceberg-v3-style deletion VECTORS.
 
@@ -171,6 +172,12 @@ def write_deletion_vectors(
         F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
         F.col(SYS_HIDDEN_POS).alias("pos"),
     )
+    # distributed=True streams blobs through executor-written puffin
+    # files (commit_deletion_vectors_distributed) — for deletes
+    # touching many data files; the default keeps the single-file
+    # driver-side layout.
+    if distributed:
+        return commit_deletion_vectors_distributed(spark, table, matches)
     return commit_deletion_vectors(spark, table, matches)
 
 
@@ -295,6 +302,250 @@ def commit_deletion_vectors(
         },
     }
     return table.commit_rewrite([entry], superseded | (extra_removed or set()))
+
+
+def commit_deletion_vectors_distributed(
+    spark: SparkSession,
+    table: ManifestTable,
+    matches: DataFrame,
+    extra_removed: set[str] | None = None,
+    tag: str | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Executor-side deletion-vector commit — the streamed counterpart
+    of :func:`commit_deletion_vectors` for deletes touching MANY data
+    files.
+
+    The driver-side path collects every per-file compressed bitmap to
+    the driver (KB-scale blobs — fine at file granularity, driver
+    pressure when a delete touches 10^6 files).  Here the driver only
+    ever sees MANIFEST rows:
+
+    - positions pack into per-file bitmaps executor-side (same
+      ``applyInPandas`` kernel);
+    - existing puffin DV blobs are expanded executor-side (binaryFile
+      scan), unioned with new bitmaps per referenced file, and
+      untouched blobs of superseded puffins carried forward —
+      byte-identical per-ref bitmaps to the driver-side path (same
+      ``serialize_dv_blob`` over the same position sets);
+    - each output partition writes ONE puffin file holding its blobs;
+      executors emit (path, ref, offset, length, cardinality,
+      file_size) rows, and the driver's only reduction is grouping
+      those rows into manifest entries — O(touched files) metadata,
+      zero blob bytes.
+
+    Table state after the commit is equivalent to the driver-side
+    path's: the same referenced-file → bitmap mapping (pinned
+    byte-identical in tests) under the same one-DV-per-file invariant,
+    distributed over ``num_files`` puffin files (default: the session's
+    parallelism) instead of one.
+    """
+    _, pos, _eq = table.scan_tasks()
+    puffin_paths = sorted(
+        t.data_file_path for t in pos if t.file_format == "puffin"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        from ic_spark.sources.puffin import serialize_dv_blob
+
+        fp = pdf["file_path"].iloc[0]
+        positions = pdf["pos"].tolist()
+        return pd.DataFrame(
+            {
+                "ref": [fp],
+                "dv": [serialize_dv_blob(positions)],
+                "cardinality": [len(set(positions))],
+                "src": ["new"],
+            }
+        )
+
+    row_schema = "ref string, dv binary, cardinality long, src string"
+    packed = matches.groupBy("file_path").applyInPandas(pack, schema=row_schema)
+
+    if puffin_paths:
+
+        def expand_existing(batches):
+            import pandas as pd
+
+            from ic_spark.sources.puffin import DV_BLOB_TYPE, read_puffin
+
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    for b in read_puffin(bytes(content)):
+                        if b.type != DV_BLOB_TYPE:
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "puffin_path": [str(path)],
+                                "ref": [
+                                    b.properties.get("referenced-data-file", "")
+                                ],
+                                "dv": [b.data],
+                                "cardinality": [
+                                    int(b.properties.get("cardinality", "0"))
+                                ],
+                            }
+                        )
+
+        inv = (
+            spark.read.format("binaryFile")
+            .load(puffin_paths)
+            .select("path", "content")
+            .mapInPandas(
+                expand_existing,
+                schema="puffin_path string, ref string, dv binary, cardinality long",
+            )
+        )
+        # binaryFile yields file:-prefixed URIs; manifests store plain
+        # paths — normalize before comparing.
+        plain = F.regexp_replace(F.col("puffin_path"), "^file:", "")
+        inv = inv.withColumn("puffin_path", plain)
+        sup_paths = {
+            r.puffin_path
+            for r in inv.join(
+                packed.select("ref"), on="ref", how="left_semi"
+            )
+            .select("puffin_path")
+            .distinct()
+            .collect()  # puffin file PATHS only — metadata-scale
+        }
+        if sup_paths:
+            old_rows = inv.where(
+                F.col("puffin_path").isin(sorted(sup_paths))
+            ).select("ref", "dv", "cardinality", F.lit("old").alias("src"))
+            rows = packed.unionByName(old_rows)
+        else:
+            rows = packed
+    else:
+        sup_paths = set()
+        rows = packed
+
+    def merge_ref(pdf):
+        import pandas as pd
+
+        from ic_spark.sources.puffin import (
+            deserialize_dv_blob,
+            serialize_dv_blob,
+        )
+
+        ref = pdf["ref"].iloc[0]
+        if len(pdf) == 1:
+            row = pdf.iloc[0]
+            return pd.DataFrame(
+                {
+                    "ref": [ref],
+                    "dv": [bytes(row["dv"])],
+                    "cardinality": [int(row["cardinality"])],
+                }
+            )
+        union: set[int] = set()
+        for blob in pdf["dv"]:
+            union.update(deserialize_dv_blob(bytes(blob)))
+        ordered = sorted(union)
+        return pd.DataFrame(
+            {
+                "ref": [ref],
+                "dv": [serialize_dv_blob(ordered)],
+                "cardinality": [len(ordered)],
+            }
+        )
+
+    merged = rows.groupBy("ref").applyInPandas(
+        merge_ref, schema="ref string, dv binary, cardinality long"
+    )
+
+    # Replay-safe fresh output dir (same contract as the driver path).
+    base = f"dv-{tag or uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(table.root, base)
+    attempt = 0
+    while os.path.exists(out_dir):
+        attempt += 1
+        out_dir = os.path.join(table.root, f"{base}-r{attempt}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_files = num_files or spark.sparkContext.defaultParallelism
+
+    def write_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ic_spark.sources.puffin import DV_BLOB_TYPE, PuffinBlob, write_puffin
+
+        rows = []
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows.append((r["ref"], bytes(r["dv"]), int(r["cardinality"])))
+        if not rows:
+            return
+        rows.sort()
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.puffin")
+        blobs = [
+            PuffinBlob(
+                type=DV_BLOB_TYPE,
+                data=dv,
+                properties={
+                    "referenced-data-file": ref,
+                    "cardinality": str(card),
+                },
+            )
+            for ref, dv, card in rows
+        ]
+        write_puffin(path, blobs)  # populates offsets/lengths
+        size = os.path.getsize(path)
+        yield pd.DataFrame(
+            {
+                "path": [path] * len(blobs),
+                "ref": [b.properties["referenced-data-file"] for b in blobs],
+                "offset": [b.offset for b in blobs],
+                "length": [b.length for b in blobs],
+                "cardinality": [
+                    int(b.properties["cardinality"]) for b in blobs
+                ],
+                "file_size": [size] * len(blobs),
+            }
+        )
+
+    manifest_rows = (
+        merged.repartition(n_files, "ref")
+        .mapInPandas(
+            write_partition,
+            schema="path string, ref string, offset long, length long, "
+            "cardinality long, file_size long",
+        )
+        .collect()  # O(touched files) metadata rows — never blob bytes
+    )
+    if not manifest_rows:
+        raise ValueError("predicate matched no rows")
+
+    by_file: dict[str, list] = {}
+    for r in manifest_rows:
+        by_file.setdefault(r.path, []).append(r)
+    seq = _next_sequence_number(table)
+    entries = []
+    for path in sorted(by_file):
+        rows_ = by_file[path]
+        entries.append(
+            {
+                "path": path,
+                "sequence_number": seq,
+                "content": FileContent.POSITION_DELETES.name,
+                "file_format": "puffin",
+                "file_size_in_bytes": rows_[0].file_size,
+                "record_count": sum(r.cardinality for r in rows_),
+                "deletion_vectors": {
+                    r.ref: {
+                        "offset": r.offset,
+                        "length": r.length,
+                        "cardinality": r.cardinality,
+                    }
+                    for r in rows_
+                },
+            }
+        )
+    return table.commit_rewrite(entries, sup_paths | (extra_removed or set()))
 
 
 def write_equality_deletes(

@@ -392,3 +392,133 @@ def test_deletion_vector_file_multi_dv(tmp_path):
     assert entries["/data/a.parquet"]["cardinality"] == 3
     back = read_deletion_vectors(p)
     assert back == {"/data/a.parquet": [0, 5, 7], "/data/b.parquet": [2]}
+
+
+def test_distributed_dv_commit_matches_driver_path(spark, tmp_path):
+    """commit_deletion_vectors_distributed must produce the SAME table
+    state as the driver-side path: per-referenced-file bitmap bytes
+    identical (same serialize over the same position sets), same
+    visible rows, same supersede behavior — only the puffin file layout
+    (N executor-written files vs one) differs."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import read_table, write_deletion_vectors
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.sources.puffin import DV_BLOB_TYPE, read_puffin
+
+    def mk_table(name):
+        table = ManifestTable(str(tmp_path / name))
+        df = spark.range(0, 300).select(
+            "id", (F.col("id") % 10).alias("bucket")
+        )
+        entries = []
+        for i in range(3):
+            d = str(tmp_path / f"{name}_data{i}")
+            df.where(f"id % 3 = {i}").coalesce(1).write.parquet(d)
+            f = next(
+                os.path.join(d, n)
+                for n in os.listdir(d)
+                if n.endswith(".parquet")
+            )
+            entries.append(
+                {
+                    "path": f,
+                    "sequence_number": 1,
+                    "content": "DATA",
+                    "file_size_in_bytes": os.path.getsize(f),
+                }
+            )
+        table.append_snapshot(entries)
+        # Pre-existing DV so both paths must supersede + union + carry.
+        write_deletion_vectors(spark, table, F.col("bucket") == 3)
+        return table
+
+    def dv_state(table):
+        """{data slice (residue dir) -> blob bytes} over all live puffin
+        entries — parquet part names are uuid-random per clone, but the
+        _data{i} slice dirs identify corresponding files."""
+        import re
+
+        _, pos, _ = table.scan_tasks()
+        out = {}
+        for t in pos:
+            assert t.file_format == "puffin"
+            for b in read_puffin(t.data_file_path):
+                if b.type != DV_BLOB_TYPE:
+                    continue
+                ref = re.search(
+                    r"_data(\d)/", b.properties["referenced-data-file"]
+                ).group(1)
+                assert ref not in out  # one-DV-per-file invariant
+                out[ref] = b.data
+        return out
+
+    t_driver = mk_table("drv")
+    t_dist = mk_table("dst")
+
+    # Data file paths differ between the clones, so compare by basename
+    # is not enough — but the SAME predicate over identically-built
+    # tables yields identical per-file position sets, hence identical
+    # blob bytes per corresponding file.
+    write_deletion_vectors(spark, t_driver, F.col("bucket").isin(5, 7))
+    write_deletion_vectors(
+        spark, t_dist, F.col("bucket").isin(5, 7), distributed=True
+    )
+
+    a, b = dv_state(t_driver), dv_state(t_dist)
+    assert set(a) == set(b)
+    for ref in a:
+        assert a[ref] == b[ref], f"bitmap bytes differ for {ref}"
+
+    ra = sorted(r.id for r in read_table(spark, t_driver).collect())
+    rb = sorted(r.id for r in read_table(spark, t_dist).collect())
+    assert ra == rb
+    assert rb == [i for i in range(300) if i % 10 not in (3, 5, 7)]
+
+    # Supersede: neither table stacks old puffin files.
+    for t in (t_driver, t_dist):
+        _, pos, _ = t.scan_tasks()
+        refs = set()
+        for task in pos:
+            for blob in read_puffin(task.data_file_path):
+                refs.add(blob.properties["referenced-data-file"])
+        assert len(refs) == 3  # one vector per data file, once
+
+
+def test_distributed_dv_commit_over_spec_metadata(spark, tmp_path):
+    """The executor-side DV commit duck-types over the spec-format
+    IcebergTable (per-vector manifest entries, record_count summed)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import read_table, write_deletion_vectors
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    loc = str(tmp_path / "spec_dv")
+    df = spark.range(0, 100).select("id", (F.col("id") % 10).alias("bucket"))
+    tbl = IcebergTable.create(loc, df.schema)
+    d = str(tmp_path / "spec_dv_seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    rc, cs, _ = _stats_from_footer(f, d)
+    tbl.append_snapshot(
+        [
+            {
+                "path": f,
+                "content": "DATA",
+                "record_count": rc,
+                "file_size_in_bytes": os.path.getsize(f),
+                "column_stats": cs,
+            }
+        ]
+    )
+    write_deletion_vectors(spark, tbl, F.col("bucket") == 2, distributed=True)
+    out = read_table(spark, tbl)
+    assert out.count() == 90 and out.where("bucket = 2").count() == 0
+    _, pos, _ = tbl.scan_tasks()
+    assert [t.file_format for t in pos] == ["puffin"]
+    assert pos[0].record_count == 10  # per-vector cardinality summed
