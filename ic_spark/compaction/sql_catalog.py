@@ -1,0 +1,310 @@
+"""SQL-database catalog (sqlite3) — the JDBC-catalog flavor.
+
+The reference's integration test commits through a Postgres-backed SQL
+catalog (``/root/reference/core/src/compaction/mod.rs:183-202`` loads
+tables from an iceberg-rs SQL catalog and commits rewrites back).  This
+module implements the same catalog contract on stdlib ``sqlite3``,
+following the PUBLIC Iceberg JDBC-catalog schema:
+
+    iceberg_tables(catalog_name, table_namespace, table_name,
+                   metadata_location, previous_metadata_location)
+    iceberg_namespace_properties(catalog_name, namespace,
+                                 property_key, property_value)
+
+Commit protocol (exactly the JDBC catalog's): the new metadata JSON is
+written to the warehouse first, then the catalog row's
+``metadata_location`` pointer is swapped with one compare-and-swap
+UPDATE (``... WHERE metadata_location = <expected>``).  Zero rows
+updated means another committer won — the loser gets
+:class:`CommitConflictError`, the same optimistic-concurrency outcome
+as the Hadoop version-file O_EXCL commit and the REST catalog's 409.
+
+``load_table`` returns a :class:`SqlCatalogTable` — an ``IcebergTable``
+whose current-version resolution and commits route through the catalog
+pointer instead of ``version-hint.text`` — so MoR reads, deletes,
+evolution DDL and ``Compaction.full_compact`` run unchanged over
+catalog-managed tables (same duck-typed surface all three catalog
+flavors share).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sqlite3
+
+from pyspark.sql import types as T
+
+from ic_spark.compaction.iceberg_meta import IcebergTable
+from ic_spark.compaction.manifest import CommitConflictError
+
+_VERSION_RE = re.compile(r"v(\d+)\.metadata\.json$")
+
+
+class SqlCatalog:
+    """sqlite3-backed Iceberg catalog over a warehouse directory."""
+
+    def __init__(self, db_path: str, warehouse: str, name: str = "ic"):
+        self.db_path = db_path
+        self.warehouse = warehouse
+        self.name = name
+        os.makedirs(warehouse, exist_ok=True)
+        with self._conn() as con:
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_tables (
+                       catalog_name TEXT NOT NULL,
+                       table_namespace TEXT NOT NULL,
+                       table_name TEXT NOT NULL,
+                       metadata_location TEXT,
+                       previous_metadata_location TEXT,
+                       PRIMARY KEY (catalog_name, table_namespace, table_name)
+                   )"""
+            )
+            con.execute(
+                """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+                       catalog_name TEXT NOT NULL,
+                       namespace TEXT NOT NULL,
+                       property_key TEXT NOT NULL,
+                       property_value TEXT,
+                       PRIMARY KEY (catalog_name, namespace, property_key)
+                   )"""
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        con = sqlite3.connect(self.db_path, timeout=30)
+        con.isolation_level = None  # explicit transactions
+        return con
+
+    # -- namespaces ----------------------------------------------------
+
+    def create_namespace(
+        self, namespace: str, properties: dict | None = None
+    ) -> None:
+        props = dict(properties or {})
+        props.setdefault("exists", "true")
+        with self._conn() as con:
+            cur = con.execute(
+                "SELECT 1 FROM iceberg_namespace_properties "
+                "WHERE catalog_name=? AND namespace=?",
+                (self.name, namespace),
+            )
+            if cur.fetchone():
+                raise ValueError(f"namespace already exists: {namespace}")
+            con.executemany(
+                "INSERT INTO iceberg_namespace_properties VALUES (?,?,?,?)",
+                [(self.name, namespace, k, v) for k, v in props.items()],
+            )
+
+    def list_namespaces(self) -> list[str]:
+        with self._conn() as con:
+            return sorted(
+                r[0]
+                for r in con.execute(
+                    "SELECT DISTINCT namespace FROM "
+                    "iceberg_namespace_properties WHERE catalog_name=?",
+                    (self.name,),
+                )
+            )
+
+    def _check_namespace(self, namespace: str) -> None:
+        if namespace not in self.list_namespaces():
+            raise ValueError(f"namespace not found: {namespace}")
+
+    # -- tables --------------------------------------------------------
+
+    def list_tables(self, namespace: str) -> list[str]:
+        self._check_namespace(namespace)
+        with self._conn() as con:
+            return sorted(
+                r[0]
+                for r in con.execute(
+                    "SELECT table_name FROM iceberg_tables "
+                    "WHERE catalog_name=? AND table_namespace=?",
+                    (self.name, namespace),
+                )
+            )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "SqlCatalogTable":
+        self._check_namespace(namespace)
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"bad table name: {name!r}")
+        location = os.path.join(self.warehouse, namespace, name)
+        IcebergTable.create(
+            location, schema, partition_by=partition_by, properties=properties
+        )
+        pointer = os.path.join(location, "metadata", "v1.metadata.json")
+        with self._conn() as con:
+            try:
+                con.execute(
+                    "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
+                    (self.name, namespace, name, pointer),
+                )
+            except sqlite3.IntegrityError:
+                raise ValueError(
+                    f"table already exists: {namespace}.{name}"
+                ) from None
+        return self.load_table(namespace, name)
+
+    def _pointer(self, namespace: str, name: str) -> str:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, namespace, name),
+            ).fetchone()
+        if row is None or row[0] is None:
+            raise ValueError(f"table not found: {namespace}.{name}")
+        return row[0]
+
+    def load_table(self, namespace: str, name: str) -> "SqlCatalogTable":
+        pointer = self._pointer(namespace, name)
+        location = os.path.dirname(os.path.dirname(pointer))
+        return SqlCatalogTable(location, self, namespace, name)
+
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
+        pointer = self._pointer(namespace, name)
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM iceberg_tables "
+                "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, namespace, name),
+            )
+        if purge:
+            import shutil
+
+            shutil.rmtree(os.path.dirname(os.path.dirname(pointer)), True)
+
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> None:
+        """Pointer-only rename (the JDBC catalog moves the row; the
+        warehouse files stay put — Iceberg locations are logical)."""
+        self._check_namespace(new_namespace)
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                dup = con.execute(
+                    "SELECT 1 FROM iceberg_tables WHERE catalog_name=? "
+                    "AND table_namespace=? AND table_name=?",
+                    (self.name, new_namespace, new_name),
+                ).fetchone()
+                if dup:
+                    raise ValueError(
+                        f"table already exists: {new_namespace}.{new_name}"
+                    )
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET table_namespace=?, table_name=? "
+                    "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
+                    (new_namespace, new_name, self.name, namespace, name),
+                )
+                if cur.rowcount == 0:
+                    raise ValueError(f"table not found: {namespace}.{name}")
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+
+    # -- commit protocol ----------------------------------------------
+
+    def swap_pointer(
+        self, namespace: str, name: str, expected: str, new: str
+    ) -> None:
+        """The JDBC catalog's compare-and-swap: one UPDATE guarded by
+        the expected metadata location; zero rows -> the table moved."""
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location=?, "
+                    "previous_metadata_location=? WHERE catalog_name=? AND "
+                    "table_namespace=? AND table_name=? AND metadata_location=?",
+                    (new, expected, self.name, namespace, name, expected),
+                )
+                if cur.rowcount == 0:
+                    raise CommitConflictError(
+                        f"concurrent commit: {namespace}.{name} moved past "
+                        f"{os.path.basename(expected)}"
+                    )
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+
+
+class SqlCatalogTable(IcebergTable):
+    """IcebergTable whose version pointer lives in the SQL catalog.
+
+    Only current-version resolution and the commit differ from the
+    Hadoop flavor; metadata/manifest layout on disk is identical, so
+    the whole read/write/maintenance surface is inherited.
+    """
+
+    def __init__(self, location: str, catalog: SqlCatalog, namespace: str, name: str):
+        super().__init__(location)
+        self.catalog = catalog
+        self.namespace = namespace
+        self.table_name = name
+
+    def _pointer(self) -> str:
+        return self.catalog._pointer(self.namespace, self.table_name)
+
+    def version(self) -> int | None:
+        try:
+            pointer = self._pointer()
+        except ValueError:
+            return None
+        m = _VERSION_RE.search(pointer)
+        return int(m.group(1)) if m else None
+
+    def metadata(self) -> dict:
+        import json
+
+        with open(self._pointer()) as f:
+            return json.load(f)
+
+    def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
+        """Write v{N+1} metadata JSON, then CAS the catalog pointer.
+
+        The metadata file itself is still created O_EXCL (two racers
+        writing the same next version collide on the file before the
+        DB), and the pointer swap is the JDBC catalog's guarded UPDATE —
+        either way exactly one committer wins.
+        """
+        import json
+        import time
+
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        expected_pointer = self._pointer()
+        current = self.version()
+        if current != expected_version:
+            raise CommitConflictError(
+                f"table moved: expected metadata v{expected_version}, "
+                f"found v{current}"
+            )
+        new_version = (expected_version or 0) + 1
+        path = os.path.join(self.metadata_dir, f"v{new_version}.metadata.json")
+        meta = dict(meta)
+        meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+            {
+                "timestamp-ms": int(time.time() * 1000),
+                "metadata-file": expected_pointer,
+            }
+        ]
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"concurrent commit: metadata v{new_version} already exists"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        self.catalog.swap_pointer(
+            self.namespace, self.table_name, expected_pointer, path
+        )

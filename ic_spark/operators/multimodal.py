@@ -53,9 +53,130 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("content_sha", StringType(), True),
+        # REAL header-parsed metadata (parse_media_header — pure-Python
+        # container parsing, no codec library):
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        # pixel-level feature — the stubbed codec boundary:
         StructField("feature", StringType(), True),
     ]
 )
+
+
+# --------------------------------------------------- real header parsing
+#
+# Format-parsed metadata from container HEADERS — pure-Python byte
+# parsing from the public format specs (PNG IHDR, JPEG SOF segments,
+# GIF logical screen descriptor, RIFF/WAVE fmt+data chunks), the same
+# hand-rolled-codec approach as sources/avro_io.py and
+# sources/puffin.py.  This is REAL metadata (no codec library needed);
+# only pixel/sample DECODE remains behind the strict-mode gate.
+
+# JPEG SOF markers that carry frame dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames).
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def parse_media_header(payload: bytes | None) -> dict:
+    """Sniff + parse a media container header → metadata dict.
+
+    Returns ``{"format": str|None, "width": int|None, "height":
+    int|None, "duration_ms": int|None}``; unknown or truncated payloads
+    yield a dict of Nones (never raises — corrupt bytes are data, not
+    errors, in a 100 TB ingest)."""
+    none = {"format": None, "width": None, "height": None, "duration_ms": None}
+    if not payload:
+        return none
+    b = bytes(payload)
+    try:
+        # PNG: 8-byte signature, then the IHDR chunk (must be first):
+        # 4-byte length, "IHDR", width/height as big-endian u32.
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return {"format": "png", "width": w, "height": h, "duration_ms": None}
+        # GIF: "GIF87a"/"GIF89a" + little-endian u16 screen w/h.
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            return {"format": "gif", "width": w, "height": h, "duration_ms": None}
+        # JPEG: walk the marker segments to the first SOFn frame header:
+        # [precision u8][height u16][width u16] big-endian.
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker == 0xD9:  # EOI
+                    break
+                if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # bare markers
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in _JPEG_SOF and i + 9 <= len(b):
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return {
+                        "format": "jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                i += 2 + seg_len
+            return {"format": "jpeg", "width": None, "height": None, "duration_ms": None}
+        # WAV: RIFF container; fmt chunk gives byte rate, data chunk
+        # size / byte rate gives duration.
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            byte_rate = None
+            data_size = None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                size = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 16 + 12 <= len(b):
+                    byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+                elif cid == b"data":
+                    data_size = size
+                i += 8 + size + (size % 2)  # chunks are word-aligned
+            dur = (
+                int(data_size * 1000 / byte_rate)
+                if byte_rate and data_size is not None
+                else None
+            )
+            return {"format": "wav", "width": None, "height": None, "duration_ms": dur}
+    except (IndexError, ValueError, ZeroDivisionError):
+        return none
+    return none
+
+
+def with_media_headers(df: DataFrame) -> DataFrame:
+    """Fill width/height/duration_ms from REAL header parsing over the
+    payload column (Arrow-batched; already-set values win — a decode
+    stage may have produced better numbers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
+            for col, key in (
+                ("width", "width"),
+                ("height", "height"),
+                ("duration_ms", "duration_ms"),
+            ):
+                vals = [m[key] for m in parsed]
+                pdf[col] = [
+                    cur if cur is not None and not pd.isna(cur) else new
+                    for cur, new in zip(pdf[col], vals)
+                ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
 
 
 def _fake_decode(payload: bytes | None, kind: str) -> str:
@@ -73,12 +194,17 @@ def _fake_decode(payload: bytes | None, kind: str) -> str:
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over media rows.
 
-    ``strict=True`` raises NotImplementedError where the real codec
-    would run — marking exactly the boundary a deployment must fill in.
+    format/width/height/duration_ms are REAL — parsed from the payload
+    container headers (parse_media_header; no codec library needed).
+    Only the pixel-level ``feature`` is the stub boundary:
+    ``strict=True`` raises NotImplementedError exactly where a real
+    decoder's forward pass belongs, while the header metadata still
+    flows.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
             if strict:
                 raise NotImplementedError(
                     "media codecs not available in this environment; "
@@ -91,6 +217,16 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
                     "content_sha": pdf["payload"].map(
                         lambda b: "" if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                    "format": [m["format"] for m in parsed],
+                    "width": pd.array(
+                        [m["width"] for m in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in parsed], dtype="Int64"
                     ),
                     "feature": [
                         _fake_decode(b, k)

@@ -926,3 +926,103 @@ def test_token_jaccard_subblock_salting_exactly_once(spark):
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(b) == len(set((x, y) for x, y, _ in b))
     assert len(b) > 0  # the fixture genuinely produces pairs
+
+
+# Real fixture bytes: a canonical 1x1 PNG, a hand-assembled JPEG with a
+# SOF0 frame header (9x7), a GIF89a screen descriptor (3x5), and a PCM
+# WAV whose data/byte-rate ratio is exactly 2 s.
+import base64 as _b64
+
+REAL_PNG_1x1 = _b64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+    "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"  # precision
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x01\x11\x00"  # 1 component
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav_bytes(seconds: int = 2, byte_rate: int = 16000) -> bytes:
+    data = b"\x00" * (seconds * byte_rate)
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + (8000).to_bytes(4, "little")   # sample rate
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_media_header_real_bytes():
+    from ic_spark.operators.multimodal import parse_media_header
+
+    png = parse_media_header(REAL_PNG_1x1)
+    assert png == {"format": "png", "width": 1, "height": 1, "duration_ms": None}
+
+    jpg = parse_media_header(_jpeg_bytes(9, 7))
+    assert (jpg["format"], jpg["width"], jpg["height"]) == ("jpeg", 9, 7)
+
+    gif = parse_media_header(
+        b"GIF89a" + (3).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x00" * 4
+    )
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 3, 5)
+
+    wav = parse_media_header(_wav_bytes(seconds=2))
+    assert (wav["format"], wav["duration_ms"]) == ("wav", 2000)
+
+    # corrupt / unknown / empty payloads never raise
+    for junk in (None, b"", b"\x00\x01", REAL_PNG_1x1[:10], b"\xff\xd8\xff"):
+        out = parse_media_header(junk)
+        assert out["width"] is None and out["height"] is None
+
+
+def test_extract_features_real_header_metadata(spark):
+    """extract_features now carries REAL format-parsed metadata next to
+    the stubbed pixel feature; with_media_headers fills the media
+    schema's width/height/duration in place."""
+    from ic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        with_media_headers,
+    )
+
+    rows = [
+        (1, "image", "image/png", bytearray(REAL_PNG_1x1), None, None, None),
+        (2, "image", "image/jpeg", bytearray(_jpeg_bytes(640, 480)), None, None, None),
+        (3, "audio", "audio/wav", bytearray(_wav_bytes(3)), None, None, None),
+        (4, "image", "image/png", bytearray(b"not a png"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert (feats[1].format, feats[1].width, feats[1].height) == ("png", 1, 1)
+    assert (feats[2].format, feats[2].width, feats[2].height) == ("jpeg", 640, 480)
+    assert (feats[3].format, feats[3].duration_ms) == ("wav", 3000)
+    assert feats[4].format is None and feats[4].width is None
+    assert all(f.feature for f in feats.values())  # stub feature intact
+
+    filled = {r.media_id: r for r in with_media_headers(media).collect()}
+    assert (filled[2].width, filled[2].height) == (640, 480)
+    assert filled[3].duration_ms == 3000
+    assert filled[1].kind == "image"  # untouched columns survive
+
+    # pixel decode stays honestly gated
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, strict=True).collect()
