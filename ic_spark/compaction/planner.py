@@ -231,9 +231,11 @@ def _scan_non_parquet_group(
     Avro: the distributed pure-Python codec scan (sources/avro_scan.py)
     computes exact per-file running row positions during decode — the
     reference's ``index_start`` accumulation — so position deletes work.
-    ORC: Spark's native vectorized reader; ``_metadata.row_index`` is a
-    Parquet-only metadata column, so position deletes over ORC are
-    honestly rejected (equality deletes and plain scans are fine).
+    ORC: Spark's native vectorized reader for plain scans;
+    ``_metadata.row_index`` is Parquet-only, so POSITIONAL ORC scans
+    route through the distributed pyarrow.orc codec scan
+    (sources/orc_scan.py), whose running per-file record index matches
+    the native reader's row order (pinned in tests).
     """
     if fmt == "avro":
         from ic_spark.sources import avro_scan
@@ -258,10 +260,27 @@ def _scan_non_parquet_group(
         return df.select(*cols)
     if fmt == "orc":
         if with_pos:
-            raise NotImplementedError(
-                "position deletes over ORC data files need a row-index "
-                "metadata column, which Spark exposes only for Parquet"
+            from ic_spark.sources import orc_scan
+
+            df = orc_scan.read_orc_distributed(
+                spark, paths, schema=schema, columns=columns, with_path_pos=True
             )
+            cols = []
+            if columns:
+                cols.extend(F.col(c) for c in columns)
+            else:
+                cols.extend(
+                    F.col(c)
+                    for c in df.columns
+                    if c not in (orc_scan.FILE_PATH_COL, orc_scan.POS_COL)
+                )
+            if with_seq:
+                cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
+            cols.append(
+                F.col(orc_scan.FILE_PATH_COL).alias(SYS_HIDDEN_FILE_PATH)
+            )
+            cols.append(F.col(orc_scan.POS_COL).alias(SYS_HIDDEN_POS))
+            return df.select(*cols)
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
@@ -424,6 +443,9 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
     if has_eq:
         # One anti-join per order-sensitive equality-id group, chained in
         # task order (reference :279-305, group split :376-400).
+        # schema_history rides along: a delete file written BEFORE a
+        # key-column rename stores the key under its OLD name, and the
+        # field-id projection resolves it to the current name.
         for group in split_equality_delete_groups(request.equality_delete_files):
             eq_cols = list(group.equality_ids)
             eq_del = _scan_with_hidden_cols(
@@ -431,6 +453,7 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
                 list(group.tasks),
                 with_seq=True,
                 columns=eq_cols,
+                schema_history=request.schema_history,
             )
             eq_del = _maybe_broadcast(eq_del, list(group.tasks))
             data = apply_equality_deletes(data, eq_del, eq_cols)

@@ -240,7 +240,7 @@ def test_mor_mixed_parquet_and_avro_groups(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == [0, 1, 2, 10, 11]
 
 
-def test_mor_orc_equality_ok_position_rejected(spark, tmp_path):
+def test_mor_orc_equality_and_position_deletes(spark, tmp_path):
     orc = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
     )
@@ -266,16 +266,29 @@ def test_mor_orc_equality_ok_position_rejected(spark, tmp_path):
     out = build_merge_on_read(spark, request)
     assert sorted(r.id for r in out.collect()) == [1, 3]
 
-    bad = RewriteFilesRequest(
+    # Position deletes over ORC now work (r4): the positional scan
+    # routes through the distributed pyarrow.orc codec, whose per-file
+    # running index matches native row order.  Delete the 2nd row by
+    # position — the scan's file path is the binaryFile URI form.
+    part = next(
+        os.path.join(opath, n) for n in os.listdir(opath) if n.endswith(".orc")
+    )
+    second_id = spark.read.orc(part).collect()[1].id
+    pos_del = spark.createDataFrame(
+        [(f"file:{part}", 1)], "fp string, pos long"
+    )
+    pdpath = str(tmp_path / "pos_del")
+    pos_del.coalesce(1).write.parquet(pdpath)
+    req2 = RewriteFilesRequest(
         schema=schema,
         data_files=[FileScanTask(opath, sequence_number=1, file_format="orc")],
         position_delete_files=[
-            FileScanTask(edpath, content=FileContent.POSITION_DELETES)
+            FileScanTask(pdpath, content=FileContent.POSITION_DELETES)
         ],
         dir_path=str(tmp_path / "out2"),
     )
-    with pytest.raises(NotImplementedError, match="ORC"):
-        build_merge_on_read(spark, bad).collect()
+    got = sorted(r.id for r in build_merge_on_read(spark, req2).collect())
+    assert got == sorted({1, 2, 3} - {second_id})
 
 
 def test_mixed_format_table_deletes_and_merge(spark, tmp_path):

@@ -1,0 +1,153 @@
+"""Round-4 scan-gap closures:
+
+1. ORC position deletes — the planner routes positional scans over ORC
+   data files through the distributed pyarrow.orc codec scan
+   (sources/orc_scan.py), closing the honest NotImplementedError gate
+   (Spark's row_index metadata column is Parquet-only).
+2. Equality-delete files written BEFORE a key-column rename — their
+   scan resolves the key through the write-schema history, so old
+   delete files keep deleting after evolution.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.compaction.deletes import (
+    read_table,
+    write_equality_deletes,
+    write_position_deletes,
+)
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.request import (
+    FileContent,
+    FileScanTask,
+    RewriteFilesRequest,
+)
+from ic_spark.compaction.writer import _stats_from_footer
+
+
+def _one_orc(spark, tmp_path, df, tag):
+    d = str(tmp_path / tag)
+    df.coalesce(1).write.mode("overwrite").orc(d)
+    return next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".orc"))
+
+
+def test_orc_position_deletes_apply(spark, tmp_path):
+    """MoR position deletes over ORC data files: positions computed by
+    the distributed ORC codec scan match, the anti-join removes exactly
+    the targeted rows."""
+    from ic_spark.compaction.planner import build_merge_on_read
+
+    df = spark.range(0, 100).select("id", (F.col("id") * 3).alias("v"))
+    orc_file = _one_orc(spark, tmp_path, df, "data")
+
+    table = ManifestTable(str(tmp_path / "t"))
+    table.append_snapshot(
+        [
+            {
+                "path": orc_file,
+                "sequence_number": 1,
+                "content": "DATA",
+                "file_format": "orc",
+                "file_size_in_bytes": os.path.getsize(orc_file),
+            }
+        ]
+    )
+    # Predicate-driven position-delete WRITE over the orc table (the
+    # probe scan itself exercises the positional orc path).
+    write_position_deletes(spark, table, F.col("id") % 10 == 7)
+    out = read_table(spark, table)
+    got = sorted(r.id for r in out.collect())
+    assert got == [i for i in range(100) if i % 10 != 7]
+
+    # Mixed formats: parquet + orc data files under one request, both
+    # with position deletes applied.
+    pq_dir = str(tmp_path / "pq")
+    spark.range(100, 150).select("id", (F.col("id") * 3).alias("v")).coalesce(
+        1
+    ).write.parquet(pq_dir)
+    pq = next(
+        os.path.join(pq_dir, n)
+        for n in os.listdir(pq_dir)
+        if n.endswith(".parquet")
+    )
+    table.append_snapshot(
+        [
+            {
+                "path": pq,
+                "sequence_number": 2,
+                "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(pq),
+            }
+        ]
+    )
+    write_position_deletes(spark, table, F.col("id").isin(120, 130))
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    # rows 100-149 were appended AFTER the first delete, so only the
+    # second delete touches them.
+    assert got == [i for i in range(100) if i % 10 != 7] + [
+        i for i in range(100, 150) if i not in (120, 130)
+    ]
+
+
+def test_orc_positions_match_native_row_order(spark, tmp_path):
+    """The codec scan's _orc_pos must equal the native reader's row
+    order — deleting 'the nth row of the file' is only meaningful if
+    both sides agree on n."""
+    from ic_spark.sources.orc_scan import read_orc_distributed
+
+    df = spark.range(0, 5000).select(
+        "id", F.concat(F.lit("x"), F.col("id")).alias("s")
+    )
+    orc_file = _one_orc(spark, tmp_path, df, "order")
+    dist = read_orc_distributed(spark, [orc_file], with_path_pos=True)
+    ordered = [
+        r.id for r in sorted(dist.collect(), key=lambda r: r._orc_pos)
+    ]
+    native = [r.id for r in spark.read.orc(orc_file).collect()]
+    assert ordered == native
+
+
+def test_equality_delete_written_before_rename_still_applies(spark, tmp_path):
+    """Equality-delete files carry the key column under its OLD name
+    after a rename; the scan must resolve it through the write-schema
+    history instead of failing on the current name."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path / "spec_eq")
+    df = spark.range(0, 30).select("id", (F.col("id") + 100).alias("v"))
+    tbl = IcebergTable.create(loc, df.schema)
+    d = str(tmp_path / "spec_eq_seed")
+    df.coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    rc, cs, _ = _stats_from_footer(f, d)
+    tbl.append_snapshot(
+        [
+            {
+                "path": f,
+                "content": "DATA",
+                "record_count": rc,
+                "file_size_in_bytes": os.path.getsize(f),
+                "column_stats": cs,
+            }
+        ]
+    )
+    # Equality delete on the ORIGINAL key name.
+    write_equality_deletes(
+        spark, tbl, spark.createDataFrame([(3,), (4,)], "id long"), ["id"]
+    )
+    # Rename the key column afterwards.
+    tbl.rename_column("id", "ident")
+    rows = sorted(r.ident for r in read_table(spark, tbl).collect())
+    assert rows == [i for i in range(30) if i not in (3, 4)]
+
+    # New deletes keyed by the CURRENT name still work too.
+    write_equality_deletes(
+        spark, tbl, spark.createDataFrame([(5,)], "ident long"), ["ident"]
+    )
+    rows = sorted(r.ident for r in read_table(spark, tbl).collect())
+    assert rows == [i for i in range(30) if i not in (3, 4, 5)]
