@@ -691,16 +691,24 @@ def read_table(
     name_mapping = None
     schema_history = None
     if schema is None and hasattr(table, "schema"):
-        schema = table.schema()
+        # VERSION AS OF projects under the schema the SNAPSHOT was
+        # committed with (spec time-travel rule) when the flavor tracks
+        # per-snapshot schema ids; else the current schema.
+        if snapshot_id is not None and hasattr(table, "schema_at"):
+            schema = table.schema_at(snapshot_id)
+        else:
+            schema = table.schema()
         if schema is not None:
-            name_mapping = (
-                table.name_mapping() if hasattr(table, "name_mapping") else None
-            )
-            schema_history = (
-                table.schema_history()
-                if hasattr(table, "schema_history")
-                else None
-            )
+            if hasattr(table, "name_mapping"):
+                try:
+                    name_mapping = table.name_mapping(snapshot_id)
+                except TypeError:
+                    name_mapping = table.name_mapping()
+            if hasattr(table, "schema_history"):
+                try:
+                    schema_history = table.schema_history(snapshot_id)
+                except TypeError:
+                    schema_history = table.schema_history()
     if not data:
         if where:
             all_data, _, _ = table.scan_tasks(snapshot_id)

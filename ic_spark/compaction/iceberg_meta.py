@@ -387,6 +387,29 @@ class IcebergTable:
         )
         return iceberg_to_spark_schema(cur)
 
+    def schema_id_at(self, snapshot_id: int | None) -> int:
+        """The schema id a snapshot was committed under (spec: every
+        snapshot records its ``schema-id``; time-travel reads use it).
+        Current schema for None / legacy snapshots without the field."""
+        meta = self.metadata()
+        if snapshot_id is not None:
+            for s in meta["snapshots"]:
+                if s["snapshot-id"] == snapshot_id:
+                    sid = s.get("schema-id")
+                    if sid is not None:
+                        return sid
+                    break
+        return meta["current-schema-id"]
+
+    def schema_at(self, snapshot_id: int | None) -> T.StructType:
+        """Table schema as of a snapshot — VERSION AS OF reads project
+        under the schema the data was committed with, exactly Iceberg's
+        time-travel rule."""
+        meta = self.metadata()
+        sid = self.schema_id_at(snapshot_id)
+        s = next(x for x in meta["schemas"] if x["schema-id"] == sid)
+        return iceberg_to_spark_schema(s)
+
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
         """Hadoop-catalog commit: O_EXCL create of v{N+1}, then hint swap.
 
@@ -1430,17 +1453,19 @@ def history_from_schemas(schemas: list[dict], current_id: int) -> dict:
     }
 
 
-def schema_history(tbl: IcebergTable) -> dict | None:
+def schema_history(tbl: IcebergTable, snapshot_id: int | None = None) -> dict | None:
     """Schema history for the spec flavor: every schema version's
     (field_id, name, DataType, nullable) rows.  None when the table has
     a single schema (nothing to resolve) or predates activation
-    tracking."""
+    tracking.  With ``snapshot_id``, the history's current schema is
+    the one that snapshot was committed under (time-travel reads
+    project against it)."""
     meta = tbl.metadata()
     if len(meta["schemas"]) <= 1:
         return None
     if schema_activation_boundaries(meta) is None:
         return None
-    return history_from_schemas(meta["schemas"], meta["current-schema-id"])
+    return history_from_schemas(meta["schemas"], tbl.schema_id_at(snapshot_id))
 
 
 def derive_name_mapping(
@@ -1465,10 +1490,12 @@ def derive_name_mapping(
     return mapping or None
 
 
-def name_mapping_from_history(tbl: IcebergTable) -> dict[str, list[str]] | None:
+def name_mapping_from_history(
+    tbl: IcebergTable, snapshot_id: int | None = None
+) -> dict[str, list[str]] | None:
     """Scan name-mapping for the spec flavor (see derive_name_mapping)."""
     meta = tbl.metadata()
-    return derive_name_mapping(meta["schemas"], meta["current-schema-id"])
+    return derive_name_mapping(meta["schemas"], tbl.schema_id_at(snapshot_id))
 
 
 # bind as methods for a fluent table API

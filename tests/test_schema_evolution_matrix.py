@@ -244,3 +244,35 @@ def test_readd_gets_fresh_field_id(spark, tmp_path):
     new = next(f for f in cur["fields"] if f["name"] == "note")
     assert new["id"] != orig["id"]
     assert new["id"] > orig["id"]
+
+
+def test_time_travel_reads_snapshot_schema(spark, tmp_path):
+    """VERSION AS OF projects under the schema the snapshot was
+    committed with (Iceberg time-travel rule): columns dropped or
+    renamed SINCE still appear, under their then-current names and with
+    their then-visible data."""
+    tbl = _mk_table(spark, tmp_path, "spec", "tt")
+    snap1 = tbl.current_snapshot_id()
+
+    tbl.rename_column("note", "remark")
+    tbl.drop_column("val")
+    g2 = spark.range(10, 12).select(
+        "id", F.concat(F.lit("R"), F.col("id")).alias("remark")
+    )
+    _append(spark, tbl, g2, tmp_path, "spec_tt_g2")
+    snap2 = tbl.current_snapshot_id()
+
+    # current read: renamed + dropped schema
+    cur = read_table(spark, tbl)
+    assert cur.columns == ["id", "remark"]
+    rows = {r.id: r.remark for r in cur.collect()}
+    assert rows[3] == "n3" and rows[11] == "R11" and len(rows) == 12
+
+    # time travel to snap1: ORIGINAL schema, original names and data
+    old = read_table(spark, tbl, snapshot_id=snap1)
+    assert old.columns == ["id", "note", "val"]
+    orows = {r.id: (r.note, r.val) for r in old.collect()}
+    assert orows[3] == ("n3", 4.5) and len(orows) == 10
+
+    # travel to snap2 == current
+    assert read_table(spark, tbl, snapshot_id=snap2).columns == ["id", "remark"]
