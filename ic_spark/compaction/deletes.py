@@ -121,7 +121,13 @@ def write_position_deletes(
     df = _scan_with_hidden_cols(
         spark, data, with_pos=True, **_evolved_scan_args(table)
     )
-    matches = df.where(predicate).select(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+    # Spec column names (Iceberg "Position Delete Files": file_path,
+    # pos) — files written here are readable by real Iceberg readers;
+    # our scans accept both flavors (planner.scan_position_delete_rows).
+    matches = df.where(predicate).select(
+        F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
+        F.col(SYS_HIDDEN_POS).alias("pos"),
+    )
     out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
     path = _write_single_file(matches, out_dir)
     seq = _next_sequence_number(table)

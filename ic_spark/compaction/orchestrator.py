@@ -155,8 +155,14 @@ class Compaction:
         live = self.spark.createDataFrame(
             [(t.data_file_path,) for t in data] or [("",)], "path string"
         )
-        pd_df = self.spark.read.parquet(*[t.data_file_path for t in pos])
-        fp, ps = pd_df.columns[:2]  # fixed (file_path, pos) schema
+        # Name-flavor-tolerant read (spec file_path/pos and legacy
+        # sys_hidden_*), normalized to spec names for the merged output.
+        from ic_spark.compaction.planner import scan_position_delete_rows
+
+        pd_df = scan_position_delete_rows(self.spark, pos).toDF(
+            "file_path", "pos"
+        )
+        fp, ps = "file_path", "pos"
         pruned = (
             pd_df.withColumn(
                 "__norm", F.regexp_replace(F.col(fp), "^file:", "")
@@ -310,8 +316,11 @@ class Compaction:
         live = self.spark.createDataFrame(
             [(t.data_file_path,) for t in data], "path string"
         )
-        pd_df = self.spark.read.parquet(*[t.data_file_path for t in parquet_pos])
-        fp, ps = pd_df.columns[:2]  # fixed (file_path, pos) schema
+        # Name-flavor-tolerant read (spec file_path/pos + legacy names).
+        from ic_spark.compaction.planner import scan_position_delete_rows
+
+        pd_df = scan_position_delete_rows(self.spark, parquet_pos)
+        fp, ps = pd_df.columns[:2]
         matches = (
             pd_df.select(
                 F.col(fp).alias("file_path"), F.col(ps).cast("long").alias("pos")
@@ -413,7 +422,10 @@ class Compaction:
             return {"converted": len(eq), "delete_rows": rows}
 
         out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
-        matched.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        # Spec column names on the written delete file (file_path, pos).
+        matched.toDF("file_path", "pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
         merged_path = next(
             os.path.join(out_dir, n)
             for n in os.listdir(out_dir)

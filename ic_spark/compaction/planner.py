@@ -292,6 +292,44 @@ def _scan_non_parquet_group(
     raise ValueError(f"unsupported data file format: {fmt}")
 
 
+def scan_position_delete_rows(
+    spark: SparkSession, tasks: list[FileScanTask]
+) -> DataFrame:
+    """Read parquet position-delete files → two columns
+    (sys_hidden_file_path, sys_hidden_pos), tolerating BOTH column-name
+    flavors: the Iceberg spec's ``file_path``/``pos`` (what
+    write_position_deletes emits, so real Iceberg readers interop) and
+    the legacy ``sys_hidden_*`` names.
+
+    Files are grouped by their footer's leading column names before the
+    multi-path read — a single mixed read would resolve by one sampled
+    schema and silently NULL the other flavor's columns.  The sniff is
+    one pyarrow footer read per DELETE file (delete files are few and
+    maintenance-bounded; Iceberg planning reads these footers too).
+    """
+    from collections import defaultdict as _dd
+
+    import pyarrow.parquet as _pq
+
+    groups: dict[tuple, list[str]] = _dd(list)
+    for t in tasks:
+        try:
+            names = tuple(_pq.read_schema(t.data_file_path).names[:2])
+        except Exception:
+            names = ("file_path", "pos")
+        groups[names].append(t.data_file_path)
+    parts = [
+        spark.read.parquet(*paths)
+        .select(*list(names)[:2])
+        .toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+        for names, paths in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _scan_deletion_vectors(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Expand deletion-vector (Puffin) files to (file_path, pos) rows.
 
@@ -423,11 +461,7 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
         ]
         parts = []
         if pq_tasks:
-            parts.append(
-                _scan_with_hidden_cols(spark, pq_tasks).toDF(
-                    SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS
-                )
-            )
+            parts.append(scan_position_delete_rows(spark, pq_tasks))
         if dv_tasks:
             parts.append(
                 _scan_deletion_vectors(

@@ -151,3 +151,50 @@ def test_equality_delete_written_before_rename_still_applies(spark, tmp_path):
     )
     rows = sorted(r.ident for r in read_table(spark, tbl).collect())
     assert rows == [i for i in range(30) if i not in (3, 4, 5)]
+
+
+def test_position_delete_files_use_spec_column_names(spark, tmp_path):
+    """New position-delete files carry the Iceberg spec's column names
+    (file_path, pos) so real Iceberg readers interop; tables mixing
+    spec-named and legacy sys_hidden_* delete files still read
+    correctly (per-flavor grouped scan — a single mixed read would
+    silently null one flavor)."""
+    import pyarrow.parquet as pq
+
+    table = ManifestTable(str(tmp_path / "specnames"))
+    d = str(tmp_path / "sn_data")
+    spark.range(0, 50).coalesce(1).write.parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    write_position_deletes(spark, table, F.col("id") < 5)
+    _, pos, _ = table.scan_tasks()
+    assert pq.read_schema(pos[0].data_file_path).names[:2] == ["file_path", "pos"]
+
+    # Legacy-named delete file targeting rows 10-11 of the same file.
+    legacy = spark.createDataFrame(
+        [(f"file:{f}", 10), (f"file:{f}", 11)],
+        "sys_hidden_file_path string, sys_hidden_pos long",
+    )
+    ld = str(tmp_path / "sn_legacy")
+    legacy.coalesce(1).write.parquet(ld)
+    lf = next(os.path.join(ld, n) for n in os.listdir(ld) if n.endswith(".parquet"))
+    table.append_snapshot(
+        [{"path": lf, "sequence_number": 2, "content": "POSITION_DELETES",
+          "file_size_in_bytes": os.path.getsize(lf)}]
+    )
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    assert got == [i for i in range(50) if i >= 5 and i not in (10, 11)]
+
+    # Maintenance merges both flavors into one spec-named file.
+    from ic_spark.compaction import Compaction
+
+    stats = Compaction(spark).rewrite_position_deletes(table)
+    assert stats["merged"] == 2 and stats["kept_rows"] == 7
+    _, pos, _ = table.scan_tasks()
+    assert len(pos) == 1
+    assert pq.read_schema(pos[0].data_file_path).names[:2] == ["file_path", "pos"]
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    assert got == [i for i in range(50) if i >= 5 and i not in (10, 11)]
