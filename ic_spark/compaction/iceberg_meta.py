@@ -1320,6 +1320,86 @@ def promote_column(tbl: IcebergTable, name: str, spark_type: T.DataType) -> int:
     return _evolve(tbl, mutate)
 
 
+def update_sort_order(tbl: IcebergTable, fields: list[dict]) -> int:
+    """``ALTER TABLE ... WRITE ORDERED BY`` — register a new sort order
+    (spec shape: identity transform on the source field id, direction +
+    null-order) and make it the default for FUTURE writes.  Metadata
+    only; compaction applies it when rewriting (full_compact picks the
+    table's default order when the request doesn't name one).
+
+    ``fields``: ``[{"column": str, "desc": bool = False,
+    "nulls_first": bool = None}]`` (nulls default to the Iceberg
+    convention: first for asc, last for desc)."""
+    meta = tbl.metadata()
+    version = tbl.version()
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    ice_fields = []
+    for f in fields:
+        col = f["column"]
+        if col not in name_to_id:
+            raise ValueError(f"no column {col!r}")
+        desc = bool(f.get("desc", False))
+        nf = f.get("nulls_first")
+        if nf is None:
+            nf = not desc  # spec default: NULLS FIRST asc, LAST desc
+        ice_fields.append(
+            {
+                "transform": "identity",
+                "source-id": name_to_id[col],
+                "direction": "desc" if desc else "asc",
+                "null-order": "nulls-first" if nf else "nulls-last",
+            }
+        )
+    orders = list(meta.get("sort-orders", []))
+    # Idempotent DDL: an identical existing order just becomes default.
+    for o in orders:
+        if o["fields"] == ice_fields:
+            new_meta = dict(meta)
+            new_meta["default-sort-order-id"] = o["order-id"]
+            tbl._commit_metadata(new_meta, expected_version=version)
+            return o["order-id"]
+    new_id = max((o["order-id"] for o in orders), default=0) + 1
+    new_meta = dict(meta)
+    new_meta["sort-orders"] = orders + [
+        {"order-id": new_id, "fields": ice_fields}
+    ]
+    new_meta["default-sort-order-id"] = new_id
+    tbl._commit_metadata(new_meta, expected_version=version)
+    return new_id
+
+
+def default_sort_order(tbl: IcebergTable) -> tuple[int, list[dict]]:
+    """(order_id, writer-shaped fields) of the table's default sort
+    order — ``(0, [])`` means unsorted."""
+    meta = tbl.metadata()
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o["order-id"] == oid),
+        None,
+    )
+    if not order or not order["fields"]:
+        return 0, []
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    out = []
+    for f in order["fields"]:
+        if f.get("transform", "identity") != "identity":
+            return 0, []  # transform orders not expressible yet
+        out.append(
+            {
+                "column": id_to_name[f["source-id"]],
+                "desc": f["direction"] == "desc",
+                "nulls_first": f["null-order"] == "nulls-first",
+            }
+        )
+    return oid, out
+
+
 def drop_column(tbl: IcebergTable, name: str) -> int:
     """Spec drop-column: the field leaves the current schema; its id is
     RETIRED (``last-column-id`` never decreases, so a later re-add of
@@ -1505,5 +1585,7 @@ IcebergTable.promote_column = promote_column
 IcebergTable.drop_column = drop_column
 IcebergTable.move_column = move_column
 IcebergTable.make_optional = make_optional
+IcebergTable.update_sort_order = update_sort_order
+IcebergTable.default_sort_order = default_sort_order
 IcebergTable.name_mapping = name_mapping_from_history
 IcebergTable.schema_history = schema_history

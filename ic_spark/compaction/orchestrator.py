@@ -85,6 +85,14 @@ class Compaction:
         spec_id, spec_fields = (
             (0, None) if partition_by is not None else default_spec_fields(table)
         )
+        # ALTER TABLE ... WRITE ORDERED BY: the table's default sort
+        # order drives the rewrite's per-file local sort (selective
+        # min/max footer stats), matching Iceberg compaction behavior.
+        sort_order_id, sort_order = (
+            table.default_sort_order()
+            if hasattr(table, "default_sort_order")
+            else (0, [])
+        )
         data, pos, eq = table.scan_tasks()
         if not data:
             return RewriteFilesResponse()
@@ -102,6 +110,8 @@ class Compaction:
             target_partitions=target_partitions,
             name_mapping=name_mapping,
             schema_history=schema_history,
+            sort_order=sort_order or None,
+            sort_order_id=sort_order_id,
         )
         response = rewrite_files(self.spark, request)
 
@@ -119,6 +129,8 @@ class Compaction:
                 "record_count": f.record_count,
                 "column_stats": f.column_stats,
             }
+            if f.sort_order_id is not None:
+                entry["sort_order_id"] = f.sort_order_id
             if spec_fields:
                 entry["spec_id"] = spec_id
                 entry["partition"] = f.partition_values or {}

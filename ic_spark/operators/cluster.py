@@ -83,3 +83,31 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def quality_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col
+) -> DataFrame:
+    """Keep the HIGHEST-quality member of every near-dup cluster — what
+    a production dedup pipeline does instead of min-id survivorship
+    (the shortest spam copy should not outrank the clean original).
+
+    ``score_col`` is a Column evaluated over ``df``; ties break on the
+    smaller id (deterministic).  Documents in no pair are singletons
+    and always survive; the window runs only over the clustered subset,
+    so cost scales with duplicates, not the corpus."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs)
+    scored = df.select(
+        F.col(id_col), score_col.alias("__q")
+    ).join(comps.withColumnRenamed("node", id_col), on=id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -452,3 +452,72 @@ def agg_hll_partials_rollup(spark: SparkSession, sf_dir: str):
         )
         .select("l_returnflag", "approx_distinct_parts", "n_rows")
     )
+
+
+@query(
+    "dedup_quality_survivors",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split(text, ' ')) AS toks,
+               len(string_split(text, ' ')) AS q
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, dst AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comps AS (
+        SELECT node, MIN(LEAST(node, label)) AS component
+        FROM reach GROUP BY node
+    ),
+    losers AS (
+        SELECT node FROM (
+            SELECT c.node,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY t.q DESC, c.node ASC
+                   ) AS rn
+            FROM comps c JOIN t ON t.doc_id = c.node
+        ) WHERE rn > 1
+    )
+    SELECT t.doc_id, t.q AS n_tokens
+    FROM t WHERE t.doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str):
+    """Quality-ranked cluster survivorship: near-dup clusters (token
+    Jaccard >= 0.8 within lang+source blocks, transitive closure) each
+    keep their HIGHEST-token-count member — the production dedup rule
+    (the clean original outranks truncated spam copies), composed from
+    token_jaccard_pairs + connected_components + a clustered-subset
+    window.  Singletons always survive."""
+    from ic_spark.operators.cluster import quality_survivors
+    from ic_spark.operators.dedup import token_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], threshold=0.8
+    )
+    kept = quality_survivors(
+        d,
+        pairs.select("id_a", "id_b"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+    )
+    return kept.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )

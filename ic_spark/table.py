@@ -243,6 +243,11 @@ class Table:
     def update_partition_spec(self, fields: list[dict]) -> int:
         return self.inner.update_partition_spec(fields)
 
+    def update_sort_order(self, fields: list[dict]) -> int:
+        """ALTER TABLE ... WRITE ORDERED BY (spec-metadata tables):
+        future compactions rewrite files locally sorted by this order."""
+        return self.inner.update_sort_order(fields)
+
     # passthrough for anything else on the underlying table
     def __getattr__(self, name):
         return getattr(self.inner, name)

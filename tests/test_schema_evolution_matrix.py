@@ -276,3 +276,36 @@ def test_time_travel_reads_snapshot_schema(spark, tmp_path):
 
     # travel to snap2 == current
     assert read_table(spark, tbl, snapshot_id=snap2).columns == ["id", "remark"]
+
+
+def test_write_ordered_by_sort_order_ddl(spark, tmp_path):
+    """ALTER TABLE ... WRITE ORDERED BY: the registered default sort
+    order drives full_compact's per-file local sort, files record the
+    sort_order_id, and the DDL is idempotent."""
+    from ic_spark.compaction.orchestrator import Compaction
+
+    tbl = _mk_table(spark, tmp_path, "spec", "so")
+    oid = tbl.update_sort_order([{"column": "val", "desc": True}])
+    assert oid == 1
+    # idempotent: identical order re-registers as the same id
+    assert tbl.update_sort_order([{"column": "val", "desc": True}]) == 1
+    assert tbl.default_sort_order() == (
+        1,
+        [{"column": "val", "desc": True, "nulls_first": False}],
+    )
+    with pytest.raises(ValueError, match="no column"):
+        tbl.update_sort_order([{"column": "zzz"}])
+
+    Compaction(spark).full_compact(tbl)
+    data, _, _ = tbl.scan_tasks()
+    for t in data:
+        vals = [r.val for r in spark.read.parquet(t.data_file_path).collect()]
+        assert vals == sorted(vals, reverse=True), "file not sorted desc"
+    # sort_order_id recorded on the manifest entries
+    entries = [e for e, _ in tbl._live_entries(tbl._snapshot(None))]
+    assert all(
+        e["data_file"]["sort_order_id"] == 1
+        for e in entries
+        if e["data_file"]["content"] == 0
+    )
+    assert read_table(spark, tbl).count() == 10
