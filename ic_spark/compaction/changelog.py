@@ -1,0 +1,280 @@
+"""Changelog (CDC) reads: row-level changes between snapshots.
+
+The Iceberg ecosystem exposes this as the
+``CALL system.create_changelog_view`` procedure; the reference engine
+itself has no CDC surface, but a user of a lakehouse table expects one.
+Semantics follow Iceberg's changelog rules:
+
+- **append** snapshots emit their added data files' rows as INSERTs
+  (an upsert commit also carries delete files — those emit DELETEs for
+  the older rows they newly hide);
+- **delete** snapshots emit the rows their new delete content hides:
+  positional deletes diff as POSITION SETS (``current positions −
+  previous positions``), so supersede-by-union deletion-vector commits
+  report only the newly deleted rows; equality deletes emit the older
+  rows matching the new key files under the strict ``<`` seq guard;
+- **overwrite** snapshots (copy-on-write DELETE/UPDATE/MERGE) emit the
+  removed files' previously-visible rows as DELETEs and the added
+  files' rows as INSERTs — file-granularity change sets, exactly what
+  Iceberg's changelog emits for overwrites (row-level net change needs
+  ``compute_updates``-style keying, out of scope here too);
+- **replace** snapshots (compaction/maintenance) emit NOTHING — files
+  moved, rows didn't.
+
+Snapshots written before operation tracking have no recorded operation;
+if such a snapshot removed files the changelog is undefined (rewrite vs
+overwrite is ambiguous) and the read raises — the same honest gate
+``read_incremental`` applies to rewrite ranges.
+
+Output schema: the table schema plus ``_change_type`` (INSERT/DELETE),
+``_commit_snapshot_id`` and ``_change_ordinal`` (commit order inside
+the requested range).  Scale: each commit contributes scans bounded by
+its own added/removed files and delete content — never a whole-table
+pass per commit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ic_spark.compaction.request import (
+    SYS_HIDDEN_FILE_PATH,
+    SYS_HIDDEN_POS,
+    SYS_HIDDEN_SEQ_NUM,
+    split_equality_delete_groups,
+)
+
+
+def _main_chain(table, from_snapshot_id: int, to_snapshot_id: int | None):
+    """Ordered (snapshot_id, operation) list on the main timeline,
+    exclusive of ``from``, inclusive of ``to``."""
+    if hasattr(table, "current_snapshot"):  # JSON flavor
+        # Main timeline reconstruction: walk parent pointers back from
+        # the current snapshot (fast-forwarded branch segments record
+        # parents), then prepend the plain mainline commits in list
+        # order.  Staged (WAP) snapshots and unmerged branch commits —
+        # parented entries not reachable from current — are excluded.
+        state = table._load()
+        by_id = {
+            s["snapshot_id"]: s
+            for s in state["snapshots"]
+            if not s.get("staged")
+        }
+        order = [
+            s["snapshot_id"]
+            for s in state["snapshots"]
+            if not s.get("staged")
+        ]
+        tail: list[int] = []
+        node = state.get("current_snapshot_id")
+        while (
+            node is not None
+            and node in by_id
+            and "parent_snapshot_id" in by_id[node]
+        ):
+            tail.append(node)
+            node = by_id[node]["parent_snapshot_id"]
+        if node is not None and node in by_id:
+            head = [
+                i
+                for i in order[: order.index(node) + 1]
+                if "parent_snapshot_id" not in by_id[i]
+            ]
+        else:
+            head = []
+        chain_ids = head + list(reversed(tail))
+        snaps = [(i, by_id[i].get("operation")) for i in chain_ids]
+        ids = chain_ids
+    else:  # spec flavor: the snapshot-log IS the main timeline
+        meta = table.metadata()
+        ops = {
+            s["snapshot-id"]: (s.get("summary") or {}).get("operation")
+            for s in meta["snapshots"]
+        }
+        ids = [e["snapshot-id"] for e in meta.get("snapshot-log", [])]
+        snaps = [(sid, ops.get(sid)) for sid in ids]
+    if from_snapshot_id not in ids:
+        raise ValueError(f"snapshot {from_snapshot_id} not found")
+    start = ids.index(from_snapshot_id)
+    end = len(ids) - 1 if to_snapshot_id is None else ids.index(to_snapshot_id)
+    if end < start:
+        raise ValueError("to_snapshot precedes from_snapshot")
+    return snaps[start], snaps[start + 1 : end + 1]
+
+
+def _with_meta(df: DataFrame, cols, change, sid, ordinal) -> DataFrame:
+    return df.select(
+        *cols,
+        F.lit(change).alias("_change_type"),
+        F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+        F.lit(ordinal).cast("int").alias("_change_ordinal"),
+    )
+
+
+def read_changelog(
+    spark: SparkSession,
+    table,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Row-level changes committed AFTER ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (current by default).  See module docstring for
+    per-operation semantics."""
+    from ic_spark.compaction.deletes import infer_read_schema
+    from ic_spark.compaction.planner import (
+        _scan_deletion_vectors,
+        _scan_with_hidden_cols,
+        scan_position_delete_rows,
+    )
+
+    (prev_id, _), chain = _main_chain(table, from_snapshot_id, to_snapshot_id)
+    if schema is None and hasattr(table, "schema"):
+        schema = table.schema()
+    if schema is None:
+        data, _, _ = table.scan_tasks()
+        if not data:
+            raise ValueError("empty table and no schema given")
+        schema = infer_read_schema(spark, data)
+    cols = [f.name for f in schema.fields]
+    out_schema = (
+        "  , ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        + ", _change_type string, _commit_snapshot_id long, _change_ordinal int"
+    )
+
+    def pos_rows(tasks) -> DataFrame | None:
+        """(file_path, pos) rows of a snapshot's positional delete
+        content (parquet + puffin flavors)."""
+        pq = [t for t in tasks if t.file_format != "puffin"]
+        dv = [t for t in tasks if t.file_format == "puffin"]
+        parts = []
+        if pq:
+            parts.append(scan_position_delete_rows(spark, pq))
+        if dv:
+            parts.append(
+                _scan_deletion_vectors(
+                    spark, [t.data_file_path for t in dv]
+                ).toDF(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    parts: list[DataFrame] = []
+    cur_prev = prev_id
+    for ordinal, (sid, operation) in enumerate(chain):
+        p_data, p_pos, p_eq = table.scan_tasks(cur_prev)
+        c_data, c_pos, c_eq = table.scan_tasks(sid)
+        p_paths = {t.data_file_path for t in p_data}
+        c_paths = {t.data_file_path for t in c_data}
+        added = [t for t in c_data if t.data_file_path not in p_paths]
+        removed = [t for t in p_data if t.data_file_path not in c_paths]
+        new_eq = [
+            t
+            for t in c_eq
+            if t.data_file_path not in {x.data_file_path for x in p_eq}
+        ]
+        pos_changed = {t.data_file_path for t in c_pos} != {
+            t.data_file_path for t in p_pos
+        }
+
+        if operation == "replace":
+            cur_prev = sid
+            continue
+        if operation is None and removed:
+            raise ValueError(
+                f"snapshot {sid} removed files but records no operation; "
+                "changelog is undefined across pre-tracking rewrites"
+            )
+
+        if operation == "overwrite":
+            if removed:
+                # Previously-visible rows of the removed files (their
+                # then-applicable deletes applied: already-hidden rows
+                # are not re-reported).
+                from ic_spark.compaction.planner import build_merge_on_read
+                from ic_spark.compaction.request import RewriteFilesRequest
+
+                gone = build_merge_on_read(
+                    spark,
+                    RewriteFilesRequest(
+                        schema=schema,
+                        data_files=removed,
+                        position_delete_files=p_pos,
+                        equality_delete_files=p_eq,
+                    ),
+                )
+                parts.append(_with_meta(gone, cols, "DELETE", sid, ordinal))
+            if added:
+                ins = _scan_with_hidden_cols(spark, added, schema=schema)
+                parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
+            cur_prev = sid
+            continue
+
+        # append / delete / upsert commits
+        if added:
+            ins = _scan_with_hidden_cols(spark, added, schema=schema)
+            parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
+        if pos_changed:
+            prev_rows = pos_rows(p_pos)
+            cur_rows = pos_rows(c_pos)
+            if cur_rows is not None:
+                newly = (
+                    cur_rows
+                    if prev_rows is None
+                    else cur_rows.exceptAll(prev_rows)
+                )
+                # Rows these positions hide lived in files visible BEFORE
+                # this commit.
+                base = _scan_with_hidden_cols(
+                    spark, p_data, schema=schema, with_pos=True
+                )
+                hit = base.join(
+                    newly, on=[SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS], how="left_semi"
+                )
+                parts.append(_with_meta(hit, cols, "DELETE", sid, ordinal))
+        if new_eq:
+            for group in split_equality_delete_groups(new_eq):
+                eq_cols = list(group.equality_ids)
+                keys = _scan_with_hidden_cols(
+                    spark, list(group.tasks), with_seq=True, columns=eq_cols
+                )
+                base = _scan_with_hidden_cols(
+                    spark, p_data, schema=schema, with_seq=True
+                )
+                cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(
+                    f"e.{SYS_HIDDEN_SEQ_NUM}"
+                )
+                for c in eq_cols:
+                    cond = cond & (F.col(f"d.{c}") == F.col(f"e.{c}"))
+                hit = (
+                    base.alias("d")
+                    .join(keys.alias("e"), on=cond, how="left_semi")
+                )
+                parts.append(_with_meta(hit, cols, "DELETE", sid, ordinal))
+        cur_prev = sid
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def register_changelog_view(
+    spark: SparkSession,
+    table,
+    name: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """``CALL system.create_changelog_view`` analog: registers the
+    changelog as a temp view for SQL consumption."""
+    df = read_changelog(spark, table, from_snapshot_id, to_snapshot_id)
+    df.createOrReplaceTempView(name)
+    return df

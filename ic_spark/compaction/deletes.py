@@ -307,7 +307,9 @@ def commit_deletion_vectors(
             for b in blobs
         },
     }
-    return table.commit_rewrite([entry], superseded | (extra_removed or set()))
+    return table.commit_rewrite(
+        [entry], superseded | (extra_removed or set()), operation="delete"
+    )
 
 
 def commit_deletion_vectors_distributed(
@@ -551,7 +553,9 @@ def commit_deletion_vectors_distributed(
                 },
             }
         )
-    return table.commit_rewrite(entries, sup_paths | (extra_removed or set()))
+    return table.commit_rewrite(
+        entries, sup_paths | (extra_removed or set()), operation="delete"
+    )
 
 
 def write_equality_deletes(

@@ -880,7 +880,12 @@ class IcebergTable:
 
     # -- ManifestTable-compatible surface ------------------------------
 
-    def append_snapshot(self, files: list[dict], branch: str | None = None) -> int:
+    def append_snapshot(
+        self,
+        files: list[dict],
+        branch: str | None = None,
+        operation: str | None = None,
+    ) -> int:
         """Append files (ManifestTable files-dict shape) as one commit.
 
         New entries carry null sequence numbers in the manifest and
@@ -906,8 +911,15 @@ class IcebergTable:
             for f in files
             for df in self._entries_for_file(f, meta)
         ]
+        if operation is None:
+            operation = (
+                "delete"
+                if files
+                and all(f.get("content", "DATA") != "DATA" for f in files)
+                else "append"
+            )
         return self._commit_snapshot(
-            meta, version, carried + new, "append", branch=branch
+            meta, version, carried + new, operation, branch=branch
         )
 
     def rollback_to_snapshot(self, snapshot_id: int) -> int:
@@ -1110,10 +1122,14 @@ class IcebergTable:
         added: list[dict],
         removed_paths: set[str],
         expected_snapshot_id: int | None = None,
+        operation: str = "replace",
     ) -> int:
         """RewriteFiles commit over spec metadata (reference
         mod.rs:66-72): validates every removed file is still live
-        (stale-plan conflict), drops them, adds the rewritten files."""
+        (stale-plan conflict), drops them, adds the rewritten files.
+        ``operation`` lands in the snapshot summary (replace =
+        maintenance, overwrite = COW row change, delete = delete-file
+        supersede) — the changelog read keys off it."""
         meta = self.metadata()
         version = self.version()
         cur = self._snapshot(None)
@@ -1143,7 +1159,7 @@ class IcebergTable:
             for f in added
             for df in self._entries_for_file(f, meta)
         ]
-        return self._commit_snapshot(meta, version, kept + new, "replace")
+        return self._commit_snapshot(meta, version, kept + new, operation)
 
     # -- snapshot refs (Iceberg metadata ``refs``: tags + branches) ----
 

@@ -151,6 +151,9 @@ class Snapshot:
     snapshot_id: int
     timestamp_ms: int
     files: list[dict]  # {"path", "sequence_number", "content", "equality_ids"}
+    # Iceberg summary operation (append/delete/overwrite/replace);
+    # None on snapshots written before operation tracking.
+    operation: str | None = None
 
 
 class ManifestTable:
@@ -480,7 +483,12 @@ class ManifestTable:
         """All retained snapshots, oldest first (time-travel surface)."""
         state = self._load()
         return [
-            Snapshot(s["snapshot_id"], s["timestamp_ms"], s["files"])
+            Snapshot(
+                s["snapshot_id"],
+                s["timestamp_ms"],
+                s["files"],
+                s.get("operation"),
+            )
             for s in state["snapshots"]
         ]
 
@@ -626,7 +634,11 @@ class ManifestTable:
         ]
 
     def append_snapshot(
-        self, files: list[dict], stage: bool = False, branch: str | None = None
+        self,
+        files: list[dict],
+        stage: bool = False,
+        branch: str | None = None,
+        operation: str | None = None,
     ) -> int:
         """Add a snapshot whose file list = current files + ``files``.
 
@@ -657,9 +669,21 @@ class ManifestTable:
             base = list(cur.files) if cur else []
         # max+1, not current+1: staged snapshots hold ids past current.
         sid = max((s["snapshot_id"] for s in state["snapshots"]), default=0) + 1
+        if operation is None:
+            # Inferred Iceberg summary operation: an all-delete-file
+            # commit is a "delete"; anything adding data is an "append"
+            # (upserts add both and count as append — the changelog
+            # reads their delete files regardless).
+            operation = (
+                "delete"
+                if files
+                and all(f.get("content", "DATA") != "DATA" for f in files)
+                else "append"
+            )
         entry = {
             "snapshot_id": sid,
             "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
             "files": base + files,
         }
         if stage:
@@ -749,7 +773,11 @@ class ManifestTable:
         raise ValueError(f"snapshot {snapshot_id} not found")
 
     def commit_rewrite(
-        self, added: list[dict], removed_paths: set[str], expected_snapshot_id: int | None = None
+        self,
+        added: list[dict],
+        removed_paths: set[str],
+        expected_snapshot_id: int | None = None,
+        operation: str = "replace",
     ) -> int:
         """RewriteFiles transaction: one atomic add+delete swap.
 
@@ -786,6 +814,11 @@ class ManifestTable:
             {
                 "snapshot_id": sid,
                 "timestamp_ms": int(time.time() * 1000),
+                # Iceberg summary operation: "replace" = no logical row
+                # change (compaction/maintenance); "overwrite" = COW row
+                # ops; "delete" = delete-file supersede commits.  The
+                # changelog read keys off this.
+                "operation": operation,
                 "files": kept + added,
             }
         )

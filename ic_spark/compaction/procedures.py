@@ -122,6 +122,26 @@ def analyze_table(spark, table, columns=None, **kw):
     return stats.analyze_table(spark, table, columns)
 
 
+def create_changelog_view(
+    spark,
+    table,
+    changelog_view: str = "changelog",
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    **kw,
+):
+    """Iceberg ``system.create_changelog_view``: register row-level
+    changes between snapshots as a temp view (compaction/changelog.py)."""
+    from ic_spark.compaction.changelog import register_changelog_view
+
+    if from_snapshot_id is None:
+        raise ValueError("create_changelog_view needs from_snapshot_id")
+    df = register_changelog_view(
+        spark, table, changelog_view, from_snapshot_id, to_snapshot_id
+    )
+    return {"changelog_view": changelog_view, "columns": df.columns}
+
+
 _PROCEDURES = {
     "rewrite_data_files": rewrite_data_files,
     "rewrite_position_delete_files": rewrite_position_delete_files,
@@ -133,6 +153,7 @@ _PROCEDURES = {
     "rollback_to_snapshot": rollback_to_snapshot,
     "ancestors_of": ancestors_of,
     "analyze_table": analyze_table,
+    "create_changelog_view": create_changelog_view,
 }
 
 

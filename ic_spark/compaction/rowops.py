@@ -150,7 +150,7 @@ def _rewrite_and_commit(
         added.append(entry)
     added.extend(extra_added or [])
     snapshot_id = table.commit_rewrite(
-        added, {t.data_file_path for t in candidates}
+        added, {t.data_file_path for t in candidates}, operation="overwrite"
     )
     return {
         "snapshot_id": snapshot_id,
@@ -451,7 +451,8 @@ def merge_into(
                     "column_stats": column_stats,
                 }
             )
-        snapshot_id = table.commit_rewrite(entries, set())
+        # Pure insert (no files rewritten): an append for the changelog.
+        snapshot_id = table.commit_rewrite(entries, set(), operation="append")
         return {
             "snapshot_id": snapshot_id,
             "rewritten_files_count": 0,

@@ -84,6 +84,13 @@ class Table:
 
         return register_mor_view(self.spark, self.inner, name, **kw)
 
+    def read_changelog(self, from_snapshot_id: int, **kw) -> DataFrame:
+        """Row-level CDC between snapshots (INSERT/DELETE rows with
+        commit metadata) — compaction/changelog.py semantics."""
+        from ic_spark.compaction.changelog import read_changelog
+
+        return read_changelog(self.spark, self.inner, from_snapshot_id, **kw)
+
     def metadata_table(self, kind: str) -> DataFrame:
         from ic_spark.compaction.metadata_tables import read_metadata_table
 

@@ -1,0 +1,168 @@
+"""Changelog (CDC) reads — compaction/changelog.py.
+
+Iceberg create_changelog_view semantics: appends emit INSERTs, delete
+commits emit the newly hidden rows, COW overwrites emit removed-file
+rows as DELETE + added-file rows as INSERT, compaction emits nothing,
+and supersede-by-union DV commits report only the POSITION DIFF."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ic_spark.compaction.changelog import read_changelog
+from ic_spark.compaction.deletes import (
+    _next_sequence_number,
+    merge_upsert,
+    read_table,
+    write_deletion_vectors,
+    write_position_deletes,
+)
+from ic_spark.compaction.iceberg_meta import IcebergTable
+from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.compaction.writer import _stats_from_footer
+
+
+def _append(spark, tbl, df, tmp_path, tag):
+    d = str(tmp_path / f"seed_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    f = next(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    rc, cs, _ = _stats_from_footer(f, d)
+    e = {
+        "path": f,
+        "content": "DATA",
+        "record_count": rc,
+        "file_size_in_bytes": os.path.getsize(f),
+        "column_stats": cs,
+    }
+    if isinstance(tbl, ManifestTable):
+        e["sequence_number"] = _next_sequence_number(tbl)
+    return tbl.append_snapshot([e])
+
+
+def _mk(spark, tmp_path, flavor, tag):
+    root = str(tmp_path / f"{flavor}_{tag}")
+    df = spark.range(0, 20).select("id", (F.col("id") % 4).alias("k"))
+    if flavor == "spec":
+        tbl = IcebergTable.create(root, df.schema)
+    else:
+        os.makedirs(root, exist_ok=True)
+        tbl = ManifestTable(root)
+    snap0 = _append(spark, tbl, df, tmp_path, f"{flavor}_{tag}_0")
+    return tbl, snap0
+
+
+def _changes(df):
+    return sorted(
+        (r._change_type, r.id, r._change_ordinal) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_changelog_append_delete_upsert(spark, tmp_path, flavor):
+    tbl, snap0 = _mk(spark, tmp_path, flavor, "adu")
+
+    # commit 1: append 5 rows
+    _append(
+        spark,
+        tbl,
+        spark.range(20, 25).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        f"{flavor}_adu_1",
+    )
+    # commit 2: positional delete (DV) of k == 1 rows visible so far
+    write_deletion_vectors(spark, tbl, F.col("k") == 1)
+    # commit 3: second DV delete — supersede+union; only the NEW
+    # positions may be reported
+    write_deletion_vectors(spark, tbl, F.col("id") == 2)
+    # commit 4: upsert replacing id 4 and inserting id 100
+    merge_upsert(
+        spark,
+        tbl,
+        spark.createDataFrame([(4, 40), (100, 0)], "id long, k long"),
+        ["id"],
+    )
+
+    log = read_changelog(spark, tbl, snap0)
+    got = _changes(log)
+    k1 = [i for i in range(25) if i % 4 == 1]
+    want = (
+        [("INSERT", i, 0) for i in range(20, 25)]
+        + [("DELETE", i, 1) for i in k1]
+        + [("DELETE", 2, 2)]
+        + [("INSERT", 4, 3), ("INSERT", 100, 3), ("DELETE", 4, 3)]
+    )
+    assert got == sorted(want)
+
+    # ordinal-0-only slice via to_snapshot
+    ids = [x[0] for x in _main_ids(tbl, snap0)]
+    first = read_changelog(spark, tbl, snap0, to_snapshot_id=ids[0])
+    assert _changes(first) == sorted([("INSERT", i, 0) for i in range(20, 25)])
+
+
+def _main_ids(tbl, from_id):
+    from ic_spark.compaction.changelog import _main_chain
+
+    _, chain = _main_chain(tbl, from_id, None)
+    return chain
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_changelog_overwrite_and_replace(spark, tmp_path, flavor):
+    from ic_spark.compaction.orchestrator import Compaction
+    from ic_spark.compaction.rowops import delete_where
+
+    tbl, snap0 = _mk(spark, tmp_path, flavor, "ovr")
+    # COW delete: rewrites the file without id==3 -> overwrite commit.
+    delete_where(spark, tbl, [("id", "=", 3)])
+    # compaction: replace commit, must emit nothing
+    schema = spark.createDataFrame([], "id long, k long").schema
+    Compaction(spark).full_compact(tbl, schema)
+
+    log = read_changelog(spark, tbl, snap0)
+    got = _changes(log)
+    # overwrite: all 20 previously-visible rows deleted, 19 re-inserted
+    want = [("DELETE", i, 0) for i in range(20)] + [
+        ("INSERT", i, 0) for i in range(20) if i != 3
+    ]
+    assert got == sorted(want)
+
+    # SQL surface via the CALL procedure
+    from ic_spark.compaction.procedures import call
+
+    out = call(
+        spark,
+        "system.create_changelog_view",
+        table=tbl,
+        changelog_view=f"cl_{flavor}",
+        from_snapshot_id=snap0,
+    )
+    assert out["changelog_view"] == f"cl_{flavor}"
+    n = spark.sql(
+        f"SELECT count(*) AS n FROM cl_{flavor} WHERE _change_type = 'DELETE'"
+    ).collect()[0].n
+    assert n == 20
+
+
+def test_changelog_position_delete_diff_not_union(spark, tmp_path):
+    """Two parquet position-delete commits: the second reports only its
+    own rows even though both files stay live."""
+    tbl, snap0 = _mk(spark, tmp_path, "json", "pdiff")
+    write_position_deletes(spark, tbl, F.col("id").isin(1, 2))
+    write_position_deletes(spark, tbl, F.col("id") == 5)
+    got = _changes(read_changelog(spark, tbl, snap0))
+    assert got == sorted(
+        [("DELETE", 1, 0), ("DELETE", 2, 0), ("DELETE", 5, 1)]
+    )
+    assert read_table(spark, tbl).count() == 17
+
+
+def test_changelog_empty_range_and_errors(spark, tmp_path):
+    tbl, snap0 = _mk(spark, tmp_path, "json", "edge")
+    log = read_changelog(spark, tbl, snap0)
+    assert log.count() == 0
+    assert "_change_type" in log.columns
+    with pytest.raises(ValueError, match="not found"):
+        read_changelog(spark, tbl, 999999)
