@@ -118,10 +118,17 @@ def read_changelog(
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
     schema=None,
+    compute_updates_key: list[str] | None = None,
 ) -> DataFrame:
     """Row-level changes committed AFTER ``from_snapshot_id`` up to
     ``to_snapshot_id`` (current by default).  See module docstring for
-    per-operation semantics."""
+    per-operation semantics.
+
+    ``compute_updates_key`` (Iceberg's changelog ``identifier_columns``
+    option): within one commit, a DELETE and an INSERT sharing the key
+    re-type as UPDATE_BEFORE / UPDATE_AFTER — the upsert pattern read
+    back as updates.  Keys must be unique per commit (the keyed-upsert
+    contract)."""
     from ic_spark.compaction.deletes import infer_read_schema
     from ic_spark.compaction.planner import (
         _scan_deletion_vectors,
@@ -263,7 +270,29 @@ def read_changelog(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if compute_updates_key:
+        out = _compute_updates(out, compute_updates_key)
     return out
+
+
+def _compute_updates(out: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Pair same-commit DELETE+INSERT rows sharing the key into
+    UPDATE_BEFORE / UPDATE_AFTER (Iceberg changelog identifier-column
+    semantics); unpaired rows keep their type."""
+    on = key_cols + ["_change_ordinal"]
+    dels = out.where(F.col("_change_type") == "DELETE")
+    ins = out.where(F.col("_change_type") == "INSERT")
+    del_keys = dels.select(on).distinct()
+    ins_keys = ins.select(on).distinct()
+    pre = dels.join(ins_keys, on=on, how="left_semi").withColumn(
+        "_change_type", F.lit("UPDATE_BEFORE")
+    )
+    post = ins.join(del_keys, on=on, how="left_semi").withColumn(
+        "_change_type", F.lit("UPDATE_AFTER")
+    )
+    plain_d = dels.join(ins_keys, on=on, how="left_anti")
+    plain_i = ins.join(del_keys, on=on, how="left_anti")
+    return pre.unionByName(post).unionByName(plain_d).unionByName(plain_i)
 
 
 def register_changelog_view(

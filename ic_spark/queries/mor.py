@@ -615,3 +615,72 @@ def mor_partition_evolution(spark: SparkSession, sf_dir: str):
     return read_table(spark, t, where=[("o_orderkey", ">=", lo)]).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "mor_changelog_scan",
+    oracle="""
+    -- Changelog over a three-commit table (see the Spark side): the
+    -- second append's rows are ordinal-0 INSERTs; the equality delete
+    -- at the next sequence hides every %7 key from BOTH earlier
+    -- appends (strict < guard), emitted as ordinal-1 DELETEs.
+    SELECT 'INSERT' AS _change_type, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           0 AS _change_ordinal
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'DELETE', o_orderkey, CAST(o_totalprice AS DOUBLE), 1
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def mor_changelog_scan(spark: SparkSession, sf_dir: str):
+    """Row-level CDC read (compaction/changelog.py — Iceberg
+    create_changelog_view semantics) over a real three-commit table:
+    commit 0 appends even orders (the changelog baseline), commit 1
+    appends odd orders (INSERTs), commit 2 writes an equality delete on
+    ``%7`` keys (DELETEs for every already-visible matching row, both
+    appends, under the strict sequence guard)."""
+    import os
+    import tempfile
+
+    from ic_spark.compaction.changelog import read_changelog
+    from ic_spark.compaction.deletes import (
+        _next_sequence_number,
+        write_equality_deletes,
+    )
+    from ic_spark.compaction.manifest import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="mor_cl_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+
+    def append(df, tag):
+        p = os.path.join(tmp, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        f = next(
+            os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+        )
+        return t.append_snapshot(
+            [
+                {
+                    "path": f,
+                    "sequence_number": _next_sequence_number(t),
+                    "content": "DATA",
+                    "file_size_in_bytes": os.path.getsize(f),
+                }
+            ]
+        )
+
+    snap0 = append(o.where(F.col("o_orderkey") % 2 == 0), "even")
+    append(o.where(F.col("o_orderkey") % 2 == 1), "odd")
+    write_equality_deletes(
+        spark,
+        t,
+        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    return read_changelog(spark, t, snap0).select(
+        "_change_type", "o_orderkey", "o_totalprice", "_change_ordinal"
+    )

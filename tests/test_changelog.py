@@ -166,3 +166,30 @@ def test_changelog_empty_range_and_errors(spark, tmp_path):
     assert "_change_type" in log.columns
     with pytest.raises(ValueError, match="not found"):
         read_changelog(spark, tbl, 999999)
+
+
+def test_changelog_compute_updates(spark, tmp_path):
+    """identifier-column pairing: same-commit DELETE+INSERT sharing the
+    key re-type as UPDATE_BEFORE/UPDATE_AFTER; unpaired rows keep their
+    plain types."""
+    tbl, snap0 = _mk(spark, tmp_path, "json", "updates")
+    # upsert: id 4 replaced (update), id 100 fresh (plain insert)
+    merge_upsert(
+        spark,
+        tbl,
+        spark.createDataFrame([(4, 40), (100, 0)], "id long, k long"),
+        ["id"],
+    )
+    # separate commit: plain delete of id 7
+    write_position_deletes(spark, tbl, F.col("id") == 7)
+
+    log = read_changelog(spark, tbl, snap0, compute_updates_key=["id"])
+    got = sorted((r._change_type, r.id, r.k) for r in log.collect())
+    assert got == sorted(
+        [
+            ("UPDATE_BEFORE", 4, 0),   # old row (k = id % 4)
+            ("UPDATE_AFTER", 4, 40),   # new row
+            ("INSERT", 100, 0),
+            ("DELETE", 7, 3),
+        ]
+    )
