@@ -135,10 +135,22 @@ def validate_file_schemas(
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_type
 
+    import os as _os
+
+    expanded: list[str] = []
     for path in paths:
         local = _local_path(path)
         if local is None:
             continue
+        if _os.path.isdir(local):  # tasks may reference a directory write
+            expanded.extend(
+                _os.path.join(local, n)
+                for n in sorted(_os.listdir(local))
+                if n.endswith(".parquet")
+            )
+        else:
+            expanded.append(local)
+    for local in expanded:
         footer = pq.read_schema(local)
         phys: dict[str, DataType] = {}
         for i, name in enumerate(footer.names):

@@ -311,13 +311,27 @@ def scan_position_delete_rows(
 
     import pyarrow.parquet as _pq
 
+    import os as _os
+
+    def _sniff(path: str) -> tuple:
+        p = path
+        if _os.path.isdir(p):  # tasks may reference a directory write
+            p = next(
+                (
+                    _os.path.join(p, n)
+                    for n in sorted(_os.listdir(p))
+                    if n.endswith(".parquet")
+                ),
+                p,
+            )
+        try:
+            return tuple(_pq.read_schema(p).names[:2])
+        except Exception:
+            return ("file_path", "pos")
+
     groups: dict[tuple, list[str]] = _dd(list)
     for t in tasks:
-        try:
-            names = tuple(_pq.read_schema(t.data_file_path).names[:2])
-        except Exception:
-            names = ("file_path", "pos")
-        groups[names].append(t.data_file_path)
+        groups[_sniff(t.data_file_path)].append(t.data_file_path)
     parts = [
         spark.read.parquet(*paths)
         .select(*list(names)[:2])

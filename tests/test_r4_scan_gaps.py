@@ -198,3 +198,31 @@ def test_position_delete_files_use_spec_column_names(spark, tmp_path):
     assert pq.read_schema(pos[0].data_file_path).names[:2] == ["file_path", "pos"]
     got = sorted(r.id for r in read_table(spark, table).collect())
     assert got == [i for i in range(50) if i >= 5 and i not in (10, 11)]
+
+
+def test_directory_referenced_tasks(spark, tmp_path):
+    """Tasks may reference a directory write instead of single files:
+    the footer name sniff and the schema validation both resolve a part
+    file inside; the MoR plan reads the directory through Spark."""
+    from ic_spark.compaction.planner import build_merge_on_read
+
+    df = spark.range(0, 30).select("id")
+    dd = str(tmp_path / "dir_data")
+    df.coalesce(1).write.parquet(dd)
+    part = next(os.path.join(dd, n) for n in os.listdir(dd) if n.endswith(".parquet"))
+    third = spark.read.parquet(part).collect()[3].id
+
+    pd_dir = str(tmp_path / "dir_pdel")
+    spark.createDataFrame(
+        [(f"file:{part}", 3)], "fp string, pos long"  # non-spec names too
+    ).coalesce(1).write.parquet(pd_dir)
+
+    req = RewriteFilesRequest(
+        schema=df.schema,
+        data_files=[FileScanTask(dd, sequence_number=1)],
+        position_delete_files=[
+            FileScanTask(pd_dir, content=FileContent.POSITION_DELETES)
+        ],
+    )
+    got = sorted(r.id for r in build_merge_on_read(spark, req).collect())
+    assert got == sorted(set(range(30)) - {third})
