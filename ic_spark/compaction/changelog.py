@@ -129,14 +129,23 @@ def read_changelog(
     re-type as UPDATE_BEFORE / UPDATE_AFTER — the upsert pattern read
     back as updates.  Keys must be unique per commit (the keyed-upsert
     contract)."""
-    from ic_spark.compaction.deletes import infer_read_schema
+    from ic_spark.compaction.deletes import _evolved_scan_args, infer_read_schema
     from ic_spark.compaction.planner import (
+        _maybe_broadcast,
         _scan_deletion_vectors,
         _scan_with_hidden_cols,
+        apply_equality_deletes,
+        apply_position_deletes,
         scan_position_delete_rows,
     )
 
     (prev_id, _), chain = _main_chain(table, from_snapshot_id, to_snapshot_id)
+    # Evolved-spec tables: old files' footers carry pre-rename column
+    # names; scanning with schema only would null-fill them silently.
+    # Thread name_mapping/schema_history into every scan, exactly as
+    # read_table/deletes.py do.
+    evo = _evolved_scan_args(table)
+    evo.pop("schema", None)
     if schema is None and hasattr(table, "schema"):
         schema = table.schema()
     if schema is None:
@@ -170,6 +179,40 @@ def read_changelog(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def prev_visible(p_data, p_pos, p_eq, with_pos=False, with_seq=False):
+        """Rows visible in the PREVIOUS snapshot, hidden cols kept.
+
+        A commit's DELETE events must come from rows that were actually
+        visible before it: a row already hidden by an older position or
+        equality delete must not be re-emitted when a new delete also
+        matches it (Iceberg's changelog is net per-commit change)."""
+        base = _scan_with_hidden_cols(
+            spark,
+            p_data,
+            schema=schema,
+            with_pos=with_pos or bool(p_pos),
+            with_seq=with_seq or bool(p_eq),
+            **evo,
+        )
+        if p_pos:
+            prev = pos_rows(p_pos)
+            base = apply_position_deletes(
+                base, _maybe_broadcast(prev, p_pos)
+            )
+        if p_eq:
+            for group in split_equality_delete_groups(p_eq):
+                g_cols = list(group.equality_ids)
+                g_del = _scan_with_hidden_cols(
+                    spark,
+                    list(group.tasks),
+                    with_seq=True,
+                    columns=g_cols,
+                    schema_history=evo.get("schema_history"),
+                )
+                g_del = _maybe_broadcast(g_del, list(group.tasks))
+                base = apply_equality_deletes(base, g_del, g_cols)
+        return base
 
     parts: list[DataFrame] = []
     cur_prev = prev_id
@@ -213,18 +256,20 @@ def read_changelog(
                         data_files=removed,
                         position_delete_files=p_pos,
                         equality_delete_files=p_eq,
+                        name_mapping=evo.get("name_mapping"),
+                        schema_history=evo.get("schema_history"),
                     ),
                 )
                 parts.append(_with_meta(gone, cols, "DELETE", sid, ordinal))
             if added:
-                ins = _scan_with_hidden_cols(spark, added, schema=schema)
+                ins = _scan_with_hidden_cols(spark, added, schema=schema, **evo)
                 parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
             cur_prev = sid
             continue
 
         # append / delete / upsert commits
         if added:
-            ins = _scan_with_hidden_cols(spark, added, schema=schema)
+            ins = _scan_with_hidden_cols(spark, added, schema=schema, **evo)
             parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
         if pos_changed:
             prev_rows = pos_rows(p_pos)
@@ -236,10 +281,9 @@ def read_changelog(
                     else cur_rows.exceptAll(prev_rows)
                 )
                 # Rows these positions hide lived in files visible BEFORE
-                # this commit.
-                base = _scan_with_hidden_cols(
-                    spark, p_data, schema=schema, with_pos=True
-                )
+                # this commit — with that snapshot's own deletes applied,
+                # so an already-hidden row is never re-reported.
+                base = prev_visible(p_data, p_pos, p_eq, with_pos=True)
                 hit = base.join(
                     newly, on=[SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS], how="left_semi"
                 )
@@ -248,11 +292,13 @@ def read_changelog(
             for group in split_equality_delete_groups(new_eq):
                 eq_cols = list(group.equality_ids)
                 keys = _scan_with_hidden_cols(
-                    spark, list(group.tasks), with_seq=True, columns=eq_cols
+                    spark,
+                    list(group.tasks),
+                    with_seq=True,
+                    columns=eq_cols,
+                    schema_history=evo.get("schema_history"),
                 )
-                base = _scan_with_hidden_cols(
-                    spark, p_data, schema=schema, with_seq=True
-                )
+                base = prev_visible(p_data, p_pos, p_eq, with_seq=True)
                 cond = F.col(f"d.{SYS_HIDDEN_SEQ_NUM}") < F.col(
                     f"e.{SYS_HIDDEN_SEQ_NUM}"
                 )

@@ -32,13 +32,27 @@ from __future__ import annotations
 import os
 import re
 import sqlite3
+from contextlib import closing
 
 from pyspark.sql import types as T
 
 from ic_spark.compaction.iceberg_meta import IcebergTable
 from ic_spark.compaction.manifest import CommitConflictError
 
-_VERSION_RE = re.compile(r"v(\d+)\.metadata\.json$")
+# Accepts both the initial Hadoop-layout name (v1.metadata.json) and the
+# collision-free commit names (v{N}-{uuid}.metadata.json — the JDBC
+# catalog's convention, where the DB CAS is the sole commit point).
+_VERSION_RE = re.compile(r"v(\d+)(?:-[0-9a-f]{8,})?\.metadata\.json$")
+
+# One dot-separated identifier segment.  '.'/'..' and path separators
+# are rejected so catalog names can never escape the warehouse root.
+_SEGMENT_RE = re.compile(r"[A-Za-z0-9_-]+")
+
+
+def _check_identifier(kind: str, value: str) -> None:
+    segments = value.split(".")
+    if not segments or not all(_SEGMENT_RE.fullmatch(s) for s in segments):
+        raise ValueError(f"bad {kind}: {value!r}")
 
 
 class SqlCatalog:
@@ -49,7 +63,7 @@ class SqlCatalog:
         self.warehouse = warehouse
         self.name = name
         os.makedirs(warehouse, exist_ok=True)
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             con.execute(
                 """CREATE TABLE IF NOT EXISTS iceberg_tables (
                        catalog_name TEXT NOT NULL,
@@ -80,23 +94,40 @@ class SqlCatalog:
     def create_namespace(
         self, namespace: str, properties: dict | None = None
     ) -> None:
+        _check_identifier("namespace", namespace)
         props = dict(properties or {})
         props.setdefault("exists", "true")
-        with self._conn() as con:
-            cur = con.execute(
-                "SELECT 1 FROM iceberg_namespace_properties "
-                "WHERE catalog_name=? AND namespace=?",
-                (self.name, namespace),
-            )
-            if cur.fetchone():
-                raise ValueError(f"namespace already exists: {namespace}")
-            con.executemany(
-                "INSERT INTO iceberg_namespace_properties VALUES (?,?,?,?)",
-                [(self.name, namespace, k, v) for k, v in props.items()],
-            )
+        # BEGIN IMMEDIATE serializes the check+insert (same discipline
+        # as rename/swap): a concurrent duplicate create loses the lock
+        # race and surfaces as the documented ValueError, never a raw
+        # IntegrityError.
+        with closing(self._conn()) as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "SELECT 1 FROM iceberg_namespace_properties "
+                    "WHERE catalog_name=? AND namespace=?",
+                    (self.name, namespace),
+                )
+                if cur.fetchone():
+                    raise ValueError(f"namespace already exists: {namespace}")
+                try:
+                    con.executemany(
+                        "INSERT INTO iceberg_namespace_properties "
+                        "VALUES (?,?,?,?)",
+                        [(self.name, namespace, k, v) for k, v in props.items()],
+                    )
+                except sqlite3.IntegrityError:
+                    raise ValueError(
+                        f"namespace already exists: {namespace}"
+                    ) from None
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
 
     def list_namespaces(self) -> list[str]:
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             return sorted(
                 r[0]
                 for r in con.execute(
@@ -114,7 +145,7 @@ class SqlCatalog:
 
     def list_tables(self, namespace: str) -> list[str]:
         self._check_namespace(namespace)
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             return sorted(
                 r[0]
                 for r in con.execute(
@@ -133,14 +164,13 @@ class SqlCatalog:
         properties: dict | None = None,
     ) -> "SqlCatalogTable":
         self._check_namespace(namespace)
-        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
-            raise ValueError(f"bad table name: {name!r}")
+        _check_identifier("table name", name)
         location = os.path.join(self.warehouse, namespace, name)
         IcebergTable.create(
             location, schema, partition_by=partition_by, properties=properties
         )
         pointer = os.path.join(location, "metadata", "v1.metadata.json")
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             try:
                 con.execute(
                     "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
@@ -153,7 +183,7 @@ class SqlCatalog:
         return self.load_table(namespace, name)
 
     def _pointer(self, namespace: str, name: str) -> str:
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             row = con.execute(
                 "SELECT metadata_location FROM iceberg_tables "
                 "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
@@ -170,7 +200,7 @@ class SqlCatalog:
 
     def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
         pointer = self._pointer(namespace, name)
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             con.execute(
                 "DELETE FROM iceberg_tables "
                 "WHERE catalog_name=? AND table_namespace=? AND table_name=?",
@@ -179,7 +209,17 @@ class SqlCatalog:
         if purge:
             import shutil
 
-            shutil.rmtree(os.path.dirname(os.path.dirname(pointer)), True)
+            # Never purge a directory the catalog does not own: the
+            # resolved location must stay strictly under the warehouse.
+            location = os.path.realpath(
+                os.path.dirname(os.path.dirname(pointer))
+            )
+            root = os.path.realpath(self.warehouse)
+            if os.path.commonpath([location, root]) != root or location == root:
+                raise ValueError(
+                    f"refusing to purge location outside warehouse: {location}"
+                )
+            shutil.rmtree(location, True)
 
     def rename_table(
         self, namespace: str, name: str, new_namespace: str, new_name: str
@@ -187,7 +227,8 @@ class SqlCatalog:
         """Pointer-only rename (the JDBC catalog moves the row; the
         warehouse files stay put — Iceberg locations are logical)."""
         self._check_namespace(new_namespace)
-        with self._conn() as con:
+        _check_identifier("table name", new_name)
+        with closing(self._conn()) as con:
             con.execute("BEGIN IMMEDIATE")
             try:
                 dup = con.execute(
@@ -218,7 +259,7 @@ class SqlCatalog:
     ) -> None:
         """The JDBC catalog's compare-and-swap: one UPDATE guarded by
         the expected metadata location; zero rows -> the table moved."""
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             con.execute("BEGIN IMMEDIATE")
             try:
                 cur = con.execute(
@@ -270,15 +311,18 @@ class SqlCatalogTable(IcebergTable):
             return json.load(f)
 
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
-        """Write v{N+1} metadata JSON, then CAS the catalog pointer.
+        """Write a collision-free metadata JSON, then CAS the pointer.
 
-        The metadata file itself is still created O_EXCL (two racers
-        writing the same next version collide on the file before the
-        DB), and the pointer swap is the JDBC catalog's guarded UPDATE —
-        either way exactly one committer wins.
+        Iceberg's JDBC catalog names metadata files
+        ``<version>-<uuid>.metadata.json`` so the database CAS is the
+        SOLE commit point: a crash after the file write but before the
+        swap leaves only an unreferenced file, never a name collision
+        that would wedge every future commit.  Losing racers likewise
+        leave harmless orphans the next maintenance pass can collect.
         """
         import json
         import time
+        import uuid
 
         os.makedirs(self.metadata_dir, exist_ok=True)
         expected_pointer = self._pointer()
@@ -289,7 +333,10 @@ class SqlCatalogTable(IcebergTable):
                 f"found v{current}"
             )
         new_version = (expected_version or 0) + 1
-        path = os.path.join(self.metadata_dir, f"v{new_version}.metadata.json")
+        path = os.path.join(
+            self.metadata_dir,
+            f"v{new_version}-{uuid.uuid4().hex}.metadata.json",
+        )
         meta = dict(meta)
         meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
             {
@@ -297,13 +344,7 @@ class SqlCatalogTable(IcebergTable):
                 "metadata-file": expected_pointer,
             }
         ]
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflictError(
-                f"concurrent commit: metadata v{new_version} already exists"
-            ) from None
-        with os.fdopen(fd, "w") as f:
+        with open(path, "w") as f:
             json.dump(meta, f, indent=1)
         self.catalog.swap_pointer(
             self.namespace, self.table_name, expected_pointer, path
