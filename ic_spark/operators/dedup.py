@@ -446,6 +446,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     portable: bool = False,
+    bucket_target: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
 
@@ -455,6 +456,25 @@ def minhash_lsh_candidates(
     With sig=64, b=16, r=4 the S-curve threshold is ≈ (1/16)^(1/4) ≈ 0.5
     Jaccard.  Downstream, verify candidates with exact Jaccard
     (``token_jaccard_pairs`` on the candidate set).
+
+    HOT band buckets (boilerplate-heavy corpora: one (band, bhash) key
+    shared by a large doc set) are the same COMPUTE skew
+    :func:`token_jaccard_pairs` salts against — a bucket of m docs
+    enumerates m(m-1)/2 candidate pairs inside ONE join task, and AQE's
+    byte-based skew heuristic never fires on 16-byte rows.  The
+    operator reuses the exactly-once CELL mechanism: buckets larger
+    than ``bucket_target`` are salted into ``k = ceil(m / target)``
+    sub-buckets, each row replicated into the k cells containing its
+    salt, and the self-join runs on (band, bhash, cell) so a hot
+    bucket's quadratic pair work spreads over k(k+1)/2 tasks.  Each
+    unordered pair meets in exactly one cell — (min(sa,sb), max(sa,sb))
+    when salts differ, the diagonal cell when equal — so the candidate
+    set is IDENTICAL to the unsalted join (pinned in tests).  Only the
+    HOT rows of the bucket-size aggregate are broadcast (the full table
+    is O(docs × bands) and must never ship to every executor), and the
+    detection runs INSIDE the query as the empty-when-uniform build
+    side of a left join — no driver-side count barrier, so a uniform
+    corpus pays only a no-op broadcast probe and k=1 cells.
 
     ``portable=True`` keeps the joined band values as the (string) join
     key instead of xxhash64-compressing them — join semantics are
@@ -472,27 +492,100 @@ def minhash_lsh_candidates(
         )
         return joined if portable else F.xxhash64(joined)
 
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bhash") == F.col("b.bhash"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+    # Persisted: banded feeds the hot-bucket detector AND both join
+    # sides; the cache fills during the first stage that computes it and
+    # the other consumers read it back instead of re-deriving band keys
+    # from signatures.  ~24 bytes/row x docs x bands; the default
+    # storage level spills to disk if a 100 TB corpus outgrows memory.
+    banded = (
+        signatures.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
+                )
+            ).alias("bk"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("id", "bk.band", "bk.bhash")
+        .persist()
+    )
+
+    # Hot detection stays INSIDE the one query (no driver-side count
+    # barrier — a separate action would cost a full extra job per call):
+    # `hot` is the broadcast build side of a left join, empty whenever
+    # no bucket exceeds the target, in which case every row keeps k=1 —
+    # a single diagonal cell, no replication, the plain banded join in
+    # all but name.  `hot` is small by construction (each row represents
+    # > bucket_target docs), so the broadcast ships kilobytes.
+    counts = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
+    hot = counts.where(F.col("__bn") > bucket_target)
+    k = F.coalesce(
+        F.ceil(F.col("__bn") / F.lit(bucket_target)).cast("int"), F.lit(1)
+    )
+    salted = banded.join(
+        F.broadcast(hot), on=["band", "bhash"], how="left"
+    ).select(
+        "id",
+        "band",
+        "bhash",
+        k.alias("__k"),
+        F.pmod(F.xxhash64(F.col("id")), k).cast("int").alias("__s"),
+    )
+    cells = F.transform(
+        F.sequence(F.lit(0), F.col("__k") - 1),
+        lambda w: F.struct(
+            F.least(F.col("__s"), w).alias("c1"),
+            F.greatest(F.col("__s"), w).alias("c2"),
+        ),
+    )
+    exploded = salted.select(
+        "id", "band", "bhash", "__s", F.explode(cells).alias("__c")
+    ).select(
+        "id",
+        "band",
+        "bhash",
+        "__s",
+        F.col("__c.c1").alias("__c1"),
+        F.col("__c.c2").alias("__c2"),
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"),
+        "band",
+        "bhash",
+        F.col("__s").alias("__sa"),
+        "__c1",
+        "__c2",
+    )
+    # Explicit spread on the full join key so a hot bucket's cells land
+    # on distinct tasks (an advisory repartition would be coalesced by
+    # AQE — the bytes look tiny; the pairs are not).  The distribution
+    # satisfies the join's clustering, so the exchange is reused.
+    n_spread = a.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(
+        n_spread, F.col("band"), F.col("bhash"), F.col("__c1"), F.col("__c2")
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"),
+        F.col("band").alias("__b_band"),
+        F.col("bhash").alias("__b_bhash"),
+        F.col("__s").alias("__sb"),
+        F.col("__c1").alias("__bc1"),
+        F.col("__c2").alias("__bc2"),
+    )
+    # Equal-salt pairs co-occur in every cell touching that salt; the
+    # diagonal-only guard keeps exactly one meeting per pair per band.
+    cond = (
+        (F.col("band") == F.col("__b_band"))
+        & (F.col("bhash") == F.col("__b_bhash"))
+        & (F.col("__c1") == F.col("__bc1"))
+        & (F.col("__c2") == F.col("__bc2"))
+        & ((F.col("__sa") != F.col("__sb")) | (F.col("__c1") == F.col("__c2")))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), on=cond, how="inner")
+        .select("id_a", "id_b")
         .distinct()
     )
 

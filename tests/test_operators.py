@@ -41,6 +41,46 @@ def test_minhash_exact_dup_always_pairs(spark, docs_df):
     assert (4, 5) not in pairs
 
 
+def test_lsh_hot_bucket_salting_identical_candidates(spark):
+    """Cell-salted hot-bucket path emits EXACTLY the plain join's
+    candidate set — the salting spreads work, never changes results."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # One hot bucket: 40 docs sharing every band (identical signature),
+    # plus unique-signature docs and a mid-size near-group.
+    hot_sig = [rng.randrange(2**31) for _ in range(64)]
+    for i in range(40):
+        rows.append((i, hot_sig))
+    for i in range(40, 70):
+        rows.append((i, [rng.randrange(2**31) for _ in range(64)]))
+    shared = [rng.randrange(2**31) for _ in range(64)]
+    for i in range(70, 76):
+        # agree on the first band (4 rows), differ elsewhere
+        rows.append((i, shared[:4] + [rng.randrange(2**31) for _ in range(60)]))
+    sigs = spark.createDataFrame(rows, "id long, sig array<long>")
+
+    plain = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, bucket_target=10**9).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, bucket_target=8).collect()
+    }
+    assert salted == plain
+    assert {(a, b) for a in range(40) for b in range(a + 1, 40)} <= plain
+    # portable flavor (string band keys) takes the same salted path
+    salted_p = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            sigs, portable=True, bucket_target=8
+        ).collect()
+    }
+    assert salted_p == plain
+
+
 def test_minhash_near_dup_high_overlap(spark, docs_df):
     sigs = minhash_signatures(docs_df, "doc_id", "text")
     rows = {r.id: r.sig for r in sigs.collect()}
