@@ -187,12 +187,20 @@ def write_deletion_vectors(
     return commit_deletion_vectors(spark, table, matches)
 
 
+# Above this many data files in the table, commit_deletion_vectors
+# auto-routes to the executor-side path: touched-file count is bounded
+# by the table's file count, and a 10^6-file delete must never collect
+# 10^6 blobs to the driver just because a caller took the default.
+DV_DISTRIBUTED_FILE_THRESHOLD = 4096
+
+
 def commit_deletion_vectors(
     spark: SparkSession,
     table: ManifestTable,
     matches: DataFrame,
     extra_removed: set[str] | None = None,
     tag: str | None = None,
+    distributed_threshold: int | None = None,
 ) -> int:
     """Pack a (file_path, pos) DataFrame into DV blobs and commit.
 
@@ -201,6 +209,13 @@ def commit_deletion_vectors(
     existing puffin DVs for the same data files are superseded by
     union, and one atomic commit adds the new puffin entry while
     removing superseded puffin files plus ``extra_removed`` paths.
+
+    Routing: tables with more than ``distributed_threshold`` data files
+    delegate to :func:`commit_deletion_vectors_distributed` (pinned to
+    produce byte-identical per-ref bitmaps), so the per-file blob
+    collect below is only ever run at driver-safe file counts.  The
+    table's file count bounds the touched-file count and is free to
+    read from the already-planned scan, so routing costs no Spark job.
     """
     from ic_spark.sources.puffin import (
         DV_BLOB_TYPE,
@@ -211,7 +226,13 @@ def commit_deletion_vectors(
         write_puffin,
     )
 
-    _, pos, _eq2 = table.scan_tasks()
+    if distributed_threshold is None:
+        distributed_threshold = DV_DISTRIBUTED_FILE_THRESHOLD
+    data_tasks, pos, _eq2 = table.scan_tasks()
+    if len(data_tasks) > distributed_threshold:
+        return commit_deletion_vectors_distributed(
+            spark, table, matches, extra_removed=extra_removed, tag=tag
+        )
 
     def pack(pdf):
         import pandas as pd

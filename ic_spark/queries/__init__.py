@@ -57,6 +57,13 @@ _PRIORITY = [
     # attested in-window by dedup_fingerprint and
     # text_rolling_hash_fingerprint; its oracle stays in pytest).
     "mor_partition_evolution",
+    # Row-level changelog (CDC) read: per-commit INSERT/DELETE emission
+    # under strict-seq equality hiding and net-change suppression — the
+    # r4 flagship feature's driver-checked row.  Slot freed by demoting
+    # text_rolling_hash_fingerprint (rolling-hash fingerprinting
+    # attested in-window by dedup_fingerprint; its oracle stays in
+    # pytest).
+    "mor_changelog_scan",
     # LLM-pipeline operators (dedup / similarity / text analysis).
     "dedup_exact",
     "dedup_fingerprint",
@@ -75,7 +82,8 @@ _PRIORITY = [
     "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_embedding_stats",
-    "text_rolling_hash_fingerprint",
+    # text_rolling_hash_fingerprint: demoted past the window (see the
+    # mor_changelog_scan slot note); oracle stays in pytest.
     "text_top_tokens",
     # text_token_positions: demoted past the window (posexplode shape
     # attested by text_top_tokens); oracle coverage stays in pytest.

@@ -219,6 +219,71 @@ def test_sql_catalog_purge_refuses_outside_warehouse(spark, tmp_path):
     assert (outside / "keep.txt").exists()
 
 
+def test_dv_commit_auto_routes_distributed_on_file_count(
+    spark, tmp_path, monkeypatch
+):
+    """commit_deletion_vectors defaults to the executor-side path above
+    the file-count threshold — same table state, no driver blob collect
+    for wide deletes (round-4 VERDICT #2)."""
+    import ic_spark.compaction.deletes as deletes
+    from ic_spark.compaction.deletes import read_table, write_deletion_vectors
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.sources.puffin import DV_BLOB_TYPE, read_puffin
+
+    def mk(name):
+        table = ManifestTable(str(tmp_path / name))
+        df = spark.range(0, 90).select("id", (F.col("id") % 9).alias("bucket"))
+        entries = []
+        for i in range(3):
+            d = str(tmp_path / f"{name}_data{i}")
+            df.where(f"id % 3 = {i}").coalesce(1).write.parquet(d)
+            f = next(
+                os.path.join(d, n)
+                for n in os.listdir(d)
+                if n.endswith(".parquet")
+            )
+            entries.append(
+                {
+                    "path": f,
+                    "sequence_number": 1,
+                    "content": "DATA",
+                    "file_size_in_bytes": os.path.getsize(f),
+                }
+            )
+        table.append_snapshot(entries)
+        return table
+
+    def dv_layout(table):
+        _, pos, _ = table.scan_tasks()
+        names = sorted(os.path.basename(t.data_file_path) for t in pos)
+        blobs = {}
+        for t in pos:
+            for b in read_puffin(t.data_file_path):
+                if b.type == DV_BLOB_TYPE:
+                    ref = os.path.dirname(b.properties["referenced-data-file"])
+                    blobs[ref.rsplit("_data", 1)[-1]] = b.data
+        return names, blobs
+
+    # 3 files, threshold 2 -> routes DISTRIBUTED without being asked.
+    monkeypatch.setattr(deletes, "DV_DISTRIBUTED_FILE_THRESHOLD", 2)
+    t_auto = mk("auto")
+    write_deletion_vectors(spark, t_auto, F.col("bucket") == 4)
+    auto_names, auto_blobs = dv_layout(t_auto)
+    assert all(n.startswith("part-") for n in auto_names)  # executor layout
+
+    # Threshold above the file count -> stays on the driver path,
+    # byte-identical bitmaps either way.
+    monkeypatch.setattr(deletes, "DV_DISTRIBUTED_FILE_THRESHOLD", 100)
+    t_drv = mk("drv")
+    write_deletion_vectors(spark, t_drv, F.col("bucket") == 4)
+    drv_names, drv_blobs = dv_layout(t_drv)
+    assert drv_names == ["deletes.puffin"]
+    assert auto_blobs == drv_blobs
+    assert sorted(r.id for r in read_table(spark, t_auto).collect()) == sorted(
+        r.id for r in read_table(spark, t_drv).collect()
+    )
+
+
 def test_sql_catalog_duplicate_namespace_is_valueerror(spark, tmp_path):
     cat = SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"))
     cat.create_namespace("db")
