@@ -78,7 +78,14 @@ def main() -> None:
         record["sf1_queries"] = sf1_timings
         record["sf1_value"] = round(sum(sf1_timings.values()), 3)
         if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
-            skew, uniform, skew_rows, uniform_rows = run_skew_probe(spark)
+            (
+                skew,
+                uniform,
+                skew_rows,
+                uniform_rows,
+                skew_pairs,
+                uniform_pairs,
+            ) = run_skew_probe(spark)
             record["skew_queries"] = skew
             record["skew_uniform_queries"] = uniform
             record["skew_rows"] = skew_rows
@@ -86,6 +93,23 @@ def main() -> None:
             record["skew_ratios"] = {
                 k: round(skew[k] / uniform[k], 2) if uniform[k] else None
                 for k in skew
+            }
+            # Work-normalized view: enumerated candidate pairs (sum of
+            # C(n,2) over each operator's blocking keys) and the
+            # wall-per-pair ratio — separates legitimate work growth
+            # (hot key merges blocks -> more pairs) from engine skew
+            # overhead (same pairs, one slow task).
+            record["skew_pairs"] = skew_pairs
+            record["uniform_pairs"] = uniform_pairs
+            record["skew_wall_per_pair_ratio"] = {
+                k: round(
+                    (skew[k] / skew_pairs[k])
+                    / (uniform[k] / uniform_pairs[k]),
+                    3,
+                )
+                if uniform_pairs.get(k) and skew_pairs.get(k) and uniform[k]
+                else None
+                for k in skew_pairs
             }
 
     print(json.dumps(record))
@@ -272,6 +296,35 @@ def ensure_skew_dirs(spark, sf1_dir: str) -> str:
     return out_dir
 
 
+def _enumerated_pairs(spark, d: str, query: str) -> int:
+    """Candidate pairs the query's blocked/banded self-join ENUMERATES
+    (sum of C(n,2) over its blocking keys) — the work-normalizer for
+    skew ratios: a hot key that legitimately merges blocks grows this
+    number, so wall-per-pair separates real work growth from engine
+    overhead.  One column-pruned aggregate per call; the C(n,2) sums
+    use the exact key constructions the operators shuffle on."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    if query == "dedup_token_jaccard":
+        keyed = docs.groupBy("lang", "source").count()
+    elif query == "dedup_minhash_lsh":
+        from ic_spark.operators.dedup import lsh_band_keys, minhash_signatures
+
+        sigs = minhash_signatures(
+            docs, "doc_id", "text", num_hashes=64, shingle_n=3, use_arrow=True
+        )
+        keyed = lsh_band_keys(sigs, bands=16, rows_per_band=4).groupBy(
+            "band", "bhash"
+        ).count()
+    else:
+        raise ValueError(query)
+    n = keyed.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+    ).collect()[0][0]
+    return int(n or 0)
+
+
 def _join_partkey_agg(spark, d: str):
     """Fact x dim shuffled join on the (potentially hot) part key."""
     import pyspark.sql.functions as F
@@ -311,6 +364,8 @@ def run_skew_probe(spark) -> tuple[dict[str, float], dict[str, float]]:
     uniform: dict[str, float] = {}
     skew_rows: dict[str, int] = {}
     uniform_rows: dict[str, int] = {}
+    skew_pairs: dict[str, int] = {}
+    uniform_pairs: dict[str, int] = {}
     for name, sub in (
         ("dedup_token_jaccard", "block"),
         ("dedup_minhash_lsh", "lsh"),
@@ -322,9 +377,15 @@ def run_skew_probe(spark) -> tuple[dict[str, float], dict[str, float]]:
         skew[name], skew_rows[name] = timed(
             lambda d: q.fn(spark, d).count(), os.path.join(skew_dir, sub)
         )
+        uniform_pairs[name] = _enumerated_pairs(spark, sf1_dir, name)
+        skew_pairs[name] = _enumerated_pairs(
+            spark, os.path.join(skew_dir, sub), name
+        )
         print(
-            f"# skew {name}: {skew[name]}s ({skew_rows[name]} rows) vs "
-            f"uniform {uniform[name]}s ({uniform_rows[name]} rows)",
+            f"# skew {name}: {skew[name]}s ({skew_rows[name]} rows, "
+            f"{skew_pairs[name]} enum pairs) vs "
+            f"uniform {uniform[name]}s ({uniform_rows[name]} rows, "
+            f"{uniform_pairs[name]} enum pairs)",
             file=sys.stderr,
         )
 
@@ -347,7 +408,7 @@ def run_skew_probe(spark) -> tuple[dict[str, float], dict[str, float]]:
         f"uniform {uniform['join_partkey_agg']}s",
         file=sys.stderr,
     )
-    return skew, uniform, skew_rows, uniform_rows
+    return skew, uniform, skew_rows, uniform_rows, skew_pairs, uniform_pairs
 
 
 if __name__ == "__main__":

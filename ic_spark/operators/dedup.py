@@ -441,6 +441,39 @@ def _arrow_minhash_udf(a: list[int], b: list[int]):
     return pandas_udf(sig, "array<long>")
 
 
+def lsh_band_keys(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bhash) — one row per document per band.
+
+    The banding step of :func:`minhash_lsh_candidates`, exposed so
+    diagnostics (e.g. the bench skew probe's enumerated-pair counter)
+    use the SAME key construction the candidate join shuffles on."""
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -482,34 +515,12 @@ def minhash_lsh_candidates(
     a DuckDB oracle can build the same string key.
     """
 
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return joined if portable else F.xxhash64(joined)
-
     # Persisted: banded feeds the hot-bucket detector AND both join
     # sides; the cache fills during the first stage that computes it and
     # the other consumers read it back instead of re-deriving band keys
     # from signatures.  ~24 bytes/row x docs x bands; the default
     # storage level spills to disk if a 100 TB corpus outgrows memory.
-    banded = (
-        signatures.select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
-                )
-            ).alias("bk"),
-        )
-        .select("id", "bk.band", "bk.bhash")
-        .persist()
-    )
+    banded = lsh_band_keys(signatures, bands, rows_per_band, portable).persist()
 
     # Hot detection stays INSIDE the one query (no driver-side count
     # barrier — a separate action would cost a full extra job per call):
