@@ -119,6 +119,7 @@ def read_changelog(
     to_snapshot_id: int | None = None,
     schema=None,
     compute_updates_key: list[str] | None = None,
+    net_changes: bool = False,
 ) -> DataFrame:
     """Row-level changes committed AFTER ``from_snapshot_id`` up to
     ``to_snapshot_id`` (current by default).  See module docstring for
@@ -128,7 +129,20 @@ def read_changelog(
     option): within one commit, a DELETE and an INSERT sharing the key
     re-type as UPDATE_BEFORE / UPDATE_AFTER — the upsert pattern read
     back as updates.  Keys must be unique per commit (the keyed-upsert
-    contract)."""
+    contract).
+
+    ``net_changes`` (Iceberg's ``create_changelog_view`` option of the
+    same name): collapse carry-overs ACROSS the whole range — a row
+    value inserted in one commit and deleted in a later one (or vice
+    versa) nets to nothing; only the range's net difference survives,
+    tagged with the LAST commit that touched the value.  Mutually
+    exclusive with ``compute_updates_key``, exactly as Iceberg requires
+    (net rows from different commits have no per-commit pairing)."""
+    if net_changes and compute_updates_key:
+        raise ValueError(
+            "net_changes must be false when compute_updates is requested "
+            "(Iceberg create_changelog_view contract)"
+        )
     from ic_spark.compaction.deletes import _evolved_scan_args, infer_read_schema
     from ic_spark.compaction.planner import (
         _maybe_broadcast,
@@ -318,7 +332,45 @@ def read_changelog(
         out = out.unionByName(p)
     if compute_updates_key:
         out = _compute_updates(out, compute_updates_key)
+    if net_changes:
+        out = _net_changes(out, cols)
     return out
+
+
+def _net_changes(out: DataFrame, cols: list[str]) -> DataFrame:
+    """Collapse cross-commit carry-overs to the range's net difference.
+
+    Multiset semantics per distinct row VALUE: ``net = #INSERTs −
+    #DELETEs`` across the range; ``|net|`` rows are emitted (INSERT if
+    positive, DELETE if negative, nothing at zero), carrying the
+    metadata of the LAST commit that touched the value — Iceberg's
+    ``removeNetCarryovers`` outcome (ChangelogIterator), expressed as
+    one aggregation on the row columns instead of a sorted iterator, so
+    it scales as a single shuffle on the changed rows only."""
+    signed = out.withColumn(
+        "__sign",
+        F.when(F.col("_change_type") == "INSERT", F.lit(1)).otherwise(F.lit(-1)),
+    )
+    agg = signed.groupBy(*cols).agg(
+        F.sum("__sign").alias("__net"),
+        F.max(
+            F.struct("_change_ordinal", "_commit_snapshot_id")
+        ).alias("__last"),
+    )
+    return (
+        agg.where(F.col("__net") != 0)
+        .select(
+            *cols,
+            F.when(F.col("__net") > 0, F.lit("INSERT"))
+            .otherwise(F.lit("DELETE"))
+            .alias("_change_type"),
+            F.col("__last._commit_snapshot_id").alias("_commit_snapshot_id"),
+            F.col("__last._change_ordinal").alias("_change_ordinal"),
+            F.abs(F.col("__net")).cast("int").alias("__n"),
+        )
+        .withColumn("__i", F.explode(F.expr("sequence(1, __n)")))
+        .drop("__n", "__i")
+    )
 
 
 def _compute_updates(out: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -347,9 +399,18 @@ def register_changelog_view(
     name: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    net_changes: bool = False,
+    compute_updates_key: list[str] | None = None,
 ) -> DataFrame:
     """``CALL system.create_changelog_view`` analog: registers the
     changelog as a temp view for SQL consumption."""
-    df = read_changelog(spark, table, from_snapshot_id, to_snapshot_id)
+    df = read_changelog(
+        spark,
+        table,
+        from_snapshot_id,
+        to_snapshot_id,
+        compute_updates_key=compute_updates_key,
+        net_changes=net_changes,
+    )
     df.createOrReplaceTempView(name)
     return df

@@ -137,7 +137,13 @@ def create_changelog_view(
     if from_snapshot_id is None:
         raise ValueError("create_changelog_view needs from_snapshot_id")
     df = register_changelog_view(
-        spark, table, changelog_view, from_snapshot_id, to_snapshot_id
+        spark,
+        table,
+        changelog_view,
+        from_snapshot_id,
+        to_snapshot_id,
+        net_changes=bool(kw.pop("net_changes", False)),
+        compute_updates_key=kw.pop("identifier_columns", None),
     )
     return {"changelog_view": changelog_view, "columns": df.columns}
 

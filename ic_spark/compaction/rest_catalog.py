@@ -14,6 +14,9 @@ Implemented routes (the core table lifecycle):
     GET    /v1/config
     GET    /v1/namespaces                         list
     POST   /v1/namespaces                         create
+    GET    /v1/namespaces/{ns}                    load namespace metadata
+    DELETE /v1/namespaces/{ns}                    drop (409 if not empty)
+    POST   /v1/namespaces/{ns}/properties         update/remove properties
     GET    /v1/namespaces/{ns}/tables             list
     POST   /v1/namespaces/{ns}/tables             create table
     GET    /v1/namespaces/{ns}/tables/{t}         load table
@@ -82,7 +85,14 @@ class CatalogBackend:
             if os.path.isdir(os.path.join(self.warehouse, n))
         )
 
-    def create_namespace(self, namespace: list[str]) -> None:
+    # Namespace properties live in a dot-file inside the namespace dir
+    # (invisible to the table listing), keeping the no-side-database
+    # design: the directory IS the catalog state.
+    _NS_PROPS = ".namespace.json"
+
+    def create_namespace(
+        self, namespace: list[str], properties: dict | None = None
+    ) -> None:
         import os
 
         if len(namespace) != 1:
@@ -91,6 +101,8 @@ class CatalogBackend:
         if os.path.isdir(path):
             raise RestError(409, f"namespace already exists: {namespace[0]}")
         os.makedirs(path)
+        if properties:
+            self._write_ns_props(path, dict(properties))
 
     def _ns_dir(self, ns: str) -> str:
         import os
@@ -99,6 +111,59 @@ class CatalogBackend:
         if not os.path.isdir(path):
             raise RestError(404, f"namespace not found: {ns}")
         return path
+
+    def _read_ns_props(self, ns_dir: str) -> dict:
+        import os
+
+        p = os.path.join(ns_dir, self._NS_PROPS)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_ns_props(self, ns_dir: str, props: dict) -> None:
+        import os
+
+        with open(os.path.join(ns_dir, self._NS_PROPS), "w") as f:
+            json.dump(props, f)
+
+    def load_namespace(self, ns: str) -> dict:
+        return {
+            "namespace": [ns],
+            "properties": self._read_ns_props(self._ns_dir(ns)),
+        }
+
+    def update_namespace_properties(
+        self, ns: str, updates: dict, removals: list[str]
+    ) -> dict:
+        overlap = set(updates) & set(removals)
+        if overlap:
+            raise RestError(
+                400, f"keys in both updates and removals: {sorted(overlap)}"
+            )
+        ns_dir = self._ns_dir(ns)
+        props = self._read_ns_props(ns_dir)
+        removed = [k for k in removals if props.pop(k, None) is not None]
+        missing = [k for k in removals if k not in removed]
+        props.update(updates)
+        self._write_ns_props(ns_dir, props)
+        return {
+            "updated": sorted(updates),
+            "removed": removed,
+            "missing": missing,
+        }
+
+    def drop_namespace(self, ns: str) -> None:
+        import shutil
+
+        ns_dir = self._ns_dir(ns)
+        # REGISTERED tables/views are what make a namespace non-empty
+        # (the JDBC/REST contract — registration, not disk layout);
+        # data retained by a non-purge table drop is unregistered and
+        # goes with the namespace directory.
+        if self.list_tables(ns) or self.list_views(ns):
+            raise RestError(409, f"namespace not empty: {ns}")
+        shutil.rmtree(ns_dir)
 
     # -- tables --------------------------------------------------------
 
@@ -344,6 +409,9 @@ _ROUTES = [
     ("GET", re.compile(r"^/v1/config$"), "config"),
     ("GET", re.compile(r"^/v1/namespaces$"), "list_ns"),
     ("POST", re.compile(r"^/v1/namespaces$"), "create_ns"),
+    ("GET", re.compile(r"^/v1/namespaces/([^/]+)$"), "load_ns"),
+    ("DELETE", re.compile(r"^/v1/namespaces/([^/]+)$"), "drop_ns"),
+    ("POST", re.compile(r"^/v1/namespaces/([^/]+)/properties$"), "update_ns_props"),
     ("GET", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "list_tables"),
     ("POST", re.compile(r"^/v1/namespaces/([^/]+)/tables$"), "create_table"),
     ("POST", re.compile(r"^/v1/tables/rename$"), "rename"),
@@ -406,8 +474,30 @@ class _Handler(BaseHTTPRequestHandler):
                 elif op == "list_ns":
                     self._reply(200, {"namespaces": b.list_namespaces()})
                 elif op == "create_ns":
-                    b.create_namespace(body.get("namespace", []))
-                    self._reply(200, {"namespace": body.get("namespace", [])})
+                    b.create_namespace(
+                        body.get("namespace", []), body.get("properties")
+                    )
+                    self._reply(
+                        200,
+                        {
+                            "namespace": body.get("namespace", []),
+                            "properties": body.get("properties") or {},
+                        },
+                    )
+                elif op == "load_ns":
+                    self._reply(200, b.load_namespace(args[0]))
+                elif op == "drop_ns":
+                    b.drop_namespace(args[0])
+                    self._reply(204, {})
+                elif op == "update_ns_props":
+                    self._reply(
+                        200,
+                        b.update_namespace_properties(
+                            args[0],
+                            body.get("updates") or {},
+                            body.get("removals") or [],
+                        ),
+                    )
                 elif op == "list_tables":
                     self._reply(200, {"identifiers": b.list_tables(args[0])})
                 elif op == "create_table":
@@ -522,8 +612,31 @@ class RestCatalog:
     def list_namespaces(self) -> list[list[str]]:
         return self._call("GET", "/v1/namespaces")["namespaces"]
 
-    def create_namespace(self, namespace: str) -> None:
-        self._call("POST", "/v1/namespaces", {"namespace": [namespace]})
+    def create_namespace(
+        self, namespace: str, properties: dict | None = None
+    ) -> None:
+        payload: dict = {"namespace": [namespace]}
+        if properties:
+            payload["properties"] = properties
+        self._call("POST", "/v1/namespaces", payload)
+
+    def namespace_properties(self, namespace: str) -> dict:
+        return self._call("GET", f"/v1/namespaces/{namespace}")["properties"]
+
+    def update_namespace_properties(
+        self,
+        namespace: str,
+        updates: dict | None = None,
+        removals: list[str] | None = None,
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{namespace}/properties",
+            {"updates": updates or {}, "removals": removals or []},
+        )
+
+    def drop_namespace(self, namespace: str) -> None:
+        self._call("DELETE", f"/v1/namespaces/{namespace}")
 
     def list_tables(self, namespace: str) -> list[str]:
         ids = self._call("GET", f"/v1/namespaces/{namespace}/tables")[

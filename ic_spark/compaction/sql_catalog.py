@@ -141,6 +141,90 @@ class SqlCatalog:
         if namespace not in self.list_namespaces():
             raise ValueError(f"namespace not found: {namespace}")
 
+    # The JDBC catalog writes one marker row so property-less namespaces
+    # still exist; it is internal — never reported, never writable.
+    _MARKER = "exists"
+
+    def namespace_properties(self, namespace: str) -> dict:
+        """User properties of a namespace (the JDBC catalog's
+        ``iceberg_namespace_properties`` rows, marker excluded)."""
+        self._check_namespace(namespace)
+        with closing(self._conn()) as con:
+            return {
+                k: v
+                for k, v in con.execute(
+                    "SELECT property_key, property_value FROM "
+                    "iceberg_namespace_properties "
+                    "WHERE catalog_name=? AND namespace=?",
+                    (self.name, namespace),
+                )
+                if k != self._MARKER
+            }
+
+    def update_namespace_properties(
+        self,
+        namespace: str,
+        updates: dict | None = None,
+        removals: list[str] | None = None,
+    ) -> dict:
+        """Set/remove namespace properties in one transaction.
+
+        Returns the Iceberg REST ``UpdateNamespacePropertiesResponse``
+        shape — ``{"updated": [...], "removed": [...], "missing":
+        [...]}`` — and rejects a key appearing in both updates and
+        removals (the REST 400 contract)."""
+        updates = dict(updates or {})
+        removals = list(removals or [])
+        overlap = set(updates) & set(removals)
+        if overlap:
+            raise ValueError(
+                f"keys in both updates and removals: {sorted(overlap)}"
+            )
+        if self._MARKER in updates or self._MARKER in removals:
+            raise ValueError(f"property key {self._MARKER!r} is reserved")
+        self._check_namespace(namespace)
+        removed, missing = [], []
+        with closing(self._conn()) as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                for k in removals:
+                    cur = con.execute(
+                        "DELETE FROM iceberg_namespace_properties "
+                        "WHERE catalog_name=? AND namespace=? AND property_key=?",
+                        (self.name, namespace, k),
+                    )
+                    (removed if cur.rowcount else missing).append(k)
+                for k, v in updates.items():
+                    con.execute(
+                        "INSERT INTO iceberg_namespace_properties "
+                        "VALUES (?,?,?,?) "
+                        "ON CONFLICT (catalog_name, namespace, property_key) "
+                        "DO UPDATE SET property_value=excluded.property_value",
+                        (self.name, namespace, k, v),
+                    )
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+        return {
+            "updated": sorted(updates),
+            "removed": removed,
+            "missing": missing,
+        }
+
+    def drop_namespace(self, namespace: str) -> None:
+        """Drop an EMPTY namespace (tables must go first — the REST
+        NamespaceNotEmpty contract)."""
+        self._check_namespace(namespace)
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace not empty: {namespace}")
+        with closing(self._conn()) as con:
+            con.execute(
+                "DELETE FROM iceberg_namespace_properties "
+                "WHERE catalog_name=? AND namespace=?",
+                (self.name, namespace),
+            )
+
     # -- tables --------------------------------------------------------
 
     def list_tables(self, namespace: str) -> list[str]:

@@ -130,6 +130,23 @@ def parse_media_header(payload: bytes | None) -> dict:
                     }
                 i += 2 + seg_len
             return {"format": "jpeg", "width": None, "height": None, "duration_ms": None}
+        # BMP: "BM" magic; BITMAPINFOHEADER width/height (little-endian,
+        # height may be negative for top-down storage).
+        if b[:2] == b"BM" and len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+            return {"format": "bmp", "width": w, "height": h, "duration_ms": None}
+        # PPM/PGM (binary): "P6"/"P5" + ASCII width/height tokens.
+        if b[:2] in (b"P6", b"P5"):
+            toks = _ppm_header_tokens(b)
+            if toks is not None:
+                _, w, h, _, _ = toks
+                return {
+                    "format": "ppm" if b[:2] == b"P6" else "pgm",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
         # WAV: RIFF container; fmt chunk gives byte rate, data chunk
         # size / byte rate gives duration.
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -179,6 +196,159 @@ def with_media_headers(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=df.schema)
 
 
+def _ppm_header_tokens(b: bytes):
+    """Parse a binary PPM/PGM header → (magic, width, height, maxval,
+    data_offset) or None.  ASCII tokens separated by whitespace, ``#``
+    comments to end-of-line, one whitespace byte before the raster."""
+    try:
+        magic = b[:2].decode("ascii")
+        i, toks = 2, []
+        while len(toks) < 3 and i < len(b):
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(b[i:j]))
+                i = j
+        if len(toks) < 3 or i >= len(b) or not b[i : i + 1].isspace():
+            return None
+        w, h, maxval = toks
+        return magic, w, h, maxval, i + 1  # one whitespace byte, then raster
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def decode_pixels(payload: bytes | None):
+    """Pure-Python pixel decode for UNCOMPRESSED image formats — the
+    real half of the codec boundary (BMP 24/32-bit BI_RGB, binary PPM
+    P6 / PGM P5 with maxval < 256).  Returns ``(format, array)`` with a
+    ``(height, width, channels)`` uint8 numpy array in RGB(A)/gray
+    order, or None when the payload is not one of these formats
+    (compressed formats stay behind the strict-mode gate)."""
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    try:
+        if b[:2] == b"BM" and len(b) >= 54:
+            data_off = int.from_bytes(b[10:14], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h_raw = int.from_bytes(b[22:26], "little", signed=True)
+            bpp = int.from_bytes(b[28:30], "little")
+            compression = int.from_bytes(b[30:34], "little")
+            if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+                return None  # compressed / palette BMPs: strict gate
+            h = abs(h_raw)
+            nch = bpp // 8
+            stride = ((bpp * w + 31) // 32) * 4
+            if data_off + stride * h > len(b):
+                return None
+            raster = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+            if h_raw > 0:  # bottom-up storage
+                raster = raster[::-1]
+            # BGR(A) -> RGB(A)
+            rgb = raster[..., [2, 1, 0] + ([3] if nch == 4 else [])]
+            return "bmp", np.ascontiguousarray(rgb)
+        if b[:2] in (b"P6", b"P5"):
+            toks = _ppm_header_tokens(b)
+            if toks is None:
+                return None
+            magic, w, h, maxval, off = toks
+            if maxval >= 256 or w <= 0 or h <= 0:
+                return None  # 16-bit rasters: out of scope
+            nch = 3 if magic == "P6" else 1
+            need = w * h * nch
+            if off + need > len(b):
+                return None
+            arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+            return ("ppm" if nch == 3 else "pgm"), arr.reshape(h, w, nch)
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def decode_audio_samples(payload: bytes | None):
+    """Pure-Python sample decode for PCM WAV payloads (8/16-bit integer
+    PCM).  Returns ``(samples, sample_rate, channels)`` with samples as
+    a ``(frames, channels)`` numpy array, or None for non-PCM / non-WAV
+    payloads (those stay behind the strict-mode gate)."""
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        i = 12
+        fmt = None
+        data = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                fmt = (
+                    int.from_bytes(b[i + 8 : i + 10], "little"),    # format
+                    int.from_bytes(b[i + 10 : i + 12], "little"),   # channels
+                    int.from_bytes(b[i + 12 : i + 16], "little"),   # rate
+                    int.from_bytes(b[i + 22 : i + 24], "little"),   # bits
+                )
+            elif cid == b"data":
+                data = b[i + 8 : i + 8 + size]
+            i += 8 + size + (size % 2)
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, rate, bits = fmt
+        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+            return None  # compressed / float WAV: strict gate
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        frame_bytes = channels * (bits // 8)
+        n_frames = len(data) // frame_bytes
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * channels
+        ).reshape(n_frames, channels)
+        if bits == 8:  # 8-bit WAV is unsigned, center it
+            samples = samples.astype(np.int16) - 128
+        return samples, rate, channels
+    except (ValueError, IndexError):
+        return None
+
+
+def _real_decode(payload: bytes | None) -> str | None:
+    """Pixel/sample-level feature for decodable (uncompressed) formats:
+    deterministic stats string computed from the REAL decoded data."""
+    img = decode_pixels(payload)
+    if img is not None:
+        fmt, arr = img
+        h, w, _ = arr.shape
+        return (
+            f"{fmt}-{w}x{h}-mean{arr.mean():.3f}-std{arr.std():.3f}"
+            f"-min{int(arr.min())}-max{int(arr.max())}"
+        )
+    aud = decode_audio_samples(payload)
+    if aud is not None:
+        import numpy as np
+
+        samples, rate, channels = aud
+        x = samples.astype("float64")
+        rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+        peak = int(np.abs(samples).max()) if samples.size else 0
+        return (
+            f"wav-pcm-{rate}hz-{channels}ch-n{samples.shape[0]}"
+            f"-rms{rms:.3f}-peak{peak}"
+        )
+    return None
+
+
 def _fake_decode(payload: bytes | None, kind: str) -> str:
     """Deterministic stand-in for a real codec: sha-derived token.
 
@@ -196,20 +366,29 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
     format/width/height/duration_ms are REAL — parsed from the payload
     container headers (parse_media_header; no codec library needed).
-    Only the pixel-level ``feature`` is the stub boundary:
-    ``strict=True`` raises NotImplementedError exactly where a real
-    decoder's forward pass belongs, while the header metadata still
-    flows.
+    The pixel-level ``feature`` is REAL for uncompressed formats too
+    (BMP/PPM/PGM pixel stats, PCM WAV sample stats — pure-Python
+    decode, see :func:`decode_pixels` / :func:`decode_audio_samples`);
+    only COMPRESSED formats remain the stub boundary: ``strict=True``
+    raises NotImplementedError exactly where a real codec's forward
+    pass belongs — and only when a payload actually needs one.
     """
+
+    def feature(b, kind: str) -> str:
+        real = _real_decode(b)
+        if real is not None:
+            return real
+        if strict and b:
+            fmt = parse_media_header(b)["format"] or "unknown"
+            raise NotImplementedError(
+                f"no pure-Python decoder for compressed format {fmt!r}; "
+                "plug a real codec into extract_features()"
+            )
+        return _fake_decode(b, kind)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parsed = [parse_media_header(p) for p in pdf["payload"]]
-            if strict:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "plug a real decoder into extract_features()"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -229,7 +408,7 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         [m["duration_ms"] for m in parsed], dtype="Int64"
                     ),
                     "feature": [
-                        _fake_decode(b, k)
+                        feature(b, k)
                         for b, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }

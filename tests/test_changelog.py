@@ -168,6 +168,76 @@ def test_changelog_empty_range_and_errors(spark, tmp_path):
         read_changelog(spark, tbl, 999999)
 
 
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_changelog_net_changes_collapses_carryovers(spark, tmp_path, flavor):
+    """net_changes=True (Iceberg create_changelog_view option): a row
+    value inserted then deleted inside the range nets to nothing; the
+    survivors carry the LAST touching commit.  Checked against a DuckDB
+    oracle applying the net rule to the plain changelog rows."""
+    import duckdb
+
+    tbl, snap0 = _mk(spark, tmp_path, flavor, "net")
+    # commit 1: insert ids 20..24 (id 21 will be deleted in commit 3 —
+    # a pure carry-over that must vanish from the net view)
+    _append(
+        spark,
+        tbl,
+        spark.range(20, 25).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        f"{flavor}_net_1",
+    )
+    # commit 2: update id 4 (DELETE old value + INSERT new value)
+    merge_upsert(
+        spark,
+        tbl,
+        spark.createDataFrame([(4, 40)], "id long, k long"),
+        ["id"],
+    )
+    # commit 3: delete id 21 (inserted in-range -> carry-over) and id 7
+    # (pre-range -> net DELETE)
+    write_position_deletes(spark, tbl, F.col("id").isin(21, 7))
+
+    plain = read_changelog(spark, tbl, snap0)
+    net = read_changelog(spark, tbl, snap0, net_changes=True)
+
+    con = duckdb.connect()
+    con.register("plain", plain.toPandas())
+    oracle = con.execute(
+        """
+        WITH agg AS (
+            SELECT id, k,
+                   SUM(CASE WHEN _change_type = 'INSERT' THEN 1 ELSE -1 END)
+                     AS net,
+                   MAX(_change_ordinal) AS last_ord
+            FROM plain GROUP BY id, k
+        )
+        SELECT id, k,
+               CASE WHEN net > 0 THEN 'INSERT' ELSE 'DELETE' END AS t,
+               last_ord
+        FROM agg WHERE net != 0
+        """
+    ).fetchall()
+    want = sorted((t, i, k, o) for i, k, t, o in oracle)
+    got = sorted(
+        (r._change_type, r.id, r.k, r._change_ordinal) for r in net.collect()
+    )
+    assert got == want
+    # the carry-over (id 21) is gone; the update survives as one
+    # DELETE(old)+INSERT(new); id 7's delete survives
+    ids_by_type = {}
+    for t, i, _, _ in got:
+        ids_by_type.setdefault(t, set()).add(i)
+    assert 21 not in ids_by_type.get("INSERT", set())
+    assert 21 not in ids_by_type.get("DELETE", set())
+    assert 4 in ids_by_type["INSERT"] and 4 in ids_by_type["DELETE"]
+    assert 7 in ids_by_type["DELETE"]
+
+    with pytest.raises(ValueError, match="net_changes must be false"):
+        read_changelog(
+            spark, tbl, snap0, compute_updates_key=["id"], net_changes=True
+        )
+
+
 def test_changelog_compute_updates(spark, tmp_path):
     """identifier-column pairing: same-commit DELETE+INSERT sharing the
     key re-type as UPDATE_BEFORE/UPDATE_AFTER; unpaired rows keep their

@@ -1064,5 +1064,97 @@ def test_extract_features_real_header_metadata(spark):
     # pixel decode stays honestly gated
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with _pytest.raises(Exception, match="NotImplementedError|codecs|codec"):
         extract_features(media, strict=True).collect()
+
+
+def _bmp_bytes(pixels) -> bytes:
+    """Hand-assemble a bottom-up 24-bit BI_RGB BMP from an RGB
+    row-major pixel list-of-lists."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = ((24 * w + 31) // 32) * 4
+    raster = b""
+    for row in reversed(pixels):  # bottom-up
+        line = b"".join(bytes([b_, g, r]) for r, g, b_ in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")           # pixel data offset
+        + (40).to_bytes(4, "little")           # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")            # BI_RGB
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_decode_pixels_real_formats():
+    """Pure-Python pixel decode: BMP/PPM/PGM yield exact arrays; WAV
+    PCM yields exact samples; compressed formats return None."""
+    import numpy as np
+
+    from ic_spark.operators.multimodal import (
+        decode_audio_samples,
+        decode_pixels,
+    )
+
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+    ]
+    fmt, arr = decode_pixels(_bmp_bytes(px))
+    assert fmt == "bmp" and arr.shape == (2, 2, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in px]
+
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(
+        v for row in px for p in row for v in p
+    )
+    fmt, arr2 = decode_pixels(ppm)
+    assert fmt == "ppm" and arr2.tolist() == arr.tolist()
+
+    pgm = b"P5 3 1 255 " + bytes([7, 8, 9])
+    fmt, arr3 = decode_pixels(pgm)
+    assert fmt == "pgm" and arr3.tolist() == [[[7], [8], [9]]]
+
+    samples, rate, ch = decode_audio_samples(_wav_bytes(seconds=1))
+    assert (rate, ch) == (8000, 1) and samples.shape == (8000, 1)
+    assert int(np.abs(samples).max()) == 0  # silence fixture
+
+    # compressed / junk formats: None, never an exception
+    for b in (REAL_PNG_1x1, _jpeg_bytes(4, 4), b"BMxx", b"P6 bad", None, b""):
+        assert decode_pixels(b) is None
+    assert decode_audio_samples(REAL_PNG_1x1) is None
+
+
+def test_extract_features_real_pixel_stats(spark):
+    """Uncompressed formats flow through strict mode with REAL decoded
+    stats; a compressed payload in the same frame still trips the
+    gate."""
+    from ic_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    px = [[(10, 10, 10), (30, 30, 30)]]
+    rows = [
+        (1, "image", "image/bmp", bytearray(_bmp_bytes(px)), None, None, None),
+        (2, "audio", "audio/wav", bytearray(_wav_bytes(1)), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.feature for r in extract_features(media, strict=True).collect()}
+    assert feats[1] == "bmp-2x1-mean20.000-std10.000-min10-max30"
+    assert feats[2].startswith("wav-pcm-8000hz-1ch-n8000-rms0.000")
+
+    import pytest as _pytest
+
+    rows.append((3, "image", "image/png", bytearray(REAL_PNG_1x1), None, None, None))
+    media2 = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="compressed format 'png'"):
+        extract_features(media2, strict=True).collect()
+    # non-strict: compressed falls back to the deterministic fake
+    feats2 = {r.media_id: r.feature for r in extract_features(media2).collect()}
+    assert feats2[1] == feats[1] and feats2[3].startswith("image-feat-")

@@ -159,3 +159,103 @@ def test_catalog_parametrized_lifecycle_full_compact(
     # snapshot expiration works through every flavor too
     tbl.expire_snapshots()
     assert sorted(r.id for r in read_table(spark, tbl).collect()) == expected
+
+
+# ------------------------------------------------- namespace properties
+
+
+@pytest.fixture(params=["sql", "rest", "dir"])
+def ns_catalog(request, tmp_path):
+    """One namespace-properties surface per catalog flavor: the sqlite
+    JDBC-schema catalog, the REST client over HTTP, and the REST
+    server's directory backend driven directly (the Hadoop-warehouse
+    flavor).  All three expose create_namespace(properties=...) /
+    namespace_properties / update_namespace_properties /
+    drop_namespace with the same response shapes; only the error TYPE
+    differs (ValueError vs RestError), normalized here."""
+    if request.param == "sql":
+        yield SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh")), ValueError
+    elif request.param == "rest":
+        from ic_spark.compaction.rest_catalog import (
+            RestCatalog,
+            RestCatalogServer,
+            RestError,
+        )
+
+        server = RestCatalogServer(str(tmp_path / "warehouse")).start()
+        try:
+            yield RestCatalog(f"http://127.0.0.1:{server.port}"), RestError
+        finally:
+            server.stop()
+    else:
+        from ic_spark.compaction.rest_catalog import CatalogBackend, RestError
+
+        backend = CatalogBackend(str(tmp_path / "warehouse"))
+
+        class DirCatalog:
+            """Directory backend with the client-shaped surface."""
+
+            def create_namespace(self, ns, properties=None):
+                backend.create_namespace([ns], properties)
+
+            def namespace_properties(self, ns):
+                return backend.load_namespace(ns)["properties"]
+
+            def update_namespace_properties(
+                self, ns, updates=None, removals=None
+            ):
+                return backend.update_namespace_properties(
+                    ns, updates or {}, removals or []
+                )
+
+            def drop_namespace(self, ns):
+                backend.drop_namespace(ns)
+
+            def create_table(self, ns, name, schema):
+                from ic_spark.compaction.iceberg_meta import schema_to_iceberg
+
+                return backend.create_table(
+                    ns, {"name": name, "schema": schema_to_iceberg(schema)}
+                )
+
+            def drop_table(self, ns, name):
+                backend.drop_table(ns, name, False)
+
+        yield DirCatalog(), RestError
+
+
+def test_namespace_properties_parametrized(spark, ns_catalog):
+    """create-with-properties, read-back, update/remove with the REST
+    UpdateNamespacePropertiesResponse contract, overlap rejection, and
+    drop-refuses-non-empty — identical across all three flavors."""
+    cat, err = ns_catalog
+    cat.create_namespace("db", properties={"owner": "ic", "tier": "gold"})
+    assert cat.namespace_properties("db") == {"owner": "ic", "tier": "gold"}
+
+    resp = cat.update_namespace_properties(
+        "db", updates={"tier": "silver", "ttl": "7d"}, removals=["owner", "ghost"]
+    )
+    assert resp["updated"] == ["tier", "ttl"]
+    assert resp["removed"] == ["owner"]
+    assert resp["missing"] == ["ghost"]
+    assert cat.namespace_properties("db") == {"tier": "silver", "ttl": "7d"}
+
+    # a key in both updates and removals is a contract violation
+    with pytest.raises(err, match="both"):
+        cat.update_namespace_properties(
+            "db", updates={"x": "1"}, removals=["x"]
+        )
+
+    # unknown namespace surfaces as not-found
+    with pytest.raises(err, match="not found"):
+        cat.namespace_properties("nope")
+
+    # drop refuses a namespace that still holds a table
+    schema = spark.createDataFrame([], "id long").schema
+    cat.create_table("db", "t", schema)
+    with pytest.raises(err, match="not empty"):
+        cat.drop_namespace("db")
+    cat.drop_table("db", "t")
+    cat.drop_namespace("db")
+    with pytest.raises(err, match="not found"):
+        cat.namespace_properties("db")
