@@ -433,3 +433,44 @@ class SqlCatalogTable(IcebergTable):
         self.catalog.swap_pointer(
             self.namespace, self.table_name, expected_pointer, path
         )
+
+    def clean_orphan_metadata(
+        self, older_than_s: float = 3 * 24 * 3600, delete: bool = False
+    ) -> list[str]:
+        """Metadata JSON files referenced by NEITHER the catalog pointer
+        NOR the current metadata-log — the residue of crashed or losing
+        committers under the collision-free naming scheme (where such
+        files are harmless but accumulate).
+
+        ``older_than_s`` guards against racing an in-flight commit whose
+        file is written but not yet pointer-swapped (same discipline as
+        ``remove_orphan_files``).  Listing only, unless ``delete=True``.
+        """
+        import json
+        import time
+
+        pointer = self._pointer()
+        referenced = {os.path.abspath(pointer)}
+        with open(pointer) as f:
+            meta = json.load(f)
+        for entry in meta.get("metadata-log", []):
+            referenced.add(os.path.abspath(entry["metadata-file"]))
+        cutoff = time.time() - older_than_s
+        orphans = []
+        for name in os.listdir(self.metadata_dir):
+            if not name.endswith(".metadata.json"):
+                continue
+            p = os.path.abspath(os.path.join(self.metadata_dir, name))
+            if p in referenced:
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+            except FileNotFoundError:
+                continue
+            orphans.append(p)
+        orphans.sort()
+        if delete:
+            for p in orphans:
+                os.remove(p)
+        return orphans

@@ -259,3 +259,42 @@ def test_namespace_properties_parametrized(spark, ns_catalog):
     cat.drop_namespace("db")
     with pytest.raises(err, match="not found"):
         cat.namespace_properties("db")
+
+
+def test_sql_catalog_clean_orphan_metadata(spark, tmp_path):
+    """Losing-racer / crashed-commit metadata files are listed and
+    removable; the pointer chain (current + metadata-log) survives."""
+    import os
+
+    cat = SqlCatalog(str(tmp_path / "cat.db"), str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    schema = spark.createDataFrame([], "id long, bucket long").schema
+    tbl = cat.create_table("db", "t", schema)
+    _seed(spark, tbl, tmp_path, "om1")
+    _seed(spark, tbl, tmp_path, "om2", 20, 40)
+
+    # orphans: a crashed commit and a losing racer at various versions
+    for name in (
+        "v2-deadbeefcafef00d.metadata.json",
+        "v3-0123456789abcdef.metadata.json",
+    ):
+        with open(os.path.join(tbl.metadata_dir, name), "w") as f:
+            f.write("{}")
+
+    orphans = tbl.clean_orphan_metadata(older_than_s=0)
+    assert sorted(os.path.basename(p) for p in orphans) == [
+        "v2-deadbeefcafef00d.metadata.json",
+        "v3-0123456789abcdef.metadata.json",
+    ]
+    # still on disk (dry run), then actually delete
+    assert all(os.path.exists(p) for p in orphans)
+    tbl.clean_orphan_metadata(older_than_s=0, delete=True)
+    assert not any(os.path.exists(p) for p in orphans)
+    # live chain intact: table still loads and commits
+    assert read_table(spark, cat.load_table("db", "t")).count() == 40
+    _seed(spark, cat.load_table("db", "t"), tmp_path, "om3", 40, 50)
+    assert cat.load_table("db", "t").version() == 4
+    # a fresh file inside the cutoff window is protected
+    with open(os.path.join(tbl.metadata_dir, "v9-ffff0000ffff0000.metadata.json"), "w") as f:
+        f.write("{}")
+    assert tbl.clean_orphan_metadata() == []
