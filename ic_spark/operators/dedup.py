@@ -515,12 +515,7 @@ def minhash_lsh_candidates(
     a DuckDB oracle can build the same string key.
     """
 
-    # Persisted: banded feeds the hot-bucket detector AND both join
-    # sides; the cache fills during the first stage that computes it and
-    # the other consumers read it back instead of re-deriving band keys
-    # from signatures.  ~24 bytes/row x docs x bands; the default
-    # storage level spills to disk if a 100 TB corpus outgrows memory.
-    banded = lsh_band_keys(signatures, bands, rows_per_band, portable).persist()
+    banded = lsh_band_keys(signatures, bands, rows_per_band, portable)
 
     # Hot detection stays INSIDE the one query (no driver-side count
     # barrier — a separate action would cost a full extra job per call):
@@ -550,15 +545,26 @@ def minhash_lsh_candidates(
             F.greatest(F.col("__s"), w).alias("c2"),
         ),
     )
-    exploded = salted.select(
-        "id", "band", "bhash", "__s", F.explode(cells).alias("__c")
-    ).select(
-        "id",
-        "band",
-        "bhash",
-        "__s",
-        F.col("__c.c1").alias("__c1"),
-        F.col("__c.c2").alias("__c2"),
+    # Persisted at the POST-SALT stage: both join sides read this one
+    # cache, so band keys, the bucket-size aggregate, the hot broadcast
+    # and the cell explode are each computed exactly once per query
+    # (caching banded instead left each side re-running the detection
+    # join).  ~28 bytes/row x docs x bands x avg_k (avg_k ≈ 1 on
+    # uniform corpora); the default storage level spills to disk if a
+    # 100 TB corpus outgrows executor memory.
+    exploded = (
+        salted.select(
+            "id", "band", "bhash", "__s", F.explode(cells).alias("__c")
+        )
+        .select(
+            "id",
+            "band",
+            "bhash",
+            "__s",
+            F.col("__c.c1").alias("__c1"),
+            F.col("__c.c2").alias("__c2"),
+        )
+        .persist()
     )
     a = exploded.select(
         F.col("id").alias("id_a"),
