@@ -310,6 +310,88 @@ def token_jaccard_pairs(
     )
 
 
+# ----------------------------------------------- exact substring spans
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Repeated-substring spans: maximal token ranges covered by
+    k-grams that occur in at least ``min_df`` DISTINCT documents —
+    the k-gram-granular form of exact-substring training-data dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022: repeated spans are memorization fuel; downstream,
+    cut or down-weight them).
+
+    Returns (doc_id, span_start, span_end, span_tokens) with 1-based
+    inclusive token positions.  Overlapping/adjacent duplicated k-grams
+    merge into one span (gaps-and-islands over gram positions: a gram
+    at ``pos`` extends the span while ``pos - prev_pos <= k``, i.e.
+    coverage windows touch).
+
+    Scale shape: one posexplode pass builds (doc, pos, gram) — grams
+    reduce to 8-byte xxhash64 keys before any shuffle
+    (``hash_grams``; collisions ~n_grams^2/2^64 — pass False for the
+    collision-free string join); document frequency is a two-level
+    aggregate on the gram key; the island merge is a window over each
+    doc's HIT positions only (duplicated grams, not all grams).  No
+    suffix array needed — coverage at k-gram granularity gives the
+    same spans for any duplicated substring of length >= k.
+    """
+    toks = tokens(F.col(content_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t")).where(
+        F.size("__t") >= k
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i") + 1, k))
+    grams = (
+        base.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.size("__t") - k)).alias(
+                "__x", "__i"
+            ),
+            "__t",
+        )
+        .select(
+            "doc_id",
+            (F.col("__i") + 1).alias("pos"),
+            (F.xxhash64(gram) if hash_grams else gram).alias("__g"),
+        )
+    )
+    dup = (
+        grams.select("__g", "doc_id")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    hits = grams.join(dup, on="__g", how="left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = hits.select("doc_id", "pos", brk.alias("__brk")).withColumn(
+        "__gid", F.sum("__brk").over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "__gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------- minhash + lsh
 
 def minhash_perms(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:

@@ -20,6 +20,7 @@ from ic_spark.operators.dedup import (
     minhash_perms,
     minhash_signatures,
     simhash,
+    substring_dup_spans,
     token_jaccard_pairs,
 )
 from ic_spark.operators.similarity import (
@@ -171,6 +172,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
         )
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    -- Repeated >=8-token spans across documents (exact-substring dedup
+    -- at k-gram granularity): k-grams in >=2 distinct docs, positions
+    -- merged gaps-and-islands style while pos - prev_pos <= 8.
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks)
+    ),
+    dup AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 8 - MIN(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str):
+    """Exact repeated-substring spans (operators/dedup.py::
+    substring_dup_spans — Lee et al. 2022 semantics at k-gram
+    granularity): maximal token ranges covered by 8-grams occurring in
+    >= 2 distinct documents.  Production path hashes grams to 8-byte
+    keys before the shuffle; output spans are hash-free, so the string
+    oracle matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dup_spans(d, "doc_id", "text", k=8, min_df=2)
 
 
 @query("dedup_simhash", oracle=None)

@@ -81,6 +81,53 @@ def test_lsh_hot_bucket_salting_identical_candidates(spark):
     assert salted_p == plain
 
 
+def test_substring_dup_spans_exact(spark):
+    """Known construction: a shared 10-token run yields one merged span
+    in both docs; unique text yields nothing; hashed and string gram
+    paths agree."""
+    from ic_spark.operators.dedup import substring_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    rows = [
+        # doc 1: 3 unique tokens, then the shared run (positions 4..13)
+        (1, "u1 u2 u3 " + shared),
+        # doc 2: shared run first (positions 1..10), then unique tail
+        (2, shared + " v1 v2 v3 v4"),
+        # doc 3: entirely unique, long enough to produce grams
+        (3, " ".join(f"w{i}" for i in range(12))),
+        # doc 4: too short for any 8-gram
+        (4, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, substring_dup_spans(df, "doc_id", "text", k=8).collect())
+    )
+    # 10-token shared run => grams at 3 consecutive start positions,
+    # merged to one span of exactly the shared tokens.
+    assert got == [(1, 4, 13, 10), (2, 1, 10, 10)]
+    unhashed = sorted(
+        map(
+            tuple,
+            substring_dup_spans(
+                df, "doc_id", "text", k=8, hash_grams=False
+            ).collect(),
+        )
+    )
+    assert unhashed == got
+
+    # two disjoint shared runs in one doc stay two spans
+    gap = " ".join(f"g{i}" for i in range(9))
+    rows2 = [
+        (1, shared + " " + gap + " " + shared),
+        (2, shared),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = sorted(
+        map(tuple, substring_dup_spans(df2, "doc_id", "text", k=8).collect())
+    )
+    assert got2 == [(1, 1, 10, 10), (1, 20, 29, 10), (2, 1, 10, 10)]
+
+
 def test_minhash_near_dup_high_overlap(spark, docs_df):
     sigs = minhash_signatures(docs_df, "doc_id", "text")
     rows = {r.id: r.sig for r in sigs.collect()}
