@@ -51,12 +51,13 @@ def main() -> None:
         pandas_udf(_ping, "long")("id").alias("x")
     ).agg({"x": "sum"}).collect()
 
-    # Two reps, report the min: the shared host shows bursty CPU steal,
-    # and min-of-reps measures the engine rather than the neighbors.
+    # Three reps, report the min: the shared host shows bursty CPU
+    # steal, and min-of-reps measures the engine rather than the
+    # neighbors (two reps left ±20% swings on individual queries).
     timings: dict[str, float] = {}
     for q in headline:
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             rows = q.fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - start)

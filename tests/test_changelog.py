@@ -238,6 +238,52 @@ def test_changelog_net_changes_collapses_carryovers(spark, tmp_path, flavor):
         )
 
 
+def test_changelog_feed_microbatches_and_replay(spark, tmp_path):
+    """ChangelogFeed: one batch per commit, checkpointed progress, a
+    failing handler re-delivers its batch, and a restarted feed resumes
+    from the checkpoint."""
+    from ic_spark.streaming.changelog_feed import ChangelogFeed
+
+    tbl, snap0 = _mk(spark, tmp_path, "json", "feed")
+    ckpt = str(tmp_path / "feed.ckpt")
+    feed = ChangelogFeed(spark, tbl, ckpt, from_snapshot_id=snap0)
+    assert feed.process_available(lambda df, sid: None) == 0
+
+    _append(
+        spark,
+        tbl,
+        spark.range(20, 23).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        "feed_1",
+    )
+    write_position_deletes(spark, tbl, F.col("id") == 5)
+
+    seen: list[tuple[int, list]] = []
+
+    def handler(df, sid):
+        seen.append((sid, sorted((r._change_type, r.id) for r in df.collect())))
+
+    assert feed.process_available(handler) == 2
+    assert seen[0][1] == [("INSERT", 20), ("INSERT", 21), ("INSERT", 22)]
+    assert seen[1][1] == [("DELETE", 5)]
+
+    # failing handler: checkpoint stays put, batch re-delivers
+    write_position_deletes(spark, tbl, F.col("id") == 6)
+    with pytest.raises(RuntimeError, match="sink down"):
+        feed.process_available(lambda df, sid: (_ for _ in ()).throw(RuntimeError("sink down")))
+    resumed = ChangelogFeed(spark, tbl, ckpt)  # restart from checkpoint
+    seen2 = []
+    resumed.process_available(lambda df, sid: seen2.append(
+        sorted((r._change_type, r.id) for r in df.collect())
+    ))
+    assert seen2 == [[("DELETE", 6)]]
+    assert resumed.process_available(lambda df, sid: None) == 0
+
+    # fresh feed without a baseline is rejected
+    with pytest.raises(ValueError, match="from_snapshot_id"):
+        ChangelogFeed(spark, tbl, str(tmp_path / "other.ckpt"))
+
+
 def test_changelog_compute_updates(spark, tmp_path):
     """identifier-column pairing: same-commit DELETE+INSERT sharing the
     key re-type as UPDATE_BEFORE/UPDATE_AFTER; unpaired rows keep their
