@@ -224,19 +224,115 @@ def _ppm_header_tokens(b: bytes):
         return None
 
 
+def _png_unfilter(raw, h: int, w: int, nch: int):
+    """Reverse PNG scanline filtering (spec §9 Filtering) → (h, w*nch)
+    uint8.  None/Sub/Up are vectorized; Average/Paeth carry a left
+    dependency and run per-byte on their (typically few) rows."""
+    import numpy as np
+
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = row
+        elif ftype == 1:  # Sub: cumulative sum over the byte lanes
+            out[y] = (
+                np.cumsum(row.reshape(w, nch).astype(np.uint32), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256 — the spec's rule
+        elif ftype in (3, 4):  # Average / Paeth: sequential left-dep
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                bb = int(prev[i])
+                if ftype == 3:
+                    cur[i] = (int(row[i]) + ((a + bb) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(b: bytes):
+    """Stdlib-only PNG decode (zlib inflate + unfilter): 8-bit depth,
+    color types 0/2/3/4/6, non-interlaced.  Returns an (h, w, channels)
+    uint8 array (palette expanded to RGB) or None for PNG variants out
+    of scope (16-bit, interlaced, sub-byte depths)."""
+    import numpy as np
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while i + 8 <= len(b):
+        length = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + CRC
+    if ihdr is None or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None or (color == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None  # corrupt stream is data, not an error
+    if len(raw) != h * (1 + w * nch):
+        return None
+    arr = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    if color == 3:  # palette indices -> RGB
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        arr = pal[arr.reshape(h, w)]
+    return arr
+
+
 def decode_pixels(payload: bytes | None):
-    """Pure-Python pixel decode for UNCOMPRESSED image formats — the
-    real half of the codec boundary (BMP 24/32-bit BI_RGB, binary PPM
-    P6 / PGM P5 with maxval < 256).  Returns ``(format, array)`` with a
-    ``(height, width, channels)`` uint8 numpy array in RGB(A)/gray
-    order, or None when the payload is not one of these formats
-    (compressed formats stay behind the strict-mode gate)."""
+    """Pure-Python pixel decode for the formats a stdlib-only engine
+    can genuinely handle — the real half of the codec boundary: BMP
+    24/32-bit BI_RGB, binary PPM P6 / PGM P5 (maxval < 256), and PNG
+    (zlib inflate + unfilter — 8-bit, non-interlaced, all five color
+    types).  Returns ``(format, array)`` with a ``(height, width,
+    channels)`` uint8 numpy array in RGB(A)/gray order, or None when
+    the payload needs a real codec (JPEG/GIF/16-bit PNG stay behind
+    the strict-mode gate)."""
     import numpy as np
 
     if not payload:
         return None
     b = bytes(payload)
     try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = _decode_png(b)
+            return None if arr is None else ("png", arr)
         if b[:2] == b"BM" and len(b) >= 54:
             data_off = int.from_bytes(b[10:14], "little")
             w = int.from_bytes(b[18:22], "little", signed=True)

