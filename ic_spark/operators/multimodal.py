@@ -520,35 +520,139 @@ def resize_images(
     """Arrow-batched image resize: same schema out, payload replaced by
     the resized bytes, width/height set to the target box.
 
-    The codec call is the stub boundary (``strict=True`` raises where
-    PIL/libvips would run); the fake emits deterministic bytes derived
-    from (payload sha, target box) so downstream plumbing — including
-    exact-dedup over resized payloads — is testable.
+    REAL for every stdlib-decodable format (PNG/BMP/PPM/PGM): decode →
+    nearest-neighbor resample (numpy index gather) → re-encode as PNG,
+    so the output payload is itself decodable and round-trips.  Only
+    codec-requiring inputs (JPEG/GIF) fall to the deterministic fake
+    (or raise under ``strict=True``, exactly where PIL/libvips would
+    run).
     """
     target_w, target_h = width, height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        import numpy as np
+
+        def resize(b: bytes | None) -> bytes | None:
+            if b is None:
+                return None
+            dec = decode_pixels(b)
+            if dec is not None:
+                _fmt, arr = dec
+                h, w, _ = arr.shape
+                ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                return encode_png(arr[ys][:, xs])
             if strict:
+                fmt = parse_media_header(b)["format"] or "unknown"
                 raise NotImplementedError(
-                    "image codecs not available in this environment; "
+                    f"no pure-Python decoder for compressed format {fmt!r}; "
                     "plug PIL/libvips into resize_images()"
                 )
+            tag = f"-resized-{target_w}x{target_h}".encode()
+            return hashlib.sha256(b).digest() + tag
+
+        for pdf in batches:
             is_img = pdf["kind"] == "image"
-
-            def fake_resize(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
-                tag = f"-resized-{target_w}x{target_h}".encode()
-                return hashlib.sha256(b).digest() + tag
-
             pdf = pdf.copy()
-            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(fake_resize)
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(resize)
             pdf.loc[is_img, "width"] = target_w
             pdf.loc[is_img, "height"] = target_h
             yield pdf
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def encode_png(arr) -> bytes:
+    """Minimal stdlib PNG writer (filter 0, 8-bit): the re-encode half
+    of the pure-Python codec path.  Accepts (h, w, channels) uint8 with
+    1/2/3/4 channels (gray / gray+alpha / RGB / RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, nch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def perceptual_hash(df: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, phash) — 64-bit difference hash (dHash) over decoded
+    pixels: downsample to 9x8 grayscale (nearest-neighbor), emit one
+    bit per left<right comparison.  Near-duplicate images (re-encodes,
+    small edits, resizes) land within a few bits of Hamming distance —
+    pair with :func:`ic_spark.operators.dedup.hamming_distance` for
+    image near-dup detection, the visual analog of SimHash on text.
+
+    REAL for stdlib-decodable formats; codec-requiring payloads yield a
+    deterministic sha-derived hash (or raise under ``strict=True``) so
+    exact-duplicate grouping still works for them.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b) -> int | None:
+            if b is None:
+                return None
+            dec = decode_pixels(b)
+            if dec is None:
+                if strict:
+                    fmt = parse_media_header(b)["format"] or "unknown"
+                    raise NotImplementedError(
+                        f"no pure-Python decoder for {fmt!r}; plug a codec "
+                        "into perceptual_hash()"
+                    )
+                digest = hashlib.sha256(bytes(b)).digest()[:8]
+                return int.from_bytes(digest, "big", signed=True)
+            _fmt, arr = dec
+            gray = arr[..., :3].mean(axis=2) if arr.shape[2] >= 3 else arr[..., 0]
+            h, w = gray.shape
+            ys = (np.arange(8) * h // 8).clip(0, h - 1)
+            xs = (np.arange(9) * w // 9).clip(0, w - 1)
+            small = gray[ys][:, xs]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            v = 0
+            for bit in bits:
+                v = (v << 1) | int(bit)
+            # two's-complement into int64
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(b) for b in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 FRAME_SCHEMA = StructType(

@@ -416,6 +416,76 @@ def test_multimodal_resize_and_frame_sample(spark):
         sample_frames(media, strict=True).collect()
 
 
+def test_real_resize_and_perceptual_hash(spark):
+    """Decodable images resize for real (nearest-neighbor, PNG out)
+    and dHash is pixel-derived: same pixels across containers hash
+    identically; small edits stay within a few bits; different images
+    diverge."""
+    import numpy as np
+
+    from ic_spark.operators.dedup import hamming_distance
+    from ic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_pixels,
+        perceptual_hash,
+        resize_images,
+    )
+
+    px = [
+        [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)],
+        [(40, 40, 40), (50, 50, 50), (60, 60, 60), (70, 70, 70)],
+        [(80, 80, 80), (90, 90, 90), (100, 100, 100), (110, 110, 110)],
+        [(120, 120, 120), (130, 130, 130), (140, 140, 140), (150, 150, 150)],
+    ]
+    png = _png_bytes(px)
+    bmp = _bmp_bytes(px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(png), None, None, None),
+            (2, "image", "image/bmp", bytearray(bmp), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 2, 2, strict=True).collect()}
+    fmt, arr = decode_pixels(bytes(out[1].payload))
+    assert fmt == "png" and arr.shape == (2, 2, 3)
+    # nearest-neighbor picks source pixels (0,0),(0,2),(2,0),(2,2)
+    assert arr.tolist() == [
+        [[0, 0, 0], [20, 20, 20]],
+        [[80, 80, 80], [100, 100, 100]],
+    ]
+    # same pixels via BMP resize to the same PNG bytes
+    assert bytes(out[2].payload) == bytes(out[1].payload)
+
+    # dHash: container-independent, edit-tolerant, content-sensitive
+    grad = [[tuple([(x * 16) % 256] * 3) for x in range(16)] for _ in range(16)]
+    edited = [row[:] for row in grad]
+    edited[0][0] = (255, 255, 255)  # one-pixel edit
+    rev = [row[::-1] for row in grad]
+    m2 = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(_png_bytes(grad)), None, None, None),
+            (2, "image", "image/bmp", bytearray(_bmp_bytes(grad)), None, None, None),
+            (3, "image", "image/png", bytearray(_png_bytes(edited)), None, None, None),
+            (4, "image", "image/png", bytearray(_png_bytes(rev)), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    hashes = {r.media_id: r.phash for r in perceptual_hash(m2, strict=True).collect()}
+    assert hashes[1] == hashes[2]  # same pixels, different container
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(hashes[1], hashes[3]) <= 4    # near-dup
+    assert ham(hashes[1], hashes[4]) >= 16   # different content
+    # Spark-side hamming_distance agrees with the Python popcount
+    d = spark.createDataFrame(
+        [(hashes[1], hashes[3])], "a long, b long"
+    ).select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert d == ham(hashes[1], hashes[3])
+
+
 def test_approx_sketches_accuracy(spark):
     """approx_count_distinct within rsd bounds; approx median near exact."""
     from ic_spark.tables import load_table
