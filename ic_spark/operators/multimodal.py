@@ -315,15 +315,129 @@ def _decode_png(b: bytes):
     return arr
 
 
+def _gif_lzw(data: bytes, min_code_size: int, npix: int):
+    """GIF's LZW variant (LSB-first bit packing, CLEAR/EOI codes,
+    code width growing to 12 bits).  Returns the index list or None on
+    a corrupt stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total and len(out) < npix:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:npix] if len(out) >= npix else None
+
+
+def _decode_gif(b: bytes):
+    """Pure-Python GIF decode: first image frame, global/local color
+    table, LZW indices, interlace rearrangement.  Returns an (h, w, 3)
+    uint8 array or None."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=13).reshape(
+            n, 3
+        )
+        i = 13 + n * 3
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label byte + terminated sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            iw = int.from_bytes(b[i + 5 : i + 7], "little")
+            ih = int.from_bytes(b[i + 7 : i + 9], "little")
+            p = b[i + 9]
+            i += 10
+            pal = gct
+            if p & 0x80:
+                n = 2 ** ((p & 7) + 1)
+                pal = np.frombuffer(
+                    b, dtype=np.uint8, count=n * 3, offset=i
+                ).reshape(n, 3)
+                i += n * 3
+            if pal is None or iw <= 0 or ih <= 0:
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                data += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw(bytes(data), min_code, iw * ih)
+            if idx is None or max(idx) >= len(pal):
+                return None
+            arr = pal[np.asarray(idx, dtype=np.int32)].reshape(ih, iw, 3)
+            if p & 0x40:  # interlaced: four passes of rows
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
+            return arr
+        elif blk == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes | None):
     """Pure-Python pixel decode for the formats a stdlib-only engine
     can genuinely handle — the real half of the codec boundary: BMP
-    24/32-bit BI_RGB, binary PPM P6 / PGM P5 (maxval < 256), and PNG
-    (zlib inflate + unfilter — 8-bit, non-interlaced, all five color
-    types).  Returns ``(format, array)`` with a ``(height, width,
-    channels)`` uint8 numpy array in RGB(A)/gray order, or None when
-    the payload needs a real codec (JPEG/GIF/16-bit PNG stay behind
-    the strict-mode gate)."""
+    24/32-bit BI_RGB, binary PPM P6 / PGM P5 (maxval < 256), PNG (zlib
+    inflate + unfilter — 8-bit, non-interlaced, all five color types),
+    and GIF (hand-rolled LZW, first frame, interlace handled).
+    Returns ``(format, array)`` with a ``(height, width, channels)``
+    uint8 numpy array in RGB(A)/gray order, or None when the payload
+    needs a real codec (JPEG / 16-bit PNG stay behind the strict-mode
+    gate)."""
     import numpy as np
 
     if not payload:
@@ -333,6 +447,9 @@ def decode_pixels(payload: bytes | None):
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             arr = _decode_png(b)
             return None if arr is None else ("png", arr)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            arr = _decode_gif(b)
+            return None if arr is None else ("gif", arr)
         if b[:2] == b"BM" and len(b) >= 54:
             data_off = int.from_bytes(b[10:14], "little")
             w = int.from_bytes(b[18:22], "little", signed=True)

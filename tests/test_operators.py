@@ -416,6 +416,95 @@ def test_multimodal_resize_and_frame_sample(spark):
         sample_frames(media, strict=True).collect()
 
 
+def _gif_bytes(pixels, palette, interlace=False) -> bytes:
+    """Hand-assemble a GIF: literal-codes LZW stream (a CLEAR before
+    every pixel keeps all codes at the initial width — valid, just
+    uncompressed)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    mcs = max(2, (len(palette) - 1).bit_length())
+    clear = 1 << mcs
+    eoi = clear + 1
+    csize = mcs + 1
+    bits = []
+    rows = list(pixels)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = [pixels[y] for y in order]
+    codes = [clear]
+    for row in rows:
+        for idx in row:
+            codes.extend([idx, clear])
+    codes[-1] = eoi  # replace the trailing clear
+    for c in codes:
+        for j in range(csize):
+            bits.append((c >> j) & 1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    pal = bytearray()
+    for rgb in palette:
+        pal += bytes(rgb)
+    pal += b"\x00" * (3 * ((1 << mcs) - len(palette)))  # pad table
+    hdr = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (mcs - 1), 0, 0])
+        + bytes(pal)
+    )
+    img = (
+        b"\x2c"
+        + b"\x00" * 4
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+        + bytes([mcs])
+    )
+    sub = bytearray()
+    for i in range(0, len(data), 255):
+        blockb = data[i : i + 255]
+        sub += bytes([len(blockb)]) + blockb
+    sub += b"\x00"
+    return hdr + img + bytes(sub) + b"\x3b"
+
+
+def test_decode_gif_real_bytes():
+    from ic_spark.operators.multimodal import decode_pixels
+
+    palette = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (7, 8, 9)]
+    idx = [
+        [0, 1, 2],
+        [3, 2, 1],
+        [1, 1, 0],
+    ]
+    fmt, arr = decode_pixels(_gif_bytes(idx, palette))
+    assert fmt == "gif" and arr.shape == (3, 3, 3)
+    assert arr.tolist() == [[list(palette[i]) for i in row] for row in idx]
+
+    # interlaced variant reconstructs the same image
+    tall = [[(y * 4 + x) % 4 for x in range(4)] for y in range(9)]
+    fmt, a1 = decode_pixels(_gif_bytes(tall, palette))
+    fmt, a2 = decode_pixels(_gif_bytes(tall, palette, interlace=True))
+    assert a1.tolist() == a2.tolist()
+
+    # animated-style extension blocks are skipped; junk returns None
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    plain = _gif_bytes(idx, palette)
+    with_ext = plain[: 13 + 12] + gce + plain[13 + 12 :]
+    fmt, a3 = decode_pixels(with_ext)
+    assert a3.tolist() == arr.tolist()
+    assert decode_pixels(b"GIF89a" + b"\x00" * 4) is None
+
+
 def test_real_resize_and_perceptual_hash(spark):
     """Decodable images resize for real (nearest-neighbor, PNG out)
     and dHash is pixel-derived: same pixels across containers hash
