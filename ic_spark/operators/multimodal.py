@@ -883,10 +883,14 @@ def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame
     ``array<float>`` of ``dim`` — the encoder stage of multimodal
     retrieval (CLIP-style image/audio towers in a real deployment).
 
-    The encoder here is the stubbed codec boundary: a deterministic
-    pseudo-embedding derived from sha-512 of the payload bytes (so
-    identical payloads embed identically and tests are exact);
-    ``strict=True`` raises where the real model forward pass belongs.
+    CONTENT-DERIVED for stdlib-decodable payloads: images embed as an
+    L2-normalized grayscale thumbnail (nearest-neighbor downsample to
+    ``dim`` cells — identical pixels embed identically regardless of
+    container, near-identical images land at high cosine); PCM audio
+    embeds as L2-normalized log-spaced FFT band energies (timbre/pitch
+    profile — same waveform ⇒ same vector).  Codec-requiring payloads
+    fall back to the deterministic sha-512 pseudo-embedding (or raise
+    under ``strict=True``, where the real model forward pass belongs).
     Output plugs directly into operators/similarity.py (brute-force /
     LSH / IVF top-k) and semantic_dedup — the same 100 TB path as text
     embeddings: encode at scan, never shuffle payload bytes.
@@ -906,19 +910,73 @@ def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        import math
+
+        import numpy as np
+
+        def image_vec(arr):
+            gray = (
+                arr[..., :3].mean(axis=2)
+                if arr.shape[2] >= 3
+                else arr[..., 0].astype("float64")
+            )
+            h, w = gray.shape
+            side = max(1, int(math.isqrt(dim)))
+            cols = (dim + side - 1) // side
+            # Block MEAN pooling (not nearest sampling): every source
+            # pixel contributes, so a one-pixel edit moves its cell by
+            # 1/|block| instead of potentially flipping it outright.
+            ye = (np.arange(side + 1) * h // side).clip(1, h)
+            xe = (np.arange(cols + 1) * w // cols).clip(1, w)
+            v = np.array(
+                [
+                    gray[ye[r] - (ye[r] - ye[r - 1] or 1) : ye[r],
+                         xe[c] - (xe[c] - xe[c - 1] or 1) : xe[c]].mean()
+                    for r in range(1, side + 1)
+                    for c in range(1, cols + 1)
+                ]
+            )[:dim]
+            v = np.pad(v, (0, dim - len(v))) - v.mean()
+            n = np.linalg.norm(v)
+            return (v / n if n else v).astype("float32").tolist()
+
+        def audio_vec(samples, rate):
+            x = samples.astype("float64").mean(axis=1)  # downmix
+            if len(x) < 2:
+                return None
+            mag = np.abs(np.fft.rfft(x))
+            # log-spaced band edges over the positive spectrum
+            edges = np.unique(
+                np.geomspace(1, len(mag) - 1, dim + 1).astype(int)
+            )
+            v = np.zeros(dim)
+            for j in range(min(dim, len(edges) - 1)):
+                v[j] = mag[edges[j] : edges[j + 1] + 1].mean()
+            v = np.log1p(v)
+            n = np.linalg.norm(v)
+            return (v / n if n else v).astype("float32").tolist()
+
+        def enc(b):
+            if b is None:
+                return None
+            img = decode_pixels(b)
+            if img is not None:
+                return image_vec(img[1])
+            aud = decode_audio_samples(b)
+            if aud is not None:
+                vec = audio_vec(aud[0], aud[1])
+                if vec is not None:
+                    return vec
             if strict:
+                fmt = parse_media_header(b)["format"] or "unknown"
                 raise NotImplementedError(
-                    "media encoders not available in this environment; "
-                    "plug a real model into embed_media()"
+                    f"no pure-Python decoder for {fmt!r}; plug a real "
+                    "encoder into embed_media()"
                 )
+            d = hashlib.sha512(bytes(b)).digest()
+            return [(d[i] - 128) / 128.0 for i in range(dim)]
 
-            def enc(b):
-                if b is None:
-                    return None
-                d = hashlib.sha512(bytes(b)).digest()
-                return [(d[i] - 128) / 128.0 for i in range(dim)]
-
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -575,6 +575,64 @@ def test_real_resize_and_perceptual_hash(spark):
     assert d == ham(hashes[1], hashes[3])
 
 
+def test_embed_media_content_derived(spark):
+    """Decodable media embed from CONTENT: same pixels across
+    containers give the same vector, near-identical images sit at high
+    cosine, different images lower; audio embeddings separate pitches
+    and reproduce exactly for identical waveforms."""
+    import math
+    import struct
+
+    from ic_spark.operators.multimodal import MEDIA_SCHEMA, embed_media
+
+    grad = [[tuple([(x * 16) % 256] * 3) for x in range(16)] for _ in range(16)]
+    edited = [row[:] for row in grad]
+    edited[0][0] = (255, 255, 255)
+    rev = [row[::-1] for row in grad]
+
+    def sine_wav(freq, rate=8000, n=4000):
+        samples = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(samples).to_bytes(4, "little") + samples
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(_png_bytes(grad)), None, None, None),
+            (2, "image", "image/bmp", bytearray(_bmp_bytes(grad)), None, None, None),
+            (3, "image", "image/png", bytearray(_png_bytes(edited)), None, None, None),
+            (4, "image", "image/png", bytearray(_png_bytes(rev)), None, None, None),
+            (5, "audio", "audio/wav", bytearray(sine_wav(440)), None, None, None),
+            (6, "audio", "audio/wav", bytearray(sine_wav(440)), None, None, None),
+            (7, "audio", "audio/wav", bytearray(sine_wav(2500)), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    vecs = {
+        r.media_id: r.embedding
+        for r in embed_media(media, dim=16, strict=True).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    assert vecs[1] == vecs[2]                 # container-independent
+    assert cos(vecs[1], vecs[3]) > 0.95       # near-identical image
+    assert cos(vecs[1], vecs[4]) < cos(vecs[1], vecs[3])
+    assert vecs[5] == vecs[6]                 # identical waveform
+    assert cos(vecs[5], vecs[7]) < 0.95       # different pitch profile
+
+
 def test_approx_sketches_accuracy(spark):
     """approx_count_distinct within rsd bounds; approx median near exact."""
     from ic_spark.tables import load_table
