@@ -284,6 +284,137 @@ def test_changelog_feed_microbatches_and_replay(spark, tmp_path):
         ChangelogFeed(spark, tbl, str(tmp_path / "other.ckpt"))
 
 
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+@pytest.mark.parametrize("seed", [11, 29])
+def test_changelog_replay_reconstructs_table(spark, tmp_path, flavor, seed):
+    """THE changelog invariant: baseline rows + replayed INSERT/DELETE
+    events (in commit order) == final visible rows, for a randomized
+    sequence of appends / position deletes / keyed upserts.  The same
+    must hold applying net_changes events in one shot."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    tbl, snap0 = _mk(spark, tmp_path, flavor, f"rr{seed}")
+    baseline = Counter(
+        (r.id, r.k) for r in read_table(spark, tbl).collect()
+    )
+
+    next_id = 20
+    for _ in range(4):
+        op = rng.choice(["append", "pos_delete", "upsert"])
+        if op == "append":
+            _append(
+                spark,
+                tbl,
+                spark.range(next_id, next_id + 3).select(
+                    "id", (F.col("id") % 4).alias("k")
+                ),
+                tmp_path,
+                f"{flavor}_rr{seed}_{next_id}",
+            )
+            next_id += 3
+        elif op == "pos_delete":
+            visible = [r.id for r in read_table(spark, tbl).collect()]
+            if not visible:
+                continue
+            victims = rng.sample(visible, min(2, len(visible)))
+            write_position_deletes(spark, tbl, F.col("id").isin(victims))
+        else:
+            visible = [r.id for r in read_table(spark, tbl).collect()]
+            keys = rng.sample(visible, min(2, len(visible))) + [next_id]
+            next_id += 1
+            merge_upsert(
+                spark,
+                tbl,
+                spark.createDataFrame(
+                    [(i, rng.randrange(100, 200)) for i in keys],
+                    "id long, k long",
+                ),
+                ["id"],
+            )
+
+    final = Counter((r.id, r.k) for r in read_table(spark, tbl).collect())
+
+    log = read_changelog(spark, tbl, snap0)
+    events = sorted(
+        ((r._change_ordinal, r._change_type, r.id, r.k) for r in log.collect())
+    )
+    state = Counter(baseline)
+    for _ord, typ, i, k in events:
+        if typ == "DELETE":
+            assert state[(i, k)] > 0, f"DELETE of non-visible row {(i, k)}"
+            state[(i, k)] -= 1
+        else:
+            state[(i, k)] += 1
+    assert +state == final
+
+    net = read_changelog(spark, tbl, snap0, net_changes=True)
+    state2 = Counter(baseline)
+    for r in net.collect():
+        if r._change_type == "DELETE":
+            assert state2[(r.id, r.k)] > 0
+            state2[(r.id, r.k)] -= 1
+        else:
+            state2[(r.id, r.k)] += 1
+    assert +state2 == final
+
+
+def test_changelog_feed_replicates_table(spark, tmp_path):
+    """End-to-end CDC replication: a ChangelogFeed applies each source
+    commit to an independent target table (position deletes for DELETE
+    events, appends for INSERTs); after draining, target == source."""
+    from ic_spark.streaming.changelog_feed import ChangelogFeed
+
+    src, snap0 = _mk(spark, tmp_path, "json", "repl_src")
+    tgt = ManifestTable(str(tmp_path / "repl_tgt"))
+    os.makedirs(tgt.root, exist_ok=True)
+    _append(
+        spark,
+        tgt,
+        spark.range(0, 20).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        "repl_tgt_seed",
+    )
+
+    # source evolves: append, upsert (update + fresh insert), delete
+    _append(
+        spark,
+        src,
+        spark.range(20, 24).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        "repl_src_1",
+    )
+    merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame([(3, 33), (50, 5)], "id long, k long"),
+        ["id"],
+    )
+    write_position_deletes(spark, src, F.col("id").isin(8, 21))
+
+    def apply_batch(df, sid):
+        rows = df.collect()
+        dead = [r.id for r in rows if r._change_type == "DELETE"]
+        live = [(r.id, r.k) for r in rows if r._change_type == "INSERT"]
+        if dead:
+            write_position_deletes(spark, tgt, F.col("id").isin(dead))
+        if live:
+            _append(
+                spark,
+                tgt,
+                spark.createDataFrame(live, "id long, k long"),
+                tmp_path,
+                f"repl_apply_{sid}",
+            )
+
+    feed = ChangelogFeed(spark, src, str(tmp_path / "repl.ckpt"), snap0)
+    assert feed.process_available(apply_batch) == 3
+    s = sorted((r.id, r.k) for r in read_table(spark, src).collect())
+    t = sorted((r.id, r.k) for r in read_table(spark, tgt).collect())
+    assert s == t
+
+
 def test_changelog_compute_updates(spark, tmp_path):
     """identifier-column pairing: same-commit DELETE+INSERT sharing the
     key re-type as UPDATE_BEFORE/UPDATE_AFTER; unpaired rows keep their
