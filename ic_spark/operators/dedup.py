@@ -159,8 +159,9 @@ def token_jaccard_pairs(
     one cell — (min(sa,sb), max(sa,sb)) when salts differ, the diagonal
     cell when equal — so results are identical, and blocks at or under
     the target keep k=1 (single diagonal cell, no replication, the
-    plain blocked join).  Block sizes come from one KB-scale broadcast
-    aggregate.
+    plain blocked join in all but name).  Only the HOT rows of the
+    block-size aggregate broadcast, as the empty-when-uniform build
+    side of a left join — detection costs no separate driver action.
 
     ``hash_tokens`` (default) intersects sorted xxhash64 arrays instead
     of string arrays — 8-byte compares cut pairwise time ~2x and the
@@ -203,37 +204,18 @@ def token_jaccard_pairs(
         jac = F.round(inter.cast("double") / union.cast("double"), 6)
         return cond & (jac >= threshold), jac
 
-    # Adaptive skew detection: one column-pruned partial-agg job over
-    # the block keys; the reduced table is |distinct blocks| rows and
-    # the driver sees ONE number.
+    # Adaptive skew detection INSIDE the query (no driver-side count
+    # barrier — a separate action cost a full extra job per call): only
+    # the HOT rows of the block-size aggregate broadcast (empty on a
+    # uniform corpus, where every block keeps k=1 — one diagonal cell,
+    # no replication, the plain blocked join in all but name).
     counts = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    max_block = counts.agg(F.max("__bn")).collect()[0][0] or 0
+    hot = counts.where(F.col("__bn") > subblock_target)
 
-    if max_block <= subblock_target:
-        # Uniform corpus: the plain blocked self-join, zero overhead.
-        a = base.select(
-            F.col("__id").alias("id_a"),
-            *[F.col(c) for c in block_cols],
-            F.col("__toks").alias("__ta"),
-            F.col("__n").alias("__na"),
-        )
-        b = base.select(
-            F.col("__id").alias("id_b"),
-            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-            F.col("__toks").alias("__tb"),
-            F.col("__n").alias("__nb"),
-        )
-        cond, jac = pair_condition()
-        return a.join(b, on=cond, how="inner").select(
-            "id_a", "id_b", jac.alias("jaccard")
-        )
-
-    # Hot blocks present: sub-block salting (see docstring).  The
-    # block-size table joins back as a broadcast.
-    k = F.greatest(
-        F.lit(1), F.ceil(F.col("__bn") / F.lit(subblock_target))
-    ).cast("int")
-    salted = base.join(F.broadcast(counts), on=block_cols).select(
+    k = F.coalesce(
+        F.ceil(F.col("__bn") / F.lit(subblock_target)).cast("int"), F.lit(1)
+    )
+    salted = base.join(F.broadcast(hot), on=block_cols, how="left").select(
         "__id",
         *block_cols,
         "__toks",
