@@ -450,6 +450,11 @@ def decode_pixels(payload: bytes | None):
         if b[:6] in (b"GIF87a", b"GIF89a"):
             arr = _decode_gif(b)
             return None if arr is None else ("gif", arr)
+        if b[:2] == b"\xff\xd8":
+            from ic_spark.operators.jpeg_codec import decode_jpeg
+
+            arr = decode_jpeg(b)
+            return None if arr is None else ("jpeg", arr)
         if b[:2] == b"BM" and len(b) >= 54:
             data_off = int.from_bytes(b[10:14], "little")
             w = int.from_bytes(b[18:22], "little", signed=True)

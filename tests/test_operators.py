@@ -505,6 +505,69 @@ def test_decode_gif_real_bytes():
     assert decode_pixels(b"GIF89a" + b"\x00" * 4) is None
 
 
+def test_decode_jpeg_baseline():
+    """Baseline JPEG decode validated against an INDEPENDENT encoder
+    (textbook forward DCT, own Huffman tables): grayscale exact with
+    unit quant tables; RGB within color-convert rounding; 4:2:0 close
+    on smooth images; restart intervals exact; progressive/truncated
+    payloads return None."""
+    import numpy as np
+    from jpegref import encode_jpeg, fdct_ref
+
+    from ic_spark.operators.jpeg_codec import decode_jpeg, idct2
+    from ic_spark.operators.multimodal import decode_pixels
+
+    # the matrix IDCT inverts the independent triple-loop forward DCT
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (8, 8)).astype(float) - 128
+    assert np.abs(idct2(fdct_ref(px)) - px).max() < 1e-9
+
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(flat))[..., 0].tolist() == flat.tolist()
+
+    g = (np.add.outer(np.arange(16) * 9, np.arange(24) * 5) % 256).astype(
+        np.uint8
+    )
+    assert decode_jpeg(encode_jpeg(g))[..., 0].tolist() == g.tolist()
+    assert (
+        decode_jpeg(encode_jpeg(g, restart=2))[..., 0].tolist() == g.tolist()
+    )
+
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(rgb)).astype(int) - rgb.astype(int)
+    ).max()
+    assert err <= 2  # YCbCr round-trip rounding only
+
+    smooth = np.zeros((16, 16, 3), dtype=np.uint8)
+    for y in range(16):
+        for x in range(16):
+            smooth[y, x] = (y * 8, x * 8, 128)
+    err420 = np.abs(
+        decode_jpeg(encode_jpeg(smooth, subsample=True)).astype(int)
+        - smooth.astype(int)
+    ).max()
+    assert err420 <= 8  # chroma averaged 2x2 then replicated
+
+    # quantization actually applies (non-unit table -> small error)
+    q = np.full((8, 8), 4)
+    errq = np.abs(
+        decode_jpeg(encode_jpeg(g, quant=q)).astype(int)[..., 0]
+        - g.astype(int)
+    ).max()
+    assert 0 < errq <= 8
+
+    # decode_pixels routes jpegs; non-baseline/truncated yield None
+    fmt, arr = decode_pixels(encode_jpeg(rgb))
+    assert fmt == "jpeg" and arr.shape == (16, 16, 3)
+    full = encode_jpeg(g)
+    assert decode_jpeg(full[:40]) is None
+    progressive = bytearray(full)
+    sof_at = full.index(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2  # pretend SOF2
+    assert decode_jpeg(bytes(progressive)) is None
+
+
 def test_real_resize_and_perceptual_hash(spark):
     """Decodable images resize for real (nearest-neighbor, PNG out)
     and dHash is pixel-derived: same pixels across containers hash
