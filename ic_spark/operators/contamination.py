@@ -21,9 +21,9 @@ oracle can hash-check the plan; a pytest pins hashed == unhashed.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
-from ic_spark.functions.text import word_shingles
+from ic_spark.functions.text import tokens, word_shingles
 
 
 def _doc_grams(
@@ -57,4 +57,101 @@ def contamination_overlap(
         tg.join(eg, on="gram")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Decontamination by SPAN REMOVAL: cut every run of >= ``k``
+    training tokens that appears verbatim in the eval set, keeping the
+    rest of the document (the GPT-3/PaLM-style surgical decontam — a
+    doc quoting one benchmark question loses the quote, not the doc).
+
+    Returns (doc_id, text_clean, removed_tokens).  Span semantics match
+    :func:`ic_spark.operators.dedup.substring_dup_spans`: hit k-gram
+    start positions merge gaps-and-islands while ``pos - prev <= k``,
+    each covering ``[pos, pos+k-1]``.
+
+    Scale shape: train k-grams reduce to 8-byte xxhash64 keys before
+    the equi-join (``hashed``; the output carries no hashes, so the
+    string oracle matches exactly); the eval side is distinct grams of
+    a benchmark-sized corpus — AQE broadcasts it and the train side
+    never shuffles for the probe.  The rebuild is one groupBy over the
+    kept (doc, pos, token) rows; the window runs over HIT positions
+    only.
+    """
+    toks_col = tokens(F.col(text_col))
+    base = train.select(F.col(id_col).alias("doc_id"), toks_col.alias("__t"))
+
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i") + 1, k))
+    key = F.xxhash64(gram) if hashed else gram
+    grams = (
+        base.where(F.size("__t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.size("__t") - k)).alias(
+                "__x", "__i"
+            ),
+            "__t",
+        )
+        .select("doc_id", (F.col("__i") + 1).alias("pos"), key.alias("__g"))
+    )
+    eg = eval_df.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+            "gram"
+        )
+    )
+    ekey = F.xxhash64("gram") if hashed else F.col("gram")
+    eg = eg.select(ekey.alias("__g")).distinct()
+    hits = grams.join(eg, on="__g", how="left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    spans = (
+        hits.select("doc_id", "pos", brk.alias("__brk"))
+        .withColumn("__gid", F.sum("__brk").over(w))
+        .groupBy("doc_id", "__gid")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + k - 1).alias("__e"),
+        )
+    )
+    kill = spans.select(
+        "doc_id", F.explode(F.sequence("__s", "__e")).alias("pos")
+    )
+    tok_pos = base.select(
+        "doc_id", F.posexplode("__t").alias("__p0", "tok")
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(kill, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks_col).cast("long").alias("__ntok"),
+        )
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (
+                F.col("__ntok") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("long").alias("removed_tokens"),
+        )
     )

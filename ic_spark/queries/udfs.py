@@ -137,3 +137,71 @@ def prep_contamination_check(spark: SparkSession, sf_dir: str):
     ev = docs.where(F.col("doc_id") % 97 == 0)
     tr = docs.where(F.col("doc_id") % 97 != 0)
     return contamination_overlap(tr, ev, n=3, hashed=False)
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle="""
+    -- Surgical decontamination: cut every >=8-token training span
+    -- appearing verbatim in the eval split (doc_id %% 17 == 0),
+    -- rebuild the remaining text, count removed tokens.
+    WITH train AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 17 <> 0
+    ),
+    grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+              FROM train WHERE len(t) >= 8)
+    ),
+    eg AS (
+        SELECT DISTINCT array_to_string(et[pos:pos+7], ' ') AS g
+        FROM (SELECT et, unnest(range(1, greatest(len(et) - 6, 1))) AS pos
+              FROM (SELECT string_split(text, ' ') AS et FROM documents
+                    WHERE doc_id % 17 = 0))
+    ),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM eg)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM isl),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM grp GROUP BY doc_id, gid),
+    kill AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+    tokpos AS (
+        SELECT doc_id, pos, t[pos] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM train)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.pos, tp.tok
+        FROM tokpos tp LEFT JOIN kill k
+          ON tp.doc_id = k.doc_id AND tp.pos = k.pos
+        WHERE k.pos IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+               COUNT(*) AS kept FROM kept GROUP BY doc_id
+    )
+    SELECT tr.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           CAST(len(tr.t) - COALESCE(r.kept, 0) AS BIGINT) AS removed_tokens
+    FROM train tr LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str):
+    """Span-removal decontamination (operators/contamination.py::
+    remove_contaminated_spans): training docs (doc_id %% 17 != 0) lose
+    every >=8-token run that appears verbatim in the eval split
+    (doc_id %% 17 == 0).  Production path joins on xxhash64 gram keys;
+    the rebuilt text is hash-free, so the string oracle matches."""
+    from ic_spark.operators.contamination import remove_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    return remove_contaminated_spans(tr, ev, k=8)

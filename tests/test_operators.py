@@ -128,6 +128,40 @@ def test_substring_dup_spans_exact(spark):
     assert got2 == [(1, 1, 10, 10), (1, 20, 29, 10), (2, 1, 10, 10)]
 
 
+def test_remove_contaminated_spans_exact(spark):
+    """Known construction: the eval-quoted run is cut (plus the k-gram
+    coverage tail), clean docs survive untouched, a fully-contaminated
+    doc empties, and hashed == unhashed."""
+    from ic_spark.operators.contamination import remove_contaminated_spans
+
+    bench = " ".join(f"q{i}" for i in range(10))  # a 10-token benchmark
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here then " + bench + " and a closing remark"),
+            (2, "totally clean document with enough tokens to form grams"),
+            (3, bench),  # pure benchmark quote -> empties
+            (4, "short doc"),  # < k tokens, never grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in remove_contaminated_spans(train, ev, k=8).collect()
+    }
+    # doc 1: benchmark tokens at positions 5..14 -> exactly those cut
+    assert out[1] == ("intro words here then and a closing remark", 10)
+    assert out[2][1] == 0 and out[2][0].startswith("totally clean")
+    assert out[3] == ("", 10)
+    assert out[4] == ("short doc", 0)
+
+    unhashed = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in remove_contaminated_spans(train, ev, k=8, hashed=False).collect()
+    }
+    assert unhashed == out
+
+
 def test_minhash_near_dup_high_overlap(spark, docs_df):
     sigs = minhash_signatures(docs_df, "doc_id", "text")
     rows = {r.id: r.sig for r in sigs.collect()}
