@@ -147,6 +147,11 @@ def parse_media_header(payload: bytes | None) -> dict:
                     "height": h,
                     "duration_ms": None,
                 }
+        # MP4 / ISO-BMFF: walk top-level boxes to moov, then mvhd
+        # (timescale + duration) and the first tkhd (track width/height
+        # as 16.16 fixed-point).
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            return _parse_mp4(b)
         # WAV: RIFF container; fmt chunk gives byte rate, data chunk
         # size / byte rate gives duration.
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -170,6 +175,63 @@ def parse_media_header(payload: bytes | None) -> dict:
     except (IndexError, ValueError, ZeroDivisionError):
         return none
     return none
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    ``b[start:end]`` (32-bit and 64-bit largesize forms)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """ISO-BMFF (MP4) header metadata: mvhd timescale/duration and the
+    first visual track's tkhd width/height (16.16 fixed-point)."""
+    out = {"format": "mp4", "width": None, "height": None, "duration_ms": None}
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _mp4_boxes(b, s, e):
+            if ityp == b"mvhd":
+                ver = b[is_]
+                if ver == 1:
+                    ts = int.from_bytes(b[is_ + 20 : is_ + 24], "big")
+                    dur = int.from_bytes(b[is_ + 24 : is_ + 32], "big")
+                else:
+                    ts = int.from_bytes(b[is_ + 12 : is_ + 16], "big")
+                    dur = int.from_bytes(b[is_ + 16 : is_ + 20], "big")
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif ityp == b"trak":
+                for ttyp, ts_, te in _mp4_boxes(b, is_, ie):
+                    if ttyp != b"tkhd":
+                        continue
+                    # width sits after verflags + times/ids + the
+                    # layer/volume block (16) + the 3x3 matrix (36):
+                    # body+76 for version 0, body+88 for version 1.
+                    ver = b[ts_]
+                    off = ts_ + (76 if ver == 0 else 88)
+                    w = int.from_bytes(b[off : off + 4], "big") >> 16
+                    h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                    if w and h and out["width"] is None:
+                        out["width"] = w
+                        out["height"] = h
+        break
+    return out
 
 
 def with_media_headers(df: DataFrame) -> DataFrame:

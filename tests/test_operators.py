@@ -1392,6 +1392,44 @@ def test_parse_media_header_real_bytes():
         assert out["width"] is None and out["height"] is None
 
 
+def _mp4_bytes(duration_s=7, timescale=1000, w=640, h=360, version=0) -> bytes:
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    vf = bytes([version, 0, 0, 0])
+    if version:
+        mvhd = vf + b"\x00" * 16 + timescale.to_bytes(4, "big") + (
+            duration_s * timescale
+        ).to_bytes(8, "big") + b"\x00" * 80
+        tk_pre = vf + b"\x00" * 32
+    else:
+        mvhd = vf + b"\x00" * 8 + timescale.to_bytes(4, "big") + (
+            duration_s * timescale
+        ).to_bytes(4, "big") + b"\x00" * 80
+        tk_pre = vf + b"\x00" * 20
+    tkhd = tk_pre + b"\x00" * 16 + b"\x00" * 36 + (w << 16).to_bytes(
+        4, "big"
+    ) + (h << 16).to_bytes(4, "big")
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_parse_mp4_header():
+    from ic_spark.operators.multimodal import parse_media_header
+
+    for ver in (0, 1):
+        m = parse_media_header(_mp4_bytes(duration_s=7, w=640, h=360, version=ver))
+        assert m == {
+            "format": "mp4",
+            "width": 640,
+            "height": 360,
+            "duration_ms": 7000,
+        }, (ver, m)
+    # truncated / junk never raises
+    assert parse_media_header(_mp4_bytes()[:20])["duration_ms"] is None
+    assert parse_media_header(b"\x00" * 12)["format"] is None
+
+
 def test_extract_features_real_header_metadata(spark):
     """extract_features now carries REAL format-parsed metadata next to
     the stubbed pixel feature; with_media_headers fills the media
