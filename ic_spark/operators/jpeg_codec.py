@@ -212,10 +212,21 @@ def _decode_jpeg(b: bytes):
 
 def _decode_scan(frame, sel, data, qt, huff_dc, huff_ac, restart):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h <= 0 or w <= 0 or not comps:
+        return None
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        return None
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Corruption fail-fast: every data unit consumes >= 2 entropy bits
+    # (DC code + EOB), so a frame header whose MCU count cannot fit in
+    # the scan data (e.g. a bit-flipped dimension field) is rejected
+    # here instead of grinding through millions of doomed MCUs.
+    units = sum(c["hs"] * c["vs"] for c in comps)
+    if mcux * mcuy * units * 2 > len(data) * 8 + 64:
+        return None
     planes = {}
     for c in comps:
         pw, ph = mcux * 8 * c["hs"], mcuy * 8 * c["vs"]

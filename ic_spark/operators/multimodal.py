@@ -381,6 +381,8 @@ def _gif_lzw(data: bytes, min_code_size: int, npix: int):
     """GIF's LZW variant (LSB-first bit packing, CLEAR/EOI codes,
     code width growing to 12 bits).  Returns the index list or None on
     a corrupt stream."""
+    if not 2 <= min_code_size <= 11:  # LZW codes cap at 12 bits
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
