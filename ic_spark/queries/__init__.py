@@ -81,7 +81,15 @@ _PRIORITY = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_lsh_topk",
-    "sim_embedding_stats",
+    # Span-removal train/eval decontamination (r5 flagship op): hashed
+    # k-gram probe, gaps-and-islands span merge, positional text
+    # rebuild — correctness-subtle machinery that earns a driver-checked
+    # row.  Slot freed by demoting sim_embedding_stats (per-dimension
+    # vector aggregate statistics attested in-window by
+    # embedding_quantize_int8's per-dim min/max aggregates and
+    # dedup_embedding_cosine's vector expressions; its oracle stays in
+    # pytest).
+    "pipeline_decontaminate",
     # text_rolling_hash_fingerprint: demoted past the window (see the
     # mor_changelog_scan slot note); oracle stays in pytest.
     "text_top_tokens",
