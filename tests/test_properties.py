@@ -197,3 +197,135 @@ def test_roaring32_bitmap_container_boundary():
         vals = list(range(n))
         out, end = _deserialize_roaring32(_serialize_roaring32(vals), 0)
         assert out == vals
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=25, deadline=None)
+def test_substring_spans_invariants(spark, docs, k):
+    """Random token docs: spans are in-bounds, >= k tokens, disjoint
+    and non-adjacent per doc; hashed == unhashed; every doc reported
+    has at least one k-gram shared with another doc."""
+    from ic_spark.operators.dedup import substring_dup_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, substring_dup_spans(df, "doc_id", "text", k=k).collect())
+    )
+    unhashed = sorted(
+        map(
+            tuple,
+            substring_dup_spans(
+                df, "doc_id", "text", k=k, hash_grams=False
+            ).collect(),
+        )
+    )
+    assert got == unhashed
+
+    # cross-check against a direct python reference
+    grams: dict[str, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[p : p + k]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+
+    by_doc: dict[int, list[tuple[int, int, int]]] = {}
+    for doc_id, s, e, n in got:
+        toks = docs[doc_id]
+        assert 1 <= s <= e <= len(toks)
+        assert n == e - s + 1 >= k
+        assert " ".join(toks[s - 1 : s - 1 + k]) in dup  # span starts on a hit
+        by_doc.setdefault(doc_id, []).append((s, e, n))
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1, _), (s2, _e2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # disjoint, non-mergeable
+
+    # completeness: every duplicated gram position is covered by a span
+    for i, toks in enumerate(docs):
+        spans = by_doc.get(i, [])
+        for p in range(len(toks) - k + 1):
+            if " ".join(toks[p : p + k]) in dup:
+                assert any(
+                    s <= p + 1 and p + k <= e for s, e, _ in spans
+                ), (i, p)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(10)]),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=20, deadline=None)
+def test_decontaminate_invariants(spark, docs, k):
+    """Random split: kept + removed token counts balance; a clean doc
+    survives verbatim; no surviving k-token run of the clean text
+    appears in the eval set."""
+    from ic_spark.operators.contamination import remove_contaminated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.where(F.col("doc_id") % 2 == 0)
+    tr = df.where(F.col("doc_id") % 2 == 1)
+    out = {
+        r.doc_id: (r.text_clean, r.removed_tokens)
+        for r in remove_contaminated_spans(tr, ev, k=k).collect()
+    }
+    eval_grams = set()
+    for i, toks in enumerate(docs):
+        if i % 2 == 0:
+            for p in range(len(toks) - k + 1):
+                eval_grams.add(" ".join(toks[p : p + k]))
+    for i, toks in enumerate(docs):
+        if i % 2 == 0:
+            continue
+        clean, removed = out[i]
+        kept = clean.split(" ") if clean else []
+        assert len(kept) + removed == len(toks)
+        if removed == 0:
+            assert clean == " ".join(toks)
+        # the cleaned text carries no eval k-gram CONTIGUOUS IN THE
+        # ORIGINAL (cut edges may form new adjacencies, which is fine)
+        kill = len(toks) - len(kept)
+        # alignment below is only unambiguous when the doc's tokens are
+        # unique — restrict the strongest check to those docs
+        if kill and len(set(toks)) == len(toks):
+            # every original k-run fully surviving must not be an eval gram
+            survive = set()
+            kept_iter = iter(kept)
+            # reconstruct survived original positions by matching in order
+            si = []
+            j = 0
+            for p, tok in enumerate(toks):
+                if j < len(kept) and kept[j] == tok:
+                    # greedy match is valid: kept preserves order
+                    si.append(p)
+                    j += 1
+            # only check when the greedy alignment consumed everything
+            if j == len(kept):
+                run = []
+                for p in si:
+                    if run and p != run[-1] + 1:
+                        run = []
+                    run.append(p)
+                    if len(run) >= k:
+                        gram = " ".join(toks[run[-k] : run[-k] + k])
+                        assert gram not in eval_grams, (i, gram)
