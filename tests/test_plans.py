@@ -125,3 +125,44 @@ def test_repetition_stats_partial_aggregates(spark):
     # partial HashAggregate precedes every Exchange.
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "partial_count" in plan or "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_substring_spans_prunes_and_avoids_cartesian(spark):
+    """The span pipeline reads only (doc_id, text), joins grams on the
+    8-byte hash key (no nested loop), and windows over hit positions."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read  # pruned
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # grams reduced to hash keys pre-shuffle
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set is the small probe side: it must broadcast (or
+    at worst hash-join) — the train side never pays a pairwise term."""
+    plan = plan_of(spark, "pipeline_decontaminate")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan  # probe + kill joins
+
+
+def test_salted_lsh_spreads_cells_explicitly(spark):
+    """The candidate self-join must carry the explicit cell-key
+    repartition (REPARTITION_BY_NUM) so AQE cannot coalesce a hot
+    bucket's cells back into one task, and the hot-detection side must
+    ride a broadcast left join, not a driver action."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+    from ic_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3)
+    df = minhash_lsh_candidates(sigs, bucket_target=64)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "REPARTITION_BY_NUM" in plan
+    assert "BroadcastHashJoin LeftOuter" in plan  # in-plan hot detection
+    assert "ShuffledHashJoin" in plan             # cell-key self-join
