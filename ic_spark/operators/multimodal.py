@@ -886,6 +886,84 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def audio_frames(
+    df: DataFrame, frame_ms: int = 250, bands: int = 8, strict: bool = False
+) -> DataFrame:
+    """Audio → frame rows with REAL spectral features for PCM WAV:
+    one row per ``frame_ms`` window carrying rms, peak, and
+    ``bands`` log-spaced FFT band energies — the audio counterpart of
+    ``sample_frames``'s video fan-out, decoded by
+    :func:`decode_audio_samples` (no codec library).
+
+    Output rows ≫ input rows (why this is ``mapInPandas``); each frame's
+    feature vector feeds the same ANN/near-dup operators as embeddings.
+    Compressed audio falls to the strict gate (raise) or is skipped.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("ts_ms", LongType(), False),
+            StructField("rms", DoubleType(), True),
+            StructField("peak", IntegerType(), True),
+            StructField("band_energy", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "rms": [],
+                "peak": [],
+                "band_energy": [],
+            }
+            for _, r in pdf.iterrows():
+                if r["kind"] != "audio" or r["payload"] is None:
+                    continue
+                dec = decode_audio_samples(r["payload"])
+                if dec is None:
+                    if strict:
+                        fmt = parse_media_header(r["payload"])["format"]
+                        raise NotImplementedError(
+                            f"no pure-Python decoder for {fmt!r} audio; "
+                            "plug a codec into audio_frames()"
+                        )
+                    continue
+                samples, rate, _ch = dec
+                x = samples.astype("float64").mean(axis=1)
+                spf = max(1, rate * frame_ms // 1000)
+                for fi in range(max(1, len(x) // spf)):
+                    seg = x[fi * spf : (fi + 1) * spf]
+                    if not len(seg):
+                        break
+                    mag = np.abs(np.fft.rfft(seg))
+                    edges = np.unique(
+                        np.geomspace(1, max(len(mag) - 1, 1), bands + 1).astype(int)
+                    )
+                    be = np.zeros(bands)
+                    for j in range(min(bands, len(edges) - 1)):
+                        be[j] = mag[edges[j] : edges[j + 1] + 1].mean()
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(fi)
+                    rows["ts_ms"].append(fi * frame_ms)
+                    rows["rms"].append(float(np.sqrt((seg * seg).mean())))
+                    rows["peak"].append(int(np.abs(seg).max()))
+                    rows["band_energy"].append(be.tolist())
+            # explicit object dtype: an all-skipped batch would infer
+            # float64 for the (empty) list column and break Arrow
+            rows["band_energy"] = pd.Series(rows["band_energy"], dtype=object)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never touches the payload column, so
     Parquet column pruning skips the heavy bytes entirely."""

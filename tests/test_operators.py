@@ -730,6 +730,66 @@ def test_embed_media_content_derived(spark):
     assert cos(vecs[5], vecs[7]) < 0.95       # different pitch profile
 
 
+def test_audio_frames_spectral(spark):
+    """PCM WAV fans out to per-frame spectral rows: frame count tracks
+    duration, a 440 Hz tone concentrates energy in a LOWER band than a
+    3 kHz tone, silence has zero rms, and non-audio rows are skipped."""
+    import math
+    import struct
+
+    from ic_spark.operators.multimodal import MEDIA_SCHEMA, audio_frames
+
+    def sine_wav(freq, rate=8000, n=8000):
+        samples = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(samples).to_bytes(4, "little") + samples
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", bytearray(sine_wav(440)), None, None, None),
+            (2, "audio", "audio/wav", bytearray(sine_wav(3000)), None, None, None),
+            (3, "audio", "audio/wav", bytearray(_wav_bytes(1)), None, None, None),
+            (4, "image", "image/png", bytearray(REAL_PNG_1x1), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    frames = audio_frames(media, frame_ms=250, bands=8, strict=True).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2, 3}  # image rows skipped
+    assert len(by_id[1]) == 4  # 1 s / 250 ms
+    assert all(r.ts_ms == r.frame_idx * 250 for r in by_id[1])
+
+    def peak_band(r):
+        be = r.band_energy
+        return be.index(max(be))
+
+    assert peak_band(by_id[1][0]) < peak_band(by_id[2][0])  # 440 Hz < 3 kHz
+    assert all(r.rms == 0.0 and r.peak == 0 for r in by_id[3])  # silence
+    assert all(r.rms > 1000 for r in by_id[1])  # tone is loud
+
+    # compressed audio trips the strict gate
+    mp3ish = spark.createDataFrame(
+        [(9, "audio", "audio/mpeg", bytearray(b"\xff\xfb\x90\x00junk"), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        audio_frames(mp3ish, strict=True).collect()
+    assert audio_frames(mp3ish).count() == 0  # non-strict: skipped
+
+
 def test_approx_sketches_accuracy(spark):
     """approx_count_distinct within rsd bounds; approx median near exact."""
     from ic_spark.tables import load_table
