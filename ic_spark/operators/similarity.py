@@ -431,3 +431,185 @@ def semantic_dedup(
     return tagged.join(dup, on=id_col, how="left_anti").withColumnRenamed(
         "__cell", "cell"
     )
+
+
+# ------------------------------------------------------ product quantization
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split ``dim`` into ``m``
+    subspaces of ``dim/m`` and learn ``ksub`` centroids per subspace.
+
+    Seeds are the ``ksub`` lowest-id corpus vectors' sub-slices (the
+    same deterministic discipline as :func:`ivf_centroids` — the index
+    is reproducible and pytest-pinnable); ``refine_iters`` runs Lloyd
+    rounds per subspace as ONE grouped aggregation over the corpus per
+    round (never a per-centroid pass).  Returns ``m × ksub × dsub``
+    floats — an index parameter, KBs, broadcast-inlined downstream.
+    """
+    seeds = (
+        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(ksub)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_codebooks: corpus has no rows to seed from")
+    dim = len(seeds[0].v)
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = [
+        [list(r.v[j * dsub : (j + 1) * dsub]) for r in seeds] for j in range(m)
+    ]
+    for _ in range(refine_iters):
+        assigned = corpus.select(
+            *[
+                _pq_sub_code(vec_col, books[j], j, dsub).alias(f"__c{j}")
+                for j in range(m)
+            ],
+            _as_dl(vec_col).alias("__v"),
+        )
+        # one aggregation: per (subspace code) mean of each sub-dim
+        aggs = []
+        for j in range(m):
+            for c in range(ksub):
+                hit = F.when(F.col(f"__c{j}") == c, 1.0)
+                aggs.append(F.count(hit).alias(f"__n_{j}_{c}"))
+                for t in range(dsub):
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                F.col(f"__c{j}") == c,
+                                F.element_at("__v", j * dsub + t + 1),
+                            )
+                        ).alias(f"__s_{j}_{c}_{t}")
+                    )
+        row = assigned.agg(*aggs).collect()[0]
+        for j in range(m):
+            for c in range(ksub):
+                n = row[f"__n_{j}_{c}"]
+                if n:
+                    books[j][c] = [
+                        row[f"__s_{j}_{c}_{t}"] / n for t in range(dsub)
+                    ]
+    return books
+
+
+def _pq_sub_code(vec_col: str, book: list[list[float]], j: int, dsub: int) -> F.Column:
+    """0-based index of the nearest (L2) centroid of subspace ``j`` —
+    one ``F.expr`` parse, centroids inlined as literals, single pass
+    via max over (-distance, -index) structs (ties → lowest index)."""
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+    terms = []
+    for ci, cent in enumerate(book):
+        ca = "array(" + ", ".join(f"{float(x)!r}D" for x in cent) + ")"
+        d = f"aggregate(zip_with({sub}, {ca}, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        terms.append(f"struct(-({d}) AS nd, {-ci} AS ni)")
+    return F.expr(
+        f"CAST(-array_max(array({', '.join(terms)})).ni AS INT)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int>) — each vector compressed to ``m`` small
+    codes (ksub<=256 → one byte of information each): the 100 TB trick
+    is that the CORPUS never ships floats again; scoring reads m bytes
+    per vector.  Pure expression over the scan — no shuffle, no UDF."""
+    dsub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(
+            *[
+                _pq_sub_code(vec_col, codebooks[j], j, dsub)
+                for j in range(len(codebooks))
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 0,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the corpus is
+    scored through its ``m`` codes against per-query lookup tables —
+    ``score = Σ_j LUT_q[j][code_j]`` — so candidate scoring costs m
+    array lookups instead of a dim-length dot product, and the scored
+    corpus representation is ~``m`` ints instead of ``dim`` floats.
+
+    Shape: codebooks are driver-side literals (index parameter);
+    corpus → codes in the scan; queries (small side) build their LUTs
+    as expressions and broadcast into the scoring join; top-k uses
+    shuffle-side partial limits.  Returns (query_id, neighbor_id,
+    adc_distance, rank) — L2 ADC, ascending (closest first).
+    """
+    books = codebooks or pq_codebooks(
+        corpus, id_col, vec_col, m=m, ksub=ksub, refine_iters=refine_iters
+    )
+    m = len(books)
+    dsub = len(books[0][0])
+    enc = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+
+    # per-query LUT: for each subspace, array of squared L2 distances
+    # from the query's sub-vector to each centroid (one expression)
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    luts = []
+    for j, book in enumerate(books):
+        sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+        ds = ", ".join(
+            "aggregate(zip_with("
+            + sub
+            + ", array("
+            + ", ".join(f"{float(x)!r}D" for x in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            for cent in book
+        )
+        luts.append(f"array({ds})")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr("array(" + ", ".join(luts) + ")").alias("__lut"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, lut: F.element_at(lut, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.col("__adc").asc(), F.col("neighbor_id").asc()], k
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__adc"), 6).alias("adc_distance"),
+        "rank",
+    )

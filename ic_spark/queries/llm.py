@@ -553,6 +553,28 @@ def sim_ivf_topk_expr(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("sim_pq_topk", oracle=None)
+def sim_pq_topk(spark: SparkSession, sf_dir: str):
+    """Product-quantized ANN (operators/similarity.py::pq_top_k): the
+    corpus collapses to m small codes per vector and queries score via
+    asymmetric-distance lookup tables — the memory-bound 100 TB path
+    (m ints vs dim floats per scored vector).  Rows-only check; the
+    code assignment and ADC arithmetic are pinned against a Python
+    reference in tests/test_operators.py."""
+    from ic_spark.operators.similarity import pq_top_k
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        m=8,
+        ksub=16,
+    )
+
+
 @query(
     "dedup_semantic_cells",
     oracle="""

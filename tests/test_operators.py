@@ -248,6 +248,82 @@ def test_simhash_portable_properties(spark, docs_df):
     assert d_near < d_far
 
 
+def test_pq_topk_quantized_search(spark):
+    """Product quantization: codes are deterministic, ADC scores match
+    a Python reference exactly (same fold order), cluster structure
+    survives quantization (PQ top-k finds the query's cluster), and
+    Lloyd refinement runs."""
+    import random
+
+    from ic_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_top_k,
+    )
+
+    rng = random.Random(9)
+    centers = [
+        [float(c)] * 16 for c in (0.0, 10.0, -10.0, 25.0)
+    ]
+    rows = []
+    for i in range(48):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+
+    codes = {r.id: r.codes for r in pq_encode(corpus, books).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+
+    # python reference: same argmin + ADC arithmetic, same fold order
+    def sub_code(vec, j):
+        best = None
+        for ci, cent in enumerate(books[j]):
+            d = 0.0
+            for x, y in zip(vec[j * 4 : (j + 1) * 4], cent):
+                d = d + (x - y) * (x - y)
+            if best is None or d < best[0] or (d == best[0] and ci < best[1]):
+                best = (d, ci)
+        return best[1]
+
+    vecs = dict(rows)
+    for i, v in vecs.items():
+        assert codes[i] == [sub_code(v, j) for j in range(4)], i
+
+    out = pq_top_k(
+        corpus,
+        corpus.where(F.col("vec_id") < 4),  # one query per cluster
+        k=5,
+        codebooks=books,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_distance))
+    for qid, neigh in got.items():
+        assert len(neigh) == 5
+        # every retrieved neighbor is from the query's cluster
+        assert all(n % 4 == qid % 4 for n, _ in neigh), (qid, neigh)
+        # reference ADC for the top hit matches exactly (round 6)
+        n0, d0 = neigh[0]
+        ref = 0.0
+        for j in range(4):
+            lut = 0.0
+            for x, y in zip(
+                vecs[qid][j * 4 : (j + 1) * 4], books[j][codes[n0][j]]
+            ):
+                lut = lut + (x - y) * (x - y)
+            ref = ref + lut
+        assert abs(ref - d0) < 1e-6, (qid, ref, d0)
+
+    # refinement shifts centroids toward cluster means and stays green
+    refined = pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=8, refine_iters=1)
+    assert refined != books
+    out2 = pq_top_k(corpus, corpus.where(F.col("vec_id") < 2), k=3, codebooks=refined)
+    assert out2.count() == 6
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     from ic_spark.tables import load_table
     from tests.conftest import SF_DIR
