@@ -342,34 +342,94 @@ def _net_changes(out: DataFrame, cols: list[str]) -> DataFrame:
 
     Multiset semantics per distinct row VALUE: ``net = #INSERTs −
     #DELETEs`` across the range; ``|net|`` rows are emitted (INSERT if
-    positive, DELETE if negative, nothing at zero), carrying the
-    metadata of the LAST commit that touched the value — Iceberg's
+    positive, DELETE if negative, nothing at zero) — Iceberg's
     ``removeNetCarryovers`` outcome (ChangelogIterator), expressed as
-    one aggregation on the row columns instead of a sorted iterator, so
-    it scales as a single shuffle on the changed rows only."""
+    aggregation + two window passes over the per-(value, commit)
+    counts instead of a sorted iterator, so it scales as shuffles on
+    the changed rows only.
+
+    Attribution is PER COMMIT, not collapsed to the last toucher: each
+    surviving row carries the snapshot id / ordinal of the commit whose
+    insert (or delete) actually survives under LIFO pairing — a DELETE
+    cancels the most recent still-outstanding in-range INSERT of the
+    same value (deletes are applied before inserts within one commit).
+    Model the value's rows as a stack: ``P_c`` = prefix net after
+    commit c, ``L_c = P_c − ins_c`` = the intra-commit low (deletes
+    land first).  An insert pushed at depth ``d`` in commit c survives
+    iff no later commit dips below d (``d ≤ min(net, min_{c'>c}
+    L_{c'})``), so commit c contributes ``max(0, m_c − max(L_c, 0))``
+    INSERT rows.  Symmetrically a delete that pops a pre-range row
+    (depth ≤ 0) is emitted iff never refilled by a later insert
+    (``depth > max_{c'≥c} P_{c'}``), giving ``max(0, min(0, P_{c−1}) −
+    max(L_c, Mx_c))`` DELETE rows.  Totals are exactly ``|net|`` with
+    the net's sign (each final depth in [1, net] — resp. unmatched
+    pre-range slot — is counted by exactly one commit), so the
+    collapsed-group semantics are unchanged; only the commit metadata
+    on multi-commit accumulations is now faithful per row."""
+    from pyspark.sql import Window
+
     signed = out.withColumn(
         "__sign",
         F.when(F.col("_change_type") == "INSERT", F.lit(1)).otherwise(F.lit(-1)),
     )
-    agg = signed.groupBy(*cols).agg(
-        F.sum("__sign").alias("__net"),
-        F.max(
-            F.struct("_change_ordinal", "_commit_snapshot_id")
-        ).alias("__last"),
+    g = signed.groupBy(*cols, "_change_ordinal", "_commit_snapshot_id").agg(
+        F.sum("__sign").alias("__s"),
+        F.sum(F.when(F.col("__sign") == 1, 1).otherwise(0)).alias("__ins"),
+    )
+    part = Window.partitionBy(*cols)
+    whole = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered = part.orderBy("_change_ordinal")
+    run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    after = ordered.rowsBetween(1, Window.unboundedFollowing)
+    from_cur = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g = (
+        g.withColumn("__p", F.sum("__s").over(run))
+        .withColumn("__net", F.sum("__s").over(whole))
+        .withColumn("__low", F.col("__p") - F.col("__ins"))
+        .withColumn(
+            "__m",
+            F.least(
+                F.col("__net"),
+                F.coalesce(F.min("__low").over(after), F.col("__net")),
+            ),
+        )
+        .withColumn("__mx", F.max("__p").over(from_cur))
+        .withColumn("__pprev", F.col("__p") - F.col("__s"))
+    )
+    ins_emit = F.greatest(
+        F.lit(0), F.col("__m") - F.greatest(F.col("__low"), F.lit(0))
+    )
+    del_emit = F.greatest(
+        F.lit(0),
+        F.least(F.lit(0), F.col("__pprev"))
+        - F.greatest(F.col("__low"), F.col("__mx")),
+    )
+    emits = F.filter(
+        F.array(
+            F.struct(
+                F.lit("INSERT").alias("t"), ins_emit.cast("int").alias("n")
+            ),
+            F.struct(
+                F.lit("DELETE").alias("t"), del_emit.cast("int").alias("n")
+            ),
+        ),
+        lambda s: s["n"] > 0,
     )
     return (
-        agg.where(F.col("__net") != 0)
+        g.select(
+            *cols,
+            "_commit_snapshot_id",
+            "_change_ordinal",
+            F.explode(emits).alias("__e"),
+        )
         .select(
             *cols,
-            F.when(F.col("__net") > 0, F.lit("INSERT"))
-            .otherwise(F.lit("DELETE"))
-            .alias("_change_type"),
-            F.col("__last._commit_snapshot_id").alias("_commit_snapshot_id"),
-            F.col("__last._change_ordinal").alias("_change_ordinal"),
-            F.abs(F.col("__net")).cast("int").alias("__n"),
+            F.col("__e.t").alias("_change_type"),
+            "_commit_snapshot_id",
+            "_change_ordinal",
+            F.explode(F.sequence(F.lit(1), F.col("__e.n"))).alias("__i"),
         )
-        .withColumn("__i", F.explode(F.expr("sequence(1, __n)")))
-        .drop("__n", "__i")
+        .drop("__i")
     )
 
 

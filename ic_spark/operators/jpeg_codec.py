@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import numpy as np
-
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,

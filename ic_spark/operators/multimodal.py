@@ -1073,12 +1073,25 @@ def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame
             # Block MEAN pooling (not nearest sampling): every source
             # pixel contributes, so a one-pixel edit moves its cell by
             # 1/|block| instead of potentially flipping it outright.
-            ye = (np.arange(side + 1) * h // side).clip(1, h)
-            xe = (np.arange(cols + 1) * w // cols).clip(1, w)
+            ye = np.arange(side + 1) * h // side
+            xe = np.arange(cols + 1) * w // cols
+
+            def block_mean(y0, y1, x0, x1):
+                # Zero-size blocks (image smaller than the grid) fall
+                # back to the nearest single row/column; edges stay
+                # un-clipped otherwise so pixel row/col 0 contributes
+                # to the first cell (every source pixel counts).
+                if y1 <= y0:
+                    y0 = min(y0, h - 1)
+                    y1 = y0 + 1
+                if x1 <= x0:
+                    x0 = min(x0, w - 1)
+                    x1 = x0 + 1
+                return gray[y0:y1, x0:x1].mean()
+
             v = np.array(
                 [
-                    gray[ye[r] - (ye[r] - ye[r - 1] or 1) : ye[r],
-                         xe[c] - (xe[c] - xe[c - 1] or 1) : xe[c]].mean()
+                    block_mean(ye[r - 1], ye[r], xe[c - 1], xe[c])
                     for r in range(1, side + 1)
                     for c in range(1, cols + 1)
                 ]

@@ -440,3 +440,66 @@ def test_changelog_compute_updates(spark, tmp_path):
             ("DELETE", 7, 3),
         ]
     )
+
+
+def test_net_changes_per_commit_attribution(spark):
+    """Surviving net rows carry the commit whose insert/delete actually
+    survives under LIFO pairing (deletes cancel the most recent
+    outstanding in-range insert), NOT a collapsed last-toucher stamp —
+    the removeNetCarryovers behavior where each surviving row keeps its
+    own commit metadata.  Pure-function pin on _net_changes."""
+    from ic_spark.compaction.changelog import _net_changes
+
+    rows = []
+
+    def ev(v, typ, ordinal):
+        rows.append((v, typ, 100 + ordinal, ordinal))
+
+    # a: two inserts in different commits, both survive with their own
+    # commit (the old collapsed version stamped both with ordinal 2).
+    ev("a", "INSERT", 1)
+    ev("a", "INSERT", 2)
+    # b: insert, delete (pops it), re-insert -> the re-insert survives.
+    ev("b", "INSERT", 1)
+    ev("b", "DELETE", 2)
+    ev("b", "INSERT", 3)
+    # c: double insert @1, delete @2 pops the most recent outstanding
+    # copy (LIFO), re-insert @3 -> survivors are one @1 and one @3.
+    ev("c", "INSERT", 1)
+    ev("c", "INSERT", 1)
+    ev("c", "DELETE", 2)
+    ev("c", "INSERT", 3)
+    # d: two pre-range deletes in different commits, each emitted with
+    # its own commit (old version stamped both with ordinal 2).
+    ev("d", "DELETE", 1)
+    ev("d", "DELETE", 2)
+    # e: pre-range delete refilled by a later insert -> net zero.
+    ev("e", "DELETE", 1)
+    ev("e", "INSERT", 2)
+    # f: delete + two inserts -> net +1, attributed to the LAST insert
+    # (the first insert refills the pre-range slot).
+    ev("f", "DELETE", 1)
+    ev("f", "INSERT", 2)
+    ev("f", "INSERT", 3)
+
+    df = spark.createDataFrame(
+        rows,
+        "v string, _change_type string, _commit_snapshot_id long, "
+        "_change_ordinal int",
+    )
+    got = sorted(
+        (r.v, r._change_type, r._commit_snapshot_id, r._change_ordinal)
+        for r in _net_changes(df, ["v"]).collect()
+    )
+    assert got == sorted(
+        [
+            ("a", "INSERT", 101, 1),
+            ("a", "INSERT", 102, 2),
+            ("b", "INSERT", 103, 3),
+            ("c", "INSERT", 101, 1),
+            ("c", "INSERT", 103, 3),
+            ("d", "DELETE", 101, 1),
+            ("d", "DELETE", 102, 2),
+            ("f", "INSERT", 103, 3),
+        ]
+    )
