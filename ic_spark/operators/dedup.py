@@ -24,6 +24,8 @@ rows-only driver check.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -53,6 +55,118 @@ def _content_key(c: Column, normalize: bool) -> Column:
     if normalize:
         return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return c
+
+
+# Probe memo: (keys-plan semanticHash, params) -> collected hot rows.
+# A corpus's hot-key profile is a property of the DATA; within one
+# session, identical logical plans re-probe for free (bench reps, the
+# candidates+verify double-consumption in dedup pipelines).  Entries
+# are advisory only — a stale entry can never change results, only
+# which (result-identical) plan shape is chosen.
+_PROBE_MEMO: dict = {}
+_PROBE_MEMO_MAX = 256
+
+
+def _plan_key(df: DataFrame):
+    """Semantic hash of a DataFrame's analyzed plan — stable across
+    identical rebuilds of the same query, distinct across different
+    sources/filters.  None (no memoization) if the JVM call fails."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
+def _probe_hot_keys(
+    sampled_keys: DataFrame,
+    key_cols: list[str],
+    target: int,
+    salt: str,
+    detect_sample: float,
+    max_hot_collect: int,
+    memo_key=None,
+):
+    """Sampled hot-key probe shared by the blocked self-join operators
+    (:func:`token_jaccard_pairs`, :func:`minhash_lsh_candidates`).
+
+    ``sampled_keys`` is the key projection of an ALREADY-SAMPLED
+    ``fraction=detect_sample`` row subset (callers sample BEFORE any
+    expensive per-row derivation, so the probe never pays the full
+    corpus); ``detect_sample`` here only scales the thresholds.  One
+    tiny aggregate over it estimates per-key populations.  Returns
+
+    - ``None`` — no sampled key at ≥ ``s_min = ceil(0.75·f·target)``
+      occurrences: take the PLAIN join (uniform corpus, zero salting
+      overhead);
+    - a small literal DataFrame ``(key_cols…, __k)`` of estimated-hot
+      keys with ``k = ceil(sample_n / (f·target))`` — broadcast it and
+      salt only those keys, no full-size aggregate anywhere;
+    - the string ``"full"`` — the hot set overflowed
+      ``max_hot_collect`` (bounded driver memory) or ``salt="always"``:
+      run full in-plan detection instead.
+
+    The 0.75 threshold splits the error modes: a key at ≤ target/2 is
+    flagged with ~e^-target·f/40 probability (wasted salting, still
+    correct), one at ≥ 2·target is missed about as rarely (one
+    oversized task, still correct) — salting is result-identical for
+    ANY key set, so sampling only ever moves cost, never answers.
+    """
+    if salt == "never":
+        return None
+    if salt == "always":
+        return "full"
+    if salt != "auto":
+        raise ValueError(f"salt must be auto|always|never, got {salt!r}")
+    f = detect_sample
+    s_min = max(2, math.ceil(0.75 * f * target))
+    # coalesce: the sampled key set is tiny — 32 tasks of fixed
+    # overhead per stage would dwarf the actual work.
+    probe = (
+        sampled_keys.coalesce(8)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") >= s_min)
+        .select(
+            *key_cols,
+            F.greatest(F.lit(1), F.ceil(F.col("__bn") / F.lit(f * target)))
+            .cast("int")
+            .alias("__k"),
+        )
+    )
+    if memo_key is not None and memo_key in _PROBE_MEMO:
+        rows = _PROBE_MEMO[memo_key]
+    else:
+        rows = probe.limit(max_hot_collect + 1).collect()
+        if memo_key is not None:
+            if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+                _PROBE_MEMO.clear()
+            _PROBE_MEMO[memo_key] = rows
+    if not rows:
+        return None
+    if len(rows) > max_hot_collect:
+        return "full"
+    # Literal-expression hot table (NOT createDataFrame): a
+    # parallelized RDD gets a fresh identity per call, which would
+    # defeat plan-equality caching for every downstream consumer —
+    # repeated identical dedup queries could never reuse a persisted
+    # candidate set.  An explode-of-struct-literals plan canonicalizes
+    # identically across rebuilds (rows sorted for stability).
+    fields = probe.schema.fields
+    rows = sorted(rows, key=lambda r: tuple(str(r[f.name]) for f in fields))
+    structs = [
+        F.struct(
+            *[
+                F.lit(r[f.name]).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        sampled_keys.sparkSession.range(1)
+        .select(F.explode(F.array(*structs)).alias("__hot"))
+        .select("__hot.*")
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -140,6 +254,9 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     hash_tokens: bool = True,
     subblock_target: int = 1024,
+    salt: str = "auto",
+    detect_sample: float = 0.05,
+    max_hot_collect: int = 4096,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing a blocking key.
 
@@ -159,9 +276,27 @@ def token_jaccard_pairs(
     one cell — (min(sa,sb), max(sa,sb)) when salts differ, the diagonal
     cell when equal — so results are identical, and blocks at or under
     the target keep k=1 (single diagonal cell, no replication, the
-    plain blocked join in all but name).  Only the HOT rows of the
-    block-size aggregate broadcast, as the empty-when-uniform build
-    side of a left join — detection costs no separate driver action.
+    plain blocked join in all but name).
+
+    Detection is PAY-AS-YOU-GO (``salt="auto"``): one tiny SAMPLED
+    block-size probe — a column-pruned aggregate over ``detect_sample``
+    of the rows reading only the block keys, no tokenization — decides
+    the plan.  Uniform corpora (no sampled block at ≥ 3/4 of the
+    expected hot sample count) take the PLAIN blocked self-join: zero
+    salting overhead, the exact pre-salting plan.  Hot corpora take
+    the cell-salted join with per-block ``k`` ESTIMATED from the same
+    sample (``k = ceil(sample_n / (f·target))``) and shipped as a
+    broadcast literal, so the hot path pays no full block-size
+    aggregate either.  Salting any block set is result-identical (each
+    unordered pair still meets exactly once), so sampling error only
+    moves cost: a block of m rows is missed with P(Binom(m, f) <
+    s_min) — astronomically rare for m ≥ 2·target, and harmless below
+    (one task does O(target²) work).  If the sampled hot set exceeds
+    ``max_hot_collect`` rows (pathological many-hot-blocks corpora)
+    the operator falls back to full IN-PLAN detection (the block-size
+    aggregate broadcast as the build side of a left join — bounded
+    driver memory, one extra aggregate); ``salt="always"`` forces that
+    path, ``salt="never"`` forces the plain join.
 
     ``hash_tokens`` (default) intersects sorted xxhash64 arrays instead
     of string arrays — 8-byte compares cut pairwise time ~2x and the
@@ -204,18 +339,59 @@ def token_jaccard_pairs(
         jac = F.round(inter.cast("double") / union.cast("double"), 6)
         return cond & (jac >= threshold), jac
 
-    # Adaptive skew detection INSIDE the query (no driver-side count
-    # barrier — a separate action cost a full extra job per call): only
-    # the HOT rows of the block-size aggregate broadcast (empty on a
-    # uniform corpus, where every block keeps k=1 — one diagonal cell,
-    # no replication, the plain blocked join in all but name).
-    counts = base.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
-    hot = counts.where(F.col("__bn") > subblock_target)
-
-    k = F.coalesce(
-        F.ceil(F.col("__bn") / F.lit(subblock_target)).cast("int"), F.lit(1)
+    # Pay-as-you-go detection: sampled probe -> plain / literal-hot /
+    # in-plan-full (see docstring).  The probe reads ONLY the block
+    # keys (column pruning drops the tokenization entirely).
+    hot_df = _probe_hot_keys(
+        df.select(*block_cols).sample(fraction=detect_sample, seed=7),
+        block_cols,
+        subblock_target,
+        salt,
+        detect_sample,
+        max_hot_collect,
+        memo_key=(
+            "jaccard",
+            _plan_key(df),
+            tuple(block_cols),
+            subblock_target,
+            detect_sample,
+        ),
     )
-    salted = base.join(F.broadcast(hot), on=block_cols, how="left").select(
+    if hot_df is None:
+        # Uniform corpus: the plain blocked self-join, zero overhead.
+        a = base.select(
+            F.col("__id").alias("id_a"),
+            *[F.col(c) for c in block_cols],
+            F.col("__toks").alias("__ta"),
+            F.col("__n").alias("__na"),
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"),
+            *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+            F.col("__toks").alias("__tb"),
+            F.col("__n").alias("__nb"),
+        )
+        cond, jac = pair_condition()
+        return a.join(b, on=cond, how="inner").select(
+            "id_a", "id_b", jac.alias("jaccard")
+        )
+    if isinstance(hot_df, str):
+        # "full": in-plan detection (the r5 shape) — the block-size
+        # aggregate's hot rows broadcast as the left-join build side,
+        # empty-when-uniform.  Taken when salt="always" or the sampled
+        # hot set overflowed max_hot_collect.
+        counts = base.groupBy(*block_cols).agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        hot_df = counts.where(F.col("__bn") > subblock_target).select(
+            *block_cols,
+            F.ceil(F.col("__bn") / F.lit(subblock_target))
+            .cast("int")
+            .alias("__k"),
+        )
+
+    k = F.coalesce(F.col("__k"), F.lit(1))
+    salted = base.join(F.broadcast(hot_df), on=block_cols, how="left").select(
         "__id",
         *block_cols,
         "__toks",
@@ -244,7 +420,19 @@ def token_jaccard_pairs(
         F.col("__c.c2").alias("__c2"),
     )
 
-    a = exploded.select(
+    # Spread by the join keys BEFORE the per-side renames: a hot
+    # block's k(k+1)/2 cells land on distinct tasks (AQE never flags
+    # this skew — the BYTES are small; the PAIRS are not), the
+    # partition count is EXPLICIT (an advisory repartition would be
+    # coalesced back by AQE), and BOTH join sides project off this one
+    # Exchange — alias-aware partitioning propagation satisfies the
+    # join's required clustering, so ReusedExchange computes the
+    # tokenize+salt+explode stage ONCE instead of once per side.
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    spread = exploded.repartition(
+        n_spread, *[F.col(c) for c in block_cols], F.col("__c1"), F.col("__c2")
+    )
+    a = spread.select(
         F.col("__id").alias("id_a"),
         *[F.col(c) for c in block_cols],
         F.col("__toks").alias("__ta"),
@@ -253,19 +441,7 @@ def token_jaccard_pairs(
         "__c1",
         "__c2",
     )
-    # Spread the probe side by the join keys: a hot block's k(k+1)/2
-    # cells land on distinct tasks even when the other side broadcasts
-    # (AQE never flags this skew — the BYTES are small; the PAIRS are
-    # not).  The partition count is EXPLICIT: an advisory repartition
-    # would be coalesced back by AQE (the bytes look tiny) and the hot
-    # cells would collapse into one task again.  Under a shuffled join
-    # the same hash distribution satisfies the join's required
-    # clustering, so the exchange is reused, not paid twice.
-    n_spread = a.sparkSession.sparkContext.defaultParallelism
-    a = a.repartition(
-        n_spread, *[F.col(c) for c in block_cols], F.col("__c1"), F.col("__c2")
-    )
-    b = exploded.select(
+    b = spread.select(
         F.col("__id").alias("id_b"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
         F.col("__toks").alias("__tb"),
@@ -544,6 +720,9 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     portable: bool = False,
     bucket_target: int = 1024,
+    salt: str = "auto",
+    detect_sample: float = 0.05,
+    max_hot_collect: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
 
@@ -566,12 +745,24 @@ def minhash_lsh_candidates(
     bucket's quadratic pair work spreads over k(k+1)/2 tasks.  Each
     unordered pair meets in exactly one cell — (min(sa,sb), max(sa,sb))
     when salts differ, the diagonal cell when equal — so the candidate
-    set is IDENTICAL to the unsalted join (pinned in tests).  Only the
-    HOT rows of the bucket-size aggregate are broadcast (the full table
-    is O(docs × bands) and must never ship to every executor), and the
-    detection runs INSIDE the query as the empty-when-uniform build
-    side of a left join — no driver-side count barrier, so a uniform
-    corpus pays only a no-op broadcast probe and k=1 cells.
+    set is IDENTICAL to the unsalted join (pinned in tests).
+
+    Detection is PAY-AS-YOU-GO (``salt="auto"``, see
+    :func:`_probe_hot_keys`): a sampled band-key probe over
+    ``detect_sample`` of the signatures decides the plan.  Uniform
+    corpora take the PLAIN banded self-join — zero salting overhead,
+    the exact pre-salting plan.  Hot corpora take the cell-salted join
+    with per-bucket ``k`` estimated from the same sample and shipped
+    as a broadcast literal, so the hot path no longer pays the full
+    O(docs × bands) bucket-size aggregate either; if the sampled hot
+    set overflows ``max_hot_collect`` the operator falls back to full
+    in-plan detection (the aggregate's hot rows broadcast as the
+    empty-when-uniform build side of a left join — bounded driver
+    memory).  Both join sides repartition identically on the full
+    (band, bhash, cell) key, so the exchange canonicalizes once and
+    is REUSED — the banded/salted stage is computed a single time per
+    query with no persist (and therefore no session cache-manager
+    entry to leak across calls).
 
     ``portable=True`` keeps the joined band values as the (string) join
     key instead of xxhash64-compressing them — join semantics are
@@ -580,21 +771,65 @@ def minhash_lsh_candidates(
     """
 
     banded = lsh_band_keys(signatures, bands, rows_per_band, portable)
-
-    # Hot detection stays INSIDE the one query (no driver-side count
-    # barrier — a separate action would cost a full extra job per call):
-    # `hot` is the broadcast build side of a left join, empty whenever
-    # no bucket exceeds the target, in which case every row keeps k=1 —
-    # a single diagonal cell, no replication, the plain banded join in
-    # all but name.  `hot` is small by construction (each row represents
-    # > bucket_target docs), so the broadcast ships kilobytes.
-    counts = banded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("__bn"))
-    hot = counts.where(F.col("__bn") > bucket_target)
-    k = F.coalesce(
-        F.ceil(F.col("__bn") / F.lit(bucket_target)).cast("int"), F.lit(1)
+    # Sample the SIGNATURES (docs) before the band explode, so the
+    # probe's per-row derivation runs on detect_sample of the corpus;
+    # a bucket of m docs still lands Binom(m, f) sampled band rows.
+    hot_df = _probe_hot_keys(
+        lsh_band_keys(
+            signatures.sample(fraction=detect_sample, seed=7),
+            bands,
+            rows_per_band,
+            portable,
+        ),
+        ["band", "bhash"],
+        bucket_target,
+        salt,
+        detect_sample,
+        max_hot_collect,
+        memo_key=(
+            "lsh",
+            _plan_key(signatures),
+            bands,
+            rows_per_band,
+            portable,
+            bucket_target,
+            detect_sample,
+        ),
     )
+    if hot_df is None:
+        # Uniform corpus: the plain banded self-join, zero overhead.
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bhash") == F.col("b.bhash"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    if isinstance(hot_df, str):
+        # "full": in-plan detection — only the HOT rows of the
+        # bucket-size aggregate broadcast (the full table is
+        # O(docs × bands) and must never ship to every executor).
+        counts = banded.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        hot_df = counts.where(F.col("__bn") > bucket_target).select(
+            "band",
+            "bhash",
+            F.ceil(F.col("__bn") / F.lit(bucket_target))
+            .cast("int")
+            .alias("__k"),
+        )
+
+    k = F.coalesce(F.col("__k"), F.lit(1))
     salted = banded.join(
-        F.broadcast(hot), on=["band", "bhash"], how="left"
+        F.broadcast(hot_df), on=["band", "bhash"], how="left"
     ).select(
         "id",
         "band",
@@ -609,28 +844,30 @@ def minhash_lsh_candidates(
             F.greatest(F.col("__s"), w).alias("c2"),
         ),
     )
-    # Persisted at the POST-SALT stage: both join sides read this one
-    # cache, so band keys, the bucket-size aggregate, the hot broadcast
-    # and the cell explode are each computed exactly once per query
-    # (caching banded instead left each side re-running the detection
-    # join).  ~28 bytes/row x docs x bands x avg_k (avg_k ≈ 1 on
-    # uniform corpora); the default storage level spills to disk if a
-    # 100 TB corpus outgrows executor memory.
-    exploded = (
-        salted.select(
-            "id", "band", "bhash", "__s", F.explode(cells).alias("__c")
-        )
-        .select(
-            "id",
-            "band",
-            "bhash",
-            "__s",
-            F.col("__c.c1").alias("__c1"),
-            F.col("__c.c2").alias("__c2"),
-        )
-        .persist()
+    exploded = salted.select(
+        "id", "band", "bhash", "__s", F.explode(cells).alias("__c")
+    ).select(
+        "id",
+        "band",
+        "bhash",
+        "__s",
+        F.col("__c.c1").alias("__c1"),
+        F.col("__c.c2").alias("__c2"),
     )
-    a = exploded.select(
+    # Spread EXPLICITLY on the full join key BEFORE the per-side
+    # renames: a hot bucket's cells land on distinct tasks (an
+    # advisory repartition would be coalesced by AQE — the bytes look
+    # tiny; the pairs are not), and BOTH join sides project off this
+    # one Exchange — alias-aware partitioning propagation satisfies
+    # the join's required clustering, so ReusedExchange computes the
+    # band+salt+explode stage ONCE with no persist (and therefore no
+    # session cache-manager entry to leak across calls, unlike the r5
+    # shape).
+    n_spread = banded.sparkSession.sparkContext.defaultParallelism
+    spread = exploded.repartition(
+        n_spread, F.col("band"), F.col("bhash"), F.col("__c1"), F.col("__c2")
+    )
+    a = spread.select(
         F.col("id").alias("id_a"),
         "band",
         "bhash",
@@ -638,15 +875,7 @@ def minhash_lsh_candidates(
         "__c1",
         "__c2",
     )
-    # Explicit spread on the full join key so a hot bucket's cells land
-    # on distinct tasks (an advisory repartition would be coalesced by
-    # AQE — the bytes look tiny; the pairs are not).  The distribution
-    # satisfies the join's clustering, so the exchange is reused.
-    n_spread = a.sparkSession.sparkContext.defaultParallelism
-    a = a.repartition(
-        n_spread, F.col("band"), F.col("bhash"), F.col("__c1"), F.col("__c2")
-    )
-    b = exploded.select(
+    b = spread.select(
         F.col("id").alias("id_b"),
         F.col("band").alias("__b_band"),
         F.col("bhash").alias("__b_bhash"),

@@ -176,6 +176,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
 
 @query(
     "dedup_substring_spans",
+    headline=True,
     oracle="""
     -- Repeated >=8-token spans across documents (exact-substring dedup
     -- at k-gram granularity): k-grams in >=2 distinct docs, positions
@@ -553,7 +554,7 @@ def sim_ivf_topk_expr(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_pq_topk", oracle=None)
+@query("sim_pq_topk", oracle=None, headline=True)
 def sim_pq_topk(spark: SparkSession, sf_dir: str):
     """Product-quantized ANN (operators/similarity.py::pq_top_k): the
     corpus collapses to m small codes per vector and queries score via

@@ -619,6 +619,7 @@ def mor_partition_evolution(spark: SparkSession, sf_dir: str):
 
 @query(
     "mor_changelog_scan",
+    headline=True,
     oracle="""
     -- Changelog over a three-commit table (see the Spark side): the
     -- second append's rows are ordinal-0 INSERTs; the equality delete

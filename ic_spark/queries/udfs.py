@@ -141,6 +141,7 @@ def prep_contamination_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "pipeline_decontaminate",
+    headline=True,
     oracle="""
     -- Surgical decontamination: cut every >=8-token training span
     -- appearing verbatim in the eval split (doc_id %% 17 == 0),

@@ -63,19 +63,28 @@ def test_lsh_hot_bucket_salting_identical_candidates(spark):
 
     plain = {
         (r.id_a, r.id_b)
-        for r in minhash_lsh_candidates(sigs, bucket_target=10**9).collect()
+        for r in minhash_lsh_candidates(sigs, salt="never").collect()
     }
+    # in-plan full detection ("always") and the auto-probe literal path
+    # must both emit the identical candidate set.
     salted = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            sigs, bucket_target=8, salt="always"
+        ).collect()
+    }
+    assert salted == plain
+    auto = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_candidates(sigs, bucket_target=8).collect()
     }
-    assert salted == plain
+    assert auto == plain
     assert {(a, b) for a in range(40) for b in range(a + 1, 40)} <= plain
     # portable flavor (string band keys) takes the same salted path
     salted_p = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_candidates(
-            sigs, portable=True, bucket_target=8
+            sigs, portable=True, bucket_target=8, salt="always"
         ).collect()
     }
     assert salted_p == plain
@@ -1453,16 +1462,29 @@ def test_token_jaccard_subblock_salting_exactly_once(spark):
 
     plain = token_jaccard_pairs(
         df, "doc_id", "text", ["lang", "source"], threshold=0.5,
-        subblock_target=1_000_000,  # k=1 everywhere: the unsalted plan
+        salt="never",  # k=1 everywhere: the unsalted plan
     )
     salted = token_jaccard_pairs(
         df, "doc_id", "text", ["lang", "source"], threshold=0.5,
         subblock_target=8,  # hot block splits into k=5 sub-blocks
+        salt="always",
     )
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(b) == len(set((x, y) for x, y, _ in b))
     assert len(b) > 0  # the fixture genuinely produces pairs
+    # auto probe (sampled detection) — whichever path it picks, the
+    # answer is pinned identical.
+    c = sorted(
+        map(
+            tuple,
+            token_jaccard_pairs(
+                df, "doc_id", "text", ["lang", "source"], threshold=0.5,
+                subblock_target=8,
+            ).collect(),
+        )
+    )
+    assert c == a
 
 
 # Real fixture bytes: a canonical 1x1 PNG, a hand-assembled JPEG with a

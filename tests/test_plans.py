@@ -146,23 +146,70 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan  # probe + kill joins
 
 
-def test_salted_lsh_spreads_cells_explicitly(spark):
-    """The candidate self-join must carry the explicit cell-key
-    repartition (REPARTITION_BY_NUM) so AQE cannot coalesce a hot
-    bucket's cells back into one task, and the hot-detection side must
-    ride a broadcast left join, not a driver action."""
-    import pyspark.sql.functions as F
-
+def _lsh_plan(spark, **kw):
     from ic_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
     from ic_spark.tables import load_table
 
     d = load_table(spark, SF_DIR, "documents")
     sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_n=3)
-    df = minhash_lsh_candidates(sigs, bucket_target=64)
+    df = minhash_lsh_candidates(sigs, **kw)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_salted_lsh_spreads_cells_explicitly(spark):
+    """The salted candidate self-join (in-plan detection flavor) must
+    carry the explicit cell-key repartition (REPARTITION_BY_NUM) so AQE
+    cannot coalesce a hot bucket's cells back into one task, and the
+    hot-detection side must ride a broadcast left join."""
+    plan = _lsh_plan(spark, bucket_target=64, salt="always")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "BroadcastHashJoin LeftOuter" in plan  # in-plan hot detection
+    assert "ShuffledHashJoin" in plan             # cell-key self-join
+
+
+def test_lsh_uniform_auto_takes_plain_join(spark):
+    """PAY-AS-YOU-GO pin: on a uniform corpus the auto probe must pick
+    the PLAIN banded join — no broadcast left join, no cell explode
+    beyond the band explode, zero salting overhead (the r6 fix for the
+    1.3x uniform-headline regression the always-on detection cost)."""
+    plan = _lsh_plan(spark)  # default bucket_target: nothing is hot
+    assert "BroadcastHashJoin LeftOuter" not in plan
+    assert "__c1" not in plan and "__s" not in plan  # no salt/cell cols
+
+
+def test_lsh_hot_auto_salts_with_literal_and_reuses_exchange(spark):
+    """On a hot corpus the auto probe salts via a broadcast LITERAL hot
+    table (no full bucket-size aggregate anywhere in the plan) and both
+    self-join sides read ONE reused exchange — the salted stage is
+    computed once, with no persist (no cache-manager entry)."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.operators.dedup import minhash_lsh_candidates
+
+    # 300 identical signatures -> one certainly-sampled hot bucket.
+    sigs = spark.range(300).select(
+        F.col("id"),
+        F.array(*[F.lit(i * 7 + 3) for i in range(64)]).alias("sig"),
+    )
+    df = minhash_lsh_candidates(sigs, bucket_target=16)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin LeftOuter" in plan   # literal hot side
     assert "REPARTITION_BY_NUM" in plan
-    assert "BroadcastHashJoin LeftOuter" in plan  # in-plan hot detection
-    assert "ShuffledHashJoin" in plan             # cell-key self-join
+    # literal path: no full-corpus HashAggregate feeding the broadcast
+    bcast = plan.split("BroadcastExchange")[1]
+    assert "HashAggregate" not in bcast.split("\n\n")[0]
+    spark.catalog.clearCache()
+    df.collect()  # materialize THIS query execution so AQE finalizes
+    final = df._jdf.queryExecution().explainString(mode)
+    assert "ReusedExchange" in final
+    # Repeated calls leave NO session cache entries (the r5 shape
+    # persisted one plan per call and never released it).
+    minhash_lsh_candidates(sigs, bucket_target=16).count()
+    minhash_lsh_candidates(sigs, bucket_target=16, salt="always").count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -1,0 +1,39 @@
+"""Same-host A/B helper: time dedup_minhash_lsh + dedup_token_jaccard
+headlines at sf0.1, min-of-3.  Run against different checkouts."""
+import sys
+import time
+
+sys.path.insert(0, ".")
+from ic_spark.queries import REGISTRY  # noqa: E402
+from ic_spark.session import get_spark  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+NAMES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+    "dedup_minhash_lsh", "dedup_token_jaccard"
+]
+
+spark = get_spark("ab")
+spark.sparkContext.setLogLevel("ERROR")
+from ic_spark.tables import TABLES, load_table  # noqa: E402
+
+for t in TABLES:
+    load_table(spark, SF, t).count()
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+
+def _ping(s):
+    return s
+
+
+spark.range(0, 32, 1, 32).select(
+    pandas_udf(_ping, "long")("id").alias("x")
+).agg({"x": "sum"}).collect()
+
+for name in NAMES:
+    q = REGISTRY[name]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = q.fn(spark, SF).count()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best:.3f}s ({rows} rows)")
