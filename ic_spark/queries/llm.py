@@ -576,6 +576,32 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("sim_ivfpq_topk", oracle=None)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ composed ANN (operators/similarity.py::ivf_pq_top_k —
+    the IVFADC layout): coarse cells prune the scan to ~nprobe/nlist
+    of the corpus, PQ codes of the cell RESIDUAL collapse scoring to m
+    array lookups, one Lloyd round tightens the codebooks.  Rows-only
+    check; code/ADC arithmetic, cluster retrieval and the
+    recall-vs-brute-force floor are pinned in
+    tests/test_operators.py."""
+    from ic_spark.operators.similarity import ivf_pq_top_k
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
+        m=8,
+        ksub=16,
+        pq_refine_iters=1,
+    )
+
+
 @query(
     "dedup_semantic_cells",
     oracle="""

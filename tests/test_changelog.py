@@ -503,3 +503,90 @@ def test_net_changes_per_commit_attribution(spark):
             ("f", "INSERT", 103, 3),
         ]
     )
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_changelog_feed_crash_replay_exactly_once(spark, tmp_path, flavor):
+    """At-least-once delivery + idempotent sink == exactly-once EFFECT:
+    a crash injected AFTER the handler applied its batch but BEFORE the
+    checkpoint advanced must re-deliver that commit on restart, and the
+    upsert/position-delete sink must absorb the duplicate application —
+    final target state equals source on both metadata flavors."""
+    from ic_spark.streaming.changelog_feed import ChangelogFeed
+
+    src, snap0 = _mk(spark, tmp_path, flavor, "crash_src")
+    tgt_root = str(tmp_path / f"{flavor}_crash_tgt")
+    if flavor == "spec":
+        tgt = IcebergTable.create(
+            tgt_root,
+            spark.range(0).select("id", F.col("id").alias("k")).schema,
+        )
+    else:
+        os.makedirs(tgt_root, exist_ok=True)
+        tgt = ManifestTable(tgt_root)
+    _append(
+        spark,
+        tgt,
+        spark.range(0, 20).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        f"{flavor}_crash_tgt_seed",
+    )
+
+    # source evolves over three commits: append, upsert, delete
+    _append(
+        spark,
+        src,
+        spark.range(20, 24).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        f"{flavor}_crash_src_1",
+    )
+    merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame([(3, 33), (50, 5)], "id long, k long"),
+        ["id"],
+    )
+    write_position_deletes(spark, src, F.col("id").isin(8, 21))
+
+    applied_sids = []
+    crashed = {}
+
+    def apply_batch(df, sid):
+        # IDEMPOTENT sink: deletes are delete-if-present, inserts are
+        # keyed upserts — re-applying the same batch is a no-op.
+        rows = df.collect()
+        dead = [r.id for r in rows if r._change_type == "DELETE"]
+        live = [(r.id, r.k) for r in rows if r._change_type == "INSERT"]
+        # upserts pair DELETE(old)+INSERT(new) per key: apply deletes
+        # only for keys with no replacement insert
+        live_ids = {i for i, _ in live}
+        dead = [i for i in dead if i not in live_ids]
+        if dead:
+            write_position_deletes(spark, tgt, F.col("id").isin(dead))
+        if live:
+            merge_upsert(
+                spark,
+                tgt,
+                spark.createDataFrame(live, "id long, k long"),
+                ["id"],
+            )
+        applied_sids.append(sid)
+        # crash AFTER the side effect, BEFORE the checkpoint advances
+        if len(applied_sids) == 2 and not crashed:
+            crashed["yes"] = True
+            raise RuntimeError("injected crash between handler and checkpoint")
+
+    ckpt = str(tmp_path / f"{flavor}_crash.ckpt")
+    feed = ChangelogFeed(spark, src, ckpt, snap0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        feed.process_available(apply_batch)
+    # checkpoint sits at the last COMPLETED commit: batch 2 re-delivers
+    resumed = ChangelogFeed(spark, src, ckpt)
+    assert resumed.process_available(apply_batch) == 2
+    # commit 2 was applied twice (once before the crash, once after)
+    assert len(applied_sids) == 4
+    assert applied_sids[1] == applied_sids[2]
+
+    s = sorted((r.id, r.k) for r in read_table(spark, src).collect())
+    t = sorted((r.id, r.k) for r in read_table(spark, tgt).collect())
+    assert s == t

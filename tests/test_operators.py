@@ -1826,3 +1826,176 @@ def test_decode_png_all_filters():
     assert decode_pixels(bytes(deep)) is None
     corrupt = good[:40] + b"\x00" * 10 + good[50:]
     assert decode_pixels(corrupt) is None or True  # never raises
+
+
+def test_ivfpq_topk_composed_search(spark):
+    """IVF-PQ (IVFADC): residual codes match a Python reference exactly
+    (same centroid seeding, same argmin + fold order), every retrieved
+    neighbor comes from the query's cluster on clustered data, and ADC
+    of the top hit reproduces the reference arithmetic bit-for-bit."""
+    import random
+
+    from ic_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_top_k,
+        pq_codebooks,
+    )
+
+    rng = random.Random(11)
+    # DIRECTION-distinct centers (cosine cell assignment is
+    # scale-invariant — collinear centers would share one cell)
+    centers = [
+        [10.0] * 8 + [0.0] * 8,
+        [0.0] * 8 + [10.0] * 8,
+        [10.0] * 8 + [-10.0] * 8,
+        [-10.0] * 8 + [10.0] * 8,
+    ]
+    rows = []
+    for i in range(64):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = dict(rows)
+
+    nlist, m, ksub, dsub = 4, 4, 8, 4
+    out = ivf_pq_top_k(
+        corpus,
+        corpus.where(F.col("vec_id") < 4),
+        k=5,
+        nlist=nlist,
+        nprobe=1,
+        m=m,
+        ksub=ksub,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_distance))
+
+    # Python reference: same deterministic pipeline.
+    cents = ivf_centroids(corpus, "vec_id", "embedding", nlist)
+
+    def cos(a, b):
+        num = den_a = den_b = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+            den_a += x * x
+            den_b += y * y
+        return num / ((den_a ** 0.5) * (den_b ** 0.5) or 1.0)
+
+    def cell_of(v):
+        best = None
+        for ci, c in enumerate(cents):
+            s = cos(v, c)
+            if best is None or s > best[0] or (s == best[0] and ci < best[1]):
+                best = (s, ci)
+        return best[1] + 1
+
+    def residual(v):
+        c = cents[cell_of(v) - 1]
+        return [x - y for x, y in zip(v, c)]
+
+    # codebooks learned on residuals with original ids — rebuild the
+    # training frame exactly as the operator does
+    train = spark.createDataFrame(
+        [(i, residual(v)) for i, v in vecs.items()],
+        "vec_id long, __pqv array<double>",
+    )
+    books = pq_codebooks(train, "vec_id", "__pqv", m=m, ksub=ksub)
+
+    def sub_code(res, j):
+        best = None
+        for ci, cent in enumerate(books[j]):
+            d = 0.0
+            for x, y in zip(res[j * dsub : (j + 1) * dsub], cent):
+                d = d + (x - y) * (x - y)
+            if best is None or d < best[0] or (d == best[0] and ci < best[1]):
+                best = (d, ci)
+        return best[1]
+
+    for qid, neigh in got.items():
+        assert len(neigh) == 5
+        # clustered data + nprobe=1: every neighbor from the query's cell
+        assert all(cell_of(vecs[n]) == cell_of(vecs[qid]) for n, _ in neigh)
+        # reference ADC for the top hit (residual LUT) matches exactly
+        n0, d0 = neigh[0]
+        qres = residual(vecs[qid])
+        nres = residual(vecs[n0])
+        codes = [sub_code(nres, j) for j in range(m)]
+        ref = 0.0
+        for j in range(m):
+            lut = 0.0
+            for x, y in zip(qres[j * dsub : (j + 1) * dsub], books[j][codes[j]]):
+                lut = lut + (x - y) * (x - y)
+            ref = ref + lut
+        assert abs(ref - d0) < 1e-6, (qid, ref, d0)
+
+
+def test_ivfpq_recall_and_refinement(spark):
+    """Recall floor vs exact L2 brute force on the fixture embeddings,
+    and Lloyd-refined residual codebooks must not degrade it — the
+    quality knobs move in the right direction (all deterministic:
+    seeded centroids, expression fold order)."""
+    from ic_spark.operators.similarity import ivf_pq_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    a = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {}
+    for r in (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", d2.alias("d"))
+        .collect()
+    ):
+        exact.setdefault(r.qid, []).append((r.d, r.nid))
+    gt = {k: {n for _, n in sorted(v)[:10]} for k, v in exact.items()}
+
+    def recall(out):
+        ap = {}
+        for r in out.collect():
+            ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(gt[k] & ap.get(k, set())) / 10 for k in gt) / len(gt)
+
+    plain = recall(ivf_pq_top_k(e, q, k=10, nprobe=8))
+    refined = recall(ivf_pq_top_k(e, q, k=10, nprobe=8, pq_refine_iters=2))
+    assert plain >= 0.2  # quantized search is approximate, never junk
+    assert refined >= plain  # refinement helps (or at worst ties)
+
+
+def test_ivfpq_plan_no_corpus_float_shuffle(spark):
+    """100 TB shape pin: the only hash-partitioned exchange in IVF-PQ
+    carries (query_id, neighbor_id, adc) scalars — corpus embeddings
+    are consumed at the scan (cell id + codes) and never shuffled; the
+    query LUTs ride a broadcast."""
+    from ic_spark.operators.similarity import ivf_pq_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = ivf_pq_top_k(e, e.where(F.col("vec_id") < 3), k=5)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    for seg in plan.split("\n\n"):
+        head = seg.split("\n")[0]
+        if "Exchange" in head and "hashpartitioning" in seg:
+            inputs = [ln for ln in seg.split("\n") if ln.startswith("Input")]
+            for ln in inputs:
+                assert "embedding" not in ln and "__v" not in ln, ln
+                assert "__pqv" not in ln and "codes" not in ln, ln
