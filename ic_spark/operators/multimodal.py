@@ -497,10 +497,11 @@ def decode_pixels(payload: bytes | None):
     can genuinely handle — the real half of the codec boundary: BMP
     24/32-bit BI_RGB, binary PPM P6 / PGM P5 (maxval < 256), PNG (zlib
     inflate + unfilter — 8-bit, non-interlaced, all five color types),
-    and GIF (hand-rolled LZW, first frame, interlace handled).
+    GIF (hand-rolled LZW, first frame, interlace handled), and JPEG —
+    baseline AND progressive (operators/jpeg_codec.py).
     Returns ``(format, array)`` with a ``(height, width, channels)``
     uint8 numpy array in RGB(A)/gray order, or None when the payload
-    needs a real codec (JPEG / 16-bit PNG stay behind the strict-mode
+    needs a real codec (16-bit PNG stays behind the strict-mode
     gate)."""
     import numpy as np
 

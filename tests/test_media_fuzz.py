@@ -56,7 +56,7 @@ def _valid_payloads():
     import sys
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
-    from jpegref import encode_jpeg
+    from jpegref import encode_jpeg, encode_progressive_jpeg
     import numpy as np
 
     from test_operators import (
@@ -79,6 +79,8 @@ def _valid_payloads():
         _wav_bytes(1),
         _mp4_bytes(),
         encode_jpeg(g),
+        encode_progressive_jpeg(g),
+        encode_progressive_jpeg(g, successive=False, restart=2),
     ]
 
 

@@ -1999,3 +1999,55 @@ def test_ivfpq_plan_no_corpus_float_shuffle(spark):
             for ln in inputs:
                 assert "embedding" not in ln and "__v" not in ln, ln
                 assert "__pqv" not in ln and "codes" not in ln, ln
+
+
+def test_decode_jpeg_progressive():
+    """SOF2 progressive decode pinned bit-identical to the baseline
+    decode of the same pixels, across successive approximation,
+    spectral-selection-only, restart intervals and 4:2:0 subsampling
+    (the independent test-side progressive encoder is the other half,
+    as with baseline)."""
+    import numpy as np
+
+    from ic_spark.operators.jpeg_codec import decode_jpeg
+    from jpegref import encode_jpeg, encode_progressive_jpeg
+
+    rng = np.random.RandomState(42)
+    g = np.tile(np.arange(24, dtype=np.uint8) * 10 % 256, (16, 1))
+    rgb = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    odd = (np.indices((17, 23)).sum(axis=0) * 5 % 256).astype(np.uint8)
+
+    for img, kw in [
+        (g, {}),
+        (g, {"successive": False}),
+        (g, {"restart": 2}),
+        (rgb, {}),
+        (rgb, {"successive": False}),
+        (rgb, {"restart": 3}),
+        # 4:2:0: luma's non-interleaved AC grid (3 block cols) diverges
+        # from its interleaved DC grid (4) — the geometry split path
+        (rgb, {"subsample": True}),
+        (odd, {}),  # non-multiple-of-8 dims
+    ]:
+        sub = bool(kw.get("subsample"))
+        prog = decode_jpeg(encode_progressive_jpeg(img, **kw))
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert prog is not None and base is not None, kw
+        assert prog.shape == base.shape, kw
+        assert (prog == base).all(), (kw, np.abs(prog.astype(int) - base.astype(int)).max())
+    # unquantized round-trips are exact for gray
+    assert decode_jpeg(encode_progressive_jpeg(g))[..., 0].tolist() == g.tolist()
+
+
+def test_jpeg_entropy_segment_split_ambiguity():
+    """The restart-segment split happens AT the marker scan, where
+    0xFF00 stuffing is still visible: an unstuffed 0xFF data byte
+    followed by a data byte in 0xD0-0xD7 must stay INSIDE its segment
+    (the post-hoc split it replaces misread it as a restart marker and
+    desynced the decoder)."""
+    from ic_spark.operators.jpeg_codec import _scan_entropy_segments
+
+    raw = b"\x12\xff\x00\xd3\x45" + b"\xff\xd0" + b"\x99" + b"\xff\xd9"
+    segments, j = _scan_entropy_segments(raw, 0)
+    assert segments == [b"\x12\xff\xd3\x45", b"\x99"]
+    assert raw[j : j + 2] == b"\xff\xd9"
