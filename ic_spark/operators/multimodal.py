@@ -152,6 +152,41 @@ def parse_media_header(payload: bytes | None) -> dict:
         # as 16.16 fixed-point).
         if len(b) >= 12 and b[4:8] == b"ftyp":
             return _parse_mp4(b)
+        # AVI: RIFF container; avih main header carries
+        # microsec-per-frame, total frames and frame dimensions.
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            i = 12
+            stack = [(12, len(b))]
+            while stack:
+                s, e = stack.pop()
+                i = s
+                while i + 8 <= e:
+                    cid = b[i : i + 4]
+                    size = int.from_bytes(b[i + 4 : i + 8], "little")
+                    body = i + 8
+                    if body + size > e:
+                        break
+                    if cid == b"LIST":
+                        stack.append((body + 4, body + size))
+                    elif cid == b"avih" and size >= 40:
+                        usec = int.from_bytes(b[body : body + 4], "little")
+                        nfr = int.from_bytes(b[body + 16 : body + 20], "little")
+                        w = int.from_bytes(b[body + 32 : body + 36], "little")
+                        hh = int.from_bytes(b[body + 36 : body + 40], "little")
+                        dur = usec * nfr // 1000 if usec and nfr else None
+                        return {
+                            "format": "avi",
+                            "width": w or None,
+                            "height": hh or None,
+                            "duration_ms": dur,
+                        }
+                    i = body + size + (size % 2)
+            return {
+                "format": "avi",
+                "width": None,
+                "height": None,
+                "duration_ms": None,
+            }
         # WAV: RIFF container; fmt chunk gives byte rate, data chunk
         # size / byte rate gives duration.
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -490,6 +525,151 @@ def _decode_gif(b: bytes):
         else:
             return None
     return None
+
+
+def _avi_mjpeg_frames(b: bytes):
+    """(usec_per_frame, [jpeg_bytes, ...]) from a RIFF AVI whose video
+    chunks are MJPEG — each '00dc'/'00db' chunk is a complete JPEG the
+    engine's own codec decodes.  Never raises; None when the payload
+    is not a parseable MJPEG AVI."""
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        usec = None
+        frames = []
+
+        def walk(start, end):
+            nonlocal usec
+            i = start
+            while i + 8 <= end:
+                cid = b[i : i + 4]
+                size = int.from_bytes(b[i + 4 : i + 8], "little")
+                body = i + 8
+                if body + size > end:
+                    break
+                if cid == b"LIST":
+                    walk(body + 4, body + size)
+                elif cid == b"avih" and size >= 4:
+                    usec = int.from_bytes(b[body : body + 4], "little")
+                elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                    frames.append(b[body : body + size])
+                i = body + size + (size % 2)
+
+        walk(12, len(b))
+        if not frames:
+            return None
+        return usec or 40000, frames
+    except (IndexError, ValueError):
+        return None
+
+
+def _gif_frames(b: bytes):
+    """([(ts_ms, canvas_rgb), ...], total_ms) — animated-GIF frames
+    composited onto the logical screen per each frame's Graphic
+    Control Extension (delay, transparency, restore-to-background
+    disposal).  Never raises; None when not parseable."""
+    import numpy as np
+
+    try:
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw = int.from_bytes(b[6:8], "little")
+        sh = int.from_bytes(b[8:10], "little")
+        if sw <= 0 or sh <= 0:
+            return None
+        packed = b[10]
+        gct = None
+        i = 13
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            if 13 + n * 3 > len(b):
+                return None
+            gct = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=13).reshape(
+                n, 3
+            )
+            i = 13 + n * 3
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        frames = []
+        ts = 0
+        delay_ms = 0
+        transparent = None
+        disposal = 0
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:  # extension
+                label = b[i + 1] if i + 1 < len(b) else 0
+                j = i + 2
+                if label == 0xF9 and j < len(b) and b[j] >= 4:
+                    pk = b[j + 1]
+                    disposal = (pk >> 2) & 7
+                    delay_ms = int.from_bytes(b[j + 2 : j + 4], "little") * 10
+                    transparent = b[j + 4] if pk & 1 else None
+                while j < len(b) and b[j] != 0:
+                    j += 1 + b[j]
+                i = j + 1
+            elif blk == 0x2C:  # image descriptor
+                left = int.from_bytes(b[i + 1 : i + 3], "little")
+                top = int.from_bytes(b[i + 3 : i + 5], "little")
+                iw = int.from_bytes(b[i + 5 : i + 7], "little")
+                ih = int.from_bytes(b[i + 7 : i + 9], "little")
+                pk = b[i + 9]
+                i += 10
+                pal = gct
+                if pk & 0x80:
+                    n = 2 ** ((pk & 7) + 1)
+                    pal = np.frombuffer(
+                        b, dtype=np.uint8, count=n * 3, offset=i
+                    ).reshape(n, 3)
+                    i += n * 3
+                if pal is None or iw <= 0 or ih <= 0:
+                    return None
+                min_code = b[i]
+                i += 1
+                data = bytearray()
+                while i < len(b) and b[i] != 0:
+                    n = b[i]
+                    data += b[i + 1 : i + 1 + n]
+                    i += 1 + n
+                i += 1  # block terminator
+                idx = _gif_lzw(bytes(data), min_code, iw * ih)
+                if idx is None or max(idx) >= len(pal):
+                    return None
+                idx = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+                if pk & 0x40:  # interlace
+                    order = (
+                        list(range(0, ih, 8))
+                        + list(range(4, ih, 8))
+                        + list(range(2, ih, 4))
+                        + list(range(1, ih, 2))
+                    )
+                    out = np.empty_like(idx)
+                    out[order] = idx
+                    idx = out
+                y1, x1 = min(top + ih, sh), min(left + iw, sw)
+                if y1 <= top or x1 <= left:
+                    return None
+                sub = idx[: y1 - top, : x1 - left]
+                region = canvas[top:y1, left:x1]
+                px = pal[sub]
+                if transparent is not None:
+                    mask = sub != transparent
+                    region[mask] = px[mask]
+                else:
+                    region[:, :] = px
+                frames.append((ts, canvas.copy()))
+                ts += max(delay_ms, 10)
+                if disposal == 2:  # restore to background
+                    canvas[top:y1, left:x1] = 0
+                transparent = None
+                delay_ms = 0
+                disposal = 0
+            elif blk == 0x3B:
+                break
+            else:
+                return None
+        return (frames, ts) if frames else None
+    except (IndexError, ValueError):
+        return None
 
 
 def decode_pixels(payload: bytes | None):
@@ -855,26 +1035,70 @@ FRAME_SCHEMA = StructType(
 def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """Video → frame rows, one per ``every_ms`` of duration.
 
-    The fan-out SHAPE is the real logic (frame count comes from the
-    duration_ms metadata; output rows ≫ input rows, which is why this
-    must be mapInPandas and not a scalar UDF); only the frame-grab
-    itself is stubbed.  Feed the result to ``resize_images`` /
-    ``extract_features`` for a full video pipeline.
+    REAL frame extraction for the containers a pure-Python engine can
+    genuinely crack (r6): **MJPEG-in-AVI** — the RIFF walk yields one
+    complete JPEG per '00dc' chunk, emitted VERBATIM (downstream
+    ``decode_pixels`` / ``extract_features`` decode it with the
+    engine's own T.81 codec) — and **animated GIF** — GCE-timed LZW
+    frames composited per disposal onto the screen canvas and
+    re-encoded as PNG.  Each ``every_ms`` tick emits the frame ACTIVE
+    at that timestamp, so a 25fps clip sampled at 1000ms yields 1 in
+    25 frames — the training-data sampling shape.  Containers that
+    need a real codec (H.264 MP4 etc.) keep the honest stub:
+    deterministic fake payloads, or NotImplementedError under
+    ``strict=True``.  The fan-out stays ``mapInPandas`` (output rows ≫
+    input rows; Arrow batch memory bounded by maxRecordsPerBatch).
     """
+
+    def real_frames(b):
+        """-> ([(ts_ms, payload)], total_ms) or None."""
+        avi = _avi_mjpeg_frames(b)
+        if avi is not None:
+            usec, frames = avi
+            ms = max(1, usec // 1000)
+            return [(i * ms, f) for i, f in enumerate(frames)], ms * len(frames)
+        gif = _gif_frames(b)
+        if gif is not None:
+            frames, total = gif
+            return [(ts, encode_png(arr)) for ts, arr in frames], total
+        return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "video codecs not available in this environment; "
-                    "plug ffmpeg into sample_frames()"
-                )
             rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
             for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["duration_ms"] is None:
+                if r["kind"] != "video":
+                    continue
+                base = b"" if r["payload"] is None else bytes(r["payload"])
+                real = real_frames(base)
+                if real is not None:
+                    frames, total = real
+                    idx = 0
+                    for tick in range(0, max(total, 1), every_ms):
+                        # frame active at this tick (last ts <= tick)
+                        active = None
+                        for ts, payload in frames:
+                            if ts <= tick:
+                                active = payload
+                            else:
+                                break
+                        if active is None:
+                            continue
+                        rows["media_id"].append(r["media_id"])
+                        rows["frame_idx"].append(idx)
+                        rows["ts_ms"].append(tick)
+                        rows["payload"].append(active)
+                        idx += 1
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "no pure-Python decoder for this video container "
+                        "(MJPEG-AVI and animated GIF are real; plug "
+                        "ffmpeg into sample_frames() for the rest)"
+                    )
+                if r["duration_ms"] is None:
                     continue
                 n = max(1, int(r["duration_ms"]) // every_ms)
-                base = b"" if r["payload"] is None else r["payload"]
                 for i in range(n):
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
@@ -984,6 +1208,7 @@ MIME_BY_EXT = {
     "mp3": ("audio", "audio/mpeg"),
     "flac": ("audio", "audio/flac"),
     "mp4": ("video", "video/mp4"),
+    "avi": ("video", "video/x-msvideo"),
     "mkv": ("video", "video/x-matroska"),
     "webm": ("video", "video/webm"),
 }

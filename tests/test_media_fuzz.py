@@ -31,14 +31,19 @@ _PREFIXES = [
     b"P6\n",
     b"P5 ",
     b"RIFF1234WAVE",
+    b"RIFF\x10\x00\x00\x00AVI ",
     (100).to_bytes(4, "big") + b"ftyp",
 ]
 
 
 def _never_raises(payload: bytes) -> None:
+    from ic_spark.operators.multimodal import _avi_mjpeg_frames, _gif_frames
+
     assert decode_pixels(payload) is None or decode_pixels(payload)[1] is not None
     decode_audio_samples(payload)
     decode_jpeg(payload)
+    _avi_mjpeg_frames(payload)
+    _gif_frames(payload)
     out = parse_media_header(payload)
     assert set(out) == {"format", "width", "height", "duration_ms"}
 
@@ -61,6 +66,8 @@ def _valid_payloads():
 
     from test_operators import (
         REAL_PNG_1x1,
+        _animated_gif_bytes,
+        _avi_bytes,
         _bmp_bytes,
         _gif_bytes,
         _mp4_bytes,
@@ -81,6 +88,12 @@ def _valid_payloads():
         encode_jpeg(g),
         encode_progressive_jpeg(g),
         encode_progressive_jpeg(g, successive=False, restart=2),
+        _avi_bytes([encode_jpeg(g)] * 2),
+        _animated_gif_bytes(
+            [[[0, 1], [1, 0]], [[1, 1], [0, 0]]],
+            [(1, 2, 3), (4, 5, 6)],
+            [5, 5],
+        ),
     ]
 
 
