@@ -1,0 +1,339 @@
+"""FLAC decoder — pure Python + numpy, from the public xiph.org FLAC
+format specification (no codec library).
+
+Scope: native FLAC streams ("fLaC" magic): STREAMINFO parsing, frame
+sync + header decode (all block-size / sample-rate / sample-size
+codes, UTF-8-coded frame numbers, CRC-8 header verification),
+subframe types CONSTANT / VERBATIM / FIXED (orders 0-4) / LPC (any
+order, quantized coefficients with signed shift), Rice-coded residual
+partitions (4- and 5-bit parameter methods, escape-to-raw), wasted
+bits, and inter-channel decorrelation (left/side, right/side,
+mid/side).  Ogg-encapsulated FLAC returns None.
+
+FLAC is lossless, so the validation is exact: tests/flacref.py carries
+an INDEPENDENT encoder (constant/verbatim/fixed subframes, Rice
+partitioning, stereo decorrelation, spec CRCs) and every decode must
+reproduce the source samples bit-for-bit (reference semantics:
+nimtable/IC has no media surface at all — this extends the engine's
+training-data ingest the way sources/avro_io.py extends its formats).
+
+Corrupt/truncated payloads return None (bad bytes are data, not
+errors, in a 100 TB ingest); a CRC-8 header mismatch ends the stream
+at the last good frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class _FBits:
+    """MSB-first bit reader over bytes."""
+
+    def __init__(self, d: bytes, pos: int = 0):
+        self.d = d
+        self.i = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.i >= len(self.d):
+                raise ValueError("flac: bitstream exhausted")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.d[self.i]
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.i += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("flac: runaway unary")
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.i += 1
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly x^8+x^2+x+1 (0x07), init 0 — the frame-header CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0 — the frame-footer CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_number(bits: _FBits) -> int:
+    """FLAC's extended-UTF-8 frame/sample number (up to 7 bytes)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0 or n > 6:
+        raise ValueError("flac: bad utf8 number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _residual(bits: _FBits, bs: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = bits.read(4)
+    nparts = 1 << po
+    if bs % nparts:
+        raise ValueError("flac: partition count must divide block size")
+    out = []
+    for p in range(nparts):
+        n = (bs >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("flac: partition underflow")
+        param = bits.read(plen)
+        if param == escape:
+            raw = bits.read(5)
+            for _ in range(n):
+                out.append(bits.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = bits.read_unary()
+                v = (q << param) | (bits.read(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _subframe(bits: _FBits, bs: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("flac: bad subframe padding bit")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        samples = [v] * bs
+    elif stype == 1:  # VERBATIM
+        samples = [bits.read_signed(eff) for _ in range(bs)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        if order > bs:
+            raise ValueError("flac: fixed order exceeds block")
+        warm = [bits.read_signed(eff) for _ in range(order)]
+        resid = _residual(bits, bs, order)
+        samples = list(warm)
+        for r in resid:
+            i = len(samples)
+            if order == 0:
+                v = r
+            elif order == 1:
+                v = r + samples[i - 1]
+            elif order == 2:
+                v = r + 2 * samples[i - 1] - samples[i - 2]
+            elif order == 3:
+                v = (
+                    r + 3 * samples[i - 1] - 3 * samples[i - 2]
+                    + samples[i - 3]
+                )
+            else:
+                v = (
+                    r + 4 * samples[i - 1] - 6 * samples[i - 2]
+                    + 4 * samples[i - 3] - samples[i - 4]
+                )
+            samples.append(v)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        if order > bs:
+            raise ValueError("flac: lpc order exceeds block")
+        warm = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise ValueError("flac: invalid qlp precision")
+        prec += 1
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _residual(bits, bs, order)
+        samples = list(warm)
+        for r in resid:
+            i = len(samples)
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * samples[i - 1 - j]
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(b: bytes):
+    """Decode a native FLAC stream → ``(samples, rate, channels)`` with
+    samples as a ``(frames, channels)`` int32 numpy array, or None."""
+    try:
+        return _decode_flac(b)
+    except (ValueError, IndexError, KeyError):
+        return None
+
+
+def _decode_flac(b: bytes):
+    if b[:4] != b"fLaC":
+        return None
+    i = 4
+    info = None
+    while i + 4 <= len(b):
+        hdr = b[i]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        if btype == 0 and size >= 34:  # STREAMINFO
+            body = b[i + 4 : i + 4 + size]
+            sb = _FBits(body)
+            sb.read(16)  # min blocksize
+            sb.read(16)  # max blocksize
+            sb.read(24)  # min frame size
+            sb.read(24)
+            rate = sb.read(20)
+            channels = sb.read(3) + 1
+            bps = sb.read(5) + 1
+            total = sb.read(36)
+            info = {
+                "rate": rate,
+                "channels": channels,
+                "bps": bps,
+                "total": total,
+            }
+        i += 4 + size
+        if last:
+            break
+    if info is None or info["rate"] <= 0 or info["channels"] < 1:
+        return None
+
+    chans = [[] for _ in range(info["channels"])]
+    decoded = 0
+    pos = i
+    while pos + 2 <= len(b) and (info["total"] == 0 or decoded < info["total"]):
+        bits = _FBits(b, pos)
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            break
+        if bits.read(1):
+            raise ValueError("flac: reserved sync bit")
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        if bits.read(1):
+            raise ValueError("flac: reserved header bit")
+        _utf8_number(bits)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 6:
+            bs = bits.read(8) + 1
+        elif bs_code == 7:
+            bs = bits.read(16) + 1
+        else:
+            bs = _BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        bps = info["bps"] if ss_code == 0 else _SAMPLE_SIZES[ss_code]
+        # CRC-8 covers the header bytes up to (not including) the crc
+        bits.align()
+        header_end = bits.i
+        crc = bits.read(8)
+        if _crc8(b[pos:header_end]) != crc:
+            break  # desync/corruption: end at the last good frame
+        if ch_code <= 7:
+            nch = ch_code + 1
+            if nch != info["channels"]:
+                raise ValueError("flac: channel count mismatch")
+            frame = [_subframe(bits, bs, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if info["channels"] != 2:
+                raise ValueError("flac: stereo decorrelation on non-stereo")
+            if ch_code == 8:  # left/side
+                left = _subframe(bits, bs, bps)
+                side = _subframe(bits, bs, bps + 1)
+                frame = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _subframe(bits, bs, bps + 1)
+                right = _subframe(bits, bs, bps)
+                frame = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _subframe(bits, bs, bps)
+                side = _subframe(bits, bs, bps + 1)
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    mm = (m << 1) | (s & 1)
+                    left.append((mm + s) >> 1)
+                    right.append((mm - s) >> 1)
+                frame = [left, right]
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        bits.align()
+        bits.read(16)  # frame CRC-16 (not verified; header CRC gates)
+        for c, samples in enumerate(frame):
+            chans[c].extend(samples)
+        decoded += bs
+        pos = bits.i
+    if decoded == 0:
+        return None
+    if info["total"]:
+        chans = [c[: info["total"]] for c in chans]
+    arr = np.asarray(chans, dtype=np.int64).T.astype(np.int32)
+    return arr, info["rate"], info["channels"]

@@ -147,6 +147,29 @@ def parse_media_header(payload: bytes | None) -> dict:
                     "height": h,
                     "duration_ms": None,
                 }
+        # FLAC: "fLaC" magic; STREAMINFO (first metadata block) packs
+        # rate(20) channels(3) bps(5) total_samples(36) after the
+        # block-size/frame-size fields.
+        if b[:4] == b"fLaC" and len(b) >= 8 + 18:
+            btype = b[4] & 0x7F
+            size = int.from_bytes(b[5:8], "big")
+            if btype == 0 and size >= 34 and len(b) >= 8 + 18:
+                u = int.from_bytes(b[8 + 10 : 8 + 18], "big")
+                rate = u >> 44
+                total = u & ((1 << 36) - 1)
+                dur = total * 1000 // rate if rate and total else None
+                return {
+                    "format": "flac",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": dur,
+                }
+            return {
+                "format": "flac",
+                "width": None,
+                "height": None,
+                "duration_ms": None,
+            }
         # MP4 / ISO-BMFF: walk top-level boxes to moov, then mvhd
         # (timescale + duration) and the first tkhd (track width/height
         # as 16.16 fixed-point).
@@ -321,13 +344,14 @@ def _ppm_header_tokens(b: bytes):
         return None
 
 
-def _png_unfilter(raw, h: int, w: int, nch: int):
-    """Reverse PNG scanline filtering (spec §9 Filtering) → (h, w*nch)
-    uint8.  None/Sub/Up are vectorized; Average/Paeth carry a left
-    dependency and run per-byte on their (typically few) rows."""
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering (spec §9 Filtering) → (h, stride)
+    uint8.  ``bpp`` is the filter unit in BYTES (channels × depth/8 —
+    the spec's left reference is bpp bytes back, so 16-bit depths
+    filter on byte pairs).  None/Sub/Up are vectorized; Average/Paeth
+    carry a left dependency and run per-byte on their rows."""
     import numpy as np
 
-    stride = w * nch
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -339,19 +363,19 @@ def _png_unfilter(raw, h: int, w: int, nch: int):
             out[y] = row
         elif ftype == 1:  # Sub: cumulative sum over the byte lanes
             out[y] = (
-                np.cumsum(row.reshape(w, nch).astype(np.uint32), axis=0) % 256
+                np.cumsum(row.reshape(-1, bpp).astype(np.uint32), axis=0) % 256
             ).astype(np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             out[y] = row + prev  # uint8 wraps mod 256 — the spec's rule
         elif ftype in (3, 4):  # Average / Paeth: sequential left-dep
             cur = out[y]
             for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 bb = int(prev[i])
                 if ftype == 3:
                     cur[i] = (int(row[i]) + ((a + bb) >> 1)) & 0xFF
                 else:
-                    c = int(prev[i - nch]) if i >= nch else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     p = a + bb - c
                     pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
@@ -362,10 +386,11 @@ def _png_unfilter(raw, h: int, w: int, nch: int):
 
 
 def _decode_png(b: bytes):
-    """Stdlib-only PNG decode (zlib inflate + unfilter): 8-bit depth,
-    color types 0/2/3/4/6, non-interlaced.  Returns an (h, w, channels)
-    uint8 array (palette expanded to RGB) or None for PNG variants out
-    of scope (16-bit, interlaced, sub-byte depths)."""
+    """Stdlib-only PNG decode (zlib inflate + unfilter): 8- and 16-bit
+    depths, color types 0/2/3/4/6, non-interlaced.  Returns an (h, w,
+    channels) uint8 array (palette expanded to RGB; 16-bit samples
+    reduced to their high byte) or None for PNG variants out of scope
+    (interlaced, sub-byte depths)."""
     import numpy as np
     import zlib
 
@@ -393,18 +418,28 @@ def _decode_png(b: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+    if depth not in (8, 16) or interlace != 0 or w <= 0 or h <= 0:
         return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None or (color == 3 and plte is None):
         return None
+    if depth == 16 and color == 3:
+        return None  # 16-bit palette is not a valid PNG combination
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None  # corrupt stream is data, not an error
-    if len(raw) != h * (1 + w * nch):
+    bpp = nch * (depth // 8)
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
         return None
-    arr = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    arr = _png_unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        # big-endian sample pairs → high byte (the engine's pixel
+        # surface is uint8; 16-bit precision folds to its top 8 bits)
+        arr = arr.reshape(h, w, nch, 2)[..., 0]
+    else:
+        arr = arr.reshape(h, w, nch)
     if color == 3:  # palette indices -> RGB
         pal = np.frombuffer(plte, dtype=np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
@@ -740,15 +775,26 @@ def decode_pixels(payload: bytes | None):
 
 
 def decode_audio_samples(payload: bytes | None):
-    """Pure-Python sample decode for PCM WAV payloads (8/16-bit integer
-    PCM).  Returns ``(samples, sample_rate, channels)`` with samples as
-    a ``(frames, channels)`` numpy array, or None for non-PCM / non-WAV
-    payloads (those stay behind the strict-mode gate)."""
+    """Pure-Python sample decode for PCM WAV (8/16-bit integer PCM)
+    and FLAC payloads (operators/flac_codec.py — full native-FLAC
+    subframe/Rice/stereo-decorrelation decode, validated losslessly
+    against an independent test-side encoder).  Returns ``(samples,
+    sample_rate, channels)`` with samples as a ``(frames, channels)``
+    numpy array, or None for formats that need a real codec (mp3/ogg
+    stay behind the strict-mode gate)."""
     import numpy as np
 
     if not payload:
         return None
     b = bytes(payload)
+    if b[:4] == b"fLaC":
+        from ic_spark.operators.flac_codec import decode_flac
+
+        got = decode_flac(b)
+        if got is None:
+            return None
+        samples, rate, channels = got
+        return samples, rate, channels
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     try:
@@ -805,8 +851,9 @@ def _real_decode(payload: bytes | None) -> str | None:
         x = samples.astype("float64")
         rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
         peak = int(np.abs(samples).max()) if samples.size else 0
+        fmt = "flac" if bytes(payload)[:4] == b"fLaC" else "wav-pcm"
         return (
-            f"wav-pcm-{rate}hz-{channels}ch-n{samples.shape[0]}"
+            f"{fmt}-{rate}hz-{channels}ch-n{samples.shape[0]}"
             f"-rms{rms:.3f}-peak{peak}"
         )
     return None

@@ -32,6 +32,7 @@ _PREFIXES = [
     b"P5 ",
     b"RIFF1234WAVE",
     b"RIFF\x10\x00\x00\x00AVI ",
+    b"fLaC",
     (100).to_bytes(4, "big") + b"ftyp",
 ]
 
@@ -61,6 +62,7 @@ def _valid_payloads():
     import sys
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from flacref import encode_flac
     from jpegref import encode_jpeg, encode_progressive_jpeg
     import numpy as np
 
@@ -89,6 +91,7 @@ def _valid_payloads():
         encode_progressive_jpeg(g),
         encode_progressive_jpeg(g, successive=False, restart=2),
         _avi_bytes([encode_jpeg(g)] * 2),
+        encode_flac([[int(i) for i in g.reshape(-1)]]),
         _animated_gif_bytes(
             [[[0, 1], [1, 0]], [[1, 1], [0, 0]]],
             [(1, 2, 3), (4, 5, 6)],

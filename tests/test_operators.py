@@ -2231,3 +2231,174 @@ def test_parse_media_header_avi():
     assert got == {
         "format": "avi", "width": 320, "height": 240, "duration_ms": 200,
     }
+
+
+def _png16_bytes(pixels, color=0, filters=None) -> bytes:
+    """Hand-assemble a 16-bit-depth PNG: big-endian u16 samples,
+    forward-filtered on BYTES with the spec's bpp (= 2·channels) left
+    reference."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    bpp = nch * 2
+    filters = filters or [0] * h
+    flat = []
+    for row in pixels:
+        rb = bytearray()
+        for px in row:
+            for v in px if isinstance(px, (tuple, list)) else (px,):
+                rb += int(v).to_bytes(2, "big")
+        flat.append(bytes(rb))
+    raw = bytearray()
+    for y, ftype in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y else bytes(len(row))
+        raw.append(ftype)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                enc = row[i]
+            elif ftype == 1:
+                enc = (row[i] - a) & 0xFF
+            elif ftype == 2:
+                enc = (row[i] - b) & 0xFF
+            elif ftype == 3:
+                enc = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = (row[i] - pred) & 0xFF
+            raw.append(enc)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_16bit():
+    """16-bit PNGs decode through the byte-pair filter path (bpp = 2·
+    channels) and reduce to the high byte of each sample, across every
+    filter type and gray/RGB color types."""
+    from ic_spark.operators.multimodal import decode_pixels
+
+    gray = [
+        [256 * (x + 7 * y) + x for x in range(6)] for y in range(5)
+    ]
+    fmt, arr = decode_pixels(_png16_bytes(gray, color=0, filters=[0, 1, 2, 3, 4]))
+    assert fmt == "png" and arr.shape == (5, 6, 1)
+    assert arr[..., 0].tolist() == [[(x + 7 * y) for x in range(6)] for y in range(5)]
+
+    rgb = [
+        [(256 * (x + y), 256 * (2 * x) + 9, 65535 - 256 * y) for x in range(4)]
+        for y in range(4)
+    ]
+    fmt, arr = decode_pixels(_png16_bytes(rgb, color=2, filters=[4, 3, 1, 2]))
+    assert fmt == "png" and arr.shape == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            assert arr[y, x].tolist() == [x + y, 2 * x, 255 - y]
+
+
+def test_decode_flac_lossless_roundtrip():
+    """FLAC decode is LOSSLESS: every subframe type (constant,
+    verbatim, fixed orders 0-4, LPC), Rice partitioning, wasted bits
+    and all three stereo decorrelation modes reproduce the source
+    samples bit-for-bit against the independent test-side encoder."""
+    import random
+
+    import numpy as np
+
+    from flacref import encode_flac
+    from ic_spark.operators.flac_codec import decode_flac
+
+    rng = random.Random(3)
+    mono = [rng.randrange(-2000, 2000) for _ in range(300)]
+    smooth = [int(1000 * np.sin(i / 7)) for i in range(300)]
+    left = [rng.randrange(-5000, 5000) for _ in range(250)]
+    right = [l - rng.randrange(-30, 30) for l in left]
+
+    cases = [
+        ([mono], dict(subframe_kind="fixed", order=2)),
+        ([mono], dict(subframe_kind="fixed", order=0)),
+        ([smooth], dict(subframe_kind="fixed", order=4, rice_param=6)),
+        ([mono], dict(subframe_kind="verbatim")),
+        ([[42] * 200], dict(subframe_kind="constant")),
+        (
+            [mono[:256]],
+            dict(subframe_kind="fixed", order=1, partition_order=2,
+                 block_size=128),
+        ),
+        ([left, right], dict()),
+        ([left, right], dict(stereo_mode="left_side")),
+        ([left, right], dict(stereo_mode="right_side")),
+        ([left, right], dict(stereo_mode="mid_side")),
+        (
+            [[s * 4 for s in mono[:128]]],
+            dict(subframe_kind="fixed", order=1, wasted=2),
+        ),
+        (
+            [smooth],
+            dict(subframe_kind="lpc", lpc_coefs=[3, -3, 1], lpc_shift=1,
+                 rice_param=5),
+        ),
+    ]
+    for chans, kw in cases:
+        got = decode_flac(encode_flac(chans, **kw))
+        assert got is not None, kw
+        arr, rate, nch = got
+        want = np.asarray(chans).T
+        assert rate == 8000 and nch == len(chans)
+        assert arr.shape == want.shape and (arr == want).all(), kw
+
+
+def test_flac_header_and_features():
+    """parse_media_header reads STREAMINFO duration; extract_features'
+    real decode path labels FLAC payloads with exact sample stats."""
+    import numpy as np
+
+    from flacref import encode_flac
+    from ic_spark.operators.multimodal import _real_decode, parse_media_header
+
+    samples = [int(5000 * np.sin(i / 5)) for i in range(16000)]
+    b = encode_flac([samples], rate=8000, block_size=256)
+    got = parse_media_header(b)
+    assert got == {
+        "format": "flac", "width": None, "height": None, "duration_ms": 2000,
+    }
+    feat = _real_decode(b)
+    assert feat is not None and feat.startswith("flac-8000hz-1ch-n16000")
+    x = np.asarray(samples, dtype=np.float64)
+    rms = float(np.sqrt((x * x).mean()))
+    assert f"rms{rms:.3f}" in feat and f"peak{int(np.abs(x).max())}" in feat
+
+
+def test_flac_corrupt_is_none():
+    from flacref import encode_flac
+    from ic_spark.operators.flac_codec import decode_flac
+
+    good = encode_flac([[i % 100 for i in range(200)]])
+    assert decode_flac(b"fLaC" + b"\x00" * 10) is None
+    assert decode_flac(good[:30]) is None
+    # CRC-8 mismatch in a frame header ends the stream at the last
+    # good frame instead of emitting garbage
+    mut = bytearray(good)
+    # flip a byte inside the SECOND frame's header region
+    second = good.index(b"\xff\xf8", 60)
+    mut[second + 3] ^= 0x41
+    got = decode_flac(bytes(mut))
+    assert got is None or got[0].shape[0] <= 200
