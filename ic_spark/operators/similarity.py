@@ -525,16 +525,54 @@ def _pq_sub_code(vec_col: str, book: list[list[float]], j: int, dsub: int) -> F.
     )
 
 
+def _arrow_pq_encoder(books: list[list[list[float]]]):
+    """Vectorized (Arrow-batched numpy) PQ code assignment — the scale
+    path for the corpus side: the expression form evaluates m × ksub
+    interpreted higher-order aggregates per row; numpy does the same
+    as one (n, ksub, dsub) broadcast per subspace.  Same trade as
+    :func:`_arrow_cell_assigner`: numpy's summation order is not
+    bit-identical to the left-to-right expression fold, so oracle-
+    pinned paths keep the expression form and this one is pinned equal
+    on the test fixtures."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = B.shape
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def enc(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((M.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = M[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d, axis=1)  # ties -> lowest index
+        return pd.Series([row.tolist() for row in out], dtype=object)
+
+    return pandas_udf(enc, "array<int>")
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """(id, codes: array<int>) — each vector compressed to ``m`` small
     codes (ksub<=256 → one byte of information each): the 100 TB trick
     is that the CORPUS never ships floats again; scoring reads m bytes
-    per vector.  Pure expression over the scan — no shuffle, no UDF."""
+    per vector.  One projection over the scan — no shuffle; pure
+    expression by default, Arrow-batched numpy with ``use_arrow``."""
+    if use_arrow:
+        return df.select(
+            F.col(id_col).alias("id"),
+            _arrow_pq_encoder(codebooks)(_as_dl(vec_col)).alias("codes"),
+        )
     dsub = len(codebooks[0][0])
     return df.select(
         F.col(id_col).alias("id"),
@@ -557,6 +595,7 @@ def pq_top_k(
     ksub: int = 16,
     refine_iters: int = 0,
     codebooks: list[list[list[float]]] | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance (ADC): the corpus is
     scored through its ``m`` codes against per-query lookup tables —
@@ -575,9 +614,9 @@ def pq_top_k(
     )
     m = len(books)
     dsub = len(books[0][0])
-    enc = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
-    )
+    enc = pq_encode(
+        corpus, books, id_col, vec_col, use_arrow=use_arrow
+    ).withColumnRenamed("id", "neighbor_id")
 
     # per-query LUT: for each subspace, array of squared L2 distances
     # from the query's sub-vector to each centroid (one expression)
@@ -712,13 +751,20 @@ def ivf_pq_top_k(
             "__pqv"
         ),
     )
-    cb = enc_src.select(
-        "neighbor_id",
-        "__cell",
-        F.array(
-            *[_pq_sub_code("__pqv", books[j], j, dsub) for j in range(m)]
-        ).alias("codes"),
-    )
+    if use_arrow:
+        cb = enc_src.select(
+            "neighbor_id",
+            "__cell",
+            _arrow_pq_encoder(books)(F.col("__pqv")).alias("codes"),
+        )
+    else:
+        cb = enc_src.select(
+            "neighbor_id",
+            "__cell",
+            F.array(
+                *[_pq_sub_code("__pqv", books[j], j, dsub) for j in range(m)]
+            ).alias("codes"),
+        )
 
     # Queries: top-nprobe cells by centroid cosine (same ranking rule
     # as ivf_top_k), then ONE ADC lookup table per (query, cell) from

@@ -565,6 +565,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str):
     from ic_spark.operators.similarity import pq_top_k
 
     e = load_table(spark, sf_dir, "embeddings")
+    # Arrow code assignment: one numpy broadcast per subspace instead
+    # of m x ksub interpreted HOF aggregates per row (pinned equal to
+    # the expression path in tests, the _arrow_cell_assigner trade).
     return pq_top_k(
         e,
         e.where(F.col("vec_id") < 5),
@@ -573,6 +576,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str):
         k=10,
         m=8,
         ksub=16,
+        use_arrow=True,
     )
 
 

@@ -2402,3 +2402,20 @@ def test_flac_corrupt_is_none():
     mut[second + 3] ^= 0x41
     got = decode_flac(bytes(mut))
     assert got is None or got[0].shape[0] <= 200
+
+
+def test_pq_arrow_encoder_equals_expression(spark):
+    """The Arrow PQ encoder (numpy batch argmin) assigns the same codes
+    as the expression path on the fixture embeddings — same seeds, same
+    tie rule (lowest index)."""
+    from ic_spark.operators.similarity import pq_codebooks, pq_encode
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(e, "vec_id", "embedding", m=8, ksub=16)
+    expr = {r.id: r.codes for r in pq_encode(e, books).collect()}
+    arrow = {
+        r.id: r.codes for r in pq_encode(e, books, use_arrow=True).collect()
+    }
+    assert expr == arrow
