@@ -8,7 +8,8 @@ subframe types CONSTANT / VERBATIM / FIXED (orders 0-4) / LPC (any
 order, quantized coefficients with signed shift), Rice-coded residual
 partitions (4- and 5-bit parameter methods, escape-to-raw), wasted
 bits, and inter-channel decorrelation (left/side, right/side,
-mid/side).  Ogg-encapsulated FLAC returns None.
+mid/side).  FLAC-in-Ogg is supported via the xiph Ogg mapping
+(page walk + packet lacing reassembly feeding the native decoder).
 
 FLAC is lossless, so the validation is exact: tests/flacref.py carries
 an INDEPENDENT encoder (constant/verbatim/fixed subframes, Rice
@@ -217,10 +218,48 @@ def _subframe(bits: _FBits, bs: int, bps: int) -> list[int]:
     return samples
 
 
+def _ogg_flac_to_native(b: bytes):
+    """Rebuild a native FLAC stream from FLAC-in-Ogg encapsulation
+    (xiph Ogg mapping): walk Ogg pages, reassemble packets via the
+    segment lacing, strip the 9-byte 0x7F"FLAC" mapping prefix off the
+    first packet — the remaining packet concatenation IS the native
+    layout (metadata blocks then frames)."""
+    packets = []
+    cur = bytearray()
+    i = 0
+    while i + 27 <= len(b):
+        if b[i : i + 4] != b"OggS":
+            break
+        nsegs = b[i + 26]
+        table = b[i + 27 : i + 27 + nsegs]
+        off = i + 27 + nsegs
+        for s in table:
+            cur += b[off : off + s]
+            off += s
+            if s < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        i = off
+    if cur:
+        packets.append(bytes(cur))
+    if not packets or not packets[0].startswith(b"\x7fFLAC"):
+        return None
+    native = bytearray(packets[0][9:])
+    if not native.startswith(b"fLaC"):
+        return None
+    for p in packets[1:]:
+        native += p
+    return bytes(native)
+
+
 def decode_flac(b: bytes):
-    """Decode a native FLAC stream → ``(samples, rate, channels)`` with
-    samples as a ``(frames, channels)`` int32 numpy array, or None."""
+    """Decode a native or Ogg-encapsulated FLAC stream → ``(samples,
+    rate, channels)`` with samples as a ``(frames, channels)`` int32
+    numpy array, or None."""
     try:
+        if b[:4] == b"OggS":
+            native = _ogg_flac_to_native(b)
+            return None if native is None else _decode_flac(native)
         return _decode_flac(b)
     except (ValueError, IndexError, KeyError):
         return None

@@ -787,7 +787,9 @@ def decode_audio_samples(payload: bytes | None):
     if not payload:
         return None
     b = bytes(payload)
-    if b[:4] == b"fLaC":
+    if b[:4] == b"fLaC" or (
+        b[:4] == b"OggS" and b"\x7fFLAC" in b[:128]
+    ):
         from ic_spark.operators.flac_codec import decode_flac
 
         got = decode_flac(b)

@@ -548,3 +548,23 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return quality_logreg_score(d, "doc_id", "text")
+
+
+@query("text_bpe_subword_tokenize", oracle=None)
+def text_bpe_subword_tokenize(spark: SparkSession, sf_dir: str):
+    """Corpus-trained BPE subword tokenization (operators/bpe.py):
+    ONE distributed word-count pass learns the merge list (indexed
+    Sennrich loop on the count-capped vocab), one mapInPandas pass
+    applies it (GPT-2 greedy lowest-rank-first).  Rows-only check
+    (iterative training has no SQL analog); merge learning is pinned
+    EXACTLY equal to a naive recount reference and the apply rule to a
+    hand-walked reference in tests/test_operators.py."""
+    from ic_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=200)
+    return bpe_encode(d, "text", merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.slice("bpe_tokens", 1, 8).alias("head_tokens"),
+    )

@@ -2419,3 +2419,146 @@ def test_pq_arrow_encoder_equals_expression(spark):
         r.id: r.codes for r in pq_encode(e, books, use_arrow=True).collect()
     }
     assert expr == arrow
+# staged: appended to tests/test_operators.py after bench completes
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """Distributed BPE learning (one word-count pass + indexed driver
+    merge loop) produces EXACTLY the merges of a naive
+    recount-per-iteration reference implementation on the same word
+    counts — same (count, pair) tie-break — and the merges are
+    deterministic across runs."""
+    from collections import defaultdict
+
+    from ic_spark.operators.bpe import bpe_train
+
+    rows = [
+        (i, " ".join(["low lower lowest newer wider new news"] * (i % 3 + 1)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=24)
+    again = bpe_train(df, "text", n_merges=24)
+    assert merges == again and len(merges) > 8
+
+    # naive reference over the same word counts
+    wc = defaultdict(int)
+    for _, t in rows:
+        for w in t.split():
+            wc[w] += 1
+    vocab = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+    ref = []
+    for _ in range(24):
+        pc = defaultdict(int)
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), cnt = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        ref.append((a, b))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert merges == ref
+
+
+def test_bpe_encode_greedy_rank_order(spark):
+    """bpe_encode applies merges lowest-rank-first per word (the GPT-2
+    apply rule); token counts match a hand-walked reference; unseen
+    characters survive as singletons."""
+    from ic_spark.operators.bpe import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "aa aa aa ab"), (2, "aa ab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, "text", n_merges=4)
+    assert ("a", "a") in merges  # the dominant pair merges
+
+    docs = spark.createDataFrame(
+        [(10, "aa ab zz"), (11, "aaaa")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(docs, "text", merges).collect()
+    }
+    # every token list rebuilds the source words
+    for did, (toks, n) in out.items():
+        assert n == len(toks)
+        text = dict([(10, "aa ab zz"), (11, "aaaa")])[did]
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == text.replace(" ", " ").strip()
+
+    # greedy rank order: ranks of ("a","a") merges "aaaa" pairwise
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_word(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i, (a, b) in enumerate(zip(syms, syms[1:])):
+                r = ranks.get((a, b))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    want_11 = ref_word("aaaa")
+    assert out[11][0] == want_11
+    want_10 = ref_word("aa") + ref_word("ab") + ref_word("zz")
+    assert out[10][0] == want_10
+
+
+def test_flac_in_ogg_roundtrip():
+    """FLAC-in-Ogg: pages reassembled via segment lacing, mapping
+    prefix stripped, native decode reproduces the samples exactly —
+    including a frame packet split across pages (255-lacing)."""
+    import numpy as np
+
+    from flacref import encode_flac
+    from ic_spark.operators.flac_codec import decode_flac
+    from ic_spark.operators.multimodal import decode_audio_samples
+
+    samples = [int(100 * np.sin(i / 3)) for i in range(1000)]
+    native = encode_flac([samples], block_size=64)
+    # split: fLaC + STREAMINFO block in packet 1, frames as packet 2
+    meta_len = 4 + 4 + 34  # magic + block header + STREAMINFO
+    first = b"\x7fFLAC\x01\x00\x00\x00" + native[:meta_len]
+    frames = native[meta_len:]
+
+    def page(payload, seq, header_type=0):
+        # lacing: 255-chunks + terminator (may itself be 255-split)
+        lac = []
+        rest = payload
+        while True:
+            take = min(255, len(rest))
+            lac.append(take)
+            rest = rest[take:]
+            if take < 255:
+                break
+        hdr = (
+            b"OggS" + bytes([0, header_type]) + b"\x00" * 8
+            + (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([len(lac)]) + bytes(lac)
+        )
+        return hdr + payload
+
+    ogg = page(first, 0, 2) + page(frames, 1, 4)
+    got = decode_flac(ogg)
+    assert got is not None
+    arr, rate, nch = got
+    assert (arr[:, 0] == np.asarray(samples)).all() and rate == 8000
+    # public audio surface routes Ogg-FLAC too
+    via = decode_audio_samples(ogg)
+    assert via is not None and (via[0][:, 0] == np.asarray(samples)).all()
