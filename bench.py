@@ -179,6 +179,11 @@ SF1_PROBE_QUERIES = [
     "mor_full_merge_on_read",
     "sim_ivf_topk",
     "q5_local_supplier_volume",
+    # r6 flagship additions: scale-tracked at 10x alongside their
+    # headline rows (PQ scan-compression and the CDC scan are the two
+    # newest 100 TB claims).
+    "sim_pq_topk",
+    "mor_changelog_scan",
 ]
 # fact table -> key columns shifted by replica*SF1_SHIFT
 SF1_FACTS = {
