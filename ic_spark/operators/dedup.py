@@ -349,12 +349,14 @@ def token_jaccard_pairs(
         salt,
         detect_sample,
         max_hot_collect,
+        # A failed semanticHash (None) must disable memoization, not
+        # become part of the key — ('jaccard', None, …) would collide
+        # across unrelated DataFrames with the same params and hand a
+        # hot corpus a stale foreign probe.
         memo_key=(
-            "jaccard",
-            _plan_key(df),
-            tuple(block_cols),
-            subblock_target,
-            detect_sample,
+            None
+            if (_pk := _plan_key(df)) is None
+            else ("jaccard", _pk, tuple(block_cols), subblock_target, detect_sample)
         ),
     )
     if hot_df is None:
@@ -786,14 +788,13 @@ def minhash_lsh_candidates(
         salt,
         detect_sample,
         max_hot_collect,
+        # None plan key ⇒ no memoization (see the jaccard site): a
+        # key containing None is still hashable and would alias
+        # unrelated corpora sharing these params.
         memo_key=(
-            "lsh",
-            _plan_key(signatures),
-            bands,
-            rows_per_band,
-            portable,
-            bucket_target,
-            detect_sample,
+            None
+            if (_pk := _plan_key(signatures)) is None
+            else ("lsh", _pk, bands, rows_per_band, portable, bucket_target, detect_sample)
         ),
     )
     if hot_df is None:

@@ -19,8 +19,9 @@ nimtable/IC has no media surface at all — this extends the engine's
 training-data ingest the way sources/avro_io.py extends its formats).
 
 Corrupt/truncated payloads return None (bad bytes are data, not
-errors, in a 100 TB ingest); a CRC-8 header mismatch ends the stream
-at the last good frame.
+errors, in a 100 TB ingest); a CRC-8 header mismatch, a CRC-16
+frame-footer mismatch, or a reserved sample-size code ends the stream
+at the last fully-verified frame.
 """
 
 from __future__ import annotations
@@ -80,15 +81,29 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16 poly 0x8005, init 0 — the frame-footer CRC."""
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
+def _crc16_table() -> list:
+    tbl = []
+    for byte in range(256):
+        crc = byte << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
             )
+        tbl.append(crc)
+    return tbl
+
+
+_CRC16_TABLE = _crc16_table()
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0 — the frame-footer CRC.  Table-driven:
+    it runs over every frame byte (unlike CRC-8's ~6-byte header), so a
+    per-bit loop would double the whole decode cost."""
+    crc = 0
+    tbl = _CRC16_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[(crc >> 8) ^ byte]
     return crc
 
 
@@ -330,42 +345,64 @@ def _decode_flac(b: bytes):
             bits.read(16)
         elif sr_code == 15:
             raise ValueError("flac: invalid sample rate code")
-        bps = info["bps"] if ss_code == 0 else _SAMPLE_SIZES[ss_code]
+        if ss_code == 0:
+            bps = info["bps"]
+        else:
+            bps = _SAMPLE_SIZES.get(ss_code)
+            if bps is None:
+                # Reserved sample-size code (3): almost certainly a
+                # desync/corruption, not a real header — degrade like a
+                # CRC mismatch (keep frames decoded so far) instead of
+                # raising and nulling the whole file.
+                break
         # CRC-8 covers the header bytes up to (not including) the crc
         bits.align()
         header_end = bits.i
         crc = bits.read(8)
         if _crc8(b[pos:header_end]) != crc:
             break  # desync/corruption: end at the last good frame
-        if ch_code <= 7:
-            nch = ch_code + 1
-            if nch != info["channels"]:
-                raise ValueError("flac: channel count mismatch")
-            frame = [_subframe(bits, bs, bps) for _ in range(nch)]
-        elif ch_code in (8, 9, 10):
-            if info["channels"] != 2:
-                raise ValueError("flac: stereo decorrelation on non-stereo")
-            if ch_code == 8:  # left/side
-                left = _subframe(bits, bs, bps)
-                side = _subframe(bits, bs, bps + 1)
-                frame = [left, [l - s for l, s in zip(left, side)]]
-            elif ch_code == 9:  # right/side
-                side = _subframe(bits, bs, bps + 1)
-                right = _subframe(bits, bs, bps)
-                frame = [[r + s for r, s in zip(right, side)], right]
-            else:  # mid/side
-                mid = _subframe(bits, bs, bps)
-                side = _subframe(bits, bs, bps + 1)
-                left, right = [], []
-                for m, s in zip(mid, side):
-                    mm = (m << 1) | (s & 1)
-                    left.append((mm + s) >> 1)
-                    right.append((mm - s) >> 1)
-                frame = [left, right]
-        else:
-            raise ValueError("flac: reserved channel assignment")
-        bits.align()
-        bits.read(16)  # frame CRC-16 (not verified; header CRC gates)
+        # Past a CRC-8-verified header, a structural error in the body
+        # (reserved subframe type, bit-reader overrun from corrupt Rice
+        # params, impossible channel layout) IS body corruption — the
+        # same class the footer CRC-16 exists to catch.  Degrade
+        # identically: drop this frame, keep the verified ones.
+        try:
+            if ch_code <= 7:
+                nch = ch_code + 1
+                if nch != info["channels"]:
+                    raise ValueError("flac: channel count mismatch")
+                frame = [_subframe(bits, bs, bps) for _ in range(nch)]
+            elif ch_code in (8, 9, 10):
+                if info["channels"] != 2:
+                    raise ValueError("flac: stereo decorrelation on non-stereo")
+                if ch_code == 8:  # left/side
+                    left = _subframe(bits, bs, bps)
+                    side = _subframe(bits, bs, bps + 1)
+                    frame = [left, [l - s for l, s in zip(left, side)]]
+                elif ch_code == 9:  # right/side
+                    side = _subframe(bits, bs, bps + 1)
+                    right = _subframe(bits, bs, bps)
+                    frame = [[r + s for r, s in zip(right, side)], right]
+                else:  # mid/side
+                    mid = _subframe(bits, bs, bps)
+                    side = _subframe(bits, bs, bps + 1)
+                    left, right = [], []
+                    for m, s in zip(mid, side):
+                        mm = (m << 1) | (s & 1)
+                        left.append((mm + s) >> 1)
+                        right.append((mm - s) >> 1)
+                    frame = [left, right]
+            else:
+                raise ValueError("flac: reserved channel assignment")
+            bits.align()
+            footer_start = bits.i
+            fcrc = bits.read(16)
+        except (ValueError, IndexError, KeyError):
+            break
+        if _crc16(b[pos:footer_start]) != fcrc:
+            # Frame-body corruption the header CRC can't see: drop THIS
+            # frame's samples and end at the last verified frame.
+            break
         for c, samples in enumerate(frame):
             chans[c].extend(samples)
         decoded += bs

@@ -2,11 +2,20 @@
 
 Media items are opaque ``binary`` payloads plus a typed metadata
 struct.  All Spark-side mechanics are real — schema, Arrow-batched
-``mapInPandas`` transforms, partition sizing — while the codec calls
-themselves are stubbed (the image/audio libraries are not in this
-container): decode either raises ``NotImplementedError`` (strict mode)
-or produces a deterministic fake derived from the payload bytes, so
-the pipeline shape is testable end to end.
+``mapInPandas`` transforms, partition sizing — and so are the common
+codecs, implemented pure-Python/numpy in-repo (no external media
+libraries):
+
+- REAL decode: baseline + progressive JPEG (``jpeg_codec.py``),
+  PNG incl. 16-bit, GIF (static + animated frame compositing with
+  disposal 0-3), BMP, PPM/PGM, WAV-PCM, FLAC native and
+  Ogg-encapsulated (``flac_codec.py``, CRC-8/CRC-16 verified), and
+  MJPEG-AVI / animated-GIF frame extraction for video sampling.
+- GATED (strict mode raises ``NotImplementedError``; non-strict
+  produces a clearly-marked deterministic fake derived from the
+  payload bytes): MP3, Ogg-Vorbis, AAC, H.264/H.265 — see README
+  "operating limits".  Corrupt/truncated payloads of REAL formats
+  decode to None (bad bytes are data, not errors, at 100 TB).
 
 Scale notes baked into the design:
 
@@ -149,8 +158,19 @@ def parse_media_header(payload: bytes | None) -> dict:
                 }
         # FLAC: "fLaC" magic; STREAMINFO (first metadata block) packs
         # rate(20) channels(3) bps(5) total_samples(36) after the
-        # block-size/frame-size fields.
-        if b[:4] == b"fLaC" and len(b) >= 8 + 18:
+        # block-size/frame-size fields.  Ogg-encapsulated FLAC (RFC
+        # 3533 "OggS" page whose first packet is "\x7fFLAC" + the
+        # native fLaC stream) is the same container payload at an
+        # offset — locate the embedded signature and parse from there.
+        off = None
+        if b[:4] == b"fLaC":
+            off = 0
+        elif b[:4] == b"OggS" and b"\x7fFLAC" in b[:128]:
+            idx = b.find(b"fLaC", 0, 256)
+            if idx >= 0:
+                off = idx
+        if off is not None and len(b) >= off + 8 + 18:
+            b = b[off:]
             btype = b[4] & 0x7F
             size = int.from_bytes(b[5:8], "big")
             if btype == 0 and size >= 34 and len(b) >= 8 + 18:
@@ -685,6 +705,9 @@ def _gif_frames(b: bytes):
                     return None
                 sub = idx[: y1 - top, : x1 - left]
                 region = canvas[top:y1, left:x1]
+                # Disposal 3 (restore to previous) needs the pre-draw
+                # pixels back after this frame is emitted.
+                prev_region = region.copy() if disposal == 3 else None
                 px = pal[sub]
                 if transparent is not None:
                     mask = sub != transparent
@@ -695,6 +718,8 @@ def _gif_frames(b: bytes):
                 ts += max(delay_ms, 10)
                 if disposal == 2:  # restore to background
                     canvas[top:y1, left:x1] = 0
+                elif disposal == 3:  # restore to previous
+                    canvas[top:y1, left:x1] = prev_region
                 transparent = None
                 delay_ms = 0
                 disposal = 0
@@ -853,7 +878,16 @@ def _real_decode(payload: bytes | None) -> str | None:
         x = samples.astype("float64")
         rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
         peak = int(np.abs(samples).max()) if samples.size else 0
-        fmt = "flac" if bytes(payload)[:4] == b"fLaC" else "wav-pcm"
+        hdr = bytes(payload)
+        # Native fLaC and Ogg-encapsulated FLAC both decode through
+        # flac_codec; label them identically so the feature string is
+        # container-independent.
+        fmt = (
+            "flac"
+            if hdr[:4] == b"fLaC"
+            or (hdr[:4] == b"OggS" and b"\x7fFLAC" in hdr[:128])
+            else "wav-pcm"
+        )
         return (
             f"{fmt}-{rate}hz-{channels}ch-n{samples.shape[0]}"
             f"-rms{rms:.3f}-peak{peak}"

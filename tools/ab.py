@@ -1,5 +1,14 @@
-"""Same-host A/B helper: time dedup_minhash_lsh + dedup_token_jaccard
-headlines at sf0.1, min-of-3.  Run against different checkouts."""
+"""Same-host A/B benchmarking helper.
+
+Times registry queries at sf0.1, min-of-3, after the same JVM/Python
+warmup bench.py uses.  Run the SAME invocation against two checkouts
+(e.g. a worktree of the previous round) back-to-back on one host to
+compare implementations — cross-day absolute numbers are meaningless
+here (CPU-steal bursts); bench.py's 512M-row xxhash64 calibration
+anchor (``CALIBRATION_REF``) is the cross-day normalizer instead.
+
+Usage: python tools/ab.py [SF_DIR] [name1,name2,...]
+"""
 import sys
 import time
 
