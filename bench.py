@@ -39,6 +39,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CALIBRATION_REF = 0.302
 CALIBRATION_ROWS = 512_000_000
 
+# The exact headline set benchmarked in round 6 (BENCH_r06.json).  New
+# headline queries are still timed and counted in `value`, but
+# `value_comparable_r6` sums ONLY these, so round-over-round
+# like-for-like comparison is a file read, not a recomputation.
+COMPARABLE_R6 = frozenset(
+    {
+        "asof_join_latest_order", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_substring_spans", "dedup_token_jaccard",
+        "events_tumbling_window", "mor_changelog_scan",
+        "mor_equality_delete", "mor_full_merge_on_read",
+        "mor_position_delete", "pipeline_decontaminate",
+        "pipeline_prepare_training", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_revenue_forecast", "sim_bruteforce_topk", "sim_ivf_topk",
+        "sim_ivf_topk_expr", "sim_pq_topk", "text_pii_scrub",
+        "window_topk_revenue_per_brand",
+    }
+)
+
 
 def calibration_secs(spark, reps: int = 4) -> float:
     best = float("inf")
@@ -93,6 +112,9 @@ def main() -> None:
         print(f"# {q.name}: {timings[q.name]}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    comparable = round(
+        sum(t for n, t in timings.items() if n in COMPARABLE_R6), 3
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     calib = calibration_secs(spark)
     print(f"# calibration: {calib}s (ref {CALIBRATION_REF}s)", file=sys.stderr)
@@ -105,6 +127,10 @@ def main() -> None:
         "calibration": calib,
         "calibration_ref": CALIBRATION_REF,
         "value_normalized": round(total * CALIBRATION_REF / calib, 3),
+        "value_comparable_r6": comparable,
+        "value_comparable_r6_normalized": round(
+            comparable * CALIBRATION_REF / calib, 3
+        ),
     }
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
@@ -184,6 +210,9 @@ SF1_PROBE_QUERIES = [
     # newest 100 TB claims).
     "sim_pq_topk",
     "mor_changelog_scan",
+    # r7: the composed IVFADC layout became headline (VERDICT r6 #6);
+    # its 10x behavior is the flagship-ANN scale claim.
+    "sim_ivfpq_topk",
 ]
 # fact table -> key columns shifted by replica*SF1_SHIFT
 SF1_FACTS = {

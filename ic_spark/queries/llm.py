@@ -580,15 +580,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_ivfpq_topk", oracle=None)
+@query("sim_ivfpq_topk", oracle=None, headline=True)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
     """IVF-PQ composed ANN (operators/similarity.py::ivf_pq_top_k —
     the IVFADC layout): coarse cells prune the scan to ~nprobe/nlist
     of the corpus, PQ codes of the cell RESIDUAL collapse scoring to m
     array lookups, one Lloyd round tightens the codebooks.  Rows-only
     check; code/ADC arithmetic, cluster retrieval and the
-    recall-vs-brute-force floor are pinned in
-    tests/test_operators.py."""
+    recall-vs-brute-force floor are pinned in tests/test_operators.py.
+    Headline since r7 (VERDICT r6 #6): this is the flagship ANN layout,
+    so a perf regression in it must be driver-visible; the r6-comparable
+    22-query subtotal is emitted separately by bench.py."""
     from ic_spark.operators.similarity import ivf_pq_top_k
 
     e = load_table(spark, sf_dir, "embeddings")
