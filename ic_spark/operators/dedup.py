@@ -502,25 +502,7 @@ def substring_dup_spans(
     suffix array needed — coverage at k-gram granularity gives the
     same spans for any duplicated substring of length >= k.
     """
-    toks = tokens(F.col(content_col))
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t")).where(
-        F.size("__t") >= k
-    )
-    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i") + 1, k))
-    grams = (
-        base.select(
-            "doc_id",
-            F.posexplode(F.sequence(F.lit(0), F.size("__t") - k)).alias(
-                "__x", "__i"
-            ),
-            "__t",
-        )
-        .select(
-            "doc_id",
-            (F.col("__i") + 1).alias("pos"),
-            (F.xxhash64(gram) if hash_grams else gram).alias("__g"),
-        )
-    )
+    grams = _doc_grams(df, id_col, content_col, k, hash_grams)
     dup = (
         grams.select("__g", "doc_id")
         .distinct()
@@ -530,6 +512,38 @@ def substring_dup_spans(
         .select("__g")
     )
     hits = grams.join(dup, on="__g", how="left_semi")
+    return _merge_islands(hits, k)
+
+
+def _doc_grams(
+    df: DataFrame, id_col: str, content_col: str, k: int, hash_grams: bool
+) -> DataFrame:
+    """(doc_id, pos, __g): every k-gram of every document, positions
+    1-based — the ONE gram derivation shared by the batch and the
+    incremental substring-span paths (divergence here would make them
+    disagree on what counts as a repeated span)."""
+    toks = tokens(F.col(content_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t")).where(
+        F.size("__t") >= k
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i") + 1, k))
+    return base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.size("__t") - k)).alias(
+            "__x", "__i"
+        ),
+        "__t",
+    ).select(
+        "doc_id",
+        (F.col("__i") + 1).alias("pos"),
+        (F.xxhash64(gram) if hash_grams else gram).alias("__g"),
+    )
+
+
+def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated-gram HIT positions into
+    (doc_id, span_start, span_end, span_tokens) — a window over each
+    doc's hits only (duplicated grams, never all grams)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
@@ -550,6 +564,96 @@ def substring_dup_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def substring_gram_index(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 8,
+    hash_grams: bool = True,
+    base_index: DataFrame | None = None,
+) -> DataFrame:
+    """(gram, doc_freq): distinct-document frequency of every k-gram —
+    the COMMITTED index the incremental substring-span path probes, so
+    continuous ingest never re-reads corpus text.
+
+    Pass ``base_index`` (a previous call's output) to fold a new batch
+    in: frequencies ADD because each document is indexed exactly once
+    (``read_incremental`` hands over exactly the files a snapshot range
+    appended), so distinct-doc counts over disjoint doc sets sum.
+
+    Scale shape: the index is (8-byte hash, long) — ~16 bytes per
+    distinct gram vs re-tokenizing corpus text per batch; the update is
+    one aggregate over the NEW batch plus a sum-merge with the old
+    index, both on the compact key.
+    """
+    fresh = (
+        _doc_grams(df, id_col, content_col, k, hash_grams)
+        .select("__g", "doc_id")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .select(F.col("__g").alias("gram"), "doc_freq")
+    )
+    if base_index is None:
+        return fresh
+    return (
+        base_index.select("gram", "doc_freq")
+        .unionByName(fresh)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+
+
+def incremental_substring_spans(
+    increment: DataFrame,
+    gram_index: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """:func:`substring_dup_spans` for continuous ingest: repeated-
+    substring spans in a NEW batch, with document frequency counted
+    over the committed corpus (via ``gram_index`` — a
+    :func:`substring_gram_index` over everything already ingested,
+    NOT including the increment) PLUS the increment itself.
+
+    Equivalent by construction to running the batch operator over
+    corpus ∪ increment and keeping the increment docs' rows: a gram's
+    union df is ``df_corpus + df_increment`` because each doc is
+    indexed exactly once (pinned over randomized append sequences in
+    tests/test_operators.py).  Spans in ALREADY-committed docs that
+    only now became duplicated are intentionally not re-emitted —
+    history is probed, never reprocessed (the same contract as
+    :func:`incremental_dedup`).
+
+    Scale shape: corpus text is never touched — only the compact
+    (hash, count) index joins against the increment's distinct grams
+    (broadcast when small, hash join on 8-byte keys otherwise); the
+    island merge windows over increment hits only.
+    """
+    grams = _doc_grams(increment, id_col, content_col, k, hash_grams)
+    inc_df = (
+        grams.select("__g", "doc_id")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__dfi"))
+    )
+    idx = gram_index.select(
+        F.col("gram").alias("__g"), F.col("doc_freq").alias("__dfc")
+    )
+    dup = (
+        inc_df.join(idx, "__g", "left")
+        .where(
+            F.col("__dfi") + F.coalesce(F.col("__dfc"), F.lit(0)) >= min_df
+        )
+        .select("__g")
+    )
+    hits = grams.join(dup, on="__g", how="left_semi")
+    return _merge_islands(hits, k)
 
 
 # ------------------------------------------------------- minhash + lsh

@@ -221,6 +221,64 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str):
     return substring_dup_spans(d, "doc_id", "text", k=8, min_df=2)
 
 
+@query(
+    "dedup_substring_incremental",
+    oracle="""
+    -- Incremental spans == batch-over-union restricted to the
+    -- increment's docs; corpus ∪ increment is the whole table here, so
+    -- df is counted over ALL documents and output filters to the
+    -- increment (doc_id % 4 = 0).
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks)
+    ),
+    dup AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE g IN (SELECT g FROM dup) AND doc_id % 4 = 0
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 8 - MIN(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str):
+    """Continuous-ingest repeated-substring spans (operators/dedup.py::
+    incremental_substring_spans): the committed corpus (doc_id % 4 !=
+    0) is reduced to a (gram-hash, doc_freq) index once; the new batch
+    (doc_id % 4 == 0) probes it plus its own grams — corpus text never
+    re-read.  Streaming == batch is additionally pinned over randomized
+    append sequences in tests/test_operators.py."""
+    from ic_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_gram_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    inc = d.where(F.col("doc_id") % 4 == 0)
+    idx = substring_gram_index(corpus, "doc_id", "text", k=8)
+    return incremental_substring_spans(inc, idx, "doc_id", "text", k=8, min_df=2)
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str):
     """64-bit SimHash fingerprint per document — the production path

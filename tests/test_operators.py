@@ -137,6 +137,101 @@ def test_substring_dup_spans_exact(spark):
     assert got2 == [(1, 1, 10, 10), (1, 20, 29, 10), (2, 1, 10, 10)]
 
 
+def test_incremental_substring_spans_matches_batch(spark):
+    """Streaming == batch over a randomized append sequence: for each
+    appended batch, incremental spans (probing the committed gram
+    index) equal the batch operator over corpus-so-far ∪ batch
+    restricted to the batch's docs; the fold-in index equals a
+    from-scratch rebuild."""
+    import random
+
+    from ic_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_dup_spans,
+        substring_gram_index,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    runs = [
+        " ".join(rng.choices(vocab, k=rng.randint(9, 14))) for _ in range(6)
+    ]
+
+    def make_doc(doc_id):
+        # mix unique filler with 0-2 shared runs at random offsets
+        parts = [f"u{doc_id}x{j}" for j in range(rng.randint(0, 6))]
+        for _ in range(rng.randint(0, 2)):
+            parts.append(rng.choice(runs))
+            parts.extend(
+                f"u{doc_id}y{j}" for j in range(rng.randint(0, 4))
+            )
+        return (doc_id, " ".join(parts) if parts else "a b c")
+
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [make_doc(i) for i in range(next_id, next_id + n)]
+        next_id += n
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = batch(8)
+    index = substring_gram_index(corpus, "doc_id", "text", k=8)
+    seen = corpus
+    for _ in range(3):
+        inc = batch(rng.randint(3, 6))
+        inc_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+        got = sorted(
+            map(
+                tuple,
+                incremental_substring_spans(
+                    inc, index, "doc_id", "text", k=8
+                ).collect(),
+            )
+        )
+        union = seen.unionByName(inc)
+        want = sorted(
+            tuple(r)
+            for r in substring_dup_spans(
+                union, "doc_id", "text", k=8
+            ).collect()
+            if r.doc_id in inc_ids
+        )
+        assert got == want
+        # commit: fold the batch into the index; must equal a rebuild
+        index = substring_gram_index(
+            inc, "doc_id", "text", k=8, base_index=index
+        )
+        seen = union
+        rebuilt = substring_gram_index(seen, "doc_id", "text", k=8)
+        assert sorted(map(tuple, index.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+    # hashed and string-gram index paths agree on the final batch
+    idx_s = substring_gram_index(
+        seen.where("doc_id < 8"), "doc_id", "text", k=8, hash_grams=False
+    )
+    inc_s = seen.where("doc_id >= 8")
+    got_s = sorted(
+        map(
+            tuple,
+            incremental_substring_spans(
+                inc_s, idx_s, "doc_id", "text", k=8, hash_grams=False
+            ).collect(),
+        )
+    )
+    idx_h = substring_gram_index(seen.where("doc_id < 8"), "doc_id", "text", k=8)
+    got_h = sorted(
+        map(
+            tuple,
+            incremental_substring_spans(
+                inc_s, idx_h, "doc_id", "text", k=8
+            ).collect(),
+        )
+    )
+    assert got_s == got_h
+
+
 def test_remove_contaminated_spans_exact(spark):
     """Known construction: the eval-quoted run is cut (plus the k-gram
     coverage tail), clean docs survive untouched, a fully-contaminated
