@@ -9,13 +9,18 @@ libraries):
 - REAL decode: baseline + progressive JPEG (``jpeg_codec.py``),
   PNG incl. 16-bit, GIF (static + animated frame compositing with
   disposal 0-3), BMP, PPM/PGM, WAV-PCM, FLAC native and
-  Ogg-encapsulated (``flac_codec.py``, CRC-8/CRC-16 verified), and
-  MJPEG-AVI / animated-GIF frame extraction for video sampling.
+  Ogg-encapsulated (``flac_codec.py``, CRC-8/CRC-16 verified),
+  Ogg-Vorbis (``vorbis_codec.py`` — floor 1, residues 0/1/2,
+  square-polar coupling, block switching), and MJPEG-AVI /
+  animated-GIF frame extraction for video sampling.
 - GATED (strict mode raises ``NotImplementedError``; non-strict
   produces a clearly-marked deterministic fake derived from the
-  payload bytes): MP3, Ogg-Vorbis, AAC, H.264/H.265 — see README
-  "operating limits".  Corrupt/truncated payloads of REAL formats
-  decode to None (bad bytes are data, not errors, at 100 TB).
+  payload bytes): MP3, AAC, H.264/H.265 — see README "operating
+  limits" for why these are gated rather than implemented (their
+  normative code tables exist only as published table data with no
+  authoritative copy here; Vorbis is self-describing, so it could be
+  implemented conformantly).  Corrupt/truncated payloads of REAL
+  formats decode to None (bad bytes are data, not errors, at 100 TB).
 
 Scale notes baked into the design:
 
@@ -189,6 +194,31 @@ def parse_media_header(payload: bytes | None) -> dict:
                 "width": None,
                 "height": None,
                 "duration_ms": None,
+            }
+        # Ogg-Vorbis: the first packet is "\x01vorbis" + the ID header
+        # (u32 version, u8 channels, u32 rate LE, ...); duration comes
+        # from the LAST page's granule position (total PCM samples).
+        if b[:4] == b"OggS" and b"\x01vorbis" in b[:128]:
+            idx = b.find(b"\x01vorbis")
+            rate = None
+            if len(b) >= idx + 16:
+                rate = int.from_bytes(b[idx + 12 : idx + 16], "little")
+            granule = None
+            i = 0
+            while i + 27 <= len(b) and b[i : i + 4] == b"OggS":
+                g = int.from_bytes(b[i + 6 : i + 14], "little", signed=True)
+                if g > 0:
+                    granule = g
+                nsegs = b[i + 26]
+                i += 27 + nsegs + sum(b[i + 27 : i + 27 + nsegs])
+            dur = (
+                granule * 1000 // rate if rate and granule else None
+            )
+            return {
+                "format": "vorbis",
+                "width": None,
+                "height": None,
+                "duration_ms": dur,
             }
         # MP4 / ISO-BMFF: walk top-level boxes to moov, then mvhd
         # (timescale + duration) and the first tkhd (track width/height
@@ -801,12 +831,16 @@ def decode_pixels(payload: bytes | None):
 
 def decode_audio_samples(payload: bytes | None):
     """Pure-Python sample decode for PCM WAV (8/16-bit integer PCM)
-    and FLAC payloads (operators/flac_codec.py — full native-FLAC
+    FLAC payloads (operators/flac_codec.py — full native-FLAC
     subframe/Rice/stereo-decorrelation decode, validated losslessly
-    against an independent test-side encoder).  Returns ``(samples,
-    sample_rate, channels)`` with samples as a ``(frames, channels)``
-    numpy array, or None for formats that need a real codec (mp3/ogg
-    stay behind the strict-mode gate)."""
+    against an independent test-side encoder), and Ogg-Vorbis
+    (operators/vorbis_codec.py — floor-1/residue/coupling/IMDCT decode,
+    round-trip-pinned against an independent test-side encoder, with
+    the lapped reconstruction additionally pinned bit-exact against a
+    direct-cosine reference).  Returns ``(samples, sample_rate,
+    channels)`` with samples as a ``(frames, channels)`` numpy array
+    (Vorbis floats scaled to int16 range), or None for formats that
+    need a real codec (mp3/aac stay behind the strict-mode gate)."""
     import numpy as np
 
     if not payload:
@@ -822,6 +856,17 @@ def decode_audio_samples(payload: bytes | None):
             return None
         samples, rate, channels = got
         return samples, rate, channels
+    if b[:4] == b"OggS" and b"\x01vorbis" in b[:128]:
+        from ic_spark.operators.vorbis_codec import decode_vorbis
+
+        got = decode_vorbis(b)
+        if got is None:
+            return None
+        samples, rate, channels = got
+        pcm = np.clip(
+            np.round(samples * 32767.0), -32768, 32767
+        ).astype(np.int32)
+        return pcm, rate, channels
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     try:
@@ -882,12 +927,14 @@ def _real_decode(payload: bytes | None) -> str | None:
         # Native fLaC and Ogg-encapsulated FLAC both decode through
         # flac_codec; label them identically so the feature string is
         # container-independent.
-        fmt = (
-            "flac"
-            if hdr[:4] == b"fLaC"
-            or (hdr[:4] == b"OggS" and b"\x7fFLAC" in hdr[:128])
-            else "wav-pcm"
-        )
+        if hdr[:4] == b"fLaC" or (
+            hdr[:4] == b"OggS" and b"\x7fFLAC" in hdr[:128]
+        ):
+            fmt = "flac"
+        elif hdr[:4] == b"OggS" and b"\x01vorbis" in hdr[:128]:
+            fmt = "vorbis"
+        else:
+            fmt = "wav-pcm"
         return (
             f"{fmt}-{rate}hz-{channels}ch-n{samples.shape[0]}"
             f"-rms{rms:.3f}-peak{peak}"

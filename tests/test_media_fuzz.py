@@ -33,6 +33,7 @@ _PREFIXES = [
     b"RIFF1234WAVE",
     b"RIFF\x10\x00\x00\x00AVI ",
     b"fLaC",
+    b"OggS\x00\x02" + b"\x00" * 20 + b"\x01\x01vorbis",
     (100).to_bytes(4, "big") + b"ftyp",
 ]
 
@@ -64,6 +65,7 @@ def _valid_payloads():
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from flacref import encode_flac
     from jpegref import encode_jpeg, encode_progressive_jpeg
+    from vorbisref import encode_vorbis
     import numpy as np
 
     from test_operators import (
@@ -92,6 +94,9 @@ def _valid_payloads():
         encode_progressive_jpeg(g, successive=False, restart=2),
         _avi_bytes([encode_jpeg(g)] * 2),
         encode_flac([[int(i) for i in g.reshape(-1)]]),
+        encode_vorbis(
+            [np.sin(np.arange(600) / 3.0) * 0.4], rate=8000, block_size=256
+        ),
         _animated_gif_bytes(
             [[[0, 1], [1, 0]], [[1, 1], [0, 0]]],
             [(1, 2, 3), (4, 5, 6)],
