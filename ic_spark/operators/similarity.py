@@ -435,6 +435,39 @@ def semantic_dedup(
 
 # ------------------------------------------------------ product quantization
 
+def _py_nearest_cell(v: list[float], cents: list[list[float]]) -> int:
+    """Driver-side replica of :func:`_nearest_centroid_idx` (0-based):
+    the same left-to-right folds, the same precomputed centroid norms,
+    Spark's double ordering (NaN greatest) and lowest-index ties — so
+    a residual computed here is bit-identical to the expression
+    path's.  Used to derive PQ seed residuals from a handful of
+    collected rows instead of evaluating the residual projection over
+    the whole corpus just to take ``ksub`` of them."""
+    import math
+
+    vnorm = math.sqrt(_py_dot(v, v))
+    best_cos = None
+    best_ci = 0
+    for ci, c in enumerate(cents):
+        den = vnorm * math.sqrt(_py_dot(c, c))
+        num = _py_dot(v, c)
+        if den != 0.0:
+            cos = num / den
+        elif num > 0.0:
+            cos = float("inf")
+        elif num < 0.0:
+            cos = float("-inf")
+        else:
+            cos = float("nan")
+        if best_cos is None:
+            best_cos, best_ci = cos, ci
+        elif math.isnan(cos) and not math.isnan(best_cos):
+            best_cos, best_ci = cos, ci
+        elif not math.isnan(best_cos) and cos > best_cos:
+            best_cos, best_ci = cos, ci
+    return best_ci
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -442,6 +475,8 @@ def pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     refine_iters: int = 0,
+    seed_vecs: list | None = None,
+    use_arrow: bool = False,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split ``dim`` into ``m``
     subspaces of ``dim/m`` and learn ``ksub`` centroids per subspace.
@@ -452,21 +487,39 @@ def pq_codebooks(
     rounds per subspace as ONE grouped aggregation over the corpus per
     round (never a per-centroid pass).  Returns ``m × ksub × dsub``
     floats — an index parameter, KBs, broadcast-inlined downstream.
+
+    ``seed_vecs`` (ksub × dim, lowest-id order) skips the seed collect
+    — callers whose ``corpus`` carries an expensive projection (e.g.
+    IVF residuals) derive the handful of seed vectors driver-side
+    instead of evaluating the projection corpus-wide under a sort
+    (Catalyst keeps projections below Sort, so TakeOrdered cannot skip
+    them).  ``use_arrow`` swaps the refine round's code assignment to
+    the Arrow/numpy encoder (pinned code-identical at small dsub where
+    numpy's summation order equals the fold); the mean aggregation
+    stays in Spark either way.
     """
-    seeds = (
-        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(ksub)
-        .collect()
-    )
-    if not seeds:
-        raise ValueError("pq_codebooks: corpus has no rows to seed from")
-    dim = len(seeds[0].v)
+    if seed_vecs is not None:
+        if not seed_vecs:
+            raise ValueError("pq_codebooks: empty seed_vecs")
+        seed_list = [list(v) for v in seed_vecs]
+    else:
+        seeds = (
+            corpus.select(
+                F.col(id_col).alias("i"), _as_dl(vec_col).alias("v")
+            )
+            .orderBy("i")
+            .limit(ksub)
+            .collect()
+        )
+        if not seeds:
+            raise ValueError("pq_codebooks: corpus has no rows to seed from")
+        seed_list = [list(r.v) for r in seeds]
+    dim = len(seed_list[0])
     if dim % m:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
     dsub = dim // m
     books = [
-        [list(r.v[j * dsub : (j + 1) * dsub]) for r in seeds] for j in range(m)
+        [v[j * dsub : (j + 1) * dsub] for v in seed_list] for j in range(m)
     ]
     for _ in range(refine_iters):
         # One pass: explode each row into its m (subspace, code,
@@ -476,24 +529,52 @@ def pq_codebooks(
         # m × ksub rows (an index parameter).  The previous shape (a
         # single row of m·ksub·(dsub+1) conditional aggregates) built
         # a thousand-expression aggregate that dominated wall time.
-        assigned = corpus.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("__j"),
-                            _pq_sub_code(vec_col, books[j], j, dsub).alias(
-                                "__c"
-                            ),
-                            F.slice(
-                                _as_dl(vec_col), j * dsub + 1, dsub
-                            ).alias("__sv"),
-                        )
-                        for j in range(m)
-                    ]
+        if use_arrow:
+            enc = _arrow_pq_encoder(books)
+            assigned = (
+                corpus.select(
+                    enc(_as_dl(vec_col)).alias("__codes"),
+                    _as_dl(vec_col).alias("__v"),
                 )
-            ).alias("__a")
-        ).select("__a.__j", "__a.__c", "__a.__sv")
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(j).alias("__j"),
+                                    F.element_at(
+                                        F.col("__codes"), j + 1
+                                    ).alias("__c"),
+                                    F.slice(
+                                        F.col("__v"), j * dsub + 1, dsub
+                                    ).alias("__sv"),
+                                )
+                                for j in range(m)
+                            ]
+                        )
+                    ).alias("__a")
+                )
+                .select("__a.__j", "__a.__c", "__a.__sv")
+            )
+        else:
+            assigned = corpus.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("__j"),
+                                _pq_sub_code(
+                                    vec_col, books[j], j, dsub
+                                ).alias("__c"),
+                                F.slice(
+                                    _as_dl(vec_col), j * dsub + 1, dsub
+                                ).alias("__sv"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("__a")
+            ).select("__a.__j", "__a.__c", "__a.__sv")
         means = (
             assigned.groupBy("__j", "__c")
             .agg(
@@ -722,8 +803,13 @@ def ivf_pq_top_k(
         )
 
     # Codebook learning input: residuals (or raw vectors) with the
-    # original ids — pq_codebooks' deterministic lowest-id seeding and
-    # optional Lloyd rounds apply unchanged.
+    # original ids.  Seeds (the ksub lowest-id vectors) are collected
+    # RAW and residualized driver-side with the fold-identical
+    # :func:`_py_nearest_cell` replica — evaluating the residual
+    # expression corpus-wide just to TakeOrdered 16 rows was the
+    # single biggest fixed cost of this operator (Catalyst keeps the
+    # projection below the Sort).  Lloyd rounds still scan the full
+    # residual frame.
     if residual:
         train = corpus.select(
             F.col(id_col),
@@ -733,8 +819,33 @@ def ivf_pq_top_k(
         )
     else:
         train = corpus.select(F.col(id_col), _as_dl(vec_col).alias("__pqv"))
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(ksub)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("ivf_pq_top_k: corpus has no rows to seed from")
+    if residual:
+        seed_vecs = [
+            [
+                x - y
+                for x, y in zip(r.v, cents[_py_nearest_cell(list(r.v), cents)])
+            ]
+            for r in seed_rows
+        ]
+    else:
+        seed_vecs = [list(r.v) for r in seed_rows]
     books = pq_codebooks(
-        train, id_col, "__pqv", m=m, ksub=ksub, refine_iters=pq_refine_iters
+        train,
+        id_col,
+        "__pqv",
+        m=m,
+        ksub=ksub,
+        refine_iters=pq_refine_iters,
+        seed_vecs=seed_vecs,
+        use_arrow=use_arrow,
     )
     dsub = len(books[0][0])
 

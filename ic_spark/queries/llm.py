@@ -663,6 +663,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
         m=8,
         ksub=16,
         pq_refine_iters=1,
+        # the Arrow scale path (numpy cell/code assignment; at dsub=2
+        # numpy's 2-term sums equal the expression fold bit-for-bit,
+        # pinned in tests) — this is the layout the 100 TB claim cites
+        use_arrow=True,
     )
 
 

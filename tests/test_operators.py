@@ -2096,6 +2096,81 @@ def test_ivfpq_plan_no_corpus_float_shuffle(spark):
                 assert "__pqv" not in ln and "codes" not in ln, ln
 
 
+def test_ivfpq_seed_and_arrow_refine_paths_identical(spark):
+    """The r7 fixed-cost cuts must not move a single float: (a) the
+    driver-side seed residuals (_py_nearest_cell fold replica) produce
+    codebooks EXACTLY equal to pq_codebooks' own collect over the
+    residual frame; (b) the Arrow refine assignment yields the same
+    refined books as the expression path (dsub=2: numpy's 2-term sums
+    equal the left-to-right fold bit-for-bit); (c) the full operator
+    returns identical rows either way."""
+    from ic_spark.operators.similarity import (
+        _as_dl,
+        _nearest_centroid_idx,
+        _py_nearest_cell,
+        ivf_centroids,
+        ivf_pq_top_k,
+        pq_codebooks,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    nlist, m, ksub = 16, 8, 16
+    cents = ivf_centroids(e, "vec_id", "embedding", nlist)
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    train = e.select(
+        F.col("vec_id"),
+        F.zip_with(
+            _as_dl("embedding"),
+            F.element_at(cents_arr, _nearest_centroid_idx("embedding", cents)),
+            lambda x, y: x - y,
+        ).alias("__pqv"),
+    )
+    # (a) seed equivalence, exact
+    via_collect = pq_codebooks(train, "vec_id", "__pqv", m=m, ksub=ksub)
+    seed_rows = (
+        e.select(F.col("vec_id").alias("i"), _as_dl("embedding").alias("v"))
+        .orderBy("i")
+        .limit(ksub)
+        .collect()
+    )
+    seeds = [
+        [x - y for x, y in zip(r.v, cents[_py_nearest_cell(list(r.v), cents)])]
+        for r in seed_rows
+    ]
+    via_driver = pq_codebooks(
+        train, "vec_id", "__pqv", m=m, ksub=ksub, seed_vecs=seeds
+    )
+    assert via_driver == via_collect
+    # (b) refine path equivalence, exact at dsub=2
+    ref_expr = pq_codebooks(
+        train, "vec_id", "__pqv", m=m, ksub=ksub, refine_iters=1,
+        seed_vecs=seeds,
+    )
+    ref_arrow = pq_codebooks(
+        train, "vec_id", "__pqv", m=m, ksub=ksub, refine_iters=1,
+        seed_vecs=seeds, use_arrow=True,
+    )
+    assert ref_arrow == ref_expr
+    # (c) end-to-end row equality
+    q = e.where(F.col("vec_id") < 3)
+    rows_expr = sorted(
+        map(tuple, ivf_pq_top_k(e, q, k=5, pq_refine_iters=1).collect())
+    )
+    rows_arrow = sorted(
+        map(
+            tuple,
+            ivf_pq_top_k(
+                e, q, k=5, pq_refine_iters=1, use_arrow=True
+            ).collect(),
+        )
+    )
+    assert rows_expr == rows_arrow
+
+
 def test_decode_jpeg_progressive():
     """SOF2 progressive decode pinned bit-identical to the baseline
     decode of the same pixels, across successive approximation,
