@@ -154,6 +154,136 @@ def manifest_dedup_append_sink(
     return write_batch
 
 
+def manifest_span_dedup_sink(
+    doc_table: ManifestTable,
+    index_table: ManifestTable,
+    content_col: str,
+    id_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    hash_grams: bool = True,
+    spans_table: ManifestTable | None = None,
+    name: str = "spans",
+):
+    """Build a ``foreachBatch`` callable for continuous-ingest
+    repeated-substring-span dedup (the streaming shape of
+    ``substring_dup_spans``): each micro-batch's spans are flagged
+    against the committed corpus WITHOUT re-reading corpus text, then
+    the batch lands atomically.
+
+    Per batch: (1) read the gram INDEX (log-structured: every prior
+    batch appended its (gram, doc_freq) delta; one sum merges them),
+    (2) ``incremental_substring_spans`` over the batch probing index +
+    its own grams → appended to ``spans_table`` (if given), (3) the
+    batch's docs append to ``doc_table``, (4) the batch's own gram
+    delta appends to ``index_table``.
+
+    Exactly-once under foreachBatch's at-least-once replays: all three
+    appends are batch-scoped-marker idempotent, and the COMMIT ORDER
+    (spans → docs → index delta LAST) makes every crash prefix
+    consistent — span computation only ever sees the index WITHOUT the
+    current batch, so a replay recomputes byte-identical spans no
+    matter where the previous attempt died.
+
+    Scale: corpus text is touched exactly once (when its batch
+    arrived); the per-batch probe joins the batch's distinct gram
+    hashes against the compact (8-byte hash, count) index; delta
+    appends are pure appends (no rewrite) — run
+    :func:`compact_gram_index` periodically to bound the read-side
+    merge fan-in.
+    """
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_gram_index,
+    )
+
+    append_docs = manifest_append_sink(doc_table, name=f"{name}-docs")
+    append_idx = manifest_append_sink(index_table, name=f"{name}-idx")
+    append_spans = (
+        manifest_append_sink(spans_table, name=f"{name}-sp")
+        if spans_table is not None
+        else None
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        spark = df.sparkSession
+        data, _, _ = index_table.scan_tasks()
+        if data:
+            idx = (
+                read_table(spark, index_table)
+                .groupBy("gram")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        else:
+            idx = substring_gram_index(
+                df.limit(0), id_col, content_col, k=k, hash_grams=hash_grams
+            )
+        if append_spans is not None:
+            spans = incremental_substring_spans(
+                df,
+                idx,
+                id_col,
+                content_col,
+                k=k,
+                min_df=min_df,
+                hash_grams=hash_grams,
+            )
+            append_spans(spans, batch_id)
+        append_docs(df, batch_id)
+        append_idx(
+            substring_gram_index(
+                df, id_col, content_col, k=k, hash_grams=hash_grams
+            ),
+            batch_id,
+        )
+
+    return write_batch
+
+
+def compact_gram_index(spark, table: ManifestTable) -> int | None:
+    """Sum-merge the log-structured gram-index delta files into ONE
+    snapshot (RewriteFiles ``replace`` — logical content unchanged),
+    bounding the read-side merge fan-in after many streaming batches.
+    Returns the new snapshot id, or None for an empty index."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import read_table
+
+    data, _, _ = table.scan_tasks()
+    if not data:
+        return None
+    merged = (
+        read_table(spark, table)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    out_dir = os.path.join(table.root, f"idx-compact-{int(time.time() * 1000)}")
+    merged.write.mode("overwrite").parquet(out_dir)
+    parts = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    seq = table._max_live_seq()
+    added = [
+        {
+            "path": p,
+            "sequence_number": seq,
+            "content": "DATA",
+            "file_size_in_bytes": os.path.getsize(p),
+        }
+        for p in parts
+    ]
+    return table.commit_rewrite(
+        added, {t.data_file_path for t in data}, operation="replace"
+    )
+
+
 def manifest_dv_delete_sink(
     table: ManifestTable, key_cols: list[str], name: str = "dvdel"
 ):

@@ -510,3 +510,184 @@ def test_streaming_sinks_over_spec_metadata(spark, tmp_path):
     assert got == {2: "B2", 3: "c", 4: "d"}
     _, pos, _ = tbl.scan_tasks()
     assert any(t.file_format == "puffin" for t in pos)
+
+
+def test_streaming_span_dedup_sink(spark, tmp_path):
+    """Continuous-ingest substring-span dedup: per-batch spans equal the
+    BATCH operator over everything-ingested-so-far restricted to the
+    batch's docs (the incremental==batch contract), the gram index is
+    log-structured (delta appends, sum-on-read), replays are no-ops,
+    and a partial crash (spans committed, docs/index not) replays to
+    the identical final state because the index delta commits LAST."""
+    from ic_spark.operators.dedup import substring_dup_spans
+    from ic_spark.streaming.sink import (
+        compact_gram_index,
+        manifest_span_dedup_sink,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    b0 = [
+        (0, "u0a u0b u0c " + shared),
+        (1, shared + " v1 v2 v3 v4"),
+        (2, " ".join(f"w{i}" for i in range(12))),
+    ]
+    b1 = [
+        (10, "z1 z2 " + shared + " z3"),  # repeats b0's run -> flagged
+        (11, " ".join(f"q{i}" for i in range(15))),  # unique
+    ]
+    src = str(tmp_path / "ssrc")
+    spark.createDataFrame(b0, "doc_id long, text string").coalesce(1).write.parquet(
+        src + "/b0"
+    )
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        src + "/b1"
+    )
+
+    docs_t = ManifestTable(str(tmp_path / "span_docs"))
+    idx_t = ManifestTable(str(tmp_path / "span_idx"))
+    spans_t = ManifestTable(str(tmp_path / "span_spans"))
+    sink = manifest_span_dedup_sink(
+        docs_t, idx_t, "text", "doc_id", k=8, spans_table=spans_t
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    got_docs = {
+        (r.doc_id, r.text) for r in read_table(spark, docs_t).collect()
+    }
+    assert got_docs == set(b0) | set(b1)
+    got_spans = sorted(
+        map(tuple, read_table(spark, spans_t).select(
+            "doc_id", "span_start", "span_end", "span_tokens"
+        ).collect())
+    )
+    # batch order between the two glob files is deterministic here
+    # (name order), so expected = batch operator over the union
+    # restricted per arrival batch: b0's spans computed within b0,
+    # b1's computed over b0 ∪ b1.
+    want_b0 = [
+        tuple(r)
+        for r in substring_dup_spans(
+            spark.createDataFrame(b0, "doc_id long, text string"),
+            "doc_id", "text", k=8,
+        ).collect()
+    ]
+    want_b1 = [
+        tuple(r)
+        for r in substring_dup_spans(all_docs, "doc_id", "text", k=8).collect()
+        if r.doc_id in {10, 11}
+    ]
+    assert got_spans == sorted(want_b0 + want_b1)
+    assert {d for d, *_ in got_spans} == {0, 1, 10}
+
+    # the index equals a from-scratch rebuild after sum-on-read merge
+    from ic_spark.operators.dedup import substring_gram_index
+
+    merged = {
+        (r.gram, r.doc_freq)
+        for r in read_table(spark, idx_t)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .collect()
+    }
+    rebuilt = {
+        (r.gram, r.doc_freq)
+        for r in substring_gram_index(all_docs, "doc_id", "text", k=8).collect()
+    }
+    assert merged == rebuilt
+
+    # full replay of a committed batch id: no-op on all three tables
+    before = (
+        read_table(spark, docs_t).count(),
+        read_table(spark, spans_t).count(),
+        read_table(spark, idx_t).count(),
+    )
+    sink(spark.createDataFrame(b0, "doc_id long, text string"), 0)
+    after = (
+        read_table(spark, docs_t).count(),
+        read_table(spark, spans_t).count(),
+        read_table(spark, idx_t).count(),
+    )
+    assert after == before
+
+    # compaction: one snapshot, same merged content, new batches still
+    # compute against it correctly
+    nfiles_before = len(idx_t.scan_tasks()[0])
+    assert compact_gram_index(spark, idx_t) is not None
+    assert len(idx_t.scan_tasks()[0]) <= nfiles_before
+    merged2 = {
+        (r.gram, r.doc_freq)
+        for r in read_table(spark, idx_t)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .collect()
+    }
+    assert merged2 == merged
+
+    b2 = [(20, shared + " tail20")]  # repeats the run again
+    sink(spark.createDataFrame(b2, "doc_id long, text string"), 2)
+    got2 = {
+        r.doc_id
+        for r in read_table(spark, spans_t).collect()
+    }
+    assert got2 == {0, 1, 10, 20}
+
+
+def test_streaming_span_dedup_partial_crash_replay(spark, tmp_path):
+    """Crash between the spans append and the docs/index appends:
+    the replay must complete the batch WITHOUT duplicating spans and
+    with identical span content (the index delta lands last, so the
+    recompute sees the same pre-batch index)."""
+    from ic_spark.streaming.sink import (
+        manifest_append_sink,
+        manifest_span_dedup_sink,
+    )
+    from ic_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_gram_index,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    b0 = [(0, "a1 a2 " + shared), (1, shared + " b1 b2")]
+    docs_t = ManifestTable(str(tmp_path / "pc_docs"))
+    idx_t = ManifestTable(str(tmp_path / "pc_idx"))
+    spans_t = ManifestTable(str(tmp_path / "pc_spans"))
+    df0 = spark.createDataFrame(b0, "doc_id long, text string")
+
+    # simulate attempt 1 dying right after the spans append: commit
+    # ONLY the spans portion exactly as the sink would (same sink name
+    # => same batch-scoped marker), nothing else
+    empty_idx = substring_gram_index(df0.limit(0), "doc_id", "text", k=8)
+    spans0 = incremental_substring_spans(df0, empty_idx, "doc_id", "text", k=8)
+    manifest_append_sink(spans_t, name="spans-sp")(spans0, 0)
+    n_spans_after_crash = read_table(spark, spans_t).count()
+    assert n_spans_after_crash > 0
+    assert not docs_t.scan_tasks()[0] and not idx_t.scan_tasks()[0]
+
+    # replay: the full sink runs the whole batch
+    sink = manifest_span_dedup_sink(
+        docs_t, idx_t, "text", "doc_id", k=8, spans_table=spans_t
+    )
+    sink(df0, 0)
+    assert read_table(spark, spans_t).count() == n_spans_after_crash  # no dup
+    assert read_table(spark, docs_t).count() == 2
+    assert read_table(spark, idx_t).count() > 0
+    spans = sorted(
+        map(tuple, read_table(spark, spans_t).select(
+            "doc_id", "span_start", "span_end", "span_tokens"
+        ).collect())
+    )
+    assert spans == sorted(map(tuple, spans0.collect()))
