@@ -148,6 +148,38 @@ def test_roundtrip_stereo_and_coupling():
         assert _snr(right, pcm[:, 1]) > 24
 
 
+def test_residue_types_0_1_2_decode_identically():
+    """The three residue layouts code the SAME quantized spectra, so
+    all must reconstruct identical PCM: type 2 (channel-interleaved),
+    type 1 (per-channel contiguous), type 0 (strided within each
+    partition).  Stereo exercises the per-vector classword interleave
+    of types 0/1."""
+    t = np.arange(6000)
+    left = 0.5 * np.sin(2 * math.pi * 440 * t / 8000)
+    right = 0.3 * np.sin(2 * math.pi * 660 * t / 8000)
+    outs = []
+    for rt in (0, 1, 2):
+        got = decode_vorbis(
+            encode_vorbis([left, right], rate=8000, residue_type=rt)
+        )
+        assert got is not None, f"residue type {rt}"
+        pcm, _, ch = got
+        assert ch == 2 and pcm.shape == (6000, 2)
+        assert _snr(left, pcm[:, 0]) > 24
+        outs.append(pcm)
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
+    # per-channel do-not-decode inside the type-1 classword interleave
+    got = decode_vorbis(
+        encode_vorbis(
+            [left, right], rate=8000, residue_type=1, silent_channels={1}
+        )
+    )
+    assert got is not None
+    assert np.abs(got[0][:, 1]).max() == 0.0
+    assert _snr(left, got[0][:, 0]) > 24
+
+
 def test_silent_channel_and_coupling_propagate():
     """An unused floor renders the channel silent; with coupling the
     spec's nonzero-vector propagate rule still residue-decodes it so

@@ -149,7 +149,7 @@ def _codebook_lattice(w: _WBits, minimum: float, delta: float) -> None:
 
 
 def _headers(channels, rate, bs0_log, bs1_log, rangebits, coupling,
-             two_modes):
+             two_modes, residue_type=2):
     ident = _WBits()
     ident.write(0, 32)
     ident.write(channels, 8)
@@ -182,7 +182,7 @@ def _headers(channels, rate, bs0_log, bs1_log, rangebits, coupling,
     s.write(0, 2)  # multiplier - 1
     s.write(rangebits, 4)
     s.write(0, 6)  # residue count - 1
-    s.write(2, 16)  # residue type 2
+    s.write(residue_type, 16)
     s.write(0, 24)  # begin
     s.write(1 << 20, 24)  # end (clamped by the decoder to actual size)
     s.write(8 - 1, 24)  # partition size
@@ -288,35 +288,59 @@ def _quantize(res: np.ndarray, lim: int = 118):
     return np.clip(np.round(res), -lim, lim).astype(np.int64)
 
 
-def _write_residue_packet(w, flat_coarse, flat_fine):
-    """Residue type 2 body: classify partitions, then the two passes in
-    the spec's classword-interleaved order."""
-    npart = len(flat_coarse) // 8
-    classes = [
-        0
-        if not flat_coarse[p * 8 : p * 8 + 8].any()
-        and not flat_fine[p * 8 : p * 8 + 8].any()
-        else 1
-        for p in range(npart)
-    ]
+def _write_residue_body(w, coarse_vecs, fine_vecs, dnd, rtype):
+    """Residue body for types 0/1/2 in the spec's classword-interleaved
+    order across the submap's vectors.  Type 2 callers pass ONE
+    channel-interleaved vector; types 0/1 pass per-channel vectors with
+    per-channel do-not-decode flags.  Type 0 lays each VQ entry out
+    STRIDED across the partition (positions off+k and off+k+step,
+    step = psize/dim = 4); types 1/2 lay entries contiguously."""
+    nvec = len(coarse_vecs)
+    npart = len(coarse_vecs[0]) // 8
+    classes = []
+    for j in range(nvec):
+        classes.append(
+            [
+                0
+                if (
+                    dnd[j]
+                    or (
+                        not coarse_vecs[j][p * 8 : p * 8 + 8].any()
+                        and not fine_vecs[j][p * 8 : p * 8 + 8].any()
+                    )
+                )
+                else 1
+                for p in range(npart)
+            ]
+        )
     for p in (0, 1):
         pcount = 0
         while pcount < npart:
             if p == 0:
-                c0 = classes[pcount]
-                c1 = classes[pcount + 1] if pcount + 1 < npart else 0
-                w.write_code(c0 * 2 + c1, 2)  # classbook, dim 2
+                for j in range(nvec):
+                    if dnd[j]:
+                        continue
+                    c0 = classes[j][pcount]
+                    c1 = classes[j][pcount + 1] if pcount + 1 < npart else 0
+                    w.write_code(c0 * 2 + c1, 2)  # classbook, dim 2
             for _ in range(2):  # classwords per codeword
                 if pcount >= npart:
                     break
-                if classes[pcount] == 1:
-                    vals = (flat_coarse if p == 0 else flat_fine)[
+                for j in range(nvec):
+                    if dnd[j] or classes[j][pcount] != 1:
+                        continue
+                    vals = (coarse_vecs[j] if p == 0 else fine_vecs[j])[
                         pcount * 8 : pcount * 8 + 8
                     ]
-                    levels = vals + 8  # both lattices: level = value/delta + 8
-                    for k in range(0, 8, 2):
-                        entry = int(levels[k]) + 16 * int(levels[k + 1])
-                        w.write_code(entry, 8)
+                    levels = vals + 8  # both lattices: level = value + 8
+                    if rtype == 0:
+                        for kk in range(4):
+                            entry = int(levels[kk]) + 16 * int(levels[kk + 4])
+                            w.write_code(entry, 8)
+                    else:
+                        for kk in range(0, 8, 2):
+                            entry = int(levels[kk]) + 16 * int(levels[kk + 1])
+                            w.write_code(entry, 8)
                 pcount += 1
 
 
@@ -331,6 +355,7 @@ def encode_vorbis(
     packets_per_page: int = 5,
     floor_slope: tuple | None = None,
     silent_channels: set | None = None,
+    residue_type: int = 2,
 ) -> bytes:
     """Encode float PCM (list of per-channel arrays, values in [-1,1])
     into a complete Ogg-Vorbis stream.
@@ -340,7 +365,12 @@ def encode_vorbis(
     replaces the flat per-frame floor for floor-curve tests.
     ``silent_channels`` write an unused floor (decoder must zero them;
     with coupling the partner channel still revives residue decode).
+    ``residue_type`` selects the coded layout: 2 (channel-interleaved,
+    the common case), 1 (per-channel contiguous), 0 (per-channel
+    strided partitions); coupling requires type 2.
     """
+    if coupling and residue_type != 2:
+        raise ValueError("this encoder couples only with residue type 2")
     chans = [np.asarray(c, dtype=np.float64) for c in pcm]
     channels = len(chans)
     nsamp = len(chans[0])
@@ -353,7 +383,8 @@ def encode_vorbis(
     silent = silent_channels or set()
 
     hid, hcom, hset = _headers(
-        channels, rate, bs0_log, bs1_log, rangebits, coupling, two
+        channels, rate, bs0_log, bs1_log, rangebits, coupling, two,
+        residue_type=residue_type,
     )
 
     # frame plan
@@ -445,17 +476,25 @@ def encode_vorbis(
             wb.write(1, 1)
             wb.write(fy0, 8)
             wb.write(fy1, 8)
-        # interleave channels for residue type 2
-        flat_c = np.zeros(n2 * channels, dtype=np.int64)
-        flat_f = np.zeros(n2 * channels, dtype=np.int64)
+        # floor((r+8)/16) keeps fine in [-8, 7] for every r in
+        # [-136, 119] (round-half-to-even lets fine escape to 8)
+        coarse_list, fine_list = [], []
         for c in range(channels):
-            # floor((r+8)/16) keeps fine in [-8, 7] for every r in
-            # [-136, 119] (round-half-to-even lets fine escape to 8)
             coarse = np.clip((res_int[c] + 8) // 16, -8, 7).astype(np.int64)
-            fine = res_int[c] - coarse * 16
-            flat_c[c::channels] = coarse
-            flat_f[c::channels] = fine
-        _write_residue_packet(wb, flat_c, flat_f)
+            fine_list.append(res_int[c] - coarse * 16)
+            coarse_list.append(coarse)
+        if residue_type == 2:
+            flat_c = np.zeros(n2 * channels, dtype=np.int64)
+            flat_f = np.zeros(n2 * channels, dtype=np.int64)
+            for c in range(channels):
+                flat_c[c::channels] = coarse_list[c]
+                flat_f[c::channels] = fine_list[c]
+            _write_residue_body(wb, [flat_c], [flat_f], [False], 2)
+        else:
+            dnd = [c in silent for c in range(channels)]
+            _write_residue_body(
+                wb, coarse_list, fine_list, dnd, residue_type
+            )
         packets.append(wb.to_bytes())
         emitted = pos[k] + n // 2  # cumulative samples after this frame
         granules.append(min(max(emitted, 0), nsamp))
