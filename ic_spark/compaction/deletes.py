@@ -690,6 +690,7 @@ def read_table(
     ref: str | None = None,
     as_of_timestamp_ms: int | None = None,
     where: list[tuple] | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Merge-on-read SELECT over a snapshot (current by default; pass
     ``snapshot_id`` for time travel, ``ref`` for a named tag, or
@@ -703,7 +704,12 @@ def read_table(
     column stats (file skipping — unmatched files never enter the scan)
     and as a Spark row filter (pushed to the parquet reader for the
     files that survive).  Returns an empty DataFrame of the table
-    schema when every data file is pruned."""
+    schema when every data file is pruned.
+
+    ``with_lineage=True`` (row-lineage tables only) appends the Iceberg
+    v3 ``_row_id`` and ``_last_updated_sequence_number`` metadata
+    columns: first_row_id + position for plain files, the materialized
+    physical columns for compaction outputs."""
     from ic_spark.compaction.planner import build_merge_on_read
     from ic_spark.compaction.request import RewriteFilesRequest
 
@@ -750,6 +756,24 @@ def read_table(
         raise ValueError("table has no data files")
     if schema is None:
         schema = infer_read_schema(spark, data)
+    if getattr(table, "row_lineage", False):
+        # Materialized lineage columns in compacted footers are
+        # METADATA, not user columns — inferred schemas must not
+        # surface them (with_lineage appends them deliberately).
+        from pyspark.sql.types import StructType
+
+        from ic_spark.compaction.request import (
+            LAST_UPDATED_SEQ_COL,
+            ROW_ID_COL,
+        )
+
+        schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+            ]
+        )
     request = RewriteFilesRequest(
         schema=schema,
         data_files=data,
@@ -758,7 +782,12 @@ def read_table(
         name_mapping=name_mapping,
         schema_history=schema_history,
     )
-    out = build_merge_on_read(spark, request)
+    lineage = None
+    if with_lineage:
+        if not getattr(table, "row_lineage", False):
+            raise ValueError("with_lineage requires enable_row_lineage()")
+        lineage = {t.data_file_path: t.first_row_id for t in data}
+    out = build_merge_on_read(spark, request, lineage=lineage)
     if where:
         import operator
 

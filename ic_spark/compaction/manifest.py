@@ -572,6 +572,7 @@ class ManifestTable:
                     if boundaries is not None
                     else None
                 ),
+                first_row_id=f.get("first_row_id"),
             )
             if task.content is FileContent.DATA:
                 if data_filter and not _file_may_match(f, data_filter):
@@ -633,6 +634,69 @@ class ManifestTable:
             for f in added
         ]
 
+    # ------------------------------------------------ row lineage (v3)
+
+    @property
+    def row_lineage(self) -> bool:
+        return bool(self._load().get("row_lineage"))
+
+    @property
+    def next_row_id(self) -> int:
+        return int(self._load().get("next_row_id", 0))
+
+    def enable_row_lineage(self) -> None:
+        """Turn on Iceberg v3 row lineage: every data row gets a durable
+        ``_row_id`` (file ``first_row_id`` + position) and a
+        ``_last_updated_sequence_number``; the table metadata tracks
+        ``next_row_id`` and every commit claims a contiguous id range
+        sized by its files' record counts (spec "Row Lineage").
+
+        Live data files are backfilled in manifest order (record_count
+        from the entry, else the parquet footer).  Lineage applies from
+        the CURRENT snapshot forward — time-travel reads of earlier
+        snapshots have no ids, exactly like a v2→v3 upgrade.
+        """
+        state = self._load()
+        if state.get("row_lineage"):
+            return
+        state["row_lineage"] = True
+        state.setdefault("next_row_id", 0)
+        cur_id = state.get("current_snapshot_id")
+        for snap in state["snapshots"]:
+            if snap["snapshot_id"] != cur_id:
+                continue
+            for f in snap["files"]:
+                if f.get("content", "DATA") != "DATA":
+                    continue
+                rc = f.get("record_count")
+                if not rc:
+                    import pyarrow.parquet as pq
+
+                    rc = pq.ParquetFile(f["path"]).metadata.num_rows
+                    f["record_count"] = rc
+                f["first_row_id"] = state["next_row_id"]
+                state["next_row_id"] += rc
+        self._store(state)
+
+    def _assign_row_ids(self, state: dict, files: list[dict]) -> None:
+        """Claim ``next_row_id`` ranges for newly committed data files.
+        Files flagged ``materialized_lineage`` (compaction outputs that
+        carry ``_row_id`` as a physical column) keep a null
+        first_row_id per the spec and claim nothing."""
+        for f in files:
+            if f.get("content", "DATA") != "DATA":
+                continue
+            if f.get("materialized_lineage") or f.get("first_row_id") is not None:
+                continue
+            rc = f.get("record_count")
+            if rc is None:
+                raise ValueError(
+                    "row-lineage table requires record_count on data files: "
+                    + f["path"]
+                )
+            f["first_row_id"] = state.get("next_row_id", 0)
+            state["next_row_id"] = state.get("next_row_id", 0) + rc
+
     def append_snapshot(
         self,
         files: list[dict],
@@ -660,6 +724,8 @@ class ManifestTable:
         if stage and branch:
             raise ValueError("pass stage or branch, not both")
         state = self._load()
+        if state.get("row_lineage"):
+            self._assign_row_ids(state, files)
         cur = self.current_snapshot()
         if branch is not None:
             head = state.get("refs", {}).get(branch)
@@ -792,6 +858,8 @@ class ManifestTable:
         to have moved AT ALL since planning.
         """
         state = self._load()
+        if state.get("row_lineage"):
+            self._assign_row_ids(state, added)
         cur = self.current_snapshot()
         if expected_snapshot_id is not None:
             actual = cur.snapshot_id if cur else None

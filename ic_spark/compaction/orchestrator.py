@@ -113,7 +113,16 @@ class Compaction:
             sort_order=sort_order or None,
             sort_order_id=sort_order_id,
         )
-        response = rewrite_files(self.spark, request)
+        # Iceberg v3 row lineage: compaction must PRESERVE every
+        # surviving row's _row_id / _last_updated_sequence_number —
+        # the rewrite materializes them as physical columns and the
+        # committed entries keep a null first_row_id (spec rule).
+        lineage = (
+            {t.data_file_path: t.first_row_id for t in data}
+            if getattr(table, "row_lineage", False)
+            else None
+        )
+        response = rewrite_files(self.spark, request, lineage=lineage)
 
         removed = {t.data_file_path for t in data + pos + eq}
         new_seq = max((t.sequence_number for t in data + eq), default=0) + 1
@@ -134,6 +143,8 @@ class Compaction:
             if spec_fields:
                 entry["spec_id"] = spec_id
                 entry["partition"] = f.partition_values or {}
+            if lineage is not None:
+                entry["materialized_lineage"] = True
             added.append(entry)
         table.commit_rewrite(added, removed)
         return response

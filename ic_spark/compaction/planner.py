@@ -440,22 +440,57 @@ def apply_equality_deletes(
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 
-def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> DataFrame:
+def build_merge_on_read(
+    spark: SparkSession,
+    request: RewriteFilesRequest,
+    lineage: dict | None = None,
+) -> DataFrame:
     """Construct the MoR DataFrame: data minus deleted rows, user schema.
 
     Semantic port of ``build_merge_on_read`` + ``SqlBuilder.build``
     (reference datafusion_processor.rs:254-308, 371-477).
+
+    ``lineage`` (Iceberg v3 row lineage, spec "Row Lineage"): a map
+    ``file_path -> first_row_id`` covering every data file.  The output
+    then carries ``_row_id`` and ``_last_updated_sequence_number``
+    after the user columns: files with a first_row_id derive
+    ``first_row_id + position`` / the file's sequence number; files
+    with None MATERIALIZE both as physical columns (compaction
+    outputs), surfaced by appending the two nullable fields to the
+    enforced scan schema (plain files null-fill them).  The map ships
+    as a broadcast (file_path, first_row_id) join — never a driver-side
+    per-row loop — so it scales with file COUNT, not row count.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
     has_pos = bool(request.position_delete_files)
     has_eq = bool(request.equality_delete_files)
-    user_cols = [f.name for f in request.schema.fields]
+    # The lineage metadata columns are never user columns — strip them
+    # if an inferred schema picked them up from materialized files.
+    user_fields = [
+        f
+        for f in request.schema.fields
+        if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+    ]
+    user_cols = [f.name for f in user_fields]
+    scan_schema = request.schema
+    if lineage is not None:
+        scan_schema = StructType(
+            user_fields
+            + [
+                StructField(ROW_ID_COL, LongType(), True),
+                StructField(LAST_UPDATED_SEQ_COL, LongType(), True),
+            ]
+        )
 
     data = _scan_with_hidden_cols(
         spark,
         request.data_files,
-        schema=request.schema,
-        with_seq=has_eq,   # seq only added when equality deletes exist
-        with_pos=has_pos,  # path/pos only when position deletes exist
+        schema=scan_schema,
+        with_seq=has_eq or lineage is not None,
+        with_pos=has_pos or lineage is not None,
         name_mapping=request.name_mapping,
         schema_history=request.schema_history,
     )
@@ -507,4 +542,32 @@ def build_merge_on_read(spark: SparkSession, request: RewriteFilesRequest) -> Da
             data = apply_equality_deletes(data, eq_del, eq_cols)
 
     # Final projection: hidden columns never leak (reference :447-448).
+    if lineage is not None:
+        from ic_spark.compaction.request import (
+            LAST_UPDATED_SEQ_COL,
+            ROW_ID_COL,
+        )
+
+        lin_df = spark.createDataFrame(
+            list(lineage.items()), "__lin_path string, __first_row_id long"
+        )
+        # scan paths carry the file: scheme; manifest paths are plain
+        data = data.join(
+            F.broadcast(lin_df),
+            F.regexp_replace(F.col(SYS_HIDDEN_FILE_PATH), "^file:", "")
+            == F.col("__lin_path"),
+            "left",
+        )
+        row_id = F.coalesce(
+            F.col(ROW_ID_COL),
+            F.col("__first_row_id") + F.col(SYS_HIDDEN_POS),
+        )
+        last_seq = F.coalesce(
+            F.col(LAST_UPDATED_SEQ_COL), F.col(SYS_HIDDEN_SEQ_NUM)
+        )
+        return data.select(
+            *user_cols,
+            row_id.alias(ROW_ID_COL),
+            last_seq.alias(LAST_UPDATED_SEQ_COL),
+        )
     return data.select(*user_cols)

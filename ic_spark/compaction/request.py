@@ -26,6 +26,10 @@ from pyspark.sql.types import StructType
 SYS_HIDDEN_SEQ_NUM = "sys_hidden_seq_num"
 SYS_HIDDEN_FILE_PATH = "sys_hidden_file_path"
 SYS_HIDDEN_POS = "sys_hidden_pos"
+
+# Iceberg v3 row-lineage metadata columns (spec names).
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_SEQ_COL = "_last_updated_sequence_number"
 SYS_HIDDEN_COLS = (SYS_HIDDEN_SEQ_NUM, SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
 
 
@@ -60,6 +64,13 @@ class FileScanTask:
     # exact field-id resolution (drop-then-re-add never resurrects old
     # column data).  See RewriteFilesRequest.schema_history.
     write_schema_id: int | None = None
+    # Iceberg v3 row lineage: the id of this data file's first row —
+    # row N's implicit _row_id is first_row_id + N.  None on lineage
+    # tables means the file MATERIALIZES _row_id /
+    # _last_updated_sequence_number as physical columns (spec rule:
+    # null first-row-id => non-null materialized lineage), e.g. a
+    # compaction rewrite output.  Not meaningful on non-lineage tables.
+    first_row_id: int | None = None
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,7 @@ def rewrite_files(
     spark: SparkSession,
     request: RewriteFilesRequest,
     transform=None,
+    lineage: dict | None = None,
 ) -> RewriteFilesResponse:
     """Execute the full rewrite: MoR plan → write → stats.
 
@@ -131,6 +132,12 @@ def rewrite_files(
     request) maps the MoR DataFrame before the write; it must preserve
     the request schema.  The copy-on-write row operations
     (compaction/rowops.py) use it to drop or update rows mid-rewrite.
+
+    ``lineage`` (Iceberg v3 row-lineage tables): the file_path →
+    first_row_id map for the input data files.  The MoR read then
+    carries ``_row_id`` / ``_last_updated_sequence_number`` and the
+    rewrite MATERIALIZES both as physical columns in its outputs —
+    the spec's compaction obligation: rewritten rows keep their ids.
     """
     if request.file_io:
         from ic_spark.sources.fileio import apply_file_io
@@ -141,7 +148,7 @@ def rewrite_files(
             request.file_io.get("props", {}),
         )
 
-    df = build_merge_on_read(spark, request)
+    df = build_merge_on_read(spark, request, lineage=lineage)
     if transform is not None:
         df = transform(df)
 

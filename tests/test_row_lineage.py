@@ -1,0 +1,173 @@
+"""Iceberg v3 row lineage (spec "Row Lineage") on the compaction core.
+
+Every data row gets a durable ``_row_id`` (the file's ``first_row_id``
++ position) and a ``_last_updated_sequence_number``; the table claims
+contiguous id ranges from ``next_row_id`` at commit time.  The
+compaction obligation under test: a rewrite must PRESERVE both values
+for every surviving row by materializing them as physical columns in
+its outputs (null ``first_row_id`` on the new entries, per the spec's
+"null first-row-id => materialized lineage" rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from ic_spark.compaction import Compaction, ManifestTable
+from ic_spark.compaction.deletes import (
+    read_table,
+    write_equality_deletes,
+)
+from tests.test_mor import spark_uri, write_parquet
+
+SCHEMA = "id int, name string, v double"
+
+
+def _rows(a, b):
+    return [(i, f"n{i}", float(i)) for i in range(a, b)]
+
+
+def _mk_lineage_table(spark, base, with_record_count=True):
+    t = ManifestTable(str(base / "tbl"))
+    f1 = write_parquet(spark, str(base / "d1"), _rows(0, 10), SCHEMA)
+    e1 = {"path": f1, "sequence_number": 1, "content": "DATA"}
+    if with_record_count:
+        e1["record_count"] = 10
+    t.append_snapshot([e1])
+    t.enable_row_lineage()
+    f2 = write_parquet(spark, str(base / "d2"), _rows(10, 16), SCHEMA)
+    t.append_snapshot(
+        [{"path": f2, "sequence_number": 2, "content": "DATA",
+          "record_count": 6}]
+    )
+    return t, f1, f2
+
+
+def test_enable_backfills_and_appends_claim_ranges(spark, tmp_path):
+    """Enable backfills live files (footer-read when record_count is
+    absent), appends claim disjoint ranges, next_row_id advances."""
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path, with_record_count=False)
+    data, _, _ = t.scan_tasks()
+    by_path = {d.data_file_path: d for d in data}
+    assert by_path[f1].first_row_id == 0
+    assert by_path[f2].first_row_id == 10
+    assert t.next_row_id == 16
+
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert got == {
+        **{i: (i, 1) for i in range(10)},
+        **{i: (i, 2) for i in range(10, 16)},
+    }
+    # without the flag the metadata columns stay hidden
+    assert set(read_table(spark, t).columns) == {"id", "name", "v"}
+
+
+def test_lineage_survives_deletes_and_compaction(spark, tmp_path):
+    """Position + equality deletes drop rows; full_compact preserves
+    every SURVIVOR's (_row_id, _last_updated_sequence_number) exactly,
+    commits materialized entries, and leaves next_row_id untouched."""
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    # position-delete rows 0,1 of file 1
+    pd = write_parquet(
+        spark,
+        str(tmp_path / "pd"),
+        [(spark_uri(f1), 0), (spark_uri(f1), 1)],
+        "file_path string, pos long",
+    )
+    t.append_snapshot(
+        [{"path": pd, "sequence_number": 3, "content": "POSITION_DELETES"}]
+    )
+    # equality-delete id=12 (seq 4 > data seq 2)
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(12,)], "id int"), ["id"]
+    )
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert set(before) == set(range(2, 16)) - {12}
+    assert before[5] == (5, 1) and before[11] == (11, 2)
+    next_before = t.next_row_id
+
+    schema = spark.createDataFrame([], SCHEMA).schema
+    Compaction(spark).full_compact(t, schema)
+
+    data, pos, eq = t.scan_tasks()
+    assert not pos and not eq
+    assert all(d.first_row_id is None for d in data)  # materialized
+    assert t.next_row_id == next_before  # rewrite claims no new ids
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert after == before  # ids AND last-updated preserved exactly
+    # the physical files really carry the materialized columns
+    raw = spark.read.parquet(*[d.data_file_path for d in data])
+    assert "_row_id" in raw.columns
+    assert "_last_updated_sequence_number" in raw.columns
+    # plain reads keep hiding them
+    assert set(read_table(spark, t).columns) == {"id", "name", "v"}
+
+
+def test_post_compaction_appends_and_second_compaction(spark, tmp_path):
+    """Ids keep advancing after a compaction (no reuse, no collision);
+    a second compaction over mixed materialized + plain files still
+    preserves everything."""
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    schema = spark.createDataFrame([], SCHEMA).schema
+    Compaction(spark).full_compact(t, schema)
+    f3 = write_parquet(spark, str(tmp_path / "d3"), _rows(16, 20), SCHEMA)
+    t.append_snapshot(
+        [{"path": f3, "sequence_number": 10, "content": "DATA",
+          "record_count": 4}]
+    )
+    data, _, _ = t.scan_tasks()
+    fresh = [d for d in data if d.data_file_path == f3]
+    assert fresh and fresh[0].first_row_id == 16
+    assert t.next_row_id == 20
+    want = {
+        **{i: (i, None) for i in range(16)},  # seq checked loosely below
+        **{i: (i, 10) for i in range(16, 20)},
+    }
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert {i: rid for i, (rid, _) in got.items()} == {
+        i: rid for i, (rid, _) in want.items()
+    }
+    assert all(got[i][1] == 10 for i in range(16, 20))
+    # original rows kept their pre-compaction last-updated seqs
+    assert got[0][1] == 1 and got[12][1] == 2
+
+    Compaction(spark).full_compact(t, schema)
+    got2 = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert got2 == got
+    assert t.next_row_id == 20
+
+
+def test_lineage_requires_record_count_and_flag(spark, tmp_path):
+    import pytest
+
+    t = ManifestTable(str(tmp_path / "t2"))
+    f1 = write_parquet(spark, str(tmp_path / "x1"), _rows(0, 3), SCHEMA)
+    t.append_snapshot(
+        [{"path": f1, "sequence_number": 1, "content": "DATA",
+          "record_count": 3}]
+    )
+    with pytest.raises(ValueError, match="enable_row_lineage"):
+        read_table(spark, t, with_lineage=True)
+    t.enable_row_lineage()
+    f2 = write_parquet(spark, str(tmp_path / "x2"), _rows(3, 5), SCHEMA)
+    with pytest.raises(ValueError, match="record_count"):
+        t.append_snapshot(
+            [{"path": f2, "sequence_number": 2, "content": "DATA"}]
+        )
