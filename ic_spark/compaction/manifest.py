@@ -655,6 +655,12 @@ class ManifestTable:
         from the entry, else the parquet footer).  Lineage applies from
         the CURRENT snapshot forward — time-travel reads of earlier
         snapshots have no ids, exactly like a v2→v3 upgrade.
+
+        Preservation boundary: COMPACTION preserves every surviving
+        row's id (the spec's hard requirement — full_compact
+        materializes the lineage columns); copy-on-write row ops
+        (merge_upsert / update_where) rewrite rows under FRESH ids,
+        which the spec permits for row-level writers.
         """
         state = self._load()
         if state.get("row_lineage"):
