@@ -242,6 +242,13 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             ),
             _f(103, "record_count", "long"),
             _f(104, "file_size_in_bytes", "long"),
+            # v3 row lineage (spec "Row Lineage"): explicit first row id
+            # of this data file; null on files that MATERIALIZE _row_id
+            # as a physical column (compaction outputs).  This writer
+            # always assigns explicit values, so the manifest-list-level
+            # inheritance fields are unnecessary (the spec permits
+            # explicit ids everywhere).
+            _f(142, "first_row_id", _opt("long"), default=None),
             _f(109, "value_counts", _opt(_INT_LONG_MAP), default=None),
             _f(110, "null_value_counts", _opt(_INT_LONG_MAP), default=None),
             _f(125, "lower_bounds", _opt(_INT_BYTES_MAP), default=None),
@@ -573,6 +580,7 @@ class IcebergTable:
             "partition": partition,
             "record_count": int(f.get("record_count", 0)),
             "file_size_in_bytes": int(f.get("file_size_in_bytes", 0)),
+            "first_row_id": f.get("first_row_id"),
             "value_counts": values or None,
             "null_value_counts": nulls or None,
             "lower_bounds": lower or None,
@@ -880,6 +888,66 @@ class IcebergTable:
 
     # -- ManifestTable-compatible surface ------------------------------
 
+    # ------------------------------------------------ row lineage (v3)
+
+    @property
+    def row_lineage(self) -> bool:
+        return self.metadata().get("next-row-id") is not None
+
+    @property
+    def next_row_id(self) -> int:
+        return int(self.metadata().get("next-row-id", 0))
+
+    def _assign_row_ids(self, meta: dict, files: list[dict]) -> None:
+        """Claim ``next-row-id`` ranges for newly committed data files
+        (explicit per-file first_row_id — the spec permits explicit ids,
+        making manifest-level inheritance unnecessary).  Files flagged
+        ``materialized_lineage`` keep a null first_row_id per the
+        spec's materialized-lineage rule."""
+        for f in files:
+            if f.get("content", "DATA") != "DATA":
+                continue
+            if f.get("materialized_lineage") or f.get("first_row_id") is not None:
+                continue
+            rc = f.get("record_count")
+            if rc is None:
+                raise ValueError(
+                    "row-lineage table requires record_count on data files: "
+                    + f["path"]
+                )
+            f["first_row_id"] = meta.get("next-row-id", 0)
+            meta["next-row-id"] = meta.get("next-row-id", 0) + int(rc)
+
+    def enable_row_lineage(self) -> None:
+        """Upgrade to v3 row lineage: set ``format-version`` 3 +
+        ``next-row-id`` in the table metadata and backfill every live
+        data file with an explicit ``first_row_id`` (one ``replace``
+        commit rewriting the manifests — they are immutable Avro, so
+        backfill is a carry-forward commit, not an edit)."""
+        meta = self.metadata()
+        version = self.version()
+        if meta.get("next-row-id") is not None:
+            return
+        meta = dict(meta)
+        meta["format-version"] = 3
+        nxt = 0
+        cur = self._snapshot(None)
+        carried = []
+        for e, s in self._live_entries(cur):
+            e2 = {**e, "status": EXISTING}
+            df = dict(e2["data_file"])
+            if df["content"] == CONTENT_DATA and df.get("first_row_id") is None:
+                df["first_row_id"] = nxt
+                nxt += int(df.get("record_count") or 0)
+            e2["data_file"] = df
+            carried.append((e2, s))
+        meta["next-row-id"] = nxt
+        if carried:
+            self._commit_snapshot(meta, version, carried, "replace")
+        else:
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            self._commit_metadata(meta, expected_version=version)
+
     def append_snapshot(
         self,
         files: list[dict],
@@ -898,6 +966,9 @@ class IcebergTable:
         """
         meta = self.metadata()
         version = self.version()
+        if meta.get("next-row-id") is not None:
+            meta = dict(meta)
+            self._assign_row_ids(meta, files)
         base_id = None
         if branch is not None:
             ref = meta.get("refs", {}).get(branch)
@@ -1031,6 +1102,7 @@ class IcebergTable:
                 # planner's (seq, format) grouping uses lower-case.
                 file_format=(df.get("file_format") or "PARQUET").lower(),
                 write_schema_id=resolve_write_schema_id(boundaries, seq),
+                first_row_id=df.get("first_row_id"),
             )
             if task.content is FileContent.DATA:
                 if data_filter:
@@ -1132,6 +1204,9 @@ class IcebergTable:
         supersede) — the changelog read keys off it."""
         meta = self.metadata()
         version = self.version()
+        if meta.get("next-row-id") is not None:
+            meta = dict(meta)
+            self._assign_row_ids(meta, added)
         cur = self._snapshot(None)
         if expected_snapshot_id is not None:
             actual = cur["snapshot-id"] if cur else None

@@ -154,6 +154,54 @@ def test_post_compaction_appends_and_second_compaction(spark, tmp_path):
     assert t.next_row_id == 20
 
 
+def test_lineage_on_spec_metadata_table(spark, tmp_path):
+    """The same lifecycle over the SPEC-metadata flavor (IcebergTable):
+    enable upgrades to format-version 3 + next-row-id, backfills live
+    files through a manifest-rewriting replace commit, appends claim
+    ranges, Avro manifests round-trip the explicit first_row_id (field
+    id 142), and full_compact preserves ids via materialized columns."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    schema_df = spark.createDataFrame([], SCHEMA)
+    t = IcebergTable.create(str(tmp_path / "ice"), schema_df.schema)
+    f1 = write_parquet(spark, str(tmp_path / "i1"), _rows(0, 10), SCHEMA)
+    t.append_snapshot(
+        [{"path": f1, "sequence_number": 1, "content": "DATA",
+          "record_count": 10}]
+    )
+    t.enable_row_lineage()
+    assert t.metadata()["format-version"] == 3
+    f2 = write_parquet(spark, str(tmp_path / "i2"), _rows(10, 16), SCHEMA)
+    t.append_snapshot(
+        [{"path": f2, "sequence_number": 2, "content": "DATA",
+          "record_count": 6}]
+    )
+    data, _, _ = t.scan_tasks()
+    by_path = {d.data_file_path: d.first_row_id for d in data}
+    assert by_path == {f1: 0, f2: 10}  # Avro manifests round-trip ids
+    assert t.next_row_id == 16
+
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(3,)], "id int"), ["id"]
+    )
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert set(before) == set(range(16)) - {3}
+    Compaction(spark).full_compact(t)
+    data, pos, eq = t.scan_tasks()
+    assert not pos and not eq
+    assert all(d.first_row_id is None for d in data)
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert after == before
+    assert t.next_row_id == 16
+    assert set(read_table(spark, t).columns) == {"id", "name", "v"}
+
+
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 
