@@ -809,16 +809,27 @@ def read_incremental(
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
     schema=None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Rows APPENDED between two snapshots (exclusive..inclusive) — the
     CDC-style incremental consumer: scan only the files added in the
     range, never re-reading history.  Rejects ranges containing
     rewrites or new deletes (see ``ManifestTable.incremental_tasks``).
     Returns an empty DataFrame of the table schema when nothing was
-    appended."""
-    from ic_spark.compaction.planner import build_merge_on_read
-    from ic_spark.compaction.request import RewriteFilesRequest
+    appended.
 
+    ``with_lineage=True`` (row-lineage tables) appends ``_row_id`` /
+    ``_last_updated_sequence_number`` — the durable row identity an
+    incremental consumer should key downstream state on."""
+    from ic_spark.compaction.planner import build_merge_on_read
+    from ic_spark.compaction.request import (
+        LAST_UPDATED_SEQ_COL,
+        ROW_ID_COL,
+        RewriteFilesRequest,
+    )
+
+    if with_lineage and not getattr(table, "row_lineage", False):
+        raise ValueError("with_lineage requires enable_row_lineage()")
     added = table.incremental_tasks(from_snapshot_id, to_snapshot_id)
     if not added:
         if schema is None:
@@ -826,11 +837,32 @@ def read_incremental(
             if not data:
                 raise ValueError("empty table and no schema given")
             schema = infer_read_schema(spark, data)
+        if with_lineage:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+                ]
+                + [
+                    StructField(ROW_ID_COL, LongType(), True),
+                    StructField(LAST_UPDATED_SEQ_COL, LongType(), True),
+                ]
+            )
         return spark.createDataFrame([], schema)
     if schema is None:
         schema = infer_read_schema(spark, added)
+    lineage = (
+        {t.data_file_path: t.first_row_id for t in added}
+        if with_lineage
+        else None
+    )
     return build_merge_on_read(
-        spark, RewriteFilesRequest(schema=schema, data_files=added)
+        spark,
+        RewriteFilesRequest(schema=schema, data_files=added),
+        lineage=lineage,
     )
 
 

@@ -1185,6 +1185,8 @@ class IcebergTable:
                 sequence_number=s,
                 content=FileContent.DATA,
                 file_size_in_bytes=e["data_file"]["file_size_in_bytes"],
+                record_count=e["data_file"].get("record_count") or 0,
+                first_row_id=e["data_file"].get("first_row_id"),
             )
             for e, s in added
         ]

@@ -630,6 +630,8 @@ class ManifestTable:
                 sequence_number=f.get("sequence_number", 0),
                 content=FileContent.DATA,
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
+                record_count=f.get("record_count") or 0,
+                first_row_id=f.get("first_row_id"),
             )
             for f in added
         ]

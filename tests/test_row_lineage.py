@@ -202,6 +202,31 @@ def test_lineage_on_spec_metadata_table(spark, tmp_path):
     assert set(read_table(spark, t).columns) == {"id", "name", "v"}
 
 
+def test_read_incremental_with_lineage(spark, tmp_path):
+    """Incremental consumers get the durable row identity: ids of the
+    appended range only, matching the full-table lineage read."""
+    from ic_spark.compaction.deletes import read_incremental
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    snaps = [s.snapshot_id for s in t.snapshots()]
+    inc = read_incremental(
+        spark, t, from_snapshot_id=snaps[-2], with_lineage=True
+    )
+    got = {r.id: (r._row_id, r._last_updated_sequence_number)
+           for r in inc.collect()}
+    assert got == {i: (i, 2) for i in range(10, 16)}
+    full = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert all(full[i] == got[i] for i in got)
+    # empty range keeps the lineage schema
+    empty = read_incremental(
+        spark, t, from_snapshot_id=snaps[-1], with_lineage=True
+    )
+    assert "_row_id" in empty.columns and empty.count() == 0
+
+
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 
