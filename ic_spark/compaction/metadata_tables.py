@@ -47,6 +47,9 @@ _FILES_SCHEMA = StructType(
         StructField("sequence_number", LongType(), False),
         StructField("equality_ids", ArrayType(StringType()), True),
         StructField("file_size_in_bytes", LongType(), False),
+        # v3 row lineage: null on non-lineage tables AND on files that
+        # materialize _row_id physically (compaction outputs)
+        StructField("first_row_id", LongType(), True),
     ]
 )
 
@@ -118,6 +121,7 @@ def _as_snapshots(table) -> tuple[list, int | None]:
                 "file_size_in_bytes": df["file_size_in_bytes"],
                 "file_format": (df.get("file_format") or "PARQUET").lower(),
                 "record_count": df.get("record_count", 0),
+                "first_row_id": df.get("first_row_id"),
             }
             if df.get("referenced_data_file"):
                 # spec manifests are already one entry per vector
@@ -186,6 +190,7 @@ def read_metadata_table(
                 f.get("sequence_number", 0),
                 list(f.get("equality_ids", [])) or None,
                 f.get("file_size_in_bytes", 0),
+                f.get("first_row_id"),
             )
             for f in current.files
         ]

@@ -65,6 +65,14 @@ def test_enable_backfills_and_appends_claim_ranges(spark, tmp_path):
     }
     # without the flag the metadata columns stay hidden
     assert set(read_table(spark, t).columns) == {"id", "name", "v"}
+    # the files metadata table surfaces the assigned ranges
+    from ic_spark.compaction.metadata_tables import read_metadata_table
+
+    frid = {
+        r.path: r.first_row_id
+        for r in read_metadata_table(spark, t, "files").collect()
+    }
+    assert frid == {f1: 0, f2: 10}
 
 
 def test_lineage_survives_deletes_and_compaction(spark, tmp_path):
