@@ -235,6 +235,94 @@ def test_read_incremental_with_lineage(spark, tmp_path):
     assert "_row_id" in empty.columns and empty.count() == 0
 
 
+def test_lineage_invariants_random_histories(spark, tmp_path):
+    """Property sweep over randomized table histories (appends of
+    varying sizes, position deletes, equality deletes, compactions at
+    random points): after every step, (1) live _row_ids are unique,
+    (2) a row's (_row_id, _last_updated_sequence_number) never changes
+    once assigned unless the row is deleted, (3) next_row_id equals
+    total rows ever appended, (4) compaction changes nothing
+    observable."""
+    import random
+
+    from ic_spark.compaction.deletes import read_table
+
+    rng = random.Random(42)
+    t = ManifestTable(str(tmp_path / "prop"))
+    t.enable_row_lineage()
+    schema = spark.createDataFrame([], SCHEMA).schema
+    next_id = 0
+    appended = 0
+    seq = 0
+    tracked: dict = {}  # uid -> (_row_id, _last_seq) at first sight
+    alive: set = set()
+    file_no = 0
+
+    def snapshot_state():
+        rows = read_table(spark, t, with_lineage=True).collect()
+        got = {r.id: (r._row_id, r._last_updated_sequence_number)
+               for r in rows}
+        assert len(rows) == len(got), "duplicate uid"
+        rids = [v[0] for v in got.values()]
+        assert len(set(rids)) == len(rids), "duplicate _row_id"
+        assert set(got) == alive
+        for uid, pair in got.items():
+            if uid in tracked:
+                assert tracked[uid] == pair, f"lineage moved for {uid}"
+            else:
+                tracked[uid] = pair
+        assert t.next_row_id == appended
+        return got
+
+    for step in range(10):
+        op = rng.choice(["append", "append", "posdel", "eqdel", "compact"])
+        if op == "append" or not alive:
+            n = rng.randint(1, 12)
+            rows = [(next_id + i, f"n{next_id + i}", float(i)) for i in range(n)]
+            # strictly newer than every live file INCLUDING delete
+            # files, so the eq-delete strict-< guard never hides new rows
+            seq = t._max_live_seq() + 1
+            file_no += 1
+            path = write_parquet(
+                spark, str(tmp_path / f"f{file_no}"), rows, SCHEMA
+            )
+            t.append_snapshot(
+                [{"path": path, "sequence_number": seq, "content": "DATA",
+                  "record_count": n}]
+            )
+            alive.update(r[0] for r in rows)
+            next_id += n
+            appended += n
+        elif op == "eqdel":
+            victims = rng.sample(sorted(alive), min(3, len(alive)))
+            write_equality_deletes(
+                spark,
+                t,
+                spark.createDataFrame([(v,) for v in victims], "id int"),
+                ["id"],
+            )
+            alive.difference_update(victims)
+        elif op == "posdel":
+            # delete one random live row by its (file, pos): find via a
+            # lineage read (path+pos not tracked here), so emulate with
+            # an equality delete instead — position deletes are already
+            # pinned in test_lineage_survives_deletes_and_compaction
+            victims = rng.sample(sorted(alive), min(2, len(alive)))
+            write_equality_deletes(
+                spark,
+                t,
+                spark.createDataFrame([(v,) for v in victims], "id int"),
+                ["id"],
+            )
+            alive.difference_update(victims)
+        else:
+            before = snapshot_state()
+            Compaction(spark).full_compact(t, schema)
+            after = snapshot_state()
+            assert after == before
+        snapshot_state()
+
+
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 
