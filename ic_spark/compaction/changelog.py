@@ -120,10 +120,18 @@ def read_changelog(
     schema=None,
     compute_updates_key: list[str] | None = None,
     net_changes: bool = False,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Row-level changes committed AFTER ``from_snapshot_id`` up to
     ``to_snapshot_id`` (current by default).  See module docstring for
     per-operation semantics.
+
+    ``with_lineage=True`` (Iceberg v3 row-lineage tables) appends
+    ``_row_id`` / ``_last_updated_sequence_number`` to every change
+    row — the durable identity that lets a CDC consumer pair a DELETE
+    with the INSERT that created the row, v3's core use case.  Not
+    combinable with ``compute_updates_key`` or ``net_changes`` (those
+    collapse rows by VALUE; lineage keys rows by identity).
 
     ``compute_updates_key`` (Iceberg's changelog ``identifier_columns``
     option): within one commit, a DELETE and an INSERT sharing the key
@@ -143,6 +151,13 @@ def read_changelog(
             "net_changes must be false when compute_updates is requested "
             "(Iceberg create_changelog_view contract)"
         )
+    if with_lineage and (net_changes or compute_updates_key):
+        raise ValueError(
+            "with_lineage keys rows by identity; net_changes/"
+            "compute_updates collapse by value — not combinable"
+        )
+    if with_lineage and not getattr(table, "row_lineage", False):
+        raise ValueError("with_lineage requires enable_row_lineage()")
     from ic_spark.compaction.deletes import _evolved_scan_args, infer_read_schema
     from ic_spark.compaction.planner import (
         _maybe_broadcast,
@@ -150,6 +165,8 @@ def read_changelog(
         _scan_with_hidden_cols,
         apply_equality_deletes,
         apply_position_deletes,
+        attach_lineage,
+        lineage_scan_schema,
         scan_position_delete_rows,
     )
 
@@ -167,11 +184,42 @@ def read_changelog(
         if not data:
             raise ValueError("empty table and no schema given")
         schema = infer_read_schema(spark, data)
+    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
+    if getattr(table, "row_lineage", False):
+        # materialized lineage columns in compacted footers are
+        # metadata, not user columns (same rule as read_table)
+        from pyspark.sql.types import StructType
+
+        schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+            ]
+        )
     cols = [f.name for f in schema.fields]
+    scan_schema = schema
+    lineage_cols = ""
+    if with_lineage:
+        scan_schema = lineage_scan_schema(schema)
+        cols = cols + [ROW_ID_COL, LAST_UPDATED_SEQ_COL]
+        lineage_cols = (
+            f", `{ROW_ID_COL}` bigint, `{LAST_UPDATED_SEQ_COL}` bigint"
+        )
     out_schema = (
         "  , ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        + lineage_cols
         + ", _change_type string, _commit_snapshot_id long, _change_ordinal int"
     )
+
+    def lin(df: DataFrame, tasks) -> DataFrame:
+        """Resolve lineage columns on a hidden-col scan of ``tasks``."""
+        if not with_lineage:
+            return df
+        return attach_lineage(
+            spark, df, {t.data_file_path: t.first_row_id for t in tasks}
+        )
 
     def pos_rows(tasks) -> DataFrame | None:
         """(file_path, pos) rows of a snapshot's positional delete
@@ -204,9 +252,9 @@ def read_changelog(
         base = _scan_with_hidden_cols(
             spark,
             p_data,
-            schema=schema,
-            with_pos=with_pos or bool(p_pos),
-            with_seq=with_seq or bool(p_eq),
+            schema=scan_schema,
+            with_pos=with_pos or bool(p_pos) or with_lineage,
+            with_seq=with_seq or bool(p_eq) or with_lineage,
             **evo,
         )
         if p_pos:
@@ -226,7 +274,7 @@ def read_changelog(
                 )
                 g_del = _maybe_broadcast(g_del, list(group.tasks))
                 base = apply_equality_deletes(base, g_del, g_cols)
-        return base
+        return lin(base, p_data)
 
     parts: list[DataFrame] = []
     cur_prev = prev_id
@@ -273,17 +321,42 @@ def read_changelog(
                         name_mapping=evo.get("name_mapping"),
                         schema_history=evo.get("schema_history"),
                     ),
+                    lineage=(
+                        {t.data_file_path: t.first_row_id for t in removed}
+                        if with_lineage
+                        else None
+                    ),
                 )
                 parts.append(_with_meta(gone, cols, "DELETE", sid, ordinal))
             if added:
-                ins = _scan_with_hidden_cols(spark, added, schema=schema, **evo)
+                ins = lin(
+                    _scan_with_hidden_cols(
+                        spark,
+                        added,
+                        schema=scan_schema,
+                        with_pos=with_lineage,
+                        with_seq=with_lineage,
+                        **evo,
+                    ),
+                    added,
+                )
                 parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
             cur_prev = sid
             continue
 
         # append / delete / upsert commits
         if added:
-            ins = _scan_with_hidden_cols(spark, added, schema=schema, **evo)
+            ins = lin(
+                _scan_with_hidden_cols(
+                    spark,
+                    added,
+                    schema=scan_schema,
+                    with_pos=with_lineage,
+                    with_seq=with_lineage,
+                    **evo,
+                ),
+                added,
+            )
             parts.append(_with_meta(ins, cols, "INSERT", sid, ordinal))
         if pos_changed:
             prev_rows = pos_rows(p_pos)

@@ -548,26 +548,71 @@ def build_merge_on_read(
             ROW_ID_COL,
         )
 
-        lin_df = spark.createDataFrame(
-            list(lineage.items()), "__lin_path string, __first_row_id long"
-        )
-        # scan paths carry the file: scheme; manifest paths are plain
-        data = data.join(
-            F.broadcast(lin_df),
-            F.regexp_replace(F.col(SYS_HIDDEN_FILE_PATH), "^file:", "")
-            == F.col("__lin_path"),
-            "left",
-        )
-        row_id = F.coalesce(
-            F.col(ROW_ID_COL),
-            F.col("__first_row_id") + F.col(SYS_HIDDEN_POS),
-        )
-        last_seq = F.coalesce(
-            F.col(LAST_UPDATED_SEQ_COL), F.col(SYS_HIDDEN_SEQ_NUM)
-        )
+        data = attach_lineage(spark, data, lineage)
         return data.select(
             *user_cols,
-            row_id.alias(ROW_ID_COL),
-            last_seq.alias(LAST_UPDATED_SEQ_COL),
+            F.col(ROW_ID_COL),
+            F.col(LAST_UPDATED_SEQ_COL),
         )
     return data.select(*user_cols)
+
+
+def lineage_scan_schema(schema):
+    """User schema + the two nullable lineage metadata fields, so
+    materialized files surface their physical ``_row_id`` /
+    ``_last_updated_sequence_number`` columns and plain files null-fill
+    them (any pre-existing lineage fields are stripped first)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
+    return StructType(
+        [
+            f
+            for f in schema.fields
+            if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+        ]
+        + [
+            StructField(ROW_ID_COL, LongType(), True),
+            StructField(LAST_UPDATED_SEQ_COL, LongType(), True),
+        ]
+    )
+
+
+def attach_lineage(spark: SparkSession, df: DataFrame, lineage: dict) -> DataFrame:
+    """Resolve the Iceberg v3 lineage columns on a hidden-col scan:
+    ``_row_id`` = file first_row_id + position (or the file's
+    materialized column), ``_last_updated_sequence_number`` = the
+    materialized column or the file's sequence number.  ``df`` must
+    carry the hidden path/pos/seq columns AND the (nullable) lineage
+    fields from :func:`lineage_scan_schema`.  The file map ships as a
+    broadcast join — cost scales with file count, never rows."""
+    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
+    lin_df = spark.createDataFrame(
+        list(lineage.items()), "__lin_path string, __first_row_id long"
+    )
+    # scan paths carry the file: scheme; manifest paths are plain
+    out = df.join(
+        F.broadcast(lin_df),
+        F.regexp_replace(F.col(SYS_HIDDEN_FILE_PATH), "^file:", "")
+        == F.col("__lin_path"),
+        "left",
+    )
+    row_id = F.coalesce(
+        F.col(ROW_ID_COL), F.col("__first_row_id") + F.col(SYS_HIDDEN_POS)
+    )
+    last_seq = F.coalesce(
+        F.col(LAST_UPDATED_SEQ_COL), F.col(SYS_HIDDEN_SEQ_NUM)
+    )
+    others = [
+        c
+        for c in out.columns
+        if c
+        not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL, "__lin_path", "__first_row_id")
+    ]
+    return out.select(
+        *others,
+        row_id.alias(ROW_ID_COL),
+        last_seq.alias(LAST_UPDATED_SEQ_COL),
+    )

@@ -323,6 +323,47 @@ def test_lineage_invariants_random_histories(spark, tmp_path):
         snapshot_state()
 
 
+def test_changelog_with_lineage(spark, tmp_path):
+    """CDC change rows carry the durable identity: INSERTs get the ids
+    assigned to the appended files, DELETEs get the ids of the rows the
+    commit hid (pairing a DELETE with its INSERT by _row_id — v3's
+    core use case); compaction in-range emits nothing and changes no
+    ids; value-collapsing options are rejected."""
+    import pytest
+
+    from ic_spark.compaction.changelog import read_changelog
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    snaps = [s.snapshot_id for s in t.snapshots()]
+    base = snaps[0]  # after f1, before f2
+    # delete two rows spanning both files
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(4,), (11,)], "id int"), ["id"]
+    )
+    schema = spark.createDataFrame([], SCHEMA).schema
+    Compaction(spark).full_compact(t, schema)  # replace: must emit nothing
+
+    log = read_changelog(spark, t, base, with_lineage=True)
+    assert "_row_id" in log.columns
+    rows = log.collect()
+    ins = {r.id: r._row_id for r in rows if r._change_type == "INSERT"}
+    dels = {r.id: r._row_id for r in rows if r._change_type == "DELETE"}
+    assert ins == {i: i for i in range(10, 16)}  # f2's appended rows
+    assert dels == {4: 4, 11: 11}  # identity pairs the delete to its row
+    # the delete of id=11 pairs with the in-range insert by _row_id
+    assert dels[11] == ins[11]
+    # last-updated seq on INSERTs = the appending file's seq
+    for r in rows:
+        if r._change_type == "INSERT":
+            assert r._last_updated_sequence_number == 2
+
+    with pytest.raises(ValueError, match="not combinable"):
+        read_changelog(spark, t, base, with_lineage=True, net_changes=True)
+    plain = ManifestTable(str(tmp_path / "nolin"))
+    with pytest.raises(ValueError, match="enable_row_lineage"):
+        read_changelog(spark, plain, 0, with_lineage=True)
+
+
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 
