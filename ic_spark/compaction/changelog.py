@@ -168,6 +168,7 @@ def read_changelog(
         attach_lineage,
         lineage_scan_schema,
         scan_position_delete_rows,
+        strip_lineage_fields,
     )
 
     (prev_id, _), chain = _main_chain(table, from_snapshot_id, to_snapshot_id)
@@ -189,15 +190,7 @@ def read_changelog(
     if getattr(table, "row_lineage", False):
         # materialized lineage columns in compacted footers are
         # metadata, not user columns (same rule as read_table)
-        from pyspark.sql.types import StructType
-
-        schema = StructType(
-            [
-                f
-                for f in schema.fields
-                if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-            ]
-        )
+        schema = strip_lineage_fields(schema)
     cols = [f.name for f in schema.fields]
     scan_schema = schema
     lineage_cols = ""

@@ -760,20 +760,9 @@ def read_table(
         # Materialized lineage columns in compacted footers are
         # METADATA, not user columns — inferred schemas must not
         # surface them (with_lineage appends them deliberately).
-        from pyspark.sql.types import StructType
+        from ic_spark.compaction.planner import strip_lineage_fields
 
-        from ic_spark.compaction.request import (
-            LAST_UPDATED_SEQ_COL,
-            ROW_ID_COL,
-        )
-
-        schema = StructType(
-            [
-                f
-                for f in schema.fields
-                if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-            ]
-        )
+        schema = strip_lineage_fields(schema)
     request = RewriteFilesRequest(
         schema=schema,
         data_files=data,

@@ -967,7 +967,12 @@ class IcebergTable:
         meta = self.metadata()
         version = self.version()
         if meta.get("next-row-id") is not None:
+            # assign on COPIES: a CAS-lost commit must leave the
+            # caller's dicts unstamped so a retry re-assigns against
+            # the fresh next-row-id instead of re-committing stale
+            # (overlapping) ranges
             meta = dict(meta)
+            files = [dict(f) for f in files]
             self._assign_row_ids(meta, files)
         base_id = None
         if branch is not None:
@@ -1206,9 +1211,6 @@ class IcebergTable:
         supersede) — the changelog read keys off it."""
         meta = self.metadata()
         version = self.version()
-        if meta.get("next-row-id") is not None:
-            meta = dict(meta)
-            self._assign_row_ids(meta, added)
         cur = self._snapshot(None)
         if expected_snapshot_id is not None:
             actual = cur["snapshot-id"] if cur else None
@@ -1225,6 +1227,11 @@ class IcebergTable:
                 f"{len(stale)} file(s) no longer live (concurrent rewrite?): "
                 f"{stale[:3]}..."
             )
+        if meta.get("next-row-id") is not None:
+            # after conflict validation, on copies (see append_snapshot)
+            meta = dict(meta)
+            added = [dict(f) for f in added]
+            self._assign_row_ids(meta, added)
         kept = [
             ({**e, "status": EXISTING}, s)
             for e, s in live

@@ -658,11 +658,17 @@ class ManifestTable:
         the CURRENT snapshot forward — time-travel reads of earlier
         snapshots have no ids, exactly like a v2→v3 upgrade.
 
-        Preservation boundary: COMPACTION preserves every surviving
-        row's id (the spec's hard requirement — full_compact
-        materializes the lineage columns); copy-on-write row ops
-        (merge_upsert / update_where) rewrite rows under FRESH ids,
-        which the spec permits for row-level writers.
+        Preservation: every file rewrite preserves surviving rows'
+        ids — full_compact and compact_small_files materialize the
+        lineage columns with no new id claims; the copy-on-write row
+        ops (delete_where / update_where / merge_into) carry ids
+        through their transforms (updated rows keep ``_row_id`` and
+        inherit the new commit's sequence number; inserted rows inherit
+        fresh ids from their file's claimed range), per the v3 rule
+        that rows copied to new files keep their lineage.  The
+        merge-on-read ``merge_upsert`` never rewrites rows at all (its
+        new versions are NEW rows; old versions die by equality
+        delete), so it is lineage-correct by construction.
         """
         state = self._load()
         if state.get("row_lineage"):
@@ -733,6 +739,10 @@ class ManifestTable:
             raise ValueError("pass stage or branch, not both")
         state = self._load()
         if state.get("row_lineage"):
+            # assign on COPIES: a failed commit must leave the caller's
+            # dicts unstamped, or a retry would re-commit stale id
+            # ranges without advancing next_row_id
+            files = [dict(f) for f in files]
             self._assign_row_ids(state, files)
         cur = self.current_snapshot()
         if branch is not None:
@@ -866,8 +876,6 @@ class ManifestTable:
         to have moved AT ALL since planning.
         """
         state = self._load()
-        if state.get("row_lineage"):
-            self._assign_row_ids(state, added)
         cur = self.current_snapshot()
         if expected_snapshot_id is not None:
             actual = cur.snapshot_id if cur else None
@@ -883,6 +891,12 @@ class ManifestTable:
                 f"{len(stale)} file(s) no longer live (concurrent rewrite?): "
                 f"{stale[:3]}..."
             )
+        if state.get("row_lineage"):
+            # assign AFTER conflict validation and on COPIES — a
+            # CommitConflictError retry must re-run assignment against
+            # the fresh next_row_id, not re-commit a stale range
+            added = [dict(f) for f in added]
+            self._assign_row_ids(state, added)
         kept = [f for f in (cur.files if cur else []) if f["path"] not in removed_paths]
         # max+1, not current+1: staged (WAP) snapshots hold ids past current.
         sid = max((s["snapshot_id"] for s in state["snapshots"]), default=0) + 1

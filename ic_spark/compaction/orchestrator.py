@@ -505,6 +505,11 @@ class Compaction:
         merged = RewriteFilesResponse()
         new_seq = max((t.sequence_number for t in data + eq), default=0) + 1
         added: list[dict] = []
+        # Row-lineage tables: EVERY rewrite must preserve surviving
+        # rows' ids (same obligation as full_compact) — materialize the
+        # lineage columns and commit materialized entries so
+        # _assign_row_ids claims nothing.
+        lineage_on = getattr(table, "row_lineage", False)
         for group in groups:
             out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
             response = rewrite_files(
@@ -527,6 +532,11 @@ class Compaction:
                         else None
                     ),
                 ),
+                lineage=(
+                    {t.data_file_path: t.first_row_id for t in group}
+                    if lineage_on
+                    else None
+                ),
             )
             merged.data_files.extend(response.data_files)
             added.extend(
@@ -537,6 +547,7 @@ class Compaction:
                     "file_size_in_bytes": f.file_size_in_bytes,
                     "record_count": f.record_count,
                     "column_stats": f.column_stats,
+                    **({"materialized_lineage": True} if lineage_on else {}),
                 }
                 for f in response.data_files
             )

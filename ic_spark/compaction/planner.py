@@ -461,29 +461,14 @@ def build_merge_on_read(
     as a broadcast (file_path, first_row_id) join — never a driver-side
     per-row loop — so it scales with file COUNT, not row count.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
-
     has_pos = bool(request.position_delete_files)
     has_eq = bool(request.equality_delete_files)
     # The lineage metadata columns are never user columns — strip them
     # if an inferred schema picked them up from materialized files.
-    user_fields = [
-        f
-        for f in request.schema.fields
-        if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-    ]
-    user_cols = [f.name for f in user_fields]
+    user_cols = [f.name for f in strip_lineage_fields(request.schema).fields]
     scan_schema = request.schema
     if lineage is not None:
-        scan_schema = StructType(
-            user_fields
-            + [
-                StructField(ROW_ID_COL, LongType(), True),
-                StructField(LAST_UPDATED_SEQ_COL, LongType(), True),
-            ]
-        )
+        scan_schema = lineage_scan_schema(request.schema)
 
     data = _scan_with_hidden_cols(
         spark,
@@ -557,6 +542,23 @@ def build_merge_on_read(
     return data.select(*user_cols)
 
 
+def strip_lineage_fields(schema):
+    """Drop the lineage metadata fields from a (possibly inferred)
+    schema — compacted footers materialize them physically, but they
+    are never user columns."""
+    from pyspark.sql.types import StructType
+
+    from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
+
+    return StructType(
+        [
+            f
+            for f in schema.fields
+            if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
+        ]
+    )
+
+
 def lineage_scan_schema(schema):
     """User schema + the two nullable lineage metadata fields, so
     materialized files surface their physical ``_row_id`` /
@@ -567,11 +569,7 @@ def lineage_scan_schema(schema):
     from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
 
     return StructType(
-        [
-            f
-            for f in schema.fields
-            if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-        ]
+        list(strip_lineage_fields(schema).fields)
         + [
             StructField(ROW_ID_COL, LongType(), True),
             StructField(LAST_UPDATED_SEQ_COL, LongType(), True),

@@ -80,7 +80,14 @@ def _infer_schema(spark: SparkSession, table: ManifestTable) -> StructType:
         raise ValueError("empty table and no schema given")
     from ic_spark.compaction.deletes import infer_read_schema
 
-    return infer_read_schema(spark, data)
+    inferred = infer_read_schema(spark, data)
+    if getattr(table, "row_lineage", False):
+        # materialized lineage columns in compacted footers are
+        # metadata, not user columns (same rule as read_table)
+        from ic_spark.compaction.planner import strip_lineage_fields
+
+        inferred = strip_lineage_fields(inferred)
+    return inferred
 
 
 def _next_seq(data, eq) -> int:
@@ -119,6 +126,19 @@ def _rewrite_and_commit(
     )
     new_seq = _next_seq(candidates, eq)
     out_dir = os.path.join(table.root, f"data-{uuid.uuid4().hex[:12]}")
+    # Row-lineage tables: the MoR read carries _row_id /
+    # _last_updated_sequence_number, each op's transform preserves them
+    # per spec (carried rows keep both; UPDATED rows keep _row_id and
+    # null the seq so it inherits this commit's; inserted rows null
+    # both and inherit first_row_id + position), and the committed
+    # entries claim a fresh id range per file — over-allocated for
+    # carried rows, which the spec permits (ids must be unique and
+    # monotonic, not dense).
+    lineage = (
+        {t.data_file_path: t.first_row_id for t in candidates}
+        if getattr(table, "row_lineage", False)
+        else None
+    )
     response = rewrite_files(
         spark,
         RewriteFilesRequest(
@@ -133,6 +153,7 @@ def _rewrite_and_commit(
             schema_history=schema_history,
         ),
         transform=transform,
+        lineage=lineage,
     )
     added = []
     for f in response.data_files:
@@ -215,7 +236,24 @@ def update_where(
     pred = predicate_column(where)
 
     def apply_updates(df: DataFrame) -> DataFrame:
+        from ic_spark.compaction.request import (
+            LAST_UPDATED_SEQ_COL,
+            ROW_ID_COL,
+        )
+
         out = df
+        extra = []
+        if ROW_ID_COL in df.columns:  # lineage rides along the rewrite
+            extra = [ROW_ID_COL, LAST_UPDATED_SEQ_COL]
+            # updated rows: keep _row_id, null the seq so it inherits
+            # this commit's (evaluate pred BEFORE assignments mutate
+            # predicate columns)
+            out = out.withColumn(
+                LAST_UPDATED_SEQ_COL,
+                F.when(
+                    F.coalesce(pred, F.lit(False)), F.lit(None).cast("long")
+                ).otherwise(F.col(LAST_UPDATED_SEQ_COL)),
+            )
         for col, expr in assignments.items():
             new = F.expr(expr) if isinstance(expr, str) else expr
             out = out.withColumn(
@@ -224,7 +262,7 @@ def update_where(
                     F.col(col)
                 ),
             )
-        return out.select(*[f.name for f in schema.fields])
+        return out.select(*[f.name for f in schema.fields], *extra)
 
     return _rewrite_and_commit(
         spark, table, schema, candidates, pos, eq, apply_updates
@@ -351,6 +389,12 @@ def merge_into(
     )
 
     def apply_merge(target: DataFrame) -> DataFrame:
+        from ic_spark.compaction.request import (
+            LAST_UPDATED_SEQ_COL,
+            ROW_ID_COL,
+        )
+
+        has_lin = ROW_ID_COL in target.columns
         if when_matched == "delete":
             out = target.join(source_keys, on=key_cols, how="left_anti")
         else:
@@ -397,7 +441,17 @@ def merge_into(
                             else F.col(c)
                         )
                         for c in field_names
-                    ]
+                    ],
+                    *(
+                        [
+                            F.col(ROW_ID_COL),
+                            F.when(matched, F.lit(None).cast("long"))
+                            .otherwise(F.col(LAST_UPDATED_SEQ_COL))
+                            .alias(LAST_UPDATED_SEQ_COL),
+                        ]
+                        if has_lin
+                        else []
+                    ),
                 )
             else:
                 out = joined.select(
@@ -410,7 +464,17 @@ def merge_into(
                             .alias(c)
                         )
                         for c in field_names
-                    ]
+                    ],
+                    *(
+                        [
+                            F.col(ROW_ID_COL),
+                            F.when(matched, F.lit(None).cast("long"))
+                            .otherwise(F.col(LAST_UPDATED_SEQ_COL))
+                            .alias(LAST_UPDATED_SEQ_COL),
+                        ]
+                        if has_lin
+                        else []
+                    ),
                 )
         if insert_not_matched:
             # Not-matched = source keys absent from the whole table.  A
@@ -418,7 +482,17 @@ def merge_into(
             # candidate rows are the complete match set.
             inserts = marked_source.join(
                 target.select(*key_cols), on=key_cols, how="left_anti"
-            ).select(*field_names)
+            ).select(
+                *field_names,
+                *(
+                    [
+                        F.lit(None).cast("long").alias(ROW_ID_COL),
+                        F.lit(None).cast("long").alias(LAST_UPDATED_SEQ_COL),
+                    ]
+                    if has_lin
+                    else []
+                ),
+            )
             out = out.unionByName(inserts)
         return out
 

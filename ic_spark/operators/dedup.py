@@ -573,6 +573,7 @@ def substring_gram_index(
     k: int = 8,
     hash_grams: bool = True,
     base_index: DataFrame | None = None,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """(gram, doc_freq): distinct-document frequency of every k-gram —
     the COMMITTED index the incremental substring-span path probes, so
@@ -589,7 +590,11 @@ def substring_gram_index(
     index, both on the compact key.
     """
     fresh = (
-        _doc_grams(df, id_col, content_col, k, hash_grams)
+        (
+            _grams
+            if _grams is not None
+            else _doc_grams(df, id_col, content_col, k, hash_grams)
+        )
         .select("__g", "doc_id")
         .distinct()
         .groupBy("__g")
@@ -614,6 +619,7 @@ def incremental_substring_spans(
     k: int = 8,
     min_df: int = 2,
     hash_grams: bool = True,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`substring_dup_spans` for continuous ingest: repeated-
     substring spans in a NEW batch, with document frequency counted
@@ -634,8 +640,17 @@ def incremental_substring_spans(
     (hash, count) index joins against the increment's distinct grams
     (broadcast when small, hash join on 8-byte keys otherwise); the
     island merge windows over increment hits only.
+
+    ``_grams`` (package-internal): a precomputed — typically persisted
+    — :func:`_doc_grams` frame of the increment, so callers that need
+    both the spans AND the gram delta (the streaming sink) tokenize the
+    batch text exactly once.
     """
-    grams = _doc_grams(increment, id_col, content_col, k, hash_grams)
+    grams = (
+        _grams
+        if _grams is not None
+        else _doc_grams(increment, id_col, content_col, k, hash_grams)
+    )
     inc_df = (
         grams.select("__g", "doc_id")
         .distinct()

@@ -203,14 +203,27 @@ def parse_media_header(payload: bytes | None) -> dict:
             rate = None
             if len(b) >= idx + 16:
                 rate = int.from_bytes(b[idx + 12 : idx + 16], "little")
+            # Granules must come from the VORBIS stream's pages only: a
+            # multiplexed (e.g. Theora+Vorbis) or chained Ogg carries
+            # other serials whose granules are frame counts, not PCM
+            # samples.  The serial of the page holding the ID packet
+            # identifies the audio stream.
             granule = None
+            serial = None
             i = 0
             while i + 27 <= len(b) and b[i : i + 4] == b"OggS":
-                g = int.from_bytes(b[i + 6 : i + 14], "little", signed=True)
-                if g > 0:
-                    granule = g
                 nsegs = b[i + 26]
-                i += 27 + nsegs + sum(b[i + 27 : i + 27 + nsegs])
+                page_end = i + 27 + nsegs + sum(b[i + 27 : i + 27 + nsegs])
+                page_serial = int.from_bytes(b[i + 14 : i + 18], "little")
+                if serial is None and i <= idx < page_end:
+                    serial = page_serial
+                if page_serial == serial:
+                    g = int.from_bytes(
+                        b[i + 6 : i + 14], "little", signed=True
+                    )
+                    if g > 0:
+                        granule = g
+                i = page_end
             dur = (
                 granule * 1000 // rate if rate and granule else None
             )

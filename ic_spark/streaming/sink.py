@@ -194,6 +194,7 @@ def manifest_span_dedup_sink(
     """
     from ic_spark.compaction.deletes import read_table
     from ic_spark.operators.dedup import (
+        _doc_grams,
         incremental_substring_spans,
         substring_gram_index,
     )
@@ -221,24 +222,34 @@ def manifest_span_dedup_sink(
             idx = substring_gram_index(
                 df.limit(0), id_col, content_col, k=k, hash_grams=hash_grams
             )
-        if append_spans is not None:
-            spans = incremental_substring_spans(
-                df,
-                idx,
-                id_col,
-                content_col,
-                k=k,
-                min_df=min_df,
-                hash_grams=hash_grams,
+        # ONE tokenize/k-gram pass per batch: the persisted grams frame
+        # feeds both the span probe and the index delta (they are
+        # separate append actions, so without the persist each would
+        # re-derive the grams from the batch text)
+        grams = _doc_grams(df, id_col, content_col, k, hash_grams).persist()
+        try:
+            if append_spans is not None:
+                spans = incremental_substring_spans(
+                    df,
+                    idx,
+                    id_col,
+                    content_col,
+                    k=k,
+                    min_df=min_df,
+                    hash_grams=hash_grams,
+                    _grams=grams,
+                )
+                append_spans(spans, batch_id)
+            append_docs(df, batch_id)
+            append_idx(
+                substring_gram_index(
+                    df, id_col, content_col, k=k, hash_grams=hash_grams,
+                    _grams=grams,
+                ),
+                batch_id,
             )
-            append_spans(spans, batch_id)
-        append_docs(df, batch_id)
-        append_idx(
-            substring_gram_index(
-                df, id_col, content_col, k=k, hash_grams=hash_grams
-            ),
-            batch_id,
-        )
+        finally:
+            grams.unpersist()
 
     return write_batch
 

@@ -364,6 +364,93 @@ def test_changelog_with_lineage(spark, tmp_path):
         read_changelog(spark, plain, 0, with_lineage=True)
 
 
+def test_lineage_preserved_by_binpack_and_row_ops(spark, tmp_path):
+    """EVERY rewrite path preserves row identity, not just full_compact:
+    binpack (compact_small_files) materializes ids with no new claims;
+    COW delete/update/merge carry ids through their transforms —
+    updated rows keep _row_id and inherit the NEW commit's sequence
+    number, inserted rows get fresh unique ids."""
+    from ic_spark.compaction.rowops import delete_where, merge_into, update_where
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    schema = spark.createDataFrame([], SCHEMA).schema
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+
+    # binpack: both fixture files are tiny -> merged; ids must not move
+    Compaction(spark).compact_small_files(t, schema)
+    assert t.next_row_id == 16
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert after == before
+
+    # COW delete: survivors keep identity exactly
+    delete_where(spark, t, [("id", "=", 3)], schema)
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert set(got) == set(range(16)) - {3}
+    assert all(got[i] == before[i] for i in got)
+
+    # COW update: updated row keeps _row_id, seq bumps to the rewrite's
+    update_where(spark, t, [("id", "=", 5)], {"v": "v + 100"}, schema)
+    data, _, _ = t.scan_tasks()
+    max_seq = max(d.sequence_number for d in data)
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number, r.v)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert got[5][0] == 5 and got[5][1] == max_seq and got[5][2] == 105.0
+    # untouched rows in the rewritten file keep their original seq
+    assert got[6][:2] == before[6]
+
+    # MERGE: matched row updated in place (id kept, seq bumped),
+    # unmatched source rows inserted under fresh unique ids
+    src = spark.createDataFrame(
+        [(6, "n6", 999.0), (100, "n100", 1.0)], SCHEMA
+    )
+    merge_into(spark, t, src, ["id"], schema)
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number, r.v)
+        for r in read_table(spark, t, with_lineage=True).collect()
+    }
+    assert got[6][0] == 6 and got[6][2] == 999.0
+    assert got[6][1] > before[6][1]
+    rids = [v[0] for v in got.values()]
+    assert len(set(rids)) == len(rids)  # all ids unique incl. insert
+    assert got[100][0] not in {v[0] for k, v in before.items()}
+    assert got[9] == (*before[9], 9.0)  # untouched row fully intact
+
+
+def test_lineage_commit_conflict_leaves_no_stale_ids(spark, tmp_path):
+    """A commit that loses the optimistic-concurrency race must leave
+    the caller's entry dicts unstamped and next_row_id untouched, so a
+    retry claims a FRESH range instead of re-committing a stale one."""
+    import pytest
+
+    from ic_spark.compaction.manifest import CommitConflictError
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    f3 = write_parquet(spark, str(tmp_path / "c3"), _rows(16, 20), SCHEMA)
+    entry = {"path": f3, "sequence_number": 5, "content": "DATA",
+             "record_count": 4}
+    with pytest.raises(CommitConflictError):
+        t.commit_rewrite([entry], set(), expected_snapshot_id=999)
+    assert "first_row_id" not in entry  # caller's dict unstamped
+    assert t.next_row_id == 16  # nothing claimed
+    # retry (appends also assign on copies)
+    t.append_snapshot([entry])
+    assert "first_row_id" not in entry
+    assert t.next_row_id == 20
+    data, _, _ = t.scan_tasks()
+    assert {d.first_row_id for d in data if d.data_file_path == f3} == {16}
+
+
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 
