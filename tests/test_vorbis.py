@@ -307,19 +307,23 @@ def test_fuzz_bitflips_never_crash():
 def test_floor0_is_gated():
     """Streams declaring floor type 0 (obsolete LSP floor) return None
     rather than mis-decoding — a documented operating limit."""
-    x = _tone(2000)
-    ogg = bytearray(encode_vorbis([x], rate=8000))
-    # the setup header is in page 1; flipping the floor type u16 from 1
-    # to 0 requires re-CRCing the page, so build via the encoder parts
-    from vorbisref import _headers, _ogg_crc  # noqa: F401
+    from vorbisref import _WBits, _codebook_classbook, _headers, ogg_page
 
-    # simpler: assert via the internal path that floor type 0 raises
-    from ic_spark.operators.vorbis_codec import _VBits, _Floor1  # noqa
-
-    # craft: directly exercise _decode_vorbis with a doctored setup is
-    # involved; the contract we pin is decode_vorbis -> None for any
-    # stream whose setup parsing raises:
-    mangled = ogg.replace(b"\x05vorbis", b"\x05vorbiz")
+    # hand-build a setup header whose first floor declares TYPE 0
+    s = _WBits()
+    s.write(0, 8)  # one codebook
+    _codebook_classbook(s)
+    s.write(0, 6)  # time count - 1
+    s.write(0, 16)  # time transform 0
+    s.write(0, 6)  # floor count - 1
+    s.write(0, 16)  # floor TYPE 0 (LSP) — the gate under test
+    setup = b"\x05vorbis" + s.to_bytes()
+    hid, hcom, _ = _headers(1, 8000, 9, 9, 8, False, False)
+    ogg = ogg_page([hid], 7, 0, 0, bos=True) + ogg_page([hcom, setup], 7, 1, 0)
+    assert decode_vorbis(ogg) is None
+    # and a corrupted setup magic is equally a clean None
+    full = bytearray(encode_vorbis([_tone(2000)], rate=8000))
+    mangled = full.replace(b"\x05vorbis", b"\x05vorbiz")
     assert decode_vorbis(bytes(mangled)) is None
 
 
