@@ -39,10 +39,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CALIBRATION_REF = 0.302
 CALIBRATION_ROWS = 512_000_000
 
-# The exact headline set benchmarked in round 6 (BENCH_r06.json).  New
-# headline queries are still timed and counted in `value`, but
-# `value_comparable_r6` sums ONLY these, so round-over-round
-# like-for-like comparison is a file read, not a recomputation.
+# Second anchor (round 8): small-job FIXED cost.  The CPU anchor above
+# corrects compute throughput, but sub-second sf0.1 headline queries are
+# dominated by per-job orchestration (DAG scheduling, Py4J round-trips,
+# task launch) that does NOT scale with host CPU speed — on a fast
+# host-day the CPU anchor alone over-penalizes the code (r7: raw 0.90x
+# vs CPU-normalized 1.14x, self-contradictory).  This anchor times a
+# 32-task no-op job (scheduling + task launch + result fetch, zero
+# compute), min-of-N.  LATENCY_REF is its min-of-40 measured IN-BENCH
+# when the anchor was introduced (round 8, post-headline value 0.0501
+# with pre/post drift 1.002 — same discipline as CALIBRATION_REF);
+# never re-tune it.
+LATENCY_REF = 0.050
+LATENCY_REPS = 40
+
+# The exact headline sets benchmarked in rounds 6 and 7 (BENCH_r06.json
+# / BENCH_r07.json).  New headline queries are still timed and counted
+# in `value`, but `value_comparable_r{6,7}` sum ONLY these, so
+# round-over-round like-for-like comparison is a file read, not a
+# recomputation.
 COMPARABLE_R6 = frozenset(
     {
         "asof_join_latest_order", "dedup_exact", "dedup_minhash_lsh",
@@ -58,6 +73,9 @@ COMPARABLE_R6 = frozenset(
     }
 )
 
+# COMPARABLE_R6 + sim_ivfpq_topk (joined the headline set in round 7).
+COMPARABLE_R7 = COMPARABLE_R6 | {"sim_ivfpq_topk"}
+
 
 def calibration_secs(spark, reps: int = 4) -> float:
     best = float("inf")
@@ -68,6 +86,18 @@ def calibration_secs(spark, reps: int = 4) -> float:
         ).selectExpr("sum(xxhash64(h, h + 1)) s").collect()
         best = min(best, time.perf_counter() - start)
     return round(best, 3)
+
+
+def latency_secs(spark, reps: int = LATENCY_REPS) -> float:
+    """Small-job fixed-cost anchor: min-of-N wall for a 32-task no-op
+    job.  Measures scheduling + Py4J + task-launch overhead, which the
+    CPU anchor can't see (see LATENCY_REF comment)."""
+    best = float("inf")
+    for _ in range(reps):
+        start = time.perf_counter()
+        spark.range(0, 32, 1, 32).count()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -98,6 +128,19 @@ def main() -> None:
         pandas_udf(_ping, "long")("id").alias("x")
     ).agg({"x": "sum"}).collect()
 
+    # Both anchors run BEFORE and AFTER the headline loop: the pre/post
+    # delta detects intra-run host drift (CPU steal arriving mid-bench),
+    # which single-point calibration silently folds into the code's
+    # numbers.  `calibration` stays the POST value — CALIBRATION_REF was
+    # measured post-headline (JVM fully warm) in round 6 and must be
+    # compared like-for-like.
+    calib_pre = calibration_secs(spark)
+    latency_pre = latency_secs(spark)
+    print(
+        f"# pre-anchors: cpu {calib_pre}s latency {latency_pre}s",
+        file=sys.stderr,
+    )
+
     # Three reps, report the min: the shared host shows bursty CPU
     # steal, and min-of-reps measures the engine rather than the
     # neighbors (two reps left ±20% swings on individual queries).
@@ -112,24 +155,64 @@ def main() -> None:
         print(f"# {q.name}: {timings[q.name]}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    comparable = round(
+    comparable_r6 = round(
         sum(t for n, t in timings.items() if n in COMPARABLE_R6), 3
+    )
+    comparable_r7 = round(
+        sum(t for n, t in timings.items() if n in COMPARABLE_R7), 3
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     calib = calibration_secs(spark)
-    print(f"# calibration: {calib}s (ref {CALIBRATION_REF}s)", file=sys.stderr)
+    latency_post = latency_secs(spark)
+    print(
+        f"# post-anchors: cpu {calib}s (ref {CALIBRATION_REF}s, pre"
+        f" {calib_pre}s) latency {latency_post}s (ref {LATENCY_REF}s,"
+        f" pre {latency_pre}s)",
+        file=sys.stderr,
+    )
+    cpu_factor = CALIBRATION_REF / calib
+    lat_factor = LATENCY_REF / latency_post
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Per-query CPU-normalized walls: lets round-over-round diffs
+        # name the mover without recomputing, and makes a single
+        # regressed query visible even when the total nets out flat.
+        "queries_normalized": {
+            n: round(t * cpu_factor, 3) for n, t in timings.items()
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calib,
+        "calibration_pre": calib_pre,
         "calibration_ref": CALIBRATION_REF,
-        "value_normalized": round(total * CALIBRATION_REF / calib, 3),
-        "value_comparable_r6": comparable,
+        "latency": latency_post,
+        "latency_pre": latency_pre,
+        "latency_ref": LATENCY_REF,
+        # Drift ratios: |1 - drift| > ~0.15 means the host speed CHANGED
+        # mid-run and any cross-round comparison this round needs a
+        # same-host A/B (tools/ab.py), not anchor arithmetic.
+        "calibration_drift": round(calib / calib_pre, 3) if calib_pre else None,
+        "latency_drift": (
+            round(latency_post / latency_pre, 3) if latency_pre else None
+        ),
+        "value_normalized": round(total * cpu_factor, 3),
+        # Latency-anchor view of the same total: sub-second sf0.1
+        # queries are mostly fixed orchestration cost, so the honest
+        # cross-round statement brackets the truth between the two
+        # normalizations (CPU-bound floor, latency-bound ceiling).
+        "value_normalized_latency": round(total * lat_factor, 3),
+        "value_comparable_r6": comparable_r6,
         "value_comparable_r6_normalized": round(
-            comparable * CALIBRATION_REF / calib, 3
+            comparable_r6 * cpu_factor, 3
+        ),
+        "value_comparable_r7": comparable_r7,
+        "value_comparable_r7_normalized": round(
+            comparable_r7 * cpu_factor, 3
+        ),
+        "value_comparable_r7_normalized_latency": round(
+            comparable_r7 * lat_factor, 3
         ),
     }
 
@@ -271,7 +354,9 @@ def run_sf1_probe(spark) -> dict[str, float]:
     for name in SF1_PROBE_QUERIES:
         q = REGISTRY[name]
         best, rows = float("inf"), 0
-        for _ in range(2):
+        # min-of-3 (was 2): the r7 verdict flagged two 1.25-1.27x sf1
+        # readings as unconfirmable under min-of-2 on ±20%-noisy probes.
+        for _ in range(3):
             start = time.perf_counter()
             rows = q.fn(spark, sf1_dir).count()
             best = min(best, time.perf_counter() - start)
