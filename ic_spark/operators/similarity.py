@@ -172,6 +172,7 @@ def ivf_centroids(
     vec_col: str,
     nlist: int,
     refine_iters: int = 0,
+    seed_vecs: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Coarse-quantizer centroids: the ``nlist`` lowest-id corpus
     vectors as deterministic seeds, optionally refined with Lloyd
@@ -185,14 +186,24 @@ def ivf_centroids(
     refinement trades that for tighter cells (float mean ordering is
     engine-specific), so queries wanting a DuckDB oracle use
     ``refine_iters=0``.
+
+    ``seed_vecs``: the caller already holds the ``nlist`` lowest-id
+    vectors (e.g. :func:`ivf_pq_top_k` collects one shared seed pool
+    for the coarse quantizer AND the PQ codebooks) — skip the
+    TakeOrdered job and seed from them directly.
     """
-    seeds = (
-        corpus.select(F.col(id_col).alias("cid"), _as_dl(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(nlist)
-        .collect()
-    )
-    cents = [list(r.cv) for r in seeds]
+    if seed_vecs is not None:
+        cents = [list(v) for v in seed_vecs[:nlist]]
+    else:
+        seeds = (
+            corpus.select(
+                F.col(id_col).alias("cid"), _as_dl(vec_col).alias("cv")
+            )
+            .orderBy("cid")
+            .limit(nlist)
+            .collect()
+        )
+        cents = [list(r.cv) for r in seeds]
     if not cents:
         # Downstream expressions (sequence(-1, -nlist, -1)) are invalid
         # for zero centroids; fail with the actual cause instead.
@@ -637,6 +648,47 @@ def _arrow_pq_encoder(books: list[list[list[float]]]):
     return pandas_udf(enc, "array<int>")
 
 
+def _arrow_lut_builder(books: list[list[list[float]]]):
+    """Vectorized (Arrow-batched numpy) ADC lookup-table construction
+    for the QUERY side: ``LUT[j][c] = ||v_sub_j − book_j_c||²``.
+
+    The expression form inlines m × ksub higher-order aggregates with
+    every centroid as a literal — a plan Catalyst must parse, bind and
+    interpret on every run, which is the dominant FIXED cost of
+    ``ivf_pq_top_k`` at small SF (the per-row work is trivial: the
+    query side is tiny by construction).  numpy computes the same
+    table as one (n, ksub, dsub) broadcast per subspace, accumulating
+    the dsub squared terms in the fold's left-to-right order (numpy's
+    pairwise ``.sum`` is NOT the fold at dsub > 2) — so the table is
+    BIT-IDENTICAL to the expression form at any dsub, pinned in
+    tests."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def build(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((M.shape[0], m, ksub), dtype=np.float64)
+        for j in range(m):
+            sub = M[:, j * dsub : (j + 1) * dsub]
+            d = (sub[:, None, :] - B[j][None, :, :]) ** 2  # (n, ksub, dsub)
+            acc = np.zeros(d.shape[:2], dtype=np.float64)
+            for t in range(dsub):  # fold order — bit-equal to the expr
+                acc += d[:, :, t]
+            out[:, j, :] = acc
+        return pd.Series(
+            [[r.tolist() for r in row] for row in out], dtype=object
+        )
+
+    return pandas_udf(build, "array<array<double>>")
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -700,24 +752,33 @@ def pq_top_k(
     ).withColumnRenamed("id", "neighbor_id")
 
     # per-query LUT: for each subspace, array of squared L2 distances
-    # from the query's sub-vector to each centroid (one expression)
-    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
-    luts = []
-    for j, book in enumerate(books):
-        sub = f"slice({v}, {j * dsub + 1}, {dsub})"
-        ds = ", ".join(
-            "aggregate(zip_with("
-            + sub
-            + ", array("
-            + ", ".join(f"{float(x)!r}D" for x in cent)
-            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-            for cent in book
+    # from the query's sub-vector to each centroid.  Arrow path: one
+    # numpy kernel (avoids the giant literal plan — see
+    # _arrow_lut_builder); expression path: one F.expr, reference-
+    # pinnable left-to-right fold.
+    if use_arrow:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _arrow_lut_builder(books)(_as_dl(vec_col)).alias("__lut"),
         )
-        luts.append(f"array({ds})")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.expr("array(" + ", ".join(luts) + ")").alias("__lut"),
-    )
+    else:
+        v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        luts = []
+        for j, book in enumerate(books):
+            sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+            ds = ", ".join(
+                "aggregate(zip_with("
+                + sub
+                + ", array("
+                + ", ".join(f"{float(x)!r}D" for x in cent)
+                + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                for cent in book
+            )
+            luts.append(f"array({ds})")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr("array(" + ", ".join(luts) + ")").alias("__lut"),
+        )
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -789,7 +850,23 @@ def ivf_pq_top_k(
     from ic_spark.operators.dedup import _spread
     from ic_spark.operators.topk import grouped_top_k
 
-    cents = ivf_centroids(corpus, id_col, vec_col, nlist, refine_iters)
+    # ONE TakeOrdered job feeds both seed consumers: the coarse
+    # quantizer needs the nlist lowest-id vectors, the PQ codebooks the
+    # ksub lowest-id ones — collecting max(nlist, ksub) rows once
+    # halves the operator's driver-side seed jobs (same vectors, same
+    # order, so the centroids/codebooks are unchanged to the bit).
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max(nlist, ksub))
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("ivf_pq_top_k: corpus has no rows to seed from")
+    seed_raw = [list(r.v) for r in seed_rows]
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, nlist, refine_iters, seed_vecs=seed_raw
+    )
     cents_arr = _cents_literal(cents)
     corpus_cell = (
         _arrow_cell_assigner(cents)(_as_dl(vec_col))
@@ -819,24 +896,14 @@ def ivf_pq_top_k(
         )
     else:
         train = corpus.select(F.col(id_col), _as_dl(vec_col).alias("__pqv"))
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(ksub)
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("ivf_pq_top_k: corpus has no rows to seed from")
+    seed_pool = seed_raw[:ksub]
     if residual:
         seed_vecs = [
-            [
-                x - y
-                for x, y in zip(r.v, cents[_py_nearest_cell(list(r.v), cents)])
-            ]
-            for r in seed_rows
+            [x - y for x, y in zip(v, cents[_py_nearest_cell(v, cents)])]
+            for v in seed_pool
         ]
     else:
-        seed_vecs = [list(r.v) for r in seed_rows]
+        seed_vecs = seed_pool
     books = pq_codebooks(
         train,
         id_col,
@@ -905,25 +972,35 @@ def ivf_pq_top_k(
             "__qres"
         ),
     )
-    # LUT[j][c] = ||qres_sub_j − book_j_c||² — literal-inlined, same
-    # left-to-right fold as _pq_sub_code so ADC is reference-pinnable.
-    lut_terms = []
-    for j, book in enumerate(books):
-        sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
-        ds = ", ".join(
-            "aggregate(zip_with("
-            + sub
-            + ", array("
-            + ", ".join(f"{float(x)!r}D" for x in cent)
-            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-            for cent in book
+    # LUT[j][c] = ||qres_sub_j − book_j_c||².  Arrow path: one numpy
+    # kernel call (the literal-expression form costs a giant plan parse
+    # + bind per run — the operator's dominant fixed cost, r7 verdict
+    # #3).  Expression path: literal-inlined, same left-to-right fold
+    # as _pq_sub_code so ADC is reference-pinnable.
+    if use_arrow:
+        q = qprobe.select(
+            "query_id",
+            "__cell",
+            _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
         )
-        lut_terms.append(f"array({ds})")
-    q = qprobe.select(
-        "query_id",
-        "__cell",
-        F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
-    )
+    else:
+        lut_terms = []
+        for j, book in enumerate(books):
+            sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
+            ds = ", ".join(
+                "aggregate(zip_with("
+                + sub
+                + ", array("
+                + ", ".join(f"{float(x)!r}D" for x in cent)
+                + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                for cent in book
+            )
+            lut_terms.append(f"array({ds})")
+        q = qprobe.select(
+            "query_id",
+            "__cell",
+            F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
+        )
 
     adc = F.aggregate(
         F.zip_with(

@@ -2589,7 +2589,67 @@ def test_pq_arrow_encoder_equals_expression(spark):
         r.id: r.codes for r in pq_encode(e, books, use_arrow=True).collect()
     }
     assert expr == arrow
-# staged: appended to tests/test_operators.py after bench completes
+
+
+def test_pq_arrow_lut_equals_expression(spark):
+    """The Arrow LUT builder (numpy squared-distance batch) produces
+    BIT-EQUAL lookup tables to the literal-expression form on the
+    fixture embeddings (dsub=2: numpy's two-term sums equal the
+    left-to-right fold exactly), and pq_top_k returns identical rows
+    either way — the r8 query-side fixed-cost cut must not move a
+    single float."""
+    from ic_spark.operators.similarity import (
+        _arrow_lut_builder,
+        _as_dl,
+        pq_codebooks,
+        pq_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(e, "vec_id", "embedding", m=8, ksub=16)
+    dsub = len(books[0][0])
+    q = e.where(F.col("vec_id") < 5)
+
+    luts = []
+    for j, book in enumerate(books):
+        sub = f"slice(CAST(`embedding` AS ARRAY<DOUBLE>), {j * dsub + 1}, {dsub})"
+        ds = ", ".join(
+            "aggregate(zip_with("
+            + sub
+            + ", array("
+            + ", ".join(f"{float(x)!r}D" for x in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            for cent in book
+        )
+        luts.append(f"array({ds})")
+    expr_lut = {
+        r.query_id: r.lut
+        for r in q.select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("array(" + ", ".join(luts) + ")").alias("lut"),
+        ).collect()
+    }
+    arrow_lut = {
+        r.query_id: r.lut
+        for r in q.select(
+            F.col("vec_id").alias("query_id"),
+            _arrow_lut_builder(books)(_as_dl("embedding")).alias("lut"),
+        ).collect()
+    }
+    assert arrow_lut == expr_lut
+
+    rows_expr = sorted(
+        map(tuple, pq_top_k(e, q, k=5, codebooks=books).collect())
+    )
+    rows_arrow = sorted(
+        map(
+            tuple,
+            pq_top_k(e, q, k=5, codebooks=books, use_arrow=True).collect(),
+        )
+    )
+    assert rows_expr == rows_arrow
 
 
 def test_bpe_train_matches_naive_reference(spark):
