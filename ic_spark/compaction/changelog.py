@@ -121,6 +121,7 @@ def read_changelog(
     compute_updates_key: list[str] | None = None,
     net_changes: bool = False,
     with_lineage: bool = False,
+    compute_updates: bool = False,
 ) -> DataFrame:
     """Row-level changes committed AFTER ``from_snapshot_id`` up to
     ``to_snapshot_id`` (current by default).  See module docstring for
@@ -145,16 +146,35 @@ def read_changelog(
     versa) nets to nothing; only the range's net difference survives,
     tagged with the LAST commit that touched the value.  Mutually
     exclusive with ``compute_updates_key``, exactly as Iceberg requires
-    (net rows from different commits have no per-commit pairing)."""
-    if net_changes and compute_updates_key:
+    (net rows from different commits have no per-commit pairing).
+
+    ``compute_updates=True`` (requires ``with_lineage``): pair
+    same-commit DELETE+INSERT rows by ``_row_id`` IDENTITY — v3's core
+    CDC use case, no identifier columns needed.  Carry-over pairs
+    (a COW rewrite copies non-matching rows byte-identical: same
+    ``_row_id``, same values, same ``_last_updated_sequence_number``)
+    are dropped entirely, Iceberg's default carry-over removal; a
+    value-identical UPDATE still pairs because its sequence number
+    advances — a distinction value-keyed pairing cannot make."""
+    if net_changes and (compute_updates_key or compute_updates):
         raise ValueError(
             "net_changes must be false when compute_updates is requested "
             "(Iceberg create_changelog_view contract)"
         )
+    if compute_updates and compute_updates_key:
+        raise ValueError(
+            "compute_updates pairs by _row_id identity; "
+            "compute_updates_key pairs by value — pick one"
+        )
+    if compute_updates and not with_lineage:
+        raise ValueError(
+            "compute_updates pairs by _row_id and requires "
+            "with_lineage=True (use compute_updates_key for value keys)"
+        )
     if with_lineage and (net_changes or compute_updates_key):
         raise ValueError(
             "with_lineage keys rows by identity; net_changes/"
-            "compute_updates collapse by value — not combinable"
+            "compute_updates_key collapse by value — not combinable"
         )
     if with_lineage and not getattr(table, "row_lineage", False):
         raise ValueError("with_lineage requires enable_row_lineage()")
@@ -398,9 +418,31 @@ def read_changelog(
         out = out.unionByName(p)
     if compute_updates_key:
         out = _compute_updates(out, compute_updates_key)
+    if compute_updates:
+        from ic_spark.compaction.request import ROW_ID_COL
+
+        out = _compute_updates(_remove_lineage_carryovers(out), [ROW_ID_COL])
     if net_changes:
         out = _net_changes(out, cols)
     return out
+
+
+def _remove_lineage_carryovers(out: DataFrame) -> DataFrame:
+    """Drop same-commit DELETE+INSERT pairs that are byte-identical
+    outside ``_change_type`` — the rewrite noise of a COW commit
+    copying non-matching rows into its new files (same ``_row_id``,
+    same values, same ``_last_updated_sequence_number``).  Iceberg's
+    changelog removes these by default (ChangelogIterator carry-over
+    removal); here identity makes the match provable rather than
+    heuristic.  Set-op based (``intersect``/``exceptAll``) so NULL
+    user-column values compare null-safely."""
+    order = out.columns
+    dels = out.where(F.col("_change_type") == "DELETE").drop("_change_type")
+    ins = out.where(F.col("_change_type") == "INSERT").drop("_change_type")
+    carry = dels.intersect(ins)
+    keep_d = dels.exceptAll(carry).withColumn("_change_type", F.lit("DELETE"))
+    keep_i = ins.exceptAll(carry).withColumn("_change_type", F.lit("INSERT"))
+    return keep_d.unionByName(keep_i).select(*order)
 
 
 def _net_changes(out: DataFrame, cols: list[str]) -> DataFrame:
@@ -527,6 +569,8 @@ def register_changelog_view(
     to_snapshot_id: int | None = None,
     net_changes: bool = False,
     compute_updates_key: list[str] | None = None,
+    with_lineage: bool = False,
+    compute_updates: bool = False,
 ) -> DataFrame:
     """``CALL system.create_changelog_view`` analog: registers the
     changelog as a temp view for SQL consumption."""
@@ -537,6 +581,8 @@ def register_changelog_view(
         to_snapshot_id,
         compute_updates_key=compute_updates_key,
         net_changes=net_changes,
+        with_lineage=with_lineage,
+        compute_updates=compute_updates,
     )
     df.createOrReplaceTempView(name)
     return df

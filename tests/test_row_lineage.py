@@ -364,6 +364,70 @@ def test_changelog_with_lineage(spark, tmp_path):
         read_changelog(spark, plain, 0, with_lineage=True)
 
 
+def test_changelog_compute_updates_by_lineage(spark, tmp_path):
+    """v3's core CDC use case: ``compute_updates=True`` pairs
+    same-commit DELETE+INSERT by ``_row_id`` with NO identifier
+    columns supplied — a COW update_where reads back as
+    UPDATE_BEFORE/UPDATE_AFTER pairs; rows the rewrite merely carried
+    (identical values AND identical _last_updated_sequence_number) are
+    dropped as carry-overs; a value-identical UPDATE still pairs
+    because its sequence number advances."""
+    import pytest
+
+    from ic_spark.compaction.changelog import read_changelog
+    from ic_spark.compaction.rowops import update_where
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    base = [s.snapshot_id for s in t.snapshots()][-1]
+    schema = spark.createDataFrame([], SCHEMA).schema
+    update_where(spark, t, [("id", "=", 5)], {"v": "v + 100"}, schema)
+    # value-identical update: carried rows and this row have the same
+    # values — only the advanced seq distinguishes UPDATE from noise
+    update_where(spark, t, [("id", "=", 12)], {"v": "v"}, schema)
+
+    log = read_changelog(
+        spark, t, base, with_lineage=True, compute_updates=True
+    )
+    by: dict[str, list] = {}
+    for r in log.collect():
+        by.setdefault(r._change_type, []).append(r)
+    # ONLY the two updated rows appear; every carried row is dropped
+    assert sorted(r.id for r in by.get("UPDATE_BEFORE", [])) == [5, 12]
+    assert sorted(r.id for r in by.get("UPDATE_AFTER", [])) == [5, 12]
+    assert "DELETE" not in by and "INSERT" not in by
+    ub = {r.id: r for r in by["UPDATE_BEFORE"]}
+    ua = {r.id: r for r in by["UPDATE_AFTER"]}
+    assert ub[5]._row_id == 5 and ua[5]._row_id == 5
+    assert ub[5].v == 5.0 and ua[5].v == 105.0
+    assert ub[5]._change_ordinal == ua[5]._change_ordinal
+    assert ub[12].v == 12.0 and ua[12].v == 12.0  # same value, paired
+    assert (
+        ua[12]._last_updated_sequence_number
+        > ub[12]._last_updated_sequence_number
+    )
+
+    with pytest.raises(ValueError, match="requires"):
+        read_changelog(spark, t, base, compute_updates=True)
+    with pytest.raises(ValueError, match="pick one"):
+        read_changelog(
+            spark,
+            t,
+            base,
+            with_lineage=True,
+            compute_updates=True,
+            compute_updates_key=["id"],
+        )
+    with pytest.raises(ValueError, match="net_changes"):
+        read_changelog(
+            spark,
+            t,
+            base,
+            with_lineage=True,
+            compute_updates=True,
+            net_changes=True,
+        )
+
+
 def test_lineage_preserved_by_binpack_and_row_ops(spark, tmp_path):
     """EVERY rewrite path preserves row identity, not just full_compact:
     binpack (compact_small_files) materializes ids with no new claims;
