@@ -64,6 +64,14 @@ _PRIORITY = [
     # attested in-window by dedup_fingerprint; its oracle stays in
     # pytest).
     "mor_changelog_scan",
+    # Iceberg v3 row lineage over a real enable->append->compact->append
+    # table: id preservation across compaction + first_row_id+position
+    # resolution, value-hash-checked (r7 flagship's driver row; VERDICT
+    # r7 #5).  Slot freed by demoting q19_discounted_revenue
+    # (disjunctive multi-clause filter + join attested in-window by
+    # q6's range predicate and q3/q5/q8's join+filter+agg shapes; q19's
+    # oracle stays in pytest).
+    "mor_row_lineage",
     # LLM-pipeline operators (dedup / similarity / text analysis).
     "dedup_exact",
     "dedup_fingerprint",
@@ -123,7 +131,8 @@ _PRIORITY = [
     # q17_small_quantity_revenue: demoted past the window (correlated
     # scalar-subquery shape attested by q2/q18); oracle stays in pytest.
     "q18_large_volume_customer",
-    "q19_discounted_revenue",
+    # q19_discounted_revenue: demoted past the window (see the
+    # mor_row_lineage slot note); oracle stays in pytest.
     "q21_multi_supplier_orders",
     # Deliberately past the window (capability attested in-window by a
     # sibling shape; full oracle coverage stays in pytest): q9/q14

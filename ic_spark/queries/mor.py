@@ -617,6 +617,107 @@ def mor_partition_evolution(spark: SparkSession, sf_dir: str):
     )
 
 
+def _append_sorted(spark, t, df, tmp, tag, key):
+    """One sorted parquet file appended at the next sequence number —
+    sortWithinPartitions on a single partition makes the row POSITIONS
+    (and so the lineage row ids) a deterministic function of ``key``."""
+    import os
+
+    from ic_spark.compaction.deletes import _next_sequence_number
+
+    p = os.path.join(tmp, tag)
+    df.repartition(1).sortWithinPartitions(key).write.mode(
+        "overwrite"
+    ).parquet(p)
+    f = next(
+        os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+    )
+    return t.append_snapshot(
+        [
+            {
+                "path": f,
+                "sequence_number": _next_sequence_number(t),
+                "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(f),
+                # metadata-only count: one footer read, no data scan
+                "record_count": spark.read.parquet(f).count(),
+            }
+        ]
+    )
+
+
+@query(
+    "mor_row_lineage",
+    oracle="""
+    -- Iceberg v3 row lineage over enable -> append -> append ->
+    -- full_compact -> append: ids are claimed per file in commit order
+    -- (%4==0 file at first_row_id 0, %4==2 file at count(%4==0), odd
+    -- file at count(even)); _row_id = first_row_id + position, and the
+    -- files are written SORTED by o_orderkey so position is
+    -- row_number-1 within each parity group.  The compaction (seq 3)
+    -- must preserve ids and sequence numbers exactly (materialized
+    -- columns), so evens keep seq 1/2 and odds carry the post-compact
+    -- append seq 4.
+    WITH e0 AS (
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 4 = 0
+    ), e2 AS (
+        SELECT o_orderkey,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 4 = 2
+    ), od AS (
+        SELECT o_orderkey,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id,
+           CAST(1 AS BIGINT) AS _last_updated_sequence_number
+    FROM e0
+    UNION ALL SELECT o_orderkey, rid, 2 FROM e2
+    UNION ALL SELECT o_orderkey, rid, 4 FROM od
+    """,
+)
+def mor_row_lineage(spark: SparkSession, sf_dir: str):
+    """Iceberg v3 row lineage, driver-checked end to end (the r7
+    flagship's correctness row): a REAL table is built by appending the
+    %4==0 and %4==2 orders as two sorted files (contiguous id ranges
+    claimed from next_row_id in commit order), FULLY COMPACTED — the
+    rewrite must materialize and preserve every (_row_id,
+    _last_updated_sequence_number) pair — then the odd orders append
+    under fresh ids.  read_table(with_lineage=True) resolves plain
+    files as first_row_id + position and compacted files from their
+    materialized columns (planner.attach_lineage coalesce order); the
+    oracle reconstructs both from deterministic per-parity row_numbers,
+    so id drift, wrong seq inheritance, or a broken coalesce breaks
+    the value-hash match."""
+    import os
+    import tempfile
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="mor_lin_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+    t.enable_row_lineage()
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 4 == 0), tmp, "e0", "o_orderkey"
+    )
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 4 == 2), tmp, "e2", "o_orderkey"
+    )
+    Compaction(spark).full_compact(t, o.schema)
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 2 == 1), tmp, "od", "o_orderkey"
+    )
+    return read_table(spark, t, with_lineage=True).select(
+        "o_orderkey", "_row_id", "_last_updated_sequence_number"
+    )
+
+
 @query(
     "mor_changelog_scan",
     headline=True,
