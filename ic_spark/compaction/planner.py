@@ -577,24 +577,69 @@ def lineage_scan_schema(schema):
     )
 
 
-def attach_lineage(spark: SparkSession, df: DataFrame, lineage: dict) -> DataFrame:
+# Above this many files, attach_lineage builds its broadcast map via
+# one Arrow batch (pandas) instead of Py4J row-at-a-time serialization:
+# a million-file map must not pickle a million tuples through the
+# gateway just because a caller took the default (the same auto-routing
+# rule as DV_DISTRIBUTED_FILE_THRESHOLD).
+LINEAGE_ARROW_FILE_THRESHOLD = 4096
+
+
+def attach_lineage(
+    spark: SparkSession,
+    df: DataFrame,
+    lineage: dict,
+    arrow_threshold: int | None = None,
+) -> DataFrame:
     """Resolve the Iceberg v3 lineage columns on a hidden-col scan:
     ``_row_id`` = file first_row_id + position (or the file's
     materialized column), ``_last_updated_sequence_number`` = the
     materialized column or the file's sequence number.  ``df`` must
     carry the hidden path/pos/seq columns AND the (nullable) lineage
     fields from :func:`lineage_scan_schema`.  The file map ships as a
-    broadcast join — cost scales with file count, never rows."""
+    broadcast join — cost scales with file count, never rows.
+
+    Path normalization happens on the MAP side, not per scanned row:
+    scan paths carry the ``file:`` scheme while manifest paths are
+    plain, so each schemeless map path is emitted twice (raw +
+    ``file:``-prefixed) and the join key is the raw hidden path column
+    — no per-row regexp in the hot path, and the join stays a plain
+    broadcast hash equi-join on an unmodified column.  (The map itself
+    is inherently driver-sized: it is built from the already-planned
+    scan tasks, exactly like the reference's driver-side scan
+    planning; above :data:`LINEAGE_ARROW_FILE_THRESHOLD` files it
+    ships as one Arrow batch instead of Py4J-pickled tuples.)"""
     from ic_spark.compaction.request import LAST_UPDATED_SEQ_COL, ROW_ID_COL
 
-    lin_df = spark.createDataFrame(
-        list(lineage.items()), "__lin_path string, __first_row_id long"
-    )
-    # scan paths carry the file: scheme; manifest paths are plain
+    if arrow_threshold is None:
+        arrow_threshold = LINEAGE_ARROW_FILE_THRESHOLD
+    paths: list[str] = []
+    frids: list[int | None] = []
+    for p, frid in lineage.items():
+        paths.append(p)
+        frids.append(frid)
+        if ":" not in p.split("/", 1)[0]:  # schemeless → scan sees file:
+            paths.append("file:" + p)
+            frids.append(frid)
+    if len(lineage) > arrow_threshold:
+        import pandas as pd
+
+        lin_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "__lin_path": pd.Series(paths, dtype="string"),
+                    "__first_row_id": pd.array(frids, dtype="Int64"),
+                }
+            ),
+            schema="__lin_path string, __first_row_id long",
+        )
+    else:
+        lin_df = spark.createDataFrame(
+            list(zip(paths, frids)), "__lin_path string, __first_row_id long"
+        )
     out = df.join(
         F.broadcast(lin_df),
-        F.regexp_replace(F.col(SYS_HIDDEN_FILE_PATH), "^file:", "")
-        == F.col("__lin_path"),
+        F.col(SYS_HIDDEN_FILE_PATH) == F.col("__lin_path"),
         "left",
     )
     row_id = F.coalesce(

@@ -364,6 +364,37 @@ def test_changelog_with_lineage(spark, tmp_path):
         read_changelog(spark, plain, 0, with_lineage=True)
 
 
+def test_attach_lineage_routes_pinned_equal(spark, tmp_path):
+    """The Arrow-batch map route (forced with arrow_threshold=0)
+    returns EXACTLY the literal route's rows, and neither plan
+    evaluates a per-row regexp — path normalization lives on the
+    broadcast map side, so the join is a plain broadcast hash
+    equi-join on the unmodified hidden path column."""
+    from ic_spark.compaction.planner import (
+        _scan_with_hidden_cols,
+        attach_lineage,
+        lineage_scan_schema,
+    )
+
+    t, f1, f2 = _mk_lineage_table(spark, tmp_path)
+    data, _, _ = t.scan_tasks()
+    schema = lineage_scan_schema(spark.createDataFrame([], SCHEMA).schema)
+    base = _scan_with_hidden_cols(
+        spark, data, schema=schema, with_pos=True, with_seq=True
+    )
+    lin = {d.data_file_path: d.first_row_id for d in data}
+    a = attach_lineage(spark, base, lin)
+    b = attach_lineage(spark, base, lin, arrow_threshold=0)
+    rows_a = sorted(map(tuple, a.collect()), key=repr)
+    rows_b = sorted(map(tuple, b.collect()), key=repr)
+    assert rows_a == rows_b
+    assert {r._row_id for r in a.collect()} == set(range(16))
+    for d in (a, b):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "regexp" not in plan.lower()
+        assert "BroadcastHashJoin" in plan
+
+
 def test_changelog_compute_updates_by_lineage(spark, tmp_path):
     """v3's core CDC use case: ``compute_updates=True`` pairs
     same-commit DELETE+INSERT by ``_row_id`` with NO identifier
