@@ -167,6 +167,13 @@ class RewriteFilesRequest:
     # Output codec (reference WriterProperties analog): snappy (Spark
     # default) / zstd / gzip / lz4 / none.
     compression: str | None = None
+    # Output DATA-FILE format — the reference's DataFileFormat enum
+    # carries avro/orc/parquet (proto.rs:282-289) though its writer
+    # emits parquet only; here all three WRITE too (writer.py routes
+    # avro/orc through executor-side Python writers with write-time
+    # column stats).  In-process option, not on the proto wire (the
+    # reference request has no such field).
+    data_file_format: str = "parquet"
     # Schema-evolution name mapping (Iceberg schema.name-mapping.default
     # analog): {current field name: [historical names, ...]}.  Lets data
     # files written before a RENAME resolve their columns to the current

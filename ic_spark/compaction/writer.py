@@ -106,6 +106,193 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
     return md.num_rows, cols, parts
 
 
+# Spark type -> Avro type for the executor-side Avro data-file writer.
+# Deliberately primitives-only: Avro logical types (timestamps,
+# decimals) and nested shapes are gated with a clear error rather than
+# written approximately — the same honest-gate policy as the media
+# decoders.  ORC writes go through pyarrow and carry its full type
+# matrix.
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _spark_to_avro_schema(schema) -> dict:
+    fields = []
+    for f in schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"avro data-file write: unsupported type "
+                f"{f.dataType.simpleString()!r} for column {f.name!r} "
+                "(primitives only; use parquet or orc for nested/"
+                "temporal columns)"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": "datafile", "fields": fields}
+
+
+def _write_data_files_python(
+    spark: SparkSession,
+    df,
+    dir_path: str,
+    fmt: str,
+    max_records_per_file: int,
+    compression: str | None,
+) -> list[tuple[str, int, int, dict]]:
+    """Executor-side Avro/ORC data-file writer.
+
+    ``mapInPandas`` runs once per partition of the (already
+    repartitioned/sorted) writer DataFrame: each task streams its Arrow
+    batches, flushes a file every ``max_records_per_file`` rows (or one
+    file per partition when unbounded), computes per-column
+    null_count/min/max stats VECTORIZED from the same batches it
+    writes — write-time stats, zero extra jobs, exactly the guarantee
+    the parquet path gets from its footers — and emits one small
+    metadata row per file.  The driver collects only that metadata
+    (file-count bounded).  Empty partitions emit nothing (no empty
+    files).  Avro uses the repo's own container codec
+    (sources/avro_io.py, the same one behind the Iceberg manifests);
+    ORC uses pyarrow.orc.
+
+    Task retries write under fresh uuid names and only the successful
+    attempt's metadata is collected, so a retried task can strand an
+    orphan file on disk but never a wrong entry in the table metadata
+    — the standard Iceberg posture (orphans are maintenance-cleaned,
+    metadata is truth).
+    """
+    import json as _json
+    import uuid as _uuid
+
+    avro_schema = _spark_to_avro_schema(df.schema) if fmt == "avro" else None
+    binary_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
+    }
+    col_names = [f.name for f in df.schema.fields]
+    # overwrite semantics, same as the parquet path's mode("overwrite"):
+    # stale files must not survive into the listing-independent metadata
+    if os.path.isdir(dir_path):
+        import shutil
+
+        shutil.rmtree(dir_path)
+    os.makedirs(dir_path, exist_ok=True)
+
+    def _stat_safe(v):
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        return _json_safe(v)
+
+    def write_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pend: list[pd.DataFrame] = []
+        pend_rows = 0
+        seq = 0
+
+        def flush():
+            nonlocal pend, pend_rows, seq
+            if not pend_rows:
+                return None
+            pdf = pd.concat(pend, ignore_index=True) if len(pend) > 1 else pend[0]
+            pend, pend_rows = [], 0
+            name = f"part-{pid:05d}-{seq:04d}-{_uuid.uuid4().hex[:12]}.{fmt}"
+            seq += 1
+            path = os.path.join(dir_path, name)
+            if fmt == "avro":
+                from ic_spark.sources.avro_io import write_container
+
+                recs = pdf.where(pdf.notna(), None).to_dict("records")
+                write_container(
+                    path,
+                    avro_schema,
+                    recs,
+                    codec="deflate" if compression != "none" else "null",
+                )
+            else:  # orc
+                import pyarrow as pa
+                from pyarrow import orc as pa_orc
+
+                table = pa.Table.from_pandas(pdf, preserve_index=False)
+                kw = {}
+                if compression:
+                    kw["compression"] = (
+                        "uncompressed" if compression == "none" else compression
+                    )
+                pa_orc.write_table(table, path, **kw)
+            stats = {}
+            for c in col_names:
+                s = pdf[c]
+                nulls = int(s.isna().sum())
+                if c in binary_cols or s.dtype == object and len(s.dropna()) and isinstance(s.dropna().iloc[0], (bytes, bytearray)):
+                    stats[c] = {"null_count": nulls, "min": None, "max": None}
+                    continue
+                nn = s.dropna()
+                stats[c] = {
+                    "null_count": nulls,
+                    "min": _stat_safe(nn.min()) if len(nn) else None,
+                    "max": _stat_safe(nn.max()) if len(nn) else None,
+                }
+            return pd.DataFrame(
+                {
+                    "path": [path],
+                    "record_count": [len(pdf)],
+                    "file_size": [os.path.getsize(path)],
+                    "column_stats": [_json.dumps(stats)],
+                }
+            )
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            if max_records_per_file > 0:
+                # split the batch at file boundaries
+                start = 0
+                while start < len(batch):
+                    room = max_records_per_file - pend_rows
+                    chunk = batch.iloc[start : start + room]
+                    pend.append(chunk)
+                    pend_rows += len(chunk)
+                    start += len(chunk)
+                    if pend_rows >= max_records_per_file:
+                        out = flush()
+                        if out is not None:
+                            yield out
+            else:
+                pend.append(batch)
+                pend_rows += len(batch)
+        out = flush()
+        if out is not None:
+            yield out
+
+    meta = df.mapInPandas(
+        write_partition,
+        schema="path string, record_count long, file_size long, column_stats string",
+    ).collect()
+    return [
+        (r.path, r.record_count, r.file_size, _json.loads(r.column_stats))
+        for r in meta
+    ]
+
+
 def _list_written_files(dir_path: str) -> list[tuple[str, int]]:
     out = []
     for root, _dirs, files in os.walk(dir_path):
@@ -217,40 +404,78 @@ def rewrite_files(
             sort_cols.append(c)
         writer_df = writer_df.sortWithinPartitions(*sort_cols)
 
-    writer = writer_df.write
-    if partition_names:
-        writer = writer.partitionBy(*partition_names)
-
-    if request.max_records_per_file > 0:
-        writer = writer.option("maxRecordsPerFile", request.max_records_per_file)
-    if request.compression:
-        writer = writer.option("compression", request.compression)
-    for c in request.bloom_filter_cols or []:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-        ndv = (request.bloom_filter_ndv or {}).get(c)
-        if ndv:
-            writer = writer.option(
-                f"parquet.bloom.filter.expected.ndv#{c}", int(ndv)
+    fmt = (request.data_file_format or "parquet").lower()
+    if fmt not in ("parquet", "avro", "orc"):
+        raise ValueError(f"unsupported data_file_format: {fmt!r}")
+    sort_id = request.sort_order_id if request.sort_order else None
+    if fmt != "parquet":
+        # Reference DataFileFormat parity (proto.rs:282-289): avro/orc
+        # outputs via executor-side Python writers with write-time
+        # stats.  Fanout layouts and bloom filters stay parquet-only —
+        # explicit gates, not silent fallbacks.
+        if partition_names:
+            raise ValueError(
+                f"{fmt} data-file writes support unpartitioned layouts "
+                "only (fanout/partition-spec layouts stay parquet)"
             )
-    writer.mode("overwrite").parquet(request.dir_path)
-
-    files = _list_written_files(request.dir_path)
-    data_files = []
-    for p, size in files:
-        record_count, column_stats, partition_values = _stats_from_footer(
-            p, request.dir_path
-        )
-        data_files.append(
+        if request.bloom_filter_cols:
+            raise ValueError("bloom filter columns are parquet-specific")
+        data_files = [
             DataFileMeta(
                 file_path=p,
-                file_format="parquet",
+                file_format=fmt,
                 record_count=record_count,
                 file_size_in_bytes=size,
-                partition_values=partition_values or None,
+                partition_values=None,
                 column_stats=column_stats,
-                sort_order_id=request.sort_order_id if request.sort_order else None,
+                sort_order_id=sort_id,
             )
-        )
+            for p, record_count, size, column_stats in _write_data_files_python(
+                spark,
+                writer_df,
+                request.dir_path,
+                fmt,
+                request.max_records_per_file,
+                request.compression,
+            )
+        ]
+    else:
+        writer = writer_df.write
+        if partition_names:
+            writer = writer.partitionBy(*partition_names)
+
+        if request.max_records_per_file > 0:
+            writer = writer.option(
+                "maxRecordsPerFile", request.max_records_per_file
+            )
+        if request.compression:
+            writer = writer.option("compression", request.compression)
+        for c in request.bloom_filter_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            ndv = (request.bloom_filter_ndv or {}).get(c)
+            if ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", int(ndv)
+                )
+        writer.mode("overwrite").parquet(request.dir_path)
+
+        files = _list_written_files(request.dir_path)
+        data_files = []
+        for p, size in files:
+            record_count, column_stats, partition_values = _stats_from_footer(
+                p, request.dir_path
+            )
+            data_files.append(
+                DataFileMeta(
+                    file_path=p,
+                    file_format="parquet",
+                    record_count=record_count,
+                    file_size_in_bytes=size,
+                    partition_values=partition_values or None,
+                    column_stats=column_stats,
+                    sort_order_id=sort_id,
+                )
+            )
     rewritten_bytes = sum(t.file_size_in_bytes for t in request.data_files)
     stat = RewriteFilesStat(
         rewritten_files_count=len(request.data_files)
