@@ -56,8 +56,14 @@ class Compaction:
         schema: StructType | None = None,
         partition_by: list[str] | None = None,
         target_partitions: int = 4,
+        data_file_format: str = "parquet",
     ) -> RewriteFilesResponse:
         """Reference mod.rs:43-79: plan → rewrite → commit swap.
+
+        ``data_file_format``: output format for the rewritten data
+        files (parquet default; avro/orc route through the
+        executor-side writers — compacting a table INTO a different
+        format is the Iceberg migration shape).
 
         With ``schema=None`` the table's own current schema drives the
         rewrite (spec-metadata tables know it), and any schema-history
@@ -112,6 +118,7 @@ class Compaction:
             schema_history=schema_history,
             sort_order=sort_order or None,
             sort_order_id=sort_order_id,
+            data_file_format=data_file_format,
         )
         # Iceberg v3 row lineage: compaction must PRESERVE every
         # surviving row's _row_id / _last_updated_sequence_number —
@@ -140,6 +147,8 @@ class Compaction:
             }
             if f.sort_order_id is not None:
                 entry["sort_order_id"] = f.sort_order_id
+            if f.file_format != "parquet":
+                entry["file_format"] = f.file_format
             if spec_fields:
                 entry["spec_id"] = spec_id
                 entry["partition"] = f.partition_values or {}

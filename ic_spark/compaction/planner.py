@@ -284,7 +284,10 @@ def _scan_non_parquet_group(
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.orc(*paths)
+        # NOT reader.orc(*paths): pyspark's orc() takes ONE path-or-list
+        # positional — a second splatted path lands in the keyword
+        # options ("modifiedBefore") and the scan reads half the files.
+        df = reader.orc(list(paths))
         cols = [F.col(c) for c in columns] if columns else [F.col("*")]
         if with_seq:
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))

@@ -718,6 +718,64 @@ def mor_row_lineage(spark: SparkSession, sf_dir: str):
     )
 
 
+def _compact_into_format(spark: SparkSession, sf_dir: str, fmt: str):
+    """Shared body of the format-migration queries: append a quarter of
+    orders as parquet, equality-delete the %9 keys, full_compact INTO
+    ``fmt`` (writer.py's executor-side avro/orc writers), and read the
+    table back through the format's own distributed scan."""
+    import os
+    import tempfile
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_equality_deletes
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix=f"mig_{fmt}_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 4 == 1), tmp, "d", "o_orderkey"
+    )
+    write_equality_deletes(
+        spark,
+        t,
+        o.where(F.col("o_orderkey") % 9 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    Compaction(spark).full_compact(
+        t, o.schema, data_file_format=fmt, target_partitions=2
+    )
+    return read_table(spark, t).select("o_orderkey", "o_custkey")
+
+
+_MIGRATION_ORACLE = """
+    -- Format migration: the %4==1 orders minus the %9 equality-deleted
+    -- keys survive the compaction INTO {fmt}; reading the {fmt} files
+    -- back through the repo's own scan must be value-identical to the
+    -- plain relational answer.
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 4 = 1 AND o_orderkey % 9 <> 0
+"""
+
+
+@query("compact_into_avro_scan", oracle=_MIGRATION_ORACLE.format(fmt="avro"))
+def compact_into_avro_scan(spark: SparkSession, sf_dir: str):
+    """Compact a parquet table INTO Avro data files (writer.py
+    ``_write_data_files_python`` — the repo's own container codec with
+    write-time column stats) and read them back via the distributed
+    pure-Python Avro scan.  Exceeds the reference, whose
+    DataFileFormat enum carries avro (proto.rs:282-289) but whose
+    writer emits parquet only."""
+    return _compact_into_format(spark, sf_dir, "avro")
+
+
+@query("compact_into_orc_scan", oracle=_MIGRATION_ORACLE.format(fmt="orc"))
+def compact_into_orc_scan(spark: SparkSession, sf_dir: str):
+    """Compact a parquet table INTO ORC data files (pyarrow.orc write
+    with write-time stats) and read them back via Spark's native ORC
+    scan — the format-migration shape end to end."""
+    return _compact_into_format(spark, sf_dir, "orc")
+
+
 @query(
     "mor_changelog_scan",
     headline=True,

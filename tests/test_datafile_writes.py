@@ -150,6 +150,44 @@ def test_written_files_serve_mor_position_deletes(spark, tmp_path, fmt):
     assert len(got) == 38
 
 
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_full_compact_into_format(spark, tmp_path, fmt):
+    """Compacting a parquet table INTO avro/orc (the Iceberg
+    format-migration shape): deletes apply during the rewrite, the
+    committed entries carry the new file_format, and the next
+    read_table routes through the format's own distributed scan."""
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_equality_deletes
+
+    df, tasks = _source_tasks(spark, tmp_path, n=50)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append_snapshot(
+        [
+            {
+                "path": task.data_file_path,
+                "sequence_number": 1,
+                "content": "DATA",
+            }
+            for task in tasks
+        ]
+    )
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(7,), (33,)], "id int"), ["id"]
+    )
+    Compaction(spark).full_compact(
+        t, df.schema, data_file_format=fmt, target_partitions=2
+    )
+    data, pos, eq = t.scan_tasks()
+    assert not pos and not eq
+    assert {d.file_format for d in data} == {fmt}
+    got = sorted(r.id for r in read_table(spark, t).collect())
+    assert got == sorted(set(range(50)) - {7, 33})
+    # write-time stats landed in the manifest -> predicate file-skip
+    # still works over the non-parquet files
+    lo = read_table(spark, t, where=[("id", ">=", 45)])
+    assert sorted(r.id for r in lo.collect()) == [45, 46, 47, 48, 49]
+
+
 def test_avro_write_gates(spark, tmp_path):
     ts = spark.createDataFrame(
         [(1,)], "id int"
