@@ -532,6 +532,15 @@ def pq_codebooks(
     books = [
         [v[j * dsub : (j + 1) * dsub] for v in seed_list] for j in range(m)
     ]
+    if refine_iters:
+        # A small corpus read from ONE file gets one scan partition and
+        # the whole refine pass (encode + explode + partial agg)
+        # serializes onto a single core — profiled at 0.6 s of the
+        # sf0.1 ivfpq wall.  Spread to session parallelism first; wide
+        # inputs are left alone (file splits already parallelize).
+        from ic_spark.operators.dedup import _spread
+
+        corpus = _spread(corpus)
     for _ in range(refine_iters):
         # One pass: explode each row into its m (subspace, code,
         # sub-vector) assignments, then ONE grouped mean over the
@@ -646,6 +655,110 @@ def _arrow_pq_encoder(books: list[list[list[float]]]):
         return pd.Series([row.tolist() for row in out], dtype=object)
 
     return pandas_udf(enc, "array<int>")
+
+
+def _arrow_cell_residual_encoder(
+    cents: list[list[float]], books: list[list[list[float]]]
+):
+    """Fused corpus-side IVFADC kernel: one Arrow batch pass computes
+    the nearest cell (same COSINE ranking and tie rule as
+    :func:`_arrow_cell_assigner` — argmax of normalized dot, lowest
+    index on ties), the EXACT residual ``v − cents[cell]``
+    (element-wise IEEE subtraction — no summation-order trade), and
+    the per-subspace PQ codes of that residual (same rule as
+    :func:`_arrow_pq_encoder`).  Returns ``struct<cell:int,
+    codes:array<int>>``, cell 1-based like the expression path.
+
+    Replaces three chained projections (literal-centroid ``element_at``
+    residual between two separate UDFs) with ONE udf call and removes
+    the nlist × dim literal array from the corpus plan — the plan
+    parse/bind of those literals was pure driver-side fixed cost."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = B.shape
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def enc(vecs):
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        cell0 = np.argmax(Mn @ Cn.T, axis=1)  # ties -> lowest index
+        R = M - C[cell0]  # exact per-element subtraction
+        codes = np.empty((M.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = R[:, j * dsub : (j + 1) * dsub]
+            dj = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(dj, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": (cell0 + 1).astype(np.int32),
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    return pandas_udf(enc, "struct<cell:int, codes:array<int>>")
+
+
+def _arrow_query_lut(
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int,
+):
+    """Fused query-side IVFADC kernel: top-``nprobe`` cells by centroid
+    cosine (descending, ties → lowest index — the expression ranking's
+    rule) and one ADC lookup table per probed cell from the EXACT
+    residual ``v − cents[cell]``, LUT entries accumulated in the
+    expression fold's left-to-right order.  Returns
+    ``array<struct<cell:int, lut:array<array<double>>>>`` for a single
+    explode — the whole query-side plan shrinks to one udf + explode,
+    with zero literal centroids/codebooks to parse and bind."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    nprobe = min(nprobe, len(cents))
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def probe(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = Mn @ Cn.T  # (n, nlist)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        R = M[:, None, :] - C[order]  # (n, nprobe, dim) exact residuals
+        lut = np.empty((M.shape[0], nprobe, m, ksub), dtype=np.float64)
+        for j in range(m):
+            sub = R[:, :, j * dsub : (j + 1) * dsub]
+            d = (sub[:, :, None, :] - B[j][None, None, :, :]) ** 2
+            acc = np.zeros(d.shape[:3], dtype=np.float64)
+            for t in range(dsub):  # fold order — bit-equal to the expr
+                acc += d[:, :, :, t]
+            lut[:, :, j, :] = acc
+        out = []
+        for i in range(M.shape[0]):
+            out.append(
+                [
+                    {
+                        "cell": int(order[i, p]) + 1,  # 1-based like expr
+                        "lut": [lut[i, p, j].tolist() for j in range(m)],
+                    }
+                    for p in range(order.shape[1])
+                ]
+            )
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(probe, "array<struct<cell:int, lut:array<array<double>>>>")
 
 
 def _arrow_lut_builder(books: list[list[list[float]]]):
@@ -804,9 +917,19 @@ def pq_top_k(
 
 
 def _cents_literal(cents: list[list[float]]) -> F.Column:
-    """nlist × dim literal array-of-arrays (1-indexed by cell id)."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    """nlist × dim literal array-of-arrays (1-indexed by cell id).
+
+    ONE ``F.expr`` parse: building it from per-literal ``F.lit``
+    Columns costs nlist × dim py4j round trips (the same driver-side
+    fixed cost _centroid_cosines already eliminates) vs a millisecond
+    JVM-side parse."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
     )
 
 
@@ -888,7 +1011,12 @@ def ivf_pq_top_k(
     # projection below the Sort).  Lloyd rounds still scan the full
     # residual frame.
     if residual:
-        train = corpus.select(
+        # _spread BEFORE the residual projection: the interpreted
+        # HOF residual otherwise sits in the (often single-task) scan
+        # stage and serializes — spreading first moves it into the
+        # session-wide stage above the exchange (profiled: 0.53 s
+        # serial at sf0.1 from a one-file scan).
+        train = _spread(corpus).select(
             F.col(id_col),
             resid(vec_col, _nearest_centroid_idx(vec_col, cents)).alias(
                 "__pqv"
@@ -917,90 +1045,126 @@ def ivf_pq_top_k(
     dsub = len(books[0][0])
 
     # Corpus: ONE scan-side projection — cell id + m residual codes.
-    with_cell = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_dl(vec_col).alias("__v"),
-        corpus_cell.alias("__cell"),
-    )
-    enc_src = with_cell.select(
-        "neighbor_id",
-        "__cell",
-        (resid("__v", F.col("__cell")) if residual else F.col("__v")).alias(
-            "__pqv"
-        ),
-    )
-    if use_arrow:
-        cb = enc_src.select(
-            "neighbor_id",
-            "__cell",
-            _arrow_pq_encoder(books)(F.col("__pqv")).alias("codes"),
+    if use_arrow and residual:
+        # Fused kernel: cell + exact residual + codes in one Arrow
+        # pass, zero literal centroids in the corpus plan (the
+        # nlist × dim literal array was pure plan-parse fixed cost).
+        fused = _arrow_cell_residual_encoder(cents, books)
+        cb = (
+            _spread(corpus)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                fused(_as_dl(vec_col)).alias("__cc"),
+            )
+            .select(
+                "neighbor_id",
+                F.col("__cc.cell").alias("__cell"),
+                F.col("__cc.codes").alias("codes"),
+            )
         )
     else:
-        cb = enc_src.select(
+        with_cell = _spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_dl(vec_col).alias("__v"),
+            corpus_cell.alias("__cell"),
+        )
+        enc_src = with_cell.select(
             "neighbor_id",
             "__cell",
-            F.array(
-                *[_pq_sub_code("__pqv", books[j], j, dsub) for j in range(m)]
-            ).alias("codes"),
+            (
+                resid("__v", F.col("__cell")) if residual else F.col("__v")
+            ).alias("__pqv"),
         )
+        if use_arrow:
+            cb = enc_src.select(
+                "neighbor_id",
+                "__cell",
+                _arrow_pq_encoder(books)(F.col("__pqv")).alias("codes"),
+            )
+        else:
+            cb = enc_src.select(
+                "neighbor_id",
+                "__cell",
+                F.array(
+                    *[
+                        _pq_sub_code("__pqv", books[j], j, dsub)
+                        for j in range(m)
+                    ]
+                ).alias("codes"),
+            )
 
     # Queries: top-nprobe cells by centroid cosine (same ranking rule
     # as ivf_top_k), then ONE ADC lookup table per (query, cell) from
     # the query's residual against that cell.
-    coss = _centroid_cosines(vec_col, cents)
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(
-                coss,
-                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
-            )
-        )
-    )
-    qprobe = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_dl(vec_col).alias("__qv"),
-        F.explode(
-            F.transform(
-                F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int")
-            )
-        ).alias("__cell"),
-    ).select(
-        "query_id",
-        "__cell",
-        (resid("__qv", F.col("__cell")) if residual else F.col("__qv")).alias(
-            "__qres"
-        ),
-    )
-    # LUT[j][c] = ||qres_sub_j − book_j_c||².  Arrow path: one numpy
-    # kernel call (the literal-expression form costs a giant plan parse
-    # + bind per run — the operator's dominant fixed cost, r7 verdict
-    # #3).  Expression path: literal-inlined, same left-to-right fold
-    # as _pq_sub_code so ADC is reference-pinnable.
-    if use_arrow:
-        q = qprobe.select(
+    #
+    # Arrow + residual path: ONE fused kernel emits (cell, LUT) structs
+    # — zero literal centroids/codebooks left in the query plan (the
+    # giant literal expressions cost a plan parse + bind per run, the
+    # operator's dominant fixed cost — r7 verdict #3).  Expression
+    # path: literal-inlined, same left-to-right fold as _pq_sub_code so
+    # ADC is reference-pinnable.
+    if use_arrow and residual:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _arrow_query_lut(cents, books, nprobe)(_as_dl(vec_col))
+            ).alias("__p"),
+        ).select(
             "query_id",
-            "__cell",
-            _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
+            F.col("__p.cell").alias("__cell"),
+            F.col("__p.lut").alias("__lut"),
         )
     else:
-        lut_terms = []
-        for j, book in enumerate(books):
-            sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
-            ds = ", ".join(
-                "aggregate(zip_with("
-                + sub
-                + ", array("
-                + ", ".join(f"{float(x)!r}D" for x in cent)
-                + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-                for cent in book
+        coss = _centroid_cosines(vec_col, cents)
+        ranked = F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    coss,
+                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+                )
             )
-            lut_terms.append(f"array({ds})")
-        q = qprobe.select(
+        )
+        qprobe = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_dl(vec_col).alias("__qv"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked, 1, nprobe),
+                    lambda s: (-s["ni"]).cast("int"),
+                )
+            ).alias("__cell"),
+        ).select(
             "query_id",
             "__cell",
-            F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
+            (
+                resid("__qv", F.col("__cell")) if residual else F.col("__qv")
+            ).alias("__qres"),
         )
+        if use_arrow:
+            q = qprobe.select(
+                "query_id",
+                "__cell",
+                _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
+            )
+        else:
+            lut_terms = []
+            for j, book in enumerate(books):
+                sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
+                ds = ", ".join(
+                    "aggregate(zip_with("
+                    + sub
+                    + ", array("
+                    + ", ".join(f"{float(x)!r}D" for x in cent)
+                    + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                    for cent in book
+                )
+                lut_terms.append(f"array({ds})")
+            q = qprobe.select(
+                "query_id",
+                "__cell",
+                F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
+            )
 
     adc = F.aggregate(
         F.zip_with(

@@ -2591,6 +2591,114 @@ def test_pq_arrow_encoder_equals_expression(spark):
     assert expr == arrow
 
 
+def test_ivfpq_fused_kernels_equal_separate_steps(spark):
+    """The r8 fused kernels must not move a single value on the
+    fixture: (a) the corpus kernel (cell + exact residual + codes in
+    one Arrow pass) equals cell-assigner + expression residual +
+    arrow encoder composed stepwise; (b) the query kernel (top-nprobe
+    cells + fold-order LUTs) equals the expression ranking + expression
+    residual + arrow LUT builder."""
+    from ic_spark.operators.similarity import (
+        _arrow_cell_assigner,
+        _arrow_cell_residual_encoder,
+        _arrow_lut_builder,
+        _arrow_pq_encoder,
+        _arrow_query_lut,
+        _as_dl,
+        _centroid_cosines,
+        _cents_literal,
+        ivf_centroids,
+        pq_codebooks,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    nlist, m, ksub, nprobe = 16, 8, 16, 4
+    cents = ivf_centroids(e, "vec_id", "embedding", nlist)
+    cents_arr = _cents_literal(cents)
+
+    def eresid(vc, cell_col):
+        return F.zip_with(
+            _as_dl(vc), F.element_at(cents_arr, cell_col), lambda x, y: x - y
+        )
+
+    books = pq_codebooks(
+        e.select(
+            F.col("vec_id"),
+            eresid(
+                "embedding", _arrow_cell_assigner(cents)(_as_dl("embedding"))
+            ).alias("__pqv"),
+        ),
+        "vec_id",
+        "__pqv",
+        m=m,
+        ksub=ksub,
+    )
+
+    # (a) corpus side
+    step = e.select(
+        F.col("vec_id"),
+        _arrow_cell_assigner(cents)(_as_dl("embedding")).alias("cell"),
+        _as_dl("embedding").alias("__v"),
+    ).select(
+        "vec_id",
+        "cell",
+        _arrow_pq_encoder(books)(eresid("__v", F.col("cell"))).alias("codes"),
+    )
+    fused = e.select(
+        F.col("vec_id"),
+        _arrow_cell_residual_encoder(cents, books)(
+            _as_dl("embedding")
+        ).alias("cc"),
+    ).select("vec_id", F.col("cc.cell").alias("cell"), F.col("cc.codes").alias("codes"))
+    got_step = {r.vec_id: (r.cell, tuple(r.codes)) for r in step.collect()}
+    got_fused = {r.vec_id: (r.cell, tuple(r.codes)) for r in fused.collect()}
+    assert got_fused == got_step
+
+    # (b) query side
+    q = e.where(F.col("vec_id") < 5)
+    coss = _centroid_cosines("embedding", cents)
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                coss,
+                F.sequence(F.lit(-1), F.lit(-nlist), F.lit(-1)),
+                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+            )
+        )
+    )
+    qprobe = q.select(
+        F.col("vec_id"),
+        _as_dl("embedding").alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int")
+            )
+        ).alias("cell"),
+    ).select(
+        "vec_id",
+        "cell",
+        _arrow_lut_builder(books)(eresid("__qv", F.col("cell"))).alias("lut"),
+    )
+    step_q = {
+        (r.vec_id, r.cell): [tuple(row) for row in r.lut]
+        for r in qprobe.collect()
+    }
+    fused_q = {
+        (r.vec_id, r.cell): [tuple(row) for row in r.lut]
+        for r in q.select(
+            F.col("vec_id"),
+            F.explode(
+                _arrow_query_lut(cents, books, nprobe)(_as_dl("embedding"))
+            ).alias("p"),
+        )
+        .select("vec_id", F.col("p.cell").alias("cell"), F.col("p.lut").alias("lut"))
+        .collect()
+    }
+    assert fused_q == step_q
+
+
 def test_pq_arrow_lut_equals_expression(spark):
     """The Arrow LUT builder (numpy squared-distance batch) produces
     BIT-EQUAL lookup tables to the literal-expression form on the
