@@ -356,23 +356,28 @@ def ivf_top_k(
     # Tiny interpreted arrays (nlist entries) on the SMALL side only.
     # Index stored NEGATED so the ascending struct sort + reverse yields
     # (cosine desc, index asc) — the same tie order as the oracle's
-    # ORDER BY cos DESC, idx.
-    coss = _centroid_cosines(vec_col, cents)
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(
-                coss,
-                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+    # ORDER BY cos DESC, idx.  Arrow path: same ranking as one kernel —
+    # the literal tree's parse/analysis was per-run driver fixed cost.
+    if use_arrow:
+        probe_cells = _arrow_top_cells(cents, nprobe)(_as_dl(vec_col))
+    else:
+        coss = _centroid_cosines(vec_col, cents)
+        ranked = F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    coss,
+                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+                )
             )
         )
-    )
+        probe_cells = F.transform(
+            F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int")
+        )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int"))
-        ).alias("__cell"),
+        F.explode(probe_cells).alias("__cell"),
     )
     scored = (
         cb.join(F.broadcast(qb), on="__cell")
@@ -703,6 +708,32 @@ def _arrow_cell_residual_encoder(
         )
 
     return pandas_udf(enc, "struct<cell:int, codes:array<int>>")
+
+
+def _arrow_top_cells(cents: list[list[float]], nprobe: int):
+    """Top-``nprobe`` cell ids (1-based) by centroid cosine, descending
+    with ties → lowest index — the expression ranking's exact rule, as
+    one Arrow kernel.  Replaces the literal-centroid ranked expression
+    on the query side of :func:`ivf_top_k` (one parse + analysis of an
+    nlist × dim literal tree per run)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    nprobe = min(nprobe, len(cents))
+
+    # No parameter type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects.
+    def top(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([(row + 1).tolist() for row in order], dtype=object)
+
+    return pandas_udf(top, "array<int>")
 
 
 def _arrow_query_lut(
