@@ -153,10 +153,12 @@ def _write_data_files_python(
 ) -> list[tuple[str, int, int, dict]]:
     """Executor-side Avro/ORC data-file writer.
 
-    ``mapInPandas`` runs once per partition of the (already
+    ``mapInArrow`` runs once per partition of the (already
     repartitioned/sorted) writer DataFrame: each task streams its Arrow
-    batches, flushes a file every ``max_records_per_file`` rows (or one
-    file per partition when unbounded), computes per-column
+    batches — no pandas bridge, so nullable ints stay ints, double NaN
+    stays a value distinct from null, and ORC files carry the exact
+    declared types — flushes a file every ``max_records_per_file`` rows
+    (or one file per partition when unbounded), computes per-column
     null_count/min/max stats VECTORIZED from the same batches it
     writes — write-time stats, zero extra jobs, exactly the guarantee
     the parquet path gets from its footers — and emits one small
@@ -200,11 +202,20 @@ def _write_data_files_python(
         return _json_safe(v)
 
     def write_partition(batches):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
+        meta_schema = pa.schema(
+            [
+                ("path", pa.string()),
+                ("record_count", pa.int64()),
+                ("file_size", pa.int64()),
+                ("column_stats", pa.string()),
+            ]
+        )
         pid = TaskContext.get().partitionId()
-        pend: list[pd.DataFrame] = []
+        pend: list[pa.RecordBatch] = []
         pend_rows = 0
         seq = 0
 
@@ -212,7 +223,7 @@ def _write_data_files_python(
             nonlocal pend, pend_rows, seq
             if not pend_rows:
                 return None
-            pdf = pd.concat(pend, ignore_index=True) if len(pend) > 1 else pend[0]
+            table = pa.Table.from_batches(pend)
             pend, pend_rows = [], 0
             name = f"part-{pid:05d}-{seq:04d}-{_uuid.uuid4().hex[:12]}.{fmt}"
             seq += 1
@@ -220,18 +231,23 @@ def _write_data_files_python(
             if fmt == "avro":
                 from ic_spark.sources.avro_io import write_container
 
-                recs = pdf.where(pdf.notna(), None).to_dict("records")
+                # Avro logical date is an int of days-since-epoch on the
+                # wire; date32 -> int32 cast is exactly that value.
+                enc = table
+                for i, f in enumerate(enc.schema):
+                    if pa.types.is_date32(f.type):
+                        enc = enc.set_column(
+                            i, f.name, enc.column(i).cast(pa.int32())
+                        )
                 write_container(
                     path,
                     avro_schema,
-                    recs,
+                    enc.to_pylist(),
                     codec="deflate" if compression != "none" else "null",
                 )
             else:  # orc
-                import pyarrow as pa
                 from pyarrow import orc as pa_orc
 
-                table = pa.Table.from_pandas(pdf, preserve_index=False)
                 kw = {}
                 if compression:
                     kw["compression"] = (
@@ -240,24 +256,25 @@ def _write_data_files_python(
                 pa_orc.write_table(table, path, **kw)
             stats = {}
             for c in col_names:
-                s = pdf[c]
-                nulls = int(s.isna().sum())
-                if c in binary_cols or s.dtype == object and len(s.dropna()) and isinstance(s.dropna().iloc[0], (bytes, bytearray)):
+                col = table.column(c)
+                nulls = col.null_count
+                if c in binary_cols or len(col) == nulls:
                     stats[c] = {"null_count": nulls, "min": None, "max": None}
                     continue
-                nn = s.dropna()
+                mm = pc.min_max(col)  # skips nulls and float NaN
                 stats[c] = {
                     "null_count": nulls,
-                    "min": _stat_safe(nn.min()) if len(nn) else None,
-                    "max": _stat_safe(nn.max()) if len(nn) else None,
+                    "min": _stat_safe(mm["min"].as_py()),
+                    "max": _stat_safe(mm["max"].as_py()),
                 }
-            return pd.DataFrame(
+            return pa.RecordBatch.from_pydict(
                 {
                     "path": [path],
-                    "record_count": [len(pdf)],
+                    "record_count": [table.num_rows],
                     "file_size": [os.path.getsize(path)],
                     "column_stats": [_json.dumps(stats)],
-                }
+                },
+                schema=meta_schema,
             )
 
         for batch in batches:
@@ -268,7 +285,7 @@ def _write_data_files_python(
                 start = 0
                 while start < len(batch):
                     room = max_records_per_file - pend_rows
-                    chunk = batch.iloc[start : start + room]
+                    chunk = batch.slice(start, room)
                     pend.append(chunk)
                     pend_rows += len(chunk)
                     start += len(chunk)
@@ -283,7 +300,7 @@ def _write_data_files_python(
         if out is not None:
             yield out
 
-    meta = df.mapInPandas(
+    meta = df.mapInArrow(
         write_partition,
         schema="path string, record_count long, file_size long, column_stats string",
     ).collect()

@@ -7,7 +7,7 @@ engine claiming its surface must read Avro *data* files, not just Avro
 module provides a genuinely distributed fallback:
 
     binaryFile scan (whole-file bytes, one row per file, executor-side)
-      → mapInPandas (pure-Python Avro codec from sources/avro_io.py,
+      → mapInArrow (pure-Python Avro codec from sources/avro_io.py,
         Arrow-batched output)
 
 Parallelism is per-file (each executor task decodes whole files) rather
@@ -249,7 +249,8 @@ def read_avro_distributed(
 
     Files are distributed by a ``binaryFile`` scan; each executor task
     decodes its files with the pure-Python codec and emits Arrow
-    batches via ``mapInPandas``.  ``with_path_pos=True`` appends
+    batches via ``mapInArrow`` (float NaN survives as a value).
+    ``with_path_pos=True`` appends
     ``_avro_file_path`` / ``_avro_pos`` (running record index per file,
     decode order) for merge-on-read hidden columns.
 
@@ -258,8 +259,6 @@ def read_avro_distributed(
     the output post-decode (Avro is row-major: every field must be
     decoded to advance the stream, so pruning cannot reach the codec).
     """
-    import pandas as pd
-
     if isinstance(paths, str):
         paths = [paths]
     if not paths:
@@ -285,12 +284,21 @@ def read_avro_distributed(
 
     wanted = set(field_names)
 
-    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_out = to_arrow_schema(out_schema)
+
+    def decode_files(batches):
         # Converters are built PER FILE from each container's embedded
         # writer schema (cached by schema text): files whose schemas
         # diverged under evolution (e.g. timestamp-millis vs -micros)
         # each get their own logical-type conversion, instead of
         # inheriting the first file's.
+        #
+        # Output goes back as Arrow batches directly (mapInArrow):
+        # pa.array() keeps float NaN a VALUE — the old pandas bridge's
+        # from_pandas conversion silently collapsed NaN to null.
         conv_cache: dict[str, dict] = {}
 
         def converters_for(fschema: dict) -> dict:
@@ -303,15 +311,18 @@ def read_avro_distributed(
                 }
             return conv_cache[key]
 
-        for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+        for rb in batches:
+            tbl = pa.table(rb)
+            for path, content in zip(
+                tbl.column("path").to_pylist(), tbl.column("content").to_pylist()
+            ):
                 fschema, records = decode_container_bytes(
                     bytes(content), str(path)
                 )
                 converters = converters_for(fschema)
                 for start in range(0, max(len(records), 1), batch_rows):
                     chunk = records[start : start + batch_rows]
-                    data = {}
+                    arrays = []
                     for name in field_names:
                         conv = converters.get(name)
                         vals = [r.get(name) for r in chunk]
@@ -319,14 +330,21 @@ def read_avro_distributed(
                             vals = [
                                 conv(v) if v is not None else None for v in vals
                             ]
-                        data[name] = pd.Series(vals, dtype="object")
-                    out = pd.DataFrame(data, columns=field_names)
+                        arrays.append(
+                            pa.array(vals, type=arrow_out.field(name).type)
+                        )
                     if with_path_pos:
-                        out[FILE_PATH_COL] = str(path)
-                        out[POS_COL] = range(start, start + len(chunk))
-                    yield out
+                        arrays.append(
+                            pa.array([str(path)] * len(chunk), type=pa.string())
+                        )
+                        arrays.append(
+                            pa.array(
+                                range(start, start + len(chunk)), type=pa.int64()
+                            )
+                        )
+                    yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
     files = spark.read.format("binaryFile").load(paths)
-    return files.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInArrow(
         decode_files, schema=out_schema
     )

@@ -405,3 +405,39 @@ def test_avro_distributed_roundtrip_property(spark, tmp_path):
         assert got == sorted(rows, key=repr)
 
     check()
+
+
+def test_avro_scan_preserves_double_nan(spark, tmp_path):
+    """Float NaN is a VALUE, distinct from null, end to end.  The old
+    mapInPandas decode bridge collapsed NaN to null on the way back to
+    the JVM (pandas from_pandas semantics); the mapInArrow path keeps
+    the distinction, matching what Spark's parquet scan does."""
+    import math
+
+    p = str(tmp_path / "nan.avro")
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "int"},
+            {"name": "d", "type": ["null", "double"]},
+        ],
+    }
+    write_container(
+        p,
+        schema,
+        [
+            {"k": 1, "d": float("nan")},
+            {"k": 2, "d": None},
+            {"k": 3, "d": 2.5},
+        ],
+    )
+    rows = {r.k: r.d for r in read_avro_distributed(spark, p).collect()}
+    assert math.isnan(rows[1])
+    assert rows[2] is None
+    assert rows[3] == 2.5
+    # and the declared Spark-side semantics hold: NaN is not filtered
+    # by IS NULL, but IS caught by isnan()
+    df = read_avro_distributed(spark, p)
+    assert df.where(F.col("d").isNull()).count() == 1
+    assert df.where(F.isnan("d")).count() == 1
