@@ -107,9 +107,9 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
 
 
 # Spark type -> Avro type for the executor-side Avro data-file writer.
-# Deliberately primitives-only: Avro logical types (timestamps,
-# decimals) and nested shapes are gated with a clear error rather than
-# written approximately — the same honest-gate policy as the media
+# Flat types only (primitives + the temporal/decimal logical types the
+# Avro spec defines); nested shapes are gated with a clear error rather
+# than written approximately — the same honest-gate policy as the media
 # decoders.  ORC writes go through pyarrow and carry its full type
 # matrix.
 _SPARK_TO_AVRO = {
@@ -123,19 +123,29 @@ _SPARK_TO_AVRO = {
     "string": "string",
     "binary": "bytes",
     "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-micros"},
 }
 
 
 def _spark_to_avro_schema(schema) -> dict:
     fields = []
     for f in schema.fields:
-        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        ss = f.dataType.simpleString()
+        t = _SPARK_TO_AVRO.get(ss)
+        if t is None and ss.startswith("decimal("):
+            p, s = ss[8:-1].split(",")
+            t = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": int(p),
+                "scale": int(s),
+            }
         if t is None:
             raise ValueError(
-                f"avro data-file write: unsupported type "
-                f"{f.dataType.simpleString()!r} for column {f.name!r} "
-                "(primitives only; use parquet or orc for nested/"
-                "temporal columns)"
+                f"avro data-file write: unsupported type {ss!r} for "
+                f"column {f.name!r} (flat types only; use parquet or "
+                "orc for nested columns)"
             )
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
@@ -231,13 +241,34 @@ def _write_data_files_python(
             if fmt == "avro":
                 from ic_spark.sources.avro_io import write_container
 
-                # Avro logical date is an int of days-since-epoch on the
-                # wire; date32 -> int32 cast is exactly that value.
+                # Avro logical types carry integer/bytes wire values:
+                # date32 -> int32 is days-since-epoch, timestamp[us] ->
+                # int64 is (local-)micros, decimal -> minimal big-endian
+                # two's-complement unscaled bytes.
                 enc = table
                 for i, f in enumerate(enc.schema):
                     if pa.types.is_date32(f.type):
                         enc = enc.set_column(
                             i, f.name, enc.column(i).cast(pa.int32())
+                        )
+                    elif pa.types.is_timestamp(f.type):
+                        enc = enc.set_column(
+                            i, f.name, enc.column(i).cast(pa.int64())
+                        )
+                    elif pa.types.is_decimal(f.type):
+                        sc = f.type.scale
+                        vals = [
+                            None
+                            if v is None
+                            else (lambda n: n.to_bytes(
+                                max(1, (n.bit_length() + 8) // 8),
+                                "big",
+                                signed=True,
+                            ))(int(v.scaleb(sc)))
+                            for v in enc.column(i).to_pylist()
+                        ]
+                        enc = enc.set_column(
+                            i, f.name, pa.array(vals, type=pa.binary())
                         )
                 write_container(
                     path,

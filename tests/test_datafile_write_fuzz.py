@@ -71,7 +71,7 @@ def test_avro_datafile_codec_roundtrip(spark, tmp_path_factory, rows):
 
 
 def test_avro_datafile_spark_path_matches_codec(spark, tmp_path):
-    """One end-to-end pin: the Spark task path (mapInPandas writer)
+    """One end-to-end pin: the Spark task path (mapInArrow writer)
     produces files this same codec reads back to the exact input rows,
     nulls included, and its stats match a direct pandas computation."""
     import pyspark.sql.functions as F  # noqa: F401
@@ -145,3 +145,42 @@ def test_avro_datafile_spark_path_matches_codec(spark, tmp_path):
     got_types = {name: str(t.schema.field(name).type) for name in ("i", "l", "b", "dt")}
     assert got_types == {"i": "int32", "l": "int64", "b": "bool", "dt": "date32[day]"}
     assert sorted(t.column("i").to_pylist(), key=repr) == sorted([1, None, -7], key=repr)
+
+
+def test_avro_datafile_temporal_decimal_roundtrip(spark, tmp_path):
+    """Timestamp (instant), timestamp_ntz, and decimal columns survive
+    a parquet -> full_compact(avro) -> read_table round trip with the
+    exact values the parquet original holds (wire: micros longs and
+    minimal big-endian unscaled bytes per the Avro spec)."""
+    import datetime
+    import decimal as dec
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number, read_table
+
+    rows = [
+        (
+            1,
+            datetime.datetime(2020, 2, 29, 23, 59, 59, 123456),
+            datetime.datetime(1969, 12, 31, 0, 0, 1),
+            dec.Decimal("-3.50"),
+        ),
+        (2, None, None, None),
+        (3, datetime.datetime(1970, 1, 1), datetime.datetime(2038, 1, 19), dec.Decimal("12345678.99")),
+    ]
+    schema = "id int, ts timestamp, tn timestamp_ntz, dc decimal(10,2)"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    t.append_snapshot(
+        [{"path": f, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    Compaction(spark).full_compact(t, df.schema, data_file_format="avro")
+    want = sorted(spark.read.parquet(src).collect(), key=lambda r: r.id)
+    got = sorted(read_table(spark, t).collect(), key=lambda r: r.id)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].dc == dec.Decimal("-3.50")
