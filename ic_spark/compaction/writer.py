@@ -279,12 +279,23 @@ def _write_data_files_python(
             else:  # orc
                 from pyarrow import orc as pa_orc
 
+                # Spark's own ORC writer stores TimestampType as a
+                # PLAIN orc timestamp holding session-local wall time
+                # (tz-aware arrow "timestamp_instant" is unreadable by
+                # Spark's schema inference).  Match it: instant ->
+                # wall-clock in the batch's tz, naive on the wire.
+                enc = table
+                for i, f in enumerate(enc.schema):
+                    if pa.types.is_timestamp(f.type) and f.type.tz:
+                        enc = enc.set_column(
+                            i, f.name, pc.local_timestamp(enc.column(i))
+                        )
                 kw = {}
                 if compression:
                     kw["compression"] = (
                         "uncompressed" if compression == "none" else compression
                     )
-                pa_orc.write_table(table, path, **kw)
+                pa_orc.write_table(enc, path, **kw)
             stats = {}
             for c in col_names:
                 col = table.column(c)

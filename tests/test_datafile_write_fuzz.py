@@ -184,3 +184,42 @@ def test_avro_datafile_temporal_decimal_roundtrip(spark, tmp_path):
     got = sorted(read_table(spark, t).collect(), key=lambda r: r.id)
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0].dc == dec.Decimal("-3.50")
+
+
+def test_orc_datafile_temporal_decimal_roundtrip(spark, tmp_path):
+    """Same round trip INTO orc.  pyarrow writes tz-aware arrow
+    timestamps as ORC timestamp_instant, which Spark's ORC schema
+    inference cannot even parse — the writer converts instants to
+    session-local wall time and writes plain orc timestamps, exactly
+    what Spark's own ORC writer emits."""
+    import datetime
+    import decimal as dec
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number, read_table
+
+    rows = [
+        (
+            1,
+            datetime.datetime(2020, 2, 29, 23, 59, 59, 123456),
+            datetime.datetime(1969, 12, 31, 0, 0, 1),
+            dec.Decimal("-3.50"),
+        ),
+        (2, None, None, None),
+    ]
+    schema = "id int, ts timestamp, tn timestamp_ntz, dc decimal(10,2)"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    t.append_snapshot(
+        [{"path": f, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    Compaction(spark).full_compact(t, df.schema, data_file_format="orc")
+    want = sorted(spark.read.parquet(src).collect(), key=lambda r: r.id)
+    # schema-less read: Spark must be able to infer from the orc footer
+    got = sorted(read_table(spark, t).collect(), key=lambda r: r.id)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
