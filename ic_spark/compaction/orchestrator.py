@@ -149,7 +149,10 @@ class Compaction:
                 entry["sort_order_id"] = f.sort_order_id
             if f.file_format != "parquet":
                 entry["file_format"] = f.file_format
-            if spec_fields:
+            if spec_fields or f.partition_values:
+                # Declared spec, or ad-hoc partition_by fanout: either
+                # way the hive-dir values go into the manifest so
+                # partition pruning can skip files.
                 entry["spec_id"] = spec_id
                 entry["partition"] = f.partition_values or {}
             if lineage is not None:

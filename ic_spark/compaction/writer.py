@@ -153,6 +153,49 @@ def _spark_to_avro_schema(schema) -> dict:
     return {"type": "record", "name": "datafile", "fields": fields}
 
 
+def _hive_segment(name: str, value) -> str:
+    """One ``col=value`` path segment, Spark/Hive escaping rules."""
+    from urllib.parse import quote
+
+    if value is None:
+        return f"{name}=__HIVE_DEFAULT_PARTITION__"
+    return f"{name}={quote(str(value), safe='')}"
+
+
+def _partition_groups(table, names: list[str]):
+    """Split an Arrow table into per-partition-value subtables.
+
+    Vectorized: one stable multi-key sort + adjacent-inequality
+    boundary scan — no per-row Python.  Rows inside each group keep
+    their incoming relative order, so an upstream
+    ``sortWithinPartitions`` (Iceberg sort order / Z-order) survives
+    into the per-partition files.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        table,
+        sort_keys=[(n, "ascending") for n in names],
+        null_placement="at_end",
+    )
+    tbl = table.take(idx)
+    n = tbl.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in names:
+        col = tbl.column(c).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        nullflip = pc.xor(pc.is_null(a), pc.is_null(b))
+        change[1:] |= pc.or_(neq, nullflip).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        sub = tbl.slice(s, e - s)
+        yield {c: sub.column(c)[0].as_py() for c in names}, sub
+
+
 def _write_data_files_python(
     spark: SparkSession,
     df,
@@ -160,6 +203,7 @@ def _write_data_files_python(
     fmt: str,
     max_records_per_file: int,
     compression: str | None,
+    partition_names: list[str] | None = None,
 ) -> list[tuple[str, int, int, dict]]:
     """Executor-side Avro/ORC data-file writer.
 
@@ -187,11 +231,19 @@ def _write_data_files_python(
     import json as _json
     import uuid as _uuid
 
-    avro_schema = _spark_to_avro_schema(df.schema) if fmt == "avro" else None
+    from pyspark.sql.types import StructType
+
+    partition_names = list(partition_names or [])
+    # Partition columns route into directory names only (hive layout,
+    # exactly what partitionBy does on the parquet path) — the data
+    # pages carry the remaining fields.
+    data_fields = [f for f in df.schema.fields if f.name not in partition_names]
+    data_schema = StructType(data_fields)
+    avro_schema = _spark_to_avro_schema(data_schema) if fmt == "avro" else None
     binary_cols = {
-        f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
+        f.name for f in data_fields if f.dataType.simpleString() == "binary"
     }
-    col_names = [f.name for f in df.schema.fields]
+    col_names = [f.name for f in data_fields]
     # overwrite semantics, same as the parquet path's mode("overwrite"):
     # stale files must not survive into the listing-independent metadata
     if os.path.isdir(dir_path):
@@ -227,17 +279,20 @@ def _write_data_files_python(
         pid = TaskContext.get().partitionId()
         pend: list[pa.RecordBatch] = []
         pend_rows = 0
-        seq = 0
 
-        def flush():
-            nonlocal pend, pend_rows, seq
-            if not pend_rows:
-                return None
-            table = pa.Table.from_batches(pend)
-            pend, pend_rows = [], 0
-            name = f"part-{pid:05d}-{seq:04d}-{_uuid.uuid4().hex[:12]}.{fmt}"
-            seq += 1
-            path = os.path.join(dir_path, name)
+        def write_one(table, pvals):
+            """Write one data file (one partition group of one flush
+            unit) → (path, count, size, stats-json)."""
+            if pvals:
+                target_dir = os.path.join(
+                    dir_path, *(_hive_segment(k, v) for k, v in pvals.items())
+                )
+                os.makedirs(target_dir, exist_ok=True)
+                table = table.drop_columns(partition_names)
+            else:
+                target_dir = dir_path
+            name = f"part-{pid:05d}-{_uuid.uuid4().hex[:12]}.{fmt}"
+            path = os.path.join(target_dir, name)
             if fmt == "avro":
                 from ic_spark.sources.avro_io import write_container
 
@@ -309,12 +364,34 @@ def _write_data_files_python(
                     "min": _stat_safe(mm["min"].as_py()),
                     "max": _stat_safe(mm["max"].as_py()),
                 }
+            # Partition columns: exact single value from the directory
+            # name, same convention as the parquet footer-stats path.
+            for k, v in (pvals or {}).items():
+                if v is None:
+                    stats[k] = {
+                        "null_count": table.num_rows, "min": None, "max": None
+                    }
+                else:
+                    stats[k] = {"null_count": 0, "min": str(v), "max": str(v)}
+            return (path, table.num_rows, os.path.getsize(path), _json.dumps(stats))
+
+        def flush():
+            nonlocal pend, pend_rows
+            if not pend_rows:
+                return None
+            table = pa.Table.from_batches(pend)
+            pend, pend_rows = [], 0
+            if partition_names:
+                rows = [write_one(sub, pvals)
+                        for pvals, sub in _partition_groups(table, partition_names)]
+            else:
+                rows = [write_one(table, None)]
             return pa.RecordBatch.from_pydict(
                 {
-                    "path": [path],
-                    "record_count": [table.num_rows],
-                    "file_size": [os.path.getsize(path)],
-                    "column_stats": [_json.dumps(stats)],
+                    "path": [r[0] for r in rows],
+                    "record_count": [r[1] for r in rows],
+                    "file_size": [r[2] for r in rows],
+                    "column_stats": [r[3] for r in rows],
                 },
                 schema=meta_schema,
             )
@@ -470,13 +547,10 @@ def rewrite_files(
     if fmt != "parquet":
         # Reference DataFileFormat parity (proto.rs:282-289): avro/orc
         # outputs via executor-side Python writers with write-time
-        # stats.  Fanout layouts and bloom filters stay parquet-only —
-        # explicit gates, not silent fallbacks.
-        if partition_names:
-            raise ValueError(
-                f"{fmt} data-file writes support unpartitioned layouts "
-                "only (fanout/partition-spec layouts stay parquet)"
-            )
+        # stats.  Fanout/partition-spec layouts route per-task into
+        # hive dirs (the rows were already shuffled to their partition
+        # above); bloom filters stay parquet-only — an explicit gate,
+        # not a silent fallback.
         if request.bloom_filter_cols:
             raise ValueError("bloom filter columns are parquet-specific")
         data_files = [
@@ -485,7 +559,10 @@ def rewrite_files(
                 file_format=fmt,
                 record_count=record_count,
                 file_size_in_bytes=size,
-                partition_values=None,
+                partition_values=_partition_values_from_path(
+                    p, request.dir_path
+                )
+                or None,
                 column_stats=column_stats,
                 sort_order_id=sort_id,
             )
@@ -496,6 +573,7 @@ def rewrite_files(
                 fmt,
                 request.max_records_per_file,
                 request.compression,
+                partition_names=partition_names or None,
             )
         ]
     else:

@@ -1,0 +1,164 @@
+"""Partitioned (fanout) Avro/ORC data-file writes.
+
+The executor-side writer routes rows into hive-style ``col=value``
+directories inside each task — rows were already shuffled to their
+partition by ``rewrite_files`` (same repartition the parquet path
+uses), so each partition value is written by exactly one task and the
+file count stays bounded at any scale.  Partition columns are dropped
+from the data pages and recorded in ``DataFileMeta.partition_values``
+(exact from the directory name), mirroring the parquet
+``partitionBy`` layout byte-for-byte in semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+from ic_spark.compaction.writer import rewrite_files
+from ic_spark.sources.avro_scan import read_avro_distributed
+
+
+def _src_file(spark, tmp_path, rows, schema):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    return next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+
+
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_partitioned_fanout_write_nonparquet(spark, tmp_path, fmt):
+    rows = [(i, ["x", "y", None][i % 3], float(i)) for i in range(30)]
+    f = _src_file(spark, tmp_path, rows, "id int, name string, v double")
+    out = str(tmp_path / "out")
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=spark.createDataFrame(rows, "id int, name string, v double").schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=out,
+            partition_by=["name"],
+            data_file_format=fmt,
+        ),
+    )
+    # hive-style dirs incl. the null partition
+    dirs = sorted(os.listdir(out))
+    assert dirs == ["name=__HIVE_DEFAULT_PARTITION__", "name=x", "name=y"]
+    # metadata: partition values exact from the dir, stats exclude the
+    # partition column from data pages but still record it
+    by_part: dict[str, int] = {}
+    for m in resp.data_files:
+        assert m.file_format == fmt
+        pv = m.partition_values["name"]
+        by_part[pv] = by_part.get(pv, 0) + m.record_count
+        assert "id" in m.column_stats
+        ps = m.column_stats["name"]
+        if pv == "__HIVE_DEFAULT_PARTITION__":
+            assert ps["null_count"] == m.record_count
+        else:
+            assert ps == {"null_count": 0, "min": pv, "max": pv}
+    assert by_part == {"x": 10, "y": 10, "__HIVE_DEFAULT_PARTITION__": 10}
+    # data pages do NOT carry the partition column; ids all survive
+    if fmt == "avro":
+        ids = [
+            r.id
+            for r in read_avro_distributed(
+                spark, [m.file_path for m in resp.data_files]
+            ).collect()
+        ]
+        cols = read_avro_distributed(spark, resp.data_files[0].file_path).columns
+    else:
+        df = spark.read.orc([m.file_path for m in resp.data_files])
+        ids = [r.id for r in df.collect()]
+        cols = df.columns
+    assert sorted(ids) == list(range(30))
+    assert cols == ["id", "v"]
+
+
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_partition_spec_transform_write_nonparquet(spark, tmp_path, fmt):
+    """Iceberg-transform fanout: the DERIVED column goes to directory
+    names only; the source column stays in the data pages (Iceberg's
+    metadata-held partition values)."""
+    rows = [(i, f"n{i}") for i in range(40)]
+    f = _src_file(spark, tmp_path, rows, "id int, name string")
+    out = str(tmp_path / "out")
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=spark.createDataFrame(rows, "id int, name string").schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=out,
+            partition_spec=[
+                {"name": "id_bucket", "source": "id", "transform": "bucket", "n": 4}
+            ],
+            data_file_format=fmt,
+        ),
+    )
+    assert all(d.startswith("id_bucket=") for d in os.listdir(out))
+    total = 0
+    for m in resp.data_files:
+        assert set(m.partition_values) == {"id_bucket"}
+        total += m.record_count
+    assert total == 40
+    # source column survives in the data pages
+    if fmt == "avro":
+        df = read_avro_distributed(spark, [m.file_path for m in resp.data_files])
+    else:
+        df = spark.read.orc([m.file_path for m in resp.data_files])
+    assert sorted(df.columns) == ["id", "name"]
+    assert sorted(r.id for r in df.collect()) == list(range(40))
+
+
+def test_partitioned_max_records_split(spark, tmp_path):
+    """File splitting applies per partition group."""
+    rows = [(i, "a" if i < 20 else "b") for i in range(30)]
+    f = _src_file(spark, tmp_path, rows, "id int, g string")
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=spark.createDataFrame(rows, "id int, g string").schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=str(tmp_path / "out"),
+            partition_by=["g"],
+            data_file_format="avro",
+            max_records_per_file=8,
+        ),
+    )
+    assert all(m.record_count <= 8 for m in resp.data_files)
+    assert sum(m.record_count for m in resp.data_files) == 30
+    # every file sits in its partition's directory
+    for m in resp.data_files:
+        seg = os.path.basename(os.path.dirname(m.file_path))
+        assert seg in ("g=a", "g=b")
+
+
+def test_full_compact_partitioned_avro_manifest_partition_values(spark, tmp_path):
+    """Orchestrator integration: a partition_spec full_compact INTO avro
+    lands partition values in the committed manifest entries (the same
+    ones partition pruning evaluates)."""
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number
+
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, grp int")
+    f = _src_file(spark, tmp_path, rows, "id int, grp int")
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append_snapshot(
+        [{"path": f, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    Compaction(spark).full_compact(
+        t, df.schema, data_file_format="avro", partition_by=["grp"]
+    )
+    snap = t.current_snapshot()
+    parts = sorted(e.get("partition", {}).get("grp") for e in snap.files)
+    assert parts == ["0", "1", "2"]
+    total = 0
+    for e in snap.files:
+        df_part = read_avro_distributed(spark, e["path"])
+        total += df_part.count()
+    assert total == 30

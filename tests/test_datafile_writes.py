@@ -189,11 +189,11 @@ def test_full_compact_into_format(spark, tmp_path, fmt):
 
 
 def test_avro_write_gates(spark, tmp_path):
-    ts = spark.createDataFrame(
+    nested = spark.createDataFrame(
         [(1,)], "id int"
-    ).select(F.col("id"), F.current_timestamp().alias("t"))
+    ).select(F.col("id"), F.array(F.col("id")).alias("a"))
     src = str(tmp_path / "s")
-    ts.coalesce(1).write.parquet(src)
+    nested.coalesce(1).write.parquet(src)
     f = next(
         os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
     )
@@ -202,7 +202,7 @@ def test_avro_write_gates(spark, tmp_path):
         rewrite_files(
             spark,
             RewriteFilesRequest(
-                schema=ts.schema,
+                schema=nested.schema,
                 data_files=tasks,
                 dir_path=str(tmp_path / "o"),
                 data_file_format="avro",
@@ -217,17 +217,6 @@ def test_avro_write_gates(spark, tmp_path):
         if n.endswith(".parquet")
     )
     tasks2 = [FileScanTask(data_file_path=f2, sequence_number=1)]
-    with pytest.raises(ValueError, match="unpartitioned"):
-        rewrite_files(
-            spark,
-            RewriteFilesRequest(
-                schema=simple.schema,
-                data_files=tasks2,
-                dir_path=str(tmp_path / "o2"),
-                partition_by=["name"],
-                data_file_format="orc",
-            ),
-        )
     with pytest.raises(ValueError, match="parquet-specific"):
         rewrite_files(
             spark,
