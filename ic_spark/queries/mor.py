@@ -777,6 +777,57 @@ def compact_into_orc_scan(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "compact_into_avro_partitioned_scan",
+    oracle="""
+    -- Fanout format migration: the %4==1 orders compacted INTO avro
+    -- PARTITIONED BY o_orderpriority (hive dirs, partition column
+    -- dropped from the data pages).  The Spark side re-derives the
+    -- partition value from the directory segment — reading it back
+    -- must reproduce the plain relational answer exactly.
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 4 = 1
+""",
+)
+def compact_into_avro_partitioned_scan(spark: SparkSession, sf_dir: str):
+    """Partitioned non-parquet migration end to end: full_compact INTO
+    avro with partition_by (writer routes hive dirs per task, drops the
+    partition column from the pages, records manifest partition
+    values), then ONE distributed avro scan over every data file with
+    the partition value re-attached from the path segment — scan-side
+    regexp+url_decode, no per-file unions, no driver joins, so the
+    read shape survives thousands of partitions."""
+    import os
+    import tempfile
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.sources.avro_scan import read_avro_distributed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="mig_part_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 4 == 1), tmp, "d", "o_orderkey"
+    )
+    Compaction(spark).full_compact(
+        t, o.schema, data_file_format="avro", partition_by=["o_orderpriority"]
+    )
+    snap = t.current_snapshot()
+    paths = [e["path"] for e in snap.files]
+    scanned = read_avro_distributed(spark, paths, with_path_pos=True)
+    return scanned.select(
+        "o_orderkey",
+        "o_custkey",
+        F.url_decode(
+            F.regexp_extract(
+                F.col("_avro_file_path"), r"o_orderpriority=([^/]+)", 1
+            )
+        ).alias("o_orderpriority"),
+    )
+
+
+@query(
     "mor_changelog_scan",
     headline=True,
     oracle="""
