@@ -144,9 +144,13 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
         if isinstance(dt, T.StringType):
             return str(value).encode("utf-8")
         if isinstance(dt, T.DecimalType):
-            from decimal import Decimal
+            from decimal import Decimal, localcontext
 
-            unscaled = int(Decimal(str(value)).scaleb(dt.scale))
+            # widened context: default 28-digit precision would round
+            # decimal(p>28) bounds during scaleb
+            with localcontext() as ctx:
+                ctx.prec = 80
+                unscaled = int(Decimal(str(value)).scaleb(dt.scale))
             n = max(1, (unscaled.bit_length() + 8) // 8)
             return unscaled.to_bytes(n, "big", signed=True)
     except (ValueError, TypeError):
@@ -173,11 +177,13 @@ def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
         if isinstance(dt, T.StringType):
             return b.decode("utf-8")
         if isinstance(dt, T.DecimalType):
-            from decimal import Decimal
+            from decimal import Decimal, localcontext
 
-            return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
-                -dt.scale
-            )
+            with localcontext() as ctx:
+                ctx.prec = 80
+                return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
+                    -dt.scale
+                )
     except (ValueError, TypeError, struct.error):
         return None
     return None

@@ -68,6 +68,11 @@ def _file_may_match_partition(
         apply_transform_py,
     )
 
+    if file_entry.get("adhoc_partition"):
+        # partition_by fanout values recorded outside any registered
+        # spec: never evaluate them under spec transforms (stats-based
+        # pruning still applies via column_stats).
+        return True
     spec = specs.get(str(file_entry.get("spec_id", 0)))
     partition = file_entry.get("partition") or {}
     if not spec or not partition:

@@ -149,12 +149,18 @@ class Compaction:
                 entry["sort_order_id"] = f.sort_order_id
             if f.file_format != "parquet":
                 entry["file_format"] = f.file_format
-            if spec_fields or f.partition_values:
-                # Declared spec, or ad-hoc partition_by fanout: either
-                # way the hive-dir values go into the manifest so
-                # partition pruning can skip files.
+            if spec_fields:
                 entry["spec_id"] = spec_id
                 entry["partition"] = f.partition_values or {}
+            elif f.partition_values:
+                # Ad-hoc partition_by fanout: record the hive-dir
+                # values for inspection and stats-based equality
+                # skipping (min==max==value rides in column_stats),
+                # but mark them NOT-a-registered-spec — evaluating
+                # them under the table's spec 0 transforms could
+                # wrongly prune a live file.
+                entry["partition"] = f.partition_values
+                entry["adhoc_partition"] = True
             if lineage is not None:
                 entry["materialized_lineage"] = True
             added.append(entry)

@@ -172,6 +172,7 @@ def _partition_groups(table, names: list[str]):
     into the per-partition files.
     """
     import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     idx = pc.sort_indices(
@@ -186,7 +187,14 @@ def _partition_groups(table, names: list[str]):
     for c in names:
         col = tbl.column(c).combine_chunks()
         a, b = col.slice(1), col.slice(0, n - 1)
-        neq = pc.fill_null(pc.not_equal(a, b), False)
+        neq = pc.not_equal(a, b)
+        if pa.types.is_floating(col.type):
+            # NaN != NaN would otherwise split every NaN row into its
+            # own group (one file per row); NaN keys share a partition,
+            # same as Spark's parquet partitionBy.
+            both_nan = pc.and_kleene(pc.is_nan(a), pc.is_nan(b))
+            neq = pc.and_kleene(neq, pc.invert(both_nan))
+        neq = pc.fill_null(neq, False)
         nullflip = pc.xor(pc.is_null(a), pc.is_null(b))
         change[1:] |= pc.or_(neq, nullflip).to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(change)
@@ -197,7 +205,6 @@ def _partition_groups(table, names: list[str]):
 
 
 def _write_data_files_python(
-    spark: SparkSession,
     df,
     dir_path: str,
     fmt: str,
@@ -233,6 +240,13 @@ def _write_data_files_python(
 
     from pyspark.sql.types import StructType
 
+    if fmt == "avro" and compression not in (None, "none", "deflate"):
+        # Explicit gate, not a silent fallback: the repo's container
+        # codec implements null/deflate only (avro_io.py).
+        raise ValueError(
+            "avro data-file writes support deflate/none compression "
+            f"only, got {compression!r}"
+        )
     partition_names = list(partition_names or [])
     # Partition columns route into directory names only (hive layout,
     # exactly what partitionBy does on the parquet path) — the data
@@ -311,17 +325,26 @@ def _write_data_files_python(
                             i, f.name, enc.column(i).cast(pa.int64())
                         )
                     elif pa.types.is_decimal(f.type):
+                        import decimal as _dec
+
                         sc = f.type.scale
-                        vals = [
-                            None
-                            if v is None
-                            else (lambda n: n.to_bytes(
-                                max(1, (n.bit_length() + 8) // 8),
-                                "big",
-                                signed=True,
-                            ))(int(v.scaleb(sc)))
-                            for v in enc.column(i).to_pylist()
-                        ]
+                        # scaleb under a widened context: the default
+                        # 28-digit context would silently ROUND the
+                        # unscaled value of decimal(p>28) columns.
+                        # decimal128 maxes at precision 38, scale 38 →
+                        # 76 digits covers every representable value.
+                        with _dec.localcontext() as ctx:
+                            ctx.prec = 80
+                            vals = [
+                                None
+                                if v is None
+                                else (lambda n: n.to_bytes(
+                                    max(1, (n.bit_length() + 8) // 8),
+                                    "big",
+                                    signed=True,
+                                ))(int(v.scaleb(sc)))
+                                for v in enc.column(i).to_pylist()
+                            ]
                         enc = enc.set_column(
                             i, f.name, pa.array(vals, type=pa.binary())
                         )
@@ -567,7 +590,6 @@ def rewrite_files(
                 sort_order_id=sort_id,
             )
             for p, record_count, size, column_stats in _write_data_files_python(
-                spark,
                 writer_df,
                 request.dir_path,
                 fmt,

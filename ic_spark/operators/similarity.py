@@ -792,6 +792,30 @@ def _arrow_query_lut(
     return pandas_udf(probe, "array<struct<cell:int, lut:array<array<double>>>>")
 
 
+def _lut_expr_sql(books: list[list[list[float]]], dsub: int, vec_sql: str) -> str:
+    """The m×ksub query LUT as ONE SQL expression string over the
+    sub-vector spelled by ``vec_sql``.
+
+    Shared by ``pq_top_k`` and ``ivf_pq_top_k``'s expression paths so
+    their ADC arithmetic can never desynchronize: left-to-right
+    aggregate fold, repr'd double literals — the exact form
+    ``_arrow_lut_builder`` is pinned bit-equal against.
+    """
+    luts = []
+    for j, book in enumerate(books):
+        sub = f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
+        ds = ", ".join(
+            "aggregate(zip_with("
+            + sub
+            + ", array("
+            + ", ".join(f"{float(x)!r}D" for x in cent)
+            + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            for cent in book
+        )
+        luts.append(f"array({ds})")
+    return "array(" + ", ".join(luts) + ")"
+
+
 def _arrow_lut_builder(books: list[list[list[float]]]):
     """Vectorized (Arrow-batched numpy) ADC lookup-table construction
     for the QUERY side: ``LUT[j][c] = ||v_sub_j − book_j_c||²``.
@@ -907,21 +931,9 @@ def pq_top_k(
         )
     else:
         v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
-        luts = []
-        for j, book in enumerate(books):
-            sub = f"slice({v}, {j * dsub + 1}, {dsub})"
-            ds = ", ".join(
-                "aggregate(zip_with("
-                + sub
-                + ", array("
-                + ", ".join(f"{float(x)!r}D" for x in cent)
-                + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-                for cent in book
-            )
-            luts.append(f"array({ds})")
         q = queries.select(
             F.col(id_col).alias("query_id"),
-            F.expr("array(" + ", ".join(luts) + ")").alias("__lut"),
+            F.expr(_lut_expr_sql(books, dsub, v)).alias("__lut"),
         )
     adc = F.aggregate(
         F.zip_with(
@@ -1179,22 +1191,10 @@ def ivf_pq_top_k(
                 _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
             )
         else:
-            lut_terms = []
-            for j, book in enumerate(books):
-                sub = f"slice(`__qres`, {j * dsub + 1}, {dsub})"
-                ds = ", ".join(
-                    "aggregate(zip_with("
-                    + sub
-                    + ", array("
-                    + ", ".join(f"{float(x)!r}D" for x in cent)
-                    + "), (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-                    for cent in book
-                )
-                lut_terms.append(f"array({ds})")
             q = qprobe.select(
                 "query_id",
                 "__cell",
-                F.expr("array(" + ", ".join(lut_terms) + ")").alias("__lut"),
+                F.expr(_lut_expr_sql(books, dsub, "`__qres`")).alias("__lut"),
             )
 
     adc = F.aggregate(

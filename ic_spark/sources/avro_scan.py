@@ -145,7 +145,11 @@ def _converter(schema: Any) -> Callable[[Any], Any] | None:
 
         def conv_dec(v, scale=scale):
             unscaled = int.from_bytes(v, "big", signed=True)
-            return decimal.Decimal(unscaled).scaleb(-scale)
+            # widened context: default 28-digit precision would round
+            # decimal(p>28) values during scaleb
+            with decimal.localcontext() as ctx:
+                ctx.prec = 80
+                return decimal.Decimal(unscaled).scaleb(-scale)
 
         return conv_dec
     if t == "record":

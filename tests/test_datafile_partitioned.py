@@ -138,9 +138,11 @@ def test_partitioned_max_records_split(spark, tmp_path):
 
 
 def test_full_compact_partitioned_avro_manifest_partition_values(spark, tmp_path):
-    """Orchestrator integration: a partition_spec full_compact INTO avro
-    lands partition values in the committed manifest entries (the same
-    ones partition pruning evaluates)."""
+    """Orchestrator integration: an ad-hoc partition_by full_compact
+    INTO avro lands partition values in the committed manifest entries,
+    marked ``adhoc_partition`` so spec-based pruning never evaluates
+    them under spec-0 transforms (stats-based equality skipping still
+    applies via the min==max==value column_stats)."""
     from ic_spark.compaction import Compaction, ManifestTable
     from ic_spark.compaction.deletes import _next_sequence_number
 
@@ -162,3 +164,51 @@ def test_full_compact_partitioned_avro_manifest_partition_values(spark, tmp_path
         df_part = read_avro_distributed(spark, e["path"])
         total += df_part.count()
     assert total == 30
+
+
+def test_partitioned_nan_values_share_one_group(spark, tmp_path):
+    """NaN partition keys share a partition (arrow NaN != NaN would
+    otherwise split every NaN row into its own one-row file)."""
+    rows = [(i, float("nan") if i < 20 else 1.5) for i in range(30)]
+    f = _src_file(spark, tmp_path, rows, "id int, g double")
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=spark.createDataFrame(rows, "id int, g double").schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=str(tmp_path / "out"),
+            partition_by=["g"],
+            data_file_format="avro",
+            target_partitions=1,
+        ),
+    )
+    assert len(resp.data_files) == 2, [m.file_path for m in resp.data_files]
+    counts = sorted(m.record_count for m in resp.data_files)
+    assert counts == [10, 20]
+
+
+def test_avro_unsupported_compression_gated(spark, tmp_path):
+    rows = [(1, "a", 1.0)]
+    f = _src_file(spark, tmp_path, rows, "id int, name string, v double")
+    with pytest.raises(ValueError, match="deflate/none"):
+        rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=spark.createDataFrame(rows, "id int, name string, v double").schema,
+                data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+                dir_path=str(tmp_path / "out"),
+                data_file_format="avro",
+                compression="zstd",
+            ),
+        )
+
+
+def test_adhoc_partition_entries_never_spec_pruned(spark, tmp_path):
+    """Manifest entries from ad-hoc partition_by carry adhoc_partition
+    and survive partition pruning unconditionally (conservative), even
+    when a registered spec would transform a colliding column name."""
+    from ic_spark.compaction.manifest import _file_may_match_partition
+
+    entry = {"partition": {"grp": "7"}, "adhoc_partition": True}
+    specs = {"0": [{"name": "grp", "source": "grp", "transform": "bucket", "n": 4}]}
+    assert _file_may_match_partition(entry, specs, [("grp", "=", 7)])

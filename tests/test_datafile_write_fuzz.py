@@ -223,3 +223,29 @@ def test_orc_datafile_temporal_decimal_roundtrip(spark, tmp_path):
     # schema-less read: Spark must be able to infer from the orc footer
     got = sorted(read_table(spark, t).collect(), key=lambda r: r.id)
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_avro_decimal_wide_precision_exact(spark, tmp_path):
+    """decimal(38,10): the unscaled value has up to 38 significant
+    digits — far past python-decimal's default 28-digit context, which
+    would silently ROUND it through scaleb.  Must round-trip exactly."""
+    import decimal as dec
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number, read_table
+
+    big = dec.Decimal("1234567890123456789012345678.9012345678")
+    rows = [(1, big), (2, -big), (3, None)]
+    df = spark.createDataFrame(rows, "id int, dc decimal(38,10)")
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    t.append_snapshot(
+        [{"path": f, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    Compaction(spark).full_compact(t, df.schema, data_file_format="avro")
+    got = {r.id: r.dc for r in read_table(spark, t).collect()}
+    assert got == {1: big, 2: -big, 3: None}
