@@ -378,7 +378,13 @@ def _write_data_files_python(
             for c in col_names:
                 col = table.column(c)
                 nulls = col.null_count
-                if c in binary_cols or len(col) == nulls:
+                # nested types (ORC full-matrix writes) have no min/max
+                # kernel and no meaningful ordering — null_count only
+                if (
+                    c in binary_cols
+                    or len(col) == nulls
+                    or pa.types.is_nested(col.type)
+                ):
                     stats[c] = {"null_count": nulls, "min": None, "max": None}
                     continue
                 mm = pc.min_max(col)  # skips nulls and float NaN

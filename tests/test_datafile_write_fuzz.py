@@ -249,3 +249,40 @@ def test_avro_decimal_wide_precision_exact(spark, tmp_path):
     Compaction(spark).full_compact(t, df.schema, data_file_format="avro")
     got = {r.id: r.dc for r in read_table(spark, t).collect()}
     assert got == {1: big, 2: -big, 3: None}
+
+
+def test_orc_nested_types_write_roundtrip(spark, tmp_path):
+    """ORC writes carry pyarrow's full type matrix — nested columns
+    (array/map/struct) write fine with null_count-only stats (no
+    min_max kernel, no meaningful ordering) and round-trip exactly."""
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.writer import rewrite_files
+
+    rows = [(1, [1, 2], {"a": 1}, (7, "x")), (2, None, None, None)]
+    schema = "id int, arr array<int>, m map<string,int>, s struct<a:int,b:string>"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=df.schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=str(tmp_path / "out"),
+            target_partitions=1,
+            data_file_format="orc",
+        ),
+    )
+    m = resp.data_files[0]
+    assert m.column_stats["arr"] == {"null_count": 1, "min": None, "max": None}
+    assert m.column_stats["id"] == {"null_count": 0, "min": 1, "max": 2}
+    back = sorted(
+        [tuple(r) for r in spark.read.orc(m.file_path).collect()], key=repr
+    )
+    want = sorted(
+        [tuple(r) for r in spark.read.parquet(src).collect()], key=repr
+    )
+    assert back == want
