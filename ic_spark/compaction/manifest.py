@@ -578,6 +578,7 @@ class ManifestTable:
                     else None
                 ),
                 first_row_id=f.get("first_row_id"),
+                partition_values=f.get("partition") or None,
             )
             if task.content is FileContent.DATA:
                 if data_filter and not _file_may_match(f, data_filter):
@@ -637,6 +638,7 @@ class ManifestTable:
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
                 record_count=f.get("record_count") or 0,
                 first_row_id=f.get("first_row_id"),
+                partition_values=f.get("partition") or None,
             )
             for f in added
         ]

@@ -443,6 +443,75 @@ def apply_equality_deletes(
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 
+def _partition_fill_plan(tasks, schema):
+    """Which schema columns must be re-attached from manifest partition
+    values, and the per-file string values to attach.
+
+    Hive/identity-partitioned data files do NOT carry their partition
+    columns in the data pages (both our parquet ``partitionBy`` path
+    and the non-parquet fanout writer drop them); without this fill a
+    scan silently returns NULL for those columns.  Values are the
+    manifest's directory-derived strings; ``__HIVE_DEFAULT_PARTITION__``
+    means a genuinely-null key and stays null.  Only columns present in
+    the read schema participate (transform-derived names like
+    ``id_bucket`` are metadata, not user columns).
+    """
+    fields = {f.name for f in schema.fields}
+    cols: set[str] = set()
+    fill: dict[str, dict[str, str | None]] = {}
+    for t in tasks:
+        pv = getattr(t, "partition_values", None)
+        if not pv:
+            continue
+        m = {
+            c: (None if v == "__HIVE_DEFAULT_PARTITION__" else str(v))
+            for c, v in pv.items()
+            if c in fields
+        }
+        if m:
+            fill[t.data_file_path] = m
+            cols.update(m)
+    return sorted(cols), fill
+
+
+def attach_partition_values(
+    spark: SparkSession,
+    df: DataFrame,
+    fill: dict[str, dict[str, str | None]],
+    cols: list[str],
+    schema,
+) -> DataFrame:
+    """Re-attach identity partition columns on a hidden-col scan via a
+    broadcast (file_path → values) map — the attach_lineage pattern:
+    map-side dual-emission path normalization (scan paths carry the
+    ``file:`` scheme, manifest paths are plain), a plain broadcast hash
+    equi-join on the unmodified hidden path column, and per-column
+    ``coalesce(page_value, cast(map_value))`` so files that DO carry
+    the column in their pages win.  Cost scales with file count."""
+    types = {f.name: f.dataType for f in schema.fields}
+    rows: list[tuple] = []
+    for p, m in fill.items():
+        vals = tuple(m.get(c) for c in cols)
+        rows.append((p,) + vals)
+        if ":" not in p.split("/", 1)[0]:  # schemeless → scan sees file:
+            rows.append(("file:" + p,) + vals)
+    map_schema = "__pf_path string, " + ", ".join(
+        f"`__pf_{c}` string" for c in cols
+    )
+    map_df = spark.createDataFrame(rows, map_schema)
+    out = df.join(
+        F.broadcast(map_df),
+        F.col(SYS_HIDDEN_FILE_PATH) == F.col("__pf_path"),
+        "left",
+    )
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.coalesce(F.col(c), F.col(f"__pf_{c}").cast(types[c])),
+        )
+    return out.drop("__pf_path", *[f"__pf_{c}" for c in cols])
+
+
 def build_merge_on_read(
     spark: SparkSession,
     request: RewriteFilesRequest,
@@ -473,17 +542,23 @@ def build_merge_on_read(
     if lineage is not None:
         scan_schema = lineage_scan_schema(request.schema)
 
+    fill_cols, fill = _partition_fill_plan(request.data_files, scan_schema)
     data = _scan_with_hidden_cols(
         spark,
         request.data_files,
         schema=scan_schema,
         with_seq=has_eq or lineage is not None,
-        with_pos=has_pos or lineage is not None,
+        with_pos=has_pos or lineage is not None or bool(fill_cols),
         name_mapping=request.name_mapping,
         schema_history=request.schema_history,
     )
     if data is None:
         raise ValueError("rewrite request has no data files")
+
+    if fill_cols:
+        # BEFORE delete application: equality deletes keyed on a
+        # partition column must see the real values, not page nulls.
+        data = attach_partition_values(spark, data, fill, fill_cols, scan_schema)
 
     if has_pos:
         # Position-delete schema is fixed (file_path, pos) — reference

@@ -71,6 +71,10 @@ class FileScanTask:
     # null first-row-id => non-null materialized lineage), e.g. a
     # compaction rewrite output.  Not meaningful on non-lineage tables.
     first_row_id: int | None = None
+    # Manifest-recorded partition values (hive dir strings) for files
+    # whose identity partition columns were dropped from the data pages;
+    # the MoR scan re-attaches them (planner._partition_fill_plan).
+    partition_values: dict | None = None
 
 
 @dataclass(frozen=True)

@@ -212,3 +212,89 @@ def test_adhoc_partition_entries_never_spec_pruned(spark, tmp_path):
     entry = {"partition": {"grp": "7"}, "adhoc_partition": True}
     specs = {"0": [{"name": "grp", "source": "grp", "transform": "bucket", "n": 4}]}
     assert _file_may_match_partition(entry, specs, [("grp", "=", 7)])
+
+
+def _tbl_with_partitioned_compact(spark, tmp_path, fmt, rows, schema, pcols):
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number
+
+    df = spark.createDataFrame(rows, schema)
+    f = _src_file(spark, tmp_path, rows, schema)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append_snapshot(
+        [{"path": f, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    Compaction(spark).full_compact(
+        t, df.schema, data_file_format=fmt, partition_by=pcols
+    )
+    return t, df
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "avro"])
+def test_partitioned_read_back_fills_partition_column(spark, tmp_path, fmt):
+    """Identity partition columns dropped from the data pages are
+    re-attached from manifest partition values at scan time — without
+    the fill, read_table silently returned NULL for every row of the
+    partition column (parquet partitionBy path included)."""
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, ["x", None][i % 2]) for i in range(10)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, fmt, rows, "id int, g string", ["g"]
+    )
+    out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
+    assert out == sorted(rows)
+
+
+def test_partitioned_read_equality_delete_on_partition_col(spark, tmp_path):
+    """Fill happens BEFORE delete application: an equality delete keyed
+    on the partition column must match real values, not page nulls."""
+    from ic_spark.compaction.deletes import read_table, write_equality_deletes
+
+    rows = [(i, i % 3) for i in range(12)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, grp int", ["grp"]
+    )
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(1,)], "grp int"), ["grp"]
+    )
+    out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
+    assert out == sorted((i, i % 3) for i in range(12) if i % 3 != 1)
+
+
+def test_partitioned_recompaction_materializes_column(spark, tmp_path):
+    """Re-compacting a partitioned table writes the filled values back
+    into data pages (no silent null corruption on rewrite)."""
+    from ic_spark.compaction import Compaction
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, i % 3) for i in range(12)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "avro", rows, "id int, grp int", ["grp"]
+    )
+    Compaction(spark).full_compact(t, df.schema)  # unpartitioned rewrite
+    snap = t.current_snapshot()
+    assert all("partition" not in e or not e.get("partition") for e in snap.files)
+    out = sorted([tuple(r) for r in read_table(spark, t).collect()])
+    assert out == sorted(rows)
+
+
+def test_partitioned_plus_plain_files_mixed_read(spark, tmp_path):
+    """Mixed layout: files that DO carry the column in their pages win
+    (coalesce order) while dropped-column files fill from metadata."""
+    from ic_spark.compaction.deletes import _next_sequence_number, read_table
+
+    rows = [(i, i % 2) for i in range(8)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, grp int", ["grp"]
+    )
+    extra = [(100, 7), (101, None)]
+    f2 = _src_file(spark, tmp_path / "extra", extra, "id int, grp int")
+    t.append_snapshot(
+        [{"path": f2, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    out = sorted(
+        [tuple(r) for r in read_table(spark, t, schema=df.schema).collect()],
+        key=repr,
+    )
+    assert out == sorted(rows + extra, key=repr)
