@@ -83,6 +83,23 @@ def _scan_with_hidden_cols(
     if not tasks:
         return None
     cur_sid = schema_history["current_id"] if schema_history else None
+    # Identity partition columns dropped from hive-layout data pages
+    # must be re-attached from manifest partition values — done HERE so
+    # every consumer (MoR, changelog, incremental, rowops) sees real
+    # values, not page nulls.  The join needs the hidden path column;
+    # request it internally and strip it after the fill if the caller
+    # didn't ask for positions.
+    pv_names: set[str] = set()
+    for t in tasks:
+        pv = getattr(t, "partition_values", None)
+        if pv:
+            pv_names.update(pv)
+    if columns is not None:
+        pv_names &= set(columns)
+    elif schema is not None:
+        pv_names &= {f.name for f in schema.fields}
+    need_fill = bool(pv_names)
+    eff_with_pos = with_pos or need_fill
     # Group by (sequence number, file format, write schema): one
     # multi-path scan per group.  The reference's task list mixes
     # formats freely (DataFileFormat enum, proto.rs:282-289); the
@@ -122,7 +139,7 @@ def _scan_with_hidden_cols(
         if fmt != "parquet":
             parts.append(
                 _scan_non_parquet_group(
-                    spark, paths, fmt, seq, schema, with_seq, with_pos, columns
+                    spark, paths, fmt, seq, schema, with_seq, eff_with_pos, columns
                 )
             )
             continue
@@ -154,7 +171,7 @@ def _scan_with_hidden_cols(
         if with_seq:
             # Reference add_seq_num_into_batch: per-file constant.
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
-        if with_pos:
+        if eff_with_pos:
             # Reference add_file_path_pos_into_batch: path + running
             # per-file row index.  _metadata.row_index matches the
             # reference's index_start counter exactly (physical Parquet
@@ -166,6 +183,32 @@ def _scan_with_hidden_cols(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if need_fill:
+        # Enforced/merged schemas surface dropped columns as nulls; a
+        # pruned or inferred scan may omit them entirely — fill only
+        # what is present (absence keeps the old plan-time error).
+        present = sorted(pv_names & set(out.columns))
+        if present:
+            fill = {}
+            for t in tasks:
+                pv = getattr(t, "partition_values", None)
+                if not pv:
+                    continue
+                m = {
+                    c: (
+                        None
+                        if pv[c] == "__HIVE_DEFAULT_PARTITION__"
+                        else str(pv[c])
+                    )
+                    for c in present
+                    if c in pv
+                }
+                if m:
+                    fill[t.data_file_path] = m
+            if fill:
+                out = attach_partition_values(spark, out, fill, present)
+        if not with_pos:
+            out = out.drop(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
     return out
 
 
@@ -443,43 +486,11 @@ def apply_equality_deletes(
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 
-def _partition_fill_plan(tasks, schema):
-    """Which schema columns must be re-attached from manifest partition
-    values, and the per-file string values to attach.
-
-    Hive/identity-partitioned data files do NOT carry their partition
-    columns in the data pages (both our parquet ``partitionBy`` path
-    and the non-parquet fanout writer drop them); without this fill a
-    scan silently returns NULL for those columns.  Values are the
-    manifest's directory-derived strings; ``__HIVE_DEFAULT_PARTITION__``
-    means a genuinely-null key and stays null.  Only columns present in
-    the read schema participate (transform-derived names like
-    ``id_bucket`` are metadata, not user columns).
-    """
-    fields = {f.name for f in schema.fields}
-    cols: set[str] = set()
-    fill: dict[str, dict[str, str | None]] = {}
-    for t in tasks:
-        pv = getattr(t, "partition_values", None)
-        if not pv:
-            continue
-        m = {
-            c: (None if v == "__HIVE_DEFAULT_PARTITION__" else str(v))
-            for c, v in pv.items()
-            if c in fields
-        }
-        if m:
-            fill[t.data_file_path] = m
-            cols.update(m)
-    return sorted(cols), fill
-
-
 def attach_partition_values(
     spark: SparkSession,
     df: DataFrame,
     fill: dict[str, dict[str, str | None]],
     cols: list[str],
-    schema,
 ) -> DataFrame:
     """Re-attach identity partition columns on a hidden-col scan via a
     broadcast (file_path → values) map — the attach_lineage pattern:
@@ -488,7 +499,7 @@ def attach_partition_values(
     equi-join on the unmodified hidden path column, and per-column
     ``coalesce(page_value, cast(map_value))`` so files that DO carry
     the column in their pages win.  Cost scales with file count."""
-    types = {f.name: f.dataType for f in schema.fields}
+    types = {f.name: f.dataType for f in df.schema.fields}
     rows: list[tuple] = []
     for p, m in fill.items():
         vals = tuple(m.get(c) for c in cols)
@@ -542,23 +553,17 @@ def build_merge_on_read(
     if lineage is not None:
         scan_schema = lineage_scan_schema(request.schema)
 
-    fill_cols, fill = _partition_fill_plan(request.data_files, scan_schema)
     data = _scan_with_hidden_cols(
         spark,
         request.data_files,
         schema=scan_schema,
         with_seq=has_eq or lineage is not None,
-        with_pos=has_pos or lineage is not None or bool(fill_cols),
+        with_pos=has_pos or lineage is not None,
         name_mapping=request.name_mapping,
         schema_history=request.schema_history,
     )
     if data is None:
         raise ValueError("rewrite request has no data files")
-
-    if fill_cols:
-        # BEFORE delete application: equality deletes keyed on a
-        # partition column must see the real values, not page nulls.
-        data = attach_partition_values(spark, data, fill, fill_cols, scan_schema)
 
     if has_pos:
         # Position-delete schema is fixed (file_path, pos) — reference

@@ -298,3 +298,27 @@ def test_partitioned_plus_plain_files_mixed_read(spark, tmp_path):
         key=repr,
     )
     assert out == sorted(rows + extra, key=repr)
+
+
+def test_changelog_over_partitioned_table_fills_partition_column(spark, tmp_path):
+    """The changelog reader shares _scan_with_hidden_cols, so DELETE
+    rows sourced from hive-layout files carry real partition values,
+    not page nulls."""
+    from ic_spark.compaction.changelog import read_changelog
+    from ic_spark.compaction.deletes import write_equality_deletes
+
+    rows = [(i, i % 3) for i in range(12)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, grp int", ["grp"]
+    )
+    base = t.current_snapshot().snapshot_id
+    write_equality_deletes(
+        spark, t, spark.createDataFrame([(4,), (7,)], "id int"), ["id"]
+    )
+    ch = read_changelog(spark, t, from_snapshot_id=base, schema=df.schema)
+    dels = sorted(
+        (r.id, r.grp)
+        for r in ch.collect()
+        if r._change_type == "DELETE"
+    )
+    assert dels == [(4, 1), (7, 1)]
