@@ -322,3 +322,20 @@ def test_changelog_over_partitioned_table_fills_partition_column(spark, tmp_path
         if r._change_type == "DELETE"
     )
     assert dels == [(4, 1), (7, 1)]
+
+
+def test_partition_fill_plan_broadcast_no_regexp(spark, tmp_path):
+    """Plan pin: the partition-value fill is a plain broadcast hash
+    equi-join on the unmodified hidden path column — no per-row regexp,
+    no shuffle of the data side."""
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, i % 3) for i in range(12)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, grp int", ["grp"]
+    )
+    out = read_table(spark, t, schema=df.schema)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "regexp" not in plan.lower()
+    assert "Exchange hashpartitioning" not in plan  # data side never shuffles
