@@ -1114,6 +1114,7 @@ class IcebergTable:
                 file_format=(df.get("file_format") or "PARQUET").lower(),
                 write_schema_id=resolve_write_schema_id(boundaries, seq),
                 first_row_id=df.get("first_row_id"),
+                partition_values=df.get("partition") or None,
             )
             if task.content is FileContent.DATA:
                 if data_filter:
@@ -1198,6 +1199,7 @@ class IcebergTable:
                 file_size_in_bytes=e["data_file"]["file_size_in_bytes"],
                 record_count=e["data_file"].get("record_count") or 0,
                 first_row_id=e["data_file"].get("first_row_id"),
+                partition_values=e["data_file"].get("partition") or None,
             )
             for e, s in added
         ]

@@ -197,7 +197,8 @@ def _scan_with_hidden_cols(
                 m = {
                     c: (
                         None
-                        if pv[c] == "__HIVE_DEFAULT_PARTITION__"
+                        if pv[c] is None
+                        or pv[c] == "__HIVE_DEFAULT_PARTITION__"
                         else str(pv[c])
                     )
                     for c in present
