@@ -495,6 +495,7 @@ class Compaction:
         small_file_bytes: int = 64 * 1024 * 1024,
         target_group_bytes: int = 512 * 1024 * 1024,
         target_partitions: int = 1,
+        data_file_format: str = "parquet",
     ) -> RewriteFilesResponse:
         """Binpack maintenance: rewrite only DATA files under
         ``small_file_bytes``, merged in size-balanced groups of
@@ -509,6 +510,11 @@ class Compaction:
         under the strict ``<`` guard) while deletes keep guarding the
         files that were not rewritten.  Delete files are only dropped by
         a subsequent ``full_compact``.
+
+        ``data_file_format`` sets the OUTPUT format of the merged files
+        (parquet default) — binpack doubles as a rolling format
+        migration: each maintenance pass converts the small tail of an
+        avro/orc table without a whole-table rewrite.
         """
         from ic_spark.plans.scheduling import split_n_groups
 
@@ -539,6 +545,7 @@ class Compaction:
                     equality_delete_files=eq,
                     dir_path=out_dir,
                     target_partitions=target_partitions,
+                    data_file_format=data_file_format,
                     name_mapping=(
                         table.name_mapping()
                         if hasattr(table, "name_mapping")
@@ -565,6 +572,11 @@ class Compaction:
                     "file_size_in_bytes": f.file_size_in_bytes,
                     "record_count": f.record_count,
                     "column_stats": f.column_stats,
+                    **(
+                        {"file_format": data_file_format}
+                        if data_file_format != "parquet"
+                        else {}
+                    ),
                     **({"materialized_lineage": True} if lineage_on else {}),
                 }
                 for f in response.data_files

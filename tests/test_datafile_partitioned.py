@@ -339,3 +339,33 @@ def test_partition_fill_plan_broadcast_no_regexp(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "regexp" not in plan.lower()
     assert "Exchange hashpartitioning" not in plan  # data side never shuffles
+
+
+def test_binpack_into_avro(spark, tmp_path):
+    """compact_small_files(data_file_format=) merges the small tail
+    INTO avro — rolling format migration without a whole-table rewrite;
+    manifest entries carry the new file_format so mixed-format scans
+    group correctly."""
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import _next_sequence_number, read_table
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    all_rows = []
+    for k in range(3):
+        rows = [(k * 10 + i, f"v{k * 10 + i}") for i in range(5)]
+        all_rows += rows
+        f = _src_file(spark, tmp_path / f"s{k}", rows, "id int, name string")
+        t.append_snapshot(
+            [{"path": f, "sequence_number": _next_sequence_number(t),
+              "content": "DATA", "file_size_in_bytes": os.path.getsize(f)}]
+        )
+    schema = spark.createDataFrame(all_rows, "id int, name string").schema
+    resp = Compaction(spark).compact_small_files(
+        t, schema, data_file_format="avro"
+    )
+    assert resp.stat.rewritten_files_count == 3
+    assert all(m.file_path.endswith(".avro") for m in resp.data_files)
+    snap = t.current_snapshot()
+    assert all(e.get("file_format") == "avro" for e in snap.files)
+    out = sorted([tuple(r) for r in read_table(spark, t, schema=schema).collect()])
+    assert out == sorted(all_rows)
