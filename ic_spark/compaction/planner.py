@@ -487,6 +487,34 @@ def apply_equality_deletes(
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 
+def _scan_path_variants(p: str) -> list[str]:
+    """Every string the scan's hidden path column could spell for a
+    manifest path ``p`` — the broadcast-map join key set.
+
+    Spark's ``_metadata.file_path`` is a Hadoop Path URI: schemeless
+    manifest paths gain ``file:``, and characters illegal in a URI path
+    (space, ``%``, non-ASCII, ...) arrive percent-encoded.  Encoding is
+    done HERE on the map side with ``java.net.URI``'s path rules
+    (unreserved + sub-delims + ``:@/`` stay literal) so the join stays
+    a plain broadcast hash equi-join on the unmodified scan column —
+    no per-row decode in the hot path.  Variants are deduped: emitting
+    the same key twice would duplicate every joined row.
+    """
+    from urllib.parse import quote
+
+    # java.net.URI path component: RFC 3986 unreserved + sub-delims
+    # + ":" "@" "/" stay literal; everything else is %-encoded UTF-8.
+    enc = quote(p, safe="/!$&'()*+,;=:@-._~")
+    out = [p]
+    if enc != p:
+        out.append(enc)
+    if ":" not in p.split("/", 1)[0]:  # schemeless → scan sees file:
+        out.append("file:" + p)
+        if enc != p:
+            out.append("file:" + enc)
+    return out
+
+
 def attach_partition_values(
     spark: SparkSession,
     df: DataFrame,
@@ -504,9 +532,8 @@ def attach_partition_values(
     rows: list[tuple] = []
     for p, m in fill.items():
         vals = tuple(m.get(c) for c in cols)
-        rows.append((p,) + vals)
-        if ":" not in p.split("/", 1)[0]:  # schemeless → scan sees file:
-            rows.append(("file:" + p,) + vals)
+        for v in _scan_path_variants(p):
+            rows.append((v,) + vals)
     map_schema = "__pf_path string, " + ", ".join(
         f"`__pf_{c}` string" for c in cols
     )
@@ -684,10 +711,11 @@ def attach_lineage(
     broadcast join — cost scales with file count, never rows.
 
     Path normalization happens on the MAP side, not per scanned row:
-    scan paths carry the ``file:`` scheme while manifest paths are
-    plain, so each schemeless map path is emitted twice (raw +
-    ``file:``-prefixed) and the join key is the raw hidden path column
-    — no per-row regexp in the hot path, and the join stays a plain
+    scan paths carry the ``file:`` scheme and URI percent-encoding
+    while manifest paths are plain, so each map path is emitted under
+    every spelling the scan could produce (:func:`_scan_path_variants`)
+    and the join key is the raw hidden path column — no per-row
+    regexp/decode in the hot path, and the join stays a plain
     broadcast hash equi-join on an unmodified column.  (The map itself
     is inherently driver-sized: it is built from the already-planned
     scan tasks, exactly like the reference's driver-side scan
@@ -700,10 +728,8 @@ def attach_lineage(
     paths: list[str] = []
     frids: list[int | None] = []
     for p, frid in lineage.items():
-        paths.append(p)
-        frids.append(frid)
-        if ":" not in p.split("/", 1)[0]:  # schemeless → scan sees file:
-            paths.append("file:" + p)
+        for v in _scan_path_variants(p):
+            paths.append(v)
             frids.append(frid)
     if len(lineage) > arrow_threshold:
         import pandas as pd

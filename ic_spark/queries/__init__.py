@@ -88,7 +88,13 @@ _PRIORITY = [
     "text_quality_langid",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_lsh_topk",
+    # Partitioned-read fill: identity partition columns re-attached
+    # from manifest values BEFORE delete application — the r8
+    # correctness fix's driver-checked row.  Slot freed by demoting
+    # sim_lsh_topk (ANN top-k attested in-window by sim_bruteforce_topk
+    # and sim_ivf_topk; LSH bucketing itself by dedup_minhash_lsh_
+    # portable's banded join; its oracle stays in pytest).
+    "mor_partitioned_fill_read",
     # Span-removal train/eval decontamination (r5 flagship op): hashed
     # k-gram probe, gaps-and-islands span merge, positional text
     # rebuild — correctness-subtle machinery that earns a driver-checked

@@ -828,6 +828,57 @@ def compact_into_avro_partitioned_scan(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "mor_partitioned_fill_read",
+    oracle="""
+    -- Identity partition columns are DROPPED from hive-layout data
+    -- pages; the scan must re-attach them from manifest partition
+    -- values (broadcast file map) BEFORE delete application, so the
+    -- equality delete keyed on the partition column still hides the
+    -- '1-URGENT' rows.  A broken fill surfaces as NULL priorities
+    -- (hash mismatch) or as undeleted urgent rows (row-count
+    -- mismatch).
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 4 = 1 AND o_orderpriority <> '1-URGENT'
+""",
+)
+def mor_partitioned_fill_read(spark: SparkSession, sf_dir: str):
+    """Partitioned-table read correctness end to end: full_compact
+    partitions by o_orderpriority (hive dirs, column dropped from the
+    pages), an equality delete keyed on that PARTITION column lands at
+    the next sequence, and read_table must fill the column from
+    manifest partition values before applying the delete
+    (planner._scan_with_hidden_cols fill + attach_partition_values).
+    Exceeds the reference, which delegates partitioned-read semantics
+    to iceberg-rs."""
+    import os
+    import tempfile
+
+    from ic_spark.compaction import Compaction, ManifestTable
+    from ic_spark.compaction.deletes import read_table, write_equality_deletes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="mor_pf_")
+    t = ManifestTable(os.path.join(tmp, "t"))
+    _append_sorted(
+        spark, t, o.where(F.col("o_orderkey") % 4 == 1), tmp, "d", "o_orderkey"
+    )
+    Compaction(spark).full_compact(
+        t, o.schema, partition_by=["o_orderpriority"]
+    )
+    write_equality_deletes(
+        spark,
+        t,
+        spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+        ["o_orderpriority"],
+    )
+    return read_table(spark, t, schema=o.schema).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+@query(
     "mor_changelog_scan",
     headline=True,
     oracle="""

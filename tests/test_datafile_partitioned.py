@@ -369,3 +369,40 @@ def test_binpack_into_avro(spark, tmp_path):
     assert all(e.get("file_format") == "avro" for e in snap.files)
     out = sorted([tuple(r) for r in read_table(spark, t, schema=schema).collect()])
     assert out == sorted(all_rows)
+
+
+def test_scan_path_variants_uri_encoding():
+    """_metadata.file_path is a Hadoop Path URI: space/%/non-ASCII
+    arrive percent-encoded.  The map must emit that spelling (and must
+    NOT emit duplicate keys — a duplicate would double joined rows)."""
+    from ic_spark.compaction.planner import _scan_path_variants
+
+    v = _scan_path_variants("/a b/o=4-NOT SPECIFIED/f.parquet")
+    assert "file:/a%20b/o=4-NOT%20SPECIFIED/f.parquet" in v
+    assert len(v) == len(set(v))
+    plain = _scan_path_variants("/plain/p=x/f.parquet")
+    assert plain == [
+        "/plain/p=x/f.parquet",
+        "file:/plain/p=x/f.parquet",
+    ]
+    # literal % on disk (the writer's own quoted dirs) double-encodes
+    v2 = _scan_path_variants("/d/p=a%20b/f.avro")
+    assert "file:/d/p=a%2520b/f.avro" in v2
+    # scheme'd paths never gain a file: prefix
+    assert _scan_path_variants("s3a://bkt/k x") == [
+        "s3a://bkt/k x",
+        "s3a://bkt/k%20x",
+    ]
+
+
+def test_partitioned_read_with_space_in_value(spark, tmp_path):
+    """End to end: a partition value containing a space round-trips
+    through hive dirs, URI-encoded scan paths, and the fill join."""
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, ["NOT SPECIFIED", "HIGH"][i % 2]) for i in range(8)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, pr string", ["pr"]
+    )
+    out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
+    assert out == sorted(rows)
