@@ -53,7 +53,10 @@ def test_driver_window_contains_flagship_queries():
         "dedup_embedding_cosine",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
-        "sim_lsh_topk",
+        # sim_lsh_topk demoted r8 (ANN top-k attested in-window by
+        # sim_bruteforce_topk/sim_ivf_topk); the slot holds the
+        # partitioned-read fill correctness row.
+        "mor_partitioned_fill_read",
         "range_join_left_unmatched",
         "pipeline_clean_corpus",
         "q1_pricing_summary",
