@@ -1198,6 +1198,9 @@ class IcebergTable:
                 content=FileContent.DATA,
                 file_size_in_bytes=e["data_file"]["file_size_in_bytes"],
                 record_count=e["data_file"].get("record_count") or 0,
+                file_format=(
+                    e["data_file"].get("file_format") or "PARQUET"
+                ).lower(),
                 first_row_id=e["data_file"].get("first_row_id"),
                 partition_values=e["data_file"].get("partition") or None,
             )

@@ -637,6 +637,7 @@ class ManifestTable:
                 content=FileContent.DATA,
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
                 record_count=f.get("record_count") or 0,
+                file_format=f.get("file_format", "parquet"),
                 first_row_id=f.get("first_row_id"),
                 partition_values=f.get("partition") or None,
             )

@@ -193,25 +193,32 @@ class Compaction:
         pos = [t for t in pos if t.file_format != "puffin"]
         if not pos:
             return {"merged": 0, "kept_rows": 0}
-        live = self.spark.createDataFrame(
-            [(t.data_file_path,) for t in data] or [("",)], "path string"
+        # Recorded delete paths are SCAN spellings (URI-encoded for
+        # parquet metadata, raw for binaryFile) — expand the live set
+        # to every spelling so no live delete is misjudged dangling
+        # (which would resurrect its rows).  Left-semi: duplicate keys
+        # on the broadcast side cannot double output rows.
+        from ic_spark.compaction.planner import (
+            _scan_path_variants,
+            scan_position_delete_rows,
         )
-        # Name-flavor-tolerant read (spec file_path/pos and legacy
-        # sys_hidden_*), normalized to spec names for the merged output.
-        from ic_spark.compaction.planner import scan_position_delete_rows
 
+        live = self.spark.createDataFrame(
+            [
+                (v,)
+                for t in data
+                for v in _scan_path_variants(t.data_file_path)
+            ]
+            or [("",)],
+            "path string",
+        )
         pd_df = scan_position_delete_rows(self.spark, pos).toDF(
             "file_path", "pos"
         )
         fp, ps = "file_path", "pos"
-        pruned = (
-            pd_df.withColumn(
-                "__norm", F.regexp_replace(F.col(fp), "^file:", "")
-            )
-            .join(F.broadcast(live), F.col("__norm") == F.col("path"), "left_semi")
-            .drop("__norm")
-            .dropDuplicates([fp, ps])
-        )
+        pruned = pd_df.join(
+            F.broadcast(live), F.col(fp) == F.col("path"), "left_semi"
+        ).dropDuplicates([fp, ps])
         out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
         pruned.coalesce(1).write.mode("overwrite").parquet(out_dir)
         merged_path = next(
@@ -264,8 +271,10 @@ class Compaction:
         puffins = [t for t in pos if t.file_format == "puffin"]
         if len(puffins) < 2:
             return {"merged": 0, "dvs": 0}
-        live = {t.data_file_path for t in data} | {
-            f"file:{t.data_file_path}" for t in data
+        from ic_spark.compaction.planner import _scan_path_variants
+
+        live = {
+            v for t in data for v in _scan_path_variants(t.data_file_path)
         }
         merged: dict[str, tuple[bytes, int]] = {}
         for t in puffins:
@@ -354,21 +363,27 @@ class Compaction:
         if not data:
             table.commit_rewrite([], removed)
             return {"converted": len(parquet_pos), "dv_rows": 0}
-        live = self.spark.createDataFrame(
-            [(t.data_file_path,) for t in data], "path string"
+        # Same every-spelling live set as rewrite_position_deletes.
+        from ic_spark.compaction.planner import (
+            _scan_path_variants,
+            scan_position_delete_rows,
         )
-        # Name-flavor-tolerant read (spec file_path/pos + legacy names).
-        from ic_spark.compaction.planner import scan_position_delete_rows
 
+        live = self.spark.createDataFrame(
+            [
+                (v,)
+                for t in data
+                for v in _scan_path_variants(t.data_file_path)
+            ],
+            "path string",
+        )
         pd_df = scan_position_delete_rows(self.spark, parquet_pos)
         fp, ps = pd_df.columns[:2]
         matches = (
             pd_df.select(
                 F.col(fp).alias("file_path"), F.col(ps).cast("long").alias("pos")
             )
-            .withColumn("__norm", F.regexp_replace("file_path", "^file:", ""))
-            .join(F.broadcast(live), F.col("__norm") == F.col("path"), "left_semi")
-            .drop("__norm")
+            .join(F.broadcast(live), F.col("file_path") == F.col("path"), "left_semi")
             .dropDuplicates(["file_path", "pos"])
         )
         n = matches.count()

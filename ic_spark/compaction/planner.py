@@ -99,7 +99,10 @@ def _scan_with_hidden_cols(
     elif schema is not None:
         pv_names &= {f.name for f in schema.fields}
     need_fill = bool(pv_names)
-    eff_with_pos = with_pos or need_fill
+    # The fill needs only the PATH column, which every format's native
+    # reader exposes — never force the positional (codec) scan path
+    # for it.
+    want_path = with_pos or need_fill
     # Group by (sequence number, file format, write schema): one
     # multi-path scan per group.  The reference's task list mixes
     # formats freely (DataFileFormat enum, proto.rs:282-289); the
@@ -139,7 +142,15 @@ def _scan_with_hidden_cols(
         if fmt != "parquet":
             parts.append(
                 _scan_non_parquet_group(
-                    spark, paths, fmt, seq, schema, with_seq, eff_with_pos, columns
+                    spark,
+                    paths,
+                    fmt,
+                    seq,
+                    schema,
+                    with_seq,
+                    with_pos,
+                    columns,
+                    with_path=want_path,
                 )
             )
             continue
@@ -171,12 +182,12 @@ def _scan_with_hidden_cols(
         if with_seq:
             # Reference add_seq_num_into_batch: per-file constant.
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
-        if eff_with_pos:
-            # Reference add_file_path_pos_into_batch: path + running
-            # per-file row index.  _metadata.row_index matches the
-            # reference's index_start counter exactly (physical Parquet
-            # row order).
+        if want_path:
             cols.append(F.col("_metadata.file_path").alias(SYS_HIDDEN_FILE_PATH))
+        if with_pos:
+            # Reference add_file_path_pos_into_batch: running per-file
+            # row index.  _metadata.row_index matches the reference's
+            # index_start counter exactly (physical Parquet row order).
             cols.append(F.col("_metadata.row_index").alias(SYS_HIDDEN_POS))
         parts.append(df.select(*cols))
 
@@ -209,7 +220,7 @@ def _scan_with_hidden_cols(
             if fill:
                 out = attach_partition_values(spark, out, fill, present)
         if not with_pos:
-            out = out.drop(SYS_HIDDEN_FILE_PATH, SYS_HIDDEN_POS)
+            out = out.drop(SYS_HIDDEN_FILE_PATH)
     return out
 
 
@@ -269,6 +280,7 @@ def _scan_non_parquet_group(
     with_seq: bool,
     with_pos: bool,
     columns: list[str] | None,
+    with_path: bool = False,
 ) -> DataFrame:
     """Scan one (seq, format) group of Avro or ORC data files.
 
@@ -281,11 +293,12 @@ def _scan_non_parquet_group(
     (sources/orc_scan.py), whose running per-file record index matches
     the native reader's row order (pinned in tests).
     """
+    with_path = with_path or with_pos
     if fmt == "avro":
         from ic_spark.sources import avro_scan
 
         df = avro_scan.read_avro_distributed(
-            spark, paths, schema=schema, columns=columns, with_path_pos=with_pos
+            spark, paths, schema=schema, columns=columns, with_path_pos=with_path
         )
         cols: list = []
         if columns:
@@ -298,8 +311,9 @@ def _scan_non_parquet_group(
             )
         if with_seq:
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
-        if with_pos:
+        if with_path:
             cols.append(F.col(avro_scan.FILE_PATH_COL).alias(SYS_HIDDEN_FILE_PATH))
+        if with_pos:
             cols.append(F.col(avro_scan.POS_COL).alias(SYS_HIDDEN_POS))
         return df.select(*cols)
     if fmt == "orc":
@@ -335,6 +349,13 @@ def _scan_non_parquet_group(
         cols = [F.col(c) for c in columns] if columns else [F.col("*")]
         if with_seq:
             cols.append(F.lit(seq).cast("long").alias(SYS_HIDDEN_SEQ_NUM))
+        if with_path:
+            # Path-only (partition fill): the NATIVE vectorized reader
+            # exposes _metadata.file_path — only row_index forces the
+            # codec scan above.
+            cols.append(
+                F.col("_metadata.file_path").alias(SYS_HIDDEN_FILE_PATH)
+            )
         return df.select(*cols)
     raise ValueError(f"unsupported data file format: {fmt}")
 
@@ -487,24 +508,41 @@ def apply_equality_deletes(
     return data.alias("d").join(eq_del.alias("e"), on=cond, how="left_anti")
 
 
+# java.net.URI path component: RFC 3986 unreserved + sub-delims +
+# ":" "@" "/" stay literal.  Java's URI.toString() (what Hadoop Path —
+# and so Spark's _metadata.file_path — emits) percent-encodes ONLY
+# the remaining ASCII characters and leaves non-ASCII raw; probing
+# confirms "café latte" scans as "café%20latte" (mixed spelling).
+_URI_LITERAL = set(
+    "/!$&'()*+,;=:@-._~"
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def _uri_spelling(p: str) -> str:
+    out = []
+    for ch in p:
+        if ord(ch) > 127 or ch in _URI_LITERAL:
+            out.append(ch)
+        else:
+            out.append(f"%{ord(ch):02X}")
+    return "".join(out)
+
+
 def _scan_path_variants(p: str) -> list[str]:
     """Every string the scan's hidden path column could spell for a
     manifest path ``p`` — the broadcast-map join key set.
 
-    Spark's ``_metadata.file_path`` is a Hadoop Path URI: schemeless
-    manifest paths gain ``file:``, and characters illegal in a URI path
-    (space, ``%``, non-ASCII, ...) arrive percent-encoded.  Encoding is
-    done HERE on the map side with ``java.net.URI``'s path rules
-    (unreserved + sub-delims + ``:@/`` stay literal) so the join stays
-    a plain broadcast hash equi-join on the unmodified scan column —
-    no per-row decode in the hot path.  Variants are deduped: emitting
-    the same key twice would duplicate every joined row.
+    Two spellings exist: the raw filesystem path (binaryFile-based
+    scans: avro, and the ``file:``-prefixed raw form) and the Hadoop
+    Path URI (parquet/orc ``_metadata.file_path``: illegal ASCII
+    percent-encoded, non-ASCII raw — :func:`_uri_spelling`).  Encoding
+    is done HERE on the map side so the join stays a plain broadcast
+    hash equi-join on the unmodified scan column — no per-row decode
+    in the hot path.  Variants are deduped per path; callers must also
+    dedupe ACROSS paths (a duplicate join key doubles joined rows).
     """
-    from urllib.parse import quote
-
-    # java.net.URI path component: RFC 3986 unreserved + sub-delims
-    # + ":" "@" "/" stay literal; everything else is %-encoded UTF-8.
-    enc = quote(p, safe="/!$&'()*+,;=:@-._~")
+    enc = _uri_spelling(p)
     out = [p]
     if enc != p:
         out.append(enc)
@@ -530,14 +568,30 @@ def attach_partition_values(
     the column in their pages win.  Cost scales with file count."""
     types = {f.name: f.dataType for f in df.schema.fields}
     rows: list[tuple] = []
+    seen: set[str] = set()
     for p, m in fill.items():
         vals = tuple(m.get(c) for c in cols)
         for v in _scan_path_variants(p):
-            rows.append((v,) + vals)
+            if v not in seen:  # cross-path collision would double rows
+                seen.add(v)
+                rows.append((v,) + vals)
     map_schema = "__pf_path string, " + ", ".join(
         f"`__pf_{c}` string" for c in cols
     )
-    map_df = spark.createDataFrame(rows, map_schema)
+    if len(rows) > LINEAGE_ARROW_FILE_THRESHOLD:
+        # Same Arrow-batch routing as attach_lineage: above the
+        # threshold, Py4J-pickling millions of tuples dominates plan
+        # time; one Arrow batch ships the map instead.
+        import pandas as pd
+
+        map_df = spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["__pf_path"] + [f"__pf_{c}" for c in cols]
+            ).astype("string"),
+            schema=map_schema,
+        )
+    else:
+        map_df = spark.createDataFrame(rows, map_schema)
     out = df.join(
         F.broadcast(map_df),
         F.col(SYS_HIDDEN_FILE_PATH) == F.col("__pf_path"),
@@ -727,10 +781,13 @@ def attach_lineage(
         arrow_threshold = LINEAGE_ARROW_FILE_THRESHOLD
     paths: list[str] = []
     frids: list[int | None] = []
+    seen: set[str] = set()
     for p, frid in lineage.items():
         for v in _scan_path_variants(p):
-            paths.append(v)
-            frids.append(frid)
+            if v not in seen:  # cross-path collision would double rows
+                seen.add(v)
+                paths.append(v)
+                frids.append(frid)
     if len(lineage) > arrow_threshold:
         import pandas as pd
 

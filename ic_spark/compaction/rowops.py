@@ -357,13 +357,16 @@ def merge_into(
             .distinct()
             .collect()
         }
-    # _metadata.file_path yields file:-prefixed URIs; manifests store
-    # plain paths — match on both spellings.
+    # _metadata.file_path yields file:-prefixed, URI-encoded spellings;
+    # manifests store plain paths — match on every spelling the scan
+    # can produce (a missed match would silently skip the file's
+    # matched rows, and insert_not_matched would then duplicate them).
+    from ic_spark.compaction.planner import _scan_path_variants
+
     candidates = [
         t
         for t in all_data
-        if t.data_file_path in touched_paths
-        or f"file:{t.data_file_path}" in touched_paths
+        if any(v in touched_paths for v in _scan_path_variants(t.data_file_path))
     ]
 
     needs_full_rows = (

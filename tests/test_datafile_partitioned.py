@@ -406,3 +406,77 @@ def test_partitioned_read_with_space_in_value(spark, tmp_path):
     )
     out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
     assert out == sorted(rows)
+
+
+def test_partitioned_orc_read_stays_native(spark, tmp_path):
+    """The partition fill needs only the path column, which ORC's
+    NATIVE vectorized reader exposes via _metadata.file_path — the
+    per-row python codec scan is reserved for positional reads."""
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, ["x", "y"][i % 2]) for i in range(10)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "orc", rows, "id int, g string", ["g"]
+    )
+    out = read_table(spark, t, schema=df.schema)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan
+    assert "MapInArrow" not in plan and "EvalPython" not in plan
+    got = sorted([tuple(r) for r in out.collect()])
+    assert got == sorted(rows)
+
+
+def test_incremental_scan_reads_appended_avro(spark, tmp_path):
+    """incremental_tasks threads file_format: an appended avro data
+    file must route through the avro scan, not the parquet reader."""
+    from ic_spark.compaction.deletes import _next_sequence_number, read_incremental
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.sources.avro_io import write_container
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    f0 = _src_file(spark, tmp_path / "p0", [(1, "a")], "id int, name string")
+    t.append_snapshot(
+        [{"path": f0, "sequence_number": _next_sequence_number(t), "content": "DATA"}]
+    )
+    base = t.current_snapshot().snapshot_id
+    av = str(tmp_path / "f1.avro")
+    write_container(
+        av,
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": ["null", "int"]},
+            {"name": "name", "type": ["null", "string"]},
+        ]},
+        [{"id": 2, "name": "b"}, {"id": 3, "name": "c"}],
+    )
+    t.append_snapshot(
+        [{"path": av, "sequence_number": _next_sequence_number(t),
+          "content": "DATA", "file_format": "avro"}]
+    )
+    schema = spark.createDataFrame([(1, "a")], "id int, name string").schema
+    rows = sorted(
+        (r.id, r.name)
+        for r in read_incremental(spark, t, from_snapshot_id=base, schema=schema).collect()
+    )
+    assert rows == [(2, "b"), (3, "c")]
+
+
+def test_delete_maintenance_keeps_live_deletes_on_encoded_paths(spark, tmp_path):
+    """rewrite_position_deletes judged liveness by stripping only
+    '^file:' — on hive dirs with spaces the recorded delete paths are
+    URI-encoded, every live delete was misjudged dangling, dropped in
+    the commit, and its rows RESURRECTED.  The live set now carries
+    every scan spelling."""
+    from ic_spark.compaction import Compaction
+    from ic_spark.compaction.deletes import read_table, write_position_deletes
+
+    rows = [(i, ["NOT SPECIFIED", "HIGH"][i % 2]) for i in range(10)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, pr string", ["pr"]
+    )
+    write_position_deletes(spark, t, F.col("id").isin(0, 2))
+    before = sorted(r.id for r in read_table(spark, t, schema=df.schema).collect())
+    assert before == [1, 3, 4, 5, 6, 7, 8, 9]
+    stats = Compaction(spark).rewrite_position_deletes(t)
+    assert stats["kept_rows"] == 2, stats
+    after = sorted(r.id for r in read_table(spark, t, schema=df.schema).collect())
+    assert after == before
