@@ -480,3 +480,16 @@ def test_delete_maintenance_keeps_live_deletes_on_encoded_paths(spark, tmp_path)
     assert stats["kept_rows"] == 2, stats
     after = sorted(r.id for r in read_table(spark, t, schema=df.schema).collect())
     assert after == before
+
+
+def test_partitioned_read_with_nonascii_value(spark, tmp_path):
+    """Hadoop URIs leave non-ASCII raw while encoding spaces — the
+    mixed spelling ('café%20latte') must still hit the fill map."""
+    from ic_spark.compaction.deletes import read_table
+
+    rows = [(i, ["café latte", "plain"][i % 2]) for i in range(8)]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, "parquet", rows, "id int, pr string", ["pr"]
+    )
+    out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
+    assert out == sorted(rows)
