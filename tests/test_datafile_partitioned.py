@@ -493,3 +493,22 @@ def test_partitioned_read_with_nonascii_value(spark, tmp_path):
     )
     out = sorted([tuple(r) for r in read_table(spark, t, schema=df.schema).collect()])
     assert out == sorted(rows)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "avro"])
+def test_partitioned_adversarial_values_roundtrip(spark, tmp_path, fmt):
+    """Partition values containing every escaping hazard — space, '=',
+    '/', literal percent-escapes, '%', '#', non-ASCII — round-trip
+    through hive dirs, manifest values, URI spellings, and the fill."""
+    from ic_spark.compaction.deletes import read_table
+
+    vals = ["a b", "a=b", "a/b", "a%20b", "100%", "café", "x#y", None]
+    rows = [(i, vals[i % len(vals)]) for i in range(2 * len(vals))]
+    t, df = _tbl_with_partitioned_compact(
+        spark, tmp_path, fmt, rows, "id int, pv string", ["pv"]
+    )
+    out = sorted(
+        [tuple(r) for r in read_table(spark, t, schema=df.schema).collect()],
+        key=repr,
+    )
+    assert out == sorted(rows, key=repr)
