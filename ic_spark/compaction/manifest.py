@@ -568,8 +568,10 @@ class ManifestTable:
                 record_count=f.get("record_count") or 0,
                 # "puffin" marks deletion-vector files (Iceberg v3
                 # analog, sources/puffin.py); data files may be
-                # avro/orc/parquet.
-                file_format=f.get("file_format", "parquet"),
+                # avro/orc/parquet.  Lower-cased: the planner's format
+                # routing is case-sensitive and Iceberg spells formats
+                # upper-case.
+                file_format=(f.get("file_format") or "parquet").lower(),
                 write_schema_id=(
                     resolve_write_schema_id(
                         boundaries, f.get("sequence_number", 0)
@@ -637,7 +639,7 @@ class ManifestTable:
                 content=FileContent.DATA,
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
                 record_count=f.get("record_count") or 0,
-                file_format=f.get("file_format", "parquet"),
+                file_format=(f.get("file_format") or "parquet").lower(),
                 first_row_id=f.get("first_row_id"),
                 partition_values=f.get("partition") or None,
             )

@@ -199,18 +199,12 @@ class Compaction:
         # (which would resurrect its rows).  Left-semi: duplicate keys
         # on the broadcast side cannot double output rows.
         from ic_spark.compaction.planner import (
-            _scan_path_variants,
+            scan_path_variant_df,
             scan_position_delete_rows,
         )
 
-        live = self.spark.createDataFrame(
-            [
-                (v,)
-                for t in data
-                for v in _scan_path_variants(t.data_file_path)
-            ]
-            or [("",)],
-            "path string",
+        live = scan_path_variant_df(
+            self.spark, [t.data_file_path for t in data]
         )
         pd_df = scan_position_delete_rows(self.spark, pos).toDF(
             "file_path", "pos"
@@ -365,17 +359,12 @@ class Compaction:
             return {"converted": len(parquet_pos), "dv_rows": 0}
         # Same every-spelling live set as rewrite_position_deletes.
         from ic_spark.compaction.planner import (
-            _scan_path_variants,
+            scan_path_variant_df,
             scan_position_delete_rows,
         )
 
-        live = self.spark.createDataFrame(
-            [
-                (v,)
-                for t in data
-                for v in _scan_path_variants(t.data_file_path)
-            ],
-            "path string",
+        live = scan_path_variant_df(
+            self.spark, [t.data_file_path for t in data]
         )
         pd_df = scan_position_delete_rows(self.spark, parquet_pos)
         fp, ps = pd_df.columns[:2]
@@ -532,6 +521,11 @@ class Compaction:
         avro/orc table without a whole-table rewrite.
         """
         from ic_spark.plans.scheduling import split_n_groups
+
+        # Normalize case BEFORE recording: the writer lowercases its
+        # own fmt, and a verbatim "AVRO" entry would make every later
+        # scan raise on an unknown format.
+        data_file_format = (data_file_format or "parquet").lower()
 
         data, pos, eq = table.scan_tasks()
         small = [t for t in data if t.file_size_in_bytes < small_file_bytes]

@@ -298,7 +298,12 @@ def _scan_non_parquet_group(
         from ic_spark.sources import avro_scan
 
         df = avro_scan.read_avro_distributed(
-            spark, paths, schema=schema, columns=columns, with_path_pos=with_path
+            spark,
+            paths,
+            schema=schema,
+            columns=columns,
+            with_path_pos=with_pos,
+            with_path=with_path,
         )
         cols: list = []
         if columns:
@@ -553,6 +558,25 @@ def _scan_path_variants(p: str) -> list[str]:
     return out
 
 
+def scan_path_variant_df(spark: SparkSession, paths, col_name: str = "path"):
+    """One-column DataFrame holding EVERY scan spelling of ``paths`` —
+    the broadcast probe side for left-semi liveness checks (delete
+    maintenance).  Left-semi tolerates duplicate keys, so a plain set
+    union suffices; above the file-count threshold the list ships as
+    one Arrow batch instead of Py4J-pickled tuples."""
+    vals = sorted({v for p in paths for v in _scan_path_variants(p)})
+    if len(vals) > LINEAGE_ARROW_FILE_THRESHOLD:
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({col_name: pd.Series(vals, dtype="string")}),
+            schema=f"{col_name} string",
+        )
+    return spark.createDataFrame(
+        [(v,) for v in vals] or [("",)], f"{col_name} string"
+    )
+
+
 def attach_partition_values(
     spark: SparkSession,
     df: DataFrame,
@@ -568,13 +592,22 @@ def attach_partition_values(
     the column in their pages win.  Cost scales with file count."""
     types = {f.name: f.dataType for f in df.schema.fields}
     rows: list[tuple] = []
-    seen: set[str] = set()
+    seen: dict[str, str] = {}
     for p, m in fill.items():
         vals = tuple(m.get(c) for c in cols)
         for v in _scan_path_variants(p):
-            if v not in seen:  # cross-path collision would double rows
-                seen.add(v)
+            other = seen.get(v)
+            if other is None:
+                seen[v] = p
                 rows.append((v,) + vals)
+            elif other != p:
+                # Two distinct files share a scan spelling (e.g.
+                # '/p=a b/f' vs '/p=a%20b/f') — any binding would
+                # silently attach the WRONG values to one of them.
+                raise ValueError(
+                    f"ambiguous scan path spelling {v!r}: "
+                    f"{other!r} vs {p!r}"
+                )
     map_schema = "__pf_path string, " + ", ".join(
         f"`__pf_{c}` string" for c in cols
     )
@@ -781,13 +814,19 @@ def attach_lineage(
         arrow_threshold = LINEAGE_ARROW_FILE_THRESHOLD
     paths: list[str] = []
     frids: list[int | None] = []
-    seen: set[str] = set()
+    seen: dict[str, str] = {}
     for p, frid in lineage.items():
         for v in _scan_path_variants(p):
-            if v not in seen:  # cross-path collision would double rows
-                seen.add(v)
+            other = seen.get(v)
+            if other is None:
+                seen[v] = p
                 paths.append(v)
                 frids.append(frid)
+            elif other != p:
+                raise ValueError(
+                    f"ambiguous scan path spelling {v!r}: "
+                    f"{other!r} vs {p!r}"
+                )
     if len(lineage) > arrow_threshold:
         import pandas as pd
 

@@ -247,6 +247,7 @@ def read_avro_distributed(
     schema: StructType | None = None,
     columns: list[str] | None = None,
     with_path_pos: bool = False,
+    with_path: bool = False,
     batch_rows: int = 65536,
 ) -> DataFrame:
     """Read Avro container files into a DataFrame without spark-avro.
@@ -256,7 +257,9 @@ def read_avro_distributed(
     batches via ``mapInArrow`` (float NaN survives as a value).
     ``with_path_pos=True`` appends
     ``_avro_file_path`` / ``_avro_pos`` (running record index per file,
-    decode order) for merge-on-read hidden columns.
+    decode order) for merge-on-read hidden columns; ``with_path=True``
+    appends only the path (partition fill needs no positions — skips
+    building a position array per batch).
 
     ``schema`` (Spark) overrides discovery; otherwise the writer schema
     embedded in the first file's header defines it.  ``columns`` prunes
@@ -276,15 +279,13 @@ def read_avro_distributed(
         field_names = [c for c in field_names if c in set(columns)]
         schema = StructType([f for f in schema.fields if f.name in set(columns)])
 
+    with_path = with_path or with_path_pos
     out_schema = schema
-    if with_path_pos:
-        out_schema = StructType(
-            list(schema.fields)
-            + [
-                StructField(FILE_PATH_COL, StringType(), False),
-                StructField(POS_COL, LongType(), False),
-            ]
-        )
+    if with_path:
+        extra = [StructField(FILE_PATH_COL, StringType(), False)]
+        if with_path_pos:
+            extra.append(StructField(POS_COL, LongType(), False))
+        out_schema = StructType(list(schema.fields) + extra)
 
     wanted = set(field_names)
 
@@ -337,10 +338,11 @@ def read_avro_distributed(
                         arrays.append(
                             pa.array(vals, type=arrow_out.field(name).type)
                         )
-                    if with_path_pos:
+                    if with_path:
                         arrays.append(
                             pa.array([str(path)] * len(chunk), type=pa.string())
                         )
+                    if with_path_pos:
                         arrays.append(
                             pa.array(
                                 range(start, start + len(chunk)), type=pa.int64()

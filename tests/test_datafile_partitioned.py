@@ -512,3 +512,20 @@ def test_partitioned_adversarial_values_roundtrip(spark, tmp_path, fmt):
         key=repr,
     )
     assert out == sorted(rows, key=repr)
+
+
+def test_path_spelling_collision_raises(spark, tmp_path):
+    """Two distinct manifest paths sharing a scan spelling ('/p=a b' vs
+    '/p=a%20b') are genuinely ambiguous — any binding would silently
+    attach one file's values to the other's rows.  The fill refuses."""
+    from ic_spark.compaction.planner import attach_partition_values
+
+    df = spark.createDataFrame([(1, "x")], "id int, g string").withColumn(
+        "sys_hidden_file_path", F.lit("file:/d/p=a%20b/f.parquet")
+    )
+    fill = {
+        "/d/p=a b/f.parquet": {"g": "a b"},
+        "/d/p=a%20b/f.parquet": {"g": "a%20b"},
+    }
+    with pytest.raises(ValueError, match="ambiguous scan path spelling"):
+        attach_partition_values(spark, df, fill, ["g"])
