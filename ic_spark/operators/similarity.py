@@ -976,6 +976,254 @@ def _cents_literal(cents: list[list[float]]) -> F.Column:
     )
 
 
+def _ivfpq_fit(
+    corpus,
+    id_col,
+    vec_col,
+    nlist,
+    ksub,
+    m,
+    refine_iters,
+    pq_refine_iters,
+    residual,
+    use_arrow,
+):
+    """Train the IVFADC index parameters: (centroids, codebooks).
+
+    ONE TakeOrdered job feeds both seed consumers: the coarse quantizer
+    needs the nlist lowest-id vectors, the PQ codebooks the ksub
+    lowest-id ones — collecting max(nlist, ksub) rows once halves the
+    operator's driver-side seed jobs (same vectors, same order, so the
+    centroids/codebooks are unchanged to the bit).  Codebook seeds
+    (the ksub lowest-id vectors) are residualized DRIVER-SIDE with the
+    fold-identical :func:`_py_nearest_cell` replica — evaluating the
+    residual expression corpus-wide just to TakeOrdered 16 rows was
+    the single biggest fixed cost of this operator (Catalyst keeps the
+    projection below the Sort).  Lloyd rounds still scan the full
+    residual frame.
+    """
+    from ic_spark.operators.dedup import _spread
+
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max(nlist, ksub))
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("ivf_pq_top_k: corpus has no rows to seed from")
+    seed_raw = [list(r.v) for r in seed_rows]
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, nlist, refine_iters, seed_vecs=seed_raw
+    )
+    cents_arr = _cents_literal(cents)
+    if residual:
+        # _spread BEFORE the residual projection: the interpreted
+        # HOF residual otherwise sits in the (often single-task) scan
+        # stage and serializes — spreading first moves it into the
+        # session-wide stage above the exchange (profiled: 0.53 s
+        # serial at sf0.1 from a one-file scan).
+        train = _spread(corpus).select(
+            F.col(id_col),
+            F.zip_with(
+                _as_dl(vec_col),
+                F.element_at(
+                    cents_arr, _nearest_centroid_idx(vec_col, cents)
+                ),
+                lambda x, y: x - y,
+            ).alias("__pqv"),
+        )
+    else:
+        train = corpus.select(F.col(id_col), _as_dl(vec_col).alias("__pqv"))
+    seed_pool = seed_raw[:ksub]
+    if residual:
+        seed_vecs = [
+            [x - y for x, y in zip(v, cents[_py_nearest_cell(v, cents)])]
+            for v in seed_pool
+        ]
+    else:
+        seed_vecs = seed_pool
+    books = pq_codebooks(
+        train,
+        id_col,
+        "__pqv",
+        m=m,
+        ksub=ksub,
+        refine_iters=pq_refine_iters,
+        seed_vecs=seed_vecs,
+        use_arrow=use_arrow,
+    )
+    return cents, books
+
+
+def _ivfpq_encode_corpus(
+    corpus, cents, books, id_col, vec_col, residual, use_arrow
+):
+    """Corpus side of IVFADC: ONE scan-side projection emitting
+    (neighbor_id, __cell, codes) — shared by the in-memory operator
+    and the persisted-index build, so their encodings are identical
+    to the bit."""
+    from ic_spark.operators.dedup import _spread
+
+    m = len(books)
+    dsub = len(books[0][0])
+    cents_arr = _cents_literal(cents)
+    if use_arrow and residual:
+        # Fused kernel: cell + exact residual + codes in one Arrow
+        # pass, zero literal centroids in the corpus plan (the
+        # nlist × dim literal array was pure plan-parse fixed cost).
+        fused = _arrow_cell_residual_encoder(cents, books)
+        return (
+            _spread(corpus)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                fused(_as_dl(vec_col)).alias("__cc"),
+            )
+            .select(
+                "neighbor_id",
+                F.col("__cc.cell").alias("__cell"),
+                F.col("__cc.codes").alias("codes"),
+            )
+        )
+    corpus_cell = (
+        _arrow_cell_assigner(cents)(_as_dl(vec_col))
+        if use_arrow
+        else _nearest_centroid_idx(vec_col, cents)
+    )
+    with_cell = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_dl(vec_col).alias("__v"),
+        corpus_cell.alias("__cell"),
+    )
+    enc_src = with_cell.select(
+        "neighbor_id",
+        "__cell",
+        (
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(cents_arr, F.col("__cell")),
+                lambda x, y: x - y,
+            )
+            if residual
+            else F.col("__v")
+        ).alias("__pqv"),
+    )
+    if use_arrow:
+        return enc_src.select(
+            "neighbor_id",
+            "__cell",
+            _arrow_pq_encoder(books)(F.col("__pqv")).alias("codes"),
+        )
+    return enc_src.select(
+        "neighbor_id",
+        "__cell",
+        F.array(
+            *[_pq_sub_code("__pqv", books[j], j, dsub) for j in range(m)]
+        ).alias("codes"),
+    )
+
+
+def _ivfpq_query_side(
+    queries, cents, books, nprobe, id_col, vec_col, residual, use_arrow
+):
+    """Query side of IVFADC: (query_id, __cell, __lut) — one ADC
+    lookup table per probed cell.  Shared by the in-memory operator
+    and the persisted-index read path."""
+    dsub = len(books[0][0])
+    cents_arr = _cents_literal(cents)
+
+    def resid(vc, cell_col):
+        return F.zip_with(
+            _as_dl(vc), F.element_at(cents_arr, cell_col), lambda x, y: x - y
+        )
+
+    # Arrow + residual path: ONE fused kernel emits (cell, LUT) structs
+    # — zero literal centroids/codebooks left in the query plan (the
+    # giant literal expressions cost a plan parse + bind per run, the
+    # operator's dominant fixed cost — r7 verdict #3).  Expression
+    # path: literal-inlined, same left-to-right fold as _pq_sub_code so
+    # ADC is reference-pinnable.
+    if use_arrow and residual:
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _arrow_query_lut(cents, books, nprobe)(_as_dl(vec_col))
+            ).alias("__p"),
+        ).select(
+            "query_id",
+            F.col("__p.cell").alias("__cell"),
+            F.col("__p.lut").alias("__lut"),
+        )
+    coss = _centroid_cosines(vec_col, cents)
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                coss,
+                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+            )
+        )
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_dl(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, nprobe),
+                lambda s: (-s["ni"]).cast("int"),
+            )
+        ).alias("__cell"),
+    ).select(
+        "query_id",
+        "__cell",
+        (
+            resid("__qv", F.col("__cell")) if residual else F.col("__qv")
+        ).alias("__qres"),
+    )
+    if use_arrow:
+        return qprobe.select(
+            "query_id",
+            "__cell",
+            _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
+        )
+    return qprobe.select(
+        "query_id",
+        "__cell",
+        F.expr(_lut_expr_sql(books, dsub, "`__qres`")).alias("__lut"),
+    )
+
+
+def _ivfpq_adc_topk(cb, q, k):
+    """ADC scoring + per-query top-k over (corpus codes ⋈ query LUTs)."""
+    from ic_spark.operators.topk import grouped_top_k
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, lut: F.element_at(lut, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cb.join(F.broadcast(q), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("__adc").asc(), F.col("neighbor_id").asc()],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__adc"), 6).alias("adc_distance"),
+        "rank",
+    )
+
+
 def ivf_pq_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1013,212 +1261,143 @@ def ivf_pq_top_k(
     codebook across cells.  Returns (query_id, neighbor_id,
     adc_distance, rank) — L2 ADC, ascending (closest first).
     """
-    from ic_spark.operators.dedup import _spread
-    from ic_spark.operators.topk import grouped_top_k
-
-    # ONE TakeOrdered job feeds both seed consumers: the coarse
-    # quantizer needs the nlist lowest-id vectors, the PQ codebooks the
-    # ksub lowest-id ones — collecting max(nlist, ksub) rows once
-    # halves the operator's driver-side seed jobs (same vectors, same
-    # order, so the centroids/codebooks are unchanged to the bit).
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), _as_dl(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(max(nlist, ksub))
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("ivf_pq_top_k: corpus has no rows to seed from")
-    seed_raw = [list(r.v) for r in seed_rows]
-    cents = ivf_centroids(
-        corpus, id_col, vec_col, nlist, refine_iters, seed_vecs=seed_raw
-    )
-    cents_arr = _cents_literal(cents)
-    corpus_cell = (
-        _arrow_cell_assigner(cents)(_as_dl(vec_col))
-        if use_arrow
-        else _nearest_centroid_idx(vec_col, cents)
-    )
-
-    def resid(vc, cell_col):
-        return F.zip_with(
-            _as_dl(vc), F.element_at(cents_arr, cell_col), lambda x, y: x - y
-        )
-
-    # Codebook learning input: residuals (or raw vectors) with the
-    # original ids.  Seeds (the ksub lowest-id vectors) are collected
-    # RAW and residualized driver-side with the fold-identical
-    # :func:`_py_nearest_cell` replica — evaluating the residual
-    # expression corpus-wide just to TakeOrdered 16 rows was the
-    # single biggest fixed cost of this operator (Catalyst keeps the
-    # projection below the Sort).  Lloyd rounds still scan the full
-    # residual frame.
-    if residual:
-        # _spread BEFORE the residual projection: the interpreted
-        # HOF residual otherwise sits in the (often single-task) scan
-        # stage and serializes — spreading first moves it into the
-        # session-wide stage above the exchange (profiled: 0.53 s
-        # serial at sf0.1 from a one-file scan).
-        train = _spread(corpus).select(
-            F.col(id_col),
-            resid(vec_col, _nearest_centroid_idx(vec_col, cents)).alias(
-                "__pqv"
-            ),
-        )
-    else:
-        train = corpus.select(F.col(id_col), _as_dl(vec_col).alias("__pqv"))
-    seed_pool = seed_raw[:ksub]
-    if residual:
-        seed_vecs = [
-            [x - y for x, y in zip(v, cents[_py_nearest_cell(v, cents)])]
-            for v in seed_pool
-        ]
-    else:
-        seed_vecs = seed_pool
-    books = pq_codebooks(
-        train,
+    cents, books = _ivfpq_fit(
+        corpus,
         id_col,
-        "__pqv",
-        m=m,
-        ksub=ksub,
-        refine_iters=pq_refine_iters,
-        seed_vecs=seed_vecs,
-        use_arrow=use_arrow,
+        vec_col,
+        nlist,
+        ksub,
+        m,
+        refine_iters,
+        pq_refine_iters,
+        residual,
+        use_arrow,
     )
-    dsub = len(books[0][0])
 
-    # Corpus: ONE scan-side projection — cell id + m residual codes.
-    if use_arrow and residual:
-        # Fused kernel: cell + exact residual + codes in one Arrow
-        # pass, zero literal centroids in the corpus plan (the
-        # nlist × dim literal array was pure plan-parse fixed cost).
-        fused = _arrow_cell_residual_encoder(cents, books)
-        cb = (
-            _spread(corpus)
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                fused(_as_dl(vec_col)).alias("__cc"),
-            )
-            .select(
-                "neighbor_id",
-                F.col("__cc.cell").alias("__cell"),
-                F.col("__cc.codes").alias("codes"),
-            )
-        )
-    else:
-        with_cell = _spread(corpus).select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_dl(vec_col).alias("__v"),
-            corpus_cell.alias("__cell"),
-        )
-        enc_src = with_cell.select(
-            "neighbor_id",
-            "__cell",
-            (
-                resid("__v", F.col("__cell")) if residual else F.col("__v")
-            ).alias("__pqv"),
-        )
-        if use_arrow:
-            cb = enc_src.select(
-                "neighbor_id",
-                "__cell",
-                _arrow_pq_encoder(books)(F.col("__pqv")).alias("codes"),
-            )
-        else:
-            cb = enc_src.select(
-                "neighbor_id",
-                "__cell",
-                F.array(
-                    *[
-                        _pq_sub_code("__pqv", books[j], j, dsub)
-                        for j in range(m)
-                    ]
-                ).alias("codes"),
-            )
+    cb = _ivfpq_encode_corpus(
+        corpus, cents, books, id_col, vec_col, residual, use_arrow
+    )
 
-    # Queries: top-nprobe cells by centroid cosine (same ranking rule
-    # as ivf_top_k), then ONE ADC lookup table per (query, cell) from
-    # the query's residual against that cell.
-    #
-    # Arrow + residual path: ONE fused kernel emits (cell, LUT) structs
-    # — zero literal centroids/codebooks left in the query plan (the
-    # giant literal expressions cost a plan parse + bind per run, the
-    # operator's dominant fixed cost — r7 verdict #3).  Expression
-    # path: literal-inlined, same left-to-right fold as _pq_sub_code so
-    # ADC is reference-pinnable.
-    if use_arrow and residual:
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(
-                _arrow_query_lut(cents, books, nprobe)(_as_dl(vec_col))
-            ).alias("__p"),
-        ).select(
-            "query_id",
-            F.col("__p.cell").alias("__cell"),
-            F.col("__p.lut").alias("__lut"),
-        )
-    else:
-        coss = _centroid_cosines(vec_col, cents)
-        ranked = F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    coss,
-                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
-                )
-            )
-        )
-        qprobe = queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_dl(vec_col).alias("__qv"),
-            F.explode(
-                F.transform(
-                    F.slice(ranked, 1, nprobe),
-                    lambda s: (-s["ni"]).cast("int"),
-                )
-            ).alias("__cell"),
-        ).select(
-            "query_id",
-            "__cell",
-            (
-                resid("__qv", F.col("__cell")) if residual else F.col("__qv")
-            ).alias("__qres"),
-        )
-        if use_arrow:
-            q = qprobe.select(
-                "query_id",
-                "__cell",
-                _arrow_lut_builder(books)(F.col("__qres")).alias("__lut"),
-            )
-        else:
-            q = qprobe.select(
-                "query_id",
-                "__cell",
-                F.expr(_lut_expr_sql(books, dsub, "`__qres`")).alias("__lut"),
-            )
+    q = _ivfpq_query_side(
+        queries, cents, books, nprobe, id_col, vec_col, residual, use_arrow
+    )
 
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda c, lut: F.element_at(lut, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return _ivfpq_adc_topk(cb, q, k)
+
+
+# ------------------------------------------------- persisted IVFADC index
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    dir_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 0,
+    pq_refine_iters: int = 0,
+    residual: bool = True,
+    use_arrow: bool = False,
+) -> dict:
+    """Train the IVFADC index ONCE and persist it: the build/serve
+    split every production ANN deployment runs (index nightly, query
+    all day) — the in-memory :func:`ivf_pq_top_k` retrains centroids
+    and re-encodes the corpus on every call.
+
+    Layout on disk:
+
+    - ``{dir}/codes/__cell=<c>/*.parquet`` — (neighbor_id, codes),
+      hive-PARTITIONED BY the coarse cell.  Queries probe ``nprobe``
+      cells through a broadcast join on the partition column, so
+      Spark's dynamic partition pruning skips every unprobed cell's
+      FILES — at 100 TB the serve-side scan touches ~nprobe/nlist of
+      the index, enforced by the storage layout itself.
+    - ``{dir}/index.json`` — centroids, codebooks, params (index-sized:
+      nlist×dim + m×ksub×dsub floats; written via temp + atomic
+      rename).
+
+    Same training/encoding code paths as :func:`ivf_pq_top_k`
+    (:func:`_ivfpq_fit` / :func:`_ivfpq_encode_corpus`), so the
+    persisted index answers queries identically to the bit.
+    """
+    import json
+    import os
+    import tempfile
+
+    cents, books = _ivfpq_fit(
+        corpus,
+        id_col,
+        vec_col,
+        nlist,
+        ksub,
+        m,
+        refine_iters,
+        pq_refine_iters,
+        residual,
+        use_arrow,
     )
-    scored = (
-        cb.join(F.broadcast(q), on="__cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    cb = _ivfpq_encode_corpus(
+        corpus, cents, books, id_col, vec_col, residual, use_arrow
     )
-    return grouped_top_k(
-        scored,
-        ["query_id"],
-        [F.col("__adc").asc(), F.col("neighbor_id").asc()],
-        k,
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.col("__adc"), 6).alias("adc_distance"),
-        "rank",
+    cb.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(dir_path, "codes")
     )
+    meta = {
+        "format": "ivfpq-index-v1",
+        "centroids": cents,
+        "codebooks": books,
+        "nlist": nlist,
+        "m": m,
+        "ksub": ksub,
+        "residual": residual,
+        "id_col": id_col,
+    }
+    fd, tmp = tempfile.mkstemp(dir=dir_path, suffix=".idx.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(dir_path, "index.json"))
+    return meta
+
+
+def ivf_pq_index_top_k(
+    spark,
+    dir_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Serve ANN queries from a :func:`build_ivf_pq_index` directory.
+
+    Query-time cost excludes training and corpus encoding entirely:
+    load the index-sized params from ``index.json``, read the codes
+    table (parquet, partitioned by ``__cell`` — the broadcast equi-join
+    on the partition column lets dynamic partition pruning skip every
+    unprobed cell's files), build one ADC lookup table per probed cell,
+    join, score m array lookups per candidate, top-k with shuffle-side
+    partial limits.  Returns (query_id, neighbor_id, adc_distance,
+    rank), identical to :func:`ivf_pq_top_k` with the same parameters.
+    """
+    import json
+    import os
+
+    with open(os.path.join(dir_path, "index.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    books = meta["codebooks"]
+    codes = spark.read.parquet(os.path.join(dir_path, "codes"))
+    q = _ivfpq_query_side(
+        queries,
+        cents,
+        books,
+        nprobe,
+        id_col,
+        vec_col,
+        meta["residual"],
+        use_arrow,
+    )
+    return _ivfpq_adc_topk(codes, q, k)

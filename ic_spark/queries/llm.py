@@ -670,6 +670,39 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("sim_ivfpq_indexed_topk", oracle=None)
+def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
+    """Persisted-index ANN serve (operators/similarity.py::
+    build_ivf_pq_index + ivf_pq_index_top_k): the build/serve split of
+    production ANN — train + encode ONCE into a codes table
+    hive-partitioned by coarse cell plus an index-sized index.json,
+    then serve queries with dynamic partition pruning skipping every
+    unprobed cell's files (plan-pinned).  Rows-only check; value
+    equality with the in-memory ivf_pq_top_k is pinned in
+    tests/test_operators.py::test_ivfpq_persisted_index_equals_inmemory."""
+    import os
+    import tempfile
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivfpq_idx_"), "idx")
+    build_ivf_pq_index(
+        e, idx, nlist=16, m=8, ksub=16, pq_refine_iters=1, use_arrow=True
+    )
+    return ivf_pq_index_top_k(
+        spark,
+        idx,
+        e.where(F.col("vec_id") < 5),
+        k=10,
+        nprobe=4,
+        use_arrow=True,
+    )
+
+
 @query(
     "dedup_semantic_cells",
     oracle="""

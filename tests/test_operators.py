@@ -2900,3 +2900,65 @@ def test_flac_in_ogg_roundtrip():
     # public audio surface routes Ogg-FLAC too
     via = decode_audio_samples(ogg)
     assert via is not None and (via[0][:, 0] == np.asarray(samples)).all()
+
+
+@pytest.mark.parametrize("use_arrow", [False, True])
+def test_ivfpq_persisted_index_equals_inmemory(spark, tmp_path, use_arrow):
+    """build_ivf_pq_index + ivf_pq_index_top_k answer EXACTLY what the
+    in-memory ivf_pq_top_k answers with the same parameters — the
+    build/serve split shares _ivfpq_fit/_ivfpq_encode_corpus/
+    _ivfpq_query_side, so the persisted index cannot drift."""
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+        ivf_pq_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    params = dict(nlist=8, m=8, ksub=16, pq_refine_iters=1)
+    direct = sorted(
+        tuple(r)
+        for r in ivf_pq_top_k(
+            e, q, k=10, nprobe=3, use_arrow=use_arrow, **params
+        ).collect()
+    )
+    meta = build_ivf_pq_index(
+        e, str(tmp_path / "idx"), use_arrow=use_arrow, **params
+    )
+    assert meta["nlist"] == 8 and len(meta["codebooks"]) == 8
+    served = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(
+            spark, str(tmp_path / "idx"), q, k=10, nprobe=3, use_arrow=use_arrow
+        ).collect()
+    )
+    assert served == direct
+    # the on-disk layout is cell-partitioned (file-level probe pruning)
+    import os
+
+    dirs = os.listdir(str(tmp_path / "idx" / "codes"))
+    assert any(d.startswith("__cell=") for d in dirs)
+
+
+def test_ivfpq_index_serve_plan_uses_dpp(spark, tmp_path):
+    """Serve-side plan pin: the codes table is partitioned by __cell
+    and the broadcast probe join triggers DYNAMIC PARTITION PRUNING —
+    only probed cells' files are read, enforced by the layout."""
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    build_ivf_pq_index(e, str(tmp_path / "idx"), nlist=8, m=8, ksub=16)
+    out = ivf_pq_index_top_k(
+        spark, str(tmp_path / "idx"), e.where(F.col("vec_id") < 5), k=10, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
