@@ -1401,3 +1401,43 @@ def ivf_pq_index_top_k(
         use_arrow,
     )
     return _ivfpq_adc_topk(codes, q, k)
+
+
+def ivf_pq_index_append(
+    spark,
+    dir_path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = False,
+) -> None:
+    """Fold new vectors into a persisted IVFADC index WITHOUT
+    retraining — the standard streaming-ingest posture (FAISS
+    ``add``): centroids and codebooks stay frozen, the new vectors are
+    encoded with them (one scan-side projection) and appended to the
+    cell-partitioned codes table.  Queries immediately see old ∪ new;
+    recall degrades only as the data distribution drifts from the
+    trained quantizers, at which point a rebuild refreshes them.
+
+    Append == encoding the union with the frozen parameters (pinned in
+    tests): partitioned parquet append only adds files under each
+    ``__cell=`` directory, so dynamic partition pruning keeps working
+    unchanged.
+    """
+    import json
+    import os
+
+    with open(os.path.join(dir_path, "index.json")) as f:
+        meta = json.load(f)
+    cb = _ivfpq_encode_corpus(
+        new_corpus,
+        meta["centroids"],
+        meta["codebooks"],
+        id_col,
+        vec_col,
+        meta["residual"],
+        use_arrow,
+    )
+    cb.write.mode("append").partitionBy("__cell").parquet(
+        os.path.join(dir_path, "codes")
+    )

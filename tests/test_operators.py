@@ -2962,3 +2962,42 @@ def test_ivfpq_index_serve_plan_uses_dpp(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_index_append_equals_frozen_union(spark, tmp_path):
+    """Fold-in == encode-the-union-with-frozen-parameters: appending
+    new vectors to a persisted index (no retrain) answers exactly what
+    serving over the union encoded with the ORIGINAL centroids and
+    codebooks answers."""
+    from ic_spark.operators.similarity import (
+        _ivfpq_adc_topk,
+        _ivfpq_encode_corpus,
+        _ivfpq_query_side,
+        build_ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    old = e.where(F.col("vec_id") >= 100)
+    new = e.where(F.col("vec_id") < 100)
+    idx = str(tmp_path / "idx")
+    meta = build_ivf_pq_index(old, idx, nlist=8, m=8, ksub=16)
+    ivf_pq_index_append(spark, idx, new)
+    q = e.where(F.col("vec_id") < 5)
+    served = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    cb = _ivfpq_encode_corpus(
+        e, meta["centroids"], meta["codebooks"], "vec_id", "embedding", True, False
+    )
+    qs = _ivfpq_query_side(
+        q, meta["centroids"], meta["codebooks"], 3, "vec_id", "embedding", True, False
+    )
+    want = sorted(tuple(r) for r in _ivfpq_adc_topk(cb, qs, 10).collect())
+    assert served == want
+    # appended vectors are actually retrievable
+    assert any(r[1] < 100 for r in served)
