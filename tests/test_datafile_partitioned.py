@@ -529,3 +529,31 @@ def test_path_spelling_collision_raises(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="ambiguous scan path spelling"):
         attach_partition_values(spark, df, fill, ["g"])
+
+
+def test_scan_path_variants_match_real_spark_spelling(spark, tmp_path):
+    """Ground truth check of the URI-encoding replica: write a file
+    under a directory packed with every encodable-or-not character
+    class (space, %, #, brackets, braces, caret, quotes, comma,
+    semicolon, plus, at, tilde, bang, non-ASCII) and assert the REAL
+    _metadata.file_path and binaryFile spellings are both in the
+    variant set of the raw path.  (Glob metacharacters []{}*? are
+    excluded: Spark's read path globs them, so such paths cannot be
+    scanned by Spark AT ALL — a Hadoop constraint upstream of us.)"""
+    from ic_spark.compaction.planner import _scan_path_variants
+
+    nasty = "p=a b%c#d^h,i;j'k&l(m)n café+x@y=z~!"
+    d = str(tmp_path / nasty / "f")
+    spark.createDataFrame([(1,)], "id int").coalesce(1).write.parquet(d)
+    pq = next(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+    variants = set(_scan_path_variants(pq))
+    meta_spelling = (
+        spark.read.parquet(d).select("_metadata.file_path").first()[0]
+    )
+    assert meta_spelling in variants, (meta_spelling, sorted(variants))
+    bin_spelling = (
+        spark.read.format("binaryFile").load(pq).select("path").first()[0]
+    )
+    assert bin_spelling in variants, (bin_spelling, sorted(variants))
