@@ -362,3 +362,71 @@ def manifest_dv_delete_sink(
             return  # no key matched any live row: nothing to delete
 
     return write_batch
+
+
+def ivfpq_index_append_sink(
+    dir_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = False,
+):
+    """``foreachBatch`` callable maintaining a persisted IVF-PQ ANN
+    index (operators/similarity.py::build_ivf_pq_index) from a stream
+    of embeddings — streaming ingest for the build/serve split::
+
+        q = (emb.writeStream.foreachBatch(
+                 ivfpq_index_append_sink(index_dir))
+               .option("checkpointLocation", ckpt).start())
+
+    Each micro-batch is encoded with the index's FROZEN quantizers
+    (``ivf_pq_index_append`` semantics: no retrain, recall drifts only
+    with the data distribution) and published into the cell-partitioned
+    codes table under DETERMINISTIC file names
+    (``b<batch_id>-<n>.parquet`` per cell): a replayed batch re-encodes
+    the same rows and ``os.replace`` lands on the same names, so
+    foreachBatch's at-least-once becomes exactly-once without a ledger.
+    (Caveat shared with Spark's own manifest-less file sinks: a replay
+    under a DIFFERENT shuffle width could leave extra stale files; keep
+    the checkpoint and conf together.)
+    """
+    import json
+
+    from ic_spark.operators.similarity import _ivfpq_encode_corpus
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        with open(os.path.join(dir_path, "index.json")) as f:
+            meta = json.load(f)
+        cb = _ivfpq_encode_corpus(
+            df,
+            meta["centroids"],
+            meta["codebooks"],
+            id_col,
+            vec_col,
+            meta["residual"],
+            use_arrow,
+        )
+        stage = os.path.join(dir_path, f"_stage-batch-{batch_id:08d}")
+        cb.write.mode("overwrite").partitionBy("__cell").parquet(stage)
+        codes = os.path.join(dir_path, "codes")
+        published = 0
+        for cell in sorted(os.listdir(stage)):
+            if not cell.startswith("__cell="):
+                continue
+            dst_dir = os.path.join(codes, cell)
+            os.makedirs(dst_dir, exist_ok=True)
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(stage, cell))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                os.replace(
+                    os.path.join(stage, cell, f),
+                    os.path.join(dst_dir, f"b{batch_id:08d}-{i:04d}.parquet"),
+                )
+                published += 1
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return write_batch

@@ -691,3 +691,70 @@ def test_streaming_span_dedup_partial_crash_replay(spark, tmp_path):
         ).collect())
     )
     assert spans == sorted(map(tuple, spans0.collect()))
+
+
+def test_ivfpq_index_streaming_append_sink(spark, tmp_path):
+    """Streaming ANN index maintenance: micro-batches of embeddings
+    fold into a persisted IVF-PQ index (frozen quantizers); the served
+    answer equals encoding the full union with the frozen parameters,
+    and a replayed batch id publishes the same deterministic file names
+    (exactly-once without a ledger)."""
+    from ic_spark.operators.similarity import (
+        _ivfpq_adc_topk,
+        _ivfpq_encode_corpus,
+        _ivfpq_query_side,
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    base = e.where(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "idx")
+    meta = build_ivf_pq_index(base, idx, nlist=8, m=8, ksub=16)
+
+    # stream the remaining vectors in as two file-batches
+    src = str(tmp_path / "stream_src")
+    e.where(F.col("vec_id") < 50).coalesce(1).write.mode("append").parquet(src)
+    e.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = ivfpq_index_append_sink(idx)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = e.where(F.col("vec_id") < 5)
+    served = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(spark, idx, queries, k=10, nprobe=3).collect()
+    )
+    cb = _ivfpq_encode_corpus(
+        e, meta["centroids"], meta["codebooks"], "vec_id", "embedding", True, False
+    )
+    qs = _ivfpq_query_side(
+        queries, meta["centroids"], meta["codebooks"], 3, "vec_id", "embedding", True, False
+    )
+    want = sorted(tuple(r) for r in _ivfpq_adc_topk(cb, qs, 10).collect())
+    assert served == want
+
+    # replay: re-running a committed batch publishes the SAME names —
+    # served results unchanged (no duplicate candidates)
+    sink(e.where(F.col("vec_id") < 50), 0)
+    replay = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(spark, idx, queries, k=10, nprobe=3).collect()
+    )
+    assert replay == served
