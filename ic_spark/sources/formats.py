@@ -78,7 +78,7 @@ def read_files(
     if fmt == "avro":
         if not _avro_available(spark):
             # Distributed pure-Python fallback: binaryFile scan +
-            # mapInPandas codec (sources/avro_scan.py).  Per-file
+            # mapInArrow codec (sources/avro_scan.py).  Per-file
             # parallelism — the JVM module (splittable, vectorized) is
             # preferred whenever its class is on the classpath.
             from ic_spark.sources.avro_scan import read_avro_distributed

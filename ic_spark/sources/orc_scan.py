@@ -18,8 +18,6 @@ needed.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -48,9 +46,14 @@ def read_orc_distributed(
     ``with_path_pos=True`` appends ``_orc_file_path`` / ``_orc_pos``
     (running record index per file, file order) for merge-on-read
     hidden columns.
-    """
-    import pandas as pd
 
+    Arrow end to end (``mapInArrow``): the pandas bridge silently
+    coerces nullable int columns to float64 (precision loss above
+    2**53) and collapses float NaN to null on the return boundary —
+    the corruption class ``tests/test_datafile_write_fuzz.py`` pinned
+    for the writer/Avro paths. Stripes decode as Arrow record batches
+    and stay Arrow; positions are appended as int64 Arrow arrays.
+    """
     if isinstance(paths, str):
         paths = [paths]
     if not paths:
@@ -74,12 +77,20 @@ def read_orc_distributed(
             ]
         )
 
-    def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_out = to_arrow_schema(out_schema)
+
+    def decode_files(batches):
         import pyarrow as pa
         import pyarrow.orc as orc
 
-        for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+        for rb in batches:
+            tbl_in = pa.table(rb)
+            for path, content in zip(
+                tbl_in.column("path").to_pylist(),
+                tbl_in.column("content").to_pylist(),
+            ):
                 f = orc.ORCFile(pa.BufferReader(bytes(content)))
                 # Column pruning happens at the ORC reader; positions
                 # are the running row index across stripes in file
@@ -92,14 +103,34 @@ def read_orc_distributed(
                         chunk = tbl.slice(start, batch_rows)
                         if chunk.num_rows == 0 and tbl.num_rows > 0:
                             continue
-                        out = chunk.select(field_names).to_pandas() if field_names else pd.DataFrame(index=range(chunk.num_rows))
+                        n = chunk.num_rows
+                        arrays = []
+                        for name in field_names:
+                            col = chunk.column(name).combine_chunks()
+                            want = arrow_out.field(name).type
+                            if col.type != want:
+                                # ORC decodes e.g. timestamp_instant
+                                # (tz-aware) where Spark's schema is
+                                # naive; cast preserves the stored
+                                # instant without a pandas round-trip.
+                                col = col.cast(want)
+                            arrays.append(col)
                         if with_path_pos:
-                            out[FILE_PATH_COL] = str(path)
-                            out[POS_COL] = range(pos + start, pos + start + len(out))
-                        yield out
+                            arrays.append(
+                                pa.array([str(path)] * n, type=pa.string())
+                            )
+                            arrays.append(
+                                pa.array(
+                                    range(pos + start, pos + start + n),
+                                    type=pa.int64(),
+                                )
+                            )
+                        yield pa.RecordBatch.from_arrays(
+                            arrays, schema=arrow_out
+                        )
                     pos += tbl.num_rows
 
     files = spark.read.format("binaryFile").load(paths)
-    return files.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInArrow(
         decode_files, schema=out_schema
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import os
 
+import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -286,3 +287,148 @@ def test_orc_nested_types_write_roundtrip(spark, tmp_path):
         [tuple(r) for r in spark.read.parquet(src).collect()], key=repr
     )
     assert back == want
+
+
+def _orc_adversarial_table():
+    """Arrow table carrying every value class the pandas bridge is
+    known to corrupt: nullable ints (int->float64 coercion), longs
+    above 2**53 (float64 precision loss), NaN/inf doubles (NaN->null
+    on the return boundary), signed zero, and strings with nulls."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "id": pa.array(range(8), type=pa.int64()),
+            "l": pa.array(
+                [2**53 + 1, -(2**53) - 1, 2**63 - 1, -(2**63), None, 0, 1, -1],
+                type=pa.int64(),
+            ),
+            "i": pa.array([None, 1, -(2**31), 2**31 - 1, None, 5, 6, 7],
+                          type=pa.int32()),
+            "d": pa.array(
+                [float("nan"), float("inf"), float("-inf"), -0.0, None,
+                 1.5, -2.25, 3.0],
+                type=pa.float64(),
+            ),
+            "s": pa.array(
+                ["", None, "café latte", "a\tb", "ω", None, "x", "y"],
+                type=pa.string(),
+            ),
+            "b": pa.array([True, None, False, True, None, False, True, None],
+                          type=pa.bool_()),
+        }
+    )
+
+
+def _assert_same_cell(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        assert (a == b and math.copysign(1, a) == math.copysign(1, b)) or (
+            math.isnan(a) and math.isnan(b)
+        ), (a, b)
+    else:
+        assert a == b, (a, b)
+
+
+def test_orc_positional_scan_preserves_nan_and_huge_ints(spark, tmp_path):
+    """read_orc_distributed(with_path_pos=True) is Arrow end to end:
+    NaN stays NaN (not null), >2**53 longs stay exact (not float64),
+    nullable int columns keep their nulls AND their integer type."""
+    import pyarrow.orc as orc
+
+    from ic_spark.sources.orc_scan import read_orc_distributed
+
+    tbl = _orc_adversarial_table()
+    f = str(tmp_path / "adv.orc")
+    orc.write_table(tbl, f)
+
+    got = read_orc_distributed(spark, [f], with_path_pos=True)
+    rows = sorted(got.collect(), key=lambda r: r._orc_pos)
+    assert [r._orc_pos for r in rows] == list(range(8))
+    want = tbl.to_pylist()
+    for r, w in zip(rows, want):
+        for name in ("id", "l", "i", "d", "s", "b"):
+            _assert_same_cell(getattr(r, name), w[name])
+    # type pin: the long column came back as Python int, not float
+    assert rows[0].l == 2**53 + 1 and isinstance(rows[0].l, int)
+
+
+def test_mor_over_orc_preserves_nan_and_huge_ints(spark, tmp_path):
+    """Full MoR position-delete read over an ORC data file carrying
+    the corrupting value classes: the surviving rows' values are
+    bit-exact, positions correct."""
+    import pyarrow.orc as orc
+
+    from ic_spark.compaction.deletes import read_table, write_position_deletes
+    from ic_spark.compaction.manifest import ManifestTable
+
+    tbl = _orc_adversarial_table()
+    f = str(tmp_path / "data.orc")
+    orc.write_table(tbl, f)
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append_snapshot(
+        [
+            {
+                "path": f,
+                "sequence_number": 1,
+                "content": "DATA",
+                "file_format": "orc",
+                "file_size_in_bytes": os.path.getsize(f),
+            }
+        ]
+    )
+    write_position_deletes(spark, t, F.col("id").isin(5, 6, 7))
+    rows = {r.id: r for r in read_table(spark, t).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    want = {w["id"]: w for w in tbl.to_pylist() if w["id"] < 5}
+    for i, w in want.items():
+        for name in ("l", "i", "d", "s", "b"):
+            _assert_same_cell(getattr(rows[i], name), w[name])
+
+
+_ORC_FUZZ_FIELDS = {
+    "l": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+    "i": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+    "d": st.one_of(st.none(), st.floats(width=64)),  # NaN/inf allowed
+    "s": st.one_of(st.none(), st.text(max_size=20)),
+}
+
+
+@settings(
+    max_examples=10,
+    suppress_health_check=[HealthCheck.too_slow],
+    deadline=None,
+)
+@given(rows=st.lists(st.fixed_dictionaries(_ORC_FUZZ_FIELDS), min_size=1, max_size=25))
+def test_orc_positional_scan_fuzz(spark, tmp_path_factory, rows):
+    """Property round-trip through the REAL Spark mapInArrow path (not
+    a codec shortcut — the bridge itself is what corrupted values
+    before): arbitrary nullable ints/longs/doubles-with-NaN/strings in,
+    identical values and dense positions out."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from ic_spark.sources.orc_scan import read_orc_distributed
+
+    tbl = pa.table(
+        {
+            "l": pa.array([r["l"] for r in rows], type=pa.int64()),
+            "i": pa.array([r["i"] for r in rows], type=pa.int32()),
+            "d": pa.array([r["d"] for r in rows], type=pa.float64()),
+            "s": pa.array([r["s"] for r in rows], type=pa.string()),
+        }
+    )
+    f = str(tmp_path_factory.mktemp("ofz") / "f.orc")
+    orc.write_table(tbl, f)
+    got = sorted(
+        read_orc_distributed(spark, [f], with_path_pos=True).collect(),
+        key=lambda r: r._orc_pos,
+    )
+    assert [r._orc_pos for r in got] == list(range(len(rows)))
+    for r, w in zip(got, rows):
+        for name in ("l", "i", "d", "s"):
+            a, b = getattr(r, name), w[name]
+            if a is None or b is None:
+                assert a is None and b is None, (name, a, b)
+            else:
+                _assert_same_cell(a, b)
