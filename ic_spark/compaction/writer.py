@@ -153,13 +153,25 @@ def _spark_to_avro_schema(schema) -> dict:
     return {"type": "record", "name": "datafile", "fields": fields}
 
 
+# Exactly Hive/Spark escapePathName's character set
+# (ExternalCatalogUtils: control chars \x01-\x1F and \x7F, plus the
+# listed specials).  Space, '+', and non-ASCII stay RAW — so the
+# avro/orc fanout spells partition directories byte-identically to
+# what Spark's own parquet partitionBy writes for the same values.
+_HIVE_ESCAPE = set(range(0x01, 0x20)) | {0x7F} | {
+    ord(c) for c in '"#%\'*/:=?\\{[]^'
+}
+
+
 def _hive_segment(name: str, value) -> str:
     """One ``col=value`` path segment, Spark/Hive escaping rules."""
-    from urllib.parse import quote
-
     if value is None:
         return f"{name}=__HIVE_DEFAULT_PARTITION__"
-    return f"{name}={quote(str(value), safe='')}"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ord(ch) in _HIVE_ESCAPE else ch
+        for ch in str(value)
+    )
+    return f"{name}={escaped}"
 
 
 def _partition_groups(table, names: list[str]):
@@ -204,6 +216,13 @@ def _partition_groups(table, names: list[str]):
         yield {c: sub.column(c)[0].as_py() for c in names}, sub
 
 
+# Flush-unit memory bound for the executor-side Avro/ORC writer when
+# max_records_per_file is unbounded: roll a new file once this much
+# Arrow buffer has accumulated.  ~128 MiB in-memory Arrow lands near
+# the parquet path's target file size after columnar compression.
+_FLUSH_BYTES = 128 << 20
+
+
 def _write_data_files_python(
     df,
     dir_path: str,
@@ -219,7 +238,8 @@ def _write_data_files_python(
     batches — no pandas bridge, so nullable ints stay ints, double NaN
     stays a value distinct from null, and ORC files carry the exact
     declared types — flushes a file every ``max_records_per_file`` rows
-    (or one file per partition when unbounded), computes per-column
+    (when unbounded, rolls a file per ``_FLUSH_BYTES`` of Arrow buffer
+    so a task never holds its whole partition), computes per-column
     null_count/min/max stats VECTORIZED from the same batches it
     writes — write-time stats, zero extra jobs, exactly the guarantee
     the parquet path gets from its footers — and emits one small
@@ -239,6 +259,10 @@ def _write_data_files_python(
     import uuid as _uuid
 
     from pyspark.sql.types import StructType
+
+    # Bound at call time on the driver so the closure ships the value
+    # (tests shrink it to force multi-file rolls deterministically).
+    flush_bytes = _FLUSH_BYTES
 
     if fmt == "avro" and compression not in (None, "none", "deflate"):
         # Explicit gate, not a silent fallback: the repo's container
@@ -293,6 +317,7 @@ def _write_data_files_python(
         pid = TaskContext.get().partitionId()
         pend: list[pa.RecordBatch] = []
         pend_rows = 0
+        pend_bytes = 0
 
         def write_one(table, pvals):
             """Write one data file (one partition group of one flush
@@ -348,10 +373,15 @@ def _write_data_files_python(
                         enc = enc.set_column(
                             i, f.name, pa.array(vals, type=pa.binary())
                         )
+                # Stream one container block per ~8k-row chunk: peak
+                # Python-object memory is one block, not the file.
                 write_container(
                     path,
                     avro_schema,
-                    enc.to_pylist(),
+                    (
+                        b.to_pylist()
+                        for b in enc.to_batches(max_chunksize=8192)
+                    ),
                     codec="deflate" if compression != "none" else "null",
                 )
             else:  # orc
@@ -405,11 +435,11 @@ def _write_data_files_python(
             return (path, table.num_rows, os.path.getsize(path), _json.dumps(stats))
 
         def flush():
-            nonlocal pend, pend_rows
+            nonlocal pend, pend_rows, pend_bytes
             if not pend_rows:
                 return None
             table = pa.Table.from_batches(pend)
-            pend, pend_rows = [], 0
+            pend, pend_rows, pend_bytes = [], 0, 0
             if partition_names:
                 rows = [write_one(sub, pvals)
                         for pvals, sub in _partition_groups(table, partition_names)]
@@ -444,6 +474,16 @@ def _write_data_files_python(
             else:
                 pend.append(batch)
                 pend_rows += len(batch)
+                pend_bytes += batch.nbytes
+                # Unbounded max_records still must not buffer a whole
+                # task partition: roll the file at ~FLUSH_BYTES of
+                # Arrow buffer (multiple files per task is exactly the
+                # parquet posture at scale; stats/metadata stay
+                # per-file correct either way).
+                if pend_bytes >= flush_bytes:
+                    out = flush()
+                    if out is not None:
+                        yield out
         out = flush()
         if out is not None:
             yield out

@@ -27,7 +27,7 @@ import json
 import os
 import struct
 import zlib
-from typing import Any
+from typing import Any, Iterable
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
@@ -236,16 +236,21 @@ def _decode(schema: Any, buf: bytes, pos: int, named: dict[str, Any]) -> tuple[A
 def write_container(
     path: str,
     schema: dict,
-    records: list[dict],
+    records: "list[dict] | Iterable[list[dict]]",
     metadata: dict[str, str] | None = None,
     codec: str = "deflate",
     sync_marker: bytes | None = None,
 ) -> None:
-    """Write an Avro object-container file (header + one data block).
+    """Write an Avro object-container file.
 
-    Iceberg manifests are single-block files in practice (metadata
-    scale); a deterministic ``sync_marker`` may be passed for
-    reproducible bytes.
+    ``records`` as a plain list writes a single data block (Iceberg
+    manifests are single-block files in practice; a deterministic
+    ``sync_marker`` may be passed for reproducible bytes).  ``records``
+    as any other iterable is treated as a stream of record CHUNKS —
+    one container block per non-empty chunk, each encoded, compressed
+    and written to disk before the next is pulled, so peak memory is
+    one block, not the whole file (the data-file writer's flush units
+    can be arbitrarily large).
     """
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
@@ -254,35 +259,40 @@ def write_container(
         raise ValueError("sync marker must be 16 bytes")
     named: dict[str, Any] = {}
 
-    body = bytearray()
-    for rec in records:
-        _encode(schema, rec, body, named)
-    payload = bytes(body)
-    if codec == "deflate":
-        payload = zlib.compress(payload)[2:-4]  # raw RFC-1951 stream
-
     meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     for k, v in (metadata or {}).items():
         meta[k] = v
 
-    out = bytearray()
-    out += MAGIC
+    head = bytearray()
+    head += MAGIC
     _encode(
         {"type": "map", "values": "bytes"},
         {k: v.encode("utf-8") if isinstance(v, str) else v for k, v in meta.items()},
-        out,
+        head,
         named,
     )
-    out += sync
-    if records:
-        out += _zigzag_encode(len(records))
-        out += _zigzag_encode(len(payload))
-        out += payload
-        out += sync
+    head += sync
+
+    chunks = [records] if isinstance(records, list) else records
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as f:
-        f.write(bytes(out))
+        f.write(bytes(head))
+        for chunk in chunks:
+            if not chunk:
+                continue
+            body = bytearray()
+            for rec in chunk:
+                _encode(schema, rec, body, named)
+            payload = bytes(body)
+            if codec == "deflate":
+                payload = zlib.compress(payload)[2:-4]  # raw RFC-1951
+            block = bytearray()
+            block += _zigzag_encode(len(chunk))
+            block += _zigzag_encode(len(payload))
+            block += payload
+            block += sync
+            f.write(bytes(block))
     os.replace(tmp, path)
 
 

@@ -557,3 +557,30 @@ def test_scan_path_variants_match_real_spark_spelling(spark, tmp_path):
         spark.read.format("binaryFile").load(pq).select("path").first()[0]
     )
     assert bin_spelling in variants, (bin_spelling, sorted(variants))
+
+
+def test_hive_segment_matches_spark_partitionby_spelling(spark, tmp_path):
+    """_hive_segment must spell partition directories byte-identically
+    to Spark's own escapePathName (parquet partitionBy): space, '+',
+    and non-ASCII stay RAW; the Hive special set percent-encodes.
+    Ground truth = the directory names Spark actually writes."""
+    from ic_spark.compaction.writer import _hive_segment
+
+    vals = [
+        "a b", "a+b", "x:y", "a=b", "a/b", "100%", "café latte",
+        "q\"r", "h#i", "j'k", "m*n", "o?p", "s\\t", "u^v",
+        "tab\there", "~!@&(),;",
+        # Hive's asymmetry, probe-verified: '{' '[' ']' escape, '}'
+        # does not.
+        "a{b", "a}b", "a[b", "a]b",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, pv string"
+    )
+    out = str(tmp_path / "gt")
+    df.write.partitionBy("pv").parquet(out)
+    spark_dirs = {n for n in os.listdir(out) if n.startswith("pv=")}
+    ours = {_hive_segment("pv", v) for v in vals}
+    assert ours == spark_dirs, (
+        sorted(ours - spark_dirs), sorted(spark_dirs - ours)
+    )

@@ -282,3 +282,84 @@ def test_no_empty_files_and_null_stats(spark, tmp_path):
         ).collect())
     )
     assert back == sorted(map(tuple, df.collect()))
+
+
+def test_avro_container_multiblock_stream_roundtrip(tmp_path):
+    """write_container with an iterator of record chunks streams one
+    container block per chunk (peak memory = one block); both readers
+    already loop blocks, so the records come back whole and in order."""
+    from ic_spark.sources.avro_io import read_container, write_container
+    from ic_spark.sources.avro_scan import decode_container_bytes
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [{"a": i, "s": f"v{i}"} for i in range(250)]
+    rows[7]["a"] = None
+    chunks = [rows[i : i + 64] for i in range(0, len(rows), 64)]
+    p = str(tmp_path / "mb.avro")
+    write_container(p, schema, iter(chunks), codec="deflate")
+    _, _, back = read_container(p)
+    assert back == rows
+    # executor-side decoder (binaryFile scan path) agrees
+    with open(p, "rb") as f:
+        _, recs = decode_container_bytes(f.read(), p)
+    assert recs == rows
+
+
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_unbounded_write_rolls_at_flush_bytes(spark, tmp_path, fmt, monkeypatch):
+    """With max_records_per_file=0 the writer must not buffer a whole
+    task partition: it rolls a new file per _FLUSH_BYTES of Arrow
+    buffer. Shrink the cap -> multiple files per partition, identical
+    data, per-file stats still exact."""
+    import ic_spark.compaction.writer as W
+
+    monkeypatch.setattr(W, "_FLUSH_BYTES", 4096)
+    df, tasks = _source_tasks(spark, tmp_path, n=2000)
+    # The roll point sits between incoming Arrow batches — shrink them
+    # so one task partition spans several batches.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        resp = rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=df.schema,
+                data_files=tasks,
+                dir_path=str(tmp_path / ("roll_" + fmt)),
+                target_partitions=2,
+                max_records_per_file=0,
+                data_file_format=fmt,
+            ),
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    assert len(resp.data_files) > 2, "cap never triggered a roll"
+    assert sum(f.record_count for f in resp.data_files) == 2000
+    for f in resp.data_files:
+        st = f.column_stats["id"]
+        assert st["null_count"] == 0 and st["min"] <= st["max"]
+    if fmt == "avro":
+        from ic_spark.sources.avro_scan import read_avro_distributed
+
+        back = read_avro_distributed(
+            spark, [f.file_path for f in resp.data_files]
+        )
+    else:
+        back = spark.read.format("orc").load(
+            [f.file_path for f in resp.data_files]
+        )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
