@@ -192,6 +192,58 @@ def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
 # -------------------------------------------------------- avro schemas
 
 
+# Identity-partition source types whose internal representation cannot
+# be fed to the planner's CAST-based fill: str(bytes) casts to WRONG
+# bytes, and Spark has no TIME column type.  Skipped explicitly — a
+# null partition column beats a silently wrong one.
+_FILL_UNCONVERTIBLE = ("binary", "uuid", "time")
+
+
+def fill_partition_values(
+    partition: dict | None,
+    spec_fields: list[dict] | None,
+    id_to_ice: dict[int, Any],
+) -> dict | None:
+    """Convert Iceberg INTERNAL partition representations into strings
+    the planner's partition fill (``attach_partition_values``:
+    ``coalesce(page, CAST(str(value)))``) resolves to the right typed
+    values.
+
+    Per the spec's "Partition struct" encoding, identity partitions
+    over DATE store int days-from-epoch and TIMESTAMP(TZ) store long
+    micros-from-epoch — ``str()`` of those casts to null and the fill
+    silently no-ops.  Values that are already strings (this repo's own
+    hive-dir writer) pass through untouched; binary/fixed/uuid/time
+    identity values are dropped from the fill map (see
+    ``_FILL_UNCONVERTIBLE``)."""
+    import datetime as _dt
+
+    if not partition:
+        return partition or None
+    by_name = {pf["name"]: pf for pf in (spec_fields or [])}
+    out: dict = {}
+    for k, v in partition.items():
+        pf = by_name.get(k)
+        if pf is None or pf.get("transform") != "identity":
+            out[k] = v
+            continue
+        ice_t = id_to_ice.get(pf.get("source-id"))
+        t = ice_t if isinstance(ice_t, str) else ""
+        if t in _FILL_UNCONVERTIBLE or t.startswith("fixed"):
+            continue
+        if t == "date" and isinstance(v, int):
+            v = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+        elif t in ("timestamp", "timestamptz") and isinstance(v, int):
+            ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            v = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+            if t == "timestamptz":
+                # spec: micros stored in UTC; the explicit offset keeps
+                # the cast exact under any Spark session timezone.
+                v += "+00:00"
+        out[k] = v
+    return out or None
+
+
 def _f(fid: int, name: str, typ: Any, **kw) -> dict:
     d = {"name": name, "type": typ, "field-id": fid}
     d.update(kw)
@@ -572,7 +624,21 @@ class IcebergTable:
         for pf_name, pf_val in raw.items():
             t = avro_types.get(pf_name)
             try:
-                if t in ("int", "long"):
+                if isinstance(t, dict) and t.get("logicalType") == "date":
+                    # spec Partition struct: date = int days from epoch.
+                    # Writers feed hive-dir ISO strings or date objects.
+                    import datetime as _dt
+
+                    if isinstance(pf_val, _dt.date):
+                        pf_val = (pf_val - _dt.date(1970, 1, 1)).days
+                    elif isinstance(pf_val, str):
+                        pf_val = (
+                            _dt.date.fromisoformat(pf_val)
+                            - _dt.date(1970, 1, 1)
+                        ).days
+                    else:
+                        pf_val = int(pf_val)
+                elif t in ("int", "long"):
                     pf_val = int(pf_val)
                 elif t in ("float", "double"):
                     pf_val = float(pf_val)
@@ -1077,6 +1143,10 @@ class IcebergTable:
         id_to_type = {
             f["id"]: iceberg_to_spark_type(f["type"]) for f in schema["fields"]
         }
+        id_to_ice = {f["id"]: f["type"] for f in schema["fields"]}
+        raw_spec_fields = {
+            p["spec-id"]: p["fields"] for p in meta["partition-specs"]
+        }
         specs_by_id: dict[str, list[dict]] = {}
         if data_filter:
             for p in meta["partition-specs"]:
@@ -1114,7 +1184,11 @@ class IcebergTable:
                 file_format=(df.get("file_format") or "PARQUET").lower(),
                 write_schema_id=resolve_write_schema_id(boundaries, seq),
                 first_row_id=df.get("first_row_id"),
-                partition_values=df.get("partition") or None,
+                partition_values=fill_partition_values(
+                    df.get("partition"),
+                    raw_spec_fields.get(spec_id),
+                    id_to_ice,
+                ),
             )
             if task.content is FileContent.DATA:
                 if data_filter:
@@ -1177,6 +1251,21 @@ class IcebergTable:
             for e, s in self._live_entries(to)
         }
         removed = old - set(new_entries)
+        meta = self.metadata()
+        cur_schema = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        id_to_ice = {f["id"]: f["type"] for f in cur_schema["fields"]}
+        default_spec_fields = next(
+            (
+                p["fields"]
+                for p in meta["partition-specs"]
+                if p["spec-id"] == meta["default-spec-id"]
+            ),
+            None,
+        )
         if removed:
             raise ValueError(
                 f"snapshots {from_snapshot_id}..{to['snapshot-id']} rewrite "
@@ -1202,7 +1291,11 @@ class IcebergTable:
                     e["data_file"].get("file_format") or "PARQUET"
                 ).lower(),
                 first_row_id=e["data_file"].get("first_row_id"),
-                partition_values=e["data_file"].get("partition") or None,
+                partition_values=fill_partition_values(
+                    e["data_file"].get("partition"),
+                    default_spec_fields,
+                    id_to_ice,
+                ),
             )
             for e, s in added
         ]

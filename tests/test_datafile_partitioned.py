@@ -584,3 +584,121 @@ def test_hive_segment_matches_spark_partitionby_spelling(spark, tmp_path):
     assert ours == spark_dirs, (
         sorted(ours - spark_dirs), sorted(spark_dirs - ours)
     )
+
+
+def test_fill_converts_iceberg_internal_partition_reps():
+    """Spec 'Partition struct' internal values — date int days-from-
+    epoch, timestamp(tz) long micros — convert to strings the CAST
+    fill resolves exactly; binary identity values are skipped (str of
+    bytes would cast to WRONG bytes); plain strings pass through."""
+    from ic_spark.compaction.iceberg_meta import fill_partition_values
+
+    spec = [
+        {"name": "d", "transform": "identity", "source-id": 1},
+        {"name": "ts", "transform": "identity", "source-id": 2},
+        {"name": "tstz", "transform": "identity", "source-id": 3},
+        {"name": "b", "transform": "identity", "source-id": 4},
+        {"name": "s", "transform": "identity", "source-id": 5},
+        {"name": "d_day", "transform": "day", "source-id": 1},
+    ]
+    ice = {1: "date", 2: "timestamp", 3: "timestamptz", 4: "binary", 5: "string"}
+    got = fill_partition_values(
+        {
+            "d": 19723,                      # 2024-01-01
+            "ts": 1704067200123456,          # 2024-01-01T00:00:00.123456
+            "tstz": 1704067200123456,
+            "b": b"\x00\x01",
+            "s": "café",
+            "d_day": 19723,                  # non-identity: untouched
+            "n": None,
+        },
+        spec,
+        ice,
+    )
+    assert got == {
+        "d": "2024-01-01",
+        "ts": "2024-01-01 00:00:00.123456",
+        "tstz": "2024-01-01 00:00:00.123456+00:00",
+        "s": "café",
+        "d_day": 19723,
+        "n": None,
+    }
+    # already-string values (this repo's hive-dir writer) pass through
+    assert fill_partition_values({"d": "2024-01-01"}, spec, ice) == {
+        "d": "2024-01-01"
+    }
+    assert fill_partition_values(None, spec, ice) is None
+
+
+def test_iceberg_date_identity_partition_fill_reads_real_dates(spark, tmp_path):
+    """A REAL-Iceberg-written table names identity partition fields
+    after their source column and stores DATE values as epoch-days
+    ints in the typed Avro partition struct (spec 'Partition struct'),
+    with the column absent from the data pages.  read_table must
+    surface real dates — before the conversion the
+    CAST('19723' AS DATE) fill yielded null for every row.  This
+    repo's own DDL forbids name==source, so the external spec is
+    injected straight into the metadata, exactly what opening a
+    foreign table looks like."""
+    import datetime as dt
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.sources.avro_io import read_container
+
+    full_rows = [
+        (i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 3)) for i in range(30)
+    ]
+    df = spark.createDataFrame(full_rows, "id int, d date")
+    tbl = IcebergTable.create(str(tmp_path / "it"), df.schema)
+
+    meta = tbl.metadata()
+    d_id = next(f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "d")
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = list(meta["partition-specs"]) + [
+        {
+            "spec-id": 1,
+            "fields": [
+                {"name": "d", "transform": "identity",
+                 "source-id": d_id, "field-id": 1000}
+            ],
+        }
+    ]
+    new_meta["default-spec-id"] = 1
+    new_meta["last-partition-id"] = 1000
+    tbl._commit_metadata(new_meta, expected_version=tbl.version())
+
+    # hive layout: one file per date value, pages WITHOUT the d column
+    for day, days_int in ((1, 19723), (2, 19724), (3, 19725)):
+        part_dir = str(tmp_path / f"d=2024-01-0{day}")
+        sub = df.where(F.col("d") == dt.date(2024, 1, day)).select("id")
+        sub.coalesce(1).write.parquet(part_dir)
+        p = next(
+            os.path.join(part_dir, n)
+            for n in os.listdir(part_dir)
+            if n.endswith(".parquet")
+        )
+        tbl.append_snapshot(
+            [{"path": p, "content": "DATA", "record_count": 10,
+              "file_size_in_bytes": os.path.getsize(p),
+              "partition_values": {"d": days_int}}]
+        )
+
+    # manifests carry the SPEC-internal representation: int epoch-days
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    pvals = set()
+    for mf in manifests:
+        _, _, entries = read_container(mf["manifest_path"])
+        pvals.update(e["data_file"]["partition"]["d"] for e in entries)
+    assert pvals == {19723, 19724, 19725}, pvals
+
+    out = sorted(
+        [tuple(r) for r in read_table(spark, tbl, schema=df.schema).collect()]
+    )
+    assert out == sorted(full_rows)
+    # scan_tasks hands the fill CONVERTED values
+    data, _, _ = tbl.scan_tasks()
+    assert {t.partition_values["d"] for t in data} == {
+        "2024-01-01", "2024-01-02", "2024-01-03"
+    }
