@@ -385,9 +385,12 @@ def ivfpq_index_append_sink(
     (``b<batch_id>-<n>.parquet`` per cell): a replayed batch re-encodes
     the same rows and ``os.replace`` lands on the same names, so
     foreachBatch's at-least-once becomes exactly-once without a ledger.
-    (Caveat shared with Spark's own manifest-less file sinks: a replay
-    under a DIFFERENT shuffle width could leave extra stale files; keep
-    the checkpoint and conf together.)
+    Before publishing, every existing ``b<batch_id>-*.parquet`` across
+    ALL cell directories is removed, so a replay under a different
+    shuffle width (fewer files per cell, or cells absent from the
+    replay) cannot leave stale files serving duplicate neighbor rows.
+    Crash-safe: the delete only runs while the batch is uncommitted in
+    the checkpoint, i.e. the engine is guaranteed to replay it.
     """
     import json
 
@@ -408,6 +411,18 @@ def ivfpq_index_append_sink(
         stage = os.path.join(dir_path, f"_stage-batch-{batch_id:08d}")
         cb.write.mode("overwrite").partitionBy("__cell").parquet(stage)
         codes = os.path.join(dir_path, "codes")
+        # Replay idempotence regardless of parallelism: clear this
+        # batch's files everywhere first (a replay may produce fewer
+        # files per cell, or skip cells the original wrote).
+        prefix = f"b{batch_id:08d}-"
+        if os.path.isdir(codes):
+            for cell in os.listdir(codes):
+                cdir = os.path.join(codes, cell)
+                if not cell.startswith("__cell=") or not os.path.isdir(cdir):
+                    continue
+                for f in os.listdir(cdir):
+                    if f.startswith(prefix) and f.endswith(".parquet"):
+                        os.remove(os.path.join(cdir, f))
         published = 0
         for cell in sorted(os.listdir(stage)):
             if not cell.startswith("__cell="):

@@ -758,3 +758,24 @@ def test_ivfpq_index_streaming_append_sink(spark, tmp_path):
         for r in ivf_pq_index_top_k(spark, idx, queries, k=10, nprobe=3).collect()
     )
     assert replay == served
+
+    # replay under a DIFFERENT shuffle width: a wide write of batch 1
+    # lands more files per cell than a narrow replay produces — stale
+    # b00000001-<i>.parquet leftovers would serve DUPLICATE (or
+    # retracted) neighbor rows.  The sink clears the batch's files
+    # across every cell before publishing.
+    import glob
+
+    b1 = e.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    sink(b1.repartition(6), 1)
+    files_wide = set(glob.glob(os.path.join(idx, "codes", "*", "b00000001-*")))
+    sink(b1.where(F.col("vec_id") >= 60).coalesce(1), 1)
+    files_narrow = set(glob.glob(os.path.join(idx, "codes", "*", "b00000001-*")))
+    assert len(files_narrow) < len(files_wide), (
+        len(files_wide), len(files_narrow)
+    )
+    codes_df = spark.read.parquet(os.path.join(idx, "codes"))
+    ids = sorted(r.neighbor_id for r in codes_df.select("neighbor_id").collect())
+    assert len(ids) == len(set(ids)), "stale replay files serve duplicates"
+    # rows 50-59 existed only in the wide write of batch 1 — gone
+    assert not any(50 <= i < 60 for i in ids)
