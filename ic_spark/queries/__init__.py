@@ -87,7 +87,14 @@ _PRIORITY = [
     "text_token_stats",
     "text_quality_langid",
     "sim_bruteforce_topk",
-    "sim_ivf_topk",
+    # Persisted IVF-PQ index serve (build_ivf_pq_index +
+    # ivf_pq_index_top_k with dynamic partition pruning) — the r8
+    # flagship's driver-checked row (VERDICT r8 #4).  Slot freed by
+    # demoting sim_ivf_topk: IVF cell-probing is attested in-window by
+    # this strict superset (same coarse quantizer + ADC + the persisted
+    # codes table), brute-force by sim_bruteforce_topk; sim_ivf_topk
+    # stays headline-benchmarked with its oracle sweep in pytest.
+    "sim_ivfpq_indexed_topk",
     # Partitioned-read fill: identity partition columns re-attached
     # from manifest values BEFORE delete application — the r8
     # correctness fix's driver-checked row.  Slot freed by demoting

@@ -52,7 +52,11 @@ def test_driver_window_contains_flagship_queries():
         "dedup_simhash_portable",
         "dedup_embedding_cosine",
         "sim_bruteforce_topk",
-        "sim_ivf_topk",
+        # sim_ivf_topk demoted r9: IVF probing is attested in-window by
+        # its strict superset sim_ivfpq_indexed_topk (VERDICT r8 #4 —
+        # the persisted-index serve path's driver row); its oracle
+        # stays in pytest and it stays headline-benchmarked.
+        "sim_ivfpq_indexed_topk",
         # sim_lsh_topk demoted r8 (ANN top-k attested in-window by
         # sim_bruteforce_topk/sim_ivf_topk); the slot holds the
         # partitioned-read fill correctness row.
@@ -65,6 +69,12 @@ def test_driver_window_contains_flagship_queries():
     ):
         assert name in window, f"{name} fell outside the driver's 50-query window"
     # Every window row must carry an oracle — the whole point of r3's
-    # window rebuild is a 50/50 hash-checked CORRECTNESS file.
+    # window rebuild is a 50/50 hash-checked CORRECTNESS file.  One
+    # directed exception (VERDICT r8 #4): the persisted-index ANN serve
+    # is genuinely non-SQL-expressible (trained coarse + PQ quantizers),
+    # so its driver row is rows-only; its value equality with the
+    # in-memory path is pinned in tests/test_operators.py.
     no_oracle = [n for n in window if not REGISTRY[n].oracle]
-    assert no_oracle == [], f"window rows without an oracle: {no_oracle}"
+    assert no_oracle == ["sim_ivfpq_indexed_topk"], (
+        f"window rows without an oracle: {no_oracle}"
+    )
