@@ -283,12 +283,16 @@ def _write_data_files_python(
     }
     col_names = [f.name for f in data_fields]
     # overwrite semantics, same as the parquet path's mode("overwrite"):
-    # stale files must not survive into the listing-independent metadata
-    if os.path.isdir(dir_path):
-        import shutil
+    # stale files must not survive into the listing-independent
+    # metadata.  Routed through the Hadoop FS layer (fileio seam), so
+    # the cleanup itself is valid against any configured store; the
+    # Python codec writers below resolve to a local filesystem path
+    # (file: URIs accepted, other schemes explicitly gated).
+    from ic_spark.sources.fileio import local_write_path, overwrite_dir
 
-        shutil.rmtree(dir_path)
-    os.makedirs(dir_path, exist_ok=True)
+    local_dir = local_write_path(dir_path)  # scheme gate BEFORE any IO
+    overwrite_dir(df.sparkSession, dir_path)
+    dir_path = local_dir
 
     def _stat_safe(v):
         import numpy as np

@@ -52,3 +52,42 @@ def apply_file_io(
         hconf.set(hkey, value)
         applied[hkey] = value
     return applied
+
+
+def overwrite_dir(spark: SparkSession, path: str) -> None:
+    """Recreate ``path`` empty through the Hadoop filesystem layer —
+    the same listing-independent overwrite posture Spark's own
+    ``mode("overwrite")`` gives the parquet writer, valid for any
+    configured Hadoop FS (``file:``, ``s3a:``, ``gs:``, ...), not just
+    the local filesystem.  This is the one seam non-parquet data-file
+    writes touch the filesystem from the driver."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+    fs.mkdirs(p)
+
+
+def local_write_path(path: str) -> str:
+    """Executor-side path resolution for the Python codec writers
+    (Avro container / pyarrow ORC), which write through ``open()``:
+    ``file:`` URIs map to their filesystem path; any other scheme is an
+    explicit gate — those writers would need a pyarrow.fs output stream
+    (documented operating limit), and a silent local write to a path
+    named ``s3a://...`` would be data loss."""
+    import re
+
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(path)
+        return unquote(parsed.path)
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise NotImplementedError(
+            f"avro/orc data-file writes support local and file: paths; "
+            f"got scheme {path.split('://', 1)[0]!r} (the parquet path "
+            "writes through Hadoop FS and supports any configured store)"
+        )
+    return path

@@ -363,3 +363,43 @@ def test_unbounded_write_rolls_at_flush_bytes(spark, tmp_path, fmt, monkeypatch)
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+@pytest.mark.parametrize("fmt", ["avro", "orc"])
+def test_write_to_file_uri_and_scheme_gate(spark, tmp_path, fmt):
+    """Overwrite cleanup runs through the Hadoop FS layer and the codec
+    writers accept ``file:`` URIs (resolved to the filesystem path);
+    a genuinely remote scheme is an explicit gate, not a silent local
+    write to a directory literally named 's3a:...'."""
+    df, tasks = _source_tasks(spark, tmp_path)
+    out = tmp_path / ("uri_" + fmt)
+    # pre-seed a stale file: the Hadoop-FS overwrite must remove it
+    os.makedirs(out, exist_ok=True)
+    stale = out / f"stale.{fmt}"
+    stale.write_bytes(b"junk")
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=df.schema,
+            data_files=tasks,
+            dir_path=f"file://{out}",
+            target_partitions=2,
+            data_file_format=fmt,
+        ),
+    )
+    assert not stale.exists(), "overwrite left stale files"
+    assert sum(f.record_count for f in resp.data_files) == 100
+    for f in resp.data_files:
+        assert os.path.isfile(f.file_path)
+
+    with pytest.raises(NotImplementedError, match="scheme 's3a'"):
+        rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=df.schema,
+                data_files=tasks,
+                dir_path="s3a://bucket/prefix",
+                target_partitions=1,
+                data_file_format=fmt,
+            ),
+        )
