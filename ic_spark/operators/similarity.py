@@ -1353,12 +1353,23 @@ def build_ivf_pq_index(
         "ksub": ksub,
         "residual": residual,
         "id_col": id_col,
+        "codes_dir": "codes",
     }
+    _write_index_meta(dir_path, meta)
+    return meta
+
+
+def _write_index_meta(dir_path: str, meta: dict) -> None:
+    """Atomic index.json publish (temp + rename): readers see either
+    the old or the new generation, never a torn file."""
+    import json
+    import os
+    import tempfile
+
     fd, tmp = tempfile.mkstemp(dir=dir_path, suffix=".idx.tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(dir_path, "index.json"))
-    return meta
 
 
 def ivf_pq_index_top_k(
@@ -1389,7 +1400,9 @@ def ivf_pq_index_top_k(
         meta = json.load(f)
     cents = meta["centroids"]
     books = meta["codebooks"]
-    codes = spark.read.parquet(os.path.join(dir_path, "codes"))
+    codes = spark.read.parquet(
+        os.path.join(dir_path, meta.get("codes_dir", "codes"))
+    )
     q = _ivfpq_query_side(
         queries,
         cents,
@@ -1439,5 +1452,48 @@ def ivf_pq_index_append(
         use_arrow,
     )
     cb.write.mode("append").partitionBy("__cell").parquet(
-        os.path.join(dir_path, "codes")
+        os.path.join(dir_path, meta.get("codes_dir", "codes"))
     )
+
+
+def compact_ivf_pq_index(
+    spark, dir_path: str, keep_old: bool = False
+) -> dict:
+    """Binpack the persisted index's codes table into one file per
+    coarse cell — the maintenance pass ingest-heavy indexes need:
+    :func:`ivf_pq_index_append` and the streaming append sink only
+    ever ADD files under each ``__cell=`` directory, so at streaming
+    rates the serve-side scan decays into the classic small-files
+    problem (per-file open cost dominates the pruned read).
+
+    One shuffle on the partition column co-locates each cell in
+    exactly one task, so the rewrite emits one file per cell.  The
+    compacted generation lands in a NEW directory (``codes-v<n>``)
+    and ``index.json`` flips to it atomically — a concurrent
+    :func:`ivf_pq_index_top_k` reads either the old or the new
+    generation in full, never a half-compacted directory.  Layout and
+    partition column are unchanged, so dynamic partition pruning keeps
+    holding (plan-pinned in tests).  The superseded generation is
+    removed after the flip unless ``keep_old``.  Returns the updated
+    meta."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(dir_path, "index.json")) as f:
+        meta = json.load(f)
+    cur = meta.get("codes_dir", "codes")
+    gen = int(cur.rsplit("-v", 1)[1]) if "-v" in cur else 1
+    new = f"codes-v{gen + 1}"
+    codes = spark.read.parquet(os.path.join(dir_path, cur))
+    codes.repartition(F.col("__cell")).write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(os.path.join(dir_path, new))
+    meta["codes_dir"] = new
+    _write_index_meta(dir_path, meta)
+    if not keep_old:
+        import shutil
+
+        shutil.rmtree(os.path.join(dir_path, cur), ignore_errors=True)
+    return meta

@@ -410,7 +410,7 @@ def ivfpq_index_append_sink(
         )
         stage = os.path.join(dir_path, f"_stage-batch-{batch_id:08d}")
         cb.write.mode("overwrite").partitionBy("__cell").parquet(stage)
-        codes = os.path.join(dir_path, "codes")
+        codes = os.path.join(dir_path, meta.get("codes_dir", "codes"))
         # Replay idempotence regardless of parallelism: clear this
         # batch's files everywhere first (a replay may produce fewer
         # files per cell, or skip cells the original wrote).

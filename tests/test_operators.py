@@ -3001,3 +3001,68 @@ def test_ivfpq_index_append_equals_frozen_union(spark, tmp_path):
     assert served == want
     # appended vectors are actually retrievable
     assert any(r[1] < 100 for r in served)
+
+
+def test_ivfpq_index_compaction_preserves_serving_and_dpp(spark, tmp_path):
+    """Small-files maintenance for the persisted index: N appends
+    accumulate files per __cell= directory; compact_ivf_pq_index
+    rewrites one file per cell into a NEW generation with an atomic
+    index.json flip.  Serve results are bit-identical before/after,
+    the file count drops, and the DPP plan pin still holds over the
+    compacted generation."""
+    import glob
+    import json
+    import os
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(e.where(F.col("vec_id") >= 300), idx, nlist=8, m=8, ksub=16)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        ivf_pq_index_append(
+            spark,
+            idx,
+            e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+        )
+    q = e.where(F.col("vec_id") < 5)
+    before = sorted(
+        tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    n_before = len(glob.glob(os.path.join(idx, "codes", "*", "*.parquet")))
+
+    meta = compact_ivf_pq_index(spark, idx)
+    assert meta["codes_dir"] == "codes-v2"
+    with open(os.path.join(idx, "index.json")) as f:
+        assert json.load(f)["codes_dir"] == "codes-v2"
+    assert not os.path.isdir(os.path.join(idx, "codes")), "old generation kept"
+    files = glob.glob(os.path.join(idx, "codes-v2", "*", "*.parquet"))
+    cells = glob.glob(os.path.join(idx, "codes-v2", "__cell=*"))
+    assert len(files) == len(cells), "compaction must emit one file per cell"
+    assert len(files) < n_before, (len(files), n_before)
+
+    after = sorted(
+        tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    assert after == before
+
+    out = ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+    # a further append lands in the NEW generation and keeps serving
+    ivf_pq_index_append(spark, idx, e.where(F.col("vec_id") < 0))
+    again = compact_ivf_pq_index(spark, idx)
+    assert again["codes_dir"] == "codes-v3"
+    final = sorted(
+        tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    assert final == before
