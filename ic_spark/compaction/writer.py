@@ -128,29 +128,127 @@ _SPARK_TO_AVRO = {
 }
 
 
-def _spark_to_avro_schema(schema) -> dict:
-    fields = []
-    for f in schema.fields:
-        ss = f.dataType.simpleString()
-        t = _SPARK_TO_AVRO.get(ss)
-        if t is None and ss.startswith("decimal("):
-            p, s = ss[8:-1].split(",")
-            t = {
-                "type": "bytes",
-                "logicalType": "decimal",
-                "precision": int(p),
-                "scale": int(s),
-            }
-        if t is None:
+def _avro_type(dt, col: str, counter: list, nested: bool = False):
+    """One Spark type → Avro schema fragment, recursing through
+    array/map/struct (the container codec already encodes those — it
+    writes the Iceberg manifests).  Logical types (date/timestamp/
+    decimal) are top-level-only: the writer converts those COLUMNS to
+    their wire integers before encoding, and there is no such
+    conversion point inside nested values — gated with a clear error
+    rather than handing the encoder datetime objects."""
+    import pyspark.sql.types as T
+
+    ss = dt.simpleString()
+    t = _SPARK_TO_AVRO.get(ss)
+    if t is None and ss.startswith("decimal("):
+        p, s = ss[8:-1].split(",")
+        t = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": int(p),
+            "scale": int(s),
+        }
+    if t is not None:
+        if nested and isinstance(t, dict):
             raise ValueError(
-                f"avro data-file write: unsupported type {ss!r} for "
-                f"column {f.name!r} (flat types only; use parquet or "
-                "orc for nested columns)"
+                f"avro data-file write: {ss!r} inside a nested column "
+                f"({col!r}) is not supported (logical-type wire "
+                "conversion is per-column; use parquet or orc)"
             )
-        fields.append(
-            {"name": f.name, "type": ["null", t] if f.nullable else t}
-        )
+        return t
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type(dt.elementType, col, counter, True)
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    if isinstance(dt, T.MapType):
+        if dt.keyType.simpleString() != "string":
+            raise ValueError(
+                f"avro maps require string keys; column {col!r} has "
+                f"{dt.keyType.simpleString()} keys (use parquet or orc)"
+            )
+        val = _avro_type(dt.valueType, col, counter, True)
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
+    if isinstance(dt, T.StructType):
+        counter[0] += 1
+        return {
+            "type": "record",
+            "name": f"r{counter[0]}",  # unique per schema (Avro names)
+            "fields": [
+                {
+                    "name": sf.name,
+                    "type": ["null", _avro_type(sf.dataType, col, counter, True)]
+                    if sf.nullable
+                    else _avro_type(sf.dataType, col, counter, True),
+                }
+                for sf in dt.fields
+            ],
+        }
+    raise ValueError(
+        f"avro data-file write: unsupported type {ss!r} for "
+        f"column {col!r} (use parquet or orc)"
+    )
+
+
+def _spark_to_avro_schema(schema) -> dict:
+    counter = [0]
+    fields = [
+        {
+            "name": f.name,
+            "type": ["null", _avro_type(f.dataType, f.name, counter)]
+            if f.nullable
+            else _avro_type(f.dataType, f.name, counter),
+        }
+        for f in schema.fields
+    ]
     return {"type": "record", "name": "datafile", "fields": fields}
+
+
+def _nested_map_fixer(dt):
+    """Arrow ``to_pylist`` renders map values as LISTS OF (key, value)
+    TUPLES; the Avro encoder takes dicts.  Returns a per-value
+    converter for types containing a map anywhere, else None (no
+    per-row work for map-free schemas)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.MapType):
+        vf = _nested_map_fixer(dt.valueType)
+
+        def fix_map(v):
+            if v is None:
+                return None
+            items = v.items() if isinstance(v, dict) else v
+            return {k: (vf(x) if vf else x) for k, x in items}
+
+        return fix_map
+    if isinstance(dt, T.ArrayType):
+        ef = _nested_map_fixer(dt.elementType)
+        if ef is None:
+            return None
+        return lambda v: None if v is None else [ef(x) for x in v]
+    if isinstance(dt, T.StructType):
+        subs = {
+            sf.name: fx
+            for sf in dt.fields
+            if (fx := _nested_map_fixer(sf.dataType)) is not None
+        }
+        if not subs:
+            return None
+
+        def fix_struct(v):
+            if v is None:
+                return None
+            d = dict(v)
+            for k, fx in subs.items():
+                d[k] = fx(d.get(k))
+            return d
+
+        return fix_struct
+    return None
 
 
 # Exactly Hive/Spark escapePathName's character set
@@ -278,6 +376,15 @@ def _write_data_files_python(
     data_fields = [f for f in df.schema.fields if f.name not in partition_names]
     data_schema = StructType(data_fields)
     avro_schema = _spark_to_avro_schema(data_schema) if fmt == "avro" else None
+    avro_fixers = (
+        {
+            f.name: fx
+            for f in data_fields
+            if (fx := _nested_map_fixer(f.dataType)) is not None
+        }
+        if fmt == "avro"
+        else {}
+    )
     binary_cols = {
         f.name for f in data_fields if f.dataType.simpleString() == "binary"
     }
@@ -379,13 +486,18 @@ def _write_data_files_python(
                         )
                 # Stream one container block per ~8k-row chunk: peak
                 # Python-object memory is one block, not the file.
+                def _chunks(tbl):
+                    for b in tbl.to_batches(max_chunksize=8192):
+                        recs = b.to_pylist()
+                        for name, fx in avro_fixers.items():
+                            for r in recs:
+                                r[name] = fx(r[name])
+                        yield recs
+
                 write_container(
                     path,
                     avro_schema,
-                    (
-                        b.to_pylist()
-                        for b in enc.to_batches(max_chunksize=8192)
-                    ),
+                    _chunks(enc),
                     codec="deflate" if compression != "none" else "null",
                 )
             else:  # orc
