@@ -128,6 +128,22 @@ def main() -> None:
         pandas_udf(_ping, "long")("id").alias("x")
     ).agg({"x": "sum"}).collect()
 
+    # Untimed warm-up lap for the anchor jobs themselves (VERDICT r8
+    # #2): the first calibration run JIT-compiles the codegen'd xxhash
+    # pipeline and the first no-op jobs pay one-time scheduler set-up,
+    # so without this lap the PRE anchors measure JVM warm-up and the
+    # drift ratio conflates warm-up with genuine mid-run host drift
+    # (r8 recorded drift 0.822/0.612 from exactly that).  Measured
+    # residual: the latency anchor converges fully here (drift ~0.95),
+    # but the CPU anchor plateaus at ~0.31 standalone and only reaches
+    # ~0.27 after the 25-query headline set C2-compiles shared Spark
+    # internals — deep-JVM warm-up no pre-lap can reach.  That is why
+    # `calibration` (and CALIBRATION_REF) are POST values: the post
+    # pair is the like-for-like anchor; calibration_drift below ~0.9
+    # on top of that plateau gap indicates genuine host drift.
+    calibration_secs(spark, reps=2)
+    latency_secs(spark, reps=5)
+
     # Both anchors run BEFORE and AFTER the headline loop: the pre/post
     # delta detects intra-run host drift (CPU steal arriving mid-bench),
     # which single-point calibration silently folds into the code's
@@ -153,6 +169,46 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[q.name] = round(best, 3)
         print(f"# {q.name}: {timings[q.name]}s ({rows} rows)", file=sys.stderr)
+
+    # Serve-only persisted-index timing (VERDICT r8 #3): the
+    # sim_ivfpq_topk headline times train + encode + serve every run,
+    # but the production shape the build/serve split exists for is
+    # "index built nightly, queries all day" — so the index is built
+    # ONCE outside the timer (same parameters as the headline) and only
+    # the query path is timed, with the dynamic-partition-pruning plan
+    # pin asserted in-bench.
+    import tempfile
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_ivfpq_"), "idx")
+    build_ivf_pq_index(
+        emb, idx_dir, nlist=16, m=8, ksub=16, pq_refine_iters=1, use_arrow=True
+    )
+    serve_q = emb.where(F.col("vec_id") < 5)
+    out = ivf_pq_index_top_k(
+        spark, idx_dir, serve_q, k=10, nprobe=4, use_arrow=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "serve path lost its DPP pin"
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        rows = ivf_pq_index_top_k(
+            spark, idx_dir, serve_q, k=10, nprobe=4, use_arrow=True
+        ).count()
+        best = min(best, time.perf_counter() - start)
+    timings["sim_ivfpq_index_serve"] = round(best, 3)
+    print(
+        f"# sim_ivfpq_index_serve: {timings['sim_ivfpq_index_serve']}s"
+        f" ({rows} rows, DPP pinned)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     comparable_r6 = round(
