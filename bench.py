@@ -209,6 +209,9 @@ def main() -> None:
         f" ({rows} rows, DPP pinned)",
         file=sys.stderr,
     )
+    import shutil
+
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     comparable_r6 = round(

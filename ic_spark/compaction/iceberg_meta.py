@@ -1258,14 +1258,17 @@ class IcebergTable:
             if s["schema-id"] == meta["current-schema-id"]
         )
         id_to_ice = {f["id"]: f["type"] for f in cur_schema["fields"]}
-        default_spec_fields = next(
-            (
-                p["fields"]
-                for p in meta["partition-specs"]
-                if p["spec-id"] == meta["default-spec-id"]
-            ),
-            None,
-        )
+        # Per-entry spec resolution (same as scan_tasks): a
+        # partition-evolved table's older entries were written under
+        # older specs — converting their partition values under the
+        # default spec would miss identity date/timestamp fields.
+        raw_spec_fields = {
+            p["spec-id"]: p["fields"] for p in meta["partition-specs"]
+        }
+        spec_of = {
+            e["data_file"]["file_path"]: sp
+            for e, _, sp in self._live_entries_with_spec(to)
+        }
         if removed:
             raise ValueError(
                 f"snapshots {from_snapshot_id}..{to['snapshot-id']} rewrite "
@@ -1293,7 +1296,9 @@ class IcebergTable:
                 first_row_id=e["data_file"].get("first_row_id"),
                 partition_values=fill_partition_values(
                     e["data_file"].get("partition"),
-                    default_spec_fields,
+                    raw_spec_fields.get(
+                        spec_of.get(e["data_file"]["file_path"], 0)
+                    ),
                     id_to_ice,
                 ),
             )

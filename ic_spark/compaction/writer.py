@@ -738,15 +738,20 @@ def rewrite_files(
         # not a silent fallback.
         if request.bloom_filter_cols:
             raise ValueError("bloom filter columns are parquet-specific")
+        from ic_spark.sources.fileio import local_write_path
+
+        # The writer returns LOCAL file paths even for a file: URI
+        # dir_path — relpath against the unstripped URI would escape
+        # through cwd and read '=' segments out of ancestor directories
+        # as phantom partition values.
+        local_base = local_write_path(request.dir_path)
         data_files = [
             DataFileMeta(
                 file_path=p,
                 file_format=fmt,
                 record_count=record_count,
                 file_size_in_bytes=size,
-                partition_values=_partition_values_from_path(
-                    p, request.dir_path
-                )
+                partition_values=_partition_values_from_path(p, local_base)
                 or None,
                 column_stats=column_stats,
                 sort_order_id=sort_id,

@@ -1344,6 +1344,15 @@ def build_ivf_pq_index(
     cb.write.mode("overwrite").partitionBy("__cell").parquet(
         os.path.join(dir_path, "codes")
     )
+    # A rebuild into a previously compacted index flips codes_dir back
+    # to 'codes'; remove superseded codes-v<n> generations or they
+    # leak unreferenced storage forever.
+    import re
+    import shutil
+
+    for name in os.listdir(dir_path) if os.path.isdir(dir_path) else []:
+        if re.fullmatch(r"codes-v\d+", name):
+            shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
     meta = {
         "format": "ivfpq-index-v1",
         "centroids": cents,
@@ -1469,28 +1478,54 @@ def compact_ivf_pq_index(
     One shuffle on the partition column co-locates each cell in
     exactly one task, so the rewrite emits one file per cell.  The
     compacted generation lands in a NEW directory (``codes-v<n>``)
-    and ``index.json`` flips to it atomically — a concurrent
-    :func:`ivf_pq_index_top_k` reads either the old or the new
-    generation in full, never a half-compacted directory.  Layout and
-    partition column are unchanged, so dynamic partition pruning keeps
-    holding (plan-pinned in tests).  The superseded generation is
-    removed after the flip unless ``keep_old``.  Returns the updated
-    meta."""
+    and ``index.json`` flips to it atomically — a reader that resolves
+    ``index.json`` at action time sees one whole generation, never a
+    half-compacted directory.  A LAZY DataFrame captured before the
+    flip still references the old files, so with the default
+    ``keep_old=False`` (removed after the flip) such a reader fails on
+    deleted files — pass ``keep_old=True`` to drain in-flight serving
+    before cleanup.  Layout and partition column are unchanged, so
+    dynamic partition pruning keeps holding (plan-pinned in tests).
+
+    Coordination with ingest: run compaction with the append stream
+    quiesced (stopped, or between micro-batches).  An in-flight
+    publish is caught by the ``_stage-batch-*`` guard below, and batch
+    ids folded into the compacted files are recorded in
+    ``folded_batches`` so a later CRASH-REPLAY of one of those batches
+    is a no-op instead of a duplicate publish — but the guard is
+    advisory, not a lock.  Returns the updated meta."""
+    import glob
     import json
     import os
+    import re
 
     from pyspark.sql import functions as F
 
+    stages = glob.glob(os.path.join(dir_path, "_stage-batch-*"))
+    if stages:
+        raise RuntimeError(
+            f"ivf-pq index compaction: streaming append in flight "
+            f"({os.path.basename(stages[0])}); quiesce the stream first"
+        )
     with open(os.path.join(dir_path, "index.json")) as f:
         meta = json.load(f)
     cur = meta.get("codes_dir", "codes")
     gen = int(cur.rsplit("-v", 1)[1]) if "-v" in cur else 1
     new = f"codes-v{gen + 1}"
+    # Record which streaming batches' files are being folded into
+    # part-* names: their deterministic b<id>-* spellings disappear,
+    # so the append sink must treat a replay of those ids as done.
+    folded = set(meta.get("folded_batches", []))
+    for f_ in glob.glob(os.path.join(dir_path, cur, "*", "b*.parquet")):
+        m = re.fullmatch(r"b(\d{8})-\d{4}\.parquet", os.path.basename(f_))
+        if m:
+            folded.add(int(m.group(1)))
     codes = spark.read.parquet(os.path.join(dir_path, cur))
     codes.repartition(F.col("__cell")).write.mode("overwrite").partitionBy(
         "__cell"
     ).parquet(os.path.join(dir_path, new))
     meta["codes_dir"] = new
+    meta["folded_batches"] = sorted(folded)
     _write_index_meta(dir_path, meta)
     if not keep_old:
         import shutil

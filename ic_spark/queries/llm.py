@@ -680,6 +680,7 @@ def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
     unprobed cell's files (plan-pinned).  Rows-only check; value
     equality with the in-memory ivf_pq_top_k is pinned in
     tests/test_operators.py::test_ivfpq_persisted_index_equals_inmemory."""
+    import hashlib
     import os
     import tempfile
 
@@ -689,7 +690,14 @@ def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    idx = os.path.join(tempfile.mkdtemp(prefix="ivfpq_idx_"), "idx")
+    # Deterministic per-sf location, rebuilt (overwritten) each call:
+    # a fresh mkdtemp per invocation leaked a full codes table into
+    # /tmp on every sweep rep.
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "ic_spark_ivfpq_idx",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
     build_ivf_pq_index(
         e, idx, nlist=16, m=8, ksub=16, pq_refine_iters=1, use_arrow=True
     )

@@ -84,10 +84,14 @@ def local_write_path(path: str) -> str:
 
         parsed = urlparse(path)
         return unquote(parsed.path)
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+    # Hadoop Paths accept single-slash URIs too ('hdfs:/warehouse/t'),
+    # so gate on ANY scheme prefix, not just '://' — a bypassed gate
+    # here means overwrite_dir wipes the remote directory while the
+    # executors write to a local dir literally named 'hdfs:'.
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
         raise NotImplementedError(
             f"avro/orc data-file writes support local and file: paths; "
-            f"got scheme {path.split('://', 1)[0]!r} (the parquet path "
+            f"got scheme {path.split(':', 1)[0]!r} (the parquet path "
             "writes through Hadoop FS and supports any configured store)"
         )
     return path

@@ -66,6 +66,14 @@ def read_orc_distributed(
         wanted = set(columns)
         field_names = [c for c in field_names if c in wanted]
         schema = StructType([f for f in schema.fields if f.name in wanted])
+    if not field_names and not with_path_pos:
+        # Arrow batches cannot carry rows without columns, so a
+        # zero-column projection would silently return 0 rows —
+        # refuse instead (no production caller builds this shape).
+        raise ValueError(
+            "read_orc_distributed: empty projection (no requested "
+            "column exists in the schema and with_path_pos=False)"
+        )
 
     out_schema = schema
     if with_path_pos:

@@ -399,6 +399,12 @@ def ivfpq_index_append_sink(
     def write_batch(df: DataFrame, batch_id: int) -> None:
         with open(os.path.join(dir_path, "index.json")) as f:
             meta = json.load(f)
+        if batch_id in set(meta.get("folded_batches", [])):
+            # compact_ivf_pq_index folded this batch's files into
+            # part-* names; its rows are already served.  A crash-
+            # replay must be a no-op, not a duplicate publish under
+            # fresh b<id>-* names the pre-delete can't see.
+            return
         cb = _ivfpq_encode_corpus(
             df,
             meta["centroids"],

@@ -445,3 +445,47 @@ def test_avro_nested_types_write_roundtrip(spark, tmp_path):
     want = sorted([tuple(r) for r in spark.read.parquet(src).collect()], key=repr)
     got = sorted([tuple(r) for r in back.collect()], key=repr)
     assert got == want
+
+
+def test_local_write_path_single_slash_scheme_gate():
+    """Hadoop Paths accept single-slash URIs ('hdfs:/warehouse/t') —
+    the gate must catch those too, or the overwrite wipes the remote
+    dir while executors write to a local dir literally named 'hdfs:'."""
+    from ic_spark.sources.fileio import local_write_path
+
+    assert local_write_path("/plain/dir") == "/plain/dir"
+    assert local_write_path("rel/dir") == "rel/dir"
+    assert local_write_path("file:/d/x") == "/d/x"
+    assert local_write_path("file:///d/x") == "/d/x"
+    for bad in ("hdfs:/warehouse/t", "s3a://b/p", "gs://b/p", "abfss://c@a/p"):
+        with pytest.raises(NotImplementedError):
+            local_write_path(bad)
+
+
+def test_partitioned_write_under_file_uri_with_equals_ancestor(spark, tmp_path):
+    """Partition values derive from path segments BELOW the output dir;
+    with a file: URI dir_path the relpath must run against the stripped
+    local base, or '=' segments in ancestor directories leak in as
+    phantom partition columns."""
+    base = tmp_path / "date=2024" / "tbl"
+    rows = [(i, ["a", "b"][i % 2]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, pv string")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=df.schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=f"file://{base}",
+            partition_by=["pv"],
+            data_file_format="avro",
+            target_partitions=1,
+        ),
+    )
+    for m in resp.data_files:
+        assert set(m.partition_values) == {"pv"}, m.partition_values
+        assert m.partition_values["pv"] in ("a", "b")

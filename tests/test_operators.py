@@ -3066,3 +3066,58 @@ def test_ivfpq_index_compaction_preserves_serving_and_dpp(spark, tmp_path):
         tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
     )
     assert final == before
+
+
+def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
+    """Compaction coordination guards: an in-flight streaming publish
+    (_stage-batch-* present) refuses to compact; batch ids folded into
+    part-* files are recorded so a crash-replay is a no-op; a full
+    rebuild into a compacted index removes the superseded generation
+    instead of leaking it."""
+    import json
+    import os
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(e.where(F.col("vec_id") >= 100), idx, nlist=8, m=8, ksub=16)
+    sink = ivfpq_index_append_sink(idx)
+    sink(e.where(F.col("vec_id") < 100), 3)
+    q = e.where(F.col("vec_id") < 5)
+    served = sorted(
+        tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+
+    # stage guard: in-flight publish blocks compaction
+    os.makedirs(os.path.join(idx, "_stage-batch-00000009"))
+    with pytest.raises(RuntimeError, match="quiesce"):
+        compact_ivf_pq_index(spark, idx)
+    os.rmdir(os.path.join(idx, "_stage-batch-00000009"))
+
+    meta = compact_ivf_pq_index(spark, idx)
+    assert meta["folded_batches"] == [3]
+    # crash-replay of the folded batch: no-op (no fresh b-files, no
+    # duplicate rows served)
+    sink(e.where(F.col("vec_id") < 100), 3)
+    import glob
+
+    assert not glob.glob(os.path.join(idx, "codes-v2", "*", "b*.parquet"))
+    replay = sorted(
+        tuple(r) for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    assert replay == served
+
+    # rebuild removes the superseded codes-v2 generation
+    build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16)
+    assert not os.path.isdir(os.path.join(idx, "codes-v2"))
+    with open(os.path.join(idx, "index.json")) as f:
+        assert json.load(f)["codes_dir"] == "codes"
+    assert ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).count() > 0

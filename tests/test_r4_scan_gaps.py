@@ -226,3 +226,17 @@ def test_directory_referenced_tasks(spark, tmp_path):
     )
     got = sorted(r.id for r in build_merge_on_read(spark, req).collect())
     assert got == sorted(set(range(30)) - {third})
+
+
+def test_orc_empty_projection_refused(spark, tmp_path):
+    """Arrow batches can't carry rows without columns; a zero-column
+    projection must refuse loudly instead of returning 0 rows."""
+    from ic_spark.sources.orc_scan import read_orc_distributed
+
+    orc_file = _one_orc(
+        spark, tmp_path, spark.range(0, 10).select("id"), "empty_proj"
+    )
+    with pytest.raises(ValueError, match="empty projection"):
+        read_orc_distributed(
+            spark, [orc_file], columns=["nope"], with_path_pos=False
+        )
