@@ -546,9 +546,12 @@ class IcebergTable:
                 return s
         raise ValueError(f"snapshot {snapshot_id} not found")
 
-    def _partition_avro_fields(self, meta: dict) -> list[dict]:
+    def _partition_avro_fields(
+        self, meta: dict, spec_id: int | None = None
+    ) -> list[dict]:
+        sid = meta["default-spec-id"] if spec_id is None else spec_id
         spec = next(
-            p for p in meta["partition-specs"] if p["spec-id"] == meta["default-spec-id"]
+            p for p in meta["partition-specs"] if p["spec-id"] == sid
         )
         schema = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -556,7 +559,9 @@ class IcebergTable:
         by_id = {f["id"]: f for f in schema["fields"]}
         out = []
         for pf in spec["fields"]:
-            src = by_id[pf["source-id"]]
+            # An old spec may reference a since-dropped source column;
+            # its carried partition values still need an encodable slot.
+            src = by_id.get(pf["source-id"], {"type": "string"})
             # Partition struct fields are typed by the TRANSFORM's
             # result type (Iceberg spec): bucket/temporal ordinals are
             # int; truncate/identity keep the source type.
@@ -693,9 +698,18 @@ class IcebergTable:
         seq: int,
         content: int,
         tag: str,
+        spec_id: int | None = None,
     ) -> dict:
-        """Write one manifest Avro file; return its manifest-list row."""
-        schema = manifest_entry_schema(self._partition_avro_fields(meta))
+        """Write one manifest Avro file; return its manifest-list row.
+
+        ``spec_id`` is the partition spec the entries were WRITTEN
+        under (Iceberg: one spec per manifest) — encoding carried
+        old-spec entries under the current default spec would silently
+        null their partition values."""
+        sid_spec = meta["default-spec-id"] if spec_id is None else spec_id
+        schema = manifest_entry_schema(
+            self._partition_avro_fields(meta, sid_spec)
+        )
         path = os.path.join(
             self.metadata_dir, f"{uuid.uuid4().hex}-m{tag}.avro"
         )
@@ -712,10 +726,10 @@ class IcebergTable:
                     next(
                         p
                         for p in meta["partition-specs"]
-                        if p["spec-id"] == meta["default-spec-id"]
+                        if p["spec-id"] == sid_spec
                     )["fields"]
                 ),
-                "partition-spec-id": str(meta["default-spec-id"]),
+                "partition-spec-id": str(sid_spec),
                 "format-version": "2",
                 "content": "data" if content == DATA_MANIFEST else "deletes",
             },
@@ -726,7 +740,7 @@ class IcebergTable:
         return {
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": meta["default-spec-id"],
+            "partition_spec_id": sid_spec,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(seqs, default=seq),
@@ -790,29 +804,42 @@ class IcebergTable:
             if ref is not None:
                 parent = ref["snapshot-id"]
 
-        data_entries, delete_entries = [], []
+        # One manifest per (content, partition spec): entries carried
+        # from older specs keep their own partition struct (Iceberg's
+        # one-spec-per-manifest rule) — re-encoding them under the
+        # current default spec would silently null their values.
+        default_sid = meta["default-spec-id"]
+        data_by_spec: dict[int, list[dict]] = {}
+        delete_by_spec: dict[int, list[dict]] = {}
         added_count = 0
         for e, s in entries_with_seq:
             entry = dict(e)
+            spec_id = entry.pop("_spec_id", default_sid)
             entry["snapshot_id"] = entry.get("snapshot_id") or sid
             entry["sequence_number"] = s  # None → inherited
             entry["file_sequence_number"] = entry.get("file_sequence_number") or s
             if entry["status"] == ADDED:
                 added_count += 1
-            if entry["data_file"]["content"] == CONTENT_DATA:
-                data_entries.append(entry)
-            else:
-                delete_entries.append(entry)
+            bucket = (
+                data_by_spec
+                if entry["data_file"]["content"] == CONTENT_DATA
+                else delete_by_spec
+            )
+            bucket.setdefault(spec_id, []).append(entry)
 
         manifests = []
-        if data_entries:
-            manifests.append(
-                self._write_manifest(meta, data_entries, sid, seq, DATA_MANIFEST, "0")
-            )
-        if delete_entries:
+        for spec_id in sorted(data_by_spec):
             manifests.append(
                 self._write_manifest(
-                    meta, delete_entries, sid, seq, DELETE_MANIFEST, "1"
+                    meta, data_by_spec[spec_id], sid, seq, DATA_MANIFEST,
+                    f"0s{spec_id}", spec_id=spec_id,
+                )
+            )
+        for spec_id in sorted(delete_by_spec):
+            manifests.append(
+                self._write_manifest(
+                    meta, delete_by_spec[spec_id], sid, seq, DELETE_MANIFEST,
+                    f"1s{spec_id}", spec_id=spec_id,
                 )
             )
         mlist_path = os.path.join(
@@ -1005,8 +1032,8 @@ class IcebergTable:
         nxt = 0
         cur = self._snapshot(None)
         carried = []
-        for e, s in self._live_entries(cur):
-            e2 = {**e, "status": EXISTING}
+        for e, s, sp in self._live_entries_with_spec(cur):
+            e2 = {**e, "status": EXISTING, "_spec_id": sp}
             df = dict(e2["data_file"])
             if df["content"] == CONTENT_DATA and df.get("first_row_id") is None:
                 df["first_row_id"] = nxt
@@ -1051,8 +1078,10 @@ class IcebergTable:
             ref = meta.get("refs", {}).get(branch)
             base_id = ref["snapshot-id"] if ref else None
         base_snap = self._snapshot(base_id)  # None → current
-        carried = [(e, s) for e, s in self._live_entries(base_snap)]
-        carried = [({**e, "status": EXISTING}, s) for e, s in carried]
+        carried = [
+            ({**e, "status": EXISTING, "_spec_id": sp}, s)
+            for e, s, sp in self._live_entries_with_spec(base_snap)
+        ]
         new = [
             ({"status": ADDED, "snapshot_id": None, "sequence_number": None,
               "file_sequence_number": None, "data_file": df}, None)
@@ -1328,8 +1357,8 @@ class IcebergTable:
                     f"table moved: expected snapshot {expected_snapshot_id}, "
                     f"current is {actual}"
                 )
-        live = self._live_entries(cur)
-        live_paths = {e["data_file"]["file_path"] for e, _ in live}
+        live = self._live_entries_with_spec(cur)
+        live_paths = {e["data_file"]["file_path"] for e, _, _ in live}
         stale = sorted(removed_paths - live_paths)
         if stale:
             raise CommitConflictError(
@@ -1342,8 +1371,8 @@ class IcebergTable:
             added = [dict(f) for f in added]
             self._assign_row_ids(meta, added)
         kept = [
-            ({**e, "status": EXISTING}, s)
-            for e, s in live
+            ({**e, "status": EXISTING, "_spec_id": sp}, s)
+            for e, s, sp in live
             if e["data_file"]["file_path"] not in removed_paths
         ]
         new = [

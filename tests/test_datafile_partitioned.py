@@ -702,3 +702,154 @@ def test_iceberg_date_identity_partition_fill_reads_real_dates(spark, tmp_path):
     assert {t.partition_values["d"] for t in data} == {
         "2024-01-01", "2024-01-02", "2024-01-03"
     }
+
+
+def test_incremental_tasks_converts_partition_under_each_entrys_spec(
+    spark, tmp_path
+):
+    """Partition-evolved table on the INCREMENTAL path: an entry
+    written under an older identity-date spec must convert its
+    epoch-days int under THAT spec, not the current default — the
+    default-spec shortcut passed the raw int through and the fill
+    null-filled the column."""
+    import datetime as dt
+
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    df = spark.createDataFrame([], "id int, d date")
+    tbl = IcebergTable.create(str(tmp_path / "it"), df.schema)
+    meta = tbl.metadata()
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+
+    def _set_spec(fields, spec_id):
+        m = tbl.metadata()
+        nm = dict(m)
+        specs = [p for p in m["partition-specs"] if p["spec-id"] != spec_id]
+        nm["partition-specs"] = specs + [{"spec-id": spec_id, "fields": fields}]
+        nm["default-spec-id"] = spec_id
+        nm["last-partition-id"] = max(
+            (f["field-id"] for f in fields), default=999
+        )
+        tbl._commit_metadata(nm, expected_version=tbl.version())
+
+    def _one_file(tag, rows, schema):
+        d = str(tmp_path / tag)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        return next(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+
+    # snapshot 1: unpartitioned seed (the incremental FROM point)
+    f0 = _one_file("f0", [(0, dt.date(2023, 1, 1))], "id int, d date")
+    s1 = tbl.append_snapshot(
+        [{"path": f0, "content": "DATA", "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(f0)}]
+    )
+    # spec 1 (foreign-written shape): identity over d, name == source
+    _set_spec(
+        [{"name": "d", "transform": "identity",
+          "source-id": ids["d"], "field-id": 1000}],
+        1,
+    )
+    fa = _one_file("fa", [(1,)], "id int")
+    tbl.append_snapshot(
+        [{"path": fa, "content": "DATA", "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(fa),
+          "partition_values": {"d": 19723}}]
+    )
+    # spec 2 becomes default: identity over id (no date conversion)
+    _set_spec(
+        [{"name": "id", "transform": "identity",
+          "source-id": ids["id"], "field-id": 1001}],
+        2,
+    )
+    fb = _one_file("fb", [(dt.date(2023, 1, 2),)], "d date")
+    s3 = tbl.append_snapshot(
+        [{"path": fb, "content": "DATA", "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(fb),
+          "partition_values": {"id": 2}}]
+    )
+    tasks = tbl.incremental_tasks(s1, s3)
+    by_path = {t.data_file_path: t.partition_values for t in tasks}
+    assert by_path[fa] == {"d": "2024-01-01"}, by_path[fa]
+    assert by_path[fb] == {"id": "2"} or by_path[fb] == {"id": 2}, by_path[fb]
+
+
+def test_partition_evolution_append_preserves_old_spec_values(spark, tmp_path):
+    """LATENT BUG (found via the incremental-spec test): every commit
+    rewrites ALL live entries into fresh manifests, and encoding
+    carried entries under the CURRENT default spec silently nulled
+    their old-spec partition values.  Manifests are now grouped one-
+    per-spec (Iceberg's rule), so values written under spec 1 survive
+    an append made under spec 2 — on disk and through read_table."""
+    import datetime as dt
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.sources.avro_io import read_container
+
+    df = spark.createDataFrame([], "id int, d date")
+    tbl = IcebergTable.create(str(tmp_path / "it"), df.schema)
+    meta = tbl.metadata()
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    nm = dict(meta)
+    nm["partition-specs"] = list(meta["partition-specs"]) + [
+        {"spec-id": 1, "fields": [
+            {"name": "d", "transform": "identity",
+             "source-id": ids["d"], "field-id": 1000}]}
+    ]
+    nm["default-spec-id"] = 1
+    nm["last-partition-id"] = 1000
+    tbl._commit_metadata(nm, expected_version=tbl.version())
+
+    da = str(tmp_path / "fa")
+    spark.createDataFrame([(1,), (2,)], "id int").coalesce(1).write.parquet(da)
+    fa = next(os.path.join(da, n) for n in os.listdir(da) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": fa, "content": "DATA", "record_count": 2,
+          "file_size_in_bytes": os.path.getsize(fa),
+          "partition_values": {"d": 19723}}]
+    )
+
+    # evolve: spec 2 (identity over id) becomes default, then APPEND
+    m2 = tbl.metadata()
+    nm2 = dict(m2)
+    nm2["partition-specs"] = list(m2["partition-specs"]) + [
+        {"spec-id": 2, "fields": [
+            {"name": "id", "transform": "identity",
+             "source-id": ids["id"], "field-id": 1001}]}
+    ]
+    nm2["default-spec-id"] = 2
+    nm2["last-partition-id"] = 1001
+    tbl._commit_metadata(nm2, expected_version=tbl.version())
+    db = str(tmp_path / "fb")
+    spark.createDataFrame(
+        [(dt.date(2022, 5, 5),)], "d date"
+    ).coalesce(1).write.parquet(db)
+    fb = next(os.path.join(db, n) for n in os.listdir(db) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": fb, "content": "DATA", "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(fb),
+          "partition_values": {"id": 9}}]
+    )
+
+    # on disk: one data manifest per spec, each with its own struct
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    by_spec = {m["partition_spec_id"]: m for m in manifests}
+    assert set(by_spec) == {1, 2}
+    _, _, e1 = read_container(by_spec[1]["manifest_path"])
+    assert [e["data_file"]["partition"] for e in e1] == [{"d": 19723}]
+    _, _, e2 = read_container(by_spec[2]["manifest_path"])
+    assert [e["data_file"]["partition"] for e in e2] == [{"id": 9}]
+
+    # through the reader: both files' partition columns fill for real
+    out = sorted(
+        [tuple(r) for r in read_table(spark, tbl, schema=df.schema).collect()],
+        key=repr,
+    )
+    assert out == sorted(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 1)),
+         (9, dt.date(2022, 5, 5))],
+        key=repr,
+    )
