@@ -328,6 +328,7 @@ def _write_data_files_python(
     max_records_per_file: int,
     compression: str | None,
     partition_names: list[str] | None = None,
+    file_io: dict | None = None,
 ) -> list[tuple[str, int, int, dict]]:
     """Executor-side Avro/ORC data-file writer.
 
@@ -391,15 +392,25 @@ def _write_data_files_python(
     col_names = [f.name for f in data_fields]
     # overwrite semantics, same as the parquet path's mode("overwrite"):
     # stale files must not survive into the listing-independent
-    # metadata.  Routed through the Hadoop FS layer (fileio seam), so
-    # the cleanup itself is valid against any configured store; the
-    # Python codec writers below resolve to a local filesystem path
-    # (file: URIs accepted, other schemes explicitly gated).
-    from ic_spark.sources.fileio import local_write_path, overwrite_dir
+    # metadata.  Local and file: paths clean up through the Hadoop FS
+    # layer and write through plain open(); s3:/gs: (or an injected
+    # pyarrow FileSystem) resolve ONCE on the driver — pyarrow
+    # filesystems pickle, so the closure ships the connector to the
+    # executors — and every byte then flows through that connector.
+    # Unsupported schemes raise BEFORE any IO.
+    from ic_spark.sources.fileio import arrow_filesystem, overwrite_dir
 
-    local_dir = local_write_path(dir_path)  # scheme gate BEFORE any IO
-    overwrite_dir(df.sparkSession, dir_path)
-    dir_path = local_dir
+    orig_dir = dir_path.rstrip("/")
+    arrow_fs, fs_dir = arrow_filesystem(dir_path, file_io)
+    if arrow_fs is None:
+        overwrite_dir(df.sparkSession, dir_path)
+    else:
+        try:
+            arrow_fs.delete_dir(fs_dir)
+        except FileNotFoundError:
+            pass
+        arrow_fs.create_dir(fs_dir, recursive=True)
+    dir_path = fs_dir.rstrip("/")
 
     def _stat_safe(v):
         import numpy as np
@@ -437,7 +448,10 @@ def _write_data_files_python(
                 target_dir = os.path.join(
                     dir_path, *(_hive_segment(k, v) for k, v in pvals.items())
                 )
-                os.makedirs(target_dir, exist_ok=True)
+                if arrow_fs is None:
+                    os.makedirs(target_dir, exist_ok=True)
+                else:
+                    arrow_fs.create_dir(target_dir, recursive=True)
                 table = table.drop_columns(partition_names)
             else:
                 target_dir = dir_path
@@ -499,6 +513,7 @@ def _write_data_files_python(
                     avro_schema,
                     _chunks(enc),
                     codec="deflate" if compression != "none" else "null",
+                    filesystem=arrow_fs,
                 )
             else:  # orc
                 from pyarrow import orc as pa_orc
@@ -519,7 +534,11 @@ def _write_data_files_python(
                     kw["compression"] = (
                         "uncompressed" if compression == "none" else compression
                     )
-                pa_orc.write_table(enc, path, **kw)
+                if arrow_fs is None:
+                    pa_orc.write_table(enc, path, **kw)
+                else:
+                    with arrow_fs.open_output_stream(path) as out_f:
+                        pa_orc.write_table(enc, out_f, **kw)
             stats = {}
             for c in col_names:
                 col = table.column(c)
@@ -548,7 +567,19 @@ def _write_data_files_python(
                     }
                 else:
                     stats[k] = {"null_count": 0, "min": str(v), "max": str(v)}
-            return (path, table.num_rows, os.path.getsize(path), _json.dumps(stats))
+            size = (
+                os.path.getsize(path)
+                if arrow_fs is None
+                else arrow_fs.get_file_info(path).size
+            )
+            # Metadata records the CALLER's spelling ('s3://bucket/…'),
+            # not the within-connector path ('bucket/…').
+            meta_path = (
+                path
+                if arrow_fs is None or orig_dir == dir_path
+                else orig_dir + path[len(dir_path):]
+            )
+            return (meta_path, table.num_rows, size, _json.dumps(stats))
 
         def flush():
             nonlocal pend, pend_rows, pend_bytes
@@ -738,13 +769,17 @@ def rewrite_files(
         # not a silent fallback.
         if request.bloom_filter_cols:
             raise ValueError("bloom filter columns are parquet-specific")
-        from ic_spark.sources.fileio import local_write_path
+        from ic_spark.sources.fileio import arrow_filesystem
 
-        # The writer returns LOCAL file paths even for a file: URI
-        # dir_path — relpath against the unstripped URI would escape
-        # through cwd and read '=' segments out of ancestor directories
-        # as phantom partition values.
-        local_base = local_write_path(request.dir_path)
+        # The writer returns LOCAL file paths for local/file: dir_paths
+        # (relpath against the unstripped URI would escape through cwd
+        # and read '=' segments out of ancestor directories as phantom
+        # partition values) and caller-spelling URIs for fs-routed
+        # writes — the base must match each spelling.
+        _afs, _fs_base = arrow_filesystem(request.dir_path, request.file_io)
+        local_base = (
+            _fs_base if _afs is None else request.dir_path.rstrip("/")
+        )
         data_files = [
             DataFileMeta(
                 file_path=p,
@@ -763,6 +798,7 @@ def rewrite_files(
                 request.max_records_per_file,
                 request.compression,
                 partition_names=partition_names or None,
+                file_io=request.file_io,
             )
         ]
     else:

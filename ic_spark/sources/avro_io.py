@@ -240,6 +240,7 @@ def write_container(
     metadata: dict[str, str] | None = None,
     codec: str = "deflate",
     sync_marker: bytes | None = None,
+    filesystem=None,
 ) -> None:
     """Write an Avro object-container file.
 
@@ -251,6 +252,12 @@ def write_container(
     and written to disk before the next is pulled, so peak memory is
     one block, not the whole file (the data-file writer's flush units
     can be arbitrarily large).
+
+    ``filesystem`` (a ``pyarrow.fs.FileSystem``) streams the container
+    through ``open_output_stream`` instead of local ``open``.  No
+    tmp+rename there: object stores make a single PUT atomically
+    visible, and rename is the object-store anti-pattern the local
+    path's ``os.replace`` would otherwise impose.
     """
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
@@ -274,9 +281,8 @@ def write_container(
     head += sync
 
     chunks = [records] if isinstance(records, list) else records
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(tmp, "wb") as f:
+
+    def _stream(f) -> None:
         f.write(bytes(head))
         for chunk in chunks:
             if not chunk:
@@ -293,6 +299,15 @@ def write_container(
             block += payload
             block += sync
             f.write(bytes(block))
+
+    if filesystem is not None:
+        with filesystem.open_output_stream(path) as f:
+            _stream(f)
+        return
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        _stream(f)
     os.replace(tmp, path)
 
 

@@ -95,3 +95,64 @@ def local_write_path(path: str) -> str:
             "writes through Hadoop FS and supports any configured store)"
         )
     return path
+
+
+def arrow_filesystem(dir_path: str, file_io: dict | None = None):
+    """Resolve ``(pyarrow.fs.FileSystem | None, path-within-fs)`` for
+    the executor-side Avro/ORC codec writers — the remote analog of
+    the Hadoop layer Spark's parquet writer gets for free.
+
+    - Plain and ``file:`` paths return ``(None, local_path)``: the
+      writers keep their direct-``open()`` fast path.
+    - ``s3://`` / ``gs://`` construct pyarrow's own connectors, with
+      credentials threaded from the reference's FileIoBuilder property
+      names (the same dict ``apply_file_io`` maps onto Hadoop conf for
+      the parquet path).  Construction is offline; IO happens on the
+      executors at write time.
+    - A ``file_io`` dict may inject a ready ``pyarrow_filesystem``
+      (any picklable pyarrow FileSystem — tests use SubTreeFileSystem
+      to emulate a remote store with object-store semantics).
+    - Anything else (``hdfs:`` needs libhdfs, unknown schemes) raises
+      the same explicit gate as before.
+    """
+    import re
+
+    props = (file_io or {}).get("props", {}) if file_io else {}
+    injected = (file_io or {}).get("pyarrow_filesystem")
+    if injected is not None:
+        return injected, dir_path
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", dir_path)
+    scheme = m.group(1).lower() if m else None
+    if scheme in (None, "file"):
+        return None, local_write_path(dir_path)
+    from urllib.parse import urlparse
+
+    parsed = urlparse(dir_path)
+    inner = parsed.netloc + parsed.path
+    if scheme in ("s3", "s3a"):
+        from pyarrow import fs as pafs
+
+        kw = {}
+        if props.get("s3.endpoint"):
+            kw["endpoint_override"] = props["s3.endpoint"]
+        if props.get("s3.access-key-id"):
+            kw["access_key"] = props["s3.access-key-id"]
+        if props.get("s3.secret-access-key"):
+            kw["secret_key"] = props["s3.secret-access-key"]
+        if props.get("s3.session-token"):
+            kw["session_token"] = props["s3.session-token"]
+        region = props.get("s3.region") or props.get("client.region")
+        if region:
+            kw["region"] = region
+        if str(props.get("s3.path-style-access", "")).lower() == "true":
+            kw["force_virtual_addressing"] = False
+        return pafs.S3FileSystem(**kw), inner
+    if scheme in ("gs", "gcs"):
+        from pyarrow import fs as pafs
+
+        return pafs.GcsFileSystem(), inner
+    raise NotImplementedError(
+        f"avro/orc data-file writes support local, file:, s3:, and gs: "
+        f"paths; got scheme {scheme!r} (the parquet path writes through "
+        "Hadoop FS and supports any configured store)"
+    )
