@@ -199,6 +199,65 @@ def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
 _FILL_UNCONVERTIBLE = ("binary", "uuid", "time")
 
 
+def _coerce_partition_value(t, v):
+    """Coerce one partition value to its manifest Avro field type.
+
+    Two producers feed the typed partition struct: NEW files (hive-dir
+    strings, python date/datetime objects) and CARRIED entries
+    re-encoded at every commit (already spec-internal ints, which pass
+    through).  The strict union encoder rejects mismatched types, so
+    every convertible shape lands on the wire type; unconvertible
+    input degrades to null (a null partition value beats a failed
+    commit).  Naive timestamp strings are taken as written (UTC
+    sessions — the epoch math is exact integer arithmetic)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    try:
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "date":
+                if isinstance(v, _dt.datetime):
+                    v = v.date()
+                if isinstance(v, _dt.date):
+                    return (v - _dt.date(1970, 1, 1)).days
+                if isinstance(v, str):
+                    return (
+                        _dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)
+                    ).days
+                return int(v)
+            if lt in (
+                "timestamp-micros", "local-timestamp-micros", "time-micros"
+            ):
+                if isinstance(v, str):
+                    v = _dt.datetime.fromisoformat(v)
+                if isinstance(v, _dt.datetime):
+                    base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    d = v - base
+                    return (
+                        (d.days * 86400 + d.seconds) * 1_000_000
+                        + d.microseconds
+                    )
+                return int(v)
+            return v
+        if t in ("int", "long"):
+            return int(v)
+        if t in ("float", "double"):
+            return float(v)
+        if t == "bytes":
+            return bytes(v)
+        if t == "string":
+            return v if isinstance(v, str) else str(v)
+        if t == "boolean":
+            if isinstance(v, str):
+                return v.lower() == "true"
+            return bool(v)
+        return v
+    except (TypeError, ValueError):
+        return None
+
+
 def fill_partition_values(
     partition: dict | None,
     spec_fields: list[dict] | None,
@@ -580,6 +639,19 @@ class IcebergTable:
                 "float": "float",
                 "double": "double",
                 "date": {"type": "int", "logicalType": "date"},
+                # spec Partition struct: timestamps store long micros
+                "timestamp": {
+                    "type": "long", "logicalType": "timestamp-micros"
+                },
+                "timestamptz": {
+                    "type": "long", "logicalType": "timestamp-micros"
+                },
+                "timestamp_ntz": {
+                    "type": "long", "logicalType": "local-timestamp-micros"
+                },
+                "time": {"type": "long", "logicalType": "time-micros"},
+                "uuid": "string",
+                "binary": "bytes",
             }.get(ice_t, "string")
             out.append(
                 {
@@ -627,29 +699,9 @@ class IcebergTable:
         partition = {}
         raw = f.get("partition_values") or f.get("partition") or {}
         for pf_name, pf_val in raw.items():
-            t = avro_types.get(pf_name)
-            try:
-                if isinstance(t, dict) and t.get("logicalType") == "date":
-                    # spec Partition struct: date = int days from epoch.
-                    # Writers feed hive-dir ISO strings or date objects.
-                    import datetime as _dt
-
-                    if isinstance(pf_val, _dt.date):
-                        pf_val = (pf_val - _dt.date(1970, 1, 1)).days
-                    elif isinstance(pf_val, str):
-                        pf_val = (
-                            _dt.date.fromisoformat(pf_val)
-                            - _dt.date(1970, 1, 1)
-                        ).days
-                    else:
-                        pf_val = int(pf_val)
-                elif t in ("int", "long"):
-                    pf_val = int(pf_val)
-                elif t in ("float", "double"):
-                    pf_val = float(pf_val)
-            except (TypeError, ValueError):
-                pf_val = None  # untyped / null partition
-            partition[pf_name] = pf_val
+            partition[pf_name] = _coerce_partition_value(
+                avro_types.get(pf_name, "string"), pf_val
+            )
         return {
             "content": content,
             "file_path": f["path"],
@@ -707,9 +759,28 @@ class IcebergTable:
         old-spec entries under the current default spec would silently
         null their partition values."""
         sid_spec = meta["default-spec-id"] if spec_id is None else spec_id
-        schema = manifest_entry_schema(
-            self._partition_avro_fields(meta, sid_spec)
-        )
+        pfields = self._partition_avro_fields(meta, sid_spec)
+        schema = manifest_entry_schema(pfields)
+        # Carried entries re-encode at every commit: coerce their
+        # partition values to the struct's wire types (foreign tables
+        # carry e.g. long micros for identity timestamps; the strict
+        # union encoder rejects anything off-type).
+        ptypes = {pf["name"]: pf["type"][1] for pf in pfields}
+        if ptypes:
+            coerced_entries = []
+            for e in entries:
+                part = e["data_file"].get("partition")
+                if part:
+                    cp = {
+                        k: _coerce_partition_value(
+                            ptypes.get(k, "string"), v
+                        )
+                        for k, v in part.items()
+                    }
+                    if cp != part:
+                        e = {**e, "data_file": {**e["data_file"], "partition": cp}}
+                coerced_entries.append(e)
+            entries = coerced_entries
         path = os.path.join(
             self.metadata_dir, f"{uuid.uuid4().hex}-m{tag}.avro"
         )
@@ -1275,9 +1346,10 @@ class IcebergTable:
         if to is None:
             raise ValueError(f"snapshot {to_snapshot_id} not found")
         old = {e["data_file"]["file_path"] for e, _ in self._live_entries(frm)}
+        # One manifest pass supplies entries AND each one's spec id.
         new_entries = {
-            e["data_file"]["file_path"]: (e, s)
-            for e, s in self._live_entries(to)
+            e["data_file"]["file_path"]: (e, s, sp)
+            for e, s, sp in self._live_entries_with_spec(to)
         }
         removed = old - set(new_entries)
         meta = self.metadata()
@@ -1294,18 +1366,16 @@ class IcebergTable:
         raw_spec_fields = {
             p["spec-id"]: p["fields"] for p in meta["partition-specs"]
         }
-        spec_of = {
-            e["data_file"]["file_path"]: sp
-            for e, _, sp in self._live_entries_with_spec(to)
-        }
         if removed:
             raise ValueError(
                 f"snapshots {from_snapshot_id}..{to['snapshot-id']} rewrite "
                 f"{len(removed)} file(s); incremental append scan undefined"
             )
-        added = [(e, s) for p, (e, s) in new_entries.items() if p not in old]
+        added = [
+            (e, s, sp) for p, (e, s, sp) in new_entries.items() if p not in old
+        ]
         deletes = [
-            e for e, _ in added if e["data_file"]["content"] != CONTENT_DATA
+            e for e, _, _ in added if e["data_file"]["content"] != CONTENT_DATA
         ]
         if deletes:
             raise ValueError(
@@ -1325,13 +1395,11 @@ class IcebergTable:
                 first_row_id=e["data_file"].get("first_row_id"),
                 partition_values=fill_partition_values(
                     e["data_file"].get("partition"),
-                    raw_spec_fields.get(
-                        spec_of.get(e["data_file"]["file_path"], 0)
-                    ),
+                    raw_spec_fields.get(sp),
                     id_to_ice,
                 ),
             )
-            for e, s in added
+            for e, s, sp in added
         ]
 
     def commit_rewrite(

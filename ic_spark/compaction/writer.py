@@ -769,17 +769,15 @@ def rewrite_files(
         # not a silent fallback.
         if request.bloom_filter_cols:
             raise ValueError("bloom filter columns are parquet-specific")
-        from ic_spark.sources.fileio import arrow_filesystem
+        from ic_spark.sources.fileio import display_base
 
         # The writer returns LOCAL file paths for local/file: dir_paths
         # (relpath against the unstripped URI would escape through cwd
         # and read '=' segments out of ancestor directories as phantom
         # partition values) and caller-spelling URIs for fs-routed
-        # writes — the base must match each spelling.
-        _afs, _fs_base = arrow_filesystem(request.dir_path, request.file_io)
-        local_base = (
-            _fs_base if _afs is None else request.dir_path.rstrip("/")
-        )
+        # writes — the base must match each spelling (no throwaway
+        # connector construction just to decide).
+        local_base = display_base(request.dir_path, request.file_io)
         data_files = [
             DataFileMeta(
                 file_path=p,

@@ -1344,15 +1344,6 @@ def build_ivf_pq_index(
     cb.write.mode("overwrite").partitionBy("__cell").parquet(
         os.path.join(dir_path, "codes")
     )
-    # A rebuild into a previously compacted index flips codes_dir back
-    # to 'codes'; remove superseded codes-v<n> generations or they
-    # leak unreferenced storage forever.
-    import re
-    import shutil
-
-    for name in os.listdir(dir_path) if os.path.isdir(dir_path) else []:
-        if re.fullmatch(r"codes-v\d+", name):
-            shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
     meta = {
         "format": "ivfpq-index-v1",
         "centroids": cents,
@@ -1364,8 +1355,37 @@ def build_ivf_pq_index(
         "id_col": id_col,
         "codes_dir": "codes",
     }
+    # Rebuilding over a live index: carry the streaming fold ledger —
+    # a batch folded before the rebuild has its rows in the rebuilt
+    # corpus too, so a crash-replay of it must STAY a no-op.
+    idx_json = os.path.join(dir_path, "index.json")
+    if os.path.exists(idx_json):
+        import json as _json
+
+        with open(idx_json) as f:
+            prev = _json.load(f)
+        if prev.get("folded_batches"):
+            meta["folded_batches"] = prev["folded_batches"]
     _write_index_meta(dir_path, meta)
+    # Only after the atomic flip: remove superseded codes-v<n>
+    # generations (they leak unreferenced storage otherwise).  Cleanup
+    # BEFORE the flip would leave a crash window where the live
+    # index.json points at a deleted directory.
+    import re
+    import shutil
+
+    for name in os.listdir(dir_path):
+        if re.fullmatch(r"codes-v\d+", name):
+            shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
     return meta
+
+
+def _fold_key(x) -> str:
+    """Normalize a fold-ledger entry to its canonical
+    ``'<stream-hash>:<batch-id>'`` spelling.  Legacy ledgers stored
+    bare batch ints (default-stream scope): those read as ``':<id>'``."""
+    s = str(x)
+    return s if ":" in s else f":{s}"
 
 
 def _write_index_meta(dir_path: str, meta: dict) -> None:
@@ -1515,11 +1535,15 @@ def compact_ivf_pq_index(
     # Record which streaming batches' files are being folded into
     # part-* names: their deterministic b<id>-* spellings disappear,
     # so the append sink must treat a replay of those ids as done.
-    folded = set(meta.get("folded_batches", []))
+    # Keys are '<stream-hash>:<batch-id>' (batch ids are only unique
+    # per checkpoint; the sink's stream_id scopes them).
+    folded = {_fold_key(x) for x in meta.get("folded_batches", [])}
     for f_ in glob.glob(os.path.join(dir_path, cur, "*", "b*.parquet")):
-        m = re.fullmatch(r"b(\d{8})-\d{4}\.parquet", os.path.basename(f_))
+        m = re.fullmatch(
+            r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", os.path.basename(f_)
+        )
         if m:
-            folded.add(int(m.group(1)))
+            folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
     codes = spark.read.parquet(os.path.join(dir_path, cur))
     codes.repartition(F.col("__cell")).write.mode("overwrite").partitionBy(
         "__cell"

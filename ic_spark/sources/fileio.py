@@ -150,9 +150,43 @@ def arrow_filesystem(dir_path: str, file_io: dict | None = None):
     if scheme in ("gs", "gcs"):
         from pyarrow import fs as pafs
 
-        return pafs.GcsFileSystem(), inner
+        kw = {}
+        if props.get("gcs.oauth2.token"):
+            # pyarrow requires an expiration alongside a bearer token;
+            # Iceberg spells it gcs.oauth2.token-expires-at (epoch ms).
+            import datetime as _dt
+
+            kw["access_token"] = props["gcs.oauth2.token"]
+            exp_ms = props.get("gcs.oauth2.token-expires-at")
+            kw["credential_token_expiration"] = (
+                _dt.datetime.fromtimestamp(
+                    int(exp_ms) / 1000, tz=_dt.timezone.utc
+                )
+                if exp_ms
+                else _dt.datetime.now(tz=_dt.timezone.utc)
+                + _dt.timedelta(hours=1)
+            )
+        if props.get("gcs.project-id"):
+            kw["project_id"] = props["gcs.project-id"]
+        return pafs.GcsFileSystem(**kw), inner
     raise NotImplementedError(
         f"avro/orc data-file writes support local, file:, s3:, and gs: "
         f"paths; got scheme {scheme!r} (the parquet path writes through "
         "Hadoop FS and supports any configured store)"
     )
+
+
+def display_base(dir_path: str, file_io: dict | None = None) -> str:
+    """The base spelling the writer's metadata paths are rooted at —
+    WITHOUT constructing a filesystem connector: local/file: paths
+    resolve to the filesystem path (their written files are local
+    spellings); injected-FS and s3:/gs: paths keep the caller's
+    spelling.  Mirrors arrow_filesystem's routing decision."""
+    import re
+
+    if file_io and file_io.get("pyarrow_filesystem") is not None:
+        return dir_path.rstrip("/")
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", dir_path)
+    if m is None or m.group(1).lower() == "file":
+        return local_write_path(dir_path).rstrip("/")
+    return dir_path.rstrip("/")

@@ -369,6 +369,7 @@ def ivfpq_index_append_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    stream_id: str | None = None,
 ):
     """``foreachBatch`` callable maintaining a persisted IVF-PQ ANN
     index (operators/similarity.py::build_ivf_pq_index) from a stream
@@ -377,6 +378,13 @@ def ivfpq_index_append_sink(
         q = (emb.writeStream.foreachBatch(
                  ivfpq_index_append_sink(index_dir))
                .option("checkpointLocation", ckpt).start())
+
+    Batch ids are only unique PER CHECKPOINT: if more than one
+    streaming query ever feeds the same index (or a checkpoint is
+    reset), pass a stable ``stream_id`` (e.g. the checkpoint dir name)
+    — it prefixes the published file names and scopes the compaction
+    fold ledger, so a new query's batch 0 is never mistaken for an
+    old query's already-folded batch 0.
 
     Each micro-batch is encoded with the index's FROZEN quantizers
     (``ivf_pq_index_append`` semantics: no retrain, recall drifts only
@@ -392,14 +400,23 @@ def ivfpq_index_append_sink(
     Crash-safe: the delete only runs while the batch is uncommitted in
     the checkpoint, i.e. the engine is guaranteed to replay it.
     """
+    import hashlib
     import json
 
-    from ic_spark.operators.similarity import _ivfpq_encode_corpus
+    from ic_spark.operators.similarity import (
+        _fold_key,
+        _ivfpq_encode_corpus,
+    )
+
+    shash = (
+        hashlib.sha1(stream_id.encode()).hexdigest()[:8] if stream_id else ""
+    )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         with open(os.path.join(dir_path, "index.json")) as f:
             meta = json.load(f)
-        if batch_id in set(meta.get("folded_batches", [])):
+        folded = {_fold_key(x) for x in meta.get("folded_batches", [])}
+        if f"{shash}:{batch_id}" in folded:
             # compact_ivf_pq_index folded this batch's files into
             # part-* names; its rows are already served.  A crash-
             # replay must be a no-op, not a duplicate publish under
@@ -420,7 +437,7 @@ def ivfpq_index_append_sink(
         # Replay idempotence regardless of parallelism: clear this
         # batch's files everywhere first (a replay may produce fewer
         # files per cell, or skip cells the original wrote).
-        prefix = f"b{batch_id:08d}-"
+        prefix = f"b{shash}{batch_id:08d}-"
         if os.path.isdir(codes):
             for cell in os.listdir(codes):
                 cdir = os.path.join(codes, cell)
@@ -443,7 +460,7 @@ def ivfpq_index_append_sink(
             for i, f in enumerate(parts):
                 os.replace(
                     os.path.join(stage, cell, f),
-                    os.path.join(dst_dir, f"b{batch_id:08d}-{i:04d}.parquet"),
+                    os.path.join(dst_dir, f"{prefix}{i:04d}.parquet"),
                 )
                 published += 1
         import shutil

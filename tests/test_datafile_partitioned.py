@@ -853,3 +853,77 @@ def test_partition_evolution_append_preserves_old_spec_values(spark, tmp_path):
          (9, dt.date(2022, 5, 5))],
         key=repr,
     )
+
+
+def test_foreign_timestamp_identity_partition_survives_commits(spark, tmp_path):
+    """Foreign-written identity(timestamptz) partitions store long
+    micros; carried entries must re-encode (typed long field +
+    coercion) instead of crashing the commit, and the scan fill
+    converts to an exact +00:00 timestamp string."""
+    import datetime as dt
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.sources.avro_io import read_container
+
+    df = spark.createDataFrame([], "id int, ts timestamp")
+    tbl = IcebergTable.create(str(tmp_path / "it"), df.schema)
+    meta = tbl.metadata()
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    ts_type = next(
+        f["type"] for f in meta["schemas"][0]["fields"] if f["name"] == "ts"
+    )
+    assert ts_type in ("timestamp", "timestamptz"), ts_type
+    nm = dict(meta)
+    nm["partition-specs"] = list(meta["partition-specs"]) + [
+        {"spec-id": 1, "fields": [
+            {"name": "ts", "transform": "identity",
+             "source-id": ids["ts"], "field-id": 1000}]}
+    ]
+    nm["default-spec-id"] = 1
+    nm["last-partition-id"] = 1000
+    tbl._commit_metadata(nm, expected_version=tbl.version())
+
+    micros = 1704067200123456  # 2024-01-01T00:00:00.123456 UTC
+    d1 = str(tmp_path / "f1")
+    spark.createDataFrame([(1,), (2,)], "id int").coalesce(1).write.parquet(d1)
+    f1 = next(os.path.join(d1, n) for n in os.listdir(d1) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": f1, "content": "DATA", "record_count": 2,
+          "file_size_in_bytes": os.path.getsize(f1),
+          "partition_values": {"ts": micros}}]
+    )
+    # a second commit CARRIES the first entry — this crashed before
+    # (string-typed avro slot vs int value) or silently nulled it
+    d2 = str(tmp_path / "f2")
+    spark.createDataFrame([(3,)], "id int").coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    tbl.append_snapshot(
+        [{"path": f2, "content": "DATA", "record_count": 1,
+          "file_size_in_bytes": os.path.getsize(f2),
+          "partition_values": {"ts": micros + 1}}]
+    )
+    snap = tbl._snapshot(None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    vals = set()
+    for mf in manifests:
+        _, _, entries = read_container(mf["manifest_path"])
+        vals.update(e["data_file"]["partition"]["ts"] for e in entries)
+    assert vals == {micros, micros + 1}, vals
+
+    data, _, _ = tbl.scan_tasks()
+    got = {t.partition_values["ts"] for t in data}
+    if ts_type == "timestamptz":
+        assert got == {
+            "2024-01-01 00:00:00.123456+00:00",
+            "2024-01-01 00:00:00.123457+00:00",
+        }, got
+    else:
+        assert got == {
+            "2024-01-01 00:00:00.123456",
+            "2024-01-01 00:00:00.123457",
+        }, got
+    out = read_table(spark, tbl, schema=df.schema)
+    rows = {r.id: r.ts for r in out.collect()}
+    assert rows[1] is not None and rows[3] is not None
+    assert rows[3].microsecond == 123457

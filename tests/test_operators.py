@@ -3103,7 +3103,7 @@ def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
     os.rmdir(os.path.join(idx, "_stage-batch-00000009"))
 
     meta = compact_ivf_pq_index(spark, idx)
-    assert meta["folded_batches"] == [3]
+    assert meta["folded_batches"] == [":3"]  # '<stream-hash>:<batch>'
     # crash-replay of the folded batch: no-op (no fresh b-files, no
     # duplicate rows served)
     sink(e.where(F.col("vec_id") < 100), 3)
@@ -3121,3 +3121,40 @@ def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
     with open(os.path.join(idx, "index.json")) as f:
         assert json.load(f)["codes_dir"] == "codes"
     assert ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).count() > 0
+
+
+def test_ivfpq_fold_ledger_scoped_by_stream_id(spark, tmp_path):
+    """Batch ids are only unique per checkpoint: after compaction folds
+    stream A's batch 0, a NEW query (different stream_id) publishing
+    ITS batch 0 must not be mistaken for the folded one — and a
+    replay of A's batch 0 stays a no-op."""
+    import glob
+    import os
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(e.where(F.col("vec_id") >= 200), idx, nlist=8, m=8, ksub=16)
+    sink_a = ivfpq_index_append_sink(idx, stream_id="ckptA")
+    sink_a(e.where(F.col("vec_id") < 100), 0)
+    meta = compact_ivf_pq_index(spark, idx)
+    (key,) = meta["folded_batches"]
+    assert key.endswith(":0") and len(key.split(":")[0]) == 8
+
+    sink_b = ivfpq_index_append_sink(idx, stream_id="ckptB")
+    sink_b(e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 0)
+    b_files = glob.glob(os.path.join(idx, "codes-v2", "*", "b*00000000-*"))
+    assert b_files, "new stream's batch 0 was wrongly treated as folded"
+
+    # replay of A's folded batch 0: still a no-op
+    n_before = len(glob.glob(os.path.join(idx, "codes-v2", "*", "*.parquet")))
+    sink_a(e.where(F.col("vec_id") < 100), 0)
+    n_after = len(glob.glob(os.path.join(idx, "codes-v2", "*", "*.parquet")))
+    assert n_after == n_before
