@@ -233,7 +233,17 @@ def _coerce_partition_value(t, v):
                 if isinstance(v, str):
                     v = _dt.datetime.fromisoformat(v)
                 if isinstance(v, _dt.datetime):
-                    base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    # Aware values measure from the UTC epoch (Iceberg
+                    # timestamptz stores micros from 1970-01-01T00:00Z;
+                    # an epoch carrying v's OWN offset would store
+                    # wall-clock micros, off by the UTC offset).  Naive
+                    # values use the naive epoch as written.
+                    base = _dt.datetime(
+                        1970,
+                        1,
+                        1,
+                        tzinfo=_dt.timezone.utc if v.tzinfo else None,
+                    )
                     d = v - base
                     return (
                         (d.days * 86400 + d.seconds) * 1_000_000
@@ -639,9 +649,14 @@ class IcebergTable:
                 "float": "float",
                 "double": "double",
                 "date": {"type": "int", "logicalType": "date"},
-                # spec Partition struct: timestamps store long micros
+                # spec Partition struct: timestamps store long micros.
+                # Repo convention (spark_to_iceberg_type): iceberg
+                # "timestamp" is WITHOUT zone (Spark NTZ) and
+                # "timestamptz" is the instant — annotate local vs
+                # instant accordingly so foreign Avro readers don't
+                # take NTZ partition values as UTC instants.
                 "timestamp": {
-                    "type": "long", "logicalType": "timestamp-micros"
+                    "type": "long", "logicalType": "local-timestamp-micros"
                 },
                 "timestamptz": {
                     "type": "long", "logicalType": "timestamp-micros"
@@ -972,12 +987,20 @@ class IcebergTable:
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
         id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
         out = []
         for pf in spec["fields"]:
             field = {
                 "name": pf["name"],
                 "source": id_to_name[pf["source-id"]],
             }
+            st = id_to_type.get(pf["source-id"])
+            if isinstance(st, str):
+                # Primitive source type string ("date", "timestamptz",
+                # "long", ...): enables bucket-hash AND temporal
+                # identity pruning (manifest._comparable_pair needs it
+                # to map internal epoch ints back to literals).
+                field["source_type"] = st
             t = pf["transform"]
             if t.startswith("bucket["):
                 field["transform"] = "iceberg_bucket"

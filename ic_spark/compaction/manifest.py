@@ -53,6 +53,99 @@ def _coerce_partition_value(pv, like):
     return pv
 
 
+def _temporal_epoch(days: bool, value):
+    """One identity-partition value → its Iceberg internal int (epoch
+    days when ``days`` else epoch micros), or None when the value
+    cannot be converted faithfully.
+
+    Values arrive in flavor-dependent shapes: spec-metadata manifests
+    store the internal ints themselves, hive-dir manifests store ISO
+    strings, and the caller's predicate literal may be a string or a
+    ``date``/``datetime`` object.  Aware datetimes convert against the
+    UTC epoch (Iceberg timestamptz semantics); naive ones against the
+    naive epoch (exact integer arithmetic either way).
+    """
+    import datetime as dt
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        try:
+            value = (
+                dt.date.fromisoformat(value)
+                if days
+                else dt.datetime.fromisoformat(value)
+            )
+        except ValueError:
+            return None
+    if days:
+        if isinstance(value, dt.datetime):
+            value = value.date()
+        if isinstance(value, dt.date):
+            return (value - dt.date(1970, 1, 1)).days
+        return None
+    if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+        value = dt.datetime(value.year, value.month, value.day)
+    if not isinstance(value, dt.datetime):
+        return None
+    base = dt.datetime(
+        1970, 1, 1, tzinfo=dt.timezone.utc if value.tzinfo else None
+    )
+    d = value - base
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+_TEMPORAL_TYPES = ("date", "timestamp", "timestamptz", "timestamp_ntz")
+
+
+def _comparable_pair(pv, tv, source_type):
+    """Coerce one (partition value, transformed literal) pair into a
+    single comparable domain, or None when no faithful comparison
+    exists (the caller must NOT prune).
+
+    The identity transform is the only one whose partition values can
+    be temporal: spec manifests record internal epoch ints while
+    predicates carry strings/dates, so a naive ``!=`` between an int
+    and a string is always-True and silently drops matching files.
+    """
+    import datetime as dt
+
+    temporal = (
+        source_type in _TEMPORAL_TYPES
+        if source_type is not None
+        else isinstance(pv, (dt.date, dt.datetime))
+        or isinstance(tv, (dt.date, dt.datetime))
+    )
+    if temporal:
+        # One domain for BOTH sides: epoch days only when the declared
+        # type (or, lacking one, a date-not-datetime value on either
+        # side) says date; everything else compares in micros.
+        days = source_type == "date" or (
+            source_type is None
+            and any(
+                isinstance(x, dt.date) and not isinstance(x, dt.datetime)
+                for x in (pv, tv)
+            )
+        )
+        a = _temporal_epoch(days, pv)
+        b = _temporal_epoch(days, tv)
+        if a is None or b is None:
+            return None
+        return a, b
+    if isinstance(pv, bool) is not isinstance(tv, bool):
+        return None
+    if isinstance(pv, (int, float)) and isinstance(tv, (int, float)):
+        return pv, tv
+    if isinstance(pv, type(tv)) or isinstance(tv, type(pv)):
+        return pv, tv
+    # Mixed leftover shapes (e.g. an int partition value against a
+    # string literal with no declared source type): comparing them
+    # would prune wrongly — opt out.
+    return None
+
+
 def _file_may_match_partition(
     file_entry: dict, specs: dict[str, list[dict]], data_filter: list[tuple]
 ) -> bool:
@@ -105,6 +198,32 @@ def _file_may_match_partition(
             if pv is None:
                 continue  # null partition / not recorded / uncoercible
             if tname in MONOTONE_TRANSFORMS:
+                if tname == "identity":
+                    # Temporal identity values arrive as internal epoch
+                    # ints (spec manifests), ISO strings (hive dirs) or
+                    # date/datetime literals — normalize both sides or
+                    # opt out; a cross-type != would silently prune.
+                    pair = _comparable_pair(
+                        pv, tv, field.get("source_type")
+                    )
+                    if pair is None:
+                        continue
+                    pv, tv = pair
+                    if (
+                        lit is value  # pre-transform adjustment skipped
+                        and isinstance(pv, int)
+                        and isinstance(tv, int)
+                        and not isinstance(tv, bool)
+                    ):
+                        # Same exclusive-bound tightening as the int
+                        # path, in the normalized epoch domain (days/
+                        # micros are the storage granularity): for
+                        # identity, `k > v` ≡ `k >= v+1`, so the
+                        # boundary partition itself prunes.
+                        if op == "<":
+                            tv -= 1
+                        elif op == ">":
+                            tv += 1
                 try:
                     if op == "=" and pv != tv:
                         return False

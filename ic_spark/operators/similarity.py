@@ -1341,8 +1341,28 @@ def build_ivf_pq_index(
     cb = _ivfpq_encode_corpus(
         corpus, cents, books, id_col, vec_col, residual, use_arrow
     )
+    # Rebuilding over a LIVE index must never touch the serving
+    # generation before the index.json flip: a reader resolving
+    # index.json mid-rebuild would pair OLD quantizers with NEW codes
+    # (silently wrong ADC distances), and a crash would leave the old
+    # meta pointing at half-written new-quantizer codes.  Same posture
+    # as compact_ivf_pq_index: write the rebuild into the NEXT
+    # generation directory, flip atomically, clean up after.
+    idx_json = os.path.join(dir_path, "index.json")
+    prev = None
+    if os.path.exists(idx_json):
+        import json as _json
+
+        with open(idx_json) as f:
+            prev = _json.load(f)
+    if prev is None:
+        codes_dir = "codes"
+    else:
+        cur = prev.get("codes_dir", "codes")
+        gen = int(cur.rsplit("-v", 1)[1]) if "-v" in cur else 1
+        codes_dir = f"codes-v{gen + 1}"
     cb.write.mode("overwrite").partitionBy("__cell").parquet(
-        os.path.join(dir_path, "codes")
+        os.path.join(dir_path, codes_dir)
     )
     meta = {
         "format": "ivfpq-index-v1",
@@ -1353,29 +1373,25 @@ def build_ivf_pq_index(
         "ksub": ksub,
         "residual": residual,
         "id_col": id_col,
-        "codes_dir": "codes",
+        "codes_dir": codes_dir,
     }
     # Rebuilding over a live index: carry the streaming fold ledger —
     # a batch folded before the rebuild has its rows in the rebuilt
     # corpus too, so a crash-replay of it must STAY a no-op.
-    idx_json = os.path.join(dir_path, "index.json")
-    if os.path.exists(idx_json):
-        import json as _json
-
-        with open(idx_json) as f:
-            prev = _json.load(f)
-        if prev.get("folded_batches"):
-            meta["folded_batches"] = prev["folded_batches"]
+    if prev is not None and prev.get("folded_batches"):
+        meta["folded_batches"] = prev["folded_batches"]
     _write_index_meta(dir_path, meta)
-    # Only after the atomic flip: remove superseded codes-v<n>
-    # generations (they leak unreferenced storage otherwise).  Cleanup
-    # BEFORE the flip would leave a crash window where the live
-    # index.json points at a deleted directory.
+    # Only after the atomic flip: remove superseded generations (they
+    # leak unreferenced storage otherwise).  Cleanup BEFORE the flip
+    # would leave a crash window where the live index.json points at a
+    # deleted directory.
     import re
     import shutil
 
     for name in os.listdir(dir_path):
-        if re.fullmatch(r"codes-v\d+", name):
+        if name != codes_dir and (
+            name == "codes" or re.fullmatch(r"codes-v\d+", name)
+        ):
             shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
     return meta
 
@@ -1386,6 +1402,26 @@ def _fold_key(x) -> str:
     bare batch ints (default-stream scope): those read as ``':<id>'``."""
     s = str(x)
     return s if ":" in s else f":{s}"
+
+
+def _fold_hwm(entries) -> dict[str, int]:
+    """Fold ledger → per-stream-hash HIGH-WATER MARK of folded batch
+    ids.  Checkpoint batch ids commit sequentially, so the only batch
+    a crash can replay is the LAST one per stream — every id at or
+    below the stream's max folded id is either folded or already
+    committed, never replayable.  Keeping one integer per stream
+    (instead of every id ever folded) bounds the ledger for the
+    index's lifetime; legacy exhaustive ledgers collapse losslessly."""
+    hwm: dict[str, int] = {}
+    for x in entries or []:
+        h, _, b = _fold_key(x).rpartition(":")
+        try:
+            i = int(b)
+        except ValueError:
+            continue
+        if i > hwm.get(h, -1):
+            hwm[h] = i
+    return hwm
 
 
 def _write_index_meta(dir_path: str, meta: dict) -> None:
@@ -1549,7 +1585,13 @@ def compact_ivf_pq_index(
         "__cell"
     ).parquet(os.path.join(dir_path, new))
     meta["codes_dir"] = new
-    meta["folded_batches"] = sorted(folded)
+    # Store only the per-stream high-water mark (see _fold_hwm): the
+    # exhaustive id list grows one entry per micro-batch forever —
+    # pure dead weight rewritten on every compaction and re-parsed on
+    # every sink batch.
+    meta["folded_batches"] = sorted(
+        f"{h}:{i}" for h, i in _fold_hwm(sorted(folded)).items()
+    )
     _write_index_meta(dir_path, meta)
     if not keep_old:
         import shutil

@@ -90,8 +90,33 @@ def read_orc_distributed(
     arrow_out = to_arrow_schema(out_schema)
 
     def decode_files(batches):
+        import os as _os
+
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.orc as orc
+
+        def local_tz_name():
+            """IANA name of the worker's OS timezone (pyarrow's ORC
+            reader renders plain ORC timestamps as LOCAL wall-clock,
+            matching Spark's JVM-default-tz read semantics)."""
+            tz = _os.environ.get("TZ")
+            if tz and (tz in ("UTC", "GMT") or "/" in tz):
+                return tz.lstrip(":")
+            try:
+                with open("/etc/timezone") as f:
+                    name = f.read().strip()
+                    if name:
+                        return name
+            except OSError:
+                pass
+            try:
+                lt = _os.path.realpath("/etc/localtime")
+                if "/zoneinfo/" in lt:
+                    return lt.split("/zoneinfo/", 1)[1]
+            except OSError:
+                pass
+            return "UTC"
 
         for rb in batches:
             tbl_in = pa.table(rb)
@@ -117,10 +142,34 @@ def read_orc_distributed(
                             col = chunk.column(name).combine_chunks()
                             want = arrow_out.field(name).type
                             if col.type != want:
-                                # ORC decodes e.g. timestamp_instant
-                                # (tz-aware) where Spark's schema is
-                                # naive; cast preserves the stored
-                                # instant without a pandas round-trip.
+                                if (
+                                    pa.types.is_timestamp(col.type)
+                                    and col.type.tz is None
+                                    and pa.types.is_timestamp(want)
+                                    and want.tz is not None
+                                ):
+                                    # Plain ORC timestamps decode as
+                                    # LOCAL wall-clock (reader-tz
+                                    # semantics — verified: a non-UTC
+                                    # OS tz shifts the naive value by
+                                    # the offset).  A direct cast to
+                                    # the tz-aware target would
+                                    # reinterpret that wall time as
+                                    # UTC; pin the instant first.
+                                    # DST-edge wall times must stay
+                                    # total, not raise (Spark maps
+                                    # ambiguous locals to the earlier
+                                    # instant).
+                                    col = pc.assume_timezone(
+                                        col,
+                                        local_tz_name(),
+                                        ambiguous="earliest",
+                                        nonexistent="earliest",
+                                    )
+                                # timestamp_instant (tz-aware) or
+                                # int64-encoded NTZ micros: cast
+                                # preserves the stored value without a
+                                # pandas round-trip.
                                 col = col.cast(want)
                             arrays.append(col)
                         if with_path_pos:

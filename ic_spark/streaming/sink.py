@@ -404,7 +404,7 @@ def ivfpq_index_append_sink(
     import json
 
     from ic_spark.operators.similarity import (
-        _fold_key,
+        _fold_hwm,
         _ivfpq_encode_corpus,
     )
 
@@ -415,12 +415,14 @@ def ivfpq_index_append_sink(
     def write_batch(df: DataFrame, batch_id: int) -> None:
         with open(os.path.join(dir_path, "index.json")) as f:
             meta = json.load(f)
-        folded = {_fold_key(x) for x in meta.get("folded_batches", [])}
-        if f"{shash}:{batch_id}" in folded:
+        if batch_id <= _fold_hwm(meta.get("folded_batches")).get(shash, -1):
             # compact_ivf_pq_index folded this batch's files into
             # part-* names; its rows are already served.  A crash-
             # replay must be a no-op, not a duplicate publish under
-            # fresh b<id>-* names the pre-delete can't see.
+            # fresh b<id>-* names the pre-delete can't see.  (High-
+            # water-mark semantics: batch ids commit sequentially, so
+            # every id at or below the stream's max folded id is
+            # folded or already committed — never a fresh publish.)
             return
         cb = _ivfpq_encode_corpus(
             df,
@@ -431,7 +433,13 @@ def ivfpq_index_append_sink(
             meta["residual"],
             use_arrow,
         )
-        stage = os.path.join(dir_path, f"_stage-batch-{batch_id:08d}")
+        # Scoped by the stream hash like the published file names:
+        # two queries feeding one index both start at batch 0, and an
+        # unscoped stage path would let one query's mode("overwrite")
+        # delete the other's stage mid-publish.
+        stage = os.path.join(
+            dir_path, f"_stage-batch-{shash}{batch_id:08d}"
+        )
         cb.write.mode("overwrite").partitionBy("__cell").parquet(stage)
         codes = os.path.join(dir_path, meta.get("codes_dir", "codes"))
         # Replay idempotence regardless of parallelism: clear this

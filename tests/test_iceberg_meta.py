@@ -575,3 +575,30 @@ def test_spec_branch_writes_and_fast_forward(spark, tmp_path, simple_schema):
     assert read_table(spark, tbl).count() == 4
     with pytest.raises(ValueError, match="unknown branch"):
         tbl.fast_forward("ghost")
+
+
+def test_coerce_partition_value_aware_timestamps_use_utc_epoch():
+    """Iceberg timestamptz partition values store micros from the UTC
+    epoch: an offset-aware datetime (or ISO string with an offset) must
+    convert the INSTANT, not its wall-clock reading (r9 review find —
+    an epoch carrying the value's own tzinfo yields wall micros, off
+    by the UTC offset)."""
+    import datetime as dt
+
+    from ic_spark.compaction.iceberg_meta import _coerce_partition_value
+
+    t = {"type": "long", "logicalType": "timestamp-micros"}
+    utc_noon = 1717243200000000  # 2024-06-01T12:00:00Z
+    ist = dt.timezone(dt.timedelta(hours=5, minutes=30))
+    assert _coerce_partition_value(
+        t, dt.datetime(2024, 6, 1, 12, tzinfo=dt.timezone.utc)
+    ) == utc_noon
+    # Same instant spelled in IST wall-clock.
+    assert _coerce_partition_value(
+        t, dt.datetime(2024, 6, 1, 17, 30, tzinfo=ist)
+    ) == utc_noon
+    assert _coerce_partition_value(
+        t, "2024-06-01 17:30:00+05:30"
+    ) == utc_noon
+    # Naive values keep exact naive-epoch arithmetic (UTC sessions).
+    assert _coerce_partition_value(t, "2024-06-01 12:00:00") == utc_noon

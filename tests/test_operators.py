@@ -3115,11 +3115,14 @@ def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
     )
     assert replay == served
 
-    # rebuild removes the superseded codes-v2 generation
+    # rebuild lands in the NEXT generation (never the live dir — a
+    # reader mid-rebuild must not see old quantizers over new codes)
+    # and removes the superseded codes-v2 generation after the flip
     build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16)
     assert not os.path.isdir(os.path.join(idx, "codes-v2"))
     with open(os.path.join(idx, "index.json")) as f:
-        assert json.load(f)["codes_dir"] == "codes"
+        assert json.load(f)["codes_dir"] == "codes-v3"
+    assert os.path.isdir(os.path.join(idx, "codes-v3"))
     assert ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).count() > 0
 
 
@@ -3158,3 +3161,58 @@ def test_ivfpq_fold_ledger_scoped_by_stream_id(spark, tmp_path):
     sink_a(e.where(F.col("vec_id") < 100), 0)
     n_after = len(glob.glob(os.path.join(idx, "codes-v2", "*", "*.parquet")))
     assert n_after == n_before
+
+
+def test_ivfpq_fold_ledger_bounded_by_high_water_mark(spark, tmp_path):
+    """The fold ledger stores one HIGH-WATER MARK per stream hash, not
+    every batch id ever folded (r9 review find: the exhaustive list
+    grows forever on a long-running stream).  Sound because checkpoint
+    batch ids commit sequentially — only the LAST batch can replay, so
+    id <= max-folded means folded-or-committed, never a fresh publish."""
+    import glob
+    import os
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(e.where(F.col("vec_id") >= 300), idx, nlist=8, m=8, ksub=16)
+    sink = ivfpq_index_append_sink(idx, stream_id="ckpt1")
+    for b in range(3):
+        sink(
+            e.where(
+                (F.col("vec_id") >= b * 100) & (F.col("vec_id") < (b + 1) * 100)
+            ),
+            b,
+        )
+    meta = compact_ivf_pq_index(spark, idx)
+    # One ledger entry (the max), not three.
+    (key,) = meta["folded_batches"]
+    assert key.endswith(":2")
+
+    q = e.where(F.col("vec_id") < 5)
+    served = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    # Replay of a batch BELOW the high-water mark: still a no-op.
+    cur = meta["codes_dir"]
+    sink(e.where(F.col("vec_id") < 100), 0)
+    assert not glob.glob(os.path.join(idx, cur, "*", "b*.parquet"))
+    replay = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    assert replay == served
+
+    # A second compaction keeps the ledger at one entry per stream.
+    sink(e.where(F.col("vec_id") < 0), 3)  # empty publish still advances
+    meta2 = compact_ivf_pq_index(spark, idx)
+    assert len(meta2["folded_batches"]) == 1

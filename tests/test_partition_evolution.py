@@ -303,16 +303,19 @@ def test_iceberg_table_spec_evolution_and_compact(spark, tmp_path):
     spec = next(s for s in meta["partition-specs"] if s["spec-id"] == 1)
     assert spec["fields"][0]["transform"] == "truncate[200]"
     assert spec["fields"][0]["field-id"] == 1000
-    # Round-trip back to the writer shape.
+    # Round-trip back to the writer shape (source_type from the schema
+    # enables bucket-hash and temporal identity pruning downstream).
     assert tbl.partition_spec() == [
-        {"name": "k_t", "source": "k", "transform": "truncate", "width": 200}
+        {"name": "k_t", "source": "k", "transform": "truncate",
+         "width": 200, "source_type": "long"}
     ]
     # bucket serializes as spec bucket[N] and reads back spec-exact.
     sid2 = tbl.update_partition_spec(
         [{"name": "k_b", "source": "k", "transform": "bucket", "n": 4}]
     )
     assert tbl.partition_spec(sid2) == [
-        {"name": "k_b", "source": "k", "transform": "iceberg_bucket", "n": 4}
+        {"name": "k_b", "source": "k", "transform": "iceberg_bucket",
+         "n": 4, "source_type": "long"}
     ]
     assert tbl.update_partition_spec(
         [{"name": "k_t", "source": "k", "transform": "truncate", "width": 200}]
@@ -428,3 +431,105 @@ def test_full_compact_migrates_to_current_spec(spark, tmp_path):
     assert {f.data_file_path for f in data} == {
         f["path"] for f in data_entries if f["partition"]["k_t"] == "500"
     }
+
+
+def test_temporal_identity_partition_pruning_across_value_shapes():
+    """Identity partitions over DATE/TIMESTAMP columns arrive in
+    flavor-dependent shapes — spec manifests store internal epoch ints,
+    hive dirs store ISO strings, predicates carry strings or
+    date/datetime objects.  Equality pruning must compare them in ONE
+    domain: an int-vs-string `!=` is always-True and silently drops
+    matching files (r9 review find)."""
+    import datetime as dt
+
+    specs = {
+        "1": [{"name": "d", "source": "d", "transform": "identity",
+               "source_type": "date"}],
+        "2": [{"name": "ts", "source": "ts", "transform": "identity",
+               "source_type": "timestamptz"}],
+        "3": [{"name": "d2", "source": "d2", "transform": "identity"}],
+    }
+    days = (dt.date(2024, 6, 1) - dt.date(1970, 1, 1)).days
+    spec_file = _entry("f1", 1, {"d": days})
+    # Matching literals in every caller spelling: KEEP.
+    for lit in ("2024-06-01", dt.date(2024, 6, 1),
+                dt.datetime(2024, 6, 1), days):
+        assert _file_may_match_partition(spec_file, specs, [("d", "=", lit)]), lit
+    # Non-matching: PRUNE (all spellings).
+    for lit in ("2024-06-02", dt.date(2024, 6, 2), days + 1):
+        assert not _file_may_match_partition(
+            spec_file, specs, [("d", "=", lit)]
+        ), lit
+    # Range ops across domains.
+    assert _file_may_match_partition(spec_file, specs, [("d", ">=", "2024-06-01")])
+    assert not _file_may_match_partition(spec_file, specs, [("d", ">", "2024-06-01")])
+    assert not _file_may_match_partition(
+        spec_file, specs, [("d", "<=", dt.date(2024, 5, 31))]
+    )
+
+    # timestamptz: internal micros vs aware/naive literals (aware
+    # literals measure from the UTC epoch — Iceberg instant semantics).
+    micros = 1717243200000000  # 2024-06-01T12:00:00Z
+    ts_file = _entry("f2", 2, {"ts": micros})
+    for lit in ("2024-06-01 12:00:00",
+                dt.datetime(2024, 6, 1, 12, tzinfo=dt.timezone.utc),
+                dt.datetime(2024, 6, 1, 17, 30, tzinfo=dt.timezone(
+                    dt.timedelta(hours=5, minutes=30)))):
+        assert _file_may_match_partition(ts_file, specs, [("ts", "=", lit)]), lit
+    assert not _file_may_match_partition(
+        ts_file, specs, [("ts", "=", "2024-06-01 12:00:01")]
+    )
+
+    # Hive-string partition value vs date-object literal (no declared
+    # source_type): normalized through the literal's domain.
+    hive_file = _entry("f3", 3, {"d2": "2024-06-01"})
+    assert _file_may_match_partition(
+        hive_file, specs, [("d2", "=", dt.date(2024, 6, 1))]
+    )
+    assert not _file_may_match_partition(
+        hive_file, specs, [("d2", "=", dt.date(2024, 6, 2))]
+    )
+
+    # SAFETY: int partition value against a string literal with no
+    # declared source type cannot be compared faithfully — never prune.
+    mystery = _entry("f4", 3, {"d2": 19875})
+    assert _file_may_match_partition(mystery, specs, [("d2", "=", "x")])
+
+
+def test_iceberg_scan_tasks_prunes_date_identity_partition(spark, tmp_path):
+    """End-to-end spec-flavor proof: a date-identity-partitioned table
+    stores epoch-day ints in its manifests; scan_tasks with a date
+    equality filter keeps exactly the matching partition's file."""
+    import datetime as dt
+
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    schema = spark.createDataFrame([], "d date, v long").schema
+    tbl = IcebergTable.create(str(tmp_path / "dp"), schema)
+    tbl.update_partition_spec(
+        [{"name": "d_p", "source": "d", "transform": "identity"}]
+    )
+    paths = {}
+    for day in ("2024-06-01", "2024-06-02"):
+        dd = str(tmp_path / f"dp_{day}")
+        spark.sql(
+            f"SELECT DATE'{day}' AS d, id AS v FROM range(10)"
+        ).coalesce(1).write.parquet(dd)
+        p = next(
+            os.path.join(dd, n) for n in os.listdir(dd) if n.endswith(".parquet")
+        )
+        rc, cs, _ = _stats_from_footer(p, dd)
+        paths[day] = p
+        tbl.append_snapshot(
+            [{"path": p, "content": "DATA", "record_count": rc,
+              "file_size_in_bytes": os.path.getsize(p),
+              "partition": {"d_p": day}}]
+        )
+    for lit in ("2024-06-01", dt.date(2024, 6, 1)):
+        data, _, _ = tbl.scan_tasks(data_filter=[("d", "=", lit)])
+        assert {t.data_file_path for t in data} == {paths["2024-06-01"]}, lit
+    data, _, _ = tbl.scan_tasks(data_filter=[("d", ">", "2024-06-01")])
+    assert {t.data_file_path for t in data} == {paths["2024-06-02"]}
+    data, _, _ = tbl.scan_tasks()
+    assert len(data) == 2

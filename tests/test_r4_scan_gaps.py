@@ -240,3 +240,67 @@ def test_orc_empty_projection_refused(spark, tmp_path):
         read_orc_distributed(
             spark, [orc_file], columns=["nope"], with_path_pos=False
         )
+
+
+def test_orc_distributed_timestamps_match_native_under_non_utc_os_tz(tmp_path):
+    """Plain ORC timestamps decode as reader-LOCAL wall-clock (Spark's
+    JVM-default-tz semantics; pyarrow matches).  The distributed scan
+    must pin the instant with assume_timezone(local) before casting to
+    Spark's tz-aware Arrow type — a direct cast reinterprets local wall
+    time as UTC, shifting every value by the OS offset (r9 review find:
+    +5h30m under TZ=Asia/Kolkata).  Runs in a subprocess because the
+    timezone must be set before the JVM starts."""
+    import subprocess
+    import sys
+
+    script = r"""
+import datetime as dt, glob, os, sys, tempfile
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import types as T
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false").getOrCreate())
+sch = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("tsn", T.TimestampNTZType()),
+])
+rows = [
+    (1, dt.datetime(2024, 6, 1, 12, 0, 0), dt.datetime(2024, 6, 1, 12, 0, 0)),
+    (2, dt.datetime(2024, 1, 15, 23, 59, 59, 123456),
+        dt.datetime(2024, 1, 15, 23, 59, 59, 123456)),
+    (3, None, None),
+]
+d = tempfile.mkdtemp()
+p = os.path.join(d, "t.orc")
+spark.createDataFrame(rows, sch).write.orc(p)
+files = glob.glob(p + "/*.orc")
+native = sorted(
+    (r.id, r.e, r.s)
+    for r in spark.read.orc(p)
+    .select("id", F.col("ts").cast("long").alias("e"),
+            F.col("tsn").cast("string").alias("s")).collect()
+)
+from ic_spark.sources.orc_scan import read_orc_distributed
+dist = sorted(
+    (r.id, r.e, r.s)
+    for r in read_orc_distributed(spark, files, schema=sch)
+    .select("id", F.col("ts").cast("long").alias("e"),
+            F.col("tsn").cast("string").alias("s")).collect()
+)
+assert dist == native, f"dist={dist} native={native}"
+spark.stop()
+print("TZ_OK")
+"""
+    env = dict(os.environ, TZ="Asia/Kolkata")
+    env.pop("SPARK_HOME", None)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "TZ_OK" in out.stdout, out.stdout + "\n" + out.stderr[-3000:]
