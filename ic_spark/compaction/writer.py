@@ -132,10 +132,11 @@ def _avro_type(dt, col: str, counter: list, nested: bool = False):
     """One Spark type → Avro schema fragment, recursing through
     array/map/struct (the container codec already encodes those — it
     writes the Iceberg manifests).  Logical types (date/timestamp/
-    decimal) are top-level-only: the writer converts those COLUMNS to
-    their wire integers before encoding, and there is no such
-    conversion point inside nested values — gated with a clear error
-    rather than handing the encoder datetime objects."""
+    decimal) at top level are converted to wire integers Arrow-side
+    (vectorized); INSIDE nested values the per-value fixer
+    (:func:`_nested_value_fixer`) converts the decoded python leaves
+    in the same ``to_pylist`` pass the container encoder already
+    requires, so nested logical types cost no extra traversal."""
     import pyspark.sql.types as T
 
     ss = dt.simpleString()
@@ -149,12 +150,6 @@ def _avro_type(dt, col: str, counter: list, nested: bool = False):
             "scale": int(s),
         }
     if t is not None:
-        if nested and isinstance(t, dict):
-            raise ValueError(
-                f"avro data-file write: {ss!r} inside a nested column "
-                f"({col!r}) is not supported (logical-type wire "
-                "conversion is per-column; use parquet or orc)"
-            )
         return t
     if isinstance(dt, T.ArrayType):
         item = _avro_type(dt.elementType, col, counter, True)
@@ -208,15 +203,63 @@ def _spark_to_avro_schema(schema) -> dict:
     return {"type": "record", "name": "datafile", "fields": fields}
 
 
-def _nested_map_fixer(dt):
-    """Arrow ``to_pylist`` renders map values as LISTS OF (key, value)
-    TUPLES; the Avro encoder takes dicts.  Returns a per-value
-    converter for types containing a map anywhere, else None (no
-    per-row work for map-free schemas)."""
+def _logical_leaf_fixer(dt):
+    """Wire converter for one logical-type leaf INSIDE a nested value
+    (top-level columns convert Arrow-side, vectorized): Arrow
+    ``to_pylist`` yields date/datetime/Decimal objects, the Avro
+    container encoder takes the spec wire forms — int epoch days,
+    long micros (aware datetimes measure from the UTC epoch), minimal
+    big-endian two's-complement unscaled bytes."""
+    import datetime as _dt
+    import decimal as _dec
+
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.DateType):
+        epoch = _dt.date(1970, 1, 1)
+        return lambda v: None if v is None else (v - epoch).days
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+
+        def fix_ts(v):
+            if v is None:
+                return None
+            base = _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc if v.tzinfo else None
+            )
+            d = v - base
+            return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+        return fix_ts
+    if isinstance(dt, T.DecimalType):
+        sc = dt.scale
+
+        def fix_dec(v, sc=sc):
+            if v is None:
+                return None
+            # widened context: the default 28-digit context would
+            # silently ROUND decimal(p>28) unscaled values
+            with _dec.localcontext() as ctx:
+                ctx.prec = 80
+                n = int(v.scaleb(sc))
+            return n.to_bytes(
+                max(1, (n.bit_length() + 8) // 8), "big", signed=True
+            )
+
+        return fix_dec
+    return None
+
+
+def _nested_value_fixer(dt, top: bool = True):
+    """Per-value converter applied in the encoder's ``to_pylist``
+    pass: map values arrive as LISTS OF (key, value) TUPLES (the Avro
+    encoder takes dicts), and logical-type leaves inside containers
+    arrive as date/datetime/Decimal objects (the encoder takes wire
+    ints/bytes).  Returns None when the type needs no per-row work —
+    top-level logical columns convert Arrow-side instead."""
     import pyspark.sql.types as T
 
     if isinstance(dt, T.MapType):
-        vf = _nested_map_fixer(dt.valueType)
+        vf = _nested_value_fixer(dt.valueType, top=False)
 
         def fix_map(v):
             if v is None:
@@ -226,7 +269,7 @@ def _nested_map_fixer(dt):
 
         return fix_map
     if isinstance(dt, T.ArrayType):
-        ef = _nested_map_fixer(dt.elementType)
+        ef = _nested_value_fixer(dt.elementType, top=False)
         if ef is None:
             return None
         return lambda v: None if v is None else [ef(x) for x in v]
@@ -234,7 +277,7 @@ def _nested_map_fixer(dt):
         subs = {
             sf.name: fx
             for sf in dt.fields
-            if (fx := _nested_map_fixer(sf.dataType)) is not None
+            if (fx := _nested_value_fixer(sf.dataType, top=False)) is not None
         }
         if not subs:
             return None
@@ -248,6 +291,8 @@ def _nested_map_fixer(dt):
             return d
 
         return fix_struct
+    if not top:
+        return _logical_leaf_fixer(dt)
     return None
 
 
@@ -381,7 +426,7 @@ def _write_data_files_python(
         {
             f.name: fx
             for f in data_fields
-            if (fx := _nested_map_fixer(f.dataType)) is not None
+            if (fx := _nested_value_fixer(f.dataType)) is not None
         }
         if fmt == "avro"
         else {}

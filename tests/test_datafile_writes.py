@@ -189,14 +189,15 @@ def test_full_compact_into_format(spark, tmp_path, fmt):
 
 
 def test_avro_write_gates(spark, tmp_path):
-    # nested is supported since r9; the remaining gates are logical
-    # types INSIDE nested values and non-string map keys
+    # nested (incl. logical-type leaves) is supported since r9; the
+    # remaining schema gate is non-string map keys (an Avro spec limit)
     from ic_spark.compaction.writer import _spark_to_avro_schema
 
-    with pytest.raises(ValueError, match="inside a nested column"):
-        _spark_to_avro_schema(
-            spark.createDataFrame([], "a array<date>").schema
-        )
+    assert _spark_to_avro_schema(
+        spark.createDataFrame([], "a array<date>").schema
+    )["fields"][0]["type"][1]["items"][1] == {
+        "type": "int", "logicalType": "date"
+    }
     with pytest.raises(ValueError, match="string keys"):
         _spark_to_avro_schema(
             spark.createDataFrame([], "m map<int,string>").schema
@@ -602,3 +603,102 @@ def test_s3_fileio_props_map_to_pyarrow_connector():
     assert type(fs).__name__ == "S3FileSystem"
     assert fs.region == "eu-west-1"
     assert inner == "bkt/warehouse/t"
+
+
+def test_avro_nested_logical_types_write_roundtrip(spark, tmp_path):
+    """Logical types INSIDE nested values (array<date>,
+    struct<ts,dec>, map<string,timestamp>, array<struct<d,ts>>)
+    round-trip exactly through the avro data-file writer + the repo's
+    distributed scan — closing the last nested-writer gate (formerly a
+    per-column-conversion ValueError).  Leaves convert to spec wire
+    forms in the encoder's existing to_pylist pass; the read side's
+    recursive _converter restores them."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.writer import rewrite_files
+    from ic_spark.sources.avro_scan import read_avro_distributed
+
+    rows = [
+        (
+            1,
+            [dt.date(2024, 6, 1), None, dt.date(1969, 12, 31)],
+            (dt.datetime(2024, 6, 1, 12, 0, 0, 123456), Decimal("12345.67")),
+            {"a": dt.datetime(2024, 1, 15, 23, 59, 59, 999999), "b": None},
+            [(dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 1, 2, 3))],
+        ),
+        (2, None, None, None, None),
+        (3, [], (None, None), {}, []),
+        (
+            4,
+            [dt.date(1970, 1, 1)],
+            (dt.datetime(1969, 7, 20, 20, 17, 40), Decimal("-0.01")),
+            {"x": dt.datetime(1970, 1, 1)},
+            [(None, None), (dt.date(2000, 1, 1), None)],
+        ),
+    ]
+    schema = (
+        "id int, dates array<date>, "
+        "s struct<ts:timestamp,dec:decimal(10,2)>, "
+        "m map<string,timestamp>, "
+        "nest array<struct<d:date,ts:timestamp>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    df.repartition(1).write.parquet(src)
+    f = next(
+        os.path.join(src, n) for n in os.listdir(src) if n.endswith(".parquet")
+    )
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=df.schema,
+            data_files=[FileScanTask(data_file_path=f, sequence_number=1)],
+            dir_path=str(tmp_path / "out"),
+            target_partitions=1,
+            data_file_format="avro",
+        ),
+    )
+    m = resp.data_files[0]
+    back = read_avro_distributed(spark, m.file_path, schema=df.schema)
+    want = sorted([tuple(r) for r in spark.read.parquet(src).collect()], key=repr)
+    got = sorted([tuple(r) for r in back.collect()], key=repr)
+    assert got == want
+
+
+def test_nested_value_fixer_logical_leaves_unit():
+    """Leaf wire conversions for logical types inside nested values:
+    dates → epoch days, naive/aware datetimes → naive/UTC-epoch
+    micros, decimals → minimal signed big-endian unscaled bytes (incl.
+    p>28 values the default Decimal context would round)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from ic_spark.compaction.writer import _nested_value_fixer
+
+    fx = _nested_value_fixer(T.ArrayType(T.DateType()))
+    assert fx([dt.date(1970, 1, 2), None, dt.date(1969, 12, 31)]) == [1, None, -1]
+
+    fx = _nested_value_fixer(T.ArrayType(T.TimestampNTZType()))
+    assert fx([dt.datetime(1970, 1, 1, 0, 0, 1)]) == [1_000_000]
+
+    ist = dt.timezone(dt.timedelta(hours=5, minutes=30))
+    fx = _nested_value_fixer(T.ArrayType(T.TimestampType()))
+    # aware values measure the INSTANT from the UTC epoch
+    assert fx([dt.datetime(1970, 1, 1, 5, 30, 1, tzinfo=ist)]) == [1_000_000]
+
+    fx = _nested_value_fixer(
+        T.StructType([T.StructField("d", T.DecimalType(38, 0))])
+    )
+    big = Decimal(10) ** 30  # > 28-digit default context precision
+    out = fx({"d": big})
+    assert int.from_bytes(out["d"], "big", signed=True) == 10**30
+    neg = fx({"d": Decimal(-1)})
+    assert int.from_bytes(neg["d"], "big", signed=True) == -1
+
+    # Top-level logical columns are converted Arrow-side: no fixer.
+    assert _nested_value_fixer(T.DateType()) is None
+    assert _nested_value_fixer(T.TimestampType()) is None
