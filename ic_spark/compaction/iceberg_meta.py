@@ -649,20 +649,27 @@ class IcebergTable:
                 "float": "float",
                 "double": "double",
                 "date": {"type": "int", "logicalType": "date"},
-                # spec Partition struct: timestamps store long micros.
-                # Repo convention (spark_to_iceberg_type): iceberg
-                # "timestamp" is WITHOUT zone (Spark NTZ) and
-                # "timestamptz" is the instant — annotate local vs
-                # instant accordingly so foreign Avro readers don't
-                # take NTZ partition values as UTC instants.
+                # spec Partition struct: timestamps store long micros,
+                # annotated exactly as Iceberg's Avro mapping defines —
+                # logicalType timestamp-micros plus adjust-to-utc
+                # (false = without zone, true = instant).  Repo
+                # convention (spark_to_iceberg_type): iceberg
+                # "timestamp" is WITHOUT zone (Spark NTZ), so foreign
+                # readers must not take its values as UTC instants.
                 "timestamp": {
-                    "type": "long", "logicalType": "local-timestamp-micros"
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                    "adjust-to-utc": False,
                 },
                 "timestamptz": {
-                    "type": "long", "logicalType": "timestamp-micros"
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                    "adjust-to-utc": True,
                 },
                 "timestamp_ntz": {
-                    "type": "long", "logicalType": "local-timestamp-micros"
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                    "adjust-to-utc": False,
                 },
                 "time": {"type": "long", "logicalType": "time-micros"},
                 "uuid": "string",

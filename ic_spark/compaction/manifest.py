@@ -82,6 +82,15 @@ def _temporal_epoch(days: bool, value):
             return None
     if days:
         if isinstance(value, dt.datetime):
+            # A sub-day literal has no exact epoch-days image: the
+            # truncation would make the exclusive-bound tightening
+            # prune the boundary day whose rows DO satisfy e.g.
+            # `d < 2024-06-01T12:00`.  Opt out of pruning instead.
+            if (
+                value.hour or value.minute or value.second
+                or value.microsecond or value.tzinfo is not None
+            ):
+                return None
             value = value.date()
         if isinstance(value, dt.date):
             return (value - dt.date(1970, 1, 1)).days

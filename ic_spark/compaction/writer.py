@@ -203,6 +203,22 @@ def _spark_to_avro_schema(schema) -> dict:
     return {"type": "record", "name": "datafile", "fields": fields}
 
 
+def _decimal_unscaled_bytes(v, scale: int):
+    """One Decimal → Avro decimal wire form: minimal signed big-endian
+    two's-complement of the unscaled value.  The scaleb runs under a
+    widened context — the default 28-digit context would silently
+    ROUND decimal(p>28) unscaled values (decimal128 maxes at
+    precision 38, scale 38 → 76 digits; 80 covers every value)."""
+    import decimal as _dec
+
+    if v is None:
+        return None
+    with _dec.localcontext() as ctx:
+        ctx.prec = 80
+        n = int(v.scaleb(scale))
+    return n.to_bytes(max(1, (n.bit_length() + 8) // 8), "big", signed=True)
+
+
 def _logical_leaf_fixer(dt):
     """Wire converter for one logical-type leaf INSIDE a nested value
     (top-level columns convert Arrow-side, vectorized): Arrow
@@ -232,20 +248,7 @@ def _logical_leaf_fixer(dt):
         return fix_ts
     if isinstance(dt, T.DecimalType):
         sc = dt.scale
-
-        def fix_dec(v, sc=sc):
-            if v is None:
-                return None
-            # widened context: the default 28-digit context would
-            # silently ROUND decimal(p>28) unscaled values
-            with _dec.localcontext() as ctx:
-                ctx.prec = 80
-                n = int(v.scaleb(sc))
-            return n.to_bytes(
-                max(1, (n.bit_length() + 8) // 8), "big", signed=True
-            )
-
-        return fix_dec
+        return lambda v: _decimal_unscaled_bytes(v, sc)
     return None
 
 
@@ -520,26 +523,11 @@ def _write_data_files_python(
                             i, f.name, enc.column(i).cast(pa.int64())
                         )
                     elif pa.types.is_decimal(f.type):
-                        import decimal as _dec
-
                         sc = f.type.scale
-                        # scaleb under a widened context: the default
-                        # 28-digit context would silently ROUND the
-                        # unscaled value of decimal(p>28) columns.
-                        # decimal128 maxes at precision 38, scale 38 →
-                        # 76 digits covers every representable value.
-                        with _dec.localcontext() as ctx:
-                            ctx.prec = 80
-                            vals = [
-                                None
-                                if v is None
-                                else (lambda n: n.to_bytes(
-                                    max(1, (n.bit_length() + 8) // 8),
-                                    "big",
-                                    signed=True,
-                                ))(int(v.scaleb(sc)))
-                                for v in enc.column(i).to_pylist()
-                            ]
+                        vals = [
+                            _decimal_unscaled_bytes(v, sc)
+                            for v in enc.column(i).to_pylist()
+                        ]
                         enc = enc.set_column(
                             i, f.name, pa.array(vals, type=pa.binary())
                         )

@@ -1351,10 +1351,8 @@ def build_ivf_pq_index(
     idx_json = os.path.join(dir_path, "index.json")
     prev = None
     if os.path.exists(idx_json):
-        import json as _json
-
         with open(idx_json) as f:
-            prev = _json.load(f)
+            prev = json.load(f)
     if prev is None:
         codes_dir = "codes"
     else:

@@ -96,16 +96,37 @@ def read_orc_distributed(
         import pyarrow.compute as pc
         import pyarrow.orc as orc
 
+        def _valid_zone(name):
+            """Resolvable tz database name, or None."""
+            if not name:
+                return None
+            try:
+                import zoneinfo
+
+                zoneinfo.ZoneInfo(name)
+                return name
+            except Exception:
+                return None
+
         def local_tz_name():
-            """IANA name of the worker's OS timezone (pyarrow's ORC
-            reader renders plain ORC timestamps as LOCAL wall-clock,
-            matching Spark's JVM-default-tz read semantics)."""
-            tz = _os.environ.get("TZ")
-            if tz and (tz in ("UTC", "GMT") or "/" in tz):
-                return tz.lstrip(":")
+            """tz-database name of the worker's OS timezone (pyarrow's
+            ORC reader renders plain ORC timestamps as LOCAL
+            wall-clock, matching Spark's JVM-default-tz semantics).
+            Candidates in libc's own precedence: $TZ (IANA or legacy
+            names like EST5EDT; path forms reduce to the zoneinfo
+            suffix), then /etc/timezone, then the /etc/localtime
+            symlink.  Every candidate is validated against the tz
+            database — an unresolvable name must fall through, not
+            blow up assume_timezone on the executor."""
+            tz = (_os.environ.get("TZ") or "").lstrip(":")
+            if tz.startswith("/") and "/zoneinfo/" in tz:
+                tz = tz.split("/zoneinfo/", 1)[1]
+            name = _valid_zone(tz)
+            if name:
+                return name
             try:
                 with open("/etc/timezone") as f:
-                    name = f.read().strip()
+                    name = _valid_zone(f.read().strip())
                     if name:
                         return name
             except OSError:
@@ -113,10 +134,15 @@ def read_orc_distributed(
             try:
                 lt = _os.path.realpath("/etc/localtime")
                 if "/zoneinfo/" in lt:
-                    return lt.split("/zoneinfo/", 1)[1]
+                    name = _valid_zone(lt.split("/zoneinfo/", 1)[1])
+                    if name:
+                        return name
             except OSError:
                 pass
             return "UTC"
+
+        # One resolution per task, not per column per stripe.
+        local_tz = local_tz_name()
 
         for rb in batches:
             tbl_in = pa.table(rb)
@@ -162,7 +188,7 @@ def read_orc_distributed(
                                     # instant).
                                     col = pc.assume_timezone(
                                         col,
-                                        local_tz_name(),
+                                        local_tz,
                                         ambiguous="earliest",
                                         nonexistent="earliest",
                                     )

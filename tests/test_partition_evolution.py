@@ -533,3 +533,27 @@ def test_iceberg_scan_tasks_prunes_date_identity_partition(spark, tmp_path):
     assert {t.data_file_path for t in data} == {paths["2024-06-02"]}
     data, _, _ = tbl.scan_tasks()
     assert len(data) == 2
+
+
+def test_temporal_identity_pruning_subday_literal_never_prunes_boundary():
+    """A sub-day datetime literal has no exact epoch-days image over a
+    DATE identity partition: `d < 2024-06-01T12:00` is satisfied by
+    rows of day 2024-06-01, so the truncate-then-tighten path must opt
+    out instead of pruning the boundary day (r9 second-pass review
+    find, repro-confirmed)."""
+    import datetime as dt
+
+    specs = {
+        "1": [{"name": "d", "source": "d", "transform": "identity",
+               "source_type": "date"}],
+    }
+    days = (dt.date(2024, 6, 1) - dt.date(1970, 1, 1)).days
+    f = _entry("f1", 1, {"d": days})
+    noon = dt.datetime(2024, 6, 1, 12, 0)
+    for op in ("<", "<=", ">", ">=", "="):
+        # conservative: keep for every op (the literal is unmappable)
+        assert _file_may_match_partition(f, specs, [("d", op, noon)]), op
+    # Midnight maps exactly — pruning still applies there.
+    midnight = dt.datetime(2024, 6, 2)
+    assert not _file_may_match_partition(f, specs, [("d", ">=", midnight)])
+    assert _file_may_match_partition(f, specs, [("d", "<", midnight)])
