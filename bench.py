@@ -173,35 +173,21 @@ def main() -> None:
     # Serve-only persisted-index timing (VERDICT r8 #3): the
     # sim_ivfpq_topk headline times train + encode + serve every run,
     # but the production shape the build/serve split exists for is
-    # "index built nightly, queries all day" — so the index is built
-    # ONCE outside the timer (same parameters as the headline) and only
-    # the query path is timed, with the dynamic-partition-pruning plan
-    # pin asserted in-bench.
-    import tempfile
-
-    from ic_spark.operators.similarity import (
-        build_ivf_pq_index,
-        ivf_pq_index_top_k,
-    )
-    from pyspark.sql import functions as F
-
-    emb = load_table(spark, SF_DIR, "embeddings")
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_ivfpq_"), "idx")
-    build_ivf_pq_index(
-        emb, idx_dir, nlist=16, m=8, ksub=16, pq_refine_iters=1, use_arrow=True
-    )
-    serve_q = emb.where(F.col("vec_id") < 5)
-    out = ivf_pq_index_top_k(
-        spark, idx_dir, serve_q, k=10, nprobe=4, use_arrow=True
-    )
+    # "index built nightly, queries all day".  Reuse the registry's
+    # own sim_ivfpq_indexed_topk (whose first invocation per process
+    # builds the index, later ones serve from it — the exact query the
+    # driver sweep correctness-checks, so a parameter change there
+    # changes this row too instead of silently diverging): one untimed
+    # build invocation, then time serve-only repeats, with the
+    # dynamic-partition-pruning plan pin asserted in-bench.
+    indexed = REGISTRY["sim_ivfpq_indexed_topk"].fn
+    out = indexed(spark, SF_DIR)  # builds the per-process index
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "serve path lost its DPP pin"
-    best = float("inf")
+    best, rows = float("inf"), 0
     for _ in range(3):
         start = time.perf_counter()
-        rows = ivf_pq_index_top_k(
-            spark, idx_dir, serve_q, k=10, nprobe=4, use_arrow=True
-        ).count()
+        rows = indexed(spark, SF_DIR).count()
         best = min(best, time.perf_counter() - start)
     timings["sim_ivfpq_index_serve"] = round(best, 3)
     print(
@@ -209,9 +195,16 @@ def main() -> None:
         f" ({rows} rows, DPP pinned)",
         file=sys.stderr,
     )
+    # The query keys its index dir by THIS process's pid — reclaim it.
     import shutil
+    import tempfile
 
-    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(
+            tempfile.gettempdir(), f"ic_spark_ivfpq_idx_{os.getpid()}"
+        ),
+        ignore_errors=True,
+    )
 
     total = round(sum(timings.values()), 3)
     comparable_r6 = round(

@@ -46,6 +46,13 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+from ic_spark.compaction.epochs import (
+    date_from_epoch_days,
+    datetime_from_epoch_micros,
+    epoch_days,
+    epoch_micros,
+)
+
 from ic_spark.compaction.request import FileContent, FileScanTask
 from ic_spark.sources.avro_io import read_container, write_container
 
@@ -221,11 +228,9 @@ def _coerce_partition_value(t, v):
                 if isinstance(v, _dt.datetime):
                     v = v.date()
                 if isinstance(v, _dt.date):
-                    return (v - _dt.date(1970, 1, 1)).days
+                    return epoch_days(v)
                 if isinstance(v, str):
-                    return (
-                        _dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)
-                    ).days
+                    return epoch_days(_dt.date.fromisoformat(v))
                 return int(v)
             if lt in (
                 "timestamp-micros", "local-timestamp-micros", "time-micros"
@@ -233,22 +238,10 @@ def _coerce_partition_value(t, v):
                 if isinstance(v, str):
                     v = _dt.datetime.fromisoformat(v)
                 if isinstance(v, _dt.datetime):
-                    # Aware values measure from the UTC epoch (Iceberg
-                    # timestamptz stores micros from 1970-01-01T00:00Z;
-                    # an epoch carrying v's OWN offset would store
-                    # wall-clock micros, off by the UTC offset).  Naive
-                    # values use the naive epoch as written.
-                    base = _dt.datetime(
-                        1970,
-                        1,
-                        1,
-                        tzinfo=_dt.timezone.utc if v.tzinfo else None,
-                    )
-                    d = v - base
-                    return (
-                        (d.days * 86400 + d.seconds) * 1_000_000
-                        + d.microseconds
-                    )
+                    # Aware values measure from the UTC epoch, naive
+                    # from the naive epoch (compaction/epochs.py — the
+                    # one shared copy of that tz-sensitive rule).
+                    return epoch_micros(v)
                 return int(v)
             return v
         if t in ("int", "long"):
@@ -301,9 +294,9 @@ def fill_partition_values(
         if t in _FILL_UNCONVERTIBLE or t.startswith("fixed"):
             continue
         if t == "date" and isinstance(v, int):
-            v = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+            v = date_from_epoch_days(v).isoformat()
         elif t in ("timestamp", "timestamptz") and isinstance(v, int):
-            ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            ts = datetime_from_epoch_micros(v)
             v = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
             if t == "timestamptz":
                 # spec: micros stored in UTC; the explicit offset keeps

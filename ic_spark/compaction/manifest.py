@@ -22,6 +22,7 @@ import tempfile
 import time
 from dataclasses import dataclass
 
+from ic_spark.compaction.epochs import epoch_days, epoch_micros
 from ic_spark.compaction.request import FileContent, FileScanTask
 
 
@@ -93,20 +94,34 @@ def _temporal_epoch(days: bool, value):
                 return None
             value = value.date()
         if isinstance(value, dt.date):
-            return (value - dt.date(1970, 1, 1)).days
+            return epoch_days(value)
         return None
     if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
         value = dt.datetime(value.year, value.month, value.day)
     if not isinstance(value, dt.datetime):
         return None
-    base = dt.datetime(
-        1970, 1, 1, tzinfo=dt.timezone.utc if value.tzinfo else None
-    )
-    d = value - base
-    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    return epoch_micros(value)
 
 
 _TEMPORAL_TYPES = ("date", "timestamp", "timestamptz", "timestamp_ntz")
+
+
+def _parse_iso_temporal(s: str):
+    """``datetime`` for an ISO date/datetime string, else None.  Both
+    the 'T' and space separators parse (datetime.fromisoformat accepts
+    either); date-only strings land at midnight so mixed date/datetime
+    pairs still share the micros domain."""
+    import datetime as dt
+
+    try:
+        return dt.datetime.fromisoformat(s)
+    except ValueError:
+        pass
+    try:
+        d = dt.date.fromisoformat(s)
+        return dt.datetime(d.year, d.month, d.day)
+    except ValueError:
+        return None
 
 
 def _comparable_pair(pv, tv, source_type):
@@ -146,6 +161,27 @@ def _comparable_pair(pv, tv, source_type):
     if isinstance(pv, bool) is not isinstance(tv, bool):
         return None
     if isinstance(pv, (int, float)) and isinstance(tv, (int, float)):
+        return pv, tv
+    if isinstance(pv, str) and isinstance(tv, str):
+        # Hive-flavor manifests (no declared source_type) store temporal
+        # identity values as str(datetime) — SPACE separator — while
+        # predicate literals commonly use the 'T' spelling.  Lexical
+        # comparison across spellings wrongly prunes on equality and can
+        # invert ordering (' ' < 'T').  When BOTH sides parse as ISO
+        # temporals with matching awareness, compare their instants; a
+        # genuine STRING identity partition whose values parse as ISO
+        # datetimes is pathological (spec manifests declare source_type
+        # and never reach this branch).
+        a = _parse_iso_temporal(pv)
+        b = _parse_iso_temporal(tv)
+        if a is not None and b is not None:
+            if (a.tzinfo is None) is not (b.tzinfo is None):
+                return None  # naive-vs-aware: no faithful single domain
+            ea = _temporal_epoch(False, a)
+            eb = _temporal_epoch(False, b)
+            if ea is None or eb is None:
+                return None
+            return ea, eb
         return pv, tv
     if isinstance(pv, type(tv)) or isinstance(tv, type(pv)):
         return pv, tv
@@ -189,12 +225,20 @@ def _file_may_match_partition(
             # exclusive bound on an INTEGER source, `k < v` has the same
             # row set as `k <= v-1`, and t(v-1) can land in the previous
             # partition — tightening e.g. `k < 100` to prune the
-            # trunc-100 bin "100" itself.  Integer-valued monotone
-            # transforms only; anything else keeps the inclusive bound.
+            # trunc-100 bin "100" itself.  The rewrite is only valid
+            # when the SOURCE domain is integral: a DOUBLE identity
+            # partition holding 4.5 satisfies `k < 5` but not `k <= 4`,
+            # so identity defers tightening to the post-normalization
+            # block below (gated on both sides landing in an int
+            # domain), and truncate requires a declared int/long source
+            # (undeclared hive-flavor values opt out at coercion —
+            # fractional strings never coerce to the int literal; a
+            # scale-0 decimal that does coerce is integral anyway).
             if (
                 isinstance(value, int)
                 and not isinstance(value, bool)
-                and tname in ("identity", "truncate")
+                and tname == "truncate"
+                and field.get("source_type") in (None, "int", "long")
             ):
                 if op == "<":
                     lit = value - 1
@@ -222,6 +266,7 @@ def _file_may_match_partition(
                         lit is value  # pre-transform adjustment skipped
                         and isinstance(pv, int)
                         and isinstance(tv, int)
+                        and not isinstance(pv, bool)
                         and not isinstance(tv, bool)
                     ):
                         # Same exclusive-bound tightening as the int

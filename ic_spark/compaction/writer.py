@@ -226,26 +226,17 @@ def _logical_leaf_fixer(dt):
     container encoder takes the spec wire forms — int epoch days,
     long micros (aware datetimes measure from the UTC epoch), minimal
     big-endian two's-complement unscaled bytes."""
-    import datetime as _dt
-    import decimal as _dec
-
     import pyspark.sql.types as T
 
+    from ic_spark.compaction.epochs import epoch_days, epoch_micros
+
     if isinstance(dt, T.DateType):
-        epoch = _dt.date(1970, 1, 1)
-        return lambda v: None if v is None else (v - epoch).days
+        return lambda v: None if v is None else epoch_days(v)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-
-        def fix_ts(v):
-            if v is None:
-                return None
-            base = _dt.datetime(
-                1970, 1, 1, tzinfo=_dt.timezone.utc if v.tzinfo else None
-            )
-            d = v - base
-            return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
-
-        return fix_ts
+        # Aware → UTC epoch, naive → naive epoch: the shared rule in
+        # compaction/epochs.py (same conversion the manifest encoder
+        # and pruning use, so wire and metadata can't desynchronize).
+        return lambda v: None if v is None else epoch_micros(v)
     if isinstance(dt, T.DecimalType):
         sc = dt.scale
         return lambda v: _decimal_unscaled_bytes(v, sc)

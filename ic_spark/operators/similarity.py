@@ -1300,11 +1300,19 @@ def build_ivf_pq_index(
     pq_refine_iters: int = 0,
     residual: bool = True,
     use_arrow: bool = False,
+    keep_old: bool = False,
 ) -> dict:
     """Train the IVFADC index ONCE and persist it: the build/serve
     split every production ANN deployment runs (index nightly, query
     all day) — the in-memory :func:`ivf_pq_top_k` retrains centroids
     and re-encodes the corpus on every call.
+
+    Rebuilding over a LIVE index: a lazy serve DataFrame resolves the
+    old generation's path at plan time, so deleting it right after the
+    flip fails any in-flight reader mid-query.  Pass ``keep_old=True``
+    to leave superseded generations on disk until serving drains, then
+    reclaim them with a later rebuild/compact (same contract as
+    :func:`compact_ivf_pq_index`).
 
     Layout on disk:
 
@@ -1382,15 +1390,19 @@ def build_ivf_pq_index(
     # Only after the atomic flip: remove superseded generations (they
     # leak unreferenced storage otherwise).  Cleanup BEFORE the flip
     # would leave a crash window where the live index.json points at a
-    # deleted directory.
-    import re
-    import shutil
+    # deleted directory; keep_old=True defers it entirely so in-flight
+    # readers of the previous generation can drain.
+    if not keep_old:
+        import re
+        import shutil
 
-    for name in os.listdir(dir_path):
-        if name != codes_dir and (
-            name == "codes" or re.fullmatch(r"codes-v\d+", name)
-        ):
-            shutil.rmtree(os.path.join(dir_path, name), ignore_errors=True)
+        for name in os.listdir(dir_path):
+            if name != codes_dir and (
+                name == "codes" or re.fullmatch(r"codes-v\d+", name)
+            ):
+                shutil.rmtree(
+                    os.path.join(dir_path, name), ignore_errors=True
+                )
     return meta
 
 

@@ -144,8 +144,12 @@ def arrow_filesystem(dir_path: str, file_io: dict | None = None):
         region = props.get("s3.region") or props.get("client.region")
         if region:
             kw["region"] = region
-        if str(props.get("s3.path-style-access", "")).lower() == "true":
-            kw["force_virtual_addressing"] = False
+        # pyarrow defaults to path-style whenever endpoint_override is
+        # set, so path-style-access=true needs no flag; the property's
+        # meaningful direction is FALSE (Iceberg's spelling for
+        # virtual-hosted addressing against a custom endpoint).
+        if str(props.get("s3.path-style-access", "")).lower() == "false":
+            kw["force_virtual_addressing"] = True
         return pafs.S3FileSystem(**kw), inner
     if scheme in ("gs", "gcs"):
         from pyarrow import fs as pafs

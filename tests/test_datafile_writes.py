@@ -605,6 +605,39 @@ def test_s3_fileio_props_map_to_pyarrow_connector():
     assert inner == "bkt/warehouse/t"
 
 
+def test_s3_path_style_access_maps_to_addressing_flag(monkeypatch):
+    """pyarrow already uses path-style whenever endpoint_override is
+    set, so `s3.path-style-access=true` must add no flag; the property's
+    meaningful direction is FALSE → force_virtual_addressing=True
+    (r9 review find: the old mapping set the default for 'true' and
+    ignored 'false', making the property a silent no-op)."""
+    from pyarrow import fs as pafs
+
+    from ic_spark.sources import fileio
+
+    seen = {}
+
+    def fake_s3(**kw):
+        seen.clear()
+        seen.update(kw)
+        return pafs.LocalFileSystem()
+
+    monkeypatch.setattr(pafs, "S3FileSystem", fake_s3)
+    base = {"s3.endpoint": "http://localhost:9000"}
+    fileio.arrow_filesystem(
+        "s3://b/t",
+        {"scheme": "s3", "props": {**base, "s3.path-style-access": "true"}},
+    )
+    assert "force_virtual_addressing" not in seen
+    fileio.arrow_filesystem(
+        "s3://b/t",
+        {"scheme": "s3", "props": {**base, "s3.path-style-access": "false"}},
+    )
+    assert seen.get("force_virtual_addressing") is True
+    fileio.arrow_filesystem("s3://b/t", {"scheme": "s3", "props": base})
+    assert "force_virtual_addressing" not in seen
+
+
 def test_avro_nested_logical_types_write_roundtrip(spark, tmp_path):
     """Logical types INSIDE nested values (array<date>,
     struct<ts,dec>, map<string,timestamp>, array<struct<d,ts>>)

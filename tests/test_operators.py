@@ -3125,6 +3125,21 @@ def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
     assert os.path.isdir(os.path.join(idx, "codes-v3"))
     assert ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).count() > 0
 
+    # keep_old=True defers that cleanup so in-flight readers of the
+    # previous generation can drain (r9 review find: a lazy serve
+    # DataFrame resolves the old path at plan time, and rmtree right
+    # after the flip fails it mid-query).
+    pre_flip = ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3)
+    build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16, keep_old=True)
+    assert os.path.isdir(os.path.join(idx, "codes-v3"))  # still drainable
+    assert pre_flip.count() > 0  # in-flight reader survives the flip
+    with open(os.path.join(idx, "index.json")) as f:
+        assert json.load(f)["codes_dir"] == "codes-v4"
+    # the next default rebuild reclaims every superseded generation
+    build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16)
+    assert not os.path.isdir(os.path.join(idx, "codes-v3"))
+    assert not os.path.isdir(os.path.join(idx, "codes-v4"))
+
 
 def test_ivfpq_fold_ledger_scoped_by_stream_id(spark, tmp_path):
     """Batch ids are only unique per checkpoint: after compaction folds

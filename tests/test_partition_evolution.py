@@ -557,3 +557,77 @@ def test_temporal_identity_pruning_subday_literal_never_prunes_boundary():
     midnight = dt.datetime(2024, 6, 2)
     assert not _file_may_match_partition(f, specs, [("d", ">=", midnight)])
     assert _file_may_match_partition(f, specs, [("d", "<", midnight)])
+
+
+def test_fractional_identity_partition_never_mispruned_by_int_literal():
+    """Exclusive-bound tightening (`k < v` -> `k <= v-1`) is only valid
+    for integral source domains: a DOUBLE identity partition 4.5
+    satisfies `k < 5` but not `k <= 4`, so the int-literal rewrite must
+    not fire for it (r9 review find, confirmed by execution)."""
+    specs = {
+        "0": [{"name": "price", "source": "price", "transform": "identity",
+               "source_type": "double"}],
+    }
+    f = _entry("f1", 0, {"price": 4.5})
+    assert _file_may_match_partition(f, specs, [("price", "<", 5)])
+    assert _file_may_match_partition(f, specs, [("price", ">", 4)])
+    # Float literals were already correct; still are.
+    assert _file_may_match_partition(f, specs, [("price", "<", 5.0)])
+    assert not _file_may_match_partition(f, specs, [("price", "<", 4)])
+    assert not _file_may_match_partition(f, specs, [("price", ">", 5)])
+    # Int sources keep the tightening: `k < 100` prunes the 100 bin.
+    ispecs = {
+        "0": [{"name": "k", "source": "k", "transform": "identity",
+               "source_type": "int"}],
+    }
+    assert not _file_may_match_partition(
+        _entry("f2", 0, {"k": 100}), ispecs, [("k", "<", 100)]
+    )
+    assert _file_may_match_partition(
+        _entry("f3", 0, {"k": 99}), ispecs, [("k", "<", 100)]
+    )
+    # truncate over a declared decimal source: `k < 100` covers 99.50,
+    # so the v-1 rewrite must not fire there either (conservative keep).
+    dspecs = {
+        "0": [{"name": "k", "source": "k", "transform": "truncate",
+               "width": 10, "source_type": "decimal(10,2)"}],
+    }
+    assert _file_may_match_partition(
+        _entry("f4", 0, {"k": 100}), dspecs, [("k", "<", 100)]
+    )
+
+
+def test_hive_flavor_iso_spelling_variants_compare_as_instants():
+    """Hive-flavor manifests (no source_type) store timestamps as
+    str(datetime) — space separator — while predicate literals often use
+    the 'T' spelling.  Equal instants must not prune on equality, and
+    ordering must follow the instants, not the separator byte
+    (r9 review find, confirmed by execution)."""
+    specs = {
+        "0": [{"name": "ts", "source": "ts", "transform": "identity"}],
+    }
+    f = _entry("f1", 0, {"ts": "2024-06-01 12:00:00"})
+    assert _file_may_match_partition(
+        f, specs, [("ts", "=", "2024-06-01T12:00:00")]
+    )
+    assert not _file_may_match_partition(
+        f, specs, [("ts", "=", "2024-06-01T13:00:00")]
+    )
+    # Ordering across separators (' ' < 'T' lexically would invert this).
+    assert _file_may_match_partition(
+        f, specs, [("ts", "<", "2024-06-01T13:00:00")]
+    )
+    assert not _file_may_match_partition(
+        f, specs, [("ts", ">", "2024-06-01T13:00:00")]
+    )
+    # Naive-vs-aware literals have no faithful shared domain: keep.
+    assert _file_may_match_partition(
+        f, specs, [("ts", "=", "2024-06-01T12:00:00+00:00")]
+    )
+    # Genuine string partitions are untouched.
+    s = _entry("f2", 0, {"name": "apple"})
+    sspecs = {
+        "0": [{"name": "name", "source": "name", "transform": "identity"}],
+    }
+    assert not _file_may_match_partition(s, sspecs, [("name", "=", "banana")])
+    assert _file_may_match_partition(s, sspecs, [("name", "=", "apple")])
