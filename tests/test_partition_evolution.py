@@ -631,3 +631,149 @@ def test_hive_flavor_iso_spelling_variants_compare_as_instants():
     }
     assert not _file_may_match_partition(s, sspecs, [("name", "=", "banana")])
     assert _file_may_match_partition(s, sspecs, [("name", "=", "apple")])
+
+
+# ---- identity pruning soundness across typed domains, manifest flavors
+# and literal spellings (the r9 review bugs — fractional-double
+# mis-pruning and ISO-spelling mis-pruning — were both instances of
+# this property failing; the fuzz now guards the whole class).
+
+def _ident_truth(v, lit):
+    """Ground-truth comparison key for a (row value, literal) pair in
+    one shared domain, or None when the pair is genuinely incomparable
+    (pruning must then keep the file)."""
+    import datetime as dt
+
+    def norm(x):
+        if isinstance(x, str):
+            try:
+                x = dt.datetime.fromisoformat(x)
+            except ValueError:
+                try:
+                    x = dt.date.fromisoformat(x)
+                except ValueError:
+                    return x
+        if isinstance(x, dt.date) and not isinstance(x, dt.datetime):
+            x = dt.datetime(x.year, x.month, x.day)
+        return x
+
+    a, b = norm(v), norm(lit)
+    if isinstance(a, dt.datetime) and isinstance(b, dt.datetime):
+        if (a.tzinfo is None) is not (b.tzinfo is None):
+            return None
+        return a, b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a, b
+    if type(a) is type(b):
+        return a, b
+    return None
+
+
+@settings(max_examples=400, deadline=None)
+@given(data=st.data())
+def test_identity_pruning_sound_across_domains_flavors_spellings(data):
+    """Identity-partition soundness fuzz: for int/double/date/timestamp/
+    string sources, BOTH manifest flavors (spec: internal representation
+    + declared source_type; hive: str(value), no source_type), and every
+    literal spelling a caller can pass (native object, ISO string with
+    'T' or space separator, internal epoch int), a file whose single
+    value satisfies the predicate must survive pruning."""
+    import datetime as dt
+
+    from ic_spark.compaction.epochs import epoch_days, epoch_micros
+
+    domain = data.draw(
+        st.sampled_from(["int", "double", "date", "timestamp", "string"])
+    )
+    op = data.draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+
+    if domain == "int":
+        v = data.draw(st.integers(min_value=-10**6, max_value=10**6))
+        lit = data.draw(
+            st.one_of(
+                st.integers(min_value=-10**6, max_value=10**6),
+                st.just(v),
+            )
+        )
+        internal, src = v, "int"
+    elif domain == "double":
+        nums = st.one_of(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-2000, max_value=2000).map(
+                lambda n: n / 2
+            ),
+            st.floats(
+                min_value=-1000, max_value=1000,
+                allow_nan=False, allow_infinity=False,
+            ),
+        )
+        v = data.draw(nums.map(float))
+        lit = data.draw(st.one_of(nums, st.just(v)))
+        internal, src = v, "double"
+    elif domain == "date":
+        days = st.integers(min_value=-20000, max_value=20000)
+        v = dt.date(1970, 1, 1) + dt.timedelta(days=data.draw(days))
+        d2 = dt.date(1970, 1, 1) + dt.timedelta(days=data.draw(days))
+        lit = data.draw(
+            st.sampled_from(
+                [d2, d2.isoformat(), dt.datetime(d2.year, d2.month, d2.day),
+                 epoch_days(d2), v, v.isoformat()]
+            )
+        )
+        internal, src = epoch_days(v), "date"
+    elif domain == "timestamp":
+        micros = st.integers(min_value=0, max_value=2**41)
+        v = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=data.draw(micros)
+        )
+        t2 = dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=data.draw(micros)
+        )
+        lit = data.draw(
+            st.sampled_from(
+                [t2, t2.isoformat(sep="T"), t2.isoformat(sep=" "),
+                 epoch_micros(t2), v, v.isoformat(sep="T"),
+                 v.isoformat(sep=" ")]
+            )
+        )
+        internal, src = epoch_micros(v), "timestamp"
+    else:
+        words = st.text(
+            alphabet="abz-19 T:", min_size=0, max_size=12
+        )
+        v = data.draw(words)
+        lit = data.draw(st.one_of(words, st.just(v)))
+        internal, src = v, "string"
+
+    flavor = data.draw(st.sampled_from(["spec", "hive"]))
+    if flavor == "spec":
+        field = {"name": "k", "source": "k", "transform": "identity",
+                 "source_type": src}
+        entry = _entry("f", 1, {"k": internal})
+    else:
+        # Epoch-int literals only make sense against spec manifests;
+        # a hive-flavor string partition can't be told apart from a
+        # plain number, so pruning conservatism is all that's required
+        # — skip the truth assertion for that pairing.
+        if domain in ("date", "timestamp") and isinstance(lit, int):
+            return
+        field = {"name": "k", "source": "k", "transform": "identity"}
+        entry = _entry("f", 1, {"k": str(v)})
+
+    pair = _ident_truth(v, lit)
+    if pair is None:
+        has_match = None  # incomparable: only conservatism is checkable
+    else:
+        a, b = pair
+        has_match = {
+            "=": a == b, "<": a < b, "<=": a <= b,
+            ">": a > b, ">=": a >= b,
+        }[op]
+
+    survived = _file_may_match_partition(
+        entry, {"1": [field]}, [("k", op, lit)]
+    )
+    if has_match:
+        assert survived, (
+            f"over-pruned: {domain}/{flavor} v={v!r} {op} {lit!r}"
+        )
