@@ -294,6 +294,61 @@ def _file_may_match_partition(
     return True
 
 
+def _stat_literal_pair(sv, lit):
+    """One (stat value, predicate literal) pair in a single comparable
+    domain, or None when no faithful comparison exists (keep the file).
+
+    Temporal stats serialize as ``str(datetime)`` — SPACE separator
+    (``writer._json_safe``) — while callers pass 'T'-spelled ISO
+    strings or date/datetime objects; a lexical string comparison
+    inverts ordering across the separator byte (' ' < 'T'), wrongly
+    pruning e.g. ``ts > '...T00:00:00'`` against a max of
+    ``'... 23:00:00'`` (same class as the identity-partition spelling
+    bug, r9).  Both-parse → compare instants; object literal against a
+    parseable string stat → same; everything else keeps today's direct
+    comparison (the caller's try/except handles true mismatches).
+    """
+    import datetime as dt
+
+    if isinstance(sv, str):
+        if isinstance(lit, str):
+            a, b = _parse_iso_temporal(sv), _parse_iso_temporal(lit)
+            if a is not None and b is not None:
+                if (a.tzinfo is None) is not (b.tzinfo is None):
+                    return None
+                return _temporal_epoch(False, a), _temporal_epoch(False, b)
+            # DECIMAL stats also serialize as strings ("200.0"), where
+            # lexical order diverges from numeric ("200.0" < "99.0").
+            # Without a type marker a digit-string could equally be a
+            # genuine STRING column (engine compares lexically), so
+            # prune only where both interpretations agree — disagree →
+            # keep.
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                da, db = Decimal(sv), Decimal(lit)
+                num = (da > db) - (da < db)  # NaN raises (→ keep as-is)
+            except InvalidOperation:
+                return sv, lit
+            lex = (sv > lit) - (sv < lit)
+            if num != lex:
+                return None
+            return sv, lit
+        if isinstance(lit, dt.date):
+            a = _parse_iso_temporal(sv)
+            if a is None:
+                return None
+            b = (
+                lit
+                if isinstance(lit, dt.datetime)
+                else dt.datetime(lit.year, lit.month, lit.day)
+            )
+            if (a.tzinfo is None) is not (b.tzinfo is None):
+                return None
+            return _temporal_epoch(False, a), _temporal_epoch(False, b)
+    return sv, lit
+
+
 def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
     """Can any row of this file satisfy ALL predicates, judging only by
     the manifest's per-column min/max?  Conservative: missing stats or
@@ -308,16 +363,22 @@ def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
         lo, hi = st.get("min"), st.get("max")
         if lo is None or hi is None:
             continue
+        plo = _stat_literal_pair(lo, value)
+        phi = _stat_literal_pair(hi, value)
+        if plo is None or phi is None:
+            continue
+        lo, vlo = plo
+        hi, vhi = phi
         try:
-            if op == "=" and not (lo <= value <= hi):
+            if op == "=" and not (lo <= vlo and vhi <= hi):
                 return False
-            if op == "<" and not (lo < value):
+            if op == "<" and not (lo < vlo):
                 return False
-            if op == "<=" and not (lo <= value):
+            if op == "<=" and not (lo <= vlo):
                 return False
-            if op == ">" and not (hi > value):
+            if op == ">" and not (hi > vhi):
                 return False
-            if op == ">=" and not (hi >= value):
+            if op == ">=" and not (hi >= vhi):
                 return False
         except TypeError:
             continue  # incomparable types (e.g. str stats vs int) → keep

@@ -19,7 +19,10 @@ import pytest
 
 from ic_spark.compaction import Compaction, ManifestTable
 from ic_spark.compaction.deletes import read_table, write_position_deletes
-from ic_spark.compaction.manifest import _file_may_match_partition
+from ic_spark.compaction.manifest import (
+    _file_may_match,
+    _file_may_match_partition,
+)
 from ic_spark.compaction.transforms import apply_transform_py
 from ic_spark.functions.iceberg_hash import py_murmur3_32
 
@@ -776,4 +779,129 @@ def test_identity_pruning_sound_across_domains_flavors_spellings(data):
     if has_match:
         assert survived, (
             f"over-pruned: {domain}/{flavor} v={v!r} {op} {lit!r}"
+        )
+
+
+def test_stats_pruning_temporal_and_numeric_string_soundness():
+    """Manifest column stats serialize temporals as str(datetime) —
+    SPACE separator — and decimals as digit strings; the min/max check
+    must not compare those lexically against 'T'-spelled ISO literals
+    (' ' < 'T' inverts ordering) or numeric literals ("200.0" < "99.0")
+    — both wrongly pruned files whose rows match (same class as the r9
+    identity-partition finds)."""
+    import datetime as dt
+
+    fe = {"column_stats": {"ts": {"min": "2024-06-01 01:00:00",
+                                  "max": "2024-06-01 23:00:00"}}}
+    # '>' with a T-spelled literal below max: rows match — KEEP
+    # (lexically ' ' < 'T' made hi < value, pruning the file).
+    assert _file_may_match(fe, [("ts", ">", "2024-06-01T00:00:00")])
+    assert not _file_may_match(fe, [("ts", ">", "2024-06-01T23:30:00")])
+    assert _file_may_match(fe, [("ts", "=", "2024-06-01T12:00:00")])
+    assert not _file_may_match(fe, [("ts", "=", "2024-06-01T00:30:00")])
+    # date/datetime OBJECT literals now compare faithfully too
+    # (previously TypeError → always keep; pruning is a bonus,
+    # keeping is required).
+    assert _file_may_match(fe, [("ts", ">", dt.datetime(2024, 6, 1))])
+    assert not _file_may_match(fe, [("ts", "<", dt.datetime(2024, 6, 1))])
+
+    # Digit-string stats (decimal columns serialize via str()): prune
+    # only when the lexical and numeric readings AGREE — a bare string
+    # has no type marker, and the two orders diverge exactly where the
+    # old code mis-pruned ("200.0" < "99.0" lexically).
+    d = {"column_stats": {"p": {"min": "100.0", "max": "200.0"}}}
+    assert _file_may_match(d, [("p", ">", "99.0")])   # numeric: matches
+    assert _file_may_match(d, [("p", "<", "99.0")])   # ambiguous → keep
+    assert not _file_may_match(d, [("p", ">", "300.0")])  # orders agree
+    assert not _file_may_match(d, [("p", "<", "0.5")])    # hmm lex: "100.0" < "0.5"? '1' > '0' → False → prune; num 100<0.5 False → prune; agree
+    # Plain string columns keep exact lexical semantics.
+    s = {"column_stats": {"s": {"min": "apple", "max": "pear"}}}
+    assert _file_may_match(s, [("s", "=", "mango")])
+    assert not _file_may_match(s, [("s", "=", "zebra")])
+    assert not _file_may_match(s, [("s", "<", "alpha")])
+
+
+@settings(max_examples=400, deadline=None)
+@given(data=st.data())
+def test_stats_pruning_sound_across_domains_and_spellings(data):
+    """Min/max stats soundness fuzz, mirroring the identity fuzz: stats
+    arrive as the writer serializes them (_json_safe: temporals →
+    str(datetime), decimals → digit strings, numerics native); if ANY
+    row between min and max satisfies the predicate, the file survives."""
+    import datetime as dt
+    from decimal import Decimal
+
+    domain = data.draw(
+        st.sampled_from(["int", "double", "timestamp", "decimal", "string"])
+    )
+    op = data.draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+
+    if domain == "int":
+        rows = data.draw(
+            st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=8)
+        )
+        lit = data.draw(
+            st.one_of(
+                st.integers(-10**6, 10**6), st.sampled_from(rows)
+            )
+        )
+        ser = lambda v: v
+        key = lambda v: v
+    elif domain == "double":
+        nums = st.one_of(
+            st.integers(-1000, 1000).map(float),
+            st.integers(-2000, 2000).map(lambda n: n / 2),
+        )
+        rows = data.draw(st.lists(nums, min_size=1, max_size=8))
+        lit = data.draw(
+            st.one_of(nums, st.integers(-1000, 1000), st.sampled_from(rows))
+        )
+        ser = lambda v: v
+        key = lambda v: float(v)
+    elif domain == "timestamp":
+        micros = st.integers(min_value=0, max_value=2**41)
+        mk = lambda m: dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=m)
+        rows = [mk(m) for m in data.draw(
+            st.lists(micros, min_size=1, max_size=8)
+        )]
+        t2 = data.draw(st.sampled_from(rows + [mk(data.draw(micros))]))
+        lit = data.draw(
+            st.sampled_from(
+                [t2, t2.isoformat(sep="T"), t2.isoformat(sep=" ")]
+            )
+        )
+        ser = str  # the writer's _json_safe: str(datetime), space sep
+        key = lambda v: v if isinstance(v, dt.datetime) else (
+            dt.datetime.fromisoformat(v)
+        )
+    elif domain == "decimal":
+        decs = st.integers(-10**6, 10**6).map(
+            lambda n: Decimal(n).scaleb(-2)
+        )
+        rows = data.draw(st.lists(decs, min_size=1, max_size=8))
+        d2 = data.draw(st.one_of(decs, st.sampled_from(rows)))
+        lit = data.draw(st.sampled_from([d2, str(d2)]))
+        ser = str
+        key = lambda v: Decimal(v)
+    else:
+        words = st.text(alphabet="abz-19 T:.", min_size=0, max_size=10)
+        rows = data.draw(st.lists(words, min_size=1, max_size=8))
+        lit = data.draw(st.one_of(words, st.sampled_from(rows)))
+        ser = lambda v: v
+        key = lambda v: v
+
+    lo, hi = min(rows, key=key), max(rows, key=key)
+    entry = {"column_stats": {"k": {"min": ser(lo), "max": ser(hi)}}}
+
+    kl = key(lit)
+    sat = {
+        "=": lambda v: key(v) == kl, "<": lambda v: key(v) < kl,
+        "<=": lambda v: key(v) <= kl, ">": lambda v: key(v) > kl,
+        ">=": lambda v: key(v) >= kl,
+    }[op]
+    has_match = any(sat(v) for v in rows)
+    survived = _file_may_match(entry, [("k", op, lit)])
+    if has_match:
+        assert survived, (
+            f"over-pruned: {domain} [{lo!r},{hi!r}] {op} {lit!r}"
         )
