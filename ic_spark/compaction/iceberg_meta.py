@@ -160,9 +160,29 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
                 unscaled = int(Decimal(str(value)).scaleb(dt.scale))
             n = max(1, (unscaled.bit_length() + 8) // 8)
             return unscaled.to_bytes(n, "big", signed=True)
+        # Temporal bounds (spec Appendix D: date = int32 epoch days,
+        # timestamp(tz) = int64 epoch micros).  Footer stats arrive as
+        # str(date/datetime) via the writer's _json_safe; other
+        # producers pass the objects.
+        if isinstance(dt, T.DateType):
+            import datetime as _dtm
+
+            v = value
+            if isinstance(v, str):
+                v = _dtm.date.fromisoformat(v)
+            if isinstance(v, _dtm.datetime):
+                v = v.date()
+            return struct.pack("<i", epoch_days(v))
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            import datetime as _dtm
+
+            v = value
+            if isinstance(v, str):
+                v = _dtm.datetime.fromisoformat(v)
+            return struct.pack("<q", epoch_micros(v))
     except (ValueError, TypeError):
         return None
-    return None  # dates/timestamps arrive as strings from footer stats: skip
+    return None
 
 
 def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
@@ -191,6 +211,21 @@ def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
                 return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
                     -dt.scale
                 )
+        # Temporals decode to the objects whose awareness matches the
+        # column semantics: TimestampType is an INSTANT (aware UTC),
+        # TimestampNTZType a wall-clock (naive) — the stats comparator
+        # refuses cross-awareness pairs, so decoding both to naive
+        # would wrongly compare an instant against a wall-clock
+        # literal.
+        if isinstance(dt, T.DateType):
+            return date_from_epoch_days(struct.unpack("<i", b)[0])
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            import datetime as _dtm
+
+            ts = datetime_from_epoch_micros(struct.unpack("<q", b)[0])
+            if isinstance(dt, T.TimestampType):
+                ts = ts.replace(tzinfo=_dtm.timezone.utc)
+            return ts
     except (ValueError, TypeError, struct.error):
         return None
     return None

@@ -346,6 +346,27 @@ def _stat_literal_pair(sv, lit):
             if (a.tzinfo is None) is not (b.tzinfo is None):
                 return None
             return _temporal_epoch(False, a), _temporal_epoch(False, b)
+    if isinstance(sv, dt.date):
+        # Object-valued temporal stats (Iceberg binary bounds decode to
+        # date / aware-or-naive datetime) against object or ISO-string
+        # literals: one shared micros domain, refusing cross-awareness
+        # pairs (an instant has no faithful order against a wall-clock
+        # literal without a session timezone).
+        a = (
+            sv
+            if isinstance(sv, dt.datetime)
+            else dt.datetime(sv.year, sv.month, sv.day)
+        )
+        b = lit
+        if isinstance(b, str):
+            b = _parse_iso_temporal(b)
+        elif isinstance(b, dt.date) and not isinstance(b, dt.datetime):
+            b = dt.datetime(b.year, b.month, b.day)
+        if not isinstance(b, dt.datetime):
+            return None
+        if (a.tzinfo is None) is not (b.tzinfo is None):
+            return None
+        return _temporal_epoch(False, a), _temporal_epoch(False, b)
     return sv, lit
 
 

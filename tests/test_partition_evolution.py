@@ -905,3 +905,72 @@ def test_stats_pruning_sound_across_domains_and_spellings(data):
         assert survived, (
             f"over-pruned: {domain} [{lo!r},{hi!r}] {op} {lit!r}"
         )
+
+
+def test_temporal_bounds_serialize_roundtrip_and_scan_pruning(spark, tmp_path):
+    """Iceberg temporal bounds (spec Appendix D: date = int32 epoch
+    days, timestamp(tz) = int64 epoch micros) now serialize from the
+    writer's string-shaped footer stats and decode back to typed
+    objects the stats comparator can prune with — time-range filters
+    skip files at planning time, THE dominant scan pattern at scale."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    from ic_spark.compaction.iceberg_meta import (
+        IcebergTable,
+        deserialize_bound,
+        serialize_bound,
+    )
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    # Round-trips across producer shapes (string and object).
+    d0 = dt.date(2024, 6, 1)
+    assert deserialize_bound(T.DateType(), serialize_bound(T.DateType(), d0)) == d0
+    assert (
+        deserialize_bound(T.DateType(), serialize_bound(T.DateType(), "2024-06-01"))
+        == d0
+    )
+    naive = dt.datetime(2024, 6, 1, 12, 30, 0, 123456)
+    got = deserialize_bound(
+        T.TimestampNTZType(), serialize_bound(T.TimestampNTZType(), str(naive))
+    )
+    assert got == naive and got.tzinfo is None
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    got = deserialize_bound(
+        T.TimestampType(), serialize_bound(T.TimestampType(), str(aware))
+    )
+    assert got == aware and got.tzinfo is not None
+
+    # End to end: date-typed column, three files, a date-range filter
+    # must prune to the matching file at planning time.
+    schema = T.StructType(
+        [T.StructField("d", T.DateType()), T.StructField("v", T.LongType())]
+    )
+    tbl = IcebergTable.create(str(tmp_path / "tb"), schema)
+    paths = {}
+    for m in (1, 2, 3):
+        loc = str(tmp_path / f"tb_{m}")
+        spark.createDataFrame(
+            [(dt.date(2024, m, day), day) for day in (1, 10, 20)], schema
+        ).coalesce(1).write.parquet(loc)
+        p = next(
+            os.path.join(loc, n) for n in os.listdir(loc) if n.endswith(".parquet")
+        )
+        rc, cs, _ = _stats_from_footer(p, loc)
+        # footer stats carry str(date) — the serialize path under test
+        assert isinstance(cs["d"]["min"], str)
+        paths[m] = p
+        tbl.append_snapshot(
+            [{"path": p, "content": "DATA", "record_count": rc,
+              "file_size_in_bytes": os.path.getsize(p), "column_stats": cs}]
+        )
+
+    data, _, _ = tbl.scan_tasks(
+        data_filter=[("d", ">=", "2024-02-01"), ("d", "<", dt.date(2024, 3, 1))]
+    )
+    assert {t.data_file_path for t in data} == {paths[2]}
+    data, _, _ = tbl.scan_tasks(data_filter=[("d", "=", dt.date(2024, 3, 10))])
+    assert {t.data_file_path for t in data} == {paths[3]}
+    data, _, _ = tbl.scan_tasks(data_filter=[("d", "<=", "2024-12-31")])
+    assert len(data) == 3  # boundary: all kept
