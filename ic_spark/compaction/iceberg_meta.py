@@ -169,8 +169,17 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
 
             v = value
             if isinstance(v, str):
-                v = _dtm.date.fromisoformat(v)
+                v = _dtm.date.fromisoformat(v)  # time parts → ValueError
             if isinstance(v, _dtm.datetime):
+                # Truncating a timestamped value is direction-dependent
+                # (sound for a lower bound, UNSOUND for an upper one)
+                # and this function can't know which it is encoding —
+                # only exact midnights pass.
+                if (
+                    v.hour or v.minute or v.second
+                    or v.microsecond or v.tzinfo is not None
+                ):
+                    return None
                 v = v.date()
             return struct.pack("<i", epoch_days(v))
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
@@ -179,9 +188,39 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
             v = value
             if isinstance(v, str):
                 v = _dtm.datetime.fromisoformat(v)
+            # Awareness must match the column semantics: a naive value
+            # for an instant column (or an offset-carrying one for NTZ)
+            # would persist a bound off by its UTC offset and mis-prune
+            # later range scans — skip instead of reinterpreting.
+            if (v.tzinfo is None) is not isinstance(dt, T.TimestampNTZType):
+                return None
             return struct.pack("<q", epoch_micros(v))
     except (ValueError, TypeError):
         return None
+    return None
+
+
+def _column_domain_tag(dt: T.DataType) -> str | None:
+    """Spark column type → the stats comparator's domain tag
+    (``manifest._stat_literal_pair``): "string" | "temporal" |
+    "numeric" | None (no special handling)."""
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "temporal"
+    if isinstance(
+        dt,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        return "numeric"
     return None
 
 
@@ -226,7 +265,10 @@ def deserialize_bound(dt: T.DataType, b: bytes | None) -> Any:
             if isinstance(dt, T.TimestampType):
                 ts = ts.replace(tzinfo=_dtm.timezone.utc)
             return ts
-    except (ValueError, TypeError, struct.error):
+    # OverflowError: a foreign/corrupt manifest can carry temporal ints
+    # outside datetime's range — an unreadable bound must degrade to
+    # "no bound" (keep), not crash every scan of the table.
+    except (ValueError, TypeError, struct.error, OverflowError):
         return None
     return None
 
@@ -1302,6 +1344,13 @@ class IcebergTable:
             f["id"]: iceberg_to_spark_type(f["type"]) for f in schema["fields"]
         }
         id_to_ice = {f["id"]: f["type"] for f in schema["fields"]}
+        # Declared per-column domain tags: with the schema in hand the
+        # stats comparator prunes at full typed fidelity instead of the
+        # agreement-guarded untyped fallback.
+        column_types = {
+            id_to_name[i]: _column_domain_tag(t)
+            for i, t in id_to_type.items()
+        }
         raw_spec_fields = {
             p["spec-id"]: p["fields"] for p in meta["partition-specs"]
         }
@@ -1364,7 +1413,7 @@ class IcebergTable:
                         "spec_id": spec_id,
                         "partition": df.get("partition") or {},
                     }
-                    if not _file_may_match(probe, data_filter):
+                    if not _file_may_match(probe, data_filter, column_types):
                         continue
                     if not _file_may_match_partition(
                         probe, specs_by_id, data_filter

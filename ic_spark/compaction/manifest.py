@@ -106,11 +106,16 @@ def _temporal_epoch(days: bool, value):
 _TEMPORAL_TYPES = ("date", "timestamp", "timestamptz", "timestamp_ntz")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
 def _parse_iso_temporal(s: str):
     """``datetime`` for an ISO date/datetime string, else None.  Both
     the 'T' and space separators parse (datetime.fromisoformat accepts
     either); date-only strings land at midnight so mixed date/datetime
-    pairs still share the micros domain."""
+    pairs still share the micros domain.  Cached: scan planning calls
+    this with the SAME predicate literal for every file entry."""
     import datetime as dt
 
     try:
@@ -122,6 +127,51 @@ def _parse_iso_temporal(s: str):
         return dt.datetime(d.year, d.month, d.day)
     except ValueError:
         return None
+
+
+@functools.lru_cache(maxsize=4096)
+def _parse_decimal(s: str):
+    """``Decimal`` for a finite numeric string, else None (cached for
+    the same per-file reason as :func:`_parse_iso_temporal`)."""
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        d = Decimal(s)
+    except InvalidOperation:
+        return None
+    return d if d.is_finite() else None
+
+
+def _sign(a, b) -> int:
+    return (a > b) - (a < b)
+
+
+def _str_pair(sv: str, lit: str):
+    """UNTYPED string pair → one comparable domain, or None (keep).
+
+    Without a declared column type, a string that parses as an ISO
+    temporal or a number could equally be a genuine STRING column whose
+    engine semantics are lexical — so a typed interpretation may only
+    prune where it AGREES with the lexical order (disagree → None).
+    This still fixes the motivating spelling bugs: equal instants with
+    'T' vs space spellings disagree with lexical equality and are KEPT,
+    and inverted-order mis-prunes disagree by construction.  Same-
+    format spellings (the overwhelmingly common case) agree and prune
+    at full typed fidelity."""
+    lex = _sign(sv, lit)
+    a, b = _parse_iso_temporal(sv), _parse_iso_temporal(lit)
+    if a is not None and b is not None:
+        if (a.tzinfo is None) is not (b.tzinfo is None):
+            return None
+        ea, eb = _temporal_epoch(False, a), _temporal_epoch(False, b)
+        if ea is None or eb is None or _sign(ea, eb) != lex:
+            return None
+        return ea, eb
+    da, db = _parse_decimal(sv), _parse_decimal(lit)
+    if da is not None and db is not None:
+        if _sign(da, db) != lex:
+            return None
+    return sv, lit
 
 
 def _comparable_pair(pv, tv, source_type):
@@ -167,22 +217,10 @@ def _comparable_pair(pv, tv, source_type):
         # identity values as str(datetime) — SPACE separator — while
         # predicate literals commonly use the 'T' spelling.  Lexical
         # comparison across spellings wrongly prunes on equality and can
-        # invert ordering (' ' < 'T').  When BOTH sides parse as ISO
-        # temporals with matching awareness, compare their instants; a
-        # genuine STRING identity partition whose values parse as ISO
-        # datetimes is pathological (spec manifests declare source_type
-        # and never reach this branch).
-        a = _parse_iso_temporal(pv)
-        b = _parse_iso_temporal(tv)
-        if a is not None and b is not None:
-            if (a.tzinfo is None) is not (b.tzinfo is None):
-                return None  # naive-vs-aware: no faithful single domain
-            ea = _temporal_epoch(False, a)
-            eb = _temporal_epoch(False, b)
-            if ea is None or eb is None:
-                return None
-            return ea, eb
-        return pv, tv
+        # invert ordering (' ' < 'T'); but the column could equally be a
+        # genuine STRING partition, so the shared helper prunes only
+        # where the typed and lexical interpretations agree.
+        return _str_pair(pv, tv)
     if isinstance(pv, type(tv)) or isinstance(tv, type(pv)):
         return pv, tv
     # Mixed leftover shapes (e.g. an int partition value against a
@@ -294,7 +332,7 @@ def _file_may_match_partition(
     return True
 
 
-def _stat_literal_pair(sv, lit):
+def _stat_literal_pair(sv, lit, ctype: str | None = None):
     """One (stat value, predicate literal) pair in a single comparable
     domain, or None when no faithful comparison exists (keep the file).
 
@@ -304,36 +342,38 @@ def _stat_literal_pair(sv, lit):
     inverts ordering across the separator byte (' ' < 'T'), wrongly
     pruning e.g. ``ts > '...T00:00:00'`` against a max of
     ``'... 23:00:00'`` (same class as the identity-partition spelling
-    bug, r9).  Both-parse → compare instants; object literal against a
-    parseable string stat → same; everything else keeps today's direct
-    comparison (the caller's try/except handles true mismatches).
+    bug, r9).  ``ctype`` is the DECLARED column domain when the caller
+    knows it ("string" | "temporal" | "numeric"): declared types
+    compare at full typed fidelity; untyped string pairs go through
+    the agreement-guarded :func:`_str_pair` (a digit/ISO-looking
+    string could equally be a genuine STRING column whose engine
+    order is lexical).
     """
     import datetime as dt
 
+    if ctype == "string":
+        # Engine semantics are lexical; non-string literals have no
+        # faithful order against a string column.
+        if isinstance(sv, str) and isinstance(lit, str):
+            return sv, lit
+        return None
     if isinstance(sv, str):
         if isinstance(lit, str):
-            a, b = _parse_iso_temporal(sv), _parse_iso_temporal(lit)
-            if a is not None and b is not None:
-                if (a.tzinfo is None) is not (b.tzinfo is None):
+            if ctype == "temporal":
+                a, b = _parse_iso_temporal(sv), _parse_iso_temporal(lit)
+                if (
+                    a is None
+                    or b is None
+                    or (a.tzinfo is None) is not (b.tzinfo is None)
+                ):
                     return None
                 return _temporal_epoch(False, a), _temporal_epoch(False, b)
-            # DECIMAL stats also serialize as strings ("200.0"), where
-            # lexical order diverges from numeric ("200.0" < "99.0").
-            # Without a type marker a digit-string could equally be a
-            # genuine STRING column (engine compares lexically), so
-            # prune only where both interpretations agree — disagree →
-            # keep.
-            from decimal import Decimal, InvalidOperation
-
-            try:
-                da, db = Decimal(sv), Decimal(lit)
-                num = (da > db) - (da < db)  # NaN raises (→ keep as-is)
-            except InvalidOperation:
-                return sv, lit
-            lex = (sv > lit) - (sv < lit)
-            if num != lex:
-                return None
-            return sv, lit
+            if ctype == "numeric":
+                da, db = _parse_decimal(sv), _parse_decimal(lit)
+                if da is None or db is None:
+                    return None
+                return da, db
+            return _str_pair(sv, lit)
         if isinstance(lit, dt.date):
             a = _parse_iso_temporal(sv)
             if a is None:
@@ -346,6 +386,10 @@ def _stat_literal_pair(sv, lit):
             if (a.tzinfo is None) is not (b.tzinfo is None):
                 return None
             return _temporal_epoch(False, a), _temporal_epoch(False, b)
+        if ctype == "numeric" and isinstance(lit, (int, float)):
+            # Decimal compares exactly against int and float (py3.2+).
+            da = _parse_decimal(sv)
+            return None if da is None else (da, lit)
     if isinstance(sv, dt.date):
         # Object-valued temporal stats (Iceberg binary bounds decode to
         # date / aware-or-naive datetime) against object or ISO-string
@@ -370,10 +414,17 @@ def _stat_literal_pair(sv, lit):
     return sv, lit
 
 
-def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
+def _file_may_match(
+    file_entry: dict,
+    data_filter: list[tuple],
+    column_types: dict[str, str] | None = None,
+) -> bool:
     """Can any row of this file satisfy ALL predicates, judging only by
     the manifest's per-column min/max?  Conservative: missing stats or
-    mixed value types mean "maybe" (keep the file)."""
+    mixed value types mean "maybe" (keep the file).  ``column_types``
+    maps column → declared domain tag ("string"/"temporal"/"numeric")
+    where the caller's schema knows it (Iceberg flavor); untyped
+    columns fall back to agreement-guarded comparison."""
     stats = file_entry.get("column_stats") or {}
     for col, op, value in data_filter:
         if op not in _PRUNE_OPS:
@@ -384,8 +435,9 @@ def _file_may_match(file_entry: dict, data_filter: list[tuple]) -> bool:
         lo, hi = st.get("min"), st.get("max")
         if lo is None or hi is None:
             continue
-        plo = _stat_literal_pair(lo, value)
-        phi = _stat_literal_pair(hi, value)
+        ctype = (column_types or {}).get(col)
+        plo = _stat_literal_pair(lo, value, ctype)
+        phi = _stat_literal_pair(hi, value, ctype)
         if plo is None or phi is None:
             continue
         lo, vlo = plo

@@ -80,8 +80,14 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
                 st = col.statistics
                 null_count = None if st is None else st.null_count
                 has_min_max = st is not None and st.has_min_max
-                mn = _json_safe(st.min) if has_min_max else None
-                mx = _json_safe(st.max) if has_min_max else None
+                # NATIVE values here (Decimal/datetime/date/...):
+                # row groups must merge in the value domain — min() over
+                # _json_safe strings compared '550.00' > '1600.00'
+                # lexically, recording a max BELOW real rows and
+                # silently skipping their file at scan time (r9 review
+                # find).  Stringified once after the merge.
+                mn = st.min if has_min_max else None
+                mx = st.max if has_min_max else None
             except Exception:
                 # pyarrow can't deserialize stats for every logical type
                 # (e.g. int32-backed decimals) — treat as absent, like
@@ -92,9 +98,23 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
                 continue
             if entry["null_count"] is not None:
                 entry["null_count"] += null_count if null_count is not None else 0
-            if has_min_max:
-                entry["min"] = mn if entry["min"] is None else min(entry["min"], mn)
-                entry["max"] = mx if entry["max"] is None else max(entry["max"], mx)
+            if has_min_max and not entry.get("_nobounds"):
+                try:
+                    entry["min"] = (
+                        mn if entry["min"] is None else min(entry["min"], mn)
+                    )
+                    entry["max"] = (
+                        mx if entry["max"] is None else max(entry["max"], mx)
+                    )
+                except TypeError:
+                    # incomparable row-group values: no faithful bound
+                    # (sticky — a later row group must not repopulate)
+                    entry["min"] = entry["max"] = None
+                    entry["_nobounds"] = True
+    for entry in cols.values():
+        entry.pop("_nobounds", None)
+        entry["min"] = _json_safe(entry["min"])
+        entry["max"] = _json_safe(entry["max"])
     parts = _partition_values_from_path(path, base_dir)
     for k, v in parts.items():
         # Partition columns never reach the data pages; their value is

@@ -798,7 +798,28 @@ def test_stats_pruning_temporal_and_numeric_string_soundness():
     assert _file_may_match(fe, [("ts", ">", "2024-06-01T00:00:00")])
     assert not _file_may_match(fe, [("ts", ">", "2024-06-01T23:30:00")])
     assert _file_may_match(fe, [("ts", "=", "2024-06-01T12:00:00")])
-    assert not _file_may_match(fe, [("ts", "=", "2024-06-01T00:30:00")])
+    # '= below min' with INVERTED lexical-vs-instant order: the untyped
+    # comparator cannot tell a timestamp stat from a genuine string
+    # column, so where the two readings disagree it must KEEP (the
+    # typed path prunes this — see the column_types cases below).
+    assert _file_may_match(fe, [("ts", "=", "2024-06-01T00:30:00")])
+    assert not _file_may_match(
+        fe,
+        [("ts", "=", "2024-06-01T00:30:00")],
+        column_types={"ts": "temporal"},
+    )
+    # Declared STRING columns keep exact lexical semantics even for
+    # ISO-parseable values (r9 second-pass find: force-instant
+    # comparison mis-pruned genuine string columns).
+    iso_str = {"column_stats": {"s": {"min": "2024-06-01T00:00:00",
+                                      "max": "2024-06-01T10:00:00"}}}
+    assert _file_may_match(
+        iso_str,
+        [("s", ">", "2024-06-01 11:00:00")],
+        column_types={"s": "string"},
+    )
+    # …and the untyped fallback keeps it too (orders disagree).
+    assert _file_may_match(iso_str, [("s", ">", "2024-06-01 11:00:00")])
     # date/datetime OBJECT literals now compare faithfully too
     # (previously TypeError → always keep; pruning is a bonus,
     # keeping is required).
@@ -900,7 +921,14 @@ def test_stats_pruning_sound_across_domains_and_spellings(data):
         ">=": lambda v: key(v) >= kl,
     }[op]
     has_match = any(sat(v) for v in rows)
-    survived = _file_may_match(entry, [("k", op, lit)])
+    # Half the runs also declare the column's domain tag (the Iceberg
+    # caller threads schema types) — typed pruning must stay sound too.
+    tag = {
+        "int": "numeric", "double": "numeric", "decimal": "numeric",
+        "timestamp": "temporal", "string": "string",
+    }[domain]
+    types = data.draw(st.sampled_from([None, {"k": tag}]))
+    survived = _file_may_match(entry, [("k", op, lit)], types)
     if has_match:
         assert survived, (
             f"over-pruned: {domain} [{lo!r},{hi!r}] {op} {lit!r}"
@@ -974,3 +1002,65 @@ def test_temporal_bounds_serialize_roundtrip_and_scan_pruning(spark, tmp_path):
     assert {t.data_file_path for t in data} == {paths[3]}
     data, _, _ = tbl.scan_tasks(data_filter=[("d", "<=", "2024-12-31")])
     assert len(data) == 3  # boundary: all kept
+
+
+def test_footer_stats_merge_in_native_domain_and_bound_hardening(tmp_path):
+    """Three r9 second-pass finds: (1) row-group stats must merge in
+    the VALUE domain — min()/max() over stringified decimals compared
+    '550.00' > '1600.00' lexically and recorded a max below real rows,
+    silently skipping their file; (2) out-of-range temporal bounds in
+    foreign manifests must decode to None (keep), not crash the scan
+    with OverflowError; (3) serialize_bound must refuse
+    awareness-mismatched timestamps and time-carrying date values
+    instead of persisting bounds off by an offset/truncation."""
+    import datetime as dtm
+    import struct
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from ic_spark.compaction.iceberg_meta import (
+        deserialize_bound,
+        serialize_bound,
+    )
+    from ic_spark.compaction.manifest import _file_may_match
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    # (1) two row groups whose lexical and numeric maxima disagree
+    tblpath = str(tmp_path / "rg.parquet")
+    vals = [Decimal("500.00"), Decimal("550.00"),
+            Decimal("1500.00"), Decimal("1600.00")]
+    pq.write_table(
+        pa.table({"p": pa.array(vals, pa.decimal128(10, 2))}),
+        tblpath,
+        row_group_size=2,
+    )
+    _, cs, _ = _stats_from_footer(tblpath, str(tmp_path))
+    assert cs["p"]["min"] == "500.00" and cs["p"]["max"] == "1600.00"
+    probe = {"column_stats": cs}
+    assert _file_may_match(probe, [("p", ">", "600.00")])  # 1600 matches
+    assert _file_may_match(
+        probe, [("p", ">", Decimal("600.00"))],
+    )
+
+    # (2) hostile temporal ints degrade to no-bound, never crash
+    assert deserialize_bound(
+        T.DateType(), struct.pack("<i", 2**31 - 1)
+    ) is None
+    assert deserialize_bound(
+        T.TimestampType(), struct.pack("<q", 2**62)
+    ) is None
+
+    # (3) awareness/truncation strictness
+    aware = dtm.datetime(2024, 6, 1, 10, tzinfo=dtm.timezone.utc)
+    naive = dtm.datetime(2024, 6, 1, 10)
+    assert serialize_bound(T.TimestampType(), naive) is None
+    assert serialize_bound(T.TimestampNTZType(), aware) is None
+    assert serialize_bound(T.TimestampType(), aware) is not None
+    assert serialize_bound(T.TimestampNTZType(), naive) is not None
+    assert serialize_bound(T.DateType(), naive) is None  # time parts
+    assert serialize_bound(
+        T.DateType(), dtm.datetime(2024, 6, 1)
+    ) == serialize_bound(T.DateType(), dtm.date(2024, 6, 1))
