@@ -168,6 +168,11 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
             import datetime as _dtm
 
             v = value
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                # already the spec-internal representation (epoch days)
+                return struct.pack("<i", v)
             if isinstance(v, str):
                 v = _dtm.date.fromisoformat(v)  # time parts → ValueError
             if isinstance(v, _dtm.datetime):
@@ -181,13 +186,22 @@ def serialize_bound(dt: T.DataType, value: Any) -> bytes | None:
                 ):
                     return None
                 v = v.date()
+            if not isinstance(v, _dtm.date):
+                return None  # producer-supplied stat of a foreign shape
             return struct.pack("<i", epoch_days(v))
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             import datetime as _dtm
 
             v = value
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                # already the spec-internal representation (epoch µs)
+                return struct.pack("<q", v)
             if isinstance(v, str):
                 v = _dtm.datetime.fromisoformat(v)
+            if not isinstance(v, _dtm.datetime):
+                return None  # date / foreign shapes: no faithful instant
             # Awareness must match the column semantics: a naive value
             # for an instant column (or an offset-carrying one for NTZ)
             # would persist a bound off by its UTC offset and mis-prune

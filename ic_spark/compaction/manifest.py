@@ -16,6 +16,7 @@ an Iceberg metadata-JSON pointer swap on a POSIX store.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -104,9 +105,6 @@ def _temporal_epoch(days: bool, value):
 
 
 _TEMPORAL_TYPES = ("date", "timestamp", "timestamptz", "timestamp_ntz")
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=4096)
@@ -390,6 +388,17 @@ def _stat_literal_pair(sv, lit, ctype: str | None = None):
             # Decimal compares exactly against int and float (py3.2+).
             da = _parse_decimal(sv)
             return None if da is None else (da, lit)
+    if ctype == "numeric" and isinstance(lit, str):
+        # Object-valued numeric stats (Iceberg binary bounds decode to
+        # Decimal/int/float) against a string literal: the declared
+        # domain makes the literal's numeric reading authoritative.
+        from decimal import Decimal
+
+        if isinstance(sv, (int, float, Decimal)) and not isinstance(
+            sv, bool
+        ):
+            db = _parse_decimal(lit)
+            return None if db is None else (sv, db)
     if isinstance(sv, dt.date):
         # Object-valued temporal stats (Iceberg binary bounds decode to
         # date / aware-or-naive datetime) against object or ISO-string

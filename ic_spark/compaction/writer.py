@@ -94,11 +94,33 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
                 # an Iceberg column with no recorded bounds.
                 st, null_count, has_min_max, mn, mx = None, None, False, None, None
             if st is None:
+                # No stats for this row group at all: both its null
+                # count and its value range are unknown — bounds
+                # accumulated from OTHER row groups no longer cover the
+                # file (same silent-file-skip class as the lexical
+                # merge, r9 third-pass find).
                 entry["null_count"] = None
+                entry["min"] = entry["max"] = None
+                entry["_nobounds"] = True
                 continue
             if entry["null_count"] is not None:
-                entry["null_count"] += null_count if null_count is not None else 0
-            if has_min_max and not entry.get("_nobounds"):
+                # An unset per-row-group null count poisons the total —
+                # adding 0 would record a definite UNDERSTATED count
+                # that IS NULL pruning would trust.
+                entry["null_count"] = (
+                    None
+                    if null_count is None
+                    else entry["null_count"] + null_count
+                )
+            if not has_min_max:
+                # Stats present but min/max suppressed (e.g. oversized
+                # string values).  Only an ALL-NULL row group leaves
+                # bounds from other groups valid; anything else hides
+                # real values outside them.
+                if null_count is None or null_count != row_group.num_rows:
+                    entry["min"] = entry["max"] = None
+                    entry["_nobounds"] = True
+            elif not entry.get("_nobounds"):
                 try:
                     entry["min"] = (
                         mn if entry["min"] is None else min(entry["min"], mn)

@@ -1064,3 +1064,75 @@ def test_footer_stats_merge_in_native_domain_and_bound_hardening(tmp_path):
     assert serialize_bound(
         T.DateType(), dtm.datetime(2024, 6, 1)
     ) == serialize_bound(T.DateType(), dtm.date(2024, 6, 1))
+
+
+def test_footer_stats_rowgroup_gaps_poison_bounds(tmp_path):
+    """r9 third-pass finds: a row group with ABSENT or suppressed
+    min/max (oversized strings, missing stats) hides real values, so
+    bounds accumulated from other row groups must be dropped — except
+    for all-null row groups, whose rows extend no bound; and an unset
+    per-row-group null count must poison the total, not count as 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ic_spark.compaction.manifest import _file_may_match
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    # rg0 has stats ('aaa','bbb'); rg1's huge strings suppress min/max.
+    big = "z" * 100_000
+    path = str(tmp_path / "gap.parquet")
+    pq.write_table(
+        pa.table({"s": pa.array(["aaa", "bbb", big, big])}),
+        path,
+        row_group_size=2,
+    )
+    _, cs, _ = _stats_from_footer(path, str(tmp_path))
+    assert cs["s"]["min"] is None and cs["s"]["max"] is None
+    # the 'zzz…' rows match; bounds of ('aaa','bbb') would have pruned
+    assert _file_may_match({"column_stats": cs}, [("s", ">", "y")])
+
+    # All-null row group: bounds from the valued groups stay usable.
+    path2 = str(tmp_path / "nulls.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([1, 2, None, None], pa.int64())}),
+        path2,
+        row_group_size=2,
+    )
+    _, cs2, _ = _stats_from_footer(path2, str(tmp_path))
+    assert cs2["v"]["min"] == 1 and cs2["v"]["max"] == 2
+    assert cs2["v"]["null_count"] == 2
+
+
+def test_serialize_bound_foreign_shapes_and_typed_numeric_objects():
+    """serialize_bound degrades producer-supplied foreign stat shapes
+    to 'no bound' (no AttributeError), accepts spec-internal ints, and
+    the typed-numeric comparator prunes object-valued Decimal bounds
+    against string literals (the shapes Iceberg binary bounds decode
+    to)."""
+    import datetime as dtm
+    import struct
+    from decimal import Decimal
+
+    import pyspark.sql.types as T
+
+    from ic_spark.compaction.iceberg_meta import serialize_bound
+    from ic_spark.compaction.manifest import _file_may_match
+
+    # foreign shapes: degrade, never crash
+    assert serialize_bound(T.TimestampType(), dtm.date(2024, 6, 1)) is None
+    assert serialize_bound(T.DateType(), object()) is None
+    assert serialize_bound(T.TimestampType(), True) is None
+    # spec-internal ints pass through
+    assert serialize_bound(T.DateType(), 19875) == struct.pack("<i", 19875)
+    assert serialize_bound(
+        T.TimestampType(), 1_717_200_000_000_000
+    ) == struct.pack("<q", 1_717_200_000_000_000)
+
+    # declared-numeric column, Decimal object bounds, string literal
+    probe = {"column_stats": {"p": {"min": Decimal("500.00"),
+                                    "max": Decimal("1600.00")}}}
+    types = {"p": "numeric"}
+    assert _file_may_match(probe, [("p", ">", "600.00")], types)
+    assert not _file_may_match(probe, [("p", ">", "1700.00")], types)
+    assert not _file_may_match(probe, [("p", "<", "400.00")], types)
+    assert _file_may_match(probe, [("p", "=", "1600.00")], types)
