@@ -1232,11 +1232,49 @@ class IcebergTable:
             meta["last-updated-ms"] = int(time.time() * 1000)
             self._commit_metadata(meta, expected_version=version)
 
+    _STREAM_LEDGER_PROP = "ic-spark.stream-batches"
+
+    def stream_batch_hwm(self, name: str) -> int:
+        """High-water mark of committed streaming batch ids for sink
+        ``name`` (-1 when none) — stored in table properties so it
+        survives compaction rewriting the batch's files (same contract
+        as ``ManifestTable.stream_batch_hwm``)."""
+        props = self.metadata().get("properties") or {}
+        led = json.loads(props.get(self._STREAM_LEDGER_PROP, "{}"))
+        return int(led.get(name, -1))
+
+    def mark_stream_batch(self, name: str, batch_id: int) -> None:
+        """Record a committed streaming batch as a metadata-only
+        property commit (for sinks whose final action is not a plain
+        append; ``append_snapshot(stream_mark=...)`` is atomic with
+        the commit and preferred)."""
+        meta = self.metadata()
+        version = self.version()
+        marked = self._with_stream_mark(dict(meta), (name, batch_id))
+        if marked is None:
+            return  # already at or past this batch id
+        marked["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(marked, expected_version=version)
+
+    def _with_stream_mark(self, meta: dict, stream_mark) -> dict | None:
+        """Fold the ledger update into ``meta`` (returns None when the
+        HWM already covers the batch)."""
+        name, batch_id = stream_mark
+        props = dict(meta.get("properties") or {})
+        led = json.loads(props.get(self._STREAM_LEDGER_PROP, "{}"))
+        if int(batch_id) <= int(led.get(name, -1)):
+            return None
+        led[name] = int(batch_id)
+        props[self._STREAM_LEDGER_PROP] = json.dumps(led)
+        meta["properties"] = props
+        return meta
+
     def append_snapshot(
         self,
         files: list[dict],
         branch: str | None = None,
         operation: str | None = None,
+        stream_mark: tuple[str, int] | None = None,
     ) -> int:
         """Append files (ManifestTable files-dict shape) as one commit.
 
@@ -1247,9 +1285,15 @@ class IcebergTable:
         ``refs`` entry of type branch): the base is the branch head
         (current snapshot for a new branch), ``current-snapshot-id``
         does not move, and ``fast_forward`` advances main later.
+
+        ``stream_mark=(sink_name, batch_id)`` folds the streaming-batch
+        ledger update into the SAME metadata commit (see
+        ``streaming/sink.py``).
         """
         meta = self.metadata()
         version = self.version()
+        if stream_mark is not None:
+            meta = self._with_stream_mark(dict(meta), stream_mark) or meta
         if meta.get("next-row-id") is not None:
             # assign on COPIES: a CAS-lost commit must leave the
             # caller's dicts unstamped so a retry re-assigns against

@@ -1037,12 +1037,32 @@ class ManifestTable:
             f["first_row_id"] = state.get("next_row_id", 0)
             state["next_row_id"] = state.get("next_row_id", 0) + rc
 
+    def stream_batch_hwm(self, name: str) -> int:
+        """High-water mark of committed streaming batch ids for sink
+        ``name`` (-1 when none) — the durable commit log the streaming
+        sinks consult: unlike live-path markers, it survives compaction
+        rewriting the batch's files (see ``streaming/sink.py``)."""
+        return int((self._load().get("stream_batches") or {}).get(name, -1))
+
+    def mark_stream_batch(self, name: str, batch_id: int) -> None:
+        """Record a committed streaming batch OUTSIDE append_snapshot —
+        for sinks whose final action is not a plain append (upserts,
+        deletion vectors).  Prefer ``append_snapshot(stream_mark=...)``
+        where possible: that updates the ledger in the same atomic
+        manifest swap as the commit itself."""
+        state = self._load()
+        led = state.setdefault("stream_batches", {})
+        if int(batch_id) > int(led.get(name, -1)):
+            led[name] = int(batch_id)
+            self._store(state)
+
     def append_snapshot(
         self,
         files: list[dict],
         stage: bool = False,
         branch: str | None = None,
         operation: str | None = None,
+        stream_mark: tuple[str, int] | None = None,
     ) -> int:
         """Add a snapshot whose file list = current files + ``files``.
 
@@ -1108,6 +1128,14 @@ class ManifestTable:
             state.setdefault("refs", {})[branch] = sid
         elif not stage:
             state["current_snapshot_id"] = sid
+        if stream_mark is not None:
+            # Same atomic swap as the commit: the streaming-batch ledger
+            # can never record a batch whose files didn't land, nor miss
+            # one whose files did.
+            led = state.setdefault("stream_batches", {})
+            n, b = stream_mark
+            if int(b) > int(led.get(n, -1)):
+                led[n] = int(b)
         self._store(state)
         return sid
 

@@ -29,7 +29,12 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from ic_spark.functions.text import portable_hash60, tokens, word_shingles
+from ic_spark.functions.text import (
+    doc_fingerprint,
+    portable_hash60,
+    tokens,
+    word_shingles,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -119,10 +124,13 @@ def _probe_hot_keys(
         raise ValueError(f"salt must be auto|always|never, got {salt!r}")
     f = detect_sample
     s_min = max(2, math.ceil(0.75 * f * target))
-    # coalesce: the sampled key set is tiny — 32 tasks of fixed
-    # overhead per stage would dwarf the actual work.
+    # No pre-shuffle coalesce: coalesce(8) propagates UP the narrow
+    # chain and would run the sampled docs' whole upstream derivation
+    # (e.g. 64 minhash permutations per doc) in 8 tasks regardless of
+    # cluster size.  The post-aggregate result is tiny and AQE's
+    # partition coalescing already merges the small shuffle reducers.
     probe = (
-        sampled_keys.coalesce(8)
+        sampled_keys
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__bn"))
         .where(F.col("__bn") >= s_min)
@@ -198,10 +206,10 @@ def exact_dedup(
 def fingerprint_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Dedup on the order-insensitive token fingerprint (bag-of-words
     identity) — catches shuffled/reordered copies exact dedup misses."""
-    fp = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(content_col)))))
-    )
-    keyed = df.withColumn("__fp", fp)
+    # The canonical oracle-checked fingerprint expression lives in
+    # functions/text.py — reusing it keeps this operator and the
+    # doc_fingerprint function (and its DuckDB oracle) in lockstep.
+    keyed = df.withColumn("__fp", doc_fingerprint(F.col(content_col)))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -356,7 +364,8 @@ def token_jaccard_pairs(
         memo_key=(
             None
             if (_pk := _plan_key(df)) is None
-            else ("jaccard", _pk, tuple(block_cols), subblock_target, detect_sample)
+            else ("jaccard", _pk, tuple(block_cols), subblock_target, detect_sample,
+               max_hot_collect)
         ),
     )
     if hot_df is None:
@@ -824,6 +833,22 @@ def lsh_band_keys(
         )
         return joined if portable else F.xxhash64(joined)
 
+    # A signature shorter than bands×rows_per_band would slice EMPTY
+    # arrays for the overflow bands — every document gets the identical
+    # hash-of-'' bucket key, the S-curve semantics silently vanish, and
+    # the candidate self-join enumerates all n(n-1)/2 pairs.  Fail loud
+    # per row instead (codegen'd comparison; negligible cost).
+    need = bands * rows_per_band
+    guard = F.when(F.size("sig") >= need, F.col("sig")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "minhash signature has %s hashes; "
+                f"bands*rows_per_band needs {need}",
+                F.size("sig"),
+            )
+        )
+    )
+    signatures = signatures.withColumn("sig", guard)
     return signatures.select(
         "id",
         F.explode(
@@ -913,7 +938,8 @@ def minhash_lsh_candidates(
         memo_key=(
             None
             if (_pk := _plan_key(signatures)) is None
-            else ("lsh", _pk, bands, rows_per_band, portable, bucket_target, detect_sample)
+            else ("lsh", _pk, bands, rows_per_band, portable, bucket_target,
+               detect_sample, max_hot_collect)
         ),
     )
     if hot_df is None:

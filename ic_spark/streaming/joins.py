@@ -54,9 +54,13 @@ def stream_stream_interval_join(
         & (rw[right_time] <= lw[left_time])
     )
     joined = lw.join(rw, cond, how)
-    # Collapse the duplicated key like `on=<name>` would.
+    # Collapse the duplicated key like `on=<name>` would.  COALESCE, not
+    # lw[key]: under rightOuter/fullOuter an unmatched right row has a
+    # NULL left side, and emitting only lw[key] would drop the event's
+    # actual key (r9 review find — downstream consumers could not
+    # attribute the unmatched event).
     return joined.select(
-        lw[key].alias(key),
+        F.coalesce(lw[key], rw[key]).alias(key),
         *[lw[c] for c in left.columns if c != key],
         *[rw[c] for c in right.columns if c != key],
     )

@@ -33,7 +33,31 @@ def _live_paths(table) -> set[str]:
     return {t.data_file_path for t in data + pos + eq}
 
 
-def _committed(table, marker: str) -> bool:
+def _committed(
+    table, marker: str, name: str | None = None, batch_id: int | None = None
+) -> bool:
+    """Has this batch already committed?  Two signals, either suffices:
+
+    - the durable per-sink batch ledger (``stream_batch_hwm``) — batch
+      ids commit sequentially per checkpoint, so id <= HWM means
+      committed.  This is the signal that SURVIVES table maintenance:
+      a compaction between a batch's commit and its crash-replay
+      rewrites the batch's files, erasing the path marker below, and
+      without the ledger the replay would re-commit the batch
+      (double-counted rows — r9 review find);
+    - the batch-scoped path marker in the live snapshot (the original
+      protocol; still needed for spec-flavor tables without the
+      ledger, and for the narrow window of non-append sinks that mark
+      after their commit).
+
+    Like the path markers, the ledger is keyed by sink ``name``: a NEW
+    streaming query (fresh checkpoint, batch ids restarting at 0) that
+    writes the same table must use a distinct name.
+    """
+    if name is not None and batch_id is not None:
+        hwm = getattr(table, "stream_batch_hwm", None)
+        if hwm is not None and batch_id <= hwm(name):
+            return True
     return any(p.startswith(marker) for p in _live_paths(table))
 
 
@@ -52,7 +76,7 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
     def write_batch(df: DataFrame, batch_id: int) -> None:
         out_dir = os.path.join(table.root, f"{name}-batch-{batch_id:08d}")
         marker = out_dir + os.sep
-        if _committed(table, marker):
+        if _committed(table, marker, name, batch_id):
             return  # replayed batch, already committed
         df.write.mode("overwrite").parquet(out_dir)
         parts = sorted(
@@ -65,6 +89,13 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
         from ic_spark.compaction.deletes import _next_sequence_number
 
         seq = _next_sequence_number(table)
+        # Ledger-capable tables record the batch id in the SAME atomic
+        # commit; others keep the original marker-only protocol.
+        kw = (
+            {"stream_mark": (name, batch_id)}
+            if hasattr(table, "stream_batch_hwm")
+            else {}
+        )
         table.append_snapshot(
             [
                 {
@@ -74,7 +105,8 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
                     "file_size_in_bytes": os.path.getsize(p),
                 }
                 for p in parts
-            ]
+            ],
+            **kw,
         )
 
     return write_batch
@@ -103,11 +135,17 @@ def manifest_upsert_sink(
     def write_batch(df: DataFrame, batch_id: int) -> None:
         tag = f"{name}-{batch_id:08d}"
         marker = os.path.join(table.root, f"upsert-data-{tag}") + os.sep
-        if _committed(table, marker):
+        if _committed(table, marker, name, batch_id):
             return  # replayed batch, already committed
         if df.isEmpty():
             return
         merge_upsert(df.sparkSession, table, df, key_cols, batch_tag=tag)
+        # Post-commit ledger mark (merge_upsert owns its commit): the
+        # window between the two writes is covered by the path marker;
+        # only a compaction racing INTO that window could erase it.
+        mark = getattr(table, "mark_stream_batch", None)
+        if mark is not None:
+            mark(name, batch_id)
 
     return write_batch
 
@@ -265,6 +303,13 @@ def compact_gram_index(spark, table: ManifestTable) -> int | None:
 
     from ic_spark.compaction.deletes import read_table
 
+    # Pin the snapshot BEFORE planning: a streaming delta committed
+    # between the scan and the rewrite would be folded into the merged
+    # file AND stay live (double-counted doc_freq).  The pinned id makes
+    # commit_rewrite fail with CommitConflictError instead — retry when
+    # the stream pauses (r9 review find).
+    snap = table.current_snapshot()
+    expected = snap.snapshot_id if snap else None
     data, _, _ = table.scan_tasks()
     if not data:
         return None
@@ -291,7 +336,10 @@ def compact_gram_index(spark, table: ManifestTable) -> int | None:
         for p in parts
     ]
     return table.commit_rewrite(
-        added, {t.data_file_path for t in data}, operation="replace"
+        added,
+        {t.data_file_path for t in data},
+        expected_snapshot_id=expected,
+        operation="replace",
     )
 
 
@@ -327,7 +375,7 @@ def manifest_dv_delete_sink(
         # must also count as committed.  Batch ids are fixed-width
         # zero-padded, so the prefix cannot collide across batches.
         marker = os.path.join(table.root, f"dv-{tag}")
-        if _committed(table, marker):
+        if _committed(table, marker, name, batch_id):
             return  # replayed batch, already committed
         if df.isEmpty():
             return
@@ -356,10 +404,18 @@ def manifest_dv_delete_sink(
         matches = scan.join(
             df.select(*key_cols).distinct(), on=key_cols, how="left_semi"
         ).select("file_path", "pos")
-        try:
-            commit_deletion_vectors(spark, table, matches, tag=tag)
-        except ValueError:
+        # Explicit empty pre-check instead of catching ValueError: the
+        # commit path raises ValueError for OTHER conditions too
+        # (malformed blob properties), and swallowing one of those
+        # would silently drop a batch of deletes forever — the
+        # checkpoint commits regardless of what this function ate
+        # (r9 review find).
+        if matches.isEmpty():
             return  # no key matched any live row: nothing to delete
+        commit_deletion_vectors(spark, table, matches, tag=tag)
+        mark = getattr(table, "mark_stream_batch", None)
+        if mark is not None:
+            mark(name, batch_id)
 
     return write_batch
 

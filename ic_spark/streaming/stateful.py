@@ -30,6 +30,12 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
+        # Part of STATE, not recomputed per batch: a late-but-in-
+        # watermark event would otherwise move the emitted "last event
+        # time" BACKWARDS while the counters advance (r9 review find).
+        # (Changing the state schema requires a fresh checkpoint, as
+        # with any Structured Streaming state evolution.)
+        StructField("last_ts", TimestampType()),
     ]
 )
 
@@ -50,14 +56,18 @@ def _update_user_state(
 ):
     """Fold each micro-batch's rows for this user into running state."""
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, float(total)))
+        if not pd.isna(batch_max):
+            if hasattr(batch_max, "to_pydatetime"):
+                batch_max = batch_max.to_pydatetime()
+            last_ts = (
+                batch_max if last_ts is None else max(last_ts, batch_max)
+            )
+    state.update((n, float(total), last_ts))
     yield pd.DataFrame(
         {
             "user_id": [user_id],

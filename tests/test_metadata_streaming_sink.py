@@ -511,6 +511,24 @@ def test_streaming_sinks_over_spec_metadata(spark, tmp_path):
     _, pos, _ = tbl.scan_tasks()
     assert any(t.file_format == "puffin" for t in pos)
 
+    # The spec-flavor ledger (table properties) records every sink's
+    # committed batches — the signal that survives compaction rewriting
+    # the batch directories (r9 review find).
+    assert tbl.stream_batch_hwm("stream") == 1
+    assert tbl.stream_batch_hwm("upsert") == 2
+    assert tbl.stream_batch_hwm("dvdel") == 3
+    assert tbl.stream_batch_hwm("nope") == -1
+    # append replay suppressed by the ledger alone (marker paths gone)
+    import ic_spark.streaming.sink as sink_mod
+
+    orig = sink_mod._live_paths
+    sink_mod._live_paths = lambda t: set()  # simulate post-compaction
+    try:
+        append(mk([(9, "x")]), 1)  # must still be a no-op
+        assert read_table(spark, tbl).count() == 3
+    finally:
+        sink_mod._live_paths = orig
+
 
 def test_streaming_span_dedup_sink(spark, tmp_path):
     """Continuous-ingest substring-span dedup: per-batch spans equal the
@@ -779,3 +797,138 @@ def test_ivfpq_index_streaming_append_sink(spark, tmp_path):
     assert len(ids) == len(set(ids)), "stale replay files serve duplicates"
     # rows 50-59 existed only in the wide write of batch 1 — gone
     assert not any(50 <= i < 60 for i in ids)
+
+
+def test_append_sink_replay_after_compaction_is_noop(spark, tmp_path):
+    """The manifest sinks' commit log must survive table maintenance:
+    compaction rewrites a batch's files, erasing the path marker, and
+    before the per-sink batch ledger a crash-replay of that batch
+    re-committed it — permanently double-counted rows (r9 review
+    find).  The ledger is written in the SAME atomic commit as the
+    batch's files."""
+    from ic_spark.compaction import Compaction
+
+    table = ManifestTable(str(tmp_path / "t"))
+    sink = manifest_append_sink(table)
+    sink(spark.range(0, 10).coalesce(1), 0)
+    sink(spark.range(10, 20).coalesce(1), 1)
+    assert table.stream_batch_hwm("stream") == 1
+    # maintenance rewrites every batch file -> path markers gone
+    schema = spark.range(1).selectExpr("id").schema
+    Compaction(spark).full_compact(table, schema)
+    live = {t.data_file_path for t in table.scan_tasks()[0]}
+    assert not any("stream-batch-" in p for p in live)
+    # crash-replay of the LAST batch: must be a no-op via the ledger
+    sink(spark.range(10, 20).coalesce(1), 1)
+    got = sorted(r.id for r in read_table(spark, table).collect())
+    assert got == list(range(20)), "replayed batch double-committed"
+    # genuinely new batch still lands
+    sink(spark.range(20, 25).coalesce(1), 2)
+    assert sorted(r.id for r in read_table(spark, table).collect()) == list(
+        range(25)
+    )
+    assert table.stream_batch_hwm("stream") == 2
+
+
+def test_span_sink_index_replay_after_gram_compaction(spark, tmp_path):
+    """Same hazard for the span sink's log-structured gram index: after
+    compact_gram_index folds the deltas, a replay of the last batch's
+    delta must stay a no-op or every gram's doc_freq double-counts and
+    spans over-flag forever."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.streaming.sink import (
+        compact_gram_index,
+        manifest_span_dedup_sink,
+    )
+
+    docs = ManifestTable(str(tmp_path / "docs"))
+    idx = ManifestTable(str(tmp_path / "idx"))
+    sink = manifest_span_dedup_sink(docs, idx, "content", "id", k=3)
+    b0 = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee")], "id long, content string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "aaa bbb ccc xxx yyy")], "id long, content string"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    before = {
+        r.gram: r.df
+        for r in read_table(spark, idx)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("df"))
+        .collect()
+    }
+    assert compact_gram_index(spark, idx) is not None
+    sink(b1, 1)  # crash-replay of the folded batch
+    after = {
+        r.gram: r.df
+        for r in read_table(spark, idx)
+        .groupBy("gram")
+        .agg(F.sum("doc_freq").alias("df"))
+        .collect()
+    }
+    assert after == before, "gram doc_freq double-counted after replay"
+
+
+def test_compact_gram_index_conflicts_with_concurrent_delta(
+    spark, tmp_path, monkeypatch
+):
+    """A streaming delta committed between compact_gram_index's scan
+    and its rewrite would be folded AND left live (double-counted);
+    the pinned expected_snapshot_id turns that window into a
+    CommitConflictError instead (r9 review find)."""
+    import pyspark.sql.functions as F
+
+    import ic_spark.compaction.deletes as deletes_mod
+    from ic_spark.compaction.manifest import CommitConflictError
+    from ic_spark.streaming.sink import (
+        compact_gram_index,
+        manifest_append_sink,
+    )
+    from ic_spark.operators.dedup import substring_gram_index
+
+    idx = ManifestTable(str(tmp_path / "idx"))
+    append = manifest_append_sink(idx, name="spans-idx")
+    d0 = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd")], "id long, content string"
+    )
+    append(substring_gram_index(d0, "id", "content", k=3), 0)
+
+    real_read = deletes_mod.read_table
+    fired = {"n": 0}
+
+    def racing_read(s, table, *a, **kw):
+        out = real_read(s, table, *a, **kw)
+        if fired["n"] == 0 and table.root == idx.root:
+            fired["n"] = 1
+            # concurrent stream commits another delta mid-compaction
+            append(
+                substring_gram_index(
+                    spark.createDataFrame(
+                        [(2, "xxx yyy zzz www")], "id long, content string"
+                    ),
+                    "id",
+                    "content",
+                    k=3,
+                ),
+                1,
+            )
+        return out
+
+    monkeypatch.setattr(deletes_mod, "read_table", racing_read)
+    with pytest.raises(CommitConflictError):
+        compact_gram_index(spark, idx)
+    monkeypatch.undo()
+    # totals intact: nothing folded twice, nothing lost
+    total = (
+        read_table(spark, idx).agg(F.sum("doc_freq").alias("s")).first().s
+    )
+    assert total == 4  # 2 grams per doc x 2 docs... recomputed below
+    # retry succeeds once quiet
+    assert compact_gram_index(spark, idx) is not None
+    total2 = (
+        read_table(spark, idx).agg(F.sum("doc_freq").alias("s")).first().s
+    )
+    assert total2 == total

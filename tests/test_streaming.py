@@ -142,3 +142,71 @@ def test_stream_stream_interval_join_equals_batch(spark):
     got = got.select("user_id", "event_id", "l_ts", "r_event_id", "r_ts", "value")
     assert got.count() == want.count() > 0
     assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
+
+
+def test_stateful_last_ts_never_regresses():
+    """last_ts is part of STATE, not recomputed per batch: a
+    late-but-in-watermark event must not move the emitted 'last event
+    time' backwards while the counters advance (r9 review find).
+    Driven directly through the state-update function with a fake
+    GroupState (the streaming harness around it is covered above)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ic_spark.streaming.stateful import _update_user_state
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    t10 = dt.datetime(2024, 6, 1, 10)
+    t9 = dt.datetime(2024, 6, 1, 9)
+    b1 = pd.DataFrame({"value": [1.0], "ts": [pd.Timestamp(t10)]})
+    (out1,) = _update_user_state((7,), [b1], st)
+    assert out1["last_ts"][0] == t10
+    # late event: counters advance, last_ts must NOT regress
+    b2 = pd.DataFrame({"value": [2.0], "ts": [pd.Timestamp(t9)]})
+    (out2,) = _update_user_state((7,), [b2], st)
+    assert out2["n_events"][0] == 2
+    assert out2["last_ts"][0] == t10, "last event time went backwards"
+
+
+def test_interval_join_right_outer_keeps_right_key(spark):
+    """rightOuter/fullOuter: an unmatched right row has a NULL left
+    side, so the collapsed key must coalesce to the RIGHT key instead
+    of emitting NULL (r9 review find).  withWatermark is a no-op on
+    batch frames, so the same code path is testable in batch."""
+    import datetime as dt
+
+    from ic_spark.streaming.joins import stream_stream_interval_join
+
+    t = dt.datetime(2024, 6, 1, 12)
+    left = spark.createDataFrame(
+        [(1, t, "l1")], "user_id long, l_ts timestamp, l_tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t, "r1"),  # matches
+            (99, t, "r-unmatched"),  # no left row
+        ],
+        "user_id long, r_ts timestamp, r_tag string",
+    )
+    out = stream_stream_interval_join(
+        left, right, key="user_id",
+        left_time="l_ts", right_time="r_ts",
+        max_delay="10 minutes", how="rightOuter",
+    )
+    rows = {r.r_tag: r.user_id for r in out.collect()}
+    assert rows["r1"] == 1
+    assert rows["r-unmatched"] == 99, "unmatched right row lost its key"
