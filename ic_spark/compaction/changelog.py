@@ -46,6 +46,57 @@ from ic_spark.compaction.request import (
 )
 
 
+def main_ancestor_ids(table, snapshot_id: int) -> list[int]:
+    """Ancestor snapshot ids of ``snapshot_id`` (inclusive), oldest
+    first: recorded parent pointers walked where present, plain list
+    order for pre-tracking mainline commits.  Staged (WAP) snapshots
+    and unmerged branch commits that are NOT on the requested
+    snapshot's ancestry are excluded — list-order slicing wrongly
+    reported them as ancestors (r9 review find)."""
+    if hasattr(table, "current_snapshot"):  # JSON flavor
+        state = table._load()
+        by_id = {
+            s["snapshot_id"]: s
+            for s in state["snapshots"]
+            if not s.get("staged")
+        }
+        if snapshot_id not in by_id:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        order = [
+            s["snapshot_id"]
+            for s in state["snapshots"]
+            if not s.get("staged")
+        ]
+        tail: list[int] = []
+        node = snapshot_id
+        while (
+            node is not None
+            and node in by_id
+            and "parent_snapshot_id" in by_id[node]
+        ):
+            tail.append(node)
+            node = by_id[node]["parent_snapshot_id"]
+        if node is not None and node in by_id:
+            head = [
+                i
+                for i in order[: order.index(node) + 1]
+                if "parent_snapshot_id" not in by_id[i]
+            ]
+        else:
+            head = []
+        return head + list(reversed(tail))
+    meta = table.metadata()  # spec flavor: parent-snapshot-id chain
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in by_id:
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    tail = []
+    node = snapshot_id
+    while node is not None and node in by_id:
+        tail.append(node)
+        node = by_id[node].get("parent-snapshot-id")
+    return list(reversed(tail))
+
+
 def _main_chain(table, from_snapshot_id: int, to_snapshot_id: int | None):
     """Ordered (snapshot_id, operation) list on the main timeline,
     exclusive of ``from``, inclusive of ``to``."""
@@ -316,31 +367,35 @@ def read_changelog(
                 "changelog is undefined across pre-tracking rewrites"
             )
 
+        def removed_rows():
+            # Previously-visible rows of the removed files (their
+            # then-applicable deletes applied: already-hidden rows
+            # are not re-reported).
+            from ic_spark.compaction.planner import build_merge_on_read
+            from ic_spark.compaction.request import RewriteFilesRequest
+
+            return build_merge_on_read(
+                spark,
+                RewriteFilesRequest(
+                    schema=schema,
+                    data_files=removed,
+                    position_delete_files=p_pos,
+                    equality_delete_files=p_eq,
+                    name_mapping=evo.get("name_mapping"),
+                    schema_history=evo.get("schema_history"),
+                ),
+                lineage=(
+                    {t.data_file_path: t.first_row_id for t in removed}
+                    if with_lineage
+                    else None
+                ),
+            )
+
         if operation == "overwrite":
             if removed:
-                # Previously-visible rows of the removed files (their
-                # then-applicable deletes applied: already-hidden rows
-                # are not re-reported).
-                from ic_spark.compaction.planner import build_merge_on_read
-                from ic_spark.compaction.request import RewriteFilesRequest
-
-                gone = build_merge_on_read(
-                    spark,
-                    RewriteFilesRequest(
-                        schema=schema,
-                        data_files=removed,
-                        position_delete_files=p_pos,
-                        equality_delete_files=p_eq,
-                        name_mapping=evo.get("name_mapping"),
-                        schema_history=evo.get("schema_history"),
-                    ),
-                    lineage=(
-                        {t.data_file_path: t.first_row_id for t in removed}
-                        if with_lineage
-                        else None
-                    ),
+                parts.append(
+                    _with_meta(removed_rows(), cols, "DELETE", sid, ordinal)
                 )
-                parts.append(_with_meta(gone, cols, "DELETE", sid, ordinal))
             if added:
                 ins = lin(
                     _scan_with_hidden_cols(
@@ -358,6 +413,16 @@ def read_changelog(
             continue
 
         # append / delete / upsert commits
+        if removed:
+            # Whole-data-file removals OUTSIDE an overwrite — e.g. a
+            # metadata-only DELETE aligned with partition bounds, as
+            # real Iceberg engines write (operation="delete", no new
+            # delete files).  Their previously-visible rows are DELETE
+            # events; silently skipping them lost whole partitions from
+            # CDC consumers (r9 review find).
+            parts.append(
+                _with_meta(removed_rows(), cols, "DELETE", sid, ordinal)
+            )
         if added:
             ins = lin(
                 _scan_with_hidden_cols(

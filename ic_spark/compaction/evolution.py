@@ -176,7 +176,7 @@ def validate_file_schemas(
                     and not footer_ambiguous(phys[n], field.dataType)
                 ):
                     raise ValueError(
-                        f"schema evolution: file {path} column '{n}' has type "
+                        f"schema evolution: file {local} column '{n}' has type "
                         f"{phys[n].simpleString()}, not promotable to requested "
                         f"{field.dataType.simpleString()} for field "
                         f"'{field.name}'"

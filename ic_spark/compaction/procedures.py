@@ -90,19 +90,24 @@ def fast_forward(spark, table, branch: str, force: bool = False, **kw):
 
 
 def rollback_to_snapshot(spark, table, snapshot_id: int, **kw):
+    # Iceberg's procedure returns the pre-rollback id so a runbook can
+    # un-rollback; record it before the pointer moves.
+    if hasattr(table, "current_snapshot"):
+        cur = table.current_snapshot()
+        previous = cur.snapshot_id if cur else None
+    else:
+        previous = table.current_snapshot_id()
     sid = table.rollback_to_snapshot(snapshot_id)
-    return {"previous_snapshot_id": None, "current_snapshot_id": sid}
+    return {"previous_snapshot_id": previous, "current_snapshot_id": sid}
 
 
 def ancestors_of(spark, table, snapshot_id: int | None = None, **kw):
-    """Snapshot ancestry: recorded parents where present, else commit
-    order up to the starting snapshot (the JSON manifest's main line is
-    linear by construction)."""
-    snaps = table.snapshots()
-    ids = [
-        s.snapshot_id if hasattr(s, "snapshot_id") else s["snapshot-id"]
-        for s in snaps
-    ]
+    """Snapshot ancestry via recorded parent pointers (shared with the
+    changelog's main-timeline walker): staged (WAP) snapshots and
+    unmerged branch commits are NOT ancestors of main commits and are
+    excluded (r9 review find — list-order slicing reported them)."""
+    from ic_spark.compaction.changelog import main_ancestor_ids
+
     if snapshot_id is None:
         if hasattr(table, "current_snapshot"):
             cur = table.current_snapshot()
@@ -111,9 +116,7 @@ def ancestors_of(spark, table, snapshot_id: int | None = None, **kw):
             snapshot_id = table.current_snapshot_id()
     if snapshot_id is None:
         return {"snapshot_ids": []}
-    if snapshot_id not in ids:
-        raise ValueError(f"snapshot {snapshot_id} not found")
-    return {"snapshot_ids": ids[: ids.index(snapshot_id) + 1]}
+    return {"snapshot_ids": main_ancestor_ids(table, snapshot_id)}
 
 
 def analyze_table(spark, table, columns=None, **kw):
@@ -136,6 +139,10 @@ def create_changelog_view(
 
     if from_snapshot_id is None:
         raise ValueError("create_changelog_view needs from_snapshot_id")
+    # Forward the full option surface — **kw silently swallowed
+    # compute_updates / with_lineage, handing back a plain
+    # INSERT/DELETE changelog while the caller believed
+    # UPDATE_BEFORE/UPDATE_AFTER pairing ran (r9 review find).
     df = register_changelog_view(
         spark,
         table,
@@ -144,7 +151,13 @@ def create_changelog_view(
         to_snapshot_id,
         net_changes=bool(kw.pop("net_changes", False)),
         compute_updates_key=kw.pop("identifier_columns", None),
+        compute_updates=bool(kw.pop("compute_updates", False)),
+        with_lineage=bool(kw.pop("with_lineage", False)),
     )
+    if kw:
+        raise ValueError(
+            f"create_changelog_view: unknown options {sorted(kw)}"
+        )
     return {"changelog_view": changelog_view, "columns": df.columns}
 
 

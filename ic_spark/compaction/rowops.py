@@ -90,6 +90,15 @@ def _infer_schema(spark: SparkSession, table: ManifestTable) -> StructType:
     return inferred
 
 
+def _pinned_snapshot_id(table):
+    """Current snapshot id across both table flavors (the optimistic-
+    concurrency pin every row op passes to commit_rewrite)."""
+    if hasattr(table, "current_snapshot_id"):
+        return table.current_snapshot_id()
+    snap = table.current_snapshot()
+    return snap.snapshot_id if snap else None
+
+
 def _next_seq(data, eq) -> int:
     return max((t.sequence_number for t in data + eq), default=0) + 1
 
@@ -102,10 +111,17 @@ def _rewrite_and_commit(
     pos: list[FileScanTask],
     eq: list[FileScanTask],
     transform,
-    extra_added: list[dict] | None = None,
+    expected_snapshot_id: int | None = None,
 ) -> dict:
     """Rewrite ``candidates`` through ``transform``; one atomic commit
-    removing them and adding the outputs (+ ``extra_added`` entries).
+    removing them and adding the outputs.
+
+    ``expected_snapshot_id`` pins the snapshot the operation PLANNED
+    against: a concurrent commit (e.g. an equality delete) landing
+    between planning and this commit would otherwise be silently
+    overwritten — the rewrite applies the stale delete set and the
+    concurrently deleted rows come back to life.  The pin turns that
+    race into a CommitConflictError the caller can retry.
 
     Partitioned tables keep their layout: rewritten (and inserted) rows
     re-fanout under the table's current default partition spec, same as
@@ -169,9 +185,11 @@ def _rewrite_and_commit(
             entry["spec_id"] = spec_id
             entry["partition"] = f.partition_values or {}
         added.append(entry)
-    added.extend(extra_added or [])
     snapshot_id = table.commit_rewrite(
-        added, {t.data_file_path for t in candidates}, operation="overwrite"
+        added,
+        {t.data_file_path for t in candidates},
+        expected_snapshot_id=expected_snapshot_id,
+        operation="overwrite",
     )
     return {
         "snapshot_id": snapshot_id,
@@ -193,6 +211,7 @@ def delete_where(
     candidate file are rewritten without the matching rows."""
     if schema is None:
         schema = _infer_schema(spark, table)
+    expected = _pinned_snapshot_id(table)
     _, pos, eq = table.scan_tasks()
     candidates, _, _ = table.scan_tasks(data_filter=where)
     if not candidates:
@@ -207,6 +226,7 @@ def delete_where(
         pos,
         eq,
         lambda df: df.where(~F.coalesce(pred, F.lit(False))),
+        expected_snapshot_id=expected,
     )
 
 
@@ -229,6 +249,7 @@ def update_where(
     unknown = set(assignments) - field_names
     if unknown:
         raise ValueError(f"assignments for unknown columns: {sorted(unknown)}")
+    expected = _pinned_snapshot_id(table)
     _, pos, eq = table.scan_tasks()
     candidates, _, _ = table.scan_tasks(data_filter=where)
     if not candidates:
@@ -254,18 +275,34 @@ def update_where(
                     F.coalesce(pred, F.lit(False)), F.lit(None).cast("long")
                 ).otherwise(F.col(LAST_UPDATED_SEQ_COL)),
             )
-        for col, expr in assignments.items():
-            new = F.expr(expr) if isinstance(expr, str) else expr
-            out = out.withColumn(
-                col,
-                F.when(pred, new.cast(df.schema[col].dataType)).otherwise(
-                    F.col(col)
-                ),
-            )
-        return out.select(*[f.name for f in schema.fields], *extra)
+        # ONE select for every assignment: SQL UPDATE evaluates the
+        # predicate and every RHS against the OLD row.  Sequential
+        # withColumn re-resolved both against already-mutated columns
+        # (r9 review find: {"a": "2", "b": "3"} with WHERE a=1 never
+        # set b, and {"a": "a+1", "b": "a"} wrote b = old_a + 1).
+        cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                expr = assignments[f.name]
+                new = F.expr(expr) if isinstance(expr, str) else expr
+                cols.append(
+                    F.when(pred, new.cast(df.schema[f.name].dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return out.select(*cols, *extra)
 
     return _rewrite_and_commit(
-        spark, table, schema, candidates, pos, eq, apply_updates
+        spark,
+        table,
+        schema,
+        candidates,
+        pos,
+        eq,
+        apply_updates,
+        expected_snapshot_id=expected,
     )
 
 
@@ -319,9 +356,32 @@ def merge_into(
                 f"full-row merge needs every table column in source; missing {lacking}"
             )
 
+    expected = _pinned_snapshot_id(table)
     all_data, pos, eq = table.scan_tasks()
     if not all_data:
         raise ValueError("table has no data files")
+
+    if when_matched == "update" or insert_not_matched:
+        # MERGE cardinality: duplicate source keys would fan each
+        # matched target row out once per duplicate (and insert
+        # unmatched duplicates multiply) — Spark/Iceberg raise
+        # MERGE_CARDINALITY_VIOLATION; silently growing the table is
+        # wrong data (r9 review find).  The delete-only path anti-joins
+        # and is insensitive to duplicates.
+        dup = (
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_desc = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                "MERGE cardinality violation: source has "
+                f"{dup[0]['__n']} rows for key {key_desc}; "
+                "deduplicate the source on the merge keys first"
+            )
 
     # Key-bounds prune: files outside [min, max] of the first key can't
     # contain a match.  Two-row aggregate — source executes once here.
@@ -506,36 +566,22 @@ def merge_into(
                 "rewritten_files_count": 0,
                 "added_files_count": 0,
             }
-        # Pure insert: no files to rewrite — append the source.
-        seq = _next_seq(all_data, eq)
-        ins_dir = os.path.join(table.root, f"merge-ins-{uuid.uuid4().hex[:12]}")
-        conformed_source.write.mode("overwrite").parquet(ins_dir)
-        entries = []
-        from ic_spark.compaction.writer import _stats_from_footer
-
-        for name in sorted(os.listdir(ins_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            p = os.path.join(ins_dir, name)
-            record_count, column_stats, _ = _stats_from_footer(p, ins_dir)
-            entries.append(
-                {
-                    "path": p,
-                    "sequence_number": seq,
-                    "content": "DATA",
-                    "file_size_in_bytes": os.path.getsize(p),
-                    "record_count": record_count,
-                    "column_stats": column_stats,
-                }
-            )
-        # Pure insert (no files rewritten): an append for the changelog.
-        snapshot_id = table.commit_rewrite(entries, set(), operation="append")
-        return {
-            "snapshot_id": snapshot_id,
-            "rewritten_files_count": 0,
-            "added_files_count": len(entries),
-        }
+        # Pure insert: no file holds a matched key.  Reuse the standard
+        # rewrite with the SMALLEST live file as a carrier (its rows
+        # pass through the MoR read unchanged; the source unions on as
+        # inserts) so the insert honors partition-spec fanout, lineage
+        # id assignment, footer stats, and remote-FS routing — the old
+        # raw os.listdir + unpartitioned write bypassed all four and
+        # crashed outright on object-store roots (r9 review find).
+        candidates = [min(all_data, key=lambda t: t.file_size_in_bytes)]
 
     return _rewrite_and_commit(
-        spark, table, schema, candidates, pos, eq, apply_merge
+        spark,
+        table,
+        schema,
+        candidates,
+        pos,
+        eq,
+        apply_merge,
+        expected_snapshot_id=expected,
     )

@@ -590,3 +590,32 @@ def test_changelog_feed_crash_replay_exactly_once(spark, tmp_path, flavor):
     s = sorted((r.id, r.k) for r in read_table(spark, src).collect())
     t = sorted((r.id, r.k) for r in read_table(spark, tgt).collect())
     assert s == t
+
+
+@pytest.mark.parametrize("flavor", ["spec", "json"])
+def test_changelog_metadata_only_file_removal_emits_deletes(
+    spark, tmp_path, flavor
+):
+    """A 'delete' commit that removes WHOLE data files (the
+    metadata-only DELETE real Iceberg engines write when a predicate
+    aligns with partition bounds — no new delete files) must emit those
+    rows as DELETE events; the generic branch silently skipped
+    `removed` and CDC consumers lost whole partitions (r9 review
+    find)."""
+    tbl, snap0 = _mk(spark, tmp_path, flavor, "metadel")
+    snap1 = _append(
+        spark,
+        tbl,
+        spark.range(100, 105).select("id", (F.col("id") % 4).alias("k")),
+        tmp_path,
+        f"{flavor}_metadel_1",
+    )
+    # drop the second file outright, no replacement: operation=delete
+    data, _, _ = tbl.scan_tasks()
+    victim = next(t for t in data if "metadel_1" in t.data_file_path)
+    tbl.commit_rewrite([], {victim.data_file_path}, operation="delete")
+    got = _changes(read_changelog(spark, tbl, snap1))
+    assert got == [("DELETE", i, 0) for i in range(100, 105)]
+    # the full range still reports the earlier INSERTs once
+    full = _changes(read_changelog(spark, tbl, snap0))
+    assert ("INSERT", 100, 0) in full and ("DELETE", 100, 1) in full

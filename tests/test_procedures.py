@@ -106,3 +106,56 @@ def test_call_fast_forward(spark, proc_table, tmp_path):
     out = call(spark, "fast_forward", table=table, branch="wip")
     assert out["latest_snapshot_id"] == table.current_snapshot().snapshot_id
     assert read_table(spark, table).count() == 65
+
+
+def test_ancestors_of_excludes_branch_and_staged(spark, tmp_path):
+    """ancestors_of must walk recorded parents: unmerged branch commits
+    and staged (WAP) snapshots are NOT ancestors of main commits
+    (r9 review find — list-order slicing reported them)."""
+    table = ManifestTable(str(tmp_path / "anc"))
+
+    def seed(tag, **kw):
+        df = spark.range(0, 3)
+        d = str(tmp_path / f"anc_{tag}")
+        df.coalesce(1).write.parquet(d)
+        f = next(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+        rc, cs, _ = _stats_from_footer(f, d)
+        return table.append_snapshot(
+            [{"path": f, "sequence_number": 1, "content": "DATA",
+              "file_size_in_bytes": os.path.getsize(f),
+              "record_count": rc, "column_stats": cs}],
+            **kw,
+        )
+
+    s1 = seed("m1")
+    s2 = seed("m2")
+    b1 = seed("b1", branch="audit")  # unmerged branch commit
+    w1 = seed("w1", stage=True)  # staged WAP snapshot
+    s3 = seed("m3")
+    got = call(spark, "ancestors_of", table=table)["snapshot_ids"]
+    assert got == [s1, s2, s3]
+    assert b1 not in got and w1 not in got
+    # explicit older snapshot: prefix only
+    assert call(spark, "ancestors_of", table=table, snapshot_id=s2)[
+        "snapshot_ids"
+    ] == [s1, s2]
+
+
+def test_rollback_returns_previous_snapshot_id(spark, proc_table):
+    before = proc_table.current_snapshot().snapshot_id
+    first = proc_table.snapshots()[0].snapshot_id
+    out = call(spark, "rollback_to_snapshot", table=proc_table,
+               snapshot_id=first)
+    assert out["previous_snapshot_id"] == before
+    assert out["current_snapshot_id"] == first
+
+
+def test_create_changelog_view_rejects_unknown_options(spark, proc_table):
+    first = proc_table.snapshots()[0].snapshot_id
+    with pytest.raises(ValueError, match="unknown options"):
+        call(
+            spark, "create_changelog_view", table=proc_table,
+            from_snapshot_id=first, compute_update_rows=True,  # typo'd name
+        )

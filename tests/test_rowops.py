@@ -182,9 +182,13 @@ def test_merge_into_pure_insert(spark, id_table):
     source = spark.createDataFrame([(100, 1), (101, 2)], "id long, value long")
     before = _live_paths(id_table)
     stats = merge_into(spark, id_table, source, ["id"])
-    assert stats["rewritten_files_count"] == 0  # nothing matched
+    # No key matched, but the insert rides the standard rewrite with
+    # the smallest live file as carrier (r9: the old raw-write path
+    # bypassed partition fanout, lineage, and remote-FS routing) —
+    # exactly one file is rewritten, all its rows carried.
+    assert stats["rewritten_files_count"] == 1
     assert stats["added_files_count"] >= 1
-    assert before <= _live_paths(id_table)  # originals all kept
+    assert len(before - _live_paths(id_table)) == 1  # only the carrier
     rows = {r.id: r.value for r in read_table(spark, id_table).collect()}
     assert len(rows) == 32 and rows[100] == 1 and rows[101] == 2
 
@@ -275,3 +279,49 @@ def test_merge_into_oracle(spark, id_table):
         """
     ).fetchall()
     assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_update_where_multi_column_old_row_semantics(spark, id_table):
+    """SQL UPDATE evaluates the predicate AND every RHS against the OLD
+    row.  Sequential withColumn re-resolved both against already-
+    mutated columns — {'id': …, 'value': 'id'} wrote value = new_id and
+    a self-invalidating first assignment left later columns unset
+    (r9 review find, confirmed by execution)."""
+    # Assign BOTH columns where id = 5: id -> 500, value -> old id.
+    update_where(
+        spark,
+        id_table,
+        [("id", "=", 5)],
+        {"id": "500", "value": "id"},
+    )
+    rows = {r.id: r.value for r in read_table(spark, id_table).collect()}
+    assert 5 not in rows
+    assert rows[500] == 5, "RHS must see the OLD id, not the updated one"
+    # Self-referencing swap-like updates: both RHS see old values.
+    update_where(
+        spark,
+        id_table,
+        [("id", "=", 7)],
+        {"id": "value", "value": "id + 1"},
+    )
+    rows = {r.id: r.value for r in read_table(spark, id_table).collect()}
+    assert rows[70] == 8  # id := old value (70), value := old id + 1
+
+
+def test_merge_into_duplicate_source_keys_raises(spark, id_table):
+    """Spark/Iceberg MERGE raises a cardinality violation when one
+    target row matches multiple source rows; silently fanning the
+    target row out once per duplicate grew the table on every merge
+    (r9 review find)."""
+    dup = spark.createDataFrame(
+        [(5, 1), (5, 2), (100, 3)], "id long, value long"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(spark, id_table, dup, ["id"])
+    # delete-only merges anti-join and are insensitive to duplicates
+    stats = merge_into(
+        spark, id_table, dup, ["id"],
+        when_matched="delete", insert_not_matched=False,
+    )
+    assert stats["rewritten_files_count"] == 1
+    assert 5 not in {r.id for r in read_table(spark, id_table).collect()}
