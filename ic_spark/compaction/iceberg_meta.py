@@ -591,8 +591,12 @@ class IcebergTable:
         with open(hint) as f:
             return int(f.read().strip())
 
-    def metadata(self) -> dict:
-        v = self.version()
+    def metadata(self, version: int | None = None) -> dict:
+        """Current metadata, or the EXACT ``version`` when given — the
+        read-version-then-metadata ordering optimistic committers need
+        (metadata-then-version lets a racing commit pair stale metadata
+        with a fresh expected_version, silently erasing the racer)."""
+        v = self.version() if version is None else version
         if v is None:
             raise ValueError(f"no iceberg table at {self.root}")
         with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
@@ -1113,8 +1117,12 @@ class IcebergTable:
         ``fields`` use the writer's shape; ``bucket``/``iceberg_bucket``
         both serialize as spec ``bucket[N]`` (and execute spec-exact).
         """
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         schema = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
@@ -1208,8 +1216,12 @@ class IcebergTable:
         data file with an explicit ``first_row_id`` (one ``replace``
         commit rewriting the manifests — they are immutable Avro, so
         backfill is a carry-forward commit, not an edit)."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         if meta.get("next-row-id") is not None:
             return
         meta = dict(meta)
@@ -1248,8 +1260,12 @@ class IcebergTable:
         property commit (for sinks whose final action is not a plain
         append; ``append_snapshot(stream_mark=...)`` is atomic with
         the commit and preferred)."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         marked = self._with_stream_mark(dict(meta), (name, batch_id))
         if marked is None:
             return  # already at or past this batch id
@@ -1290,8 +1306,12 @@ class IcebergTable:
         ledger update into the SAME metadata commit (see
         ``streaming/sink.py``).
         """
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         if stream_mark is not None:
             meta = self._with_stream_mark(dict(meta), stream_mark) or meta
         if meta.get("next-row-id") is not None:
@@ -1330,8 +1350,12 @@ class IcebergTable:
 
     def rollback_to_snapshot(self, snapshot_id: int) -> int:
         """Point main back at an earlier snapshot (metadata-only)."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         if all(s["snapshot-id"] != snapshot_id for s in meta["snapshots"]):
             raise ValueError(f"snapshot {snapshot_id} not found")
         now = int(time.time() * 1000)
@@ -1347,8 +1371,12 @@ class IcebergTable:
     def fast_forward(self, branch: str, force: bool = False) -> int:
         """Advance MAIN to the branch head when main is an ancestor of
         it (spec ``parent-snapshot-id`` chain proves ancestry)."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         ref = meta.get("refs", {}).get(branch)
         if ref is None or ref.get("type") != "branch":
             raise ValueError(f"unknown branch: {branch!r}")
@@ -1580,8 +1608,12 @@ class IcebergTable:
         ``operation`` lands in the snapshot summary (replace =
         maintenance, overwrite = COW row change, delete = delete-file
         supersede) — the changelog read keys off it."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         cur = self._snapshot(None)
         if expected_snapshot_id is not None:
             actual = cur["snapshot-id"] if cur else None
@@ -1624,8 +1656,12 @@ class IcebergTable:
         head.  Refs survive snapshot expiration."""
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref type must be tag|branch: {ref_type}")
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         if all(s["snapshot-id"] != snapshot_id for s in meta["snapshots"]):
             raise ValueError(f"snapshot {snapshot_id} not found")
         new_meta = dict(meta)
@@ -1636,8 +1672,12 @@ class IcebergTable:
         self._commit_metadata(new_meta, expected_version=version)
 
     def remove_ref(self, name: str) -> None:
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         refs = dict(meta.get("refs", {}))
         refs.pop(name, None)
         new_meta = dict(meta)
@@ -1659,8 +1699,12 @@ class IcebergTable:
         """Retain the current snapshot plus every ref target; return
         orphaned data-file paths (caller owns physical deletion, like
         Iceberg ``expireSnapshots`` honoring retained refs)."""
-        meta = self.metadata()
+        # version FIRST, then that exact version's metadata: the reverse
+        # order pairs stale metadata with a fresh expected_version when a
+        # commit races between the reads, and the CAS then erases the
+        # racer (r9 review find).
         version = self.version()
+        meta = self.metadata(version)
         cur = self._snapshot(None)
         if cur is None:
             return []

@@ -88,13 +88,23 @@ _REFS_SCHEMA = StructType(
 )
 
 
-def _as_snapshots(table) -> tuple[list, int | None]:
+def _as_snapshots(table, wanted_ids=None) -> tuple[list, int | None]:
     """Normalize either table flavor to (ManifestTable-shaped Snapshot
     list, current_snapshot_id) so every metadata table reads both the
-    JSON-manifest and the spec-format (Avro) metadata identically."""
+    JSON-manifest and the spec-format (Avro) metadata identically.
+
+    ``wanted_ids`` limits the EXPENSIVE spec-flavor materialization
+    (each snapshot's files require reading its manifest list + Avro
+    manifests) to the snapshots the caller actually consumes — a
+    `.files` query needs only the current snapshot, not a per-snapshot
+    manifest read across the whole history (r9 review find).
+    """
     if isinstance(table, ManifestTable):
         cur = table.current_snapshot()
-        return table.snapshots(), (cur.snapshot_id if cur else None)
+        snaps = table.snapshots()
+        if wanted_ids is not None:
+            snaps = [s for s in snaps if s.snapshot_id in wanted_ids]
+        return snaps, (cur.snapshot_id if cur else None)
     # Spec-format IcebergTable: rebuild files-dicts from Avro manifests.
     from ic_spark.compaction.iceberg_meta import _CONTENT_TO_ENUM
     from ic_spark.compaction.manifest import Snapshot
@@ -103,9 +113,19 @@ def _as_snapshots(table) -> tuple[list, int | None]:
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
-    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    # Union of EVERY schema in the metadata: equality-delete files
+    # written against a since-dropped/renamed column must still report
+    # their key columns — mapping through the current schema alone
+    # rendered them indistinguishable from no-key deletes (r9 review
+    # find).  Later schemas win name collisions.
+    id_to_name = {}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            id_to_name[f["id"]] = f["name"]
     out = []
     for s in meta["snapshots"]:
+        if wanted_ids is not None and s["snapshot-id"] not in wanted_ids:
+            continue
         files = []
         for e, seq in table._live_entries(s):
             df = e["data_file"]
@@ -114,9 +134,10 @@ def _as_snapshots(table) -> tuple[list, int | None]:
                 "content": _CONTENT_TO_ENUM[df["content"]].name,
                 "sequence_number": seq,
                 "equality_ids": [
-                    id_to_name[i]
+                    # an id absent from every schema is still reported
+                    # (as its field id) rather than silently dropped
+                    id_to_name.get(i, f"field-{i}")
                     for i in (df["equality_ids"] or [])
-                    if i in id_to_name
                 ],
                 "file_size_in_bytes": df["file_size_in_bytes"],
                 "file_format": (df.get("file_format") or "PARQUET").lower(),
@@ -155,7 +176,18 @@ def read_metadata_table(
             (n, sid, types.get(n, "tag")) for n, sid in sorted(table.refs().items())
         ]
         return spark.createDataFrame(rows, _REFS_SCHEMA)
-    snaps, cur_id = _as_snapshots(table)
+    if kind in ("files", "delete_files"):
+        # Only the current snapshot's files are consumed: don't
+        # materialize the whole history's manifests.
+        if isinstance(table, ManifestTable):
+            cur0 = table.current_snapshot()
+            cur_ids = {cur0.snapshot_id} if cur0 else set()
+        else:
+            cid = table.metadata().get("current-snapshot-id")
+            cur_ids = set() if cid in (-1, None) else {cid}
+        snaps, cur_id = _as_snapshots(table, wanted_ids=cur_ids)
+    else:
+        snaps, cur_id = _as_snapshots(table)
     current = next((s for s in snaps if s.snapshot_id == cur_id), None)
 
     if kind == "snapshots":
@@ -269,7 +301,18 @@ def snapshot_diff(
     """File-level CDC between two snapshots: one row per file that was
     added or removed, with its content type — what a downstream sync
     job consumes to mirror table changes without a full re-scan."""
-    snaps, cur_id = _as_snapshots(table)
+    if to_snapshot_id is None:
+        if isinstance(table, ManifestTable):
+            cur0 = table.current_snapshot()
+            cur_id0 = cur0.snapshot_id if cur0 else None
+        else:
+            cid = table.metadata().get("current-snapshot-id")
+            cur_id0 = None if cid in (-1, None) else cid
+    else:
+        cur_id0 = to_snapshot_id
+    snaps, cur_id = _as_snapshots(
+        table, wanted_ids={from_snapshot_id, cur_id0}
+    )
     by_id = {s.snapshot_id: s for s in snaps}
     frm = by_id.get(from_snapshot_id)
     if frm is None:

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time as _t
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import unquote
@@ -90,6 +91,17 @@ class CatalogBackend:
     # design: the directory IS the catalog state.
     _NS_PROPS = ".namespace.json"
 
+    @staticmethod
+    def _safe_segment(name: str) -> bool:
+        """One path segment of catalog state: dots are excluded (same
+        rule as sql_catalog._SEGMENT_RE) — '.'/'..'/embedded dots plus
+        os.path.join make names like '..' resolve OUTSIDE the
+        namespace dir, and a purge drop would rmtree the warehouse
+        (r9 review find, confirmed by execution)."""
+        import re
+
+        return bool(name) and re.fullmatch(r"[A-Za-z0-9_-]+", name) is not None
+
     def create_namespace(
         self, namespace: list[str], properties: dict | None = None
     ) -> None:
@@ -97,6 +109,8 @@ class CatalogBackend:
 
         if len(namespace) != 1:
             raise RestError(400, "only single-level namespaces supported")
+        if not self._safe_segment(namespace[0]):
+            raise RestError(400, f"invalid namespace name: {namespace[0]!r}")
         path = os.path.join(self.warehouse, namespace[0])
         if os.path.isdir(path):
             raise RestError(409, f"namespace already exists: {namespace[0]}")
@@ -107,6 +121,11 @@ class CatalogBackend:
     def _ns_dir(self, ns: str) -> str:
         import os
 
+        # Route captures are unquoted BEFORE this point, so an encoded
+        # '%2e%2e' arrives as '..' — validate every lookup, not just
+        # creation.
+        if not self._safe_segment(ns):
+            raise RestError(404, f"namespace not found: {ns}")
         path = os.path.join(self.warehouse, ns)
         if not os.path.isdir(path):
             raise RestError(404, f"namespace not found: {ns}")
@@ -186,6 +205,8 @@ class CatalogBackend:
     def _table(self, ns: str, name: str) -> IcebergTable:
         import os
 
+        if not self._safe_segment(name):
+            raise RestError(404, f"table not found: {ns}.{name}")
         loc = os.path.join(self._ns_dir(ns), name)
         tbl = IcebergTable(loc)
         if tbl.version() is None or "table-uuid" not in tbl.metadata():
@@ -210,7 +231,7 @@ class CatalogBackend:
         from ic_spark.compaction.iceberg_meta import iceberg_to_spark_schema
 
         name = payload.get("name")
-        if not name or not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+        if not self._safe_segment(name):
             raise RestError(400, f"bad table name: {name!r}")
         loc = os.path.join(self._ns_dir(ns), name)
         if IcebergTable(loc).version() is not None:
@@ -233,8 +254,16 @@ class CatalogBackend:
             shutil.rmtree(tbl.root)
         else:
             # unregister but keep data: move metadata aside so the
-            # location stops resolving as a table
-            os.replace(tbl.metadata_dir, tbl.metadata_dir + ".dropped")
+            # location stops resolving as a table.  Unique destination:
+            # a second create+drop cycle of the same name hit ENOTEMPTY
+            # against the previous ".dropped" dir and 500'd forever
+            # (r9 review find).
+            import time as _time
+
+            os.replace(
+                tbl.metadata_dir,
+                f"{tbl.metadata_dir}.dropped-{int(_time.time() * 1000)}",
+            )
 
     def rename_table(self, payload: dict) -> None:
         import os
@@ -242,7 +271,7 @@ class CatalogBackend:
         src, dst = payload.get("source") or {}, payload.get("destination") or {}
         src_tbl = self._table(src["namespace"][0], src["name"])
         dst_ns = self._ns_dir(dst["namespace"][0])
-        if not re.fullmatch(r"[A-Za-z0-9_.-]+", dst.get("name", "")):
+        if not self._safe_segment(dst.get("name", "")):
             raise RestError(400, f"bad table name: {dst.get('name')!r}")
         dst_loc = os.path.join(dst_ns, dst["name"])
         if IcebergTable(dst_loc).version() is not None:
@@ -274,6 +303,8 @@ class CatalogBackend:
     def _view(self, ns: str, name: str) -> "IcebergView":
         import os
 
+        if not self._safe_segment(name):
+            raise RestError(404, f"view not found: {ns}.{name}")
         loc = os.path.join(self._ns_dir(ns), name)
         view = IcebergView(loc)
         if view.version() is None or "view-uuid" not in view.metadata():
@@ -284,7 +315,7 @@ class CatalogBackend:
         import os
 
         name = payload.get("name")
-        if not name or not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+        if not self._safe_segment(name):
             raise RestError(400, f"bad view name: {name!r}")
         loc = os.path.join(self._ns_dir(ns), name)
         if IcebergView(loc).version() is not None:
@@ -326,8 +357,13 @@ class CatalogBackend:
 
     def commit_table(self, ns: str, name: str, payload: dict) -> dict:
         tbl = self._table(ns, name)
-        meta = tbl.metadata()
+        # VERSION FIRST, metadata second: the reverse order let a commit
+        # landing between the two reads pair a fresh version with stale
+        # metadata — the CAS then passed and the concurrent commit's
+        # snapshots/properties were silently erased (r9 review find).
+        # Reading the version first makes any such race FAIL the CAS.
         version = tbl.version()
+        meta = tbl.metadata(version)
 
         for req in payload.get("requirements", []):
             rtype = req.get("type")
@@ -357,7 +393,20 @@ class CatalogBackend:
         for upd in payload.get("updates", []):
             utype = upd.get("type")
             if utype == "add-snapshot":
-                meta.setdefault("snapshots", []).append(upd["snapshot"])
+                snap = upd["snapshot"]
+                meta.setdefault("snapshots", []).append(snap)
+                # Keep the metadata invariants every internal commit
+                # path maintains: TIMESTAMP AS OF plans exclusively
+                # from snapshot-log, and sequence numbers must be
+                # monotone (r9 review find — REST-committed snapshots
+                # were invisible to time travel).
+                now = snap.get("timestamp-ms") or int(_t.time() * 1000)
+                meta["last-updated-ms"] = now
+                seq = snap.get("sequence-number")
+                if seq is not None:
+                    meta["last-sequence-number"] = max(
+                        meta.get("last-sequence-number", 0), seq
+                    )
             elif utype == "set-snapshot-ref":
                 ref = upd.get("ref-name", "main")
                 sid = upd["snapshot-id"]
@@ -367,6 +416,18 @@ class CatalogBackend:
                     raise RestError(400, f"unknown snapshot-id: {sid}")
                 if ref == "main":
                     meta["current-snapshot-id"] = sid
+                    snap = next(
+                        x
+                        for x in meta["snapshots"]
+                        if x["snapshot-id"] == sid
+                    )
+                    meta.setdefault("snapshot-log", []).append(
+                        {
+                            "timestamp-ms": snap.get("timestamp-ms")
+                            or int(_t.time() * 1000),
+                            "snapshot-id": sid,
+                        }
+                    )
                 meta.setdefault("refs", {})[ref] = {
                     "snapshot-id": sid,
                     "type": upd.get("snapshot-ref-type", upd.get("type-", "branch")),

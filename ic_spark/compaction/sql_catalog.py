@@ -250,6 +250,15 @@ class SqlCatalog:
         self._check_namespace(namespace)
         _check_identifier("table name", name)
         location = os.path.join(self.warehouse, namespace, name)
+        if IcebergTable(location).version() is not None:
+            # The derived location already holds table files the catalog
+            # doesn't point at — e.g. the old location after a
+            # pointer-only rename_table.  The catalog row is the source
+            # of truth (Iceberg sql-catalog semantics), so pick a unique
+            # location instead of failing forever (r9 review find).
+            import uuid as _uuid
+
+            location = f"{location}-{_uuid.uuid4().hex[:8]}"
         IcebergTable.create(
             location, schema, partition_by=partition_by, properties=properties
         )
@@ -388,10 +397,24 @@ class SqlCatalogTable(IcebergTable):
         m = _VERSION_RE.search(pointer)
         return int(m.group(1)) if m else None
 
-    def metadata(self) -> dict:
+    def metadata(self, version: int | None = None) -> dict:
+        """Pointer-resolved metadata.  With ``version`` (the base
+        class's version-then-metadata commit discipline): the pointer
+        names exactly one version, so a mismatch means the table moved
+        between the caller's reads — raise the retryable conflict
+        instead of handing back a different version's metadata."""
         import json
 
-        with open(self._pointer()) as f:
+        pointer = self._pointer()
+        if version is not None:
+            m = _VERSION_RE.search(pointer)
+            cur = int(m.group(1)) if m else None
+            if cur != version:
+                raise CommitConflictError(
+                    f"table moved while planning: wanted metadata "
+                    f"v{version}, pointer is at v{cur}"
+                )
+        with open(pointer) as f:
             return json.load(f)
 
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:

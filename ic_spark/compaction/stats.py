@@ -64,9 +64,13 @@ def _register(table, entry: dict) -> None:
         state["statistics"] = merged(state.get("statistics", []))
         table._store(state)
     else:  # spec IcebergTable
-        meta = dict(table.metadata())
+        # version FIRST, then that version's metadata — the reverse
+        # order paired stale metadata with a fresh expected_version,
+        # letting this register erase a concurrent commit (r9 find).
+        version = table.version()
+        meta = dict(table.metadata(version))
         meta["statistics"] = merged(meta.get("statistics", []))
-        table._commit_metadata(meta, expected_version=table.version())
+        table._commit_metadata(meta, expected_version=version)
 
 
 def table_statistics(table) -> list[dict]:

@@ -83,8 +83,8 @@ class IcebergView:
         with open(hint) as f:
             return int(f.read().strip())
 
-    def metadata(self) -> dict:
-        v = self.version()
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.version() if version is None else version
         if v is None:
             raise ValueError(f"no iceberg view at {self.root}")
         with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
@@ -146,8 +146,12 @@ class IcebergView:
     def replace(self, sql: str, dialect: str = "spark") -> int:
         """CREATE OR REPLACE VIEW: a NEW version becomes current; the
         old version stays in history (view time travel)."""
-        meta = dict(self.metadata())
+        # VERSION FIRST, then that exact version's metadata: the reverse
+        # order let a concurrent replace land between the reads, pairing
+        # stale metadata with a fresh expected_version — the CAS passed
+        # and the racer's version vanished from history (r9 review find).
         version = self.version()
+        meta = dict(self.metadata(version))
         now = int(time.time() * 1000)
         new_id = max(v["version-id"] for v in meta["versions"]) + 1
         meta["versions"] = list(meta["versions"]) + [

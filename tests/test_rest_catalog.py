@@ -203,3 +203,79 @@ def test_rest_routes_errors(catalog):
     with pytest.raises(RestError) as e:
         catalog._call("GET", "/v1/unknown")
     assert e.value.code == 404
+
+
+def test_rest_rejects_path_traversal_names(spark, catalog, tmp_path):
+    """Catalog names are filesystem path segments: '.'/'..'/dotted or
+    encoded-traversal names must be rejected everywhere, or a purge
+    drop of a table named '..' rmtree's the whole warehouse (r9 review
+    find, confirmed by execution against the pre-fix code)."""
+    catalog.create_namespace("ns")
+    schema = spark.createDataFrame([], "id long").schema
+    catalog.create_table("ns", "t", schema)
+    for bad in ("..", ".", "a.b", "a/b", ""):
+        with pytest.raises(RestError) as e:
+            catalog.create_table("ns", bad, schema)
+        assert e.value.code == 400, bad
+    with pytest.raises(RestError) as e:
+        catalog.create_namespace("..")
+    assert e.value.code == 400
+    with pytest.raises(RestError) as e:
+        catalog.create_namespace("/tmp/evil")
+    assert e.value.code == 400
+    # encoded traversal on lookup routes resolves to 404, never a path
+    import urllib.error
+    import urllib.request
+
+    for url in ("namespaces/%2e%2e", "namespaces/ns/tables/%2e%2e"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{catalog.uri}/v1/{url}")
+        assert e.value.code == 404, url
+    # warehouse intact
+    assert catalog.list_tables("ns") == ["t"]
+
+
+def test_rest_commit_updates_snapshot_log_for_time_travel(spark, catalog):
+    """add-snapshot + set-snapshot-ref through the REST commit route
+    must maintain snapshot-log / last-updated-ms / last-sequence-number
+    like every internal commit path — TIMESTAMP AS OF plans exclusively
+    from snapshot-log and REST-committed snapshots were invisible to it
+    (r9 review find)."""
+    catalog.create_namespace("tt")
+    schema = spark.createDataFrame([], "id long").schema
+    tbl = catalog.create_table("tt", "t", schema)
+    snap = {
+        "snapshot-id": 4242,
+        "sequence-number": 7,
+        "timestamp-ms": 1_700_000_000_000,
+        "manifest-list": "/nonexistent.avro",
+        "summary": {"operation": "append"},
+    }
+    catalog.commit_table(
+        "tt", "t",
+        requirements=[],
+        updates=[
+            {"type": "add-snapshot", "snapshot": snap},
+            {"type": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 4242},
+        ],
+    )
+    fresh = catalog.load_table("tt", "t")
+    assert fresh.snapshot_id_as_of(1_700_000_000_001) == 4242
+    meta = fresh.metadata()
+    assert meta["last-sequence-number"] >= 7
+    assert any(
+        e["snapshot-id"] == 4242 for e in meta.get("snapshot-log", [])
+    )
+
+
+def test_rest_non_purge_drop_create_drop_cycle(spark, catalog):
+    """A second create+drop cycle of the same table name must not 500
+    on the leftover '.dropped' directory (r9 review find — os.replace
+    hit ENOTEMPTY and the table could never be dropped again)."""
+    catalog.create_namespace("cyc")
+    schema = spark.createDataFrame([], "id long").schema
+    for _ in range(3):
+        catalog.create_table("cyc", "t", schema)
+        catalog.drop_table("cyc", "t", purge=False)
+        assert catalog.list_tables("cyc") == []

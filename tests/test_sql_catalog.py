@@ -298,3 +298,36 @@ def test_sql_catalog_clean_orphan_metadata(spark, tmp_path):
     with open(os.path.join(tbl.metadata_dir, "v9-ffff0000ffff0000.metadata.json"), "w") as f:
         f.write("{}")
     assert tbl.clean_orphan_metadata() == []
+
+
+def test_recreate_after_pointer_only_rename(spark, tmp_path):
+    """rename_table moves only the catalog row; a later create of the
+    OLD name must pick a fresh location instead of failing forever on
+    the stale files (r9 review find)."""
+    from ic_spark.compaction.sql_catalog import SqlCatalog
+
+    cat = SqlCatalog(str(tmp_path / "wh"), str(tmp_path / "cat.db"))
+    cat.create_namespace("ns")
+    schema = spark.createDataFrame([], "id long").schema
+    cat.create_table("ns", "a", schema)
+    cat.rename_table("ns", "a", "ns", "b")
+    assert cat.list_tables("ns") == ["b"]
+    t2 = cat.create_table("ns", "a", schema)  # must not collide
+    assert sorted(cat.list_tables("ns")) == ["a", "b"]
+    assert t2.version() == 1
+
+
+def test_sql_table_metadata_version_pin_conflicts_when_moved(spark, tmp_path):
+    """The version-then-metadata commit discipline: asking the pointer
+    catalog for a version it no longer points at raises the retryable
+    conflict instead of returning a different version's metadata."""
+    from ic_spark.compaction.manifest import CommitConflictError
+    from ic_spark.compaction.sql_catalog import SqlCatalog
+
+    cat = SqlCatalog(str(tmp_path / "wh"), str(tmp_path / "cat.db"))
+    cat.create_namespace("ns")
+    schema = spark.createDataFrame([], "id long").schema
+    t = cat.create_table("ns", "t", schema)
+    assert t.metadata(1)["table-uuid"]
+    with pytest.raises(CommitConflictError, match="moved"):
+        t.metadata(99)
