@@ -130,6 +130,17 @@ def write_position_deletes(
     )
     out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
     path = _write_single_file(matches, out_dir)
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    if _stats_from_footer(path, out_dir)[0] == 0:
+        # No row matched: committing a 0-row delete file would burn a
+        # sequence number and make every future MoR read anti-join an
+        # empty file forever — raise, matching the DV flavors'
+        # "predicate matched no rows" contract (r9 review find).
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise ValueError("predicate matched no rows")
     seq = _next_sequence_number(table)
     return table.append_snapshot(
         [
@@ -391,7 +402,16 @@ def commit_deletion_vectors_distributed(
         )
 
     row_schema = "ref string, dv binary, cardinality long, src string"
-    packed = matches.groupBy("file_path").applyInPandas(pack, schema=row_schema)
+    # Persisted: `packed` is the FULL predicate scan + bitmap packing and
+    # `inv` the binaryFile expansion of every existing puffin; both are
+    # consumed by two jobs (the sup_paths probe collect and the final
+    # merge/write pipeline) — without the persist the expensive work ran
+    # end-to-end twice (r9 review find).
+    packed = (
+        matches.groupBy("file_path")
+        .applyInPandas(pack, schema=row_schema)
+        .persist()
+    )
 
     if puffin_paths:
 
@@ -430,7 +450,7 @@ def commit_deletion_vectors_distributed(
         # binaryFile yields file:-prefixed URIs; manifests store plain
         # paths — normalize before comparing.
         plain = F.regexp_replace(F.col("puffin_path"), "^file:", "")
-        inv = inv.withColumn("puffin_path", plain)
+        inv = inv.withColumn("puffin_path", plain).persist()
         sup_paths = {
             r.puffin_path
             for r in inv.join(
@@ -537,15 +557,20 @@ def commit_deletion_vectors_distributed(
             }
         )
 
-    manifest_rows = (
-        merged.repartition(n_files, "ref")
-        .mapInPandas(
-            write_partition,
-            schema="path string, ref string, offset long, length long, "
-            "cardinality long, file_size long",
+    try:
+        manifest_rows = (
+            merged.repartition(n_files, "ref")
+            .mapInPandas(
+                write_partition,
+                schema="path string, ref string, offset long, length long, "
+                "cardinality long, file_size long",
+            )
+            .collect()  # O(touched files) metadata rows — never blob bytes
         )
-        .collect()  # O(touched files) metadata rows — never blob bytes
-    )
+    finally:
+        packed.unpersist()
+        if puffin_paths:
+            inv.unpersist()
     if not manifest_rows:
         raise ValueError("predicate matched no rows")
 
@@ -752,6 +777,20 @@ def read_table(
             if all_data:  # pruned to nothing, not an empty table
                 if schema is None:
                     schema = infer_read_schema(spark, all_data)
+                # The empty frame must carry the SAME schema contract
+                # as a non-empty read: lineage metadata stripped from
+                # inferred schemas, appended when with_lineage asked —
+                # a schema that flips with the filter's selectivity
+                # crashes downstream unions (r9 review find).
+                from ic_spark.compaction.planner import (
+                    lineage_scan_schema,
+                    strip_lineage_fields,
+                )
+
+                if getattr(table, "row_lineage", False):
+                    schema = strip_lineage_fields(schema)
+                if with_lineage:
+                    schema = lineage_scan_schema(schema)
                 return spark.createDataFrame([], schema)
         raise ValueError("table has no data files")
     if schema is None:
@@ -827,19 +866,9 @@ def read_incremental(
                 raise ValueError("empty table and no schema given")
             schema = infer_read_schema(spark, data)
         if with_lineage:
-            from pyspark.sql.types import LongType, StructField, StructType
+            from ic_spark.compaction.planner import lineage_scan_schema
 
-            schema = StructType(
-                [
-                    f
-                    for f in schema.fields
-                    if f.name not in (ROW_ID_COL, LAST_UPDATED_SEQ_COL)
-                ]
-                + [
-                    StructField(ROW_ID_COL, LongType(), True),
-                    StructField(LAST_UPDATED_SEQ_COL, LongType(), True),
-                ]
-            )
+            schema = lineage_scan_schema(schema)
         return spark.createDataFrame([], schema)
     if schema is None:
         schema = infer_read_schema(spark, added)

@@ -140,19 +140,52 @@ def _scan_with_hidden_cols(
         seq, fmt, wsid = key
         paths = by_seq[key]
         if fmt != "parquet":
-            parts.append(
-                _scan_non_parquet_group(
+            if wsid is not None and wsid != cur_sid:
+                # Field-id resolution for NON-parquet groups too: the
+                # codec scans read by NAME, so an ORC/Avro file written
+                # before a rename read the renamed column as all-NULL
+                # and a dropped-then-re-added column resurrected old
+                # data (r9 review find).  Scan under the WRITE schema,
+                # then project onto the current one by field id,
+                # keeping the scan's hidden columns.
+                write_struct, proj = _history_projection_cols(
+                    schema_history, wsid, columns
+                )
+                g = _scan_non_parquet_group(
                     spark,
                     paths,
                     fmt,
                     seq,
-                    schema,
+                    write_struct,
                     with_seq,
                     with_pos,
-                    columns,
+                    None,
                     with_path=want_path,
                 )
-            )
+                hidden = [
+                    F.col(c)
+                    for c in (
+                        SYS_HIDDEN_SEQ_NUM,
+                        SYS_HIDDEN_FILE_PATH,
+                        SYS_HIDDEN_POS,
+                    )
+                    if c in g.columns
+                ]
+                parts.append(g.select(*proj, *hidden))
+            else:
+                parts.append(
+                    _scan_non_parquet_group(
+                        spark,
+                        paths,
+                        fmt,
+                        seq,
+                        schema,
+                        with_seq,
+                        with_pos,
+                        columns,
+                        with_path=want_path,
+                    )
+                )
             continue
         cols: list = []
         if wsid is not None and wsid != cur_sid:
@@ -224,6 +257,43 @@ def _scan_with_hidden_cols(
     return out
 
 
+def _history_projection_cols(
+    schema_history: dict, wsid: int, columns: list[str] | None
+):
+    """(write-schema StructType, field-id projection columns) for one
+    write-schema group — shared by the parquet reader and the non-
+    parquet codec scans so EVERY format resolves renames/widenings/
+    re-adds by field id, not by name."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import is_promotable
+
+    write_fields = schema_history["schemas"][wsid]
+    cur_fields = schema_history["schemas"][schema_history["current_id"]]
+    if columns:
+        wanted = set(columns)
+        cur_fields = tuple(f for f in cur_fields if f[1] in wanted)
+    write_struct = StructType(
+        [StructField(nm, tp, nullable) for _, nm, tp, nullable in write_fields]
+    )
+    id_to_old = {fid: (nm, tp) for fid, nm, tp, _ in write_fields}
+    cols = []
+    for fid, name, tp, _ in cur_fields:
+        if fid in id_to_old:
+            old_nm, old_tp = id_to_old[fid]
+            if old_tp != tp and not is_promotable(old_tp, tp):
+                raise ValueError(
+                    f"schema {wsid} field {old_nm!r} "
+                    f"({old_tp.simpleString()}) cannot widen to current "
+                    f"{name!r} ({tp.simpleString()})"
+                )
+            c = F.col(old_nm).cast(tp) if old_tp != tp else F.col(old_nm)
+            cols.append(c.alias(name))
+        else:
+            cols.append(F.lit(None).cast(tp).alias(name))
+    return write_struct, cols
+
+
 def _history_projection(
     spark: SparkSession,
     paths: list[str],
@@ -240,34 +310,10 @@ def _history_projection(
     absent id: typed NULL).  Widenings are validated against the
     metadata types (evolution.is_promotable) — no footer I/O needed.
     """
-    from pyspark.sql.types import StructField, StructType
-
-    from ic_spark.compaction.evolution import is_promotable
-
-    write_fields = schema_history["schemas"][wsid]
-    cur_fields = schema_history["schemas"][schema_history["current_id"]]
-    if columns:
-        wanted = set(columns)
-        cur_fields = tuple(f for f in cur_fields if f[1] in wanted)
-    write_struct = StructType(
-        [StructField(nm, tp, nullable) for _, nm, tp, nullable in write_fields]
+    write_struct, cols = _history_projection_cols(
+        schema_history, wsid, columns
     )
     df = spark.read.schema(write_struct).parquet(*paths)
-    id_to_old = {fid: (nm, tp) for fid, nm, tp, _ in write_fields}
-    cols = []
-    for fid, name, tp, _ in cur_fields:
-        if fid in id_to_old:
-            old_nm, old_tp = id_to_old[fid]
-            if old_tp != tp and not is_promotable(old_tp, tp):
-                raise ValueError(
-                    f"schema {wsid} field {old_nm!r} "
-                    f"({old_tp.simpleString()}) cannot widen to current "
-                    f"{name!r} ({tp.simpleString()})"
-                )
-            c = F.col(old_nm).cast(tp) if old_tp != tp else F.col(old_nm)
-            cols.append(c.alias(name))
-        else:
-            cols.append(F.lit(None).cast(tp).alias(name))
     return df, cols
 
 
@@ -577,6 +623,66 @@ def scan_path_variant_df(spark: SparkSession, paths, col_name: str = "path"):
     )
 
 
+def _normalize_delete_join_paths(
+    spark: SparkSession, data: DataFrame, pos_del: DataFrame, data_files
+):
+    """Fold every scan spelling of the data files' paths onto the
+    MANIFEST spelling on BOTH sides of the position-delete anti-join.
+
+    The scan's hidden path column carries Hadoop-URI/raw spellings
+    (``file:`` scheme, %XX-encoded ASCII) while externally written
+    position deletes and DV refs record the manifest's plain path — an
+    unnormalized equi-join matches nothing and every deleted row
+    silently resurfaces (r9 review find).  Same broadcast map-side
+    dual-emission pattern as :func:`attach_partition_values`, with the
+    same collision guard; skipped entirely when no file has more than
+    one spelling (the map would be the identity).
+    """
+    seen: dict[str, str] = {}
+    multi = False
+    for t in data_files:
+        vs = _scan_path_variants(t.data_file_path)
+        if len(vs) > 1:
+            multi = True
+        for v in vs:
+            other = seen.get(v)
+            if other is None:
+                seen[v] = t.data_file_path
+            elif other != t.data_file_path:
+                raise ValueError(
+                    f"ambiguous scan path spelling {v!r}: "
+                    f"{other!r} vs {t.data_file_path!r}"
+                )
+    if not multi:
+        return data, pos_del
+    rows = sorted(seen.items())
+    map_schema = "__np_var string, __np_canon string"
+    if len(rows) > LINEAGE_ARROW_FILE_THRESHOLD:
+        import pandas as pd
+
+        map_df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["__np_var", "__np_canon"]).astype(
+                "string"
+            ),
+            schema=map_schema,
+        )
+    else:
+        map_df = spark.createDataFrame(rows, map_schema)
+
+    def norm(df: DataFrame) -> DataFrame:
+        out = df.join(
+            F.broadcast(map_df),
+            F.col(SYS_HIDDEN_FILE_PATH) == F.col("__np_var"),
+            "left",
+        )
+        return out.withColumn(
+            SYS_HIDDEN_FILE_PATH,
+            F.coalesce(F.col("__np_canon"), F.col(SYS_HIDDEN_FILE_PATH)),
+        ).drop("__np_var", "__np_canon")
+
+    return norm(data), norm(pos_del)
+
+
 def attach_partition_values(
     spark: SparkSession,
     df: DataFrame,
@@ -703,6 +809,9 @@ def build_merge_on_read(
         pos_del = parts[0]
         for p in parts[1:]:
             pos_del = pos_del.unionByName(p)
+        data, pos_del = _normalize_delete_join_paths(
+            spark, data, pos_del, request.data_files
+        )
         pos_del = _maybe_broadcast(pos_del, request.position_delete_files)
         data = apply_position_deletes(data, pos_del)
 
@@ -714,11 +823,34 @@ def build_merge_on_read(
         # field-id projection resolves it to the current name.
         for group in split_equality_delete_groups(request.equality_delete_files):
             eq_cols = list(group.equality_ids)
+            # name_mapping-only rename tracking (no schema_history /
+            # write_schema_id on the delete task): a delete file
+            # written BEFORE a key rename stores the key under its OLD
+            # footer name, and the plain columns= read would fail at
+            # plan time on the current name.  Route through the
+            # enforced-schema + evolved-projection path, which
+            # coalesces the current name with its historical names
+            # (r9 review find).
+            eq_schema = None
+            if request.name_mapping:
+                by_name = {f.name: f for f in request.schema.fields}
+                if all(c in by_name for c in eq_cols):
+                    from pyspark.sql.types import StructType as _ST
+
+                    eq_schema = _ST([by_name[c] for c in eq_cols])
             eq_del = _scan_with_hidden_cols(
                 spark,
                 list(group.tasks),
+                schema=eq_schema,
                 with_seq=True,
+                # columns rides along even with the enforced schema: a
+                # mixed group (one delete per write-schema generation)
+                # must prune its history-projected parts to eq_cols too
+                # or the union of parts mismatches.
                 columns=eq_cols,
+                name_mapping=(
+                    request.name_mapping if eq_schema is not None else None
+                ),
                 schema_history=request.schema_history,
             )
             eq_del = _maybe_broadcast(eq_del, list(group.tasks))

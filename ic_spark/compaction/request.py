@@ -106,6 +106,15 @@ def split_equality_delete_groups(
     for task in tasks:
         if task.content is not FileContent.EQUALITY_DELETES:
             raise ValueError(f"not an equality-delete task: {task}")
+        if not task.equality_ids:
+            # An empty id list would build a seq-guard-only anti-join
+            # that deletes EVERY older data row — a malformed manifest
+            # entry must fail loudly, not wipe the table (r9 review
+            # find).
+            raise ValueError(
+                "equality-delete task with no equality_ids: "
+                f"{task.data_file_path}"
+            )
         if current_ids is None or task.equality_ids != current_ids:
             if run:
                 groups.append(EqualityDeleteGroup(current_ids, tuple(run)))

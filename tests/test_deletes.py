@@ -354,3 +354,87 @@ def test_register_mor_view_sql(spark, table_with_data):
         "SELECT l_orderkey FROM mor_li WHERE l_orderkey = 7"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_orderkey" in plan
+
+
+def test_externally_spelled_position_deletes_apply(spark, tmp_path):
+    """Position-delete files written by OTHER engines record the
+    manifest's plain path, while the scan's hidden path column spells
+    Hadoop URIs ('file:' scheme) — without normalization the anti-join
+    matched nothing and every deleted row silently resurfaced
+    (r9 review find)."""
+    from ic_spark.compaction.manifest import ManifestTable
+
+    table = ManifestTable(str(tmp_path / "ext"))
+    d = str(tmp_path / "ext_data")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(d)
+    f = next(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    # externally written delete: PLAIN manifest path, positions 2 and 5
+    del_dir = str(tmp_path / "ext_del")
+    spark.createDataFrame(
+        [(f, 2), (f, 5)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(del_dir)
+    dp = next(
+        os.path.join(del_dir, n)
+        for n in os.listdir(del_dir)
+        if n.endswith(".parquet")
+    )
+    table.append_snapshot(
+        [{"path": dp, "sequence_number": 2,
+          "content": "POSITION_DELETES",
+          "file_size_in_bytes": os.path.getsize(dp)}]
+    )
+    ids = sorted(r.id for r in read_table(spark, table).collect())
+    assert ids == [0, 1, 3, 4, 6, 7, 8, 9], (
+        "externally spelled position deletes did not apply"
+    )
+
+
+def test_empty_equality_ids_rejected(spark):
+    """An equality-delete task with NO equality ids would anti-join on
+    the sequence guard alone and wipe every older row — it must fail
+    loudly (r9 review find)."""
+    from ic_spark.compaction.request import (
+        FileContent,
+        FileScanTask,
+        split_equality_delete_groups,
+    )
+
+    bad = FileScanTask(
+        data_file_path="/x.parquet",
+        sequence_number=2,
+        content=FileContent.EQUALITY_DELETES,
+        equality_ids=(),
+    )
+    with pytest.raises(ValueError, match="no equality_ids"):
+        split_equality_delete_groups([bad])
+
+
+def test_position_delete_no_match_raises_not_commits(spark, tmp_path):
+    """A predicate matching nothing must not burn a sequence number on
+    a 0-row delete file (same contract as the DV flavors)."""
+    from ic_spark.compaction.manifest import ManifestTable
+
+    table = ManifestTable(str(tmp_path / "nm"))
+    d = str(tmp_path / "nm_data")
+    spark.range(0, 5).coalesce(1).write.parquet(d)
+    f = next(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    before = len(table.snapshots())
+    with pytest.raises(ValueError, match="matched no rows"):
+        write_position_deletes(spark, table, F.col("id") > 100)
+    assert len(table.snapshots()) == before
+    _, pos, _ = table.scan_tasks()
+    assert pos == []

@@ -420,8 +420,10 @@ def test_rewrite_stats_single_pass_real_counts(spark, mor_files, tmp_path):
 
     # And the whole rewrite stays within the write's own job budget
     # (AQE accounts broadcast stages as separate jobs; a second full
-    # pass would at least double this).
-    assert len(jobs) <= 4, jobs
+    # pass would at least double this).  Budget is 5 since r9: the
+    # position-delete path-spelling normalization adds one tiny
+    # broadcast of the file-count-bounded (variant, path) map.
+    assert len(jobs) <= 5, jobs
 
     # ids 0,1 deleted from data1; 5 deleted from data2 → 27 rows
     assert sum(f.record_count for f in resp.data_files) == 27

@@ -563,3 +563,47 @@ def test_lineage_requires_record_count_and_flag(spark, tmp_path):
         t.append_snapshot(
             [{"path": f2, "sequence_number": 2, "content": "DATA"}]
         )
+
+
+def test_read_table_pruned_to_empty_keeps_lineage_schema(spark, tmp_path):
+    """A filter that prunes every file must return an empty frame with
+    the SAME columns as a non-empty read — with_lineage appends the
+    lineage metadata and inferred schemas strip materialized lineage
+    fields; a schema that flips with the filter's selectivity crashes
+    downstream unions (r9 review find)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import read_table
+    from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.compaction.writer import _stats_from_footer
+
+    table = ManifestTable(str(tmp_path / "lin"))
+    table.enable_row_lineage()
+    d = str(tmp_path / "lin_data")
+    spark.range(0, 6).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(d)
+    f = next(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+    rc, cs, _ = _stats_from_footer(f, d)
+    table.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(f), "record_count": rc,
+          "column_stats": cs}]
+    )
+    full = read_table(spark, table, with_lineage=True)
+    assert full.count() == 6
+    empty = read_table(
+        spark, table, with_lineage=True, where=[("id", ">=", 1000)]
+    )
+    assert empty.count() == 0
+    assert empty.columns == full.columns, (
+        "pruned-to-empty lineage read returned a different schema"
+    )
+    # plain reads: lineage metadata stays hidden in BOTH shapes
+    plain_full = read_table(spark, table)
+    plain_empty = read_table(spark, table, where=[("id", ">=", 1000)])
+    assert plain_empty.columns == plain_full.columns == ["id", "v"]

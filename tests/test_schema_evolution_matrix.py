@@ -309,3 +309,95 @@ def test_write_ordered_by_sort_order_ddl(spark, tmp_path):
         if e["data_file"]["content"] == 0
     )
     assert read_table(spark, tbl).count() == 10
+
+
+@pytest.mark.parametrize("fmt", ["orc", "avro"])
+def test_rename_resolves_by_field_id_for_non_parquet_files(
+    spark, tmp_path, fmt
+):
+    """Avro/ORC files written BEFORE a rename must resolve by field id
+    like parquet does: the codec scans read by NAME, so the renamed
+    column came back all-NULL and a dropped-then-re-added column
+    resurrected old data (r9 review find)."""
+    tbl = ManifestTable(str(tmp_path / f"t_{fmt}"))
+    os.makedirs(tbl.root, exist_ok=True)
+    df = spark.range(0, 8).select(
+        "id", F.concat(F.lit("n"), F.col("id")).alias("note")
+    )
+    tbl.register_schema(df.schema)
+    # one data file in fmt, written under schema v0
+    d = str(tmp_path / f"seed_{fmt}")
+    if fmt == "orc":
+        df.coalesce(1).write.mode("overwrite").orc(d)
+        f = next(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".orc")
+        )
+    else:
+        from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+        from ic_spark.compaction.writer import rewrite_files
+
+        pq_dir = str(tmp_path / f"pq_{fmt}")
+        df.coalesce(1).write.mode("overwrite").parquet(pq_dir)
+        pq = next(
+            os.path.join(pq_dir, n)
+            for n in os.listdir(pq_dir)
+            if n.endswith(".parquet")
+        )
+        resp = rewrite_files(
+            spark,
+            RewriteFilesRequest(
+                schema=df.schema,
+                data_files=[
+                    FileScanTask(data_file_path=pq, sequence_number=1)
+                ],
+                dir_path=str(tmp_path / f"avro_out_{fmt}"),
+                data_file_format="avro",
+                target_partitions=1,
+            ),
+        )
+        assert len(resp.data_files) == 1
+        f = resp.data_files[0].file_path
+    tbl.append_snapshot(
+        [{"path": f, "sequence_number": 1, "content": "DATA",
+          "file_format": fmt, "file_size_in_bytes": os.path.getsize(f)}]
+    )
+    # rename note -> comment: new schema id, old file keeps old name
+    tbl.rename_column("note", "comment")
+    out = read_table(spark, tbl)
+    rows = {r.id: r.comment for r in out.collect()}
+    assert rows[3] == "n3", (
+        f"{fmt} file written before the rename lost its column data"
+    )
+    assert len(rows) == 8 and all(v is not None for v in rows.values())
+
+
+def test_eq_delete_written_before_rename_on_name_mapping_table(
+    spark, tmp_path
+):
+    """Legacy (name-mapping-only) table: an equality-delete file written
+    BEFORE a key rename stores the key under its OLD footer name; the
+    delete scan previously projected columns= by the CURRENT name and
+    every read failed at plan time after the rename (r9 review find).
+    The enforced-schema + evolved-projection path resolves it."""
+    from ic_spark.compaction.deletes import write_equality_deletes
+
+    tbl = _mk_table(spark, tmp_path, "spec", "eqnm")
+    # equality delete on 'note' (pre-rename spelling)
+    write_equality_deletes(
+        spark,
+        tbl,
+        spark.createDataFrame([("n2",), ("n5",)], "note string"),
+        ["note"],
+    )
+    tbl.rename_column("note", "remark")
+    # strip activation tracking: name-mapping is the only rename record
+    v = tbl.version()
+    p = os.path.join(tbl.metadata_dir, f"v{v}.metadata.json")
+    meta = json.load(open(p))
+    meta["properties"].pop("ic.schema-activation", None)
+    json.dump(meta, open(p, "w"))
+    assert tbl.schema_history() is None
+
+    rows = {r.id: r.remark for r in read_table(spark, tbl).collect()}
+    assert 2 not in rows and 5 not in rows, "eq delete lost after rename"
+    assert len(rows) == 8 and rows[3] == "n3"
