@@ -35,10 +35,18 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     queries use distinct unigram tokens instead to keep SQL portable.
     """
     t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
+    # A doc with fewer than n tokens has NO n-grams: the old
+    # greatest(size-n, 0) floor emitted one TRUNCATED shingle (the
+    # whole doc), so two 3-token duplicates "shared a 5-gram" and were
+    # falsely flagged as contamination, and repetition stats counted a
+    # 1-token doc's unigram as its top bigram (r9 review find).
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def portable_hash60(c: Column) -> Column:

@@ -48,13 +48,19 @@ def _spread_bits(col: Column, table: list[tuple[int, int]], in_mask: int) -> Col
 def zorder_key(*cols: Column | str) -> Column:
     """Morton-interleaved long key over 2 or 3 non-negative int columns.
 
-    2 columns use 32 bits each; 3 columns 21 bits each (63 total).
-    Values above the per-column budget are masked — rank/bucket first
-    if the domain is larger.
+    2 columns use 31 bits each (62-bit key — bit 32 would reach the
+    long SIGN bit and invert the order for the largest values); 3
+    columns 21 bits each (63 total).  Values above the per-column
+    budget are masked — rank/bucket first if the domain is larger.
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     if len(cs) == 2:
-        spread = [_spread_bits(c, _SPREAD_2, 0xFFFFFFFF) for c in cs]
+        # 31 bits, not 32: bit 31 of the second column would interleave
+        # into the LONG SIGN BIT (key(0, 2^31) sorted before key(0, 1)),
+        # destroying Morton monotonicity exactly at the largest values
+        # (r9 review find, confirmed numerically).  62-bit keys stay
+        # positive.
+        spread = [_spread_bits(c, _SPREAD_2, 0x7FFFFFFF) for c in cs]
     elif len(cs) == 3:
         spread = [_spread_bits(c, _SPREAD_3, 0x1FFFFF) for c in cs]
     else:

@@ -41,34 +41,45 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
-        # localCheckpoint each round: without it the logical plan nests
-        # one join level per iteration and Catalyst analysis grows
-        # exponentially (observed: driver OOM on a 12-node chain).
-        # Checkpointing materializes the round AND truncates lineage, so
-        # every iteration plans against a flat scan.
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (F.col("nmin") < F.col("component")).alias("__changed"),
+    init_labels = labels
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nmin"))
             )
-            .localCheckpoint()
+            # localCheckpoint each round: without it the logical plan nests
+            # one join level per iteration and Catalyst analysis grows
+            # exponentially (observed: driver OOM on a 12-node chain).
+            # Checkpointing materializes the round AND truncates lineage, so
+            # every iteration plans against a flat scan.
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("component"),
+                    (F.col("nmin") < F.col("component")).alias("__changed"),
+                )
+                .localCheckpoint()
+            )
+            changed = updated.where(F.col("__changed")).count()
+            labels = updated.drop("__changed")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iters} iters"
         )
-        changed = updated.where(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    finally:
+        # Both caches release on EVERY exit path — the converged return
+        # leaked the initial labels cache and the max_iters RuntimeError
+        # leaked both, pinning storage blocks for the session
+        # (r9 review find).  The returned frame is localCheckpoint-
+        # materialized, so it does not depend on either.
+        edges.unpersist()
+        init_labels.unpersist()
 
 
 def dedup_survivors(

@@ -46,11 +46,18 @@ def pack_shards(
     range_args = ([num_partitions] if num_partitions else []) + [
         F.col(c) for c in order_cols
     ]
+    # localCheckpoint, NOT persist: the returned frame still reads this
+    # intermediate, so an explicit unpersist is impossible here and the
+    # cache pinned one corpus-sized block set per pack_shards call for
+    # the whole session (r9 review find).  The checkpoint materializes
+    # once (same single-computation guarantee the subtotal pass needs)
+    # and its blocks are GC-released with the frame by the context
+    # cleaner.
     ranged = (
         df.repartitionByRange(*range_args)
         .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
 
     # P subtotals → driver prefix sum (P is the partition count, tiny).

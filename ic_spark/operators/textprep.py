@@ -46,10 +46,19 @@ def scrub_pii(text: Column | str) -> Column:
 
 
 def pii_counts(text: Column | str) -> list[Column]:
-    """Per-pattern match counts (audit trail for the scrub).
-    DuckDB: ``len(regexp_extract_all(text, pat))``."""
+    """Per-pattern counts of the replacements the scrub ACTUALLY
+    performs: each pattern counts over the text with the EARLIER
+    patterns already redacted, mirroring scrub_pii's sequential chain —
+    counting every pattern over the raw text double-reported digits
+    inside an email as a phone hit the scrub never made (r9 review
+    find).  DuckDB: ``len(regexp_extract_all(<partially scrubbed>,
+    pat))`` with the same nesting."""
     c = F.col(text) if isinstance(text, str) else text
-    return [F.regexp_count(c, F.lit(pat)) for pat, _ in PII_PATTERNS]
+    out = []
+    for pat, repl in PII_PATTERNS:
+        out.append(F.regexp_count(c, F.lit(pat)))
+        c = F.regexp_replace(c, pat, repl)
+    return out
 
 
 def chunk_documents(
@@ -161,7 +170,7 @@ def gopher_quality_signals(
     Ratios are rounded to 6 digits so cross-engine float hashing is
     stable.  ``passes_gopher`` is an int (1/0) for the same reason.
     """
-    from ic_spark.functions.text import _stopword_hits, tokens
+    from ic_spark.functions.text import _stopword_hits
 
     text = F.col(text_col)
     toks = tokens(text)
@@ -284,7 +293,7 @@ def quality_logreg_score(
     uppercase fraction.  Ratios and the score round to 6 digits for
     cross-engine float hashing.
     """
-    from ic_spark.functions.text import _stopword_hits, tokens
+    from ic_spark.functions.text import _stopword_hits
 
     w = {
         "n_tokens_capped": 0.015,
@@ -309,20 +318,29 @@ def quality_logreg_score(
             6,
         ),
         "stop_hits": _stopword_hits(text).cast("double"),
+        # Zero-guarded: an empty document divided 0/0 → NULL score and
+        # keep (neither kept nor rejected; DIVIDE_BY_ZERO under ANSI) —
+        # an empty doc has 0.0 of everything (r9 review find).
         "digit_frac": F.round(
-            (
-                F.length(text)
-                - F.length(F.regexp_replace(text, "[0-9]", ""))
-            )
-            / F.length(text).cast("double"),
+            F.when(
+                F.length(text) > 0,
+                (
+                    F.length(text)
+                    - F.length(F.regexp_replace(text, "[0-9]", ""))
+                )
+                / F.length(text).cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ),
         "upper_frac": F.round(
-            (
-                F.length(text)
-                - F.length(F.regexp_replace(text, "[A-Z]", ""))
-            )
-            / F.length(text).cast("double"),
+            F.when(
+                F.length(text) > 0,
+                (
+                    F.length(text)
+                    - F.length(F.regexp_replace(text, "[A-Z]", ""))
+                )
+                / F.length(text).cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ),
     }

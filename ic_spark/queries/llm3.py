@@ -39,6 +39,15 @@ def _duck_scrub(expr: str) -> str:
     return expr
 
 
+def _duck_scrub_partial(expr: str, upto: int) -> str:
+    """Scrub only the first ``upto`` patterns — the audit counts mirror
+    scrub_pii's SEQUENTIAL chain (each pattern counts over text with
+    the earlier patterns already redacted)."""
+    for pat, repl in PII_PATTERNS[:upto]:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
 @query(
     "text_pii_scrub",
     oracle=f"""
@@ -46,8 +55,10 @@ def _duck_scrub(expr: str) -> str:
     SELECT doc_id,
            {_duck_scrub('raw')} AS scrubbed,
            CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[0][0]}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[1][0]}')) AS INT) AS n_phones,
-           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS[2][0]}')) AS INT) AS n_ips
+           CAST(len(regexp_extract_all({_duck_scrub_partial('raw', 1)},
+                '{PII_PATTERNS[1][0]}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all({_duck_scrub_partial('raw', 2)},
+                '{PII_PATTERNS[2][0]}')) AS INT) AS n_ips
     FROM raw
     """,
     headline=True,

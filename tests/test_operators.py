@@ -3231,3 +3231,59 @@ def test_ivfpq_fold_ledger_bounded_by_high_water_mark(spark, tmp_path):
     sink(e.where(F.col("vec_id") < 0), 3)  # empty publish still advances
     meta2 = compact_ivf_pq_index(spark, idx)
     assert len(meta2["folded_batches"]) == 1
+
+
+def test_r9_text_and_zorder_edge_semantics(spark):
+    """Round-9 review pins: (1) zorder keys stay positive and Morton-
+    monotone at the per-column budget edge (bit 31 of column 2 landed
+    in the long SIGN bit); (2) word_shingles emits NO n-gram for docs
+    shorter than n (a truncated whole-doc 'shingle' falsely flagged
+    short duplicate docs as sharing an n-gram); (3) pii audit counts
+    mirror the scrub's sequential chain (digits inside an email are not
+    also a phone hit); (4) empty documents score keep=0, never NULL."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.functions.text import word_shingles
+    from ic_spark.functions.zorder import zorder_key
+    from ic_spark.operators.textprep import (
+        pii_counts,
+        quality_logreg_score,
+        scrub_pii,
+    )
+
+    # (1) zorder
+    zdf = spark.createDataFrame(
+        [(0, 1), (0, 2**30), (0, 2**31 - 1)], "a long, b long"
+    ).select("b", zorder_key("a", "b").alias("k"))
+    rows = {r.b: r.k for r in zdf.collect()}
+    assert all(k >= 0 for k in rows.values())
+    assert rows[1] < rows[2**30] < rows[2**31 - 1]
+
+    # (2) shingles
+    sdf = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "t string"
+    ).select(word_shingles("t", 3).alias("s"))
+    got = [r.s for r in sdf.collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+    # (3) pii sequential audit
+    pdf = spark.createDataFrame(
+        [("reach me: 555-1234@example.com or 555-9999",)], "raw string"
+    )
+    n_emails, n_phones, n_ips = pii_counts("raw")
+    r = pdf.select(
+        scrub_pii("raw").alias("s"),
+        n_emails.alias("e"), n_phones.alias("p"), n_ips.alias("i"),
+    ).first()
+    assert r.e == 1 and r.i == 0
+    assert r.p == 1, "phone count must exclude digits the email scrub ate"
+    assert "<EMAIL>" in r.s and "<PHONE>" in r.s
+
+    # (4) empty doc quality score
+    q = quality_logreg_score(
+        spark.createDataFrame([(1, "")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).first()
+    assert q.keep is not None and q.quality_score is not None
+    assert q.digit_frac == 0.0 and q.upper_frac == 0.0
