@@ -773,12 +773,17 @@ class ManifestTable:
         for f in fields:
             if "name" not in f or "transform" not in f:
                 raise ValueError(f"spec field needs name+transform: {f}")
-            if f["name"] == f.get("source", f["name"]):
-                # The fanout writer emits the partition value as a NEW
-                # derived column routed into directory names; reusing
-                # the source column's name would route the source data
-                # itself into dir names and drop it from the data files
-                # (per-file scans would lose the column).
+            if f["name"] == f.get("source", f["name"]) and f[
+                "transform"
+            ] != "identity":
+                # Derived transforms emit the partition value as a NEW
+                # column routed into directory names; reusing the source
+                # column's name would route the source data itself into
+                # dir names and drop it from the data files.  IDENTITY
+                # fields (Iceberg's own naming convention) are allowed:
+                # the fanout writer routes their dirs through a prefixed
+                # derived column so the source stays in the pages
+                # (orchestrator.IDENTITY_DIR_PREFIX, r9).
                 raise ValueError(
                     f"spec field name must differ from source column: {f}"
                 )

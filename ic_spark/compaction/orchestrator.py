@@ -26,22 +26,53 @@ from ic_spark.compaction.request import (
 from ic_spark.compaction.writer import rewrite_files
 
 
-def default_spec_fields(table) -> tuple[int, list | None]:
-    """(spec_id, fields) of the table's default partition spec when it
-    should drive a fanout rewrite, else (0, None).
+# Directory-name prefix for identity spec fields whose name equals the
+# source column: partitionBy would otherwise move the column ITSELF out
+# of the data files.  The prefixed derived column routes only the DIR
+# layout; the source column stays in the pages, and the manifest entry
+# records the value under the spec's real field name
+# (:func:`spec_partition_entry_values`).
+IDENTITY_DIR_PREFIX = "__p_"
 
-    Only derived-column specs route through the transform writer; a
-    legacy identity spec whose field reuses the source column's name
-    would move the column itself into directory names (and out of the
-    data files).
+
+def default_spec_fields(table) -> tuple[int, list | None]:
+    """(spec_id, writer-ready fields) of the table's default partition
+    spec, else (spec_id, None) for unpartitioned tables.
+
+    Identity fields whose name equals the source column are renamed
+    with :data:`IDENTITY_DIR_PREFIX` for the fanout writer — the old
+    behavior returned None for ANY such spec, so compaction and every
+    COW row op silently rewrote identity-partitioned tables as
+    unpartitioned files with null manifest partition values, destroying
+    the declared layout and all partition pruning (r9 review find,
+    confirmed by execution).
     """
     if not hasattr(table, "default_spec_id"):
         return 0, None
     spec_id = table.default_spec_id()
     fields = table.partition_spec(spec_id)
-    if fields and all(f["name"] != f.get("source", f["name"]) for f in fields):
-        return spec_id, fields
-    return spec_id, None
+    if not fields:
+        return spec_id, None
+    safe = []
+    for f in fields:
+        if f["name"] == f.get("source", f["name"]):
+            safe.append({**f, "name": IDENTITY_DIR_PREFIX + f["name"]})
+        else:
+            safe.append(f)
+    return spec_id, safe
+
+
+def spec_partition_entry_values(values: dict | None) -> dict:
+    """Writer partition values → manifest keys: strip the identity dir
+    prefix so entries record values under the SPEC's field names."""
+    return {
+        (
+            k[len(IDENTITY_DIR_PREFIX):]
+            if k.startswith(IDENTITY_DIR_PREFIX)
+            else k
+        ): v
+        for k, v in (values or {}).items()
+    }
 
 
 class Compaction:
@@ -151,7 +182,9 @@ class Compaction:
                 entry["file_format"] = f.file_format
             if spec_fields:
                 entry["spec_id"] = spec_id
-                entry["partition"] = f.partition_values or {}
+                entry["partition"] = spec_partition_entry_values(
+                    f.partition_values
+                )
             elif f.partition_values:
                 # Ad-hoc partition_by fanout: record the hive-dir
                 # values for inspection and stats-based equality
@@ -374,6 +407,11 @@ class Compaction:
             )
             .join(F.broadcast(live), F.col("file_path") == F.col("path"), "left_semi")
             .dropDuplicates(["file_path", "pos"])
+            # pin once: the count below AND commit_deletion_vectors'
+            # groupBy/applyInPandas both consume this — without the
+            # checkpoint the scan + semi-join ran end-to-end twice
+            # (same pattern as convert_equality_deletes; r9 review find)
+            .localCheckpoint(eager=True)
         )
         n = matches.count()
         if n == 0:

@@ -511,6 +511,16 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
     name_to_id = _top_level_ids(req.schema)
     tasks = []
     for t in req.data_files + req.position_delete_files + req.equality_delete_files:
+        if t.file_format not in _FORMAT_ENUM:
+            # The reference DataFileFormat enum has no puffin/DV entry —
+            # fail with a routable message instead of KeyError('puffin')
+            # (r9 review find).
+            raise ValueError(
+                f"file format {t.file_format!r} is not representable on "
+                "the proto wire (reference DataFileFormat: avro/orc/"
+                "parquet); compact deletion vectors locally or use the "
+                "JSON transport"
+            )
         tasks.append(
             {
                 "start": 0,
@@ -529,12 +539,16 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
         "max_records_per_file": str(req.max_records_per_file),
     }
     if req.partition_by:
-        config["partition_by"] = ",".join(req.partition_by)
+        # JSON, not ",".join — same comma-safety rule as
+        # bloom_filter_cols (r9 review find).
+        config["partition_by"] = json.dumps(req.partition_by)
     if req.sort_order:
         # The reference request proto carries no sort-order message
         # (only DataFile.sort_order_id); ride the config map.
         config["sort_order"] = json.dumps(req.sort_order)
         config["sort_order_id"] = str(req.sort_order_id)
+    if req.zorder_by:
+        config["zorder_by"] = json.dumps(req.zorder_by)
     if req.compression:
         config["compression"] = req.compression
     if req.bloom_filter_cols:
@@ -563,6 +577,20 @@ def request_to_proto(req: RewriteFilesRequest) -> bytes:
             req.partition_spec, name_to_id
         )
     return encode("RewriteFilesRequest", msg)
+
+
+def _parse_partition_by(raw: str | None) -> list[str]:
+    """Comma-safe partition_by decoding: new writers send JSON (same
+    rule as bloom_filter_cols); legacy payloads sent ",".join — accept
+    both so old clients keep working (r9 review find)."""
+    if not raw:
+        return []
+    if raw.startswith("["):
+        try:
+            return list(json.loads(raw))
+        except ValueError:
+            pass
+    return raw.split(",")
 
 
 def request_from_proto(buf: bytes) -> RewriteFilesRequest:
@@ -603,6 +631,9 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
             else None
         ),
         sort_order_id=int(cfg.get("sort_order_id", 0)),
+        zorder_by=(
+            json.loads(cfg["zorder_by"]) if "zorder_by" in cfg else None
+        ),
         bloom_filter_cols=(
             json.loads(cfg["bloom_filter_cols"])
             if cfg.get("bloom_filter_cols")
@@ -622,7 +653,7 @@ def request_from_proto(buf: bytes) -> RewriteFilesRequest:
         position_delete_files=buckets[FileContent.POSITION_DELETES],
         equality_delete_files=buckets[FileContent.EQUALITY_DELETES],
         dir_path=d.get("dir_path", ""),
-        partition_by=cfg.get("partition_by", "").split(",") if cfg.get("partition_by") else [],
+        partition_by=_parse_partition_by(cfg.get("partition_by")),
         target_partitions=int(cfg.get("target_partitions", 4)),
         data_file_prefix=cfg.get("data_file_prefix", "10"),
         max_records_per_file=int(cfg.get("max_records_per_file", 0)),
@@ -636,10 +667,16 @@ def response_to_proto(resp: RewriteFilesResponse, schema: T.StructType | None = 
         d: dict[str, Any] = {
             "content": 0,
             "file_path": f.file_path,
-            "file_format": _PARQUET,
+            "file_format": _FORMAT_ENUM.get(f.file_format, _PARQUET),
             "record_count": f.record_count,
             "file_size_in_bytes": f.file_size_in_bytes,
         }
+        if f.partition_values:
+            # The reference's StructLiteralDescriptor tables carry typed
+            # partition tuples; the hive-dir string values are the same
+            # information — ride the key_metadata bytes field as JSON
+            # (reserved-for-encryption field the reference leaves empty).
+            d["key_metadata"] = json.dumps(f.partition_values).encode()
         if f.sort_order_id is not None:
             d["sort_order_id"] = f.sort_order_id
         if f.column_stats and name_to_id:
@@ -685,14 +722,23 @@ def response_from_proto(buf: bytes, schema: T.StructType | None = None) -> Rewri
             for fid, raw in f.get(key, {}).items():
                 col = id_to_name.get(fid, str(fid))
                 stats.setdefault(col, {})[label] = raw.decode("utf-8", "replace")
+        pv = None
+        if f.get("key_metadata"):
+            try:
+                pv = json.loads(bytes(f["key_metadata"]).decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                pv = None
         files.append(
             DataFileMeta(
                 file_path=f.get("file_path", ""),
-                file_format="parquet",
+                file_format=_FORMAT_NAME.get(
+                    f.get("file_format", _PARQUET), "parquet"
+                ),
                 record_count=f.get("record_count", 0),
                 file_size_in_bytes=f.get("file_size_in_bytes", 0),
                 column_stats=stats or None,
                 sort_order_id=f.get("sort_order_id"),
+                partition_values=pv,
             )
         )
     s = d.get("stat", {})

@@ -182,8 +182,14 @@ def _rewrite_and_commit(
             "column_stats": f.column_stats,
         }
         if spec_fields:
+            from ic_spark.compaction.orchestrator import (
+                spec_partition_entry_values,
+            )
+
             entry["spec_id"] = spec_id
-            entry["partition"] = f.partition_values or {}
+            entry["partition"] = spec_partition_entry_values(
+                f.partition_values
+            )
         added.append(entry)
     snapshot_id = table.commit_rewrite(
         added,

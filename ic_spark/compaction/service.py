@@ -45,6 +45,24 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
     }
     """
     schema = StructType.fromJson(payload["schema"])
+    schema_history = payload.get("schema_history")
+    if schema_history and not isinstance(
+        next(iter(schema_history.get("schemas", {}).values()), ()), tuple
+    ):
+        # JSON payloads carry field types as Spark type-JSON values;
+        # the planner's internal form holds DataType objects.
+        from pyspark.sql.types import _parse_datatype_json_value
+
+        schema_history = {
+            "current_id": schema_history["current_id"],
+            "schemas": {
+                int(k): tuple(
+                    (f[0], f[1], _parse_datatype_json_value(f[2]), f[3])
+                    for f in v
+                )
+                for k, v in schema_history["schemas"].items()
+            },
+        }
 
     def tasks(key: str, content: FileContent) -> list[FileScanTask]:
         return [
@@ -55,6 +73,14 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
                 equality_ids=tuple(t.get("equality_ids", ())),
                 file_size_in_bytes=t.get("file_size_in_bytes", 0),
                 file_format=t.get("file_format", "parquet"),
+                # per-task evolution/lineage/partition metadata the
+                # engine supports must survive the JSON transport —
+                # silently dropping them null-filled identity partition
+                # columns and degraded field-id resolution (r9 review
+                # find)
+                partition_values=t.get("partition_values"),
+                write_schema_id=t.get("write_schema_id"),
+                first_row_id=t.get("first_row_id"),
             )
             for t in payload.get(key, [])
         ]
@@ -74,6 +100,8 @@ def decode_request(payload: dict[str, Any]) -> RewriteFilesRequest:
         sort_order=payload.get("sort_order"),
         sort_order_id=int(payload.get("sort_order_id", 0)),
         zorder_by=payload.get("zorder_by"),
+        data_file_format=payload.get("data_file_format", "parquet"),
+        schema_history=schema_history,
         bloom_filter_cols=payload.get("bloom_filter_cols"),
         bloom_filter_ndv=payload.get("bloom_filter_ndv"),
         compression=payload.get("compression"),

@@ -63,7 +63,21 @@ class Table:
             return cls(
                 spark, IcebergTable.create(location, schema, partition_by=partition_by)
             )
-        return cls(spark, ManifestTable(location))
+        # JSON flavor: register the same schema/partitioning instead of
+        # silently discarding both (r9 review find — schema() returned
+        # None, compact() raised, DDL was unavailable, appends skipped
+        # conformance, and the requested partitioning never existed).
+        tbl = ManifestTable(location)
+        os.makedirs(location, exist_ok=True)
+        tbl.register_schema(schema)
+        if partition_by:
+            tbl.update_partition_spec(
+                [
+                    {"name": c, "source": c, "transform": "identity"}
+                    for c in partition_by
+                ]
+            )
+        return cls(spark, tbl)
 
     # -- reads ---------------------------------------------------------
 
@@ -145,7 +159,30 @@ class Table:
         if hasattr(self.inner, "current_snapshot"):  # JSON flavor needs seq
             from ic_spark.compaction.deletes import _next_sequence_number
 
-            seq = _next_sequence_number(self.inner)
+            if branch:
+                # Sequence from the BRANCH head, not main: successive
+                # branch appends otherwise all stamped main's next seq,
+                # breaking the strictly-increasing per-commit invariant
+                # the equality-delete `<` guard depends on after a
+                # fast-forward (r9 review find).
+                head = self.inner._load().get("refs", {}).get(branch)
+                snap = (
+                    self.inner.snapshot_at(head)
+                    if head is not None
+                    else self.inner.current_snapshot()
+                )
+                seq = (
+                    max(
+                        (
+                            f.get("sequence_number", 0)
+                            for f in (snap.files if snap else [])
+                        ),
+                        default=0,
+                    )
+                    + 1
+                )
+            else:
+                seq = _next_sequence_number(self.inner)
             for e in entries:
                 e["sequence_number"] = seq
         kw = {"branch": branch} if branch else {}

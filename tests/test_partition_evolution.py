@@ -49,8 +49,18 @@ def test_spec_registry_update_and_idempotence(tmp_path):
     assert t.default_spec_id() == sid1
     assert set(t.partition_specs()) == {"0", "1", "2"}
 
+    # identity fields may reuse the source name (Iceberg's convention;
+    # the fanout writer routes dirs through a prefixed derived column —
+    # r9); derived transforms still must not shadow their source.
+    sid_ident = t.update_partition_spec(
+        [{"name": "k", "source": "k", "transform": "identity"}]
+    )
+    assert t.default_spec_id() == sid_ident
+    t.update_partition_spec(day)  # restore for the following asserts
     with pytest.raises(ValueError, match="differ from source"):
-        t.update_partition_spec([{"name": "k", "source": "k", "transform": "identity"}])
+        t.update_partition_spec(
+            [{"name": "k", "source": "k", "transform": "bucket", "n": 4}]
+        )
     with pytest.raises(ValueError, match="name\\+transform"):
         t.update_partition_spec([{"name": "x"}])
 

@@ -416,3 +416,72 @@ def test_transport_serves_concurrent_requests(spark):
         assert got == sorted(f"m{i}" for i in range(16))
     finally:
         server.stop()
+
+
+def test_proto_wire_r9_roundtrips_and_gates(spark):
+    """r9 review finds on the proto wire: comma-bearing partition_by
+    survives (JSON-encoded like bloom_filter_cols), zorder_by rides the
+    config map, response files keep their real format + partition
+    values, and puffin (DV) tasks fail with a routable message instead
+    of KeyError."""
+    from ic_spark.compaction.request import (
+        DataFileMeta,
+        FileContent,
+        FileScanTask,
+        RewriteFilesResponse,
+        RewriteFilesStat,
+    )
+
+    schema = _schema()
+    req = RewriteFilesRequest(
+        schema=schema,
+        dir_path="/o",
+        partition_by=["a,b"],
+        zorder_by=["id", "name"],
+        data_files=[FileScanTask("/d.parquet", sequence_number=1)],
+    )
+    back = proto.request_from_proto(proto.request_to_proto(req))
+    assert back.partition_by == ["a,b"]
+    assert back.zorder_by == ["id", "name"]
+
+    # legacy comma-join payloads still decode (back-compat)
+    raw = proto.request_to_proto(
+        RewriteFilesRequest(schema=schema, dir_path="/o")
+    )
+    import ic_spark.compaction.proto as proto_mod
+
+    assert proto_mod._parse_partition_by("a,b") == ["a", "b"]
+    assert proto_mod._parse_partition_by('["a,b"]') == ["a,b"]
+    assert proto_mod._parse_partition_by(None) == []
+
+    # response: format + partition values survive
+    resp = RewriteFilesResponse(
+        data_files=[
+            DataFileMeta(
+                file_path="/x.orc",
+                file_format="orc",
+                record_count=1,
+                file_size_in_bytes=2,
+                partition_values={"region": "r1"},
+            )
+        ],
+        stat=RewriteFilesStat(1, 1, 2, 0),
+    )
+    rb = proto.response_from_proto(proto.response_to_proto(resp, schema), schema)
+    assert rb.data_files[0].file_format == "orc"
+    assert rb.data_files[0].partition_values == {"region": "r1"}
+
+    # puffin tasks: clear gate, not KeyError
+    dv = FileScanTask(
+        "/x.puffin",
+        sequence_number=2,
+        content=FileContent.POSITION_DELETES,
+        file_format="puffin",
+    )
+    with pytest.raises(ValueError, match="proto wire"):
+        proto.request_to_proto(
+            RewriteFilesRequest(
+                schema=schema, dir_path="/o", position_delete_files=[dv]
+            )
+        )
+    assert raw  # silence unused warnings
