@@ -311,12 +311,15 @@ def write_container(
     os.replace(tmp, path)
 
 
-def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
-    """Read an Avro object-container file → (schema, metadata, records)."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def decode_container(
+    buf: bytes, label: str = "<bytes>"
+) -> tuple[dict, dict[str, bytes], list[dict]]:
+    """Decode one Avro object-container from bytes →
+    (schema, raw metadata map, records).  The ONE block-decode loop —
+    ``read_container`` and the distributed scan both delegate here
+    (two hand-synced copies diverged once; r9 review find)."""
     if buf[:4] != MAGIC:
-        raise ValueError(f"{path}: not an Avro container file")
+        raise ValueError(f"{label}: not an Avro container file")
     named: dict[str, Any] = {}
     meta, pos = _decode({"type": "map", "values": "bytes"}, buf, 4, named)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
@@ -330,7 +333,7 @@ def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
         block = buf[pos : pos + size]
         pos += size
         if buf[pos : pos + SYNC_SIZE] != sync:
-            raise ValueError(f"{path}: bad sync marker (corrupt block)")
+            raise ValueError(f"{label}: bad sync marker (corrupt block)")
         pos += SYNC_SIZE
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
@@ -340,4 +343,16 @@ def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
         for _ in range(count):
             rec, bpos = _decode(schema, block, bpos, named)
             records.append(rec)
-    return schema, {k: v for k, v in meta.items() if not k.startswith("avro.")}, records
+    return schema, meta, records
+
+
+def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
+    """Read an Avro object-container file → (schema, metadata, records)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    schema, meta, records = decode_container(buf, label=path)
+    return (
+        schema,
+        {k: v for k, v in meta.items() if not k.startswith("avro.")},
+        records,
+    )

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ic_spark.sources.avro_io import MAGIC, SYNC_SIZE, _decode, _zigzag_decode
+from ic_spark.sources.avro_io import MAGIC, _decode
 
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_TS = datetime.datetime(1970, 1, 1)
@@ -140,6 +140,11 @@ def _converter(schema: Any) -> Callable[[Any], Any] | None:
         return lambda v: _EPOCH_TS + datetime.timedelta(microseconds=v)
     if logical == "timestamp-millis" or logical == "local-timestamp-millis":
         return lambda v: _EPOCH_TS + datetime.timedelta(milliseconds=v)
+    if logical == "time-millis":
+        # the Spark mapping is micros-since-midnight (LongType): scale,
+        # or millis and micros files mix two units in one column
+        # (r9 review find)
+        return lambda v: v * 1000
     if logical == "decimal":
         scale = schema.get("scale", 0)
 
@@ -204,34 +209,12 @@ def read_header(path: str, probe_bytes: int = 1 << 16) -> dict:
 
 
 def decode_container_bytes(buf: bytes, label: str = "<bytes>") -> tuple[dict, list[dict]]:
-    """Decode a whole Avro object-container from bytes → (schema, records)."""
-    import zlib
+    """Decode a whole Avro object-container from bytes →
+    (schema, records).  Thin wrapper over the canonical loop in
+    :func:`ic_spark.sources.avro_io.decode_container`."""
+    from ic_spark.sources.avro_io import decode_container
 
-    if buf[:4] != MAGIC:
-        raise ValueError(f"{label}: not an Avro container file")
-    named: dict[str, Any] = {}
-    meta, pos = _decode({"type": "map", "values": "bytes"}, buf, 4, named)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    sync = buf[pos : pos + SYNC_SIZE]
-    pos += SYNC_SIZE
-    records: list[dict] = []
-    while pos < len(buf):
-        count, pos = _zigzag_decode(buf, pos)
-        size, pos = _zigzag_decode(buf, pos)
-        block = buf[pos : pos + size]
-        pos += size
-        if buf[pos : pos + SYNC_SIZE] != sync:
-            raise ValueError(f"{label}: bad sync marker (corrupt block)")
-        pos += SYNC_SIZE
-        if codec == "deflate":
-            block = zlib.decompress(block, wbits=-15)
-        elif codec != "null":
-            raise ValueError(f"unsupported codec: {codec}")
-        bpos = 0
-        for _ in range(count):
-            rec, bpos = _decode(schema, block, bpos, named)
-            records.append(rec)
+    schema, _meta, records = decode_container(buf, label=label)
     return schema, records
 
 
@@ -271,13 +254,25 @@ def read_avro_distributed(
     if not paths:
         raise ValueError("no paths")
 
-    avro_schema = read_header(paths[0])
     if schema is None:
-        schema = avro_to_spark_schema(avro_schema)
+        # Driver-local header read ONLY for discovery: with an explicit
+        # schema it was pure wasted I/O and crashed outright on remote
+        # URIs/globs the distributed binaryFile scan handles fine
+        # (r9 review find).
+        schema = avro_to_spark_schema(read_header(paths[0]))
     field_names = [f.name for f in schema.fields]
     if columns:
         field_names = [c for c in field_names if c in set(columns)]
         schema = StructType([f for f in schema.fields if f.name in set(columns)])
+    if not field_names and not (with_path or with_path_pos):
+        # Arrow batches cannot carry rows without columns — a zero-
+        # column projection silently returned 0 rows (same guard as the
+        # ORC scan; r9 review find).
+        raise ValueError(
+            "read_avro_distributed: empty projection (no requested "
+            "column exists in the schema and with_path/with_path_pos "
+            "are False)"
+        )
 
     with_path = with_path or with_path_pos
     out_schema = schema

@@ -29,7 +29,15 @@ _S3_PROPS = {
 }
 _GCS_PROPS = {
     "gcs.project-id": "fs.gs.project.id",
-    "gcs.oauth2.token": "fs.gs.auth.access.token.provider",
+    # gcs.oauth2.token deliberately has NO Hadoop mapping: the GCS
+    # connector's fs.gs.auth.access.token.provider expects an
+    # AccessTokenProvider CLASS NAME, so mapping the raw bearer token
+    # onto it made the connector Class.forName the token and fail —
+    # while leaking the credential into a config slot (r9 review
+    # find).  The pyarrow path (arrow_filesystem) carries the token
+    # correctly; Hadoop-routed GCS needs a deployed provider class,
+    # which a property value cannot express.
+    "gcs.oauth2.token": None,
 }
 
 

