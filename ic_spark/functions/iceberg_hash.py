@@ -166,8 +166,14 @@ def iceberg_hash_string(col: Column) -> Column:
 
 def iceberg_hash_uuid(col: Column) -> Column:
     """UUID in canonical string form hashes its 16 big-endian bytes
-    (spec: java.util.UUID msb/lsb serialization == the hex digits)."""
-    return _hash_hex(F.upper(F.replace(col, F.lit("-"), F.lit(""))), F.lit(16))
+    (spec: java.util.UUID msb/lsb serialization == the hex digits).
+    NULL hashes to NULL (spec: transforms map null to null — the
+    coalescing hex reader otherwise hashed 16 zero bytes into a real
+    bucket; r9 review find)."""
+    return F.when(
+        col.isNotNull(),
+        _hash_hex(F.upper(F.replace(col, F.lit("-"), F.lit(""))), F.lit(16)),
+    )
 
 
 def iceberg_hash_decimal(col: Column, scale: int) -> Column:
@@ -180,7 +186,10 @@ def iceberg_hash_decimal(col: Column, scale: int) -> Column:
     the hex tail of that length IS the minimal big-endian encoding.
     """
     u = (col * F.lit(10**scale)).cast("long")
-    return _let(
+    # NULL -> NULL (spec rule): _min_signed_bytes(NULL) fell through to
+    # 8 and the hex reader coalesced to zero bytes, landing NULL rows
+    # in a concrete bucket instead of the null partition (r9 find).
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(_let(
         u,
         lambda uv: _let(
             _min_signed_bytes(uv),
@@ -193,7 +202,7 @@ def iceberg_hash_decimal(col: Column, scale: int) -> Column:
                 nb,
             ),
         ),
-    )
+    ))
 
 
 def _min_signed_bytes(v: Column) -> Column:

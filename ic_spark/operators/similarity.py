@@ -406,10 +406,14 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style clustered semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540): coarse-quantize the corpus into ``nlist``
-    cells, then within each cell drop every vector that has a LOWER-id
-    neighbor with cosine >= ``threshold``.  Survivors (the min-id
-    representative of each near-duplicate chain, greedy by id) are
-    returned with their cell id.
+    cells, then within each cell drop every vector that has ANY
+    lower-id neighbor with cosine >= ``threshold`` — including
+    neighbors that are themselves dropped (ONE parallel join, not the
+    sequential greedy scan: in a non-transitive chain A~B, B~C, A!~C
+    greedy-by-survivors would keep {A, C}; this rule keeps {A}.  The
+    paper's within-cluster epsilon-dedup keeps one representative per
+    epsilon-group either way; the one-join rule is the shape that
+    parallelizes).  Survivors are returned with their cell id.
 
     Scale shape: cell assignment is an expression (or Arrow matmul)
     over the scan — no shuffle, no join; the pairwise step is an
@@ -462,19 +466,23 @@ def _py_nearest_cell(v: list[float], cents: list[list[float]]) -> int:
     import math
 
     vnorm = math.sqrt(_py_dot(v, v))
-    best_cos = None
+    best_cos = None  # None mirrors Spark NULL (sorts LOWEST, never wins)
     best_ci = 0
+    first = True
     for ci, c in enumerate(cents):
         den = vnorm * math.sqrt(_py_dot(c, c))
-        num = _py_dot(v, c)
-        if den != 0.0:
-            cos = num / den
-        elif num > 0.0:
-            cos = float("inf")
-        elif num < 0.0:
-            cos = float("-inf")
-        else:
-            cos = float("nan")
+        # Spark doubles: x / 0.0 is NULL, not IEEE inf/NaN — and a NULL
+        # cosine sorts lowest in the expression path's struct ordering,
+        # so a zero-norm centroid can never win there.  The old
+        # inf/NaN emulation made exactly that centroid WIN here,
+        # silently diverging PQ seed residuals from the corpus-side
+        # assignment (r9 review find).
+        cos = (_py_dot(v, c) / den) if den != 0.0 else None
+        if first:
+            best_cos, best_ci, first = cos, ci, False
+            continue
+        if cos is None:
+            continue
         if best_cos is None:
             best_cos, best_ci = cos, ci
         elif math.isnan(cos) and not math.isnan(best_cos):
@@ -1195,8 +1203,6 @@ def _ivfpq_query_side(
 
 def _ivfpq_adc_topk(cb, q, k):
     """ADC scoring + per-query top-k over (corpus codes ⋈ query LUTs)."""
-    from ic_spark.operators.topk import grouped_top_k
-
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1330,9 +1336,21 @@ def build_ivf_pq_index(
     (:func:`_ivfpq_fit` / :func:`_ivfpq_encode_corpus`), so the
     persisted index answers queries identically to the bit.
     """
+    import glob
     import json
     import os
-    import tempfile
+    import re
+
+    # Same in-flight guard as compact_ivf_pq_index: a streaming publish
+    # racing the rebuild would finish into the superseded generation
+    # AFTER its checkpoint commits — the batch's rows would be absent
+    # from the served index forever, with no replay (r9 review find).
+    stages = glob.glob(os.path.join(dir_path, "_stage-batch-*"))
+    if stages:
+        raise RuntimeError(
+            f"ivf-pq index rebuild: streaming append in flight "
+            f"({os.path.basename(stages[0])}); quiesce the stream first"
+        )
 
     cents, books = _ivfpq_fit(
         corpus,
@@ -1383,9 +1401,31 @@ def build_ivf_pq_index(
     }
     # Rebuilding over a live index: carry the streaming fold ledger —
     # a batch folded before the rebuild has its rows in the rebuilt
-    # corpus too, so a crash-replay of it must STAY a no-op.
-    if prev is not None and prev.get("folded_batches"):
-        meta["folded_batches"] = prev["folded_batches"]
+    # corpus too, so a crash-replay of it must STAY a no-op.  ALSO fold
+    # the old generation's published b<batch>-* files into the ledger
+    # (same scan compact_ivf_pq_index does): their rows are in the
+    # rebuilt corpus, their deterministic spellings disappear with the
+    # old dir, and without the ledger entry a crash-replayed batch
+    # re-published into the rebuilt index as duplicates (r9 review
+    # find).
+    folded = {
+        _fold_key(x) for x in (prev or {}).get("folded_batches", [])
+    }
+    if prev is not None:
+        cur_dir = prev.get("codes_dir", "codes")
+        for f_ in glob.glob(
+            os.path.join(dir_path, cur_dir, "*", "b*.parquet")
+        ):
+            m = re.fullmatch(
+                r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet",
+                os.path.basename(f_),
+            )
+            if m:
+                folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
+    if folded:
+        meta["folded_batches"] = sorted(
+            f"{h}:{i}" for h, i in _fold_hwm(sorted(folded)).items()
+        )
     _write_index_meta(dir_path, meta)
     # Only after the atomic flip: remove superseded generations (they
     # leak unreferenced storage otherwise).  Cleanup BEFORE the flip
@@ -1564,8 +1604,6 @@ def compact_ivf_pq_index(
     import json
     import os
     import re
-
-    from pyspark.sql import functions as F
 
     stages = glob.glob(os.path.join(dir_path, "_stage-batch-*"))
     if stages:

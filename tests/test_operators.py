@@ -3287,3 +3287,80 @@ def test_r9_text_and_zorder_edge_semantics(spark):
     ).first()
     assert q.keep is not None and q.quality_score is not None
     assert q.digit_frac == 0.0 and q.upper_frac == 0.0
+
+
+def test_ivfpq_rebuild_folds_streaming_batches_and_guards_inflight(
+    spark, tmp_path
+):
+    """r9 review finds on the rebuild path: (1) a rebuild must fold the
+    old generation's published b<batch>-* files into the ledger — their
+    rows are in the rebuilt corpus, so a crash-replayed batch would
+    re-publish them as duplicate neighbors; (2) a rebuild must refuse
+    while a streaming publish is staging, or the batch finishes into
+    the superseded generation and its rows vanish without replay."""
+    import glob
+    import json
+    import os
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(e.where(F.col("vec_id") >= 100), idx, nlist=8, m=8, ksub=16)
+    sink = ivfpq_index_append_sink(idx)
+    sink(e.where(F.col("vec_id") < 100), 5)
+    assert glob.glob(os.path.join(idx, "codes", "*", "b*.parquet"))
+
+    # (2) staged publish blocks the rebuild
+    os.makedirs(os.path.join(idx, "_stage-batch-00000009"))
+    with pytest.raises(RuntimeError, match="quiesce"):
+        build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16)
+    os.rmdir(os.path.join(idx, "_stage-batch-00000009"))
+
+    # (1) rebuild over the full corpus: batch 5's rows are inside it
+    build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16)
+    with open(os.path.join(idx, "index.json")) as f:
+        meta = json.load(f)
+    assert meta.get("folded_batches"), "rebuild lost the fold ledger"
+    q = e.where(F.col("vec_id") < 5)
+    served = ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3)
+    before = served.count()
+    # crash-replay of batch 5: must be a no-op, not duplicate rows
+    sink(e.where(F.col("vec_id") < 100), 5)
+    assert not glob.glob(
+        os.path.join(idx, meta["codes_dir"], "*", "b*.parquet")
+    ), "replayed batch re-published into the rebuilt index"
+    assert (
+        ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3).count() == before
+    )
+
+
+def test_iceberg_hash_null_maps_to_null():
+    """Spec rule: transforms map null to null — NULL decimals/uuids
+    previously hashed their zero-byte renderings into a real bucket
+    (r9 review find)."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.functions.iceberg_hash import (
+        iceberg_hash_decimal,
+        iceberg_hash_uuid,
+    )
+    from ic_spark.session import get_spark
+
+    spark = get_spark("t")
+    d = spark.createDataFrame(
+        [("14.20",), (None,)], "d string"
+    ).select(F.col("d").cast("decimal(9,2)").alias("d"))
+    got = [r.h for r in d.select(iceberg_hash_decimal(F.col("d"), 2).alias("h")).collect()]
+    assert got == [-500754589, None]  # spec test vector + null rule
+    u = spark.createDataFrame(
+        [("f79c3e09-677c-4bbd-a479-3f349cb785e7",), (None,)], "u string"
+    )
+    got = [r.h for r in u.select(iceberg_hash_uuid(F.col("u")).alias("h")).collect()]
+    assert got == [1488055340, None]
