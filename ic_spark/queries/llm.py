@@ -670,16 +670,128 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_ivfpq_indexed_topk", oracle=None)
+@query(
+    "sim_ivfpq_indexed_topk",
+    oracle="""
+    WITH dims AS (
+        SELECT UNNEST(range(0, 8)) AS j
+    ),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               (SELECT s.cidx FROM seeds s
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                         s.cidx ASC LIMIT 1) AS cell
+        FROM embeddings e
+    ),
+    resid AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65), i -> a.v[i] - s.cv[i]) AS r
+        FROM assigned a JOIN seeds s ON s.cidx = a.cell
+    ),
+    seedbook AS (
+        SELECT d.j, rk.k, list_slice(rk.r, d.j * 8 + 1, d.j * 8 + 8) AS bv
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS k, r
+              FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16)) rk
+        CROSS JOIN dims d
+    ),
+    subvecs AS (
+        SELECT r.vec_id, r.cell, d.j,
+               list_slice(r.r, d.j * 8 + 1, d.j * 8 + 8) AS sv
+        FROM resid r CROSS JOIN dims d
+    ),
+    assign0 AS (
+        SELECT vec_id, j, sv, k FROM (
+            SELECT s.vec_id, s.j, s.sv, sb.k,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.j
+                     ORDER BY list_aggregate(list_transform(range(1, 9),
+                                i -> (s.sv[i] - sb.bv[i]) * (s.sv[i] - sb.bv[i])), 'sum') ASC,
+                              sb.k ASC) AS rn
+            FROM subvecs s JOIN seedbook sb ON sb.j = s.j
+        ) WHERE rn = 1
+    ),
+    bookmeans AS (
+        SELECT j, k, list(mv ORDER BY t) AS bv
+        FROM (
+            SELECT j, k, t, AVG(x) AS mv
+            FROM (SELECT j, k, UNNEST(sv) AS x, UNNEST(range(1, 9)) AS t FROM assign0)
+            GROUP BY j, k, t
+        ) GROUP BY j, k
+    ),
+    book AS (
+        SELECT sb.j, sb.k, COALESCE(bm.bv, sb.bv) AS bv
+        FROM seedbook sb LEFT JOIN bookmeans bm ON bm.j = sb.j AND bm.k = sb.k
+    ),
+    codes AS (
+        SELECT vec_id, cell, j, k FROM (
+            SELECT s.vec_id, s.cell, s.j, b.k,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.j
+                     ORDER BY list_aggregate(list_transform(range(1, 9),
+                                i -> (s.sv[i] - b.bv[i]) * (s.sv[i] - b.bv[i])), 'sum') ASC,
+                              b.k ASC) AS rn
+            FROM subvecs s JOIN book b ON b.j = s.j
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell, qv FROM (
+            SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                   s.cidx AS cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), s.cv) DESC,
+                              s.cidx ASC) AS pr
+            FROM embeddings q, seeds s WHERE q.vec_id < 5
+        ) WHERE pr <= 4
+    ),
+    qsub AS (
+        SELECT p.query_id, p.cell, d.j,
+               list_transform(range(d.j * 8 + 1, d.j * 8 + 9), i -> p.qv[i] - s.cv[i]) AS sv
+        FROM probes p JOIN seeds s ON s.cidx = p.cell CROSS JOIN dims d
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               SUM(list_aggregate(list_transform(range(1, 9),
+                     i -> (q.sv[i] - b.bv[i]) * (q.sv[i] - b.bv[i])), 'sum')) AS dist
+        FROM qsub q
+        JOIN codes c ON c.cell = q.cell AND c.j = q.j
+        JOIN book b ON b.j = c.j AND b.k = c.k
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_distance, rank FROM (
+        SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_distance,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+    """,
+)
 def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
     """Persisted-index ANN serve (operators/similarity.py::
     build_ivf_pq_index + ivf_pq_index_top_k): the build/serve split of
     production ANN — train + encode ONCE into a codes table
     hive-partitioned by coarse cell plus an index-sized index.json,
     then serve queries with dynamic partition pruning skipping every
-    unprobed cell's files (plan-pinned).  Rows-only check; value
-    equality with the in-memory ivf_pq_top_k is pinned in
-    tests/test_operators.py::test_ivfpq_persisted_index_equals_inmemory."""
+    unprobed cell's files (plan-pinned).  Value equality with the
+    in-memory ivf_pq_top_k is additionally pinned in
+    tests/test_operators.py::test_ivfpq_persisted_index_equals_inmemory.
+
+    The DuckDB oracle replays the WHOLE deterministic build (VERDICT r9
+    #1): lowest-id seed centroids -> cosine cell assignment (ties ->
+    lowest index) -> exact residuals -> seed codebooks from the ksub
+    lowest-id residual slices -> ONE Lloyd round (per-subspace L2
+    argmin + grouped elementwise mean; empty codes keep their seeds,
+    mirroring pq_codebooks' update-only-assigned loop) -> corpus codes
+    against the refined books -> nprobe=4 cosine probes -> per-subspace
+    ADC lookup sums, ranked ascending.  Engine float divergence only
+    enters through DuckDB's AVG summation order (ulp-level, argmin- and
+    round-6-safe); every other step is order-pinned arithmetic."""
     import hashlib
     import os
     import tempfile

@@ -69,12 +69,9 @@ def test_driver_window_contains_flagship_queries():
     ):
         assert name in window, f"{name} fell outside the driver's 50-query window"
     # Every window row must carry an oracle — the whole point of r3's
-    # window rebuild is a 50/50 hash-checked CORRECTNESS file.  One
-    # directed exception (VERDICT r8 #4): the persisted-index ANN serve
-    # is genuinely non-SQL-expressible (trained coarse + PQ quantizers),
-    # so its driver row is rows-only; its value equality with the
-    # in-memory path is pinned in tests/test_operators.py.
+    # window rebuild is a 50/50 hash-checked CORRECTNESS file.  The r9
+    # rows-only exception is gone: the persisted-index ANN serve's
+    # deterministic build (seeded quantizers + one Lloyd round) is now
+    # replayed end-to-end in its DuckDB oracle (VERDICT r9 #1).
     no_oracle = [n for n in window if not REGISTRY[n].oracle]
-    assert no_oracle == ["sim_ivfpq_indexed_topk"], (
-        f"window rows without an oracle: {no_oracle}"
-    )
+    assert no_oracle == [], f"window rows without an oracle: {no_oracle}"
