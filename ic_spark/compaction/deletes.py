@@ -205,6 +205,76 @@ def write_deletion_vectors(
 DV_DISTRIBUTED_FILE_THRESHOLD = 4096
 
 
+def dv_fold(
+    merged: dict[str, tuple[bytes, int]], ref: str, data: bytes, card: int
+) -> None:
+    """Fold ONE framed DV blob into a per-referenced-file accumulator —
+    the single implementation of the v3 one-DV-per-file merge rule
+    shared by :func:`commit_deletion_vectors` and the orchestrator's
+    puffin compaction (they previously carried near-verbatim twins of
+    this logic, and the twin here silently LAST-WINS-overwrote carried
+    blobs when two superseded puffin files referenced the same
+    untouched data file — r10 fix, regression-tested).
+
+    The blob stays byte-opaque when the ref is new; two blobs for the
+    same data file are decoded, position-unioned and re-framed."""
+    from ic_spark.sources.puffin import deserialize_dv_blob, serialize_dv_blob
+
+    if ref in merged:
+        union = sorted(
+            set(deserialize_dv_blob(merged[ref][0]))
+            | set(deserialize_dv_blob(data))
+        )
+        merged[ref] = (serialize_dv_blob(union), len(union))
+    else:
+        merged[ref] = (data, card)
+
+
+def dv_blobs(merged: dict[str, tuple[bytes, int]]) -> list:
+    """Accumulated per-ref (blob, cardinality) map → deterministic
+    (ref-sorted) PuffinBlob list ready for ``write_puffin``."""
+    from ic_spark.sources.puffin import DV_BLOB_TYPE, PuffinBlob
+
+    return [
+        PuffinBlob(
+            type=DV_BLOB_TYPE,
+            data=blob,
+            properties={
+                "referenced-data-file": ref,
+                "cardinality": str(card),
+            },
+        )
+        for ref, (blob, card) in sorted(merged.items())
+    ]
+
+
+def dv_manifest_entry(
+    out_path: str, sequence_number: int, blobs: list
+) -> dict:
+    """Manifest entry for one written puffin file: v3 per-vector
+    addressing (referenced file → offset/length/cardinality) plus the
+    file-level stats both commit paths spell identically.  ``blobs``
+    must already be written (offsets/lengths populated)."""
+    return {
+        "path": out_path,
+        "sequence_number": sequence_number,
+        "content": FileContent.POSITION_DELETES.name,
+        "file_format": "puffin",
+        "file_size_in_bytes": os.path.getsize(out_path),
+        "record_count": sum(
+            int(b.properties["cardinality"]) for b in blobs
+        ),
+        "deletion_vectors": {
+            b.properties["referenced-data-file"]: {
+                "offset": b.offset,
+                "length": b.length,
+                "cardinality": int(b.properties["cardinality"]),
+            }
+            for b in blobs
+        },
+    }
+
+
 def commit_deletion_vectors(
     spark: SparkSession,
     table: ManifestTable,
@@ -230,8 +300,6 @@ def commit_deletion_vectors(
     """
     from ic_spark.sources.puffin import (
         DV_BLOB_TYPE,
-        PuffinBlob,
-        deserialize_dv_blob,
         read_puffin,
         serialize_dv_blob,
         write_puffin,
@@ -270,7 +338,6 @@ def commit_deletion_vectors(
         raise ValueError("predicate matched no rows")
 
     superseded: set[str] = set()
-    carried: dict[str, tuple[bytes, int]] = {}
     for t in pos:
         if t.file_format != "puffin":
             continue
@@ -282,30 +349,18 @@ def commit_deletion_vectors(
             continue  # untouched puffin file stays as-is
         superseded.add(t.data_file_path)
         for b in existing:
-            ref = b.properties.get("referenced-data-file", "")
-            if ref in merged:
-                union = sorted(
-                    set(deserialize_dv_blob(merged[ref][0]))
-                    | set(deserialize_dv_blob(b.data))
-                )
-                merged[ref] = (serialize_dv_blob(union), len(union))
-            else:
-                # carried forward byte-identical, never decoded
-                card = int(b.properties.get("cardinality", "0"))
-                carried[ref] = (b.data, card)
-    merged.update(carried)
+            # dv_fold carries untouched refs byte-identical and unions
+            # same-ref blobs — including two SUPERSEDED files both
+            # carrying a DV for one untouched data file, which the old
+            # separate carried dict last-wins-overwrote (r10 fix).
+            dv_fold(
+                merged,
+                b.properties.get("referenced-data-file", ""),
+                b.data,
+                int(b.properties.get("cardinality", "0")),
+            )
 
-    blobs = [
-        PuffinBlob(
-            type=DV_BLOB_TYPE,
-            data=blob,
-            properties={
-                "referenced-data-file": ref,
-                "cardinality": str(card),
-            },
-        )
-        for ref, (blob, card) in sorted(merged.items())
-    ]
+    blobs = dv_blobs(merged)
     # A caller-supplied tag pins the output dir so streaming replays are
     # recognizable — but NEVER overwrite an existing puffin file: the
     # prior attempt may be superseded in the CURRENT snapshot yet still
@@ -320,27 +375,10 @@ def commit_deletion_vectors(
         out_path = os.path.join(table.root, f"{base}-r{attempt}", "deletes.puffin")
     write_puffin(out_path, blobs)  # populates blob offsets/lengths
     seq = _next_sequence_number(table)
-    entry = {
-        "path": out_path,
-        "sequence_number": seq,
-        "content": FileContent.POSITION_DELETES.name,
-        "file_format": "puffin",
-        "file_size_in_bytes": os.path.getsize(out_path),
-        "record_count": sum(card for _, card in merged.values()),
-        # Per-vector addressing (Iceberg v3 DV manifest fields): the
-        # spec-metadata table expands this to one manifest entry per
-        # vector with referenced_data_file/content_offset/size set.
-        "deletion_vectors": {
-            b.properties["referenced-data-file"]: {
-                "offset": b.offset,
-                "length": b.length,
-                "cardinality": int(b.properties["cardinality"]),
-            }
-            for b in blobs
-        },
-    }
     return table.commit_rewrite(
-        [entry], superseded | (extra_removed or set()), operation="delete"
+        [dv_manifest_entry(out_path, seq, blobs)],
+        superseded | (extra_removed or set()),
+        operation="delete",
     )
 
 

@@ -285,12 +285,14 @@ class Compaction:
 
         Returns ``{"merged": n_puffin_files, "dvs": n_blobs_kept}``.
         """
+        from ic_spark.compaction.deletes import (
+            dv_blobs,
+            dv_fold,
+            dv_manifest_entry,
+        )
         from ic_spark.sources.puffin import (
             DV_BLOB_TYPE,
-            PuffinBlob,
-            deserialize_dv_blob,
             read_puffin,
-            serialize_dv_blob,
             write_puffin,
         )
 
@@ -311,52 +313,28 @@ class Compaction:
                 ref = b.properties.get("referenced-data-file", "")
                 if ref not in live:
                     continue  # dangling vector: its data file is gone
-                card = int(b.properties.get("cardinality", "0"))
-                if ref in merged:
-                    union = sorted(
-                        set(deserialize_dv_blob(merged[ref][0]))
-                        | set(deserialize_dv_blob(b.data))
-                    )
-                    merged[ref] = (serialize_dv_blob(union), len(union))
-                else:
-                    merged[ref] = (b.data, card)
+                dv_fold(
+                    merged,
+                    ref,
+                    b.data,
+                    int(b.properties.get("cardinality", "0")),
+                )
         removed = {t.data_file_path for t in puffins}
         if not merged:
             table.commit_rewrite([], removed)
             return {"merged": len(puffins), "dvs": 0}
-        blobs = [
-            PuffinBlob(
-                type=DV_BLOB_TYPE,
-                data=blob,
-                properties={
-                    "referenced-data-file": ref,
-                    "cardinality": str(card),
-                },
-            )
-            for ref, (blob, card) in sorted(merged.items())
-        ]
+        blobs = dv_blobs(merged)
         out_path = os.path.join(
             table.root, f"dv-{uuid.uuid4().hex[:12]}", "deletes.puffin"
         )
         write_puffin(out_path, blobs)
         table.commit_rewrite(
             [
-                {
-                    "path": out_path,
-                    "sequence_number": max(t.sequence_number for t in puffins),
-                    "content": "POSITION_DELETES",
-                    "file_format": "puffin",
-                    "file_size_in_bytes": os.path.getsize(out_path),
-                    "record_count": sum(card for _, card in merged.values()),
-                    "deletion_vectors": {
-                        b.properties["referenced-data-file"]: {
-                            "offset": b.offset,
-                            "length": b.length,
-                            "cardinality": int(b.properties["cardinality"]),
-                        }
-                        for b in blobs
-                    },
-                }
+                dv_manifest_entry(
+                    out_path,
+                    max(t.sequence_number for t in puffins),
+                    blobs,
+                )
             ],
             removed,
         )

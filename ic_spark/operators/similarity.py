@@ -1294,6 +1294,130 @@ def ivf_pq_top_k(
 # ------------------------------------------------- persisted IVFADC index
 
 
+class _IndexFS:
+    """Metadata plane of the persisted IVF-PQ index behind the fileio
+    seam (VERDICT r9 #4): index.json read/write, the ``_stage-batch-*``
+    guard listing, folded-batch file listing and generation cleanup.
+
+    Plain/``file:`` paths keep the direct ``os``/``glob`` fast path —
+    behavior-identical to the pre-seam code, including POSIX-atomic
+    temp+rename index.json publishes.  ``s3://``/``gs://`` (and
+    injected pyarrow filesystems, the test seam) route every metadata
+    byte through ``ic_spark.sources.fileio.arrow_filesystem`` — the
+    same connector construction the avro/orc data-file writers got in
+    r9 — where index.json publishes are single-object PUTs (object
+    stores have no rename; one PUT is atomic at object granularity:
+    readers see the old or the new generation pointer, never a torn
+    file).  The codes TABLE keeps reading/writing through Spark's
+    Hadoop layer with the caller's ``dir_path`` spelling, unchanged."""
+
+    def __init__(self, dir_path: str, file_io: dict | None = None):
+        from ic_spark.sources.fileio import arrow_filesystem
+
+        self.fs, self.root = arrow_filesystem(dir_path, file_io)
+
+    def _p(self, *parts: str) -> str:
+        import os
+
+        if self.fs is None:
+            return os.path.join(self.root, *parts)
+        return "/".join([self.root.rstrip("/"), *parts])
+
+    def read_json(self, *parts: str):
+        """Parsed JSON at ``parts``, or None if absent."""
+        import json
+        import os
+
+        p = self._p(*parts)
+        if self.fs is None:
+            if not os.path.exists(p):
+                return None
+            with open(p) as f:
+                return json.load(f)
+        from pyarrow import fs as pafs
+
+        info = self.fs.get_file_info([p])[0]
+        if info.type == pafs.FileType.NotFound:
+            return None
+        with self.fs.open_input_stream(p) as f:
+            return json.loads(f.readall().decode("utf-8"))
+
+    def write_json_atomic(self, meta: dict, *parts: str) -> None:
+        """Publish JSON so readers never see a torn file: POSIX
+        temp+rename locally, one single-object PUT through pyarrow."""
+        import json
+        import os
+        import tempfile
+
+        p = self._p(*parts)
+        if self.fs is None:
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(p), suffix=".idx.tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, p)
+            return
+        with self.fs.open_output_stream(p) as f:
+            f.write(json.dumps(meta).encode("utf-8"))
+
+    def ls(self, *parts: str) -> list[str]:
+        """Basenames directly under ``parts`` ([] if missing)."""
+        import os
+
+        p = self._p(*parts)
+        if self.fs is None:
+            return sorted(os.listdir(p)) if os.path.isdir(p) else []
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+        return sorted(i.base_name for i in self.fs.get_file_info(sel))
+
+    def stage_batches(self) -> list[str]:
+        """Basenames of in-flight ``_stage-batch-*`` markers."""
+        return [n for n in self.ls() if n.startswith("_stage-batch-")]
+
+    def batch_file_names(self, subdir: str) -> list[str]:
+        """Basenames of published streaming files (``b*.parquet``) one
+        level under each partition dir of ``subdir`` — the fold-ledger
+        scan of build/compact."""
+        import glob as _glob
+        import os
+
+        if self.fs is None:
+            return [
+                os.path.basename(f)
+                for f in _glob.glob(
+                    os.path.join(self.root, subdir, "*", "b*.parquet")
+                )
+            ]
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            self._p(subdir), recursive=True, allow_not_found=True
+        )
+        return [
+            i.base_name
+            for i in self.fs.get_file_info(sel)
+            if i.type == pafs.FileType.File
+            and i.base_name.startswith("b")
+            and i.base_name.endswith(".parquet")
+        ]
+
+    def rmtree(self, subdir: str) -> None:
+        """Remove a superseded codes generation (missing-ok)."""
+        if self.fs is None:
+            import os
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, subdir), ignore_errors=True)
+            return
+        try:
+            self.fs.delete_dir(self._p(subdir))
+        except FileNotFoundError:
+            pass
+
+
 def build_ivf_pq_index(
     corpus: DataFrame,
     dir_path: str,
@@ -1307,6 +1431,7 @@ def build_ivf_pq_index(
     residual: bool = True,
     use_arrow: bool = False,
     keep_old: bool = False,
+    file_io: dict | None = None,
 ) -> dict:
     """Train the IVFADC index ONCE and persist it: the build/serve
     split every production ANN deployment runs (index nightly, query
@@ -1335,21 +1460,24 @@ def build_ivf_pq_index(
     Same training/encoding code paths as :func:`ivf_pq_top_k`
     (:func:`_ivfpq_fit` / :func:`_ivfpq_encode_corpus`), so the
     persisted index answers queries identically to the bit.
+
+    ``file_io``: fileio properties / injected pyarrow filesystem for
+    the METADATA plane (see :class:`_IndexFS`); the codes table itself
+    goes through Spark's Hadoop layer at ``dir_path``.
     """
-    import glob
-    import json
     import os
     import re
 
+    ifs = _IndexFS(dir_path, file_io)
     # Same in-flight guard as compact_ivf_pq_index: a streaming publish
     # racing the rebuild would finish into the superseded generation
     # AFTER its checkpoint commits — the batch's rows would be absent
     # from the served index forever, with no replay (r9 review find).
-    stages = glob.glob(os.path.join(dir_path, "_stage-batch-*"))
+    stages = ifs.stage_batches()
     if stages:
         raise RuntimeError(
             f"ivf-pq index rebuild: streaming append in flight "
-            f"({os.path.basename(stages[0])}); quiesce the stream first"
+            f"({stages[0]}); quiesce the stream first"
         )
 
     cents, books = _ivfpq_fit(
@@ -1374,11 +1502,7 @@ def build_ivf_pq_index(
     # meta pointing at half-written new-quantizer codes.  Same posture
     # as compact_ivf_pq_index: write the rebuild into the NEXT
     # generation directory, flip atomically, clean up after.
-    idx_json = os.path.join(dir_path, "index.json")
-    prev = None
-    if os.path.exists(idx_json):
-        with open(idx_json) as f:
-            prev = json.load(f)
+    prev = ifs.read_json("index.json")
     if prev is None:
         codes_dir = "codes"
     else:
@@ -1412,13 +1536,9 @@ def build_ivf_pq_index(
         _fold_key(x) for x in (prev or {}).get("folded_batches", [])
     }
     if prev is not None:
-        cur_dir = prev.get("codes_dir", "codes")
-        for f_ in glob.glob(
-            os.path.join(dir_path, cur_dir, "*", "b*.parquet")
-        ):
+        for name in ifs.batch_file_names(prev.get("codes_dir", "codes")):
             m = re.fullmatch(
-                r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet",
-                os.path.basename(f_),
+                r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", name
             )
             if m:
                 folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
@@ -1426,23 +1546,18 @@ def build_ivf_pq_index(
         meta["folded_batches"] = sorted(
             f"{h}:{i}" for h, i in _fold_hwm(sorted(folded)).items()
         )
-    _write_index_meta(dir_path, meta)
+    ifs.write_json_atomic(meta, "index.json")
     # Only after the atomic flip: remove superseded generations (they
     # leak unreferenced storage otherwise).  Cleanup BEFORE the flip
     # would leave a crash window where the live index.json points at a
     # deleted directory; keep_old=True defers it entirely so in-flight
     # readers of the previous generation can drain.
     if not keep_old:
-        import re
-        import shutil
-
-        for name in os.listdir(dir_path):
+        for name in ifs.ls():
             if name != codes_dir and (
                 name == "codes" or re.fullmatch(r"codes-v\d+", name)
             ):
-                shutil.rmtree(
-                    os.path.join(dir_path, name), ignore_errors=True
-                )
+                ifs.rmtree(name)
     return meta
 
 
@@ -1474,19 +1589,6 @@ def _fold_hwm(entries) -> dict[str, int]:
     return hwm
 
 
-def _write_index_meta(dir_path: str, meta: dict) -> None:
-    """Atomic index.json publish (temp + rename): readers see either
-    the old or the new generation, never a torn file."""
-    import json
-    import os
-    import tempfile
-
-    fd, tmp = tempfile.mkstemp(dir=dir_path, suffix=".idx.tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(dir_path, "index.json"))
-
-
 def ivf_pq_index_top_k(
     spark,
     dir_path: str,
@@ -1496,6 +1598,7 @@ def ivf_pq_index_top_k(
     k: int = 10,
     nprobe: int = 4,
     use_arrow: bool = False,
+    file_io: dict | None = None,
 ) -> DataFrame:
     """Serve ANN queries from a :func:`build_ivf_pq_index` directory.
 
@@ -1507,12 +1610,17 @@ def ivf_pq_index_top_k(
     join, score m array lookups per candidate, top-k with shuffle-side
     partial limits.  Returns (query_id, neighbor_id, adc_distance,
     rank), identical to :func:`ivf_pq_top_k` with the same parameters.
+
+    ``file_io`` routes the index.json read through the fileio seam
+    (:class:`_IndexFS`); the codes scan stays Spark/Hadoop-side.
     """
-    import json
     import os
 
-    with open(os.path.join(dir_path, "index.json")) as f:
-        meta = json.load(f)
+    meta = _IndexFS(dir_path, file_io).read_json("index.json")
+    if meta is None:
+        raise FileNotFoundError(
+            f"no index.json under {dir_path!r} — not a built ivf-pq index"
+        )
     cents = meta["centroids"]
     books = meta["codebooks"]
     codes = spark.read.parquet(
@@ -1538,6 +1646,7 @@ def ivf_pq_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    file_io: dict | None = None,
 ) -> None:
     """Fold new vectors into a persisted IVFADC index WITHOUT
     retraining — the standard streaming-ingest posture (FAISS
@@ -1552,11 +1661,13 @@ def ivf_pq_index_append(
     ``__cell=`` directory, so dynamic partition pruning keeps working
     unchanged.
     """
-    import json
     import os
 
-    with open(os.path.join(dir_path, "index.json")) as f:
-        meta = json.load(f)
+    meta = _IndexFS(dir_path, file_io).read_json("index.json")
+    if meta is None:
+        raise FileNotFoundError(
+            f"no index.json under {dir_path!r} — not a built ivf-pq index"
+        )
     cb = _ivfpq_encode_corpus(
         new_corpus,
         meta["centroids"],
@@ -1572,7 +1683,8 @@ def ivf_pq_index_append(
 
 
 def compact_ivf_pq_index(
-    spark, dir_path: str, keep_old: bool = False
+    spark, dir_path: str, keep_old: bool = False,
+    file_io: dict | None = None,
 ) -> dict:
     """Binpack the persisted index's codes table into one file per
     coarse cell — the maintenance pass ingest-heavy indexes need:
@@ -1600,19 +1712,21 @@ def compact_ivf_pq_index(
     ``folded_batches`` so a later CRASH-REPLAY of one of those batches
     is a no-op instead of a duplicate publish — but the guard is
     advisory, not a lock.  Returns the updated meta."""
-    import glob
-    import json
     import os
     import re
 
-    stages = glob.glob(os.path.join(dir_path, "_stage-batch-*"))
+    ifs = _IndexFS(dir_path, file_io)
+    stages = ifs.stage_batches()
     if stages:
         raise RuntimeError(
             f"ivf-pq index compaction: streaming append in flight "
-            f"({os.path.basename(stages[0])}); quiesce the stream first"
+            f"({stages[0]}); quiesce the stream first"
         )
-    with open(os.path.join(dir_path, "index.json")) as f:
-        meta = json.load(f)
+    meta = ifs.read_json("index.json")
+    if meta is None:
+        raise FileNotFoundError(
+            f"no index.json under {dir_path!r} — not a built ivf-pq index"
+        )
     cur = meta.get("codes_dir", "codes")
     gen = int(cur.rsplit("-v", 1)[1]) if "-v" in cur else 1
     new = f"codes-v{gen + 1}"
@@ -1622,10 +1736,8 @@ def compact_ivf_pq_index(
     # Keys are '<stream-hash>:<batch-id>' (batch ids are only unique
     # per checkpoint; the sink's stream_id scopes them).
     folded = {_fold_key(x) for x in meta.get("folded_batches", [])}
-    for f_ in glob.glob(os.path.join(dir_path, cur, "*", "b*.parquet")):
-        m = re.fullmatch(
-            r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", os.path.basename(f_)
-        )
+    for name in ifs.batch_file_names(cur):
+        m = re.fullmatch(r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", name)
         if m:
             folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
     codes = spark.read.parquet(os.path.join(dir_path, cur))
@@ -1640,9 +1752,7 @@ def compact_ivf_pq_index(
     meta["folded_batches"] = sorted(
         f"{h}:{i}" for h, i in _fold_hwm(sorted(folded)).items()
     )
-    _write_index_meta(dir_path, meta)
+    ifs.write_json_atomic(meta, "index.json")
     if not keep_old:
-        import shutil
-
-        shutil.rmtree(os.path.join(dir_path, cur), ignore_errors=True)
+        ifs.rmtree(cur)
     return meta

@@ -3364,3 +3364,121 @@ def test_iceberg_hash_null_maps_to_null():
     )
     got = [r.h for r in u.select(iceberg_hash_uuid(F.col("u")).alias("h")).collect()]
     assert got == [1488055340, None]
+
+
+def test_ivfpq_index_metadata_plane_through_injected_fs(spark, tmp_path):
+    """VERDICT r9 #4: the persisted-index METADATA plane (index.json
+    read/write, the _stage-batch-* guard, fold-ledger file listing,
+    generation cleanup) routes through the fileio seam.  Full
+    build→serve→append→compact lifecycle with an injected pyarrow
+    SubTreeFileSystem — the same _IndexFS branch s3://gs:// take — and
+    the DPP plan pin still holds over the compacted layout."""
+    import json
+    import os
+
+    import pyarrow.fs as pafs
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_top_k,
+        ivf_pq_top_k,
+    )
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    # The codes table flows through Spark's Hadoop layer (absolute
+    # local path); every METADATA byte flows through the injected
+    # connector, whose subtree root maps "/" of the FS onto the real
+    # filesystem — the exact dual-plane split a real s3:// deployment
+    # has (s3a for the table, pyarrow connector for the metadata).
+    fio = {
+        "pyarrow_filesystem": pafs.SubTreeFileSystem(
+            "/", pafs.LocalFileSystem()
+        )
+    }
+    idx = str(tmp_path / "remote_idx")
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+
+    meta = build_ivf_pq_index(
+        e, idx, nlist=8, m=8, ksub=16, file_io=fio
+    )
+    # index.json was published via the connector's single-object PUT
+    # (no .idx.tmp temp+rename litter) and parses back
+    assert json.load(open(os.path.join(idx, "index.json")))["nlist"] == 8
+    assert not [n for n in os.listdir(idx) if n.endswith(".idx.tmp")]
+
+    served = ivf_pq_index_top_k(spark, idx, q, k=5, nprobe=3, file_io=fio)
+    direct = ivf_pq_top_k(e, q, k=5, nprobe=3, nlist=8, m=8, ksub=16)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # append through the seam, then compact: generation flips to
+    # codes-v2 via connector ops, superseded dir removed via connector
+    extra = e.where(F.col("vec_id") >= 450).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    ivf_pq_index_append(spark, idx, extra, file_io=fio)
+    meta2 = compact_ivf_pq_index(spark, idx, file_io=fio)
+    assert meta2["codes_dir"] == "codes-v2"
+    assert sorted(
+        n for n in os.listdir(idx) if n.startswith("codes")
+    ) == ["codes-v2"]
+
+    # a streaming stage marker visible through the connector blocks
+    # both rebuild and compaction
+    os.makedirs(os.path.join(idx, "_stage-batch-deadbeef00000001"))
+    with pytest.raises(RuntimeError, match="in flight"):
+        compact_ivf_pq_index(spark, idx, file_io=fio)
+    with pytest.raises(RuntimeError, match="in flight"):
+        build_ivf_pq_index(e, idx, nlist=8, m=8, ksub=16, file_io=fio)
+    os.rmdir(os.path.join(idx, "_stage-batch-deadbeef00000001"))
+
+    # DPP pin holds over the injected-FS-compacted layout; the
+    # appended vectors (exact duplicates at vec_id+10000) are served
+    out = ivf_pq_index_top_k(spark, idx, q, k=5, nprobe=3, file_io=fio)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(r.rank <= 5 for r in rows)
+
+
+def test_index_fs_remote_root_isolation(tmp_path):
+    """_IndexFS path mapping under a REMOTE-rooted connector: with a
+    SubTreeFileSystem standing in for a bucket, metadata operations
+    resolve inside the store root — reads, atomic JSON publish, stage
+    listing, recursive batch-file listing and generation removal all
+    land under the subtree, never on the raw local path."""
+    import os
+
+    import pyarrow.fs as pafs
+
+    from ic_spark.operators.similarity import _IndexFS
+
+    store = tmp_path / "bucket"
+    (store / "idx" / "codes" / "__cell=1").mkdir(parents=True)
+    (store / "idx" / "codes" / "__cell=1" / "b0000000700000002-0000.parquet").write_bytes(b"x")
+    (store / "idx" / "_stage-batch-00000003").mkdir()
+    fio = {
+        "pyarrow_filesystem": pafs.SubTreeFileSystem(
+            str(store), pafs.LocalFileSystem()
+        )
+    }
+    ifs = _IndexFS("idx", fio)
+
+    assert ifs.read_json("index.json") is None
+    ifs.write_json_atomic({"codes_dir": "codes"}, "index.json")
+    assert (store / "idx" / "index.json").is_file()
+    assert not os.path.exists("idx")  # nothing leaked to the raw path
+    assert ifs.read_json("index.json") == {"codes_dir": "codes"}
+    assert ifs.stage_batches() == ["_stage-batch-00000003"]
+    assert ifs.batch_file_names("codes") == [
+        "b0000000700000002-0000.parquet"
+    ]
+    ifs.rmtree("codes")
+    assert not (store / "idx" / "codes").exists()
+    ifs.rmtree("codes")  # missing-ok, like shutil.rmtree(ignore_errors)

@@ -522,3 +522,78 @@ def test_distributed_dv_commit_over_spec_metadata(spark, tmp_path):
     _, pos, _ = tbl.scan_tasks()
     assert [t.file_format for t in pos] == ["puffin"]
     assert pos[0].record_count == 10  # per-vector cardinality summed
+
+
+def test_dv_commit_unions_carried_blobs_across_superseded_files(
+    spark, tmp_path
+):
+    """Two SUPERSEDED puffin files both carrying a DV for the same
+    untouched data file: the carried bitmaps must UNION (the r10
+    dv_fold extraction fix — the old separate carried dict last-wins-
+    overwrote, silently resurrecting deleted rows)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ic_spark.compaction.deletes import commit_deletion_vectors
+    from ic_spark.compaction.manifest import ManifestTable
+
+    paths = {}
+    for name, lo in [("A", 0), ("B", 100), ("R", 200)]:
+        d = str(tmp_path / f"dvu_{name}")
+        spark.range(lo, lo + 50).coalesce(1).write.parquet(d)
+        paths[name] = next(
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+    table = ManifestTable(str(tmp_path / "dvu_tbl"))
+    table.append_snapshot(
+        [
+            {"path": paths[n], "sequence_number": 1, "content": "DATA"}
+            for n in "ABR"
+        ]
+    )
+
+    def dv(ref, positions):
+        return PuffinBlob(
+            type=DV_BLOB_TYPE,
+            data=serialize_dv_blob(positions),
+            properties={
+                "referenced-data-file": paths[ref],
+                "cardinality": str(len(positions)),
+            },
+        )
+
+    p1 = str(tmp_path / "dvu_p1" / "deletes.puffin")
+    write_puffin(p1, [dv("A", [0]), dv("R", [1])])
+    p2 = str(tmp_path / "dvu_p2" / "deletes.puffin")
+    write_puffin(p2, [dv("B", [0]), dv("R", [2])])
+    table.append_snapshot(
+        [
+            {
+                "path": p,
+                "sequence_number": 2,
+                "content": "POSITION_DELETES",
+                "file_format": "puffin",
+            }
+            for p in (p1, p2)
+        ]
+    )
+
+    # New deletes touch A and B → BOTH puffin files are superseded; R's
+    # two carried bitmaps {1} and {2} must survive as their union.
+    matches = spark.createDataFrame(
+        [(paths["A"], 5), (paths["B"], 5)], "file_path string, pos long"
+    )
+    commit_deletion_vectors(spark, table, matches)
+
+    _data, pos, _eq = table.scan_tasks()
+    refs: dict[str, set[int]] = {}
+    for t in pos:
+        for b in read_puffin(t.data_file_path):
+            ref = b.properties.get("referenced-data-file", "")
+            refs.setdefault(ref, set()).update(deserialize_dv_blob(b.data))
+    assert refs[paths["R"]] == {1, 2}
+    assert refs[paths["A"]] == {0, 5}
+    assert refs[paths["B"]] == {0, 5}
