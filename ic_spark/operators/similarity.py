@@ -98,7 +98,19 @@ def hyperplane_lsh_buckets(
         bits.append(f"(CASE WHEN {_dot_sql(v, pa)} > 0.0D THEN {1 << i}L ELSE 0L END)")
     # One JVM-side parse instead of n_planes x dim F.lit py4j round trips
     # (same Catalyst tree, same sign decisions — see _centroid_cosines).
-    return df.withColumn(bucket_col, F.expr(" | ".join(bits)))
+    # The size guard fails LOUDLY on a dim mismatch: zip_with pads a
+    # short plane with NULLs, every dot goes NULL, every bit 0, and ALL
+    # rows silently collapse into bucket 0 — the equi-join degrades to
+    # a full cross join with correct-looking results (r10 review find).
+    return df.withColumn(
+        bucket_col,
+        F.expr(
+            f"IF(size({v}) = {dim}, {' | '.join(bits)}, "
+            f"CAST(raise_error(CONCAT('hyperplane_lsh_buckets: dim=', "
+            f"'{dim}', ' but vector has length ', "
+            f"CAST(size({v}) AS STRING))) AS BIGINT))"
+        ),
+    )
 
 
 def lsh_top_k(
@@ -153,8 +165,12 @@ def lsh_top_k(
             "neighbor_id",
             cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__cos"),
         )
-        # A pair can meet in several probe buckets — dedupe before rank.
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # No pair dedupe needed: the probe values {bucket, bucket^1,
+        # bucket^2, ...} are pairwise distinct and each corpus row has
+        # exactly ONE bucket, so a (query, neighbor) pair can meet in
+        # at most one probe bucket.  The dropDuplicates this carried
+        # was a no-op that shuffled the operator's largest
+        # intermediate a second time (r10 review find).
     )
     return grouped_top_k(
         scored, ["query_id"], [F.col("__cos").desc(), F.col("neighbor_id").asc()], k
@@ -208,6 +224,13 @@ def ivf_centroids(
         # Downstream expressions (sequence(-1, -nlist, -1)) are invalid
         # for zero centroids; fail with the actual cause instead.
         raise ValueError("ivf_centroids: corpus has no rows to seed from")
+    if refine_iters:
+        # Same guard as pq_codebooks' refine pass: a one-file corpus
+        # gets one scan partition, and the nlist interpreted-cosine
+        # assignment below would serialize onto a single core.
+        from ic_spark.operators.dedup import _spread
+
+        corpus = _spread(corpus)
     for _ in range(refine_iters):
         assigned = corpus.select(
             _nearest_centroid_idx(vec_col, cents).alias("__cell"),
@@ -287,6 +310,35 @@ def _nearest_centroid_idx(vec_col: str, cents: list[list[float]]) -> F.Column:
     return (-best["ni"]).cast("int")
 
 
+def _as_matrix(vecs):
+    """Arrow batch → (n, dim) float64 matrix for the vector kernels,
+    failing LOUDLY on NULL or ragged rows: np.asarray(None) otherwise
+    surfaces as an executor-side TypeError with no hint of which input
+    was dirty (r10 review find).  The expression paths (use_arrow=
+    False) tolerate such rows as NULL cosines; the Arrow kernels
+    require clean fixed-dim vectors and say so."""
+    if any(v is None for v in vecs):
+        raise ValueError(
+            "arrow vector kernel: NULL embedding row in batch (clean "
+            "the column, or use use_arrow=False — the expression path "
+            "treats such rows as NULL cosines)"
+        )
+    try:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            "arrow vector kernel: NULL or non-numeric embedding row in "
+            "batch (clean the column, or use use_arrow=False — the "
+            "expression path treats such rows as NULL cosines)"
+        ) from e
+    if M.ndim != 2:
+        raise ValueError(
+            "arrow vector kernel: ragged embedding lengths in batch "
+            "(all vectors must share one dimension)"
+        )
+    return M
+
+
 def _arrow_cell_assigner(cents: list[list[float]]):
     """Vectorized (Arrow-batched numpy) nearest-cell assignment — the
     scale path for the corpus side.  The expression form evaluates
@@ -300,15 +352,28 @@ def _arrow_cell_assigner(cents: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.maximum(cnorm, 1e-300)
+    # Zero-norm centroids: the expression path's cosine is NULL there
+    # (x/0.0 is NULL in Spark), and NULL never wins the struct-max —
+    # but NaN WINS np.argmax, so an unguarded 0/0 sent the ENTIRE
+    # corpus to the zero-norm cell (r10 review find, execution-
+    # verified).  Mask those columns to -inf so they never win.
+    dead = cnorm.ravel() == 0.0
 
     # No parameter type hints: `from __future__ import annotations`
     # stringifies them, which pandas_udf's hint inference rejects.
     def assign(vecs):
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        sims = M @ Cn.T  # (rows, nlist)
-        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+        M = _as_matrix(vecs)
+        mnorm = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.maximum(mnorm, 1e-300)
+        sims = Mn @ Cn.T  # (rows, nlist)
+        sims[:, dead] = -np.inf
+        cell0 = np.argmax(sims, axis=1)
+        # Zero-norm ROWS: every expression cosine is NULL, so the
+        # expression path keeps its initial candidate — centroid 0.
+        cell0[mnorm.ravel() == 0.0] = 0
+        return pd.Series(cell0 + 1, dtype="int32")
 
     return pandas_udf(assign, "int")
 
@@ -659,7 +724,7 @@ def _arrow_pq_encoder(books: list[list[list[float]]]):
     def enc(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = _as_matrix(vecs)
         out = np.empty((M.shape[0], m), dtype=np.int64)
         for j in range(m):
             sub = M[:, j * dsub : (j + 1) * dsub]
@@ -690,7 +755,10 @@ def _arrow_cell_residual_encoder(
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.maximum(cnorm, 1e-300)
+    dead = cnorm.ravel() == 0.0  # same NULL-cosine guard as
+    # _arrow_cell_assigner: a zero-norm centroid must never win argmax
     B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
     m, _ksub, dsub = B.shape
 
@@ -699,9 +767,13 @@ def _arrow_cell_residual_encoder(
     def enc(vecs):
         if len(vecs) == 0:
             return pd.DataFrame({"cell": [], "codes": []})
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        cell0 = np.argmax(Mn @ Cn.T, axis=1)  # ties -> lowest index
+        M = _as_matrix(vecs)
+        mnorm = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.maximum(mnorm, 1e-300)
+        sims = Mn @ Cn.T
+        sims[:, dead] = -np.inf
+        cell0 = np.argmax(sims, axis=1)  # ties -> lowest index
+        cell0[mnorm.ravel() == 0.0] = 0  # all-NULL cosines -> centroid 0
         R = M - C[cell0]  # exact per-element subtraction
         codes = np.empty((M.shape[0], m), dtype=np.int64)
         for j in range(m):
@@ -728,7 +800,11 @@ def _arrow_top_cells(cents: list[list[float]], nprobe: int):
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(cents, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.maximum(cnorm, 1e-300)
+    dead = cnorm.ravel() == 0.0  # NULL-cosine cells probe LAST, in
+    # index order — the expression ranking's rule; unmasked NaN landed
+    # there too (argsort NaN-last) but with undefined tie order
     nprobe = min(nprobe, len(cents))
 
     # No parameter type hints: `from __future__ import annotations`
@@ -736,9 +812,11 @@ def _arrow_top_cells(cents: list[list[float]], nprobe: int):
     def top(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = _as_matrix(vecs)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        order = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        sims = Mn @ Cn.T
+        sims[:, dead] = -np.inf
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([(row + 1).tolist() for row in order], dtype=object)
 
     return pandas_udf(top, "array<int>")
@@ -761,7 +839,10 @@ def _arrow_query_lut(
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.maximum(cnorm, 1e-300)
+    dead = cnorm.ravel() == 0.0  # same NULL-cosine mask as
+    # _arrow_top_cells: zero-norm cells probe last, in index order
     B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = B.shape
     nprobe = min(nprobe, len(cents))
@@ -771,9 +852,10 @@ def _arrow_query_lut(
     def probe(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = _as_matrix(vecs)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
         sims = Mn @ Cn.T  # (n, nlist)
+        sims[:, dead] = -np.inf
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         R = M[:, None, :] - C[order]  # (n, nprobe, dim) exact residuals
         lut = np.empty((M.shape[0], nprobe, m, ksub), dtype=np.float64)
@@ -849,7 +931,7 @@ def _arrow_lut_builder(books: list[list[list[float]]]):
     def build(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = _as_matrix(vecs)
         out = np.empty((M.shape[0], m, ksub), dtype=np.float64)
         for j in range(m):
             sub = M[:, j * dsub : (j + 1) * dsub]
@@ -1162,25 +1244,36 @@ def _ivfpq_query_side(
             F.col("__p.cell").alias("__cell"),
             F.col("__p.lut").alias("__lut"),
         )
-    coss = _centroid_cosines(vec_col, cents)
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(
-                coss,
-                F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+    if use_arrow:
+        # residual=False with use_arrow still deserves the Arrow probe
+        # ranking: the literal-centroid ranked expression below is the
+        # exact nlist × dim parse/bind fixed cost the flag exists to
+        # remove (r10 review find — the fused kernel only covers the
+        # residual=True path).
+        probe_cells = F.explode(
+            _arrow_top_cells(cents, nprobe)(_as_dl(vec_col))
+        )
+    else:
+        coss = _centroid_cosines(vec_col, cents)
+        ranked = F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    coss,
+                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
+                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
+                )
             )
         )
-    )
-    qprobe = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_dl(vec_col).alias("__qv"),
-        F.explode(
+        probe_cells = F.explode(
             F.transform(
                 F.slice(ranked, 1, nprobe),
                 lambda s: (-s["ni"]).cast("int"),
             )
-        ).alias("__cell"),
+        )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_dl(vec_col).alias("__qv"),
+        probe_cells.alias("__cell"),
     ).select(
         "query_id",
         "__cell",
@@ -1358,8 +1451,17 @@ class _IndexFS:
                 json.dump(meta, f)
             os.replace(tmp, p)
             return
-        with self.fs.open_output_stream(p) as f:
+        # Write-to-temp-name + move, not truncate-in-place: an injected
+        # local-backed filesystem (the test seam) would otherwise expose
+        # a torn index.json to a concurrent reader.  On real object
+        # stores move is copy+delete, but the copy's PUT of the final
+        # object is itself atomic, so readers still see old-or-new.
+        import uuid
+
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with self.fs.open_output_stream(tmp) as f:
             f.write(json.dumps(meta).encode("utf-8"))
+        self.fs.move(tmp, p)
 
     def ls(self, *parts: str) -> list[str]:
         """Basenames directly under ``parts`` ([] if missing)."""
@@ -1385,10 +1487,17 @@ class _IndexFS:
         import os
 
         if self.fs is None:
+            # glob.escape the directory portion: an index path with
+            # [, ], ? or * would otherwise silently match nothing and
+            # drop folded batch ids from the ledger (r10 review find).
             return [
                 os.path.basename(f)
                 for f in _glob.glob(
-                    os.path.join(self.root, subdir, "*", "b*.parquet")
+                    os.path.join(
+                        _glob.escape(os.path.join(self.root, subdir)),
+                        "*",
+                        "b*.parquet",
+                    )
                 )
             ]
         from pyarrow import fs as pafs
@@ -1536,12 +1645,7 @@ def build_ivf_pq_index(
         _fold_key(x) for x in (prev or {}).get("folded_batches", [])
     }
     if prev is not None:
-        for name in ifs.batch_file_names(prev.get("codes_dir", "codes")):
-            m = re.fullmatch(
-                r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", name
-            )
-            if m:
-                folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
+        folded |= _folded_batch_keys(ifs, prev.get("codes_dir", "codes"))
     if folded:
         meta["folded_batches"] = sorted(
             f"{h}:{i}" for h, i in _fold_hwm(sorted(folded)).items()
@@ -1559,6 +1663,23 @@ def build_ivf_pq_index(
             ):
                 ifs.rmtree(name)
     return meta
+
+
+def _folded_batch_keys(ifs: _IndexFS, subdir: str) -> set[str]:
+    """``'<stream-hash>:<batch-id>'`` keys of every published streaming
+    file (``b<hash><batch>-<i>.parquet``) under one codes generation —
+    the SINGLE spelling of the append sink's file-name contract
+    (streaming/sink.py), shared by build and compact so the regex
+    cannot drift between them (r10 review find; the build copy also
+    shadowed its ``m`` PQ parameter with the regex match)."""
+    import re
+
+    keys: set[str] = set()
+    for name in ifs.batch_file_names(subdir):
+        mt = re.fullmatch(r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", name)
+        if mt:
+            keys.add(f"{mt.group(1) or ''}:{int(mt.group(2))}")
+    return keys
 
 
 def _fold_key(x) -> str:
@@ -1736,10 +1857,7 @@ def compact_ivf_pq_index(
     # Keys are '<stream-hash>:<batch-id>' (batch ids are only unique
     # per checkpoint; the sink's stream_id scopes them).
     folded = {_fold_key(x) for x in meta.get("folded_batches", [])}
-    for name in ifs.batch_file_names(cur):
-        m = re.fullmatch(r"b([0-9a-f]{8})?(\d{8})-\d{4}\.parquet", name)
-        if m:
-            folded.add(f"{m.group(1) or ''}:{int(m.group(2))}")
+    folded |= _folded_batch_keys(ifs, cur)
     codes = spark.read.parquet(os.path.join(dir_path, cur))
     codes.repartition(F.col("__cell")).write.mode("overwrite").partitionBy(
         "__cell"

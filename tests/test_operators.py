@@ -3482,3 +3482,117 @@ def test_index_fs_remote_root_isolation(tmp_path):
     ifs.rmtree("codes")
     assert not (store / "idx" / "codes").exists()
     ifs.rmtree("codes")  # missing-ok, like shutil.rmtree(ignore_errors)
+
+
+def test_arrow_cell_assigners_zero_norm_centroid_matches_expression(
+    spark,
+):
+    """A zero-norm seed centroid (empty doc, failed encode) must lose
+    the argmax in the Arrow kernels exactly as its NULL cosine loses
+    the expression struct-max — pre-fix, NaN won np.argmax and the
+    ENTIRE corpus landed in the zero-norm cell (r10 review find)."""
+    from ic_spark.operators.similarity import (
+        _arrow_cell_assigner,
+        _arrow_cell_residual_encoder,
+        _arrow_top_cells,
+        _nearest_centroid_idx,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0]), (3, [0.5, 0.5]),
+         (4, [0.0, 0.0])],  # zero-norm ROW: all-NULL cosines -> cell 1
+        "id long, v array<double>",
+    )
+    expr = {
+        r.id: r.cell
+        for r in df.select(
+            "id", _nearest_centroid_idx("v", cents).alias("cell")
+        ).collect()
+    }
+    arrow = {
+        r.id: r.cell
+        for r in df.select(
+            "id", _arrow_cell_assigner(cents)(F.col("v")).alias("cell")
+        ).collect()
+    }
+    assert arrow == expr == {1: 1, 2: 3, 3: 1, 4: 1}
+    books = [[[0.0], [1.0]], [[0.0], [1.0]]]
+    fused = {
+        r.id: r.cc.cell
+        for r in df.select(
+            "id",
+            _arrow_cell_residual_encoder(cents, books)(F.col("v")).alias(
+                "cc"
+            ),
+        ).collect()
+    }
+    assert fused == expr
+    # probe ranking: the zero-norm cell is probed LAST
+    probes = df.where("id = 1").select(
+        _arrow_top_cells(cents, 3)(F.col("v")).alias("p")
+    ).collect()[0].p
+    assert probes[-1] == 2 and set(probes) == {1, 2, 3}
+
+
+def test_arrow_kernels_fail_loudly_on_null_embedding(spark):
+    """use_arrow kernels raise a NAMED error on a NULL embedding row
+    instead of numpy's bare TypeError (the expression paths tolerate
+    such rows as NULL cosines — the message says to use them)."""
+    from ic_spark.operators.similarity import _arrow_cell_assigner
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="NULL embedding row"):
+        df.select(
+            _arrow_cell_assigner([[1.0, 0.0]])(F.col("v")).alias("c")
+        ).collect()
+
+
+def test_lsh_bucket_dim_mismatch_raises(spark):
+    """hyperplane_lsh_buckets fails LOUDLY when dim doesn't match the
+    vectors — pre-fix every dot went NULL via zip_with padding and all
+    rows silently collapsed into bucket 0, degrading the bucket
+    equi-join to a full cross join with correct-looking results."""
+    from ic_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+        lsh_top_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector has length 32"):
+        hyperplane_lsh_buckets(df, "embedding", 64).collect()
+    # and the matched dim still works end-to-end
+    ok = hyperplane_lsh_buckets(df, "embedding", 32).collect()
+    assert len(ok) == 1
+
+
+def test_lsh_topk_no_pair_dedupe_shuffle(spark):
+    """Multiprobe geometry: probe values are pairwise distinct and each
+    corpus row has ONE bucket, so a pair meets in at most one probe
+    bucket — results need no dropDuplicates, and the plan must not
+    carry the extra exchange it used to (r10 review find)."""
+    from ic_spark.operators.similarity import lsh_top_k
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = lsh_top_k(e, e.where(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate pairs emitted
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the top-k window's exchange remains; the dedupe's
+    # hashpartitioning(query_id, neighbor_id) exchange is gone
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert any("query_id#" in line for line in ex)
+    assert not any(
+        "query_id#" in line and "neighbor_id#" in line for line in ex
+    ), ex

@@ -26,7 +26,10 @@ spark.sparkContext.setLogLevel("ERROR")
 from ic_spark.tables import TABLES, load_table  # noqa: E402
 
 for t in TABLES:
-    load_table(spark, SF, t).count()
+    try:  # partial dirs (e.g. the sf1 probe set has no events table)
+        load_table(spark, SF, t).count()
+    except Exception:
+        pass
 from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 
