@@ -51,10 +51,33 @@ from pyspark.sql.types import (
 )
 
 
+def _same_ignoring_nullability(a: DataType, b: DataType) -> bool:
+    """Structural type equality with nested nullability ignored —
+    Spark's ``DataType.__eq__`` is containsNull/valueContainsNull/
+    nullable-sensitive, so a file holding required list elements was
+    falsely rejected as "not promotable" to the identical element type
+    with relaxed nullability (r10 review find)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return _same_ignoring_nullability(a.elementType, b.elementType)
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        return _same_ignoring_nullability(
+            a.keyType, b.keyType
+        ) and _same_ignoring_nullability(a.valueType, b.valueType)
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        return len(a.fields) == len(b.fields) and all(
+            fa.name == fb.name
+            and _same_ignoring_nullability(fa.dataType, fb.dataType)
+            for fa, fb in zip(a.fields, b.fields)
+        )
+    return a == b
+
+
 def is_promotable(src: DataType, dst: DataType) -> bool:
     """True iff reading ``src``-typed file data under a ``dst``-typed
     request column is identical or an Iceberg-spec widening promotion."""
-    if src == dst:
+    if _same_ignoring_nullability(src, dst):
         return True
     if isinstance(src, IntegerType) and isinstance(dst, LongType):
         return True
@@ -84,11 +107,50 @@ def evolved_projection(
     for every row of the other generation's files.
     """
     phys = {f.name: f.dataType for f in physical.fields}
+    # Spark resolves columns case-insensitively by default; an exact
+    # lookup silently NULL-filled a field differing only in case from
+    # the footer spelling (r10 review find).  Exact match wins; the
+    # folded map only fills in when it is unambiguous.
+    folded: dict[str, str] = {}
+    for name in phys:
+        folded[name.lower()] = (
+            None if name.lower() in folded else name  # type: ignore[assignment]
+        )
+
+    def resolve(n: str) -> str | None:
+        if n in phys:
+            return n
+        return folded.get(n.lower())
+
+    # A name that is BOTH a field's current name and another field's
+    # prior alias cannot resolve by name at all: in pre-rename files
+    # the physical column holds the OLD field's data, which a plain
+    # name match would resurrect under the NEW field (r10 review find).
+    for field in request_schema.fields:
+        for other in request_schema.fields:
+            if other.name != field.name and field.name in _aliases(
+                name_mapping, other.name
+            ):
+                raise ValueError(
+                    f"schema evolution: name '{field.name}' is both a "
+                    f"current field and a prior name of '{other.name}' "
+                    "— name-mapping resolution is ambiguous (old files' "
+                    f"'{field.name}' data belongs to '{other.name}'); "
+                    "reuse of renamed-away names needs field-id "
+                    "metadata (spec-metadata tables)"
+                )
     cols = []
     for field in request_schema.fields:
-        present = [
-            n for n in [field.name, *_aliases(name_mapping, field.name)] if n in phys
-        ]
+        present = list(
+            dict.fromkeys(  # a case-folded hit can repeat: keep one
+                rn
+                for rn in (
+                    resolve(n)
+                    for n in [field.name, *_aliases(name_mapping, field.name)]
+                )
+                if rn is not None
+            )
+        )
         for n in present:
             if not is_promotable(phys[n], field.dataType):
                 raise ValueError(
@@ -98,26 +160,41 @@ def evolved_projection(
                     "(Iceberg allows int->long, float->double, and decimal "
                     "precision widening at equal scale)"
                 )
+        # Backtick-quote physical names: F.col parses bare dots as
+        # nested-field access (r10 review find).
+        def _c(n: str):
+            return F.col("`" + n.replace("`", "``") + "`")
+
         if not present:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         elif len(present) == 1:
-            cols.append(F.col(present[0]).cast(field.dataType).alias(field.name))
+            cols.append(_c(present[0]).cast(field.dataType).alias(field.name))
         else:
             cols.append(
                 F.coalesce(
-                    *[F.col(n).cast(field.dataType) for n in present]
+                    *[_c(n).cast(field.dataType) for n in present]
                 ).alias(field.name)
             )
     return cols
 
 
 def _local_path(path: str) -> str | None:
-    """Filesystem path for local files; None for object-store URIs."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    if "://" not in path:
-        return path
-    return None
+    """Filesystem path for local files; None for object-store URIs.
+
+    Handles BOTH file:-URI spellings — Hadoop Path emits the single-
+    slash ``file:/abs/path`` form — and percent-decodes the path part
+    (a ``file:///tmp/my%20dir`` URI previously reached pyarrow
+    verbatim and crashed footer validation at plan time; r10 review
+    find)."""
+    import re
+
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
+        return None  # object-store URI: manifest layer owns the check
+    return path
 
 
 def validate_file_schemas(
@@ -143,13 +220,34 @@ def validate_file_schemas(
         if local is None:
             continue
         if _os.path.isdir(local):  # tasks may reference a directory write
-            expanded.extend(
-                _os.path.join(local, n)
-                for n in sorted(_os.listdir(local))
-                if n.endswith(".parquet")
-            )
+            # RECURSIVE walk: a hive-partitioned directory has its
+            # parquet files under col=val/ subdirs — the flat listdir
+            # expanded to zero files and silently skipped validation,
+            # failing open on the decimal->int corruption case the
+            # pre-check exists to catch (r10 review find).
+            for root, _dirs, names in sorted(_os.walk(local)):
+                expanded.extend(
+                    _os.path.join(root, n)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                )
         else:
             expanded.append(local)
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def footer_ambiguous(src: DataType, dst: DataType) -> bool:
+        # A Parquet timestamp column maps to TIMESTAMP or
+        # TIMESTAMP_NTZ depending on isAdjustedToUTC + session conf;
+        # the arrow-footer view can't distinguish how Spark will
+        # read it — not a corruption case, leave it to the scan.
+        ts = (TimestampType, TimestampNTZType)
+        return isinstance(src, ts) and isinstance(dst, ts)
+
+    # Loop-invariant: the candidate name list per request field.
+    candidates = [
+        (field, [field.name, *_aliases(name_mapping, field.name)])
+        for field in request_schema.fields
+    ]
     for local in expanded:
         footer = pq.read_schema(local)
         phys: dict[str, DataType] = {}
@@ -158,18 +256,8 @@ def validate_file_schemas(
                 phys[name] = from_arrow_type(footer.types[i])
             except Exception:
                 continue  # exotic arrow type: let the scan decide
-        from pyspark.sql.types import TimestampNTZType, TimestampType
-
-        def footer_ambiguous(src: DataType, dst: DataType) -> bool:
-            # A Parquet timestamp column maps to TIMESTAMP or
-            # TIMESTAMP_NTZ depending on isAdjustedToUTC + session conf;
-            # the arrow-footer view can't distinguish how Spark will
-            # read it — not a corruption case, leave it to the scan.
-            ts = (TimestampType, TimestampNTZType)
-            return isinstance(src, ts) and isinstance(dst, ts)
-
-        for field in request_schema.fields:
-            for n in [field.name, *_aliases(name_mapping, field.name)]:
+        for field, names in candidates:
+            for n in names:
                 if (
                     n in phys
                     and not is_promotable(phys[n], field.dataType)

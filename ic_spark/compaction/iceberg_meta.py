@@ -1096,6 +1096,14 @@ class IcebergTable:
                 # identity pruning (manifest._comparable_pair needs it
                 # to map internal epoch ints back to literals).
                 field["source_type"] = st
+                if st == "uuid":
+                    # The logical marker transform_column and the
+                    # iceberg_bucket expression dispatch on — without
+                    # it a uuid column bucketed by its 36-char TEXT
+                    # instead of its 16 msb/lsb bytes, silently
+                    # non-interoperable with Iceberg-written layouts
+                    # (r10 review find).
+                    field["logical"] = "uuid"
             t = pf["transform"]
             if t.startswith("bucket["):
                 field["transform"] = "iceberg_bucket"

@@ -181,14 +181,53 @@ def apply_transform_py(spec: dict, value, source_type: str | None = None):
         from ic_spark.functions.iceberg_hash import py_hash_long, py_murmur3_32
 
         n = int(spec["n"])
+        st = source_type
         if isinstance(value, bool):
             return False, None
-        if isinstance(value, int):
+        # Dispatch on the RECORDED source type first, not the literal's
+        # Python class: an ISO string predicate against a timestamp-
+        # bucketed column hashed its 19 UTF-8 bytes instead of the
+        # epoch-micros long, yielding a wrong-but-plausible bucket id
+        # that silently pruned matching files (r10 review find).  The
+        # same gate stops an int literal pruning a string column.  With
+        # no recorded source_type, the literal's own shape must carry
+        # the decision (hive-flavor tables), as before.
+        if st == "date" or (
+            st is None
+            and isinstance(value, dt.date)
+            and not isinstance(value, dt.datetime)
+        ):
+            from ic_spark.compaction.manifest import _temporal_epoch
+
+            iv = _temporal_epoch(True, value)
+            if iv is None:
+                return False, None
+            h = py_hash_long(iv)  # spec: date hashes epoch days as long
+        elif st in ("timestamp", "timestamptz", "timestamp_ntz"):
+            from ic_spark.compaction.manifest import _temporal_epoch
+
+            iv = _temporal_epoch(False, value)
+            if iv is None:
+                return False, None
+            h = py_hash_long(iv)  # spec: timestamps hash epoch micros
+        elif st == "uuid" or spec.get("logical") == "uuid":
+            import uuid as _uuid
+
+            if not isinstance(value, str):
+                return False, None
+            try:
+                ub = _uuid.UUID(value).bytes
+            except ValueError:
+                return False, None
+            h = py_murmur3_32(ub)  # spec: the 16 msb/lsb bytes
+        elif isinstance(value, int):
+            if st not in (None, "int", "long"):
+                return False, None
             h = py_hash_long(value)  # spec: integrals promote to long
-        elif isinstance(value, str) and spec.get("logical") != "uuid":
+        elif isinstance(value, str):
+            if st not in (None, "string"):
+                return False, None
             h = py_murmur3_32(value.encode("utf-8"))
-        elif isinstance(value, dt.date) and not isinstance(value, dt.datetime):
-            h = py_hash_long((value - dt.date(1970, 1, 1)).days)
         else:
             return False, None
         return True, (h & 0x7FFFFFFF) % n

@@ -169,10 +169,23 @@ def iceberg_hash_uuid(col: Column) -> Column:
     (spec: java.util.UUID msb/lsb serialization == the hex digits).
     NULL hashes to NULL (spec: transforms map null to null — the
     coalescing hex reader otherwise hashed 16 zero bytes into a real
-    bucket; r9 review find)."""
+    bucket; r9 review find).  Malformed input fails LOUDLY: the hex
+    reader coalesces short/garbage input to zero bytes, which would
+    otherwise land the row in a deterministic valid-looking bucket —
+    silently non-interoperable placement (r10 review find)."""
+    hexed = F.upper(F.replace(col, F.lit("-"), F.lit("")))
     return F.when(
         col.isNotNull(),
-        _hash_hex(F.upper(F.replace(col, F.lit("-"), F.lit(""))), F.lit(16)),
+        F.when(
+            F.assert_true(
+                hexed.rlike("^[0-9A-F]{32}$"),
+                F.concat(
+                    F.lit("iceberg_hash_uuid: not a canonical uuid: "),
+                    col,
+                ),
+            ).isNull(),
+            _hash_hex(hexed, F.lit(16)),
+        ),
     )
 
 
@@ -290,15 +303,25 @@ def iceberg_bucket(
             )
         v = col.cast("long")
         if data_type is None:
-            # No type given: accept integral values but make a bad cast
-            # LOUD even with ANSI off (assert_true returns NULL when the
-            # predicate holds, so the `when` branch always selects v).
+            # No type given: require a genuinely INTEGRAL column, not
+            # merely a long-castable one — timestamp casts to epoch
+            # SECONDS and digit strings parse, both legal casts that
+            # would silently hash the wrong serialization (r10 review
+            # find; the old isNotNull guard only caught uncastable
+            # values).  typeof() is per-row but constant-folded cheap,
+            # and assert_true keeps the failure LOUD even with ANSI off.
             v = F.when(
                 F.assert_true(
-                    col.isNull() | v.isNotNull(),
-                    F.lit(
-                        "iceberg_bucket: value not castable to long — "
-                        "pass data_type for non-integral columns"
+                    F.typeof(col).isin(
+                        "tinyint", "smallint", "int", "bigint"
+                    ),
+                    F.concat(
+                        F.lit(
+                            "iceberg_bucket: data_type required for "
+                            "non-integral column (typeof="
+                        ),
+                        F.typeof(col),
+                        F.lit(")"),
                     ),
                 ).isNull(),
                 v,

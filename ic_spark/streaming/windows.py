@@ -44,7 +44,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        from ic_spark.tables import nanos_ts_to_micros
+
+        df = nanos_ts_to_micros(df)
     elif ts_type == "timestamp_ntz":
         # withWatermark requires TIMESTAMP (with tz).  The session tz is
         # pinned to UTC (ensure_session_confs), so this cast preserves

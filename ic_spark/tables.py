@@ -100,10 +100,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            # Integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
-            # double's 2^53 exact range, so float division is off by 1µs.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df = nanos_ts_to_micros(df)
     return df
+
+
+def nanos_ts_to_micros(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Long ns-since-epoch column → TIMESTAMP at micros granularity.
+
+    Integer DIV, not ``/``: ns-since-epoch (~1.7e18) exceeds double's
+    2^53 exact range, so float division is off by 1µs.  The ONE
+    spelling of this truncation, shared by the batch loader above and
+    ``streaming/windows.stream_events`` — two copies of it could
+    silently diverge and break the module's stream==batch invariant
+    (r10 review find)."""
+    return df.withColumn(
+        col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -401,3 +401,104 @@ def test_eq_delete_written_before_rename_on_name_mapping_table(
     rows = {r.id: r.remark for r in read_table(spark, tbl).collect()}
     assert 2 not in rows and 5 not in rows, "eq delete lost after rename"
     assert len(rows) == 8 and rows[3] == "n3"
+
+
+# --------------------------- r10 review-sweep regression tests
+
+
+def test_evolved_projection_rename_reuse_is_ambiguous():
+    """A name that is BOTH a current field and another field's prior
+    alias cannot resolve by name: old files' physical column holds the
+    renamed-away field's data, which a plain name match silently
+    resurrected under the new field (r10 review find)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    request = StructType(
+        [StructField("b", LongType()), StructField("a", LongType())]
+    )
+    with pytest.raises(ValueError, match="prior name of 'b'"):
+        evolved_projection(physical, request, {"b": ["a"]})
+
+
+def test_evolved_projection_case_insensitive_resolution(spark):
+    """Spark resolves columns case-insensitively by default; the
+    projection must too — an exact-only lookup NULL-filled a request
+    field differing only in case from the footer spelling."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType([StructField("id", LongType())])
+    request = StructType([StructField("ID", LongType())])
+    cols = evolved_projection(physical, request, None)
+    df = spark.createDataFrame([(7,)], physical).select(cols)
+    assert df.collect()[0].ID == 7
+
+
+def test_is_promotable_ignores_nested_nullability():
+    """array<string> with required elements must promote to the same
+    array with nullable elements — DataType.__eq__ is containsNull-
+    sensitive and falsely rejected the identical type."""
+    from pyspark.sql.types import ArrayType, StringType as S
+
+    from ic_spark.compaction.evolution import is_promotable
+
+    assert is_promotable(ArrayType(S(), False), ArrayType(S(), True))
+    assert is_promotable(ArrayType(S(), True), ArrayType(S(), False))
+    assert not is_promotable(ArrayType(S(), False), ArrayType(LongType()))
+
+
+def test_validate_file_schemas_recurses_hive_dirs(spark, tmp_path):
+    """Footer validation must find parquet files under col=val/
+    partition subdirs — the flat listing expanded to zero files and
+    failed OPEN on the decimal->int corruption case (r10 review
+    find)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ic_spark.compaction.evolution import validate_file_schemas
+
+    d = str(tmp_path / "hive")
+    import decimal
+
+    spark.createDataFrame(
+        [(1, "x", decimal.Decimal("1.25")), (2, "y", decimal.Decimal("2.50"))],
+        "id int, p string, v decimal(5,2)",
+    ).write.partitionBy("p").parquet(d)
+    request = StructType(
+        [StructField("id", IntegerType()), StructField("v", IntegerType())]
+    )
+    with pytest.raises(ValueError, match="not promotable"):
+        validate_file_schemas([d], request)
+
+
+def test_local_path_uri_spellings(tmp_path):
+    """file:-URI handling: Hadoop's single-slash spelling and percent-
+    encoded paths resolve; object-store URIs return None."""
+    from ic_spark.compaction.evolution import _local_path
+
+    assert _local_path("file:/tmp/t/x.parquet") == "/tmp/t/x.parquet"
+    assert _local_path("file:///tmp/my%20dir/x.parquet") == (
+        "/tmp/my dir/x.parquet"
+    )
+    assert _local_path("/plain/path.parquet") == "/plain/path.parquet"
+    assert _local_path("s3://bkt/x.parquet") is None
+    assert _local_path("hdfs:/warehouse/x.parquet") is None
+
+
+def test_evolved_projection_dotted_column_name(spark):
+    """Physical names containing dots must project as literal columns,
+    not nested-field references (F.col parses bare dots)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType([StructField("user.name", LongType())])
+    request = StructType([StructField("user.name", LongType())])
+    cols = evolved_projection(physical, request, None)
+    df = spark.createDataFrame([(5,)], physical).select(cols)
+    assert df.collect()[0][0] == 5

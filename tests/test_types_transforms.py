@@ -311,3 +311,162 @@ def test_iceberg_bucket_transform_dispatch(spark, ts_df):
     assert all(0 <= r.bi < 8 and 0 <= r.bd < 8 and 0 <= r.bs < 8 for r in out)
     ids = [r.id for r in ts_df.select("id").collect()]
     assert [r.bi for r in out] == [(py_hash_long(v) & 0x7FFFFFFF) % 8 for v in ids]
+
+
+def test_apply_transform_py_iceberg_bucket_source_type_gated():
+    """Prune-side bucket evaluation dispatches on the RECORDED source
+    type, not the literal's Python class — an ISO string against a
+    timestamp-bucketed column previously hashed its UTF-8 text and
+    silently pruned matching files (r10 review find)."""
+    import datetime as dt
+    import uuid as uuid_mod
+
+    from ic_spark.compaction.transforms import apply_transform_py
+    from ic_spark.functions.iceberg_hash import py_hash_long, py_murmur3_32
+
+    spec = {"transform": "iceberg_bucket", "n": 64}
+    micros = 1510871468000000  # 2017-11-16T22:31:08 UTC
+
+    # temporal source + ISO string literal -> the MICROS bucket
+    ok, b = apply_transform_py(spec, "2017-11-16T22:31:08", "timestamptz")
+    assert ok and b == (py_hash_long(micros) & 0x7FFFFFFF) % 64
+    # same via datetime literal and via internal int literal
+    ok2, b2 = apply_transform_py(
+        spec, dt.datetime(2017, 11, 16, 22, 31, 8), "timestamp"
+    )
+    ok3, b3 = apply_transform_py(spec, micros, "timestamptz")
+    assert (ok2, b2) == (True, b) and (ok3, b3) == (True, b)
+    # date source: string / date / internal days all agree
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    want_d = (py_hash_long(days) & 0x7FFFFFFF) % 64
+    assert apply_transform_py(spec, "2017-11-16", "date") == (True, want_d)
+    assert apply_transform_py(spec, dt.date(2017, 11, 16), "date") == (
+        True,
+        want_d,
+    )
+    assert apply_transform_py(spec, days, "date") == (True, want_d)
+    # type mismatches OPT OUT instead of hashing the wrong bytes
+    assert apply_transform_py(spec, 123, "string")[0] is False
+    assert apply_transform_py(spec, "123", "long")[0] is False
+    # uuid source hashes the 16 msb/lsb bytes (spec), matching the
+    # expression's published vector; malformed uuids opt out
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    want_u = (py_murmur3_32(uuid_mod.UUID(u).bytes) & 0x7FFFFFFF) % 64
+    assert apply_transform_py(spec, u, "uuid") == (True, want_u)
+    assert py_murmur3_32(uuid_mod.UUID(u).bytes) == 1488055340  # spec vec
+    assert apply_transform_py(spec, "not-a-uuid", "uuid")[0] is False
+    # unrecorded source_type keeps the literal-shape dispatch (hive)
+    assert apply_transform_py(spec, "iceberg", None) == (
+        True,
+        (py_murmur3_32(b"iceberg") & 0x7FFFFFFF) % 64,
+    )
+
+
+def test_iceberg_bucket_rejects_untyped_nonintegral_column(spark):
+    """data_type=None accepts only genuinely integral columns: a
+    timestamp column casts to epoch SECONDS (a legal cast the old
+    isNotNull guard let through) and would silently hash the wrong
+    serialization (r10 review find)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ic_spark.functions.iceberg_hash import iceberg_bucket
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1), 7, "123")],
+        "ts timestamp, v long, s string",
+    )
+    assert df.select(iceberg_bucket(16, F.col("v")).alias("b")).collect()[
+        0
+    ].b in range(16)
+    with pytest.raises(Exception, match="typeof=timestamp"):
+        df.select(iceberg_bucket(16, F.col("ts")).alias("b")).collect()
+    with pytest.raises(Exception, match="typeof=string"):
+        df.select(iceberg_bucket(16, F.col("s")).alias("b")).collect()
+
+
+def test_iceberg_hash_uuid_rejects_malformed(spark):
+    """Malformed uuid strings fail LOUDLY — the coalescing hex reader
+    previously zero-padded them into a deterministic valid-looking
+    bucket (r10 review find); NULL still hashes to NULL."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ic_spark.functions.iceberg_hash import iceberg_hash_uuid
+
+    good = spark.createDataFrame(
+        [("f79c3e09-677c-4bbd-a479-3f349cb785e7",), (None,)], "u string"
+    )
+    rows = good.select(iceberg_hash_uuid(F.col("u")).alias("h")).collect()
+    assert sorted(
+        [r.h for r in rows], key=lambda x: (x is None, x)
+    ) == [1488055340, None]
+    bad = spark.createDataFrame(
+        [("{f79c3e09-677c-4bbd-a479-3f349cb785e7}",)], "u string"
+    )
+    with pytest.raises(Exception, match="not a canonical uuid"):
+        bad.select(iceberg_hash_uuid(F.col("u")).alias("h")).collect()
+
+
+def test_partition_spec_records_uuid_logical(tmp_path):
+    """Spec-metadata parsing marks uuid sources with logical='uuid' so
+    both the write-side transform_column and prune-side
+    apply_transform_py hash the 16 uuid bytes, not the 36-char text
+    (r10 review find)."""
+    import json
+    import os
+
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path / "t")
+    os.makedirs(os.path.join(loc, "metadata"))
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0" * 8 + "-0000-0000-0000-" + "0" * 12,
+        "location": loc,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "uid", "required": False, "type": "uuid"},
+                    {"id": 2, "name": "v", "required": False, "type": "long"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "uid_bucket",
+                        "transform": "bucket[16]",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "last-partition-id": 1000,
+        "properties": {},
+        "snapshots": [],
+        "partition-statistics": [],
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+    }
+    with open(os.path.join(loc, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(loc, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    tbl = IcebergTable(loc)
+    fields = tbl.partition_spec()
+    assert fields[0]["transform"] == "iceberg_bucket"
+    assert fields[0]["source_type"] == "uuid"
+    assert fields[0]["logical"] == "uuid"
