@@ -16,22 +16,28 @@ import re
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
-_SENT_RE = re.compile(r"[.!?]+\s+")
+# Explicit ASCII whitespace class, NOT \s: Python's \s (and .strip())
+# cover Unicode whitespace while RE2's \s and DuckDB's trim() are
+# ASCII/space-only, so the engines diverged on any tab/newline-bearing
+# text (r10 review find).  One spelling, used by both split and trim.
+_ASCII_WS = " \t\r\n\f\v"
+_SENT_RE = re.compile(r"[.!?]+[ \t\r\n\f\v]+")
 
 
 @udtf(returnType="idx int, sentence string")
 class SentenceSplit:
     """Emit (1-based idx, trimmed sentence) for each non-empty sentence
-    of ``text``, splitting on runs of ``.!?`` followed by whitespace —
-    a trailing terminator stays attached to the final sentence, exactly
-    like the oracle's ``regexp_split_to_array`` on the same pattern."""
+    of ``text``, splitting on runs of ``.!?`` followed by ASCII
+    whitespace — a trailing terminator stays attached to the final
+    sentence, exactly like the oracle's ``regexp_split_to_array`` on
+    the same pattern."""
 
     def eval(self, text: str):
         if text is None:
             return
         idx = 0
         for part in _SENT_RE.split(text):
-            part = part.strip()
+            part = part.strip(_ASCII_WS)
             if part:
                 idx += 1
                 yield idx, part

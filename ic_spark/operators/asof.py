@@ -41,23 +41,33 @@ def asof_join(
     pandas.merge_asof semantics switch).
     """
     payload = right_payload or [c for c in right.columns if c not in (on, right_time)]
+    if not payload:
+        return left.select(*left.columns)
 
     left_cols = left.columns
+    from pyspark.sql import types as T
+
+    # ONE struct carries the whole right payload so the fill picks the
+    # matched right ROW atomically: per-column last(..., ignorenulls)
+    # let a matched row's NULL column inherit an OLDER row's value —
+    # a franken-row mixing two right rows (r10 review find; DuckDB's
+    # ASOF JOIN returns the matched row whole, NULLs included).
+    r_struct_t = T.StructType([right.schema[c] for c in payload])
     # Common unioned schema: key, event time, side marker, left cols,
-    # right payload (null on the other side).
+    # right payload struct (null on the left side).
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
     r_tagged = right.select(
         F.col(on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -72,13 +82,13 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__f"),
     )
     out_names = [f"{c}{suffix}" if c in left_cols else c for c in payload]
     return filled.where(F.col("__side") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"__f_{c}").alias(n) for c, n in zip(payload, out_names)],
+        *[
+            F.col("__f").getField(c).alias(n)
+            for c, n in zip(payload, out_names)
+        ],
     )

@@ -344,8 +344,12 @@ def token_jaccard_pairs(
         )
         inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
         union = F.col("__na") + F.col("__nb") - inter
-        jac = F.round(inter.cast("double") / union.cast("double"), 6)
-        return cond & (jac >= threshold), jac
+        # Threshold on the RAW ratio (the oracle's semantics — rounding
+        # first admitted pairs up to 5e-7 below t at huge unions, an
+        # asymmetry the r10 review flagged); round only for display.
+        raw = inter.cast("double") / union.cast("double")
+        jac = F.round(raw, 6)
+        return cond & (raw >= threshold), jac
 
     # Pay-as-you-go detection: sampled probe -> plain / literal-hot /
     # in-plan-full (see docstring).  The probe reads ONLY the block
@@ -744,6 +748,14 @@ def minhash_signatures(
             word_shingles(F.col(content_col), shingle_n),
             shingle_hash,
         ).alias("__h"),
+    ).where(
+        # Docs shorter than shingle_n have NO shingles (word_shingles'
+        # r9 contract) and therefore no signature: an empty array
+        # previously crashed the Arrow kernel and, on the expression
+        # path, produced an all-NULL signature whose '' band keys made
+        # EVERY short doc a candidate of every other (r10 review find).
+        # MinHash semantics: no shingles -> no signature -> no pairs.
+        F.size(F.col("__h")) > 0
     )
     if use_arrow:
         # Same signatures, vectorized kernel (see _arrow_minhash_udf);

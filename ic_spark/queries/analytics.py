@@ -338,7 +338,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str):
            UPPER(p_brand) AS brand_upper,
            SUBSTR(p_name, 1, 8) AS name_prefix,
            LENGTH(p_name) AS name_len,
-           CONCAT(p_brand, ':', p_type) AS brand_type,
+           CONCAT_WS(':', p_brand, p_type) AS brand_type,
            ROUND(p_retailprice * 1.1, 4) AS price_with_tax,
            CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
            ABS(p_size - 25) AS size_dist

@@ -164,13 +164,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    raw = inter.cast("double") / union.cast("double")
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            # filter on the RAW ratio like the oracle; round for display
+            F.round(raw, 6).alias("jaccard"),
+            raw.alias("__raw"),
         )
-        .where(F.col("jaccard") >= 0.5)
+        .where(F.col("__raw") >= 0.5)
+        .drop("__raw")
     )
 
 
@@ -318,10 +322,12 @@ def _minhash_portable_oracle(threshold: float = 0.5) -> str:
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
+        -- docs shorter than n have NO shingles and NO signature
+        -- (word_shingles' r9 contract; the signer filters them out)
         SELECT doc_id,
-               list_transform(range(0, greatest(len(t) - {n}, 0) + 1),
+               list_transform(range(0, len(t) - {n} + 1),
                               i -> array_to_string(list_slice(t, i + 1, i + {n}), ' ')) AS shingles
-        FROM toks
+        FROM toks WHERE len(t) >= {n}
     ),
     hashed AS (
         SELECT doc_id,
@@ -390,13 +396,17 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    raw = inter.cast("double") / union.cast("double")
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            # filter on the RAW ratio like the oracle; round for display
+            F.round(raw, 6).alias("jaccard"),
+            raw.alias("__raw"),
         )
-        .where(F.col("jaccard") >= 0.5)
+        .where(F.col("__raw") >= 0.5)
+        .drop("__raw")
     )
 
 

@@ -127,12 +127,17 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str):
         FROM uni_counts GROUP BY doc_id
     ),
     bigrams AS (
+        -- 1-token docs have NO bigrams (word_shingles' r9 contract);
+        -- the old greatest() floor counted the unigram as a bigram,
+        -- and the inner join below must DROP such docs like Spark's
+        -- repetition_stats does (r10 review find)
         SELECT doc_id,
                unnest(list_transform(
-                   range(1, greatest(len(t) - 1, 1) + 1),
+                   range(1, len(t) - 1 + 1),
                    i -> array_to_string(list_slice(t, i, i + 1), ' ')
                )) AS b
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
     ),
     bi_counts AS (
         SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b
@@ -530,10 +535,14 @@ def text_c4_clean(spark: SparkSession, sf_dir: str):
             ROUND(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT)))
                   / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
             CAST(len(list_intersect(toks, {SQL_STOPLIST})) AS DOUBLE) AS stop_hits,
-            ROUND((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
-                  / CAST(len(text) AS DOUBLE), 6) AS digit_frac,
-            ROUND((len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')))
-                  / CAST(len(text) AS DOUBLE), 6) AS upper_frac
+            -- zero-length guard matching the r9 Spark fix: empty text
+            -- scores 0.0, not NULL via 0/0 (r10 review find)
+            CASE WHEN len(text) = 0 THEN 0.0 ELSE
+              ROUND((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+                    / CAST(len(text) AS DOUBLE), 6) END AS digit_frac,
+            CASE WHEN len(text) = 0 THEN 0.0 ELSE
+              ROUND((len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')))
+                    / CAST(len(text) AS DOUBLE), 6) END AS upper_frac
         FROM sig
     ),
     scored AS (

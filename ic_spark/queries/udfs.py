@@ -77,9 +77,18 @@ def prep_trimmed_mean_chars(spark: SparkSession, sf_dir: str):
     "text_sentence_split_udtf",
     oracle=r"""
     WITH sent AS (
-        SELECT d.lang, trim(s.part) AS sentence
+        -- explicit ASCII whitespace in both the split class and trim:
+        -- matches the UDTF's spelling exactly (r10 review find —
+        -- Python \s/strip() are Unicode-wide, DuckDB trim() is
+        -- space-only; both sides now use the same six chars)
+        SELECT d.lang,
+               trim(s.part, concat(' ', chr(9), chr(13), chr(10),
+                                   chr(12), chr(11))) AS sentence
         FROM documents d,
-             unnest(regexp_split_to_array(d.text, '[.!?]+\s+')) AS s(part)
+             unnest(regexp_split_to_array(
+                 d.text,
+                 '[.!?]+[ ' || chr(9) || chr(13) || chr(10) ||
+                 chr(12) || chr(11) || ']+')) AS s(part)
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_sentences,
@@ -114,11 +123,14 @@ def text_sentence_split_udtf(spark: SparkSession, sf_dir: str):
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     grams AS (
+        -- docs shorter than 3 tokens have NO 3-grams (word_shingles'
+        -- r9 contract; the old greatest() floor emitted one truncated
+        -- gram and over-reported contamination — r10 review find)
         SELECT doc_id,
                unnest(list_distinct(list_transform(
-                   range(0, greatest(len(w) - 3, 0) + 1),
+                   range(0, len(w) - 3 + 1),
                    i -> array_to_string(w[i+1:i+3], ' ')))) AS gram
-        FROM toks
+        FROM toks WHERE len(w) >= 3
     ),
     ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 97 = 0),
     tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 97 <> 0)

@@ -3596,3 +3596,56 @@ def test_lsh_topk_no_pair_dedupe_shuffle(spark):
     assert not any(
         "query_id#" in line and "neighbor_id#" in line for line in ex
     ), ex
+
+
+def test_asof_join_matched_row_taken_whole(spark):
+    """A matched right row with a NULL payload column must NOT inherit
+    an older row's value for that column — per-column forward fill
+    built a franken-row mixing two right rows (r10 review find;
+    DuckDB ASOF JOIN returns the matched row whole)."""
+    left = spark.createDataFrame([(7, 10), (7, 20)], "k long, t long")
+    right = spark.createDataFrame(
+        [(7, 5, 50.0, "A"), (7, 15, None, "B")],
+        "k long, t long, price double, tag string",
+    )
+    out = {
+        r.t: (r.price, r.tag)
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t"
+        ).collect()
+    }
+    assert out[10] == (50.0, "A")
+    # t=20 matches row B whole: price NULL, NOT A's 50.0
+    assert out[20] == (None, "B")
+
+
+@pytest.mark.parametrize("use_arrow", [False, True])
+def test_minhash_short_docs_have_no_signature(spark, use_arrow):
+    """Docs shorter than shingle_n have NO shingles (word_shingles' r9
+    contract) and therefore NO signature: the empty array previously
+    crashed the Arrow kernel ('minhash: empty shingle array') and, on
+    the expression path, produced an all-NULL signature whose '' band
+    keys made EVERY short doc a candidate of every other (r10 review
+    find)."""
+    from ic_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there"),  # 2 tokens < shingle_n=3: no signature
+            (2, "bye now"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, use_arrow=use_arrow
+    )
+    ids = {r.id for r in sigs.collect()}
+    assert ids == {3, 4}  # short docs dropped, no crash
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert pairs == {(3, 4)}  # and no short-doc candidate explosion
