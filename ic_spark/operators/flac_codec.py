@@ -238,23 +238,52 @@ def _ogg_flac_to_native(b: bytes):
     (xiph Ogg mapping): walk Ogg pages, reassemble packets via the
     segment lacing, strip the 9-byte 0x7F"FLAC" mapping prefix off the
     first packet — the remaining packet concatenation IS the native
-    layout (metadata blocks then frames)."""
+    layout (metadata blocks then frames).
+
+    Pages are filtered by the ``\\x7fFLAC`` BOS stream's serial and
+    CRC-verified like vorbis_codec's walker — the old blind walker
+    spliced foreign packets of a multiplexed Ogg (or a damaged page's
+    garbage) verbatim into the native stream, truncating an intact
+    FLAC stream at the first foreign byte (r10 review find)."""
+    from ic_spark.operators.vorbis_codec import _ogg_crc
+
     packets = []
     cur = bytearray()
-    i = 0
-    while i + 27 <= len(b):
+    serial = None
+    i, n = 0, len(b)
+    while i + 27 <= n:
         if b[i : i + 4] != b"OggS":
             break
         nsegs = b[i + 26]
-        table = b[i + 27 : i + 27 + nsegs]
-        off = i + 27 + nsegs
+        hdr_end = i + 27 + nsegs
+        if hdr_end > n:
+            break
+        table = b[i + 27 : hdr_end]
+        page_end = hdr_end + sum(table)
+        if page_end > n:
+            break
+        page_serial = int.from_bytes(b[i + 14 : i + 18], "little")
+        if serial is None:
+            if b[hdr_end : hdr_end + 5] != b"\x7fFLAC":
+                i = page_end
+                continue  # some other stream's BOS: keep scanning
+            serial = page_serial
+        if page_serial != serial:
+            i = page_end
+            continue  # skip interleaved foreign streams
+        crc_want = int.from_bytes(b[i + 22 : i + 26], "little")
+        page = bytearray(b[i:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_want:
+            break  # damaged page: keep everything before it
+        off = hdr_end
         for s in table:
             cur += b[off : off + s]
             off += s
             if s < 255:
                 packets.append(bytes(cur))
                 cur = bytearray()
-        i = off
+        i = page_end
     if cur:
         packets.append(bytes(cur))
     if not packets or not packets[0].startswith(b"\x7fFLAC"):

@@ -115,7 +115,7 @@ def decode_jpeg(b: bytes):
     not errors, in a 100 TB ingest)."""
     try:
         return _decode_jpeg(b)
-    except (ValueError, IndexError, KeyError):
+    except (ValueError, IndexError, KeyError, MemoryError):
         return None
 
 
@@ -333,6 +333,14 @@ def _planes_to_array(frame, planes, hmax, vmax):
     if len(out_planes) == 1:
         arr = out_planes[0][..., None]
     else:
+        if len(out_planes) != 3:
+            # 4-component (Adobe CMYK/YCCK) frames would be silently
+            # color-converted as if YCbCr, dropping the K plane and
+            # emitting garbage RGB (r10 review find) — unsupported
+            # variants must return None, not wrong pixels.
+            raise ValueError(
+                f"jpeg: unsupported component count {len(out_planes)}"
+            )
         y, cb, cr = out_planes[0], out_planes[1] - 128, out_planes[2] - 128
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
@@ -382,6 +390,18 @@ def _decode_progressive(frame, scans, qt):
         return None
     hmax, vmax, mcux, mcuy, geo = _comp_geometry(frame)
     if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        return None
+    # Same corruption fail-fast as the baseline path (_decode_scan):
+    # every data unit needs >= 2 entropy bits across its scans, so a
+    # SOF2 declaring 65535x65535 with a tiny scan payload must be
+    # rejected BEFORE allocating ~GBs of coefficient arrays (r10
+    # review find — the allocation-then-MemoryError escaped
+    # decode_jpeg's except clause and crashed the executor).
+    units = sum(c["hs"] * c["vs"] for c in comps)
+    total = sum(
+        sum(len(s) for s in segments) for _sel, _spec, segments, *_ in scans
+    )
+    if mcux * mcuy * units * 2 > total * 8 + 64:
         return None
     by_id = {c["id"]: c for c in comps}
     coefs = {

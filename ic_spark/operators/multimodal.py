@@ -102,7 +102,21 @@ def parse_media_header(payload: bytes | None) -> dict:
     Returns ``{"format": str|None, "width": int|None, "height":
     int|None, "duration_ms": int|None}``; unknown or truncated payloads
     yield a dict of Nones (never raises — corrupt bytes are data, not
-    errors, in a 100 TB ingest)."""
+    errors, in a 100 TB ingest).  Parsed values are RANGE-VALIDATED to
+    the output schema's Int32/Int64 domains: a corrupt PNG IHDR width
+    of 2^32-1 previously crashed the whole mapInPandas task at
+    pd.array(dtype='Int32') — one flipped header byte killing a 100 TB
+    ingest job (r10 review find, reproduced)."""
+    meta = _parse_media_header_raw(payload)
+    for k, bound in (("width", 1 << 31), ("height", 1 << 31),
+                     ("duration_ms", 1 << 63)):
+        v = meta.get(k)
+        if v is not None and not (0 <= v < bound):
+            meta[k] = None
+    return meta
+
+
+def _parse_media_header_raw(payload: bytes | None) -> dict:
     none = {"format": None, "width": None, "height": None, "duration_ms": None}
     if not payload:
         return none
@@ -636,9 +650,14 @@ def _avi_mjpeg_frames(b: bytes):
         usec = None
         frames = []
 
-        def walk(start, end):
-            nonlocal usec
-            i = start
+        # Explicit stack, not recursion: ~12 bytes buy one LIST nesting
+        # level, so a 12 KB crafted AVI overran Python's recursion
+        # limit and the RecursionError escaped the except clause (r10
+        # review find; parse_media_header's AVI walker is already
+        # iterative for the same reason).
+        stack = [(12, len(b))]
+        while stack:
+            i, end = stack.pop()
             while i + 8 <= end:
                 cid = b[i : i + 4]
                 size = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -646,14 +665,14 @@ def _avi_mjpeg_frames(b: bytes):
                 if body + size > end:
                     break
                 if cid == b"LIST":
-                    walk(body + 4, body + size)
+                    stack.append((body + size + (size % 2), end))
+                    i, end = body + 4, body + size
+                    continue
                 elif cid == b"avih" and size >= 4:
                     usec = int.from_bytes(b[body : body + 4], "little")
                 elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
                     frames.append(b[body : body + size])
                 i = body + size + (size % 2)
-
-        walk(12, len(b))
         if not frames:
             return None
         return usec or 40000, frames
@@ -675,6 +694,15 @@ def _gif_frames(b: bytes):
         sh = int.from_bytes(b[8:10], "little")
         if sw <= 0 or sh <= 0:
             return None
+        # Allocation bound BEFORE touching the canvas: a ~30-byte
+        # header can declare a 65535x65535 screen (~12.9 GB canvas,
+        # plus one canvas.copy() per frame) and MemoryError escaped
+        # the except clause — corrupt bytes must decode to None, not
+        # OOM the executor (r10 review find).  64 MP covers any real
+        # GIF; the per-frame budget below caps total copies at ~1 GiB.
+        if sw * sh > 64_000_000:
+            return None
+        budget = 1 << 30
         packed = b[10]
         gct = None
         i = 13
@@ -757,6 +785,8 @@ def _gif_frames(b: bytes):
                     region[mask] = px[mask]
                 else:
                     region[:, :] = px
+                if (len(frames) + 2) * sw * sh * 3 > budget:
+                    return None  # crafted frame-count x canvas bomb
                 frames.append((ts, canvas.copy()))
                 ts += max(delay_ms, 10)
                 if disposal == 2:  # restore to background
@@ -771,7 +801,7 @@ def _gif_frames(b: bytes):
             else:
                 return None
         return (frames, ts) if frames else None
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, MemoryError):
         return None
 
 
@@ -917,6 +947,19 @@ def decode_audio_samples(payload: bytes | None):
         return None
 
 
+# Formats with a REAL in-repo decoder: a None decode for one of these
+# means CORRUPT BYTES — per the module contract corrupt payloads are
+# data (null feature / skipped row), not errors, and strict mode must
+# not blame a missing codec for them (r10 review find: one flipped
+# byte in a PNG killed a whole strict job with a message claiming PNG
+# needs a codec).  mp3/aac/mp4(h26x) stay gated: those genuinely need
+# a codec (README "operating limits").
+DECODABLE_FORMATS = {
+    "png", "gif", "jpeg", "bmp", "ppm", "pgm", "wav", "flac", "vorbis",
+    "avi",
+}
+
+
 def _real_decode(payload: bytes | None) -> str | None:
     """Pixel/sample-level feature for decodable (uncompressed) formats:
     deterministic stats string computed from the REAL decoded data."""
@@ -985,10 +1028,13 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
         if real is not None:
             return real
         if strict and b:
-            fmt = parse_media_header(b)["format"] or "unknown"
+            fmt = parse_media_header(b)["format"]
+            if fmt in DECODABLE_FORMATS:
+                return None  # corrupt bytes of a REAL format: data
             raise NotImplementedError(
-                f"no pure-Python decoder for compressed format {fmt!r}; "
-                "plug a real codec into extract_features()"
+                f"no pure-Python decoder for compressed format "
+                f"{fmt or 'unknown'!r}; plug a real codec into "
+                "extract_features()"
             )
         return _fake_decode(b, kind)
 
@@ -1053,10 +1099,13 @@ def resize_images(
                 xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
                 return encode_png(arr[ys][:, xs])
             if strict:
-                fmt = parse_media_header(b)["format"] or "unknown"
+                fmt = parse_media_header(b)["format"]
+                if fmt in DECODABLE_FORMATS:
+                    return None  # corrupt bytes of a REAL format: data
                 raise NotImplementedError(
-                    f"no pure-Python decoder for compressed format {fmt!r}; "
-                    "plug PIL/libvips into resize_images()"
+                    f"no pure-Python decoder for compressed format "
+                    f"{fmt or 'unknown'!r}; plug PIL/libvips into "
+                    "resize_images()"
                 )
             tag = f"-resized-{target_w}x{target_h}".encode()
             return hashlib.sha256(b).digest() + tag
@@ -1132,9 +1181,12 @@ def perceptual_hash(df: DataFrame, strict: bool = False) -> DataFrame:
             dec = decode_pixels(b)
             if dec is None:
                 if strict:
-                    fmt = parse_media_header(b)["format"] or "unknown"
+                    fmt = parse_media_header(b)["format"]
+                    if fmt in DECODABLE_FORMATS:
+                        return None  # corrupt bytes of a REAL format
                     raise NotImplementedError(
-                        f"no pure-Python decoder for {fmt!r}; plug a codec "
+                        f"no pure-Python decoder for "
+                        f"{fmt or 'unknown'!r}; plug a codec "
                         "into perceptual_hash()"
                     )
                 digest = hashlib.sha256(bytes(b)).digest()[:8]
@@ -1217,14 +1269,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
                 if real is not None:
                     frames, total = real
                     idx = 0
+                    # One monotone cursor over the (ascending-ts) frame
+                    # list: rescanning from frames[0] per tick made
+                    # sampling O(ticks x frames) — ~1.6e8 Python-loop
+                    # iterations for a 1-hour 25fps clip (r10 review
+                    # find).  Ticks ascend, so the cursor never rewinds.
+                    fi = 0
+                    active = None
                     for tick in range(0, max(total, 1), every_ms):
                         # frame active at this tick (last ts <= tick)
-                        active = None
-                        for ts, payload in frames:
-                            if ts <= tick:
-                                active = payload
-                            else:
-                                break
+                        while fi < len(frames) and frames[fi][0] <= tick:
+                            active = frames[fi][1]
+                            fi += 1
                         if active is None:
                             continue
                         rows["media_id"].append(r["media_id"])
@@ -1234,6 +1290,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
                         idx += 1
                     continue
                 if strict:
+                    fmt = parse_media_header(r["payload"])["format"]
+                    if fmt in DECODABLE_FORMATS:
+                        continue  # corrupt bytes of a REAL container
                     raise NotImplementedError(
                         "no pure-Python decoder for this video container "
                         "(MJPEG-AVI and animated GIF are real; plug "
@@ -1299,6 +1358,8 @@ def audio_frames(
                 if dec is None:
                     if strict:
                         fmt = parse_media_header(r["payload"])["format"]
+                        if fmt in DECODABLE_FORMATS:
+                            continue  # corrupt bytes of a REAL format
                         raise NotImplementedError(
                             f"no pure-Python decoder for {fmt!r} audio; "
                             "plug a codec into audio_frames()"
@@ -1497,10 +1558,12 @@ def embed_media(df: DataFrame, dim: int = 16, strict: bool = False) -> DataFrame
                 if vec is not None:
                     return vec
             if strict:
-                fmt = parse_media_header(b)["format"] or "unknown"
+                fmt = parse_media_header(b)["format"]
+                if fmt in DECODABLE_FORMATS:
+                    return None  # corrupt bytes of a REAL format: data
                 raise NotImplementedError(
-                    f"no pure-Python decoder for {fmt!r}; plug a real "
-                    "encoder into embed_media()"
+                    f"no pure-Python decoder for {fmt or 'unknown'!r}; "
+                    "plug a real encoder into embed_media()"
                 )
             d = hashlib.sha512(bytes(b)).digest()
             return [(d[i] - 128) / 128.0 for i in range(dim)]

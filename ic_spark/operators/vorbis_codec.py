@@ -94,6 +94,15 @@ def _ogg_packets(b: bytes):
             break
         page_serial = int.from_bytes(b[i + 14 : i + 18], "little")
         if serial is None:
+            # Lock onto the stream whose BOS packet is \x01vorbis, not
+            # blindly the first page: in a standard multiplexed Ogg
+            # (e.g. Theora+Vorbis) the video BOS page comes first, and
+            # locking to it skipped every Vorbis page (r10 review
+            # find; parse_media_header already resolves the serial
+            # this way).
+            if b[hdr_end : hdr_end + 7] != b"\x01vorbis":
+                i = page_end
+                continue
             serial = page_serial
         if page_serial != serial:
             i = page_end
@@ -587,6 +596,12 @@ class _Residue:
             return
         classbook = books[self.classbook]
         cw = classbook.dim
+        if cw <= 0:
+            # A dim-0 classbook makes the partition loop below consume
+            # ZERO bits while never advancing pcount — a crafted stream
+            # hung the executor forever instead of decoding to None
+            # (r10 review find; decode_vorbis catches the raise).
+            raise ValueError("vorbis: residue classbook with dimension 0")
         nclass = self.classifications
         classes = [[0] * (to_read + cw) for _ in vecs]
         for p in range(8):

@@ -2875,6 +2875,8 @@ def test_flac_in_ogg_roundtrip():
     first = b"\x7fFLAC\x01\x00\x00\x00" + native[:meta_len]
     frames = native[meta_len:]
 
+    from ic_spark.operators.vorbis_codec import _ogg_crc
+
     def page(payload, seq, header_type=0):
         # lacing: 255-chunks + terminator (may itself be 255-split)
         lac = []
@@ -2890,13 +2892,24 @@ def test_flac_in_ogg_roundtrip():
             + (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
             + b"\x00" * 4 + bytes([len(lac)]) + bytes(lac)
         )
-        return hdr + payload
+        # real page CRC (r10: the walker verifies CRCs like vorbis's)
+        raw = bytearray(hdr + payload)
+        raw[22:26] = _ogg_crc(bytes(raw)).to_bytes(4, "little")
+        return bytes(raw)
 
     ogg = page(first, 0, 2) + page(frames, 1, 4)
     got = decode_flac(ogg)
     assert got is not None
     arr, rate, nch = got
     assert (arr[:, 0] == np.asarray(samples)).all() and rate == 8000
+    # a multiplexed foreign stream (different serial) is ignored, and
+    # a damaged page truncates instead of splicing garbage (r10 fix)
+    foreign = bytearray(page(b"\x01theora-ish", 0, 2))
+    foreign[14:18] = (99).to_bytes(4, "little")
+    foreign[22:26] = b"\x00" * 4
+    foreign[22:26] = _ogg_crc(bytes(foreign)).to_bytes(4, "little")
+    got2 = decode_flac(bytes(foreign) + ogg)
+    assert got2 is not None and (got2[0][:, 0] == np.asarray(samples)).all()
     # public audio surface routes Ogg-FLAC too
     via = decode_audio_samples(ogg)
     assert via is not None and (via[0][:, 0] == np.asarray(samples)).all()
