@@ -39,11 +39,29 @@ def mad_outliers(
     Returns one row per group: ``(group, n_rows, med, mad, n_outliers)``
     where ``n_outliers`` counts |x - median| > k * MAD.  MAD is the
     median of absolute deviations from the group median — two dependent
-    medians, hence the grouped-map form.
+    medians, hence the grouped-map form.  ``n_rows`` counts NON-NULL
+    values, the sample the stats are computed over (it previously
+    counted nulls too, disagreeing with ``trimmed_mean``'s ``n_rows``
+    on the same data — r10 review find).
     """
-    out_schema = (
-        f"{group_col} string, n_rows long, med double, mad double, "
-        "n_outliers long"
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # Group field type comes from the input schema — the old hardcoded
+    # `string` crashed Arrow conversion for any non-string group column
+    # (r10 review find).
+    out_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("n_rows", LongType()),
+            StructField("med", DoubleType()),
+            StructField("mad", DoubleType()),
+            StructField("n_outliers", LongType()),
+        ]
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -54,7 +72,7 @@ def mad_outliers(
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "n_rows": [len(x)],
+                "n_rows": [int(x.notna().sum())],
                 "med": [med],
                 "mad": [mad],
                 "n_outliers": [int((adev > k * mad).sum())],

@@ -42,7 +42,18 @@ def pack_shards(
 
     ``order_cols`` must be a deterministic total order (e.g. a unique
     document id) — shard contents are only reproducible if the order is.
+    ``token_col`` must be non-null: a NULL would be skipped by the
+    driver subtotal's SUM but crash (or silently float-ify) the
+    Arrow-side cumsum, desynchronizing offsets — fail loudly up front
+    instead (r10 review find).
     """
+    if tokens_per_shard <= 0:
+        # int64 floor-division by zero yields 0 with only a
+        # RuntimeWarning, silently packing EVERYTHING into shard 0
+        # (r10 review find).
+        raise ValueError(
+            f"pack_shards: tokens_per_shard must be > 0, got {tokens_per_shard}"
+        )
     range_args = ([num_partitions] if num_partitions else []) + [
         F.col(c) for c in order_cols
     ]
@@ -67,6 +78,12 @@ def pack_shards(
     }
     offsets, acc = {}, 0
     for pid in sorted(subtotals):
+        if subtotals[pid] is None:  # SUM over an all-NULL partition
+            raise ValueError(
+                f"pack_shards: NULL in token column {token_col!r} — "
+                "token counts must be non-null (fill or filter "
+                "before packing)"
+            )
         offsets[pid] = acc
         acc += subtotals[pid]
 
@@ -83,6 +100,12 @@ def pack_shards(
                 continue
             if carry is None:
                 carry = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            if pdf[token_col].isna().any():
+                raise ValueError(
+                    f"pack_shards: NULL in token column {token_col!r} — "
+                    "token counts must be non-null (fill or filter "
+                    "before packing)"
+                )
             t = pdf[token_col].astype("int64")
             cum = t.cumsum() + carry
             out = pdf.drop(columns=["__pid"])

@@ -20,7 +20,40 @@ Two regimes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Epoch seconds of a timestamp column.  TIMESTAMP_NTZ (how stock
+    Spark 4 reads tz-less parquet µs) cannot cast straight to BIGINT
+    under ANSI; hop through TIMESTAMP first (legal for both types; the
+    session tz is a consistent shift on both sides, so bucket alignment
+    holds).  ONE shared spelling for both joins below — the two copies
+    this module used to carry could drift (r10 review find)."""
+    return col.cast("timestamp").cast("long")
+
+
+def _bucket_seq(start: Column, end: Column, width: int) -> Column:
+    """Every bucket id the half-open interval [start, end) touches.
+
+    Exclusive end: the last included instant is ``end - 1µs`` (exact
+    for fractional-second ends, unlike ``sec(end) - 1`` which drops the
+    final partial second and can miss a bucket-boundary-straddling
+    match).  The upper bound is clamped to at least the first bucket:
+    ``F.sequence`` defaults to step -1 when start > stop, so one
+    INVERTED interval (end <= start — a corrupt row or epoch-0
+    sentinel) otherwise generated a multi-million-element DESCENDING
+    bucket array and exploded a single row into executor-OOM territory
+    (r10 review find).  One clamped bucket is semantically right: an
+    inverted interval can only satisfy the joins' predicates against
+    counterparts that span its whole [end, start] gap, and those
+    register its start bucket too — while the residual predicate
+    filters everything a real interval wouldn't match."""
+    first = F.floor(_epoch_seconds(start) / width)
+    last = F.floor(
+        _epoch_seconds(end - F.expr("INTERVAL 1 MICROSECOND")) / width
+    )
+    return F.explode(F.sequence(first, F.greatest(first, last)))
 
 
 def interval_join(
@@ -39,15 +72,17 @@ def interval_join(
     The range predicate is part of the JOIN CONDITION, not a post-join
     filter — a post-join ``.where`` on a left/full join would silently
     drop the null-extended unmatched rows, degenerating the outer join
-    to inner.
+    to inner.  Range columns are referenced DataFrame-qualified, so a
+    column name shared across the two sides (e.g. both carry ``ts``)
+    never hits AMBIGUOUS_REFERENCE (r10 review find).
     """
     how = how.replace("outer", "").rstrip("_") or "full"
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"interval_join: unsupported how={how!r}")
-    in_range = (F.col(left_time) >= F.col(right_start)) & (
-        F.col(left_time) < F.col(right_end)
-    )
     if on is not None:
+        in_range = (left[left_time] >= right[right_start]) & (
+            left[left_time] < right[right_end]
+        )
         cond = (left[on] == right[on]) & in_range
         joined = left.join(right, cond, how)
         # Collapse the duplicated key column the way `on=<name>` would:
@@ -65,33 +100,15 @@ def interval_join(
         )
 
     w = bucket_width_seconds
-
-    def _epoch_seconds(name: str):
-        # TIMESTAMP_NTZ (how stock Spark 4 reads tz-less parquet µs)
-        # cannot cast straight to BIGINT under ANSI; hop through
-        # TIMESTAMP first (legal for both types; session tz is a
-        # consistent shift on both sides, so bucket alignment holds).
-        return F.col(name).cast("timestamp").cast("long")
-
     l_bucketed = left.withColumn(
-        "__bucket", F.floor(_epoch_seconds(left_time) / w)
+        "__bucket", F.floor(_epoch_seconds(F.col(left_time)) / w)
     )
     r_bucketed = right.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch_seconds(right_start) / w),
-                # end is exclusive: the last included instant is
-                # end - 1µs.  (sec(end) - 1 would be wrong for
-                # fractional-second ends: it drops the final partial
-                # second and can miss a bucket-boundary-straddling
-                # match.)
-                F.floor(
-                    (F.col(right_end).cast("timestamp")
-                     - F.expr("INTERVAL 1 MICROSECOND")).cast("long") / w
-                ),
-            )
-        ),
+        _bucket_seq(F.col(right_start), F.col(right_end), w),
+    )
+    in_range = (l_bucketed[left_time] >= r_bucketed[right_start]) & (
+        l_bucketed[left_time] < r_bucketed[right_end]
     )
     inner = (
         l_bucketed.join(r_bucketed, on="__bucket", how="inner")
@@ -156,24 +173,18 @@ def overlap_join(
         )
 
     w = bucket_width_seconds
-
-    def _sec(name: str):
-        return F.col(name).cast("timestamp").cast("long")
-
-    def _buckets(start: str, end: str):
-        # exclusive end: last included instant is end - 1µs (exact for
-        # fractional-second ends, unlike sec(end) - 1).
-        last = (
-            F.col(end).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND")
-        ).cast("long")
-        return F.explode(F.sequence(F.floor(_sec(start) / w), F.floor(last / w)))
-
-    lb = left.withColumn("__bucket", _buckets(left_start, left_end))
+    lb = left.withColumn(
+        "__bucket", _bucket_seq(F.col(left_start), F.col(left_end), w)
+    )
     rb = r.withColumn(
-        "__bucket", _buckets(f"__r_{right_start}", f"__r_{right_end}")
+        "__bucket",
+        _bucket_seq(
+            F.col(f"__r_{right_start}"), F.col(f"__r_{right_end}"), w
+        ),
     )
     canonical = F.col("__bucket") == F.greatest(
-        F.floor(_sec(left_start) / w), F.floor(_sec(f"__r_{right_start}") / w)
+        F.floor(_epoch_seconds(F.col(left_start)) / w),
+        F.floor(_epoch_seconds(F.col(f"__r_{right_start}")) / w),
     )
     return (
         lb.join(rb, on="__bucket", how="inner")

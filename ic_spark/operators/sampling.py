@@ -89,8 +89,19 @@ def temperature_sample(
             / F.col("__n").cast("double"),
         ).alias("__p"),
     )
+    # NULL-SAFE equi-join on the strata: the counts aggregate includes
+    # a NULL stratum (its n^alpha inflates __z), so a plain `on=`
+    # join — which never matches null keys — silently dropped every
+    # null-stratum row while still shrinking everyone else's rate
+    # (r10 review find).  stratified_sample treats NULL as a normal
+    # window partition; this now does too.
+    cond = None
+    for c in stratum_cols:
+        eq = df[c].eqNullSafe(rates[c])
+        cond = eq if cond is None else (cond & eq)
     return (
-        df.join(F.broadcast(rates), on=stratum_cols)
+        df.join(F.broadcast(rates), cond)
+        .drop(*[rates[c] for c in stratum_cols])
         .where(u01(id_col) < F.col("__p"))
         .drop("__p")
     )

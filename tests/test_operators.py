@@ -3662,3 +3662,114 @@ def test_minhash_short_docs_have_no_signature(spark, use_arrow):
     cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
     pairs = {(r.id_a, r.id_b) for r in cands.collect()}
     assert pairs == {(3, 4)}  # and no short-doc candidate explosion
+
+
+def test_interval_join_inverted_interval_no_bucket_explosion(spark):
+    """One corrupt interval with end <= start (e.g. an epoch-0
+    sentinel) must register ONE bucket, not a multi-million-element
+    DESCENDING sequence exploding a single row to executor-OOM scale
+    (r10 review find)."""
+    import time
+
+    from ic_spark.operators.rangejoin import interval_join, overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            ("ok", "2024-06-01 00:00:00", "2024-06-02 00:00:00"),
+            ("inv", "2024-06-01 00:00:00", "1970-01-01 00:00:00"),
+        ],
+        "tag string, s string, e string",
+    ).select(
+        "tag",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    t0 = time.perf_counter()
+    rows = interval_join(
+        left, right, "ts", "s", "e", bucket_width_seconds=600
+    ).collect()
+    assert time.perf_counter() - t0 < 30
+    assert [r.tag for r in rows] == ["ok"]  # inverted matches nothing
+    t0 = time.perf_counter()
+    orows = overlap_join(
+        left.select("id", F.col("ts").alias("ls"),
+                    (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("le")),
+        right, "ls", "le", "s", "e", bucket_width_seconds=600,
+    ).collect()
+    assert time.perf_counter() - t0 < 30
+    # the inverted right interval [s=2024, e=1970) still satisfies the
+    # half-open predicate (l_start < e is false here -> no match)
+    assert [r.tag for r in orows] == ["ok"]
+
+
+def test_interval_join_shared_column_names(spark):
+    """Both sides carrying a same-named column must not hit
+    AMBIGUOUS_REFERENCE — range refs are DataFrame-qualified now."""
+    from ic_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("w1", "2024-06-01 00:00:00", "2024-06-02 00:00:00",
+          "2024-06-01 00:00:00")],
+        "w string, s string, e string, ts string",
+    ).select(
+        "w",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        F.col("ts").cast("timestamp").alias("ts"),  # clashes with left
+    )
+    rows = interval_join(left, right, "ts", "s", "e").collect()
+    assert len(rows) == 1 and rows[0].w == "w1"
+
+
+def test_mad_outliers_nonstring_group_and_null_counting(spark):
+    """Non-string group columns work (schema derives from the input —
+    the hardcoded `string` crashed Arrow conversion), and n_rows counts
+    only the NON-NULL sample like trimmed_mean (r10 review finds)."""
+    from ic_spark.operators.grouped import mad_outliers
+
+    df = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (7, None), (7, 100.0), (8, 5.0)],
+        "g long, v double",
+    )
+    out = {r.g: r for r in mad_outliers(df, "g", "v").collect()}
+    assert out[7].n_rows == 3  # NULL excluded from the sample count
+    assert out[7].n_outliers == 1  # the 100.0
+    assert out[8].n_rows == 1
+
+
+def test_temperature_sample_keeps_null_stratum(spark):
+    """Rows whose stratum is NULL must stay sampleable: the plain
+    equi-join dropped them while their count still deflated everyone
+    else's rate (r10 review find)."""
+    from ic_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(
+        df, ["source"], "doc_id", target_total=200, alpha=0.7
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    # target >= corpus size -> acceptance 1.0 everywhere: every row
+    # survives, INCLUDING the null stratum
+    assert by.get(None) == 100 and by.get("en") == 100
+
+
+def test_pack_shards_rejects_bad_inputs(spark):
+    """tokens_per_shard <= 0 and NULL token counts fail LOUDLY instead
+    of silently packing everything into shard 0 / desyncing offsets."""
+    from ic_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n long"
+    )
+    with pytest.raises(ValueError, match="tokens_per_shard"):
+        pack_shards(df, "n", ["doc_id"], tokens_per_shard=0)
+    with pytest.raises(Exception, match="NULL in token column"):
+        pack_shards(df, "n", ["doc_id"], tokens_per_shard=100).collect()
