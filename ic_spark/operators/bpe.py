@@ -121,13 +121,22 @@ def bpe_train(
     return _learn_merges([(r["__w"], r["__c"]) for r in wc], n_merges)
 
 
-BPE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("bpe_tokens", ArrayType(StringType()), True),
-        StructField("n_bpe_tokens", IntegerType(), False),
-    ]
-)
+def _bpe_schema(id_field: StructField) -> StructType:
+    """Output schema keyed by the CALLER'S id column (name and type):
+    the old hardcoded ``doc_id long`` crashed the Arrow pass for
+    string/UUID ids and silently renamed everyone's id column (r10
+    review find)."""
+    return StructType(
+        [
+            id_field,
+            StructField("bpe_tokens", ArrayType(StringType()), True),
+            StructField("n_bpe_tokens", IntegerType(), False),
+        ]
+    )
+
+
+# The default-id shape, kept for callers/tests that reference it.
+BPE_SCHEMA = _bpe_schema(StructField("doc_id", LongType(), False))
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -159,6 +168,9 @@ def bpe_encode(
     import pandas as pd
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    id_field = StructField(
+        id_col, df.schema[id_col].dataType, df.schema[id_col].nullable
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
@@ -181,12 +193,15 @@ def bpe_encode(
                 counts.append(len(toks))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    # the id rides through untyped (object): Arrow
+                    # validates it against the caller's actual id type
+                    # — the old int64 coercion crashed string ids
+                    id_col: pd.Series(ids, dtype=object),
                     "bpe_tokens": pd.Series(toks_col, dtype=object),
                     "n_bpe_tokens": pd.Series(counts, dtype="int32"),
                 }
             )
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
-        run, schema=BPE_SCHEMA
+        run, schema=_bpe_schema(id_field)
     )

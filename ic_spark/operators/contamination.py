@@ -21,7 +21,7 @@ oracle can hash-check the plan; a pytest pins hashed == unhashed.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ic_spark.functions.text import tokens, word_shingles
 
@@ -86,22 +86,19 @@ def remove_contaminated_spans(
     kept (doc, pos, token) rows; the window runs over HIT positions
     only.
     """
+    # The gram derivation and the gaps-and-islands merge are dedup's
+    # helpers, NOT local twins: the module claims span semantics match
+    # substring_dup_spans, and two hand-kept copies of the position
+    # arithmetic is exactly how the r9 shingle fix failed to propagate
+    # (r10 review find).
+    from ic_spark.operators.dedup import (
+        _doc_grams as _span_grams,
+        _merge_islands,
+    )
+
     toks_col = tokens(F.col(text_col))
     base = train.select(F.col(id_col).alias("doc_id"), toks_col.alias("__t"))
-
-    gram = F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i") + 1, k))
-    key = F.xxhash64(gram) if hashed else gram
-    grams = (
-        base.where(F.size("__t") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(F.sequence(F.lit(0), F.size("__t") - k)).alias(
-                "__x", "__i"
-            ),
-            "__t",
-        )
-        .select("doc_id", (F.col("__i") + 1).alias("pos"), key.alias("__g"))
-    )
+    grams = _span_grams(train, id_col, text_col, k, hash_grams=hashed)
     eg = eval_df.select(
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
             "gram"
@@ -111,21 +108,9 @@ def remove_contaminated_spans(
     eg = eg.select(ekey.alias("__g")).distinct()
     hits = grams.join(eg, on="__g", how="left_semi")
 
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
-        F.lit(1)
-    )
-    spans = (
-        hits.select("doc_id", "pos", brk.alias("__brk"))
-        .withColumn("__gid", F.sum("__brk").over(w))
-        .groupBy("doc_id", "__gid")
-        .agg(
-            F.min("pos").alias("__s"),
-            (F.max("pos") + k - 1).alias("__e"),
-        )
-    )
-    kill = spans.select(
-        "doc_id", F.explode(F.sequence("__s", "__e")).alias("pos")
+    kill = _merge_islands(hits, k).select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
     tok_pos = base.select(
         "doc_id", F.posexplode("__t").alias("__p0", "tok")
@@ -141,11 +126,16 @@ def remove_contaminated_spans(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("__kept"),
     )
+    # Per-doc token counts come from tok_pos (already computed — the
+    # old third full scan re-tokenized the whole corpus just for
+    # F.size; r10 review find).  The id-only anchor keeps NULL-text
+    # docs in the output with NULL removed_tokens, like F.size(NULL).
+    counts = tok_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__ntok")
+    )
+    anchor = train.select(F.col(id_col).alias("doc_id"))
     return (
-        train.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(toks_col).cast("long").alias("__ntok"),
-        )
+        anchor.join(counts, on="doc_id", how="left")
         .join(rebuilt, on="doc_id", how="left")
         .select(
             "doc_id",

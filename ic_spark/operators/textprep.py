@@ -30,7 +30,16 @@ from ic_spark.functions.text import tokens, word_shingles
 # gone by the time phone/IP run.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+    # Longest forms first: "(212) 555-0123" and "212-555-0123" must
+    # redact WHOLE — the old 7-digit-only pattern left the area code
+    # behind ("212-<PHONE>") while pii_counts reported the number as
+    # fully handled (r10 review find).  No \b before '(' — boundaries
+    # only apply between word chars.
+    (
+        r"(\(\d{3}\) ?\d{3}-\d{4})|(\b\d{3}[-. ]\d{3}-\d{4}\b)"
+        r"|(\b\d{3}-\d{4}\b)",
+        "<PHONE>",
+    ),
     (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
 ]
 
@@ -77,8 +86,13 @@ def chunk_documents(
     ``unnest(range(1, greatest(n - overlap, 1) + 1, stride))`` +
     ``list_slice`` — both engines clamp the final slice.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap silently SKIPPED tokens between consecutive
+        # chunks (stride > chunk_tokens) — invisible data loss, since
+        # each chunk still reads chunk_tokens long (r10 review find)
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): got {overlap}"
+        )
     stride = chunk_tokens - overlap
     toks = tokens(text_col)
     starts = F.sequence(
@@ -188,9 +202,14 @@ def gopher_quality_signals(
         F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n.cast("double"), 6
     )
     hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    # Both ellipsis spellings (Gopher SSA.1.1 counts the single
+    # character too — the '...'-only count let '…'-heavy boilerplate
+    # through; r10 review find, oracle updated identically).
     ellipsis_count = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+    ) / F.lit(3) + (
+        F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
     symbol_ratio = F.round((hash_count + ellipsis_count) / n.cast("double"), 6)
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
@@ -205,7 +224,7 @@ def gopher_quality_signals(
         6,
     )
     ellipsis_line_frac = F.round(
-        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$")))
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
         / n_lines.cast("double"),
         6,
     )
@@ -301,8 +320,17 @@ def quality_logreg_score(
         "stop_hits": 0.35,
         "digit_frac": -4.0,
         "upper_frac": -2.0,
-        **(weights or {}),
     }
+    unknown = set(weights or {}) - set(w)
+    if unknown:
+        # a misspelled feature name was a silent no-op: the scoring
+        # loop iterates the KNOWN features only, so the caller's
+        # intended re-weighting never applied (r10 review find)
+        raise ValueError(
+            f"quality_logreg_score: unknown weight keys {sorted(unknown)}; "
+            f"features are {sorted(w)}"
+        )
+    w.update(weights or {})
     text = F.col(text_col)
     toks = tokens(text)
     n = F.size(toks)

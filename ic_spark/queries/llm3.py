@@ -435,11 +435,12 @@ _GOPHER_RAW_DUCK = (
             ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
                   / CAST(len(toks) AS DOUBLE), 6) AS alpha_word_frac,
             ROUND(((len(t) - len(replace(t, '#', '')))
-                   + (len(t) - len(replace(t, '...', ''))) / 3)
+                   + (len(t) - len(replace(t, '...', ''))) / 3
+                   + (len(t) - len(replace(t, '…', ''))))
                   / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
             ROUND(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
                   / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_frac,
-            ROUND(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+            ROUND(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
                   / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_frac,
             len(list_intersect(toks, {SQL_STOPLIST})) AS stopword_hits
         FROM sig

@@ -82,7 +82,13 @@ def _ogg_flac_bytes(samples, block_size=64):
             + bytes([len(lac)])
             + bytes(lac)
         )
-        return hdr + payload
+        # real page CRC (r10: the Ogg-FLAC walker verifies CRCs like
+        # the vorbis one — real Ogg pages always carry them)
+        from ic_spark.operators.vorbis_codec import _ogg_crc
+
+        raw = bytearray(hdr + payload)
+        raw[22:26] = _ogg_crc(bytes(raw)).to_bytes(4, "little")
+        return bytes(raw)
 
     return page(first, 0, 2) + page(frames, 1, 4)
 

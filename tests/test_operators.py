@@ -1804,10 +1804,22 @@ def test_extract_features_real_pixel_stats(spark):
 
     import pytest as _pytest
 
+    # r10 policy: corrupt bytes of a REAL format (this header-only
+    # jpeg decodes to None) are DATA in strict mode — null feature,
+    # not a NotImplementedError blaming a missing codec.
     rows.append((3, "image", "image/jpeg", bytearray(_jpeg_bytes(4, 4)), None, None, None))
     media2 = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with _pytest.raises(Exception, match="compressed format 'jpeg'"):
-        extract_features(media2, strict=True).collect()
+    strict2 = {
+        r.media_id: r.feature
+        for r in extract_features(media2, strict=True).collect()
+    }
+    assert strict2[1] == feats[1] and strict2[3] is None
+    # a genuinely codec-gated format still trips the strict gate
+    mp4 = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2"
+    rows.append((4, "video", "video/mp4", bytearray(mp4), None, None, None))
+    media3 = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="compressed format 'mp4'"):
+        extract_features(media3, strict=True).collect()
     # non-strict: compressed falls back to the deterministic fake
     feats2 = {r.media_id: r.feature for r in extract_features(media2).collect()}
     assert feats2[1] == feats[1] and feats2[3].startswith("image-feat-")
@@ -3773,3 +3785,79 @@ def test_pack_shards_rejects_bad_inputs(spark):
         pack_shards(df, "n", ["doc_id"], tokens_per_shard=0)
     with pytest.raises(Exception, match="NULL in token column"):
         pack_shards(df, "n", ["doc_id"], tokens_per_shard=100).collect()
+
+
+def test_scrub_pii_redacts_full_phone_numbers(spark):
+    """10-digit and parenthesized phone numbers redact WHOLE — the old
+    7-digit pattern left the area code behind ('212-<PHONE>') while
+    pii_counts reported the number handled (r10 review find)."""
+    from ic_spark.operators.textprep import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("call 212-555-0123 now",),
+            ("call (212) 555-0123 now",),
+            ("local 555-0123 only",),
+            ("ip 10.0.0.1 stays ip",),
+        ],
+        "t string",
+    )
+    got = [r.s for r in df.select(scrub_pii("t").alias("s")).collect()]
+    assert got[0] == "call <PHONE> now"
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "local <PHONE> only"
+    assert got[3] == "ip <IP> stays ip"
+
+
+def test_gopher_counts_unicode_ellipsis(spark):
+    """The single-character ellipsis counts toward symbol_ratio and
+    ellipsis_line_frac like '...' (Gopher SSA.1.1; the docstring
+    already promised it — r10 review find)."""
+    from ic_spark.operators.textprep import gopher_quality_signals
+
+    df = spark.createDataFrame(
+        [(1, "teaser one…\nteaser two…"), (2, "plain line\nplain text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_signals(df, "doc_id", "text").collect()}
+    assert out[1].ellipsis_line_frac == 1.0
+    assert out[1].symbol_ratio > 0.0
+    assert out[2].ellipsis_line_frac == 0.0
+
+
+def test_quality_logreg_rejects_unknown_weight_keys(spark):
+    """A misspelled feature name must raise, not silently score with
+    defaults (r10 review find)."""
+    from ic_spark.operators.textprep import quality_logreg_score
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown weight keys"):
+        quality_logreg_score(df, "doc_id", "text", weights={"stop_hit": 2.0})
+    ok = quality_logreg_score(df, "doc_id", "text", weights={"stop_hits": 2.0})
+    assert ok.count() == 1
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    """Negative overlap silently SKIPPED tokens between chunks —
+    invisible data loss (r10 review find)."""
+    from ic_spark.operators.textprep import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap must be in"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=-2)
+
+
+def test_bpe_encode_string_ids(spark):
+    """bpe_encode keys its output by the CALLER'S id column (name and
+    type) — the hardcoded 'doc_id long' crashed string ids and renamed
+    everyone's id column (r10 review find)."""
+    from ic_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [("u:1", "low lower lowest"), ("u:2", "low low low")],
+        "uri string, text string",
+    )
+    merges = bpe_train(df, "text", n_merges=10)
+    out = bpe_encode(df, "text", merges, id_col="uri").collect()
+    assert {r.uri for r in out} == {"u:1", "u:2"}
+    assert all(r.n_bpe_tokens > 0 for r in out)
