@@ -540,9 +540,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle="""
+# IVF top-10 oracle (deterministic lowest-id seed centroids, cosine
+# cell assignment, nprobe=4 probes, exact in-cell cosine rank) —
+# shared by sim_ivf_topk (Arrow assigner) and sim_ivf_topk_expr
+# (pure-expression twin): the two paths are pinned bit-equal in
+# pytest, so one oracle checks both (r10: expr row now oracle-exact).
+_IVF_ORACLE = """
     WITH seeds AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
                CAST(embedding AS DOUBLE[]) AS cv
@@ -576,9 +579,10 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
         FROM probes p JOIN corpus c ON p.cell = c.cell
         WHERE p.query_id <> c.neighbor_id
     ) WHERE rank <= 10
-    """,
-    headline=True,
-)
+    """
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE, headline=True)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF approximate top-10: corpus coarse-quantized into 16 cells
     (deterministic lowest-id seed centroids → oracle-checkable), each
@@ -603,13 +607,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_ivf_topk_expr", oracle=None, headline=True)
+@query("sim_ivf_topk_expr", oracle=_IVF_ORACLE, headline=True)
 def sim_ivf_topk_expr(spark: SparkSession, sf_dir: str):
     """Same IVF search with the pure-expression cell assigner (zero
     Python in the plan — the whole-stage-codegen twin; formerly the
     headline ``sim_ivf_topk`` path, renamed when the Arrow assigner was
-    promoted).  Rows-only check here; end-to-end agreement with the
-    Arrow path is pinned in tests."""
+    promoted).  Oracle-exact since r10 (shares _IVF_ORACLE with the
+    Arrow path, to which it is pinned bit-equal in tests)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_top_k(
         e,
@@ -622,14 +626,68 @@ def sim_ivf_topk_expr(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_pq_topk", oracle=None, headline=True)
+# Whole-vector PQ/ADC oracle (no cells, no residual): seed codebooks
+# from the ksub lowest-id vectors' raw slices, per-subspace L2-argmin
+# codes, ADC lookup sums over the full corpus, ascending (r10:
+# sim_pq_topk is now oracle-exact instead of rows-only).
+_PQ_ORACLE = """
+WITH dims AS (SELECT UNNEST(range(0, 8)) AS j),
+book AS (
+    SELECT d.j, sk.k, list_slice(sk.v, d.j * 8 + 1, d.j * 8 + 8) AS bv
+    FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS k,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) sk
+    CROSS JOIN dims d
+),
+sub AS (
+    SELECT e.vec_id, d.j,
+           list_slice(CAST(e.embedding AS DOUBLE[]), d.j * 8 + 1, d.j * 8 + 8) AS sv
+    FROM embeddings e CROSS JOIN dims d
+),
+codes AS (
+    SELECT vec_id, j, k FROM (
+        SELECT s.vec_id, s.j, b.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY list_aggregate(list_transform(range(1, 9),
+                            i -> (s.sv[i] - b.bv[i]) * (s.sv[i] - b.bv[i])), 'sum') ASC,
+                          b.k ASC) AS rn
+        FROM sub s JOIN book b ON b.j = s.j
+    ) WHERE rn = 1
+),
+qsub AS (
+    SELECT q.vec_id AS query_id, d.j,
+           list_slice(CAST(q.embedding AS DOUBLE[]), d.j * 8 + 1, d.j * 8 + 8) AS sv
+    FROM embeddings q CROSS JOIN dims d WHERE q.vec_id < 5
+),
+adc AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           SUM(list_aggregate(list_transform(range(1, 9),
+                 i -> (q.sv[i] - b.bv[i]) * (q.sv[i] - b.bv[i])), 'sum')) AS dist
+    FROM qsub q
+    JOIN codes c ON c.j = q.j
+    JOIN book b ON b.j = c.j AND b.k = c.k
+    WHERE c.vec_id <> q.query_id
+    GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_distance, rank FROM (
+    SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_distance,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM adc
+) WHERE rank <= 10
+    """
+
+
+@query("sim_pq_topk", oracle=_PQ_ORACLE, headline=True)
 def sim_pq_topk(spark: SparkSession, sf_dir: str):
     """Product-quantized ANN (operators/similarity.py::pq_top_k): the
     corpus collapses to m small codes per vector and queries score via
     asymmetric-distance lookup tables — the memory-bound 100 TB path
-    (m ints vs dim floats per scored vector).  Rows-only check; the
-    code assignment and ADC arithmetic are pinned against a Python
-    reference in tests/test_operators.py."""
+    (m ints vs dim floats per scored vector).  Oracle-exact since r10
+    (_PQ_ORACLE replays codebook seeding, L2-argmin codes and ADC in
+    DuckDB); the code assignment and ADC arithmetic are additionally
+    pinned against a Python reference in tests/test_operators.py."""
     from ic_spark.operators.similarity import pq_top_k
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -648,41 +706,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("sim_ivfpq_topk", oracle=None, headline=True)
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
-    """IVF-PQ composed ANN (operators/similarity.py::ivf_pq_top_k —
-    the IVFADC layout): coarse cells prune the scan to ~nprobe/nlist
-    of the corpus, PQ codes of the cell RESIDUAL collapse scoring to m
-    array lookups, one Lloyd round tightens the codebooks.  Rows-only
-    check; code/ADC arithmetic, cluster retrieval and the
-    recall-vs-brute-force floor are pinned in tests/test_operators.py.
-    Headline since r7 (VERDICT r6 #6): this is the flagship ANN layout,
-    so a perf regression in it must be driver-visible; the r6-comparable
-    22-query subtotal is emitted separately by bench.py."""
-    from ic_spark.operators.similarity import ivf_pq_top_k
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return ivf_pq_top_k(
-        e,
-        e.where(F.col("vec_id") < 5),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=10,
-        nlist=16,
-        nprobe=4,
-        m=8,
-        ksub=16,
-        pq_refine_iters=1,
-        # the Arrow scale path (numpy cell/code assignment; at dsub=2
-        # numpy's 2-term sums equal the expression fold bit-for-bit,
-        # pinned in tests) — this is the layout the 100 TB claim cites
-        use_arrow=True,
-    )
-
-
-@query(
-    "sim_ivfpq_indexed_topk",
-    oracle="""
+# DuckDB replay of the ENTIRE deterministic IVFADC build at the
+# registry parameters (nlist=16, nprobe=4, m=8, ksub=16, one PQ
+# Lloyd round, queries vec_id < 5, k=10): seeded coarse centroids,
+# exact residuals, seed codebooks, grouped-mean refine (empty codes
+# keep seeds), L2-argmin codes, cosine probes, ADC lookup sums.
+# Shared by sim_ivfpq_topk (in-memory) and sim_ivfpq_indexed_topk
+# (persisted serve) — the two paths are pinned bit-equal in pytest,
+# so one oracle checks both (r10: both rows are now oracle-exact).
+_IVFPQ_ORACLE = """
     WITH dims AS (
         SELECT UNNEST(range(0, 8)) AS j
     ),
@@ -780,8 +812,43 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
                  PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
         FROM adc
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE, headline=True)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ composed ANN (operators/similarity.py::ivf_pq_top_k —
+    the IVFADC layout): coarse cells prune the scan to ~nprobe/nlist
+    of the corpus, PQ codes of the cell RESIDUAL collapse scoring to m
+    array lookups, one Lloyd round tightens the codebooks.  Oracle-exact
+    since r10 (shares _IVFPQ_ORACLE with the persisted-index twin);
+    code/ADC arithmetic, cluster retrieval and the
+    recall-vs-brute-force floor are pinned in tests/test_operators.py.
+    Headline since r7 (VERDICT r6 #6): this is the flagship ANN layout,
+    so a perf regression in it must be driver-visible; the r6-comparable
+    22-query subtotal is emitted separately by bench.py."""
+    from ic_spark.operators.similarity import ivf_pq_top_k
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_top_k(
+        e,
+        e.where(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        nlist=16,
+        nprobe=4,
+        m=8,
+        ksub=16,
+        pq_refine_iters=1,
+        # the Arrow scale path (numpy cell/code assignment; at dsub=2
+        # numpy's 2-term sums equal the expression fold bit-for-bit,
+        # pinned in tests) — this is the layout the 100 TB claim cites
+        use_arrow=True,
+    )
+
+
+@query("sim_ivfpq_indexed_topk", oracle=_IVFPQ_ORACLE)
 def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
     """Persisted-index ANN serve (operators/similarity.py::
     build_ivf_pq_index + ivf_pq_index_top_k): the build/serve split of
