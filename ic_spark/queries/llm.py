@@ -44,6 +44,15 @@ SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
 
 # ------------------------------------------------------------- dedup
 
+# ONE spelling of the dedup operators' parameters, shared by the
+# production query, the md5-portable driver twin, AND bench.py's
+# work-normalizing pair enumerator (r10 review find: bench hardcoded
+# copies that would silently desync if a query retuned).
+_MINHASH_NUM, _MINHASH_N, _MINHASH_BANDS, _MINHASH_R = 64, 3, 16, 4
+_JACCARD_BLOCK = ["lang", "source"]
+_JACCARD_THRESHOLD = 0.8
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -92,7 +101,7 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str):
     """Exact pairwise token-set Jaccard within (lang, source) blocks."""
     d = load_table(spark, sf_dir, "documents")
     return token_jaccard_pairs(
-        d, "doc_id", "text", ["lang", "source"], threshold=0.8
+        d, "doc_id", "text", _JACCARD_BLOCK, threshold=_JACCARD_THRESHOLD
     )
 
 
@@ -117,10 +126,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # over one concatenated hash buffer — the signature stage dominated
     # this query's wall time after the mod-p independence fix.
     sigs = minhash_signatures(
-        d, "doc_id", "text", num_hashes=64, shingle_n=3, use_arrow=True
+        d, "doc_id", "text", num_hashes=_MINHASH_NUM,
+        shingle_n=_MINHASH_N, use_arrow=True
     ).persist()
     sigs.count()
-    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).persist()
+    cands = minhash_lsh_candidates(
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R
+    ).persist()
     cands.count()
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
@@ -303,7 +315,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 # (tests/test_operators.py), bridging the oracle back to the
 # production path the same way prep_contamination_check does.
 
-_MINHASH_NUM, _MINHASH_N, _MINHASH_BANDS, _MINHASH_R = 64, 3, 16, 4
+# (constants hoisted above the dedup queries — see there)
 
 
 def _minhash_portable_oracle(threshold: float = 0.5) -> str:
@@ -869,25 +881,13 @@ def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
     ADC lookup sums, ranked ascending.  Engine float divergence only
     enters through DuckDB's AVG summation order (ulp-level, argmin- and
     round-6-safe); every other step is order-pinned arithmetic."""
-    import hashlib
-    import os
-    import tempfile
-
     from ic_spark.operators.similarity import (
         build_ivf_pq_index,
         ivf_pq_index_top_k,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Per-PROCESS location, built once per (process, sf_dir): a fresh
-    # mkdtemp per invocation leaked a full codes table into /tmp on
-    # every sweep rep, and a fixed shared path raced concurrent
-    # processes (one rebuild rmtree-ing under another's serve).
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ic_spark_ivfpq_idx_{os.getpid()}",
-        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
-    )
+    idx = ivfpq_index_dir(sf_dir)
     if idx in _IVFPQ_IDX_BUILT:
         return ivf_pq_index_top_k(
             spark,
@@ -914,6 +914,36 @@ def sim_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str):
 # Persisted-index locations already built in THIS process (see
 # sim_ivfpq_indexed_topk) — serve-only on repeat invocations.
 _IVFPQ_IDX_BUILT: set = set()
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    """Per-PROCESS persisted-index location for ``sf_dir`` — built once
+    per (process, sf_dir): a fresh mkdtemp per invocation leaked a full
+    codes table into /tmp on every sweep rep, and a fixed shared path
+    raced concurrent processes (one rebuild rmtree-ing under another's
+    serve).  This keying is the ONE owner of the path construction —
+    bench.py's cleanup previously duplicated it and would have silently
+    no-opped if the spelling changed (r10 review find)."""
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ic_spark_ivfpq_idx_{os.getpid()}",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+
+
+def ivfpq_index_release(sf_dir: str) -> None:
+    """Reclaim the per-process index for ``sf_dir`` and un-memoize it
+    so a later same-process invocation rebuilds instead of serving a
+    deleted index."""
+    import shutil
+
+    idx = ivfpq_index_dir(sf_dir)
+    _IVFPQ_IDX_BUILT.discard(idx)
+    shutil.rmtree(idx, ignore_errors=True)
 
 
 @query(
