@@ -288,6 +288,17 @@ def main() -> None:
         "value_comparable_r7_normalized_latency": round(
             comparable_r7 * lat_factor, 3
         ),
+        # r10 measurement fix carried IN the record: reps clearCache,
+        # so self-persisting queries (dedup_minhash_lsh) time true
+        # end-to-end execution — r<=9 minima for those rows were
+        # cache-served and are NOT comparable (~+2s on the comparable
+        # totals comes from this fix, not a code regression).
+        "measurement_note": (
+            "r10+: clearCache per rep; dedup_minhash_lsh (and any "
+            "self-persisting query) no longer serves reps 2-3 from "
+            "rep 1's cache — r<=9 minima for those rows are not "
+            "comparable"
+        ),
     }
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
