@@ -76,6 +76,14 @@ COMPARABLE_R6 = frozenset(
 # COMPARABLE_R6 + sim_ivfpq_topk (joined the headline set in round 7).
 COMPARABLE_R7 = COMPARABLE_R6 | {"sim_ivfpq_topk"}
 
+# Same MEMBERSHIP as r7, new measurement epoch: every
+# `value_comparable_r10` was produced under the clearCache-per-rep
+# protocol (r10 measurement fix), so from round 10 on, this total is
+# cold-vs-cold by file read.  The r6/r7 totals remain for continuity
+# with old records but mix cache-served minima for self-persisting
+# queries in rounds <=9.
+COMPARABLE_R10 = COMPARABLE_R7
+
 
 def calibration_secs(spark, reps: int = 4) -> float:
     best = float("inf")
@@ -171,7 +179,8 @@ def main() -> None:
     # for round-over-round reads: r≤9 minima for the self-persisting
     # queries are cache-served and NOT comparable to r10+ on those rows.
     timings: dict[str, float] = {}
-    for q in headline:
+    latency_mid = None
+    for i, q in enumerate(headline):
         best, rows = float("inf"), 0
         for _ in range(3):
             spark.catalog.clearCache()
@@ -180,6 +189,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[q.name] = round(best, 3)
         print(f"# {q.name}: {timings[q.name]}s ({rows} rows)", file=sys.stderr)
+        if i == len(headline) // 2:
+            # Mid-window latency sample (VERDICT r10 #6): with only
+            # pre/post samples, one noisy post reading (r10 drift
+            # 0.874) poisoned every latency-normalized total.  A third
+            # sample inside the headline window lets lat_factor use
+            # min(mid, post) — the min of a FIXED-cost job is the
+            # honest estimator (noise only ever adds), and LATENCY_REF
+            # is itself a warm-JVM min-of-40.
+            latency_mid = latency_secs(spark)
+            print(f"# mid-headline latency: {latency_mid}s", file=sys.stderr)
     spark.catalog.clearCache()  # drop the last rep's leftover blocks
 
     # Serve-only persisted-index timing (VERDICT r8 #3): the
@@ -220,7 +239,11 @@ def main() -> None:
     # Comparable sets are like-for-like ONLY if every member was timed
     # this run — a silently demoted headline query deflated the total
     # with no error (r10 review find; demotions are routine).
-    for label, names in (("r6", COMPARABLE_R6), ("r7", COMPARABLE_R7)):
+    for label, names in (
+        ("r6", COMPARABLE_R6),
+        ("r7", COMPARABLE_R7),
+        ("r10", COMPARABLE_R10),
+    ):
         missing = sorted(names - timings.keys())
         if missing:
             raise AssertionError(
@@ -235,6 +258,9 @@ def main() -> None:
     comparable_r7 = round(
         sum(t for n, t in timings.items() if n in COMPARABLE_R7), 3
     )
+    comparable_r10 = round(
+        sum(t for n, t in timings.items() if n in COMPARABLE_R10), 3
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     calib = calibration_secs(spark)
     latency_post = latency_secs(spark)
@@ -245,7 +271,14 @@ def main() -> None:
         file=sys.stderr,
     )
     cpu_factor = CALIBRATION_REF / calib
-    lat_factor = LATENCY_REF / latency_post
+    # min(mid, post): both are warm-JVM samples like LATENCY_REF, and
+    # the min of a fixed-cost job discards one-sided noise — one noisy
+    # post sample made r10's latency-normalized totals uninterpretable
+    # (latency_drift 0.874 while the CPU anchor held 0.908).
+    latency_window = min(
+        x for x in (latency_mid, latency_post) if x is not None
+    )
+    lat_factor = LATENCY_REF / latency_window
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -263,6 +296,10 @@ def main() -> None:
         "calibration_ref": CALIBRATION_REF,
         "latency": latency_post,
         "latency_pre": latency_pre,
+        "latency_mid": latency_mid,
+        # the latency factor divides LATENCY_REF by min(mid, post) —
+        # see lat_factor comment (r10 VERDICT #6)
+        "latency_window": latency_window,
         "latency_ref": LATENCY_REF,
         # Drift ratios: |1 - drift| > ~0.15 means the host speed CHANGED
         # mid-run and any cross-round comparison this round needs a
@@ -288,6 +325,13 @@ def main() -> None:
         "value_comparable_r7_normalized_latency": round(
             comparable_r7 * lat_factor, 3
         ),
+        # Cold-protocol epoch (VERDICT r10 #2): same members as r7 but
+        # every round contributing to this key ran clearCache-per-rep,
+        # so r10+ rounds compare cold-vs-cold by file read.
+        "value_comparable_r10": comparable_r10,
+        "value_comparable_r10_normalized": round(
+            comparable_r10 * cpu_factor, 3
+        ),
         # r10 measurement fix carried IN the record: reps clearCache,
         # so self-persisting queries (dedup_minhash_lsh) time true
         # end-to-end execution — r<=9 minima for those rows were
@@ -302,8 +346,13 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1_timings = run_sf1_probe(spark)
+        sf1_timings, sf1_serve = run_sf1_probe(spark)
         record["sf1_queries"] = sf1_timings
+        # The serve row (new in r10) lives OUTSIDE sf1_queries/sf1_value
+        # so the cross-round sf1 total stays membership-stable vs r<=9
+        # records (r10 ADVICE find; r10's own sf1_value included it —
+        # subtract its sf1_queries entry when comparing to r10).
+        record["sf1_index_serve"] = sf1_serve
         record["sf1_value"] = round(sum(sf1_timings.values()), 3)
         record["sf1_value_normalized"] = round(
             record["sf1_value"] * CALIBRATION_REF / calib, 3
@@ -465,7 +514,7 @@ def ensure_sf1_dir(spark) -> str:
     return out_dir
 
 
-def run_sf1_probe(spark) -> dict[str, float]:
+def run_sf1_probe(spark) -> tuple[dict[str, float], float]:
     t0 = time.perf_counter()
     sf1_dir = ensure_sf1_dir(spark)
     print(f"# sf1 data ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -500,10 +549,13 @@ def run_sf1_probe(spark) -> dict[str, float]:
         start = time.perf_counter()
         rows = indexed(spark, sf1_dir).count()
         best = min(best, time.perf_counter() - start)
-    timings["sim_ivfpq_index_serve"] = round(best, 3)
+    # Returned SEPARATELY, not in the timings dict: sf1_value sums the
+    # probe timings, and folding this r10-new row into the dict
+    # silently inflated cross-round sf1 totals relative to r<=9
+    # records (r10 ADVICE find).
+    serve = round(best, 3)
     print(
-        f"# sf1 sim_ivfpq_index_serve: {timings['sim_ivfpq_index_serve']}s"
-        f" ({rows} rows, DPP pinned)",
+        f"# sf1 sim_ivfpq_index_serve: {serve}s ({rows} rows, DPP pinned)",
         file=sys.stderr,
     )
     # Reclaim the sf1 index (codes table is 10x the sf0.1 one) and
@@ -513,7 +565,7 @@ def run_sf1_probe(spark) -> dict[str, float]:
     from ic_spark.queries.llm import ivfpq_index_release
 
     ivfpq_index_release(sf1_dir)
-    return timings
+    return timings, serve
 
 
 # --------------------------------------------------------- skew stress probe

@@ -89,7 +89,15 @@ def is_promotable(src: DataType, dst: DataType) -> bool:
 
 
 def _aliases(name_mapping: dict[str, list[str]] | None, current: str) -> list[str]:
-    return list((name_mapping or {}).get(current, []))
+    """Prior names of ``current``, matching the mapping key with the
+    same case-insensitive semantics resolution uses (exact key wins; a
+    unique case-folded key matches; ambiguous folded keys match
+    nothing)."""
+    nm = name_mapping or {}
+    if current in nm:
+        return list(nm[current])
+    hits = [k for k in nm if k.lower() == current.lower()]
+    return list(nm[hits[0]]) if len(hits) == 1 else []
 
 
 def evolved_projection(
@@ -118,19 +126,37 @@ def evolved_projection(
         )
 
     def resolve(n: str) -> str | None:
+        hit = folded.get(n.lower(), "")
+        if hit is None:
+            # Two physical columns differ only by case: Spark's
+            # default case-insensitive analyzer cannot reference
+            # either one (AMBIGUOUS_REFERENCE), and silently treating
+            # the field as absent would NULL-fill resolvable data (r10
+            # ADVICE find) — fail loudly at plan time instead.
+            twins = sorted(p for p in phys if p.lower() == n.lower())
+            raise ValueError(
+                f"schema evolution: request field '{n}' matches "
+                f"multiple physical columns differing only by case "
+                f"({', '.join(repr(t) for t in twins)}) — "
+                "case-insensitive resolution is ambiguous"
+            )
         if n in phys:
             return n
-        return folded.get(n.lower())
+        return hit or None
 
     # A name that is BOTH a field's current name and another field's
     # prior alias cannot resolve by name at all: in pre-rename files
     # the physical column holds the OLD field's data, which a plain
     # name match would resurrect under the NEW field (r10 review find).
+    # The comparison case-folds both sides: resolution is case-
+    # insensitive, so a new field 'a' would resurrect pre-rename data
+    # written under physical 'A' just as surely as an exact-case reuse
+    # (r10 ADVICE find).
     for field in request_schema.fields:
         for other in request_schema.fields:
-            if other.name != field.name and field.name in _aliases(
-                name_mapping, other.name
-            ):
+            if other.name != field.name and field.name.lower() in {
+                a.lower() for a in _aliases(name_mapping, other.name)
+            }:
                 raise ValueError(
                     f"schema evolution: name '{field.name}' is both a "
                     f"current field and a prior name of '{other.name}' "

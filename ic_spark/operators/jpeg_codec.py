@@ -391,17 +391,32 @@ def _decode_progressive(frame, scans, qt):
     hmax, vmax, mcux, mcuy, geo = _comp_geometry(frame)
     if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
         return None
-    # Same corruption fail-fast as the baseline path (_decode_scan):
-    # every data unit needs >= 2 entropy bits across its scans, so a
-    # SOF2 declaring 65535x65535 with a tiny scan payload must be
-    # rejected BEFORE allocating ~GBs of coefficient arrays (r10
-    # review find — the allocation-then-MemoryError escaped
-    # decode_jpeg's except clause and crashed the executor).
+    # Corruption fail-fast, progressive flavor.  Unlike baseline
+    # (DC code + EOB >= 2 bits per unit), a legitimate progressive
+    # stream can go as low as ~1 bit per unit: an optimized-Huffman
+    # first DC scan spends one bit per unit and EOB-run AC scans cover
+    # thousands of blocks in a few bits (r10 ADVICE find — the old
+    # 2-bit floor decoded flat/solid images to None).  Every unit
+    # still costs >= 1 bit in its first DC scan, so a 0.5-bit floor
+    # keeps 2x slack while rejecting bit-flipped dimension fields.
     units = sum(c["hs"] * c["vs"] for c in comps)
     total = sum(
         sum(len(s) for s in segments) for _sel, _spec, segments, *_ in scans
     )
-    if mcux * mcuy * units * 2 > total * 8 + 64:
+    if mcux * mcuy * units > total * 16 + 64:
+        return None
+    # The entropy floor alone cannot stop a deliberate bomb (a few MB
+    # of EOB-run payload would license a 65535x65535 SOF2 -> ~34 GB of
+    # coefficient arrays), so additionally gate the ACTUAL allocation:
+    # the per-component int64 coefficient planes must fit a fixed cap
+    # (256 MiB covers ~8Kx8K 4:4:4) before np.zeros runs (r10 review
+    # find — the allocation-then-MemoryError escaped decode_jpeg's
+    # except clause and crashed the executor).
+    alloc = sum(
+        geo[c["id"]]["bh_mcu"] * geo[c["id"]]["bw_mcu"] * 64 * 8
+        for c in comps
+    )
+    if alloc > 256 << 20:
         return None
     by_id = {c["id"]: c for c in comps}
     coefs = {

@@ -53,7 +53,14 @@ def _bucket_seq(start: Column, end: Column, width: int) -> Column:
     last = F.floor(
         _epoch_seconds(end - F.expr("INTERVAL 1 MICROSECOND")) / width
     )
-    return F.explode(F.sequence(first, F.greatest(first, last)))
+    # Spark's greatest() SKIPS nulls, so a bare greatest(first, last)
+    # turned NULL-end rows — previously dropped whole at the explode
+    # (sequence(first, NULL) is NULL) — into one-bucket rows that
+    # shuffle and replicate before the join predicate finally drops
+    # them (r10 ADVICE find).  Gate the clamp on end being present so
+    # NULL-end intervals still vanish at the explode.
+    stop = F.when(last.isNotNull(), F.greatest(first, last))
+    return F.explode(F.sequence(first, stop))
 
 
 def interval_join(

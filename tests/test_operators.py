@@ -2221,6 +2221,45 @@ def test_decode_jpeg_progressive():
     assert decode_jpeg(encode_progressive_jpeg(g))[..., 0].tolist() == g.tolist()
 
 
+def test_jpeg_progressive_flat_image_below_two_bits_per_unit():
+    """An optimized-Huffman progressive stream legitimately spends
+    ~1 bit per data unit on a flat image (1-bit DC category-0 code,
+    DC-only scan) — the old >=2-bit corruption floor decoded it to
+    None, silently dropping valid rows (r10 ADVICE find).  The
+    allocation bomb the floor was defending against is now gated on
+    the ACTUAL coefficient-array size, so a bomb whose padded payload
+    passes the relaxed entropy floor must still return None without
+    allocating."""
+    import struct
+
+    import numpy as np
+
+    from ic_spark.operators.jpeg_codec import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def flat_progressive(h, w, dc_payload):
+        out = b"\xff\xd8"
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+        out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        # DC table 0: single 1-bit code '0' -> category 0 (diff = 0)
+        out += seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0]))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_payload
+        return out + b"\xff\xd9"
+
+    # 128x128 gray = 256 MCUs at 1 bit each = 32 zero bytes: decodes
+    # to solid mid-gray (all-zero coefficients + level shift).
+    img = decode_jpeg(flat_progressive(128, 128, b"\x00" * 32))
+    assert img is not None and img.shape == (128, 128, 1)
+    assert np.unique(img) .tolist() == [128]
+
+    # 65504x65504 SOF2 with 5 MB of padding: passes the entropy floor
+    # (~0.6 bits/unit declared vs 0.5 floor) but would allocate ~34 GB
+    # of coefficient planes — the allocation cap must reject it.
+    assert decode_jpeg(flat_progressive(65504, 65504, b"\x00" * (5 << 20))) is None
+
+
 def test_jpeg_entropy_segment_split_ambiguity():
     """The restart-segment split happens AT the marker scan, where
     0xFF00 stuffing is still visible: an unstuffed 0xFF data byte
@@ -3715,6 +3754,39 @@ def test_interval_join_inverted_interval_no_bucket_explosion(spark):
     # the inverted right interval [s=2024, e=1970) still satisfies the
     # half-open predicate (l_start < e is false here -> no match)
     assert [r.tag for r in orows] == ["ok"]
+
+
+def test_interval_join_null_end_registers_no_bucket(spark):
+    """A NULL-end interval must vanish at the bucket explode (its join
+    outcome is decided by the predicate either way, but greatest()'s
+    null-skipping previously gave it one bucket, shuffling rows the
+    old plan dropped for free — r10 ADVICE find)."""
+    from ic_spark.operators.rangejoin import _bucket_seq, interval_join
+
+    right = spark.createDataFrame(
+        [
+            ("ok", "2024-06-01 00:00:00", "2024-06-02 00:00:00"),
+            ("noend", "2024-06-01 00:00:00", None),
+            ("nostart", None, "2024-06-02 00:00:00"),
+        ],
+        "tag string, s string, e string",
+    ).select(
+        "tag",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    exploded = right.select(
+        "tag", _bucket_seq(F.col("s"), F.col("e"), 600).alias("b")
+    )
+    assert sorted(set(r.tag for r in exploded.collect())) == ["ok"]
+
+    left = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = interval_join(
+        left, right, "ts", "s", "e", bucket_width_seconds=600
+    ).collect()
+    assert [r.tag for r in rows] == ["ok"]
 
 
 def test_interval_join_shared_column_names(spark):

@@ -502,3 +502,70 @@ def test_evolved_projection_dotted_column_name(spark):
     cols = evolved_projection(physical, request, None)
     df = spark.createDataFrame([(5,)], physical).select(cols)
     assert df.collect()[0][0] == 5
+
+
+# --------------------------- r11 ADVICE regression tests
+
+
+def test_evolved_projection_rename_reuse_case_insensitive():
+    """The ambiguity guard must case-fold: resolution is case-
+    insensitive, so a new field 'a' would project pre-rename physical
+    'A' (the renamed-away field's data) just like an exact reuse
+    (r10 ADVICE, medium)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType(
+        [StructField("A", LongType()), StructField("b", LongType())]
+    )
+    request = StructType(
+        [StructField("b", LongType()), StructField("a", LongType())]
+    )
+    with pytest.raises(ValueError, match="prior name of 'b'"):
+        evolved_projection(physical, request, {"b": ["A"]})
+
+
+def test_evolved_projection_case_twin_collision_raises():
+    """Two physical columns differing only by case, request field
+    matching neither exactly: must raise, not silently NULL-fill
+    (r10 ADVICE, low)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType(
+        [StructField("ID", LongType()), StructField("Id", LongType())]
+    )
+    request = StructType([StructField("id", LongType())])
+    with pytest.raises(ValueError, match="differing only by case"):
+        evolved_projection(physical, request, None)
+
+
+def test_evolved_projection_case_twin_exact_match_also_raises():
+    """Even an exact-case request reference raises on case-twin
+    physical columns: Spark's default case-insensitive analyzer throws
+    AMBIGUOUS_REFERENCE at select time anyway — our plan-time error is
+    the loud, earlier version of the same refusal."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ic_spark.compaction.evolution import evolved_projection
+
+    physical = StructType(
+        [StructField("ID", LongType()), StructField("Id", LongType())]
+    )
+    request = StructType([StructField("ID", LongType())])
+    with pytest.raises(ValueError, match="differing only by case"):
+        evolved_projection(physical, request, None)
+
+
+def test_aliases_case_insensitive_key_lookup():
+    """name_mapping keyed 'B' must still supply aliases for current
+    field 'b' — alias lookup folds like resolution does."""
+    from ic_spark.compaction.evolution import _aliases
+
+    assert _aliases({"B": ["old_b"]}, "b") == ["old_b"]
+    assert _aliases({"b": ["x"], "B": ["y"]}, "b") == ["x"]  # exact wins
+    assert _aliases({"b": ["x"], "B": ["y"]}, "B") == ["y"]
+    # ambiguous folded keys, no exact: match nothing
+    assert _aliases({"Ab": ["x"], "aB": ["y"]}, "ab") == []
