@@ -532,9 +532,19 @@ class IcebergTable:
     compaction orchestrator runs over spec metadata unchanged.
     """
 
-    def __init__(self, location: str):
-        self.root = location
-        self.metadata_dir = os.path.join(location, "metadata")
+    def __init__(self, location: str, file_io: dict | None = None):
+        from ic_spark.compaction.metafs import MetaFS
+
+        self.file_io = file_io
+        self._mfs = MetaFS(location, file_io)
+        # Local: resolved filesystem path (pre-seam behavior).  Remote:
+        # metadata IO uses within-FS paths; data files keep the
+        # caller's spelling through Spark's Hadoop layer.
+        self.root = self._mfs.root if self._mfs.is_local else location
+        # Caller-spelled (full URI on object stores): every path that
+        # lands IN metadata files stays interoperable; MetaFS maps
+        # spellings onto the connector at IO time (within()).
+        self.metadata_dir = os.path.join(self.root, "metadata")
 
     # -- creation / loading -------------------------------------------
 
@@ -545,8 +555,9 @@ class IcebergTable:
         schema: T.StructType,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        file_io: dict | None = None,
     ) -> "IcebergTable":
-        tbl = cls(location)
+        tbl = cls(location, file_io=file_io)
         if tbl.version() is not None:
             raise ValueError(f"table already exists at {location}")
         ice_schema = schema_to_iceberg(schema)
@@ -586,10 +597,9 @@ class IcebergTable:
 
     def version(self) -> int | None:
         hint = os.path.join(self.metadata_dir, "version-hint.text")
-        if not os.path.exists(hint):
+        if not self._mfs.exists(hint):
             return None
-        with open(hint) as f:
-            return int(f.read().strip())
+        return int(self._mfs.read_text(hint).strip())
 
     def metadata(self, version: int | None = None) -> dict:
         """Current metadata, or the EXACT ``version`` when given — the
@@ -599,8 +609,9 @@ class IcebergTable:
         v = self.version() if version is None else version
         if v is None:
             raise ValueError(f"no iceberg table at {self.root}")
-        with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+        return self._mfs.read_json(
+            os.path.join(self.metadata_dir, f"v{v}.metadata.json")
+        )
 
     def schema(self) -> T.StructType:
         meta = self.metadata()
@@ -636,9 +647,13 @@ class IcebergTable:
         """Hadoop-catalog commit: O_EXCL create of v{N+1}, then hint swap.
 
         Exactly one of two racing committers can create the version
-        file; the loser gets :class:`CommitConflictError`.
+        file; the loser gets :class:`CommitConflictError`.  On
+        object-store roots the exclusive create is probe-then-PUT
+        (best-effort — object stores have no O_EXCL); multi-writer
+        deployments there must commit through a SQL/REST catalog whose
+        CAS is the commit point (see :mod:`.metafs`).
         """
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        self._mfs.makedirs(self.metadata_dir)
         new_version = (expected_version or 0) + 1
         current = self.version()
         if current != expected_version:
@@ -657,18 +672,17 @@ class IcebergTable:
                 }
             ]
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            self._mfs.create_exclusive(
+                path, json.dumps(meta, indent=1).encode("utf-8")
+            )
         except FileExistsError:
             raise CommitConflictError(
                 f"concurrent commit: metadata v{new_version} already exists"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1)
         hint = os.path.join(self.metadata_dir, "version-hint.text")
-        tmp = hint + f".tmp{new_version}"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(tmp, hint)
+        self._mfs.write_atomic(
+            hint, str(new_version).encode("utf-8"), suffix=f".tmp{new_version}"
+        )
 
     # -- snapshots -----------------------------------------------------
 
@@ -898,7 +912,7 @@ class IcebergTable:
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
         write_container(
-            path,
+            self._mfs.within(path),
             schema,
             entries,
             metadata={
@@ -914,13 +928,14 @@ class IcebergTable:
                 "format-version": "2",
                 "content": "data" if content == DATA_MANIFEST else "deletes",
             },
+            filesystem=self._mfs.fs,
         )
         added = [e for e in entries if e["status"] == ADDED]
         existing = [e for e in entries if e["status"] == EXISTING]
         seqs = [e["sequence_number"] for e in entries if e["sequence_number"] is not None]
         return {
             "manifest_path": path,
-            "manifest_length": os.path.getsize(path),
+            "manifest_length": self._mfs.size(path),
             "partition_spec_id": sid_spec,
             "content": content,
             "sequence_number": seq,
@@ -950,9 +965,15 @@ class IcebergTable:
         if snapshot is None:
             return []
         out = []
-        _, _, manifests = read_container(snapshot["manifest-list"])
+        _, _, manifests = read_container(
+            self._mfs.within(snapshot["manifest-list"]),
+            filesystem=self._mfs.fs,
+        )
         for mf in manifests:
-            _, _, entries = read_container(mf["manifest_path"])
+            _, _, entries = read_container(
+                self._mfs.within(mf["manifest_path"]),
+                filesystem=self._mfs.fs,
+            )
             for e in entries:
                 if e["status"] == DELETED:
                     continue
@@ -977,6 +998,7 @@ class IcebergTable:
         inherit it per spec).
         """
         now = int(time.time() * 1000)
+        self._mfs.makedirs(self.metadata_dir)  # manifests precede commit
         seq = meta["last-sequence-number"] + 1
         sid = int.from_bytes(os.urandom(7), "big")  # spec: unique long id
         parent = meta.get("current-snapshot-id", -1)
@@ -1027,10 +1049,11 @@ class IcebergTable:
             self.metadata_dir, f"snap-{sid}-1-{uuid.uuid4().hex}.avro"
         )
         write_container(
-            mlist_path,
+            self._mfs.within(mlist_path),
             MANIFEST_LIST_SCHEMA,
             manifests,
             metadata={"format-version": "2"},
+            filesystem=self._mfs.fs,
         )
         snapshot = {
             "snapshot-id": sid,

@@ -478,26 +478,37 @@ class Snapshot:
 
 
 class ManifestTable:
-    """A directory-backed table: ``{root}/manifest.json`` + data files."""
+    """A directory-backed table: ``{root}/manifest.json`` + data files.
 
-    def __init__(self, root: str):
-        self.root = root
-        self.manifest_path = os.path.join(root, "manifest.json")
+    ``file_io`` routes the metadata plane (manifest.json swap, orphan
+    listing, vacuum) through the pyarrow fileio seam for object-store
+    roots — see :mod:`ic_spark.compaction.metafs`.  Local roots keep
+    the pre-seam temp+``os.replace`` protocol byte-for-byte.  The data
+    files themselves read/write through Spark's Hadoop layer with the
+    caller's path spelling, unchanged.
+    """
+
+    def __init__(self, root: str, file_io: dict | None = None):
+        from ic_spark.compaction.metafs import MetaFS
+
+        self.file_io = file_io
+        self._mfs = MetaFS(root, file_io)
+        # Local roots: keep the resolved filesystem path (pre-seam
+        # behavior — `file:` spellings normalized).  Remote: within-FS
+        # path for metadata IO; data-file paths stay caller-spelled.
+        self.root = self._mfs.root if self._mfs.is_local else root
+        self.manifest_path = self._mfs.path("manifest.json")
 
     # -- state ---------------------------------------------------------
 
     def _load(self) -> dict:
-        if not os.path.exists(self.manifest_path):
+        if not self._mfs.exists(self.manifest_path):
             return {"current_snapshot_id": None, "snapshots": []}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        return self._mfs.read_json(self.manifest_path)
 
     def _store(self, state: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(state, f, indent=1)
-        os.replace(tmp, self.manifest_path)  # atomic swap
+        self._mfs.makedirs(self._mfs.root)
+        self._mfs.write_json_atomic(self.manifest_path, state)
 
     # -- schema evolution (optional registry) --------------------------
     #
@@ -1372,32 +1383,28 @@ class ManifestTable:
         ``delete=True``.
         """
         referenced = {
-            os.path.abspath(f["path"])
+            self._mfs.normalize(f["path"])
             for s in self._load()["snapshots"]
             for f in s["files"]
         }
         cutoff = time.time() - older_than_s
         orphans = []
-        for root, _dirs, files in os.walk(self.root):
-            for name in files:
-                if not name.endswith(".parquet"):
+        for raw in self._mfs.walk_files(self._mfs.root):
+            if not raw.endswith(".parquet"):
+                continue
+            p = self._mfs.normalize(raw)
+            if p in referenced:
+                continue
+            try:
+                if self._mfs.mtime(p) > cutoff:
                     continue
-                p = os.path.abspath(os.path.join(root, name))
-                if p in referenced:
-                    continue
-                try:
-                    if os.path.getmtime(p) > cutoff:
-                        continue
-                except FileNotFoundError:
-                    continue
-                orphans.append(p)
+            except FileNotFoundError:
+                continue
+            orphans.append(p)
         orphans.sort()
         if delete:
             for p in orphans:
-                try:
-                    os.unlink(p)
-                except FileNotFoundError:
-                    pass
+                self._mfs.unlink(p)
         return orphans
 
     def vacuum(self) -> tuple[list[str], list[str]]:
@@ -1408,16 +1415,14 @@ class ManifestTable:
         fixtures, external imports) are reported as skipped, never
         touched.  Missing files are tolerated (idempotent re-run).
         """
-        root = os.path.abspath(self.root) + os.sep
+        sep = os.sep if self._mfs.is_local else "/"
+        root = self._mfs.normalize(self._mfs.root) + sep
         deleted, skipped = [], []
         for p in self.expire_snapshots():
-            ap = os.path.abspath(p)
+            ap = self._mfs.normalize(p)
             if not ap.startswith(root):
                 skipped.append(p)
                 continue
-            try:
-                os.unlink(ap)
-                deleted.append(p)
-            except FileNotFoundError:
-                deleted.append(p)
+            self._mfs.unlink(ap)  # missing tolerated (idempotent re-run)
+            deleted.append(p)
         return deleted, skipped

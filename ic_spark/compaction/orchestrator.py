@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from ic_spark.compaction.manifest import ManifestTable
+from ic_spark.plans.checkpoint import stable_checkpoint
 from ic_spark.compaction.request import (
     RewriteFilesRequest,
     RewriteFilesResponse,
@@ -150,6 +151,10 @@ class Compaction:
             sort_order=sort_order or None,
             sort_order_id=sort_order_id,
             data_file_format=data_file_format,
+            # The table's own FileIO (object-store tables) rides into
+            # the rewrite so the avro/orc writers and DV reads route
+            # through the same connector the metadata plane uses.
+            file_io=getattr(table, "file_io", None),
         )
         # Iceberg v3 row lineage: compaction must PRESERVE every
         # surviving row's _row_id / _last_updated_sequence_number —
@@ -389,7 +394,8 @@ class Compaction:
             # groupBy/applyInPandas both consume this — without the
             # checkpoint the scan + semi-join ran end-to-end twice
             # (same pattern as convert_equality_deletes; r9 review find)
-            .localCheckpoint(eager=True)
+              # stable_checkpoint: reliable when a checkpoint dir is set
+            .transform(stable_checkpoint)
         )
         n = matches.count()
         if n == 0:
@@ -472,7 +478,7 @@ class Compaction:
             from ic_spark.compaction.deletes import commit_deletion_vectors
 
             removed = {t.data_file_path for t in eq}
-            positions = matched.toDF("file_path", "pos").localCheckpoint(eager=True)
+            positions = stable_checkpoint(matched.toDF("file_path", "pos"))
             rows = positions.count()  # delete-scale data: a cheap job
             if rows == 0:
                 table.commit_rewrite([], removed)  # drop the eq files

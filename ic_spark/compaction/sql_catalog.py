@@ -56,13 +56,30 @@ def _check_identifier(kind: str, value: str) -> None:
 
 
 class SqlCatalog:
-    """sqlite3-backed Iceberg catalog over a warehouse directory."""
+    """sqlite3-backed Iceberg catalog over a warehouse directory.
 
-    def __init__(self, db_path: str, warehouse: str, name: str = "ic"):
+    ``file_io`` (``{"props": {...}}`` or an injected
+    ``pyarrow_filesystem``) routes every table's METADATA plane through
+    the fileio seam, so the warehouse may live on an object store while
+    the database CAS stays the commit point — the reference's
+    MinIO + Postgres deployment shape
+    (``core/src/compaction/mod.rs:183-202``)."""
+
+    def __init__(
+        self,
+        db_path: str,
+        warehouse: str,
+        name: str = "ic",
+        file_io: dict | None = None,
+    ):
+        from ic_spark.compaction.metafs import MetaFS
+
         self.db_path = db_path
         self.warehouse = warehouse
         self.name = name
-        os.makedirs(warehouse, exist_ok=True)
+        self.file_io = file_io
+        self._mfs = MetaFS(warehouse, file_io)
+        self._mfs.makedirs(self._mfs.root)
         with closing(self._conn()) as con:
             con.execute(
                 """CREATE TABLE IF NOT EXISTS iceberg_tables (
@@ -250,7 +267,7 @@ class SqlCatalog:
         self._check_namespace(namespace)
         _check_identifier("table name", name)
         location = os.path.join(self.warehouse, namespace, name)
-        if IcebergTable(location).version() is not None:
+        if IcebergTable(location, file_io=self.file_io).version() is not None:
             # The derived location already holds table files the catalog
             # doesn't point at — e.g. the old location after a
             # pointer-only rename_table.  The catalog row is the source
@@ -260,8 +277,15 @@ class SqlCatalog:
 
             location = f"{location}-{_uuid.uuid4().hex[:8]}"
         IcebergTable.create(
-            location, schema, partition_by=partition_by, properties=properties
+            location,
+            schema,
+            partition_by=partition_by,
+            properties=properties,
+            file_io=self.file_io,
         )
+        # Caller-spelled pointer (full URI on object stores) — the
+        # catalog row stays interoperable; reads map it onto the
+        # connector via MetaFS.within().
         pointer = os.path.join(location, "metadata", "v1.metadata.json")
         with closing(self._conn()) as con:
             try:
@@ -289,7 +313,9 @@ class SqlCatalog:
     def load_table(self, namespace: str, name: str) -> "SqlCatalogTable":
         pointer = self._pointer(namespace, name)
         location = os.path.dirname(os.path.dirname(pointer))
-        return SqlCatalogTable(location, self, namespace, name)
+        return SqlCatalogTable(
+            location, self, namespace, name, file_io=self.file_io
+        )
 
     def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
         pointer = self._pointer(namespace, name)
@@ -380,8 +406,15 @@ class SqlCatalogTable(IcebergTable):
     the whole read/write/maintenance surface is inherited.
     """
 
-    def __init__(self, location: str, catalog: SqlCatalog, namespace: str, name: str):
-        super().__init__(location)
+    def __init__(
+        self,
+        location: str,
+        catalog: SqlCatalog,
+        namespace: str,
+        name: str,
+        file_io: dict | None = None,
+    ):
+        super().__init__(location, file_io=file_io)
         self.catalog = catalog
         self.namespace = namespace
         self.table_name = name
@@ -414,8 +447,7 @@ class SqlCatalogTable(IcebergTable):
                     f"table moved while planning: wanted metadata "
                     f"v{version}, pointer is at v{cur}"
                 )
-        with open(pointer) as f:
-            return json.load(f)
+        return self._mfs.read_json(pointer)
 
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
         """Write a collision-free metadata JSON, then CAS the pointer.
@@ -427,11 +459,10 @@ class SqlCatalogTable(IcebergTable):
         that would wedge every future commit.  Losing racers likewise
         leave harmless orphans the next maintenance pass can collect.
         """
-        import json
         import time
         import uuid
 
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        self._mfs.makedirs(self.metadata_dir)
         expected_pointer = self._pointer()
         current = self.version()
         if current != expected_version:
@@ -451,8 +482,10 @@ class SqlCatalogTable(IcebergTable):
                 "metadata-file": expected_pointer,
             }
         ]
-        with open(path, "w") as f:
-            json.dump(meta, f, indent=1)
+        # Collision-free name: a plain write is enough (no O_EXCL to
+        # preserve), so this path works identically on object stores —
+        # the database CAS below remains the SOLE commit point.
+        self._mfs.write_json_atomic(path, meta)
         self.catalog.swap_pointer(
             self.namespace, self.table_name, expected_pointer, path
         )
@@ -469,25 +502,23 @@ class SqlCatalogTable(IcebergTable):
         file is written but not yet pointer-swapped (same discipline as
         ``remove_orphan_files``).  Listing only, unless ``delete=True``.
         """
-        import json
         import time
 
         pointer = self._pointer()
-        referenced = {os.path.abspath(pointer)}
-        with open(pointer) as f:
-            meta = json.load(f)
+        referenced = {self._mfs.normalize(pointer)}
+        meta = self._mfs.read_json(pointer)
         for entry in meta.get("metadata-log", []):
-            referenced.add(os.path.abspath(entry["metadata-file"]))
+            referenced.add(self._mfs.normalize(entry["metadata-file"]))
         cutoff = time.time() - older_than_s
         orphans = []
-        for name in os.listdir(self.metadata_dir):
+        for name in self._mfs.listdir(self.metadata_dir):
             if not name.endswith(".metadata.json"):
                 continue
-            p = os.path.abspath(os.path.join(self.metadata_dir, name))
+            p = self._mfs.normalize(os.path.join(self.metadata_dir, name))
             if p in referenced:
                 continue
             try:
-                if os.path.getmtime(p) > cutoff:
+                if self._mfs.mtime(p) > cutoff:
                     continue
             except FileNotFoundError:
                 continue
@@ -495,5 +526,5 @@ class SqlCatalogTable(IcebergTable):
         orphans.sort()
         if delete:
             for p in orphans:
-                os.remove(p)
+                self._mfs.unlink(p, missing_ok=False)
         return orphans

@@ -49,12 +49,16 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("nmin"))
             )
-            # localCheckpoint each round: without it the logical plan nests
+            # Checkpoint each round: without it the logical plan nests
             # one join level per iteration and Catalyst analysis grows
             # exponentially (observed: driver OOM on a 12-node chain).
             # Checkpointing materializes the round AND truncates lineage, so
-            # every iteration plans against a flat scan.
-            updated = (
+            # every iteration plans against a flat scan.  stable_checkpoint
+            # is reliable (survives executor loss) when the session has a
+            # checkpoint dir configured (r10 VERDICT #5).
+            from ic_spark.plans.checkpoint import stable_checkpoint
+
+            updated = stable_checkpoint(
                 labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                 .select(
                     "node",
@@ -63,7 +67,6 @@ def connected_components(
                     ).alias("component"),
                     (F.col("nmin") < F.col("component")).alias("__changed"),
                 )
-                .localCheckpoint()
             )
             changed = updated.where(F.col("__changed")).count()
             labels = updated.drop("__changed")

@@ -57,18 +57,21 @@ def pack_shards(
     range_args = ([num_partitions] if num_partitions else []) + [
         F.col(c) for c in order_cols
     ]
-    # localCheckpoint, NOT persist: the returned frame still reads this
+    # Checkpoint, NOT persist: the returned frame still reads this
     # intermediate, so an explicit unpersist is impossible here and the
     # cache pinned one corpus-sized block set per pack_shards call for
     # the whole session (r9 review find).  The checkpoint materializes
     # once (same single-computation guarantee the subtotal pass needs)
     # and its blocks are GC-released with the frame by the context
-    # cleaner.
-    ranged = (
+    # cleaner.  stable_checkpoint upgrades to a RELIABLE checkpoint
+    # when the session has a checkpoint dir (r10 VERDICT #5 — local
+    # checkpoint blocks don't survive executor loss on a cluster).
+    from ic_spark.plans.checkpoint import stable_checkpoint
+
+    ranged = stable_checkpoint(
         df.repartitionByRange(*range_args)
         .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
 
     # P subtotals → driver prefix sum (P is the partition count, tiny).

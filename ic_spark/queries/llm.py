@@ -125,7 +125,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # higher-order-function passes become 64 vectorized numpy passes
     # over one concatenated hash buffer — the signature stage dominated
     # this query's wall time after the mod-p independence fix.
-    # localCheckpoint, NOT persist (r10, same reasoning as
+    # Checkpoint, NOT persist (r10, same reasoning as
     # packing.pack_shards' r9 fix): the returned frame still reads
     # these intermediates, so an explicit unpersist is impossible, and
     # a persist leaked one CacheManager entry per sweep invocation for
@@ -133,13 +133,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # from the first rep's cache via plan-matching.  The checkpoint
     # materializes once (the same single-compute guarantee the persist
     # + count barrier bought) and its blocks release with the frame.
-    sigs = minhash_signatures(
+    # stable_checkpoint upgrades to reliable checkpoints on clusters
+    # with a checkpoint dir (r10 VERDICT #5).
+    from ic_spark.plans.checkpoint import stable_checkpoint
+
+    sigs = stable_checkpoint(minhash_signatures(
         d, "doc_id", "text", num_hashes=_MINHASH_NUM,
         shingle_n=_MINHASH_N, use_arrow=True
-    ).localCheckpoint()
-    cands = minhash_lsh_candidates(
+    ))
+    cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R
-    ).localCheckpoint()
+    ))
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
     # (semi-join first): the expensive array work runs on the candidate
@@ -389,14 +393,16 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     constants; only the shingle hash and the band-key compression
     differ, neither of which changes join semantics)."""
     d = load_table(spark, sf_dir, "documents")
-    # localCheckpoint, not persist: see dedup_minhash_lsh (r10)
-    sigs = minhash_signatures(
+    # checkpoint, not persist: see dedup_minhash_lsh (r10)
+    from ic_spark.plans.checkpoint import stable_checkpoint
+
+    sigs = stable_checkpoint(minhash_signatures(
         d, "doc_id", "text", num_hashes=_MINHASH_NUM, shingle_n=_MINHASH_N,
         portable=True,
-    ).localCheckpoint()
-    cands = minhash_lsh_candidates(
+    ))
+    cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True
-    ).localCheckpoint()
+    ))
     from ic_spark.functions.text import word_shingles
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()

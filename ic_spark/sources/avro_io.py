@@ -346,10 +346,20 @@ def decode_container(
     return schema, meta, records
 
 
-def read_container(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
-    """Read an Avro object-container file → (schema, metadata, records)."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def read_container(
+    path: str, filesystem=None
+) -> tuple[dict, dict[str, bytes], list[dict]]:
+    """Read an Avro object-container file → (schema, metadata, records).
+
+    ``filesystem`` (a ``pyarrow.fs.FileSystem``) reads through
+    ``open_input_stream`` — the read half of ``write_container``'s
+    object-store routing (spec-table manifests on remote roots)."""
+    if filesystem is not None:
+        with filesystem.open_input_stream(path) as f:
+            buf = f.readall()
+    else:
+        with open(path, "rb") as f:
+            buf = f.read()
     schema, meta, records = decode_container(buf, label=path)
     return (
         schema,
