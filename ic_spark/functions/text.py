@@ -49,6 +49,46 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_word_shingles(text: Column | str, n: int = 3) -> Column:
+    """``array<long>``: xxhash64 of each word n-gram, built WITHOUT
+    materializing shingle strings — tokens are xxhash64-hashed once,
+    then each shingle combines its n token hashes in ONE composite
+    ``xxhash64(h_i, ..., h_{i+n-1})`` call.
+
+    Same set semantics as hashing :func:`word_shingles` strings (1:1
+    up to 64-bit collisions) at ~4x less cost: the string path builds
+    an O(n)-sized concat per shingle inside an interpreted
+    higher-order function (measured 1.3 s vs 0.35 s for the corpus
+    shingle pass at sf0.1).  Composite hashing is also unambiguous
+    where ' '-joining was not (["a b","c"] and ["a","b c"] both
+    concat to "a b c").
+
+    The token-hash array binds ONCE per row via the single-element-
+    array transform (a let-binding: Catalyst re-inlining a projected
+    subexpression under each shingle would recompute the token pass
+    per shingle).  The shingle hash is ``xxhash64(slice(ht, i, n))``
+    — one hash of the n-element sub-ARRAY, one outer-lambda reference;
+    a multi-argument ``xxhash64(ht[i], ht[i+1], ht[i+2])`` spelling
+    breaks Spark's Python-UDF input extraction when this expression
+    later feeds a pandas UDF (INTERNAL_ERROR "Cannot evaluate
+    expression", reproduced on 4.1).  Not oracle-portable — MinHash's
+    portable twin keeps md5 over string shingles.
+    """
+    t = tokens(text)
+    ht = F.transform(t, lambda w: F.xxhash64(w))
+
+    def body(h):
+        return F.when(
+            F.size(h) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - n),
+                lambda i: F.xxhash64(F.slice(h, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return F.element_at(F.transform(F.array(ht), body), 1)
+
+
 def portable_hash60(c: Column) -> Column:
     """Oracle-portable 60-bit non-negative hash: the first 15 hex chars
     of md5, read as an integer.  Bit-identical in DuckDB via

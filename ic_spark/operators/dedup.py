@@ -737,17 +737,26 @@ def minhash_signatures(
     # offsets are < 2^31, so a*h + b < 2^63.
     a, b = minhash_perms(num_hashes, seed)
 
-    shingle_hash = (
-        (lambda s: F.pmod(portable_hash60(s), F.lit(2**31).cast("long")))
-        if portable
-        else (lambda s: F.pmod(F.xxhash64(s), F.lit(2**31).cast("long")))
-    )
+    if portable:
+        # md5 over string shingles: the DuckDB oracle reproduces this
+        # bit-for-bit (window twin), so the string pass stays.
+        hashes = F.transform(
+            word_shingles(F.col(content_col), shingle_n),
+            lambda s: F.pmod(portable_hash60(s), F.lit(2**31).cast("long")),
+        )
+    else:
+        # Production path (r11): composite token-hash shingles — no
+        # shingle strings built; ~4x cheaper base pass (the signature
+        # stage dominated this operator's cold wall).
+        from ic_spark.functions.text import hashed_word_shingles
+
+        hashes = F.transform(
+            hashed_word_shingles(F.col(content_col), shingle_n),
+            lambda h: F.pmod(h, F.lit(2**31).cast("long")),
+        )
     base = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(content_col), shingle_n),
-            shingle_hash,
-        ).alias("__h"),
+        hashes.alias("__h"),
     ).where(
         # Docs shorter than shingle_n have NO shingles (word_shingles'
         # r9 contract) and therefore no signature: an empty array
@@ -758,9 +767,22 @@ def minhash_signatures(
         F.size(F.col("__h")) > 0
     )
     if use_arrow:
-        # Same signatures, vectorized kernel (see _arrow_minhash_udf);
-        # shingling + base hashing stay JVM-side expressions.
-        return base.select("id", _arrow_minhash_udf(a, b)(F.col("__h")).alias("sig"))
+        # Same signatures, vectorized kernel — mapInArrow, not a
+        # pandas UDF (r11): (1) MapInArrow is a PLAN BARRIER, so the
+        # optimizer can never inline the kernel into downstream
+        # join/generate nodes (alias-inlining a pandas UDF whose child
+        # held the let-bound composite-shingle expression hit Spark
+        # 4.1's "Cannot evaluate expression: PythonUDF" INTERNAL_ERROR
+        # in the LSH candidates plan); (2) the kernel reads the Arrow
+        # ListArray's flat values/offsets buffers directly — no
+        # Series-of-ndarray boxing, no per-batch np.concatenate.
+        # Shingling + base hashing stay JVM-side expressions.
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            [base.schema["id"], StructField("sig", ArrayType(LongType()), True)]
+        )
+        return base.mapInArrow(_arrow_minhash_batches(a, b), out_schema)
     # One JVM-side parse: building num_hashes transforms from F.lit
     # Columns costs ~10 py4j round trips per permutation (~1 s of
     # driver time per query at 64 perms); the SQL string yields the
@@ -783,44 +805,62 @@ def minhash_signatures(
     return base.select("id", sig.alias("sig"))
 
 
-def _arrow_minhash_udf(a: list[int], b: list[int]):
-    """Vectorized (Arrow-batched numpy) signature kernel — identical
-    int64 arithmetic to the expression path ((a_j*h + b_j) mod p, exact
-    in int64: a,h < 2^31 so a*h + b < 2^62), so signatures are
-    bit-equal (pinned in tests) while the 64 interpreted HOF passes
-    become 64 vectorized passes over one concatenated hash buffer
-    (~3x at sf0.1).  The permutation loop uses ``np.minimum.reduceat``
+def _arrow_minhash_batches(a: list[int], b: list[int]):
+    """Vectorized signature kernel for ``mapInArrow`` — identical int64
+    arithmetic to the expression path ((a_j*h + b_j) mod p, exact in
+    int64: a,h < 2^31 so a*h + b < 2^62), so signatures are bit-equal
+    (pinned in tests) while the 64 interpreted HOF passes become 64
+    vectorized numpy passes.
+
+    r11 (was a pandas UDF): the Arrow ListArray's flat values/offsets
+    buffers ARE the concatenated-hash layout the kernel wants — no
+    Series-of-ndarray boxing, no per-batch ``np.concatenate``, and the
+    MapInArrow plan node is a barrier the optimizer cannot inline the
+    kernel through.  The permutation loop uses ``np.minimum.reduceat``
     over per-row segment starts — no per-row Python.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    import pyarrow as pa
 
     A = np.asarray(a, dtype=np.int64)
     B = np.asarray(b, dtype=np.int64)
     P = np.int64(2147483647)
 
-    # No parameter type hints: `from __future__ import annotations`
-    # stringifies them, which pandas_udf's hint inference rejects.
-    def sig(hs):
-        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
-        if len(lens) == 0:
-            return pd.Series([], dtype=object)
-        # Zero-shingle rows (can't occur for non-null text — split()
-        # yields at least ['']) would corrupt reduceat segments; guard.
-        if (lens == 0).any():
-            raise ValueError("minhash: empty shingle array")
-        H = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs])
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        # (perms, rows): one reduceat per permutation keeps peak memory
-        # at one |H| buffer instead of a (perms x |H|) matrix.
-        out = np.empty((len(A), len(lens)), dtype=np.int64)
-        for j in range(len(A)):
-            out[j] = np.minimum.reduceat((A[j] * H + B[j]) % P, starts)
-        return pd.Series(list(out.T))
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            lists = batch.column(1)
+            # Absolute offsets index the child values array; trim to
+            # the used window so the affine pass touches only real
+            # data and the final reduceat segment ends at offsets[-1].
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = lists.values.to_numpy(zero_copy_only=False)[
+                offs[0] : offs[-1]
+            ].astype(np.int64, copy=False)
+            starts = offs[:-1] - offs[0]
+            # Zero-shingle rows (can't occur — the size(__h) > 0 guard
+            # precedes this map) would corrupt reduceat segments.
+            if n > 1 and (np.diff(offs) == 0).any() or len(values) == 0:
+                raise ValueError("minhash: empty shingle array")
+            # (perms, rows): one reduceat per permutation keeps peak
+            # memory at one |H| buffer, not a (perms x |H|) matrix.
+            out = np.empty((len(A), n), dtype=np.int64)
+            for j in range(len(A)):
+                out[j] = np.minimum.reduceat((A[j] * values + B[j]) % P, starts)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * len(A), len(A), dtype=np.int32)
+                ),
+                pa.array(out.T.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig], names=[batch.schema.names[0], "sig"]
+            )
 
-    return pandas_udf(sig, "array<long>")
+    return fn
 
 
 def lsh_band_keys(

@@ -149,24 +149,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # (semi-join first): the expensive array work runs on the candidate
     # set, not the corpus — at 100 TB that is the difference between
     # re-shingling everything and re-shingling ~0.1%.
-    from ic_spark.functions.text import word_shingles
+    from ic_spark.functions.text import hashed_word_shingles
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     # Hashed sorted shingles: 8-byte compares in the verify intersect
     # instead of ~20-char strings (~2-3x on adversarial candidate
-    # explosions — hot LSH buckets full of near-threshold pairs).
-    # Jaccard values are identical barring 64-bit collisions inside one
-    # pair (~|sh|^2/2^64 — negligible), same trade token_jaccard_pairs
-    # documents.
+    # explosions — hot LSH buckets full of near-threshold pairs), and
+    # composite token-hash shingles (r11) skip building the shingle
+    # strings at all.  Jaccard values are identical barring 64-bit
+    # collisions inside one pair (~|sh|^2/2^64 — negligible), same
+    # trade token_jaccard_pairs documents.
     sh = (
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
             F.array_sort(
-                F.transform(
-                    F.array_distinct(word_shingles(F.col("text"), 3)),
-                    lambda s: F.xxhash64(s),
-                )
+                F.array_distinct(hashed_word_shingles(F.col("text"), 3))
             ).alias("sh"),
         )
     )
