@@ -391,6 +391,10 @@ def main() -> None:
                 else None
                 for k in skew_pairs
             }
+        if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+            sf10_timings = run_sf10_probe(spark)
+            record["sf10_queries"] = sf10_timings
+            record["sf10_value"] = round(sum(sf10_timings.values()), 3)
         # Post-PROBE anchors (r10 review find): the sf1/skew probes run
         # entirely after the headline post-anchors, so a CPU-steal
         # burst arriving during them was invisible — no drift guard
@@ -460,22 +464,26 @@ SF1_FACTS = {
 SF1_DIMS = ["part", "supplier", "nation", "region"]
 
 
-def ensure_sf1_dir(spark) -> str:
+def _ensure_scaled_dir(
+    spark, out_dir: str, stamp: str, replicas: int, text_map
+) -> str:
+    """Replicate the fact tables ``replicas``x into ``out_dir`` (keys
+    shifted per replica, dims fixed) — shared by the sf1 and sf10
+    probes.  ``text_map(i)`` returns the 26-letter translate target
+    decorrelating replica i's document text."""
     import pyspark.sql.functions as F
 
     from ic_spark.tables import load_table
 
-    out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/ic_spark_sf1")
     marker = os.path.join(out_dir, "_GENERATED")
     # The marker records the GENERATOR INPUTS: a bare existence check
     # silently reused stale data after an SF_DIR or shift/replica
     # change (r10 review find).
-    stamp = f"{SF_DIR}|shift={SF1_SHIFT}|replicas={SF1_REPLICAS}|v2"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
                 return out_dir
-        print("# sf1 data stale (inputs changed): regenerating",
+        print(f"# scaled data stale in {out_dir}: regenerating",
               file=sys.stderr)
         import shutil as _sh
 
@@ -491,14 +499,13 @@ def ensure_sf1_dir(spark) -> str:
     for name, keys in SF1_FACTS.items():
         base = load_table(spark, SF_DIR, name)
         parts = []
-        for i in range(SF1_REPLICAS):
+        for i in range(replicas):
             rep = base
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * SF1_SHIFT))
             if name == "documents":
-                rot = alpha[i:] + alpha[:i]
                 rep = rep.withColumn(
-                    "text", F.translate(F.col("text"), alpha, rot)
+                    "text", F.translate(F.col("text"), alpha, text_map(i))
                 ).withColumn("source", F.concat_ws("_r", F.col("source"), F.lit(i)))
             parts.append(rep)
         out = parts[0]
@@ -512,6 +519,85 @@ def ensure_sf1_dir(spark) -> str:
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir
+
+
+def ensure_sf1_dir(spark) -> str:
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    # Caesar rotation per replica — distinct for replicas < 26, and the
+    # stamp matches r9/r10 generations so existing sf1 data is reused.
+    return _ensure_scaled_dir(
+        spark,
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/ic_spark_sf1"),
+        f"{SF_DIR}|shift={SF1_SHIFT}|replicas={SF1_REPLICAS}|v2",
+        SF1_REPLICAS,
+        lambda i: alpha[i:] + alpha[:i],
+    )
+
+
+# ------------------------------------------------------- sf10 scale probe
+#
+# VERDICT r10 #4: the sf1 probe extrapolates 100 TB claims from 10x;
+# this one runs the three heaviest shapes at 100x the bench SF (sf10 ≈
+# 500k docs / 60M lineitem rows, ~1.4 GB parquet) to catch
+# superlinearity sf1 cannot show.  Caesar rotation repeats after 26
+# replicas (replicas i and i+26 would share IDENTICAL text, flooding
+# the near-dup probe with artificial cross-replica pairs), so replica
+# text decorrelates with a seeded random alphabet PERMUTATION instead —
+# distinct per replica, token/shingle structure preserved, zero
+# expected cross-replica shingle overlap.
+
+SF10_REPLICAS = 100
+SF10_PROBE_QUERIES = [
+    "dedup_minhash_lsh",
+    "sim_ivfpq_topk",
+    "mor_full_merge_on_read",
+]
+
+
+def _perm_map(i: str | int) -> str:
+    import random
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    if i == 0:
+        return alpha  # replica 0 stays the base corpus, like sf1's
+    r = random.Random(9176 + int(i))
+    letters = list(alpha)
+    r.shuffle(letters)
+    return "".join(letters)
+
+
+def ensure_sf10_dir(spark) -> str:
+    return _ensure_scaled_dir(
+        spark,
+        os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/ic_spark_sf10"),
+        f"{SF_DIR}|shift={SF1_SHIFT}|replicas={SF10_REPLICAS}|perm-v1",
+        SF10_REPLICAS,
+        _perm_map,
+    )
+
+
+def run_sf10_probe(spark) -> dict[str, float]:
+    t0 = time.perf_counter()
+    sf10_dir = ensure_sf10_dir(spark)
+    print(f"# sf10 data ready in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    timings: dict[str, float] = {}
+    for name in SF10_PROBE_QUERIES:
+        q = REGISTRY[name]
+        best, rows = float("inf"), 0
+        # min-of-2 here, min-of-3 at sf1: these queries run 10-60 s, so
+        # the per-rep fixed-cost noise that made min-of-2 unconfirmable
+        # on ~1 s sf1 probes (r7) is proportionally small, and a third
+        # rep of the longest row costs more wall than the whole sf1
+        # probe.  The post-probe anchors still bracket the window.
+        for _ in range(2):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            rows = q.fn(spark, sf10_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+        print(f"# sf10 {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
+    return timings
 
 
 def run_sf1_probe(spark) -> tuple[dict[str, float], float]:
