@@ -643,8 +643,13 @@ class RestCatalog:
         Compaction(spark).full_compact(tbl)
     """
 
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, file_io: dict | None = None):
         self.uri = uri.rstrip("/")
+        # Routes loaded tables' METADATA plane through the pyarrow
+        # fileio seam (compaction/metafs) — the Iceberg-REST deployment
+        # shape where the catalog serves pointers and the client reads/
+        # writes the object-store warehouse directly.
+        self.file_io = file_io
 
     def _call(
         self, method: str, path: str, payload: dict | None = None
@@ -807,10 +812,9 @@ class RestCatalog:
             {"requirements": requirements, "updates": updates},
         )
 
-    @staticmethod
-    def _table_from_location(metadata_location: str) -> IcebergTable:
+    def _table_from_location(self, metadata_location: str) -> IcebergTable:
         import os
 
         # .../<table root>/metadata/vN.metadata.json
         root = os.path.dirname(os.path.dirname(metadata_location))
-        return IcebergTable(root)
+        return IcebergTable(root, file_io=self.file_io)

@@ -53,7 +53,9 @@ def _partition_values_from_path(path: str, base_dir: str) -> dict[str, str]:
     return out
 
 
-def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
+def _stats_from_footer(
+    path: str, base_dir: str, filesystem=None
+) -> tuple[int, dict, dict]:
     """Per-file DataFile stats read from the parquet FOOTER — a pure
     metadata read, no second execution of the rewrite plan.
 
@@ -61,12 +63,13 @@ def _stats_from_footer(path: str, base_dir: str) -> tuple[int, dict, dict]:
     (core/src/parser/proto.rs:404-434); Spark's parquet writer already
     wrote exactly those into the footer, so re-aggregating the input
     DataFrame (which would re-run the whole MoR join at 100 TB) is
-    wasted work.
+    wasted work.  ``filesystem`` (pyarrow) reads remote footers — the
+    facade's seam-routed append threads its table connector here.
     Returns (record_count, column_stats, partition_values).
     """
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    md = pq.ParquetFile(path, filesystem=filesystem).metadata
     cols: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)

@@ -36,14 +36,18 @@ class Table:
         self.inner = inner
 
     @classmethod
-    def at(cls, spark: SparkSession, location: str) -> "Table":
+    def at(
+        cls, spark: SparkSession, location: str, file_io: dict | None = None
+    ) -> "Table":
+        """``file_io`` routes the table's METADATA plane through the
+        pyarrow fileio seam (object-store roots; compaction/metafs)."""
         from ic_spark.compaction.iceberg_meta import IcebergTable
         from ic_spark.compaction.manifest import ManifestTable
 
-        spec = IcebergTable(location)
+        spec = IcebergTable(location, file_io=file_io)
         if spec.version() is not None:
             return cls(spark, spec)
-        return cls(spark, ManifestTable(location))
+        return cls(spark, ManifestTable(location, file_io=file_io))
 
     @classmethod
     def create(
@@ -53,6 +57,7 @@ class Table:
         schema,
         partition_by: list[str] | None = None,
         spec_metadata: bool = True,
+        file_io: dict | None = None,
     ) -> "Table":
         """New empty table; ``spec_metadata=True`` (default) writes real
         Iceberg v2 metadata, else the JSON-manifest analog."""
@@ -61,14 +66,17 @@ class Table:
 
         if spec_metadata:
             return cls(
-                spark, IcebergTable.create(location, schema, partition_by=partition_by)
+                spark,
+                IcebergTable.create(
+                    location, schema, partition_by=partition_by, file_io=file_io
+                ),
             )
         # JSON flavor: register the same schema/partitioning instead of
         # silently discarding both (r9 review find — schema() returned
         # None, compact() raised, DDL was unavailable, appends skipped
         # conformance, and the requested partitioning never existed).
-        tbl = ManifestTable(location)
-        os.makedirs(location, exist_ok=True)
+        tbl = ManifestTable(location, file_io=file_io)
+        tbl._mfs.makedirs(tbl._mfs.root)  # noqa: SLF001 — seam-routed mkdir
         tbl.register_schema(schema)
         if partition_by:
             tbl.update_partition_spec(
@@ -141,19 +149,26 @@ class Table:
             )
         out = os.path.join(self.inner.root, f"append-{_uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(out)
+        # Listing + footer stats through the table's metadata seam so a
+        # connector-routed (object-store) table appends end to end; on
+        # local roots within()/fs are identity/None — the plain-open
+        # fast path.
+        mfs = self.inner._mfs  # noqa: SLF001
         entries = []
-        for name in sorted(os.listdir(out)):
+        for name in mfs.listdir(out):
             if not name.endswith(".parquet"):
                 continue
             p = os.path.join(out, name)
-            rc, cs, _ = _stats_from_footer(p, out)
+            rc, cs, _ = _stats_from_footer(
+                mfs.within(p), out, filesystem=mfs.fs
+            )
             entries.append(
                 {
                     "path": p,
                     "content": "DATA",
                     "record_count": rc,
                     "column_stats": cs,
-                    "file_size_in_bytes": os.path.getsize(p),
+                    "file_size_in_bytes": mfs.size(p),
                 }
             )
         if hasattr(self.inner, "current_snapshot"):  # JSON flavor needs seq

@@ -212,3 +212,50 @@ def test_sql_catalog_through_injected_fs(spark, tmp_path):
 
     # loser/crash residue collected through the connector listing
     assert reloaded.clean_orphan_metadata(older_than_s=0) != None  # noqa: E711
+
+
+def test_table_facade_through_injected_fs(spark, tmp_path):
+    """The one-handle facade end to end on a connector-routed table:
+    create → append (listing + footer stats through the seam) →
+    DV delete → compact → read."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ic_spark.table import Table
+
+    loc = str(tmp_path / "facade_tbl")
+    schema = StructType([StructField("id", IntegerType())])
+    t = Table.create(spark, loc, schema, file_io=_fio())
+    assert t.inner._mfs.fs is not None
+
+    t.append(spark.range(0, 100).selectExpr("cast(id as int) id"))
+    assert t.read().count() == 100
+
+    t.write_deletion_vectors(F.col("id") % 10 == 0)
+    assert t.read().count() == 90
+
+    t.compact()
+    assert t.read().count() == 90
+
+    # re-open by location with the same connector
+    t2 = Table.at(spark, loc, file_io=_fio())
+    assert t2.inner._mfs.fs is not None
+    assert t2.read().count() == 90
+
+
+def test_rest_catalog_client_threads_file_io(tmp_path):
+    """RestCatalog(file_io=...) binds loaded tables to the connector."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ic_spark.compaction.rest_catalog import RestCatalog, RestCatalogServer
+
+    srv = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.port}", file_io=_fio())
+        cat.create_namespace("ns")
+        tbl = cat.create_table(
+            "ns", "t", StructType([StructField("id", LongType())])
+        )
+        assert tbl._mfs.fs is not None
+        assert cat.load_table("ns", "t")._mfs.fs is not None
+    finally:
+        srv.stop()
