@@ -754,17 +754,24 @@ def minhash_signatures(
             hashed_word_shingles(F.col(content_col), shingle_n),
             lambda h: F.pmod(h, F.lit(2**31).cast("long")),
         )
-    base = _spread(df).select(
-        F.col(id_col).alias("id"),
-        hashes.alias("__h"),
-    ).where(
-        # Docs shorter than shingle_n have NO shingles (word_shingles'
-        # r9 contract) and therefore no signature: an empty array
-        # previously crashed the Arrow kernel and, on the expression
-        # path, produced an all-NULL signature whose '' band keys made
-        # EVERY short doc a candidate of every other (r10 review find).
-        # MinHash semantics: no shingles -> no signature -> no pairs.
-        F.size(F.col("__h")) > 0
+    # Docs shorter than shingle_n have NO shingles (word_shingles' r9
+    # contract) and therefore no signature: an empty array previously
+    # crashed the Arrow kernel and, on the expression path, produced an
+    # all-NULL signature whose '' band keys made EVERY short doc a
+    # candidate of every other (r10 review find).  MinHash semantics:
+    # no shingles -> no signature -> no pairs.  The predicate is on the
+    # TOKEN COUNT, not size(__h): a filter referencing the projected
+    # shingle column gets the full shingle expression substituted in at
+    # pushdown and the whole pipeline ran TWICE per row (r11 plan-audit
+    # find — shingles empty iff tokens < n, so the cheap tokenize-only
+    # predicate is equivalent, and it pushes to the scan).
+    base = (
+        _spread(df)
+        .where(F.size(tokens(F.col(content_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            hashes.alias("__h"),
+        )
     )
     if use_arrow:
         # Same signatures, vectorized kernel — mapInArrow, not a
