@@ -88,9 +88,13 @@ def _evolved_scan_args(table) -> dict:
     return args
 
 
-def _write_single_file(df: DataFrame, dir_path: str) -> str:
+def _write_single_file(df: DataFrame, dir_path: str, mfs=None) -> str:
+    """Spark writes the file (Hadoop layer, any configured store); the
+    LISTING goes through the table's metadata seam when given — plain
+    os.listdir on an object-store dir spelling finds nothing (r11)."""
     df.coalesce(1).write.mode("overwrite").parquet(dir_path)
-    files = [f for f in os.listdir(dir_path) if f.endswith(".parquet")]
+    names = mfs.listdir(dir_path) if mfs is not None else os.listdir(dir_path)
+    files = [f for f in names if f.endswith(".parquet")]
     assert len(files) == 1
     return os.path.join(dir_path, files[0])
 
@@ -128,18 +132,19 @@ def write_position_deletes(
         F.col(SYS_HIDDEN_FILE_PATH).alias("file_path"),
         F.col(SYS_HIDDEN_POS).alias("pos"),
     )
+    from ic_spark.compaction.metafs import table_mfs
+
+    mfs = table_mfs(table)
     out_dir = os.path.join(table.root, f"pos-del-{uuid.uuid4().hex[:12]}")
-    path = _write_single_file(matches, out_dir)
+    path = _write_single_file(matches, out_dir, mfs)
     from ic_spark.compaction.writer import _stats_from_footer
 
-    if _stats_from_footer(path, out_dir)[0] == 0:
+    if _stats_from_footer(mfs.within(path), out_dir, filesystem=mfs.fs)[0] == 0:
         # No row matched: committing a 0-row delete file would burn a
         # sequence number and make every future MoR read anti-join an
         # empty file forever — raise, matching the DV flavors'
         # "predicate matched no rows" contract (r9 review find).
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
+        mfs.delete_dir(out_dir)
         raise ValueError("predicate matched no rows")
     seq = _next_sequence_number(table)
     return table.append_snapshot(
@@ -148,7 +153,7 @@ def write_position_deletes(
                 "path": path,
                 "sequence_number": seq,
                 "content": FileContent.POSITION_DELETES.name,
-                "file_size_in_bytes": os.path.getsize(path),
+                "file_size_in_bytes": mfs.size(path),
             }
         ]
     )
@@ -249,18 +254,22 @@ def dv_blobs(merged: dict[str, tuple[bytes, int]]) -> list:
 
 
 def dv_manifest_entry(
-    out_path: str, sequence_number: int, blobs: list
+    out_path: str, sequence_number: int, blobs: list, file_size: int | None = None
 ) -> dict:
     """Manifest entry for one written puffin file: v3 per-vector
     addressing (referenced file → offset/length/cardinality) plus the
     file-level stats both commit paths spell identically.  ``blobs``
-    must already be written (offsets/lengths populated)."""
+    must already be written (offsets/lengths populated).  ``file_size``
+    lets seam-routed callers supply the connector-read size (the local
+    ``getsize`` fallback keeps the pre-seam callers byte-identical)."""
     return {
         "path": out_path,
         "sequence_number": sequence_number,
         "content": FileContent.POSITION_DELETES.name,
         "file_format": "puffin",
-        "file_size_in_bytes": os.path.getsize(out_path),
+        "file_size_in_bytes": (
+            os.path.getsize(out_path) if file_size is None else file_size
+        ),
         "record_count": sum(
             int(b.properties["cardinality"]) for b in blobs
         ),
@@ -337,12 +346,22 @@ def commit_deletion_vectors(
     if not merged:
         raise ValueError("predicate matched no rows")
 
+    # Every puffin byte (supersede reads, the fresh-dir probe, the
+    # write, the size) through the table's metadata seam: on a remote
+    # root the old local open()/os.path.exists silently wrote a LOCAL
+    # directory literally named "s3:/..." — the exact data-loss class
+    # local_write_path gates for the avro/orc writers (r11 find).
+    from ic_spark.compaction.metafs import table_mfs
+
+    mfs = table_mfs(table)
     superseded: set[str] = set()
     for t in pos:
         if t.file_format != "puffin":
             continue
         existing = [
-            b for b in read_puffin(t.data_file_path) if b.type == DV_BLOB_TYPE
+            b
+            for b in read_puffin(mfs.read_bytes(t.data_file_path))
+            if b.type == DV_BLOB_TYPE
         ]
         refs = {b.properties.get("referenced-data-file", "") for b in existing}
         if not refs & merged.keys():
@@ -370,13 +389,14 @@ def commit_deletion_vectors(
     base = f"dv-{tag or uuid.uuid4().hex[:12]}"
     out_path = os.path.join(table.root, base, "deletes.puffin")
     attempt = 0
-    while os.path.exists(out_path):
+    while mfs.exists(out_path):
         attempt += 1
         out_path = os.path.join(table.root, f"{base}-r{attempt}", "deletes.puffin")
-    write_puffin(out_path, blobs)  # populates blob offsets/lengths
+    # populates blob offsets/lengths
+    write_puffin(mfs.within(out_path), blobs, filesystem=mfs.fs)
     seq = _next_sequence_number(table)
     return table.commit_rewrite(
-        [dv_manifest_entry(out_path, seq, blobs)],
+        [dv_manifest_entry(out_path, seq, blobs, file_size=mfs.size(out_path))],
         superseded | (extra_removed or set()),
         operation="delete",
     )
@@ -543,14 +563,21 @@ def commit_deletion_vectors_distributed(
         merge_ref, schema="ref string, dv binary, cardinality long"
     )
 
-    # Replay-safe fresh output dir (same contract as the driver path).
+    # Replay-safe fresh output dir (same contract as the driver path),
+    # probed/created through the table's metadata seam; the executors
+    # get the PICKLED connector + within-FS dir so puffin bytes land on
+    # the object store, never a local dir named "s3:/..." (r11 find).
+    from ic_spark.compaction.metafs import table_mfs
+
+    mfs = table_mfs(table)
     base = f"dv-{tag or uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(table.root, base)
     attempt = 0
-    while os.path.exists(out_dir):
+    while mfs.exists(out_dir):
         attempt += 1
         out_dir = os.path.join(table.root, f"{base}-r{attempt}")
-    os.makedirs(out_dir, exist_ok=True)
+    mfs.makedirs(out_dir)
+    out_fs, out_fs_dir = mfs.fs, mfs.within(out_dir)
 
     n_files = num_files or spark.sparkContext.defaultParallelism
 
@@ -568,7 +595,9 @@ def commit_deletion_vectors_distributed(
             return
         rows.sort()
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.puffin")
+        name = f"part-{pid:05d}.puffin"
+        # manifest rows carry the CALLER spelling; IO uses the seam's
+        path = os.path.join(out_dir, name)
         blobs = [
             PuffinBlob(
                 type=DV_BLOB_TYPE,
@@ -580,8 +609,13 @@ def commit_deletion_vectors_distributed(
             )
             for ref, dv, card in rows
         ]
-        write_puffin(path, blobs)  # populates offsets/lengths
-        size = os.path.getsize(path)
+        if out_fs is None:
+            write_puffin(path, blobs)  # populates offsets/lengths
+            size = os.path.getsize(path)
+        else:
+            fs_path = out_fs_dir.rstrip("/") + "/" + name
+            write_puffin(fs_path, blobs, filesystem=out_fs)
+            size = out_fs.get_file_info([fs_path])[0].size
         yield pd.DataFrame(
             {
                 "path": [path] * len(blobs),
@@ -655,8 +689,13 @@ def write_equality_deletes(
     missing = [c for c in equality_ids if c not in keys.columns]
     if missing:
         raise ValueError(f"key DataFrame missing equality columns: {missing}")
+    from ic_spark.compaction.metafs import table_mfs
+
+    mfs = table_mfs(table)
     out_dir = os.path.join(table.root, f"eq-del-{uuid.uuid4().hex[:12]}")
-    path = _write_single_file(keys.select(*equality_ids).distinct(), out_dir)
+    path = _write_single_file(
+        keys.select(*equality_ids).distinct(), out_dir, mfs
+    )
     seq = _next_sequence_number(table)
     return table.append_snapshot(
         [
@@ -665,7 +704,7 @@ def write_equality_deletes(
                 "sequence_number": seq,
                 "content": FileContent.EQUALITY_DELETES.name,
                 "equality_ids": list(equality_ids),
-                "file_size_in_bytes": os.path.getsize(path),
+                "file_size_in_bytes": mfs.size(path),
             }
         ]
     )
@@ -705,20 +744,24 @@ def merge_upsert(
     batch = batch_tag or uuid.uuid4().hex[:12]
     data_dir = os.path.join(table.root, f"upsert-data-{batch}")
     source.write.mode("overwrite").parquet(data_dir)
+    from ic_spark.compaction.metafs import table_mfs
     from ic_spark.compaction.writer import _stats_from_footer
 
+    mfs = table_mfs(table)
     entries = []
-    for name in sorted(os.listdir(data_dir)):
+    for name in mfs.listdir(data_dir):
         if not name.endswith(".parquet"):
             continue
         p = os.path.join(data_dir, name)
-        record_count, column_stats, _ = _stats_from_footer(p, data_dir)
+        record_count, column_stats, _ = _stats_from_footer(
+            mfs.within(p), data_dir, filesystem=mfs.fs
+        )
         entries.append(
             {
                 "path": p,
                 "sequence_number": seq,
                 "content": FileContent.DATA.name,
-                "file_size_in_bytes": os.path.getsize(p),
+                "file_size_in_bytes": mfs.size(p),
                 # Footer stats → manifest: upserted files are
                 # file-skippable by later stat-filtered scans.
                 "record_count": record_count,
@@ -731,7 +774,7 @@ def merge_upsert(
     # one cheap columnar pass, not a second execution of the source plan.
     keys = spark.read.parquet(data_dir).select(*key_cols).distinct()
     eq_path = _write_single_file(
-        keys, os.path.join(table.root, f"eq-del-{batch}")
+        keys, os.path.join(table.root, f"eq-del-{batch}"), mfs
     )
     entries.append(
         {
@@ -739,7 +782,7 @@ def merge_upsert(
             "sequence_number": seq,
             "content": FileContent.EQUALITY_DELETES.name,
             "equality_ids": list(key_cols),
-            "file_size_in_bytes": os.path.getsize(eq_path),
+            "file_size_in_bytes": mfs.size(eq_path),
         }
     )
     return table.append_snapshot(entries)

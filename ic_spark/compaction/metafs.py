@@ -38,6 +38,17 @@ import posixpath
 import tempfile
 
 
+def table_mfs(table) -> "MetaFS":
+    """The table's own MetaFS (both flavors construct one), or a fresh
+    seam for duck-typed tables exposing only root/file_io — the one
+    resolver every metadata-plane consumer (DV commits, puffin
+    compaction) shares."""
+    mfs = getattr(table, "_mfs", None)
+    if mfs is not None:
+        return mfs
+    return MetaFS(table.root, getattr(table, "file_io", None))
+
+
 class MetaFS:
     """Metadata-plane IO for one table root, local or object-store."""
 
@@ -199,6 +210,19 @@ class MetaFS:
             raise FileExistsError(p)
         with self.fs.open_output_stream(p) as f:
             f.write(data)
+
+    def delete_dir(self, p: str) -> None:
+        """Recursive best-effort directory removal (missing tolerated)."""
+        p = self.within(p)
+        if self.fs is None:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+            return
+        try:
+            self.fs.delete_dir(p)
+        except (FileNotFoundError, OSError):
+            pass
 
     def unlink(self, p: str, missing_ok: bool = True) -> None:
         p = self.within(p)

@@ -251,14 +251,19 @@ class Compaction:
         pruned = pd_df.join(
             F.broadcast(live), F.col(fp) == F.col("path"), "left_semi"
         ).dropDuplicates([fp, ps])
+        from ic_spark.compaction.metafs import table_mfs
+
+        mfs = table_mfs(table)
         out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
         pruned.coalesce(1).write.mode("overwrite").parquet(out_dir)
         merged_path = next(
             os.path.join(out_dir, n)
-            for n in os.listdir(out_dir)
+            for n in mfs.listdir(out_dir)
             if n.endswith(".parquet")
         )
-        kept_rows, _, _ = _stats_from_footer(merged_path, out_dir)
+        kept_rows, _, _ = _stats_from_footer(
+            mfs.within(merged_path), out_dir, filesystem=mfs.fs
+        )
         removed = {t.data_file_path for t in pos}
         if kept_rows == 0:
             table.commit_rewrite([], removed)  # all dangling: just drop
@@ -269,7 +274,7 @@ class Compaction:
                         "path": merged_path,
                         "sequence_number": max(t.sequence_number for t in pos),
                         "content": "POSITION_DELETES",
-                        "file_size_in_bytes": os.path.getsize(merged_path),
+                        "file_size_in_bytes": mfs.size(merged_path),
                         "record_count": kept_rows,
                     }
                 ],
@@ -310,9 +315,12 @@ class Compaction:
         live = {
             v for t in data for v in _scan_path_variants(t.data_file_path)
         }
+        from ic_spark.compaction.metafs import table_mfs
+
+        mfs = table_mfs(table)
         merged: dict[str, tuple[bytes, int]] = {}
         for t in puffins:
-            for b in read_puffin(t.data_file_path):
+            for b in read_puffin(mfs.read_bytes(t.data_file_path)):
                 if b.type != DV_BLOB_TYPE:
                     continue
                 ref = b.properties.get("referenced-data-file", "")
@@ -332,13 +340,14 @@ class Compaction:
         out_path = os.path.join(
             table.root, f"dv-{uuid.uuid4().hex[:12]}", "deletes.puffin"
         )
-        write_puffin(out_path, blobs)
+        write_puffin(mfs.within(out_path), blobs, filesystem=mfs.fs)
         table.commit_rewrite(
             [
                 dv_manifest_entry(
                     out_path,
                     max(t.sequence_number for t in puffins),
                     blobs,
+                    file_size=mfs.size(out_path),
                 )
             ],
             removed,
@@ -488,6 +497,9 @@ class Compaction:
                 )
             return {"converted": len(eq), "delete_rows": rows}
 
+        from ic_spark.compaction.metafs import table_mfs
+
+        mfs = table_mfs(table)
         out_dir = os.path.join(table.root, f"posdel-{uuid.uuid4().hex[:12]}")
         # Spec column names on the written delete file (file_path, pos).
         matched.toDF("file_path", "pos").coalesce(1).write.mode(
@@ -495,10 +507,12 @@ class Compaction:
         ).parquet(out_dir)
         merged_path = next(
             os.path.join(out_dir, n)
-            for n in os.listdir(out_dir)
+            for n in mfs.listdir(out_dir)
             if n.endswith(".parquet")
         )
-        rows, _, _ = _stats_from_footer(merged_path, out_dir)
+        rows, _, _ = _stats_from_footer(
+            mfs.within(merged_path), out_dir, filesystem=mfs.fs
+        )
         removed = {t.data_file_path for t in eq}
         added = []
         if rows > 0:
@@ -507,7 +521,7 @@ class Compaction:
                     "path": merged_path,
                     "sequence_number": max(t.sequence_number for t in eq),
                     "content": "POSITION_DELETES",
-                    "file_size_in_bytes": os.path.getsize(merged_path),
+                    "file_size_in_bytes": mfs.size(merged_path),
                     "record_count": rows,
                 }
             )

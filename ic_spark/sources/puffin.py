@@ -204,9 +204,19 @@ class PuffinBlob:
     length: int = 0
 
 
-def write_puffin(path: str, blobs: list[PuffinBlob], properties: dict | None = None) -> None:
+def write_puffin(
+    path: str,
+    blobs: list[PuffinBlob],
+    properties: dict | None = None,
+    filesystem=None,
+) -> None:
     """Write a Puffin container: magic, blobs, footer (magic + JSON
-    payload + payload size LE + flags + magic)."""
+    payload + payload size LE + flags + magic).
+
+    ``filesystem`` (a ``pyarrow.fs.FileSystem``) streams through
+    ``open_output_stream`` + move — the object-store routing the
+    avro/orc writers and the table-metadata plane use; local paths keep
+    the temp + ``os.replace`` publish."""
     import os
 
     out = bytearray(PUFFIN_MAGIC)
@@ -233,6 +243,17 @@ def write_puffin(path: str, blobs: list[PuffinBlob], properties: dict | None = N
     out += struct.pack("<I", len(payload))
     out += struct.pack("<I", 0)  # flags: footer payload uncompressed
     out += PUFFIN_MAGIC
+    if filesystem is not None:
+        import uuid as _uuid
+
+        parent = path.rsplit("/", 1)[0] if "/" in path else ""
+        if parent:
+            filesystem.create_dir(parent, recursive=True)
+        tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with filesystem.open_output_stream(tmp) as f:
+            f.write(bytes(out))
+        filesystem.move(tmp, path)
+        return
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as f:

@@ -79,9 +79,14 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
         if _committed(table, marker, name, batch_id):
             return  # replayed batch, already committed
         df.write.mode("overwrite").parquet(out_dir)
+        # listing + sizes through the table's metadata seam (r11):
+        # plain os.listdir on an object-store dir spelling finds nothing
+        from ic_spark.compaction.metafs import table_mfs
+
+        mfs = table_mfs(table)
         parts = sorted(
             os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
+            for f in mfs.listdir(out_dir)
             if f.endswith(".parquet")
         )
         if not parts:  # empty micro-batch
@@ -102,7 +107,7 @@ def manifest_append_sink(table: ManifestTable, name: str = "stream"):
                     "path": p,
                     "sequence_number": seq,
                     "content": "DATA",
-                    "file_size_in_bytes": os.path.getsize(p),
+                    "file_size_in_bytes": mfs.size(p),
                 }
                 for p in parts
             ],
@@ -320,9 +325,12 @@ def compact_gram_index(spark, table: ManifestTable) -> int | None:
     )
     out_dir = os.path.join(table.root, f"idx-compact-{int(time.time() * 1000)}")
     merged.write.mode("overwrite").parquet(out_dir)
+    from ic_spark.compaction.metafs import table_mfs
+
+    mfs = table_mfs(table)
     parts = sorted(
         os.path.join(out_dir, f)
-        for f in os.listdir(out_dir)
+        for f in mfs.listdir(out_dir)
         if f.endswith(".parquet")
     )
     seq = table._max_live_seq()
@@ -331,7 +339,7 @@ def compact_gram_index(spark, table: ManifestTable) -> int | None:
             "path": p,
             "sequence_number": seq,
             "content": "DATA",
-            "file_size_in_bytes": os.path.getsize(p),
+            "file_size_in_bytes": mfs.size(p),
         }
         for p in parts
     ]

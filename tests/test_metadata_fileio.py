@@ -259,3 +259,36 @@ def test_rest_catalog_client_threads_file_io(tmp_path):
         assert cat.load_table("ns", "t")._mfs.fs is not None
     finally:
         srv.stop()
+
+
+def test_distributed_dv_commit_through_injected_fs(spark, tmp_path):
+    """The executor-side DV writer ships the pickled connector: puffin
+    bytes land through the seam, manifest rows carry caller spellings,
+    and the read applies the vectors."""
+    from ic_spark.compaction import ManifestTable
+    from ic_spark.compaction.deletes import (
+        read_table,
+        write_deletion_vectors,
+    )
+
+    root = str(tmp_path / "dtbl")
+    os.makedirs(root)
+    table = ManifestTable(root, file_io=_fio())
+    d1 = _write_one_parquet(
+        spark, str(tmp_path / "dtbl/d1"), [(i,) for i in range(40)], "id int"
+    )
+    table.append_snapshot(
+        [{"path": d1, "sequence_number": 1, "content": "DATA",
+          "file_size_in_bytes": os.path.getsize(d1)}]
+    )
+    write_deletion_vectors(
+        spark, table, F.col("id") % 4 == 0, distributed=True
+    )
+    assert read_table(spark, table).count() == 30
+    _, pos, _ = table.scan_tasks()
+    assert pos and all(t.file_format == "puffin" for t in pos)
+    # a second distributed delete supersedes by union through the seam
+    write_deletion_vectors(
+        spark, table, F.col("id") % 4 == 1, distributed=True
+    )
+    assert read_table(spark, table).count() == 20
