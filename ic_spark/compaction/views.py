@@ -28,9 +28,13 @@ from ic_spark.compaction.manifest import CommitConflictError
 class IcebergView:
     """A Hadoop-layout Iceberg view (view-spec v1 metadata)."""
 
-    def __init__(self, location: str):
-        self.root = location
-        self.metadata_dir = os.path.join(location, "metadata")
+    def __init__(self, location: str, file_io: dict | None = None):
+        from ic_spark.compaction.metafs import MetaFS
+
+        self.file_io = file_io
+        self._mfs = MetaFS(location, file_io)
+        self.root = self._mfs.root if self._mfs.is_local else location
+        self.metadata_dir = os.path.join(self.root, "metadata")
 
     # -- creation / loading -------------------------------------------
 
@@ -41,8 +45,9 @@ class IcebergView:
         sql: str,
         dialect: str = "spark",
         properties: dict | None = None,
+        file_io: dict | None = None,
     ) -> "IcebergView":
-        view = cls(location)
+        view = cls(location, file_io=file_io)
         if view.version() is not None:
             raise ValueError(f"view already exists at {location}")
         now = int(time.time() * 1000)
@@ -78,20 +83,23 @@ class IcebergView:
 
     def version(self) -> int | None:
         hint = os.path.join(self.metadata_dir, "version-hint.text")
-        if not os.path.exists(hint):
+        if not self._mfs.exists(hint):
             return None
-        with open(hint) as f:
-            return int(f.read().strip())
+        return int(self._mfs.read_text(hint).strip())
 
     def metadata(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
         if v is None:
             raise ValueError(f"no iceberg view at {self.root}")
-        with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+        return self._mfs.read_json(
+            os.path.join(self.metadata_dir, f"v{v}.metadata.json")
+        )
 
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        # Same seam discipline as IcebergTable._commit_metadata: local
+        # keeps O_EXCL byte-for-byte, object-store exclusive create is
+        # probe-then-PUT (see compaction/metafs).
+        self._mfs.makedirs(self.metadata_dir)
         current = self.version()
         if current != expected_version:
             raise CommitConflictError(
@@ -100,18 +108,17 @@ class IcebergView:
         new_version = (expected_version or 0) + 1
         path = os.path.join(self.metadata_dir, f"v{new_version}.metadata.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            self._mfs.create_exclusive(
+                path, json.dumps(meta, indent=1).encode("utf-8")
+            )
         except FileExistsError:
             raise CommitConflictError(
                 f"concurrent commit: view metadata v{new_version} already exists"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1)
         hint = os.path.join(self.metadata_dir, "version-hint.text")
-        tmp = hint + f".tmp{new_version}"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(tmp, hint)
+        self._mfs.write_atomic(
+            hint, str(new_version).encode("utf-8"), suffix=f".tmp{new_version}"
+        )
 
     # -- view versions -------------------------------------------------
 
