@@ -30,6 +30,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
+from ic_spark.compaction.metafs import table_mfs
 from ic_spark.sources.puffin import PuffinBlob, read_puffin, write_puffin
 
 HLL_BLOB_TYPE = "apache-datasketches-hll-v1"
@@ -101,14 +102,18 @@ def _write_stats_file(
                 properties={"field": c, "null_count": str(row[f"n_{c}"] or 0)},
             )
         )
+    # Through the table's metadata seam (r11): object-store roots get
+    # connector IO; local roots keep the plain write byte-for-byte.
+    mfs = table_mfs(table)
     path = os.path.join(table.root, f"stats-{uuid.uuid4().hex[:12]}", "stats.puffin")
     write_puffin(
-        path,
+        mfs.within(path),
         blobs,
         properties={
             "snapshot-id": str(snapshot_id),
             "row-count": str(row["__row_count"]),
         },
+        filesystem=mfs.fs,
     )
     for b, c in zip(blobs, columns):
         blob_meta.append(
@@ -122,7 +127,7 @@ def _write_stats_file(
     return {
         "snapshot-id": snapshot_id,
         "statistics-path": path,
-        "file-size-in-bytes": os.path.getsize(path),
+        "file-size-in-bytes": mfs.size(path),
         "blob-metadata": blob_meta,
         "row-count": int(row["__row_count"]),
     }
@@ -174,7 +179,9 @@ def analyze_incremental(
     }
     blobs = {
         b.properties["field"]: b
-        for b in read_puffin(last["statistics-path"])
+        for b in read_puffin(
+            table_mfs(table).read_bytes(last["statistics-path"])
+        )
         if b.type == HLL_BLOB_TYPE
     }
     columns = columns or sorted(prior)
@@ -223,7 +230,9 @@ def column_ndv_estimates(spark: SparkSession, table) -> dict[str, float]:
     last = stats[-1]
     rows = [
         (b.properties["field"], b.data)
-        for b in read_puffin(last["statistics-path"])
+        for b in read_puffin(
+            table_mfs(table).read_bytes(last["statistics-path"])
+        )
         if b.type == HLL_BLOB_TYPE
     ]
     df = spark.createDataFrame(rows, "c string, sketch binary").select(
