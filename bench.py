@@ -345,7 +345,9 @@ def main() -> None:
         ),
     }
 
+    ran_probes = False
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        ran_probes = True
         sf1_timings, sf1_serve = run_sf1_probe(spark)
         record["sf1_queries"] = sf1_timings
         # The serve row (new in r10) lives OUTSIDE sf1_queries/sf1_value
@@ -391,10 +393,14 @@ def main() -> None:
                 else None
                 for k in skew_pairs
             }
-        if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
-            sf10_timings = run_sf10_probe(spark)
-            record["sf10_queries"] = sf10_timings
-            record["sf10_value"] = round(sum(sf10_timings.values()), 3)
+    # Independently gated (r11 ADVICE: the sf10 gate was nested inside
+    # the sf1 block, so SPARK_GRAFT_SF1=0 silently disabled sf10 too).
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        ran_probes = True
+        sf10_timings = run_sf10_probe(spark)
+        record["sf10_queries"] = sf10_timings
+        record["sf10_value"] = round(sum(sf10_timings.values()), 3)
+    if ran_probes:
         # Post-PROBE anchors (r10 review find): the sf1/skew probes run
         # entirely after the headline post-anchors, so a CPU-steal
         # burst arriving during them was invisible — no drift guard

@@ -57,6 +57,7 @@ from ic_spark.compaction.request import FileContent, FileScanTask
 from ic_spark.sources.avro_io import read_container, write_container
 
 from ic_spark.compaction.manifest import CommitConflictError
+from ic_spark.compaction.metafs import check_remote_commit_safety
 
 # --------------------------------------------------- type serialization
 
@@ -532,10 +533,21 @@ class IcebergTable:
     compaction orchestrator runs over spec metadata unchanged.
     """
 
-    def __init__(self, location: str, file_io: dict | None = None):
+    def __init__(
+        self,
+        location: str,
+        file_io: dict | None = None,
+        *,
+        single_writer: bool = False,
+    ):
         from ic_spark.compaction.metafs import MetaFS
 
         self.file_io = file_io
+        # Declares this process the table's sole committer: required to
+        # use the Hadoop-catalog (version-file) commit flavor on an
+        # object-store root, where exclusive-create is best-effort
+        # (metafs.check_remote_commit_safety).
+        self._single_writer = single_writer
         self._mfs = MetaFS(location, file_io)
         # Local: resolved filesystem path (pre-seam behavior).  Remote:
         # metadata IO uses within-FS paths; data files keep the
@@ -556,8 +568,9 @@ class IcebergTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         file_io: dict | None = None,
+        single_writer: bool = False,
     ) -> "IcebergTable":
-        tbl = cls(location, file_io=file_io)
+        tbl = cls(location, file_io=file_io, single_writer=single_writer)
         if tbl.version() is not None:
             raise ValueError(f"table already exists at {location}")
         ice_schema = schema_to_iceberg(schema)
@@ -649,10 +662,19 @@ class IcebergTable:
         Exactly one of two racing committers can create the version
         file; the loser gets :class:`CommitConflictError`.  On
         object-store roots the exclusive create is probe-then-PUT
-        (best-effort — object stores have no O_EXCL); multi-writer
-        deployments there must commit through a SQL/REST catalog whose
-        CAS is the commit point (see :mod:`.metafs`).
+        (best-effort — object stores have no O_EXCL), so this flavor
+        REFUSES to commit there unless the deployment declares
+        single-writer (``single_writer=True`` or the
+        ``commit.single-writer=true`` table property); multi-writer
+        deployments must commit through a SQL/REST catalog whose CAS is
+        the commit point (see :mod:`.metafs`).
         """
+        check_remote_commit_safety(
+            self._mfs,
+            self._single_writer,
+            meta.get("properties"),
+            "table metadata",
+        )
         self._mfs.makedirs(self.metadata_dir)
         new_version = (expected_version or 0) + 1
         current = self.version()

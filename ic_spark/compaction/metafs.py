@@ -38,6 +38,45 @@ import posixpath
 import tempfile
 
 
+class UnsafeRemoteCommitError(RuntimeError):
+    """Hadoop-flavor version-file commit attempted on an object-store
+    metadata root without a single-writer declaration.
+
+    ``create_exclusive`` on remote roots is probe-then-PUT (no O_EXCL on
+    object stores): two racing committers can BOTH succeed and one
+    version file is silently overwritten.  Multi-writer commits on
+    remote roots must go through a SQL/REST catalog whose database CAS
+    is the commit point (the reference's own deployment shape —
+    ``core/src/compaction/mod.rs:183-202``); single-writer lifecycles
+    (one compaction service owning the table) are exact and may opt in
+    explicitly."""
+
+
+def check_remote_commit_safety(
+    mfs: "MetaFS", single_writer: bool, properties: dict | None, what: str
+) -> None:
+    """Loud gate for Hadoop-flavor exclusive-create commits (VERDICT
+    r11 #1): on a non-local MetaFS, refuse unless the committer
+    declared ``single_writer=True`` or the table carries the
+    ``commit.single-writer=true`` property."""
+    if mfs.is_local or single_writer:
+        return
+    prop = str((properties or {}).get("commit.single-writer", "")).lower()
+    if prop == "true":
+        return
+    raise UnsafeRemoteCommitError(
+        f"refusing Hadoop-catalog {what} commit on object-store metadata "
+        f"root {mfs.root!r}: exclusive-create there is probe-then-PUT "
+        "(best-effort), so two racing committers can both win and one "
+        "commit is silently lost. Either commit through a SQL/REST "
+        "catalog (database CAS is the commit point), or — for a "
+        "single-writer deployment where exactly one process owns this "
+        "table — pass single_writer=True (or set the table property "
+        "commit.single-writer=true) to accept exact single-writer "
+        "semantics."
+    )
+
+
 def table_mfs(table) -> "MetaFS":
     """The table's own MetaFS (both flavors construct one), or a fresh
     seam for duck-typed tables exposing only root/file_io — the one

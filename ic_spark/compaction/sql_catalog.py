@@ -276,12 +276,18 @@ class SqlCatalog:
             import uuid as _uuid
 
             location = f"{location}-{_uuid.uuid4().hex[:8]}"
+        # single_writer: the v1 bootstrap write is catalog-owned — the
+        # location is fresh (uniquified above if occupied) and the
+        # catalog-row INSERT below is the real commit point (duplicate
+        # names lose on the DB constraint), so the Hadoop-flavor remote
+        # gate does not apply to this one write.
         IcebergTable.create(
             location,
             schema,
             partition_by=partition_by,
             properties=properties,
             file_io=self.file_io,
+            single_writer=True,
         )
         # Caller-spelled pointer (full URI on object stores) — the
         # catalog row stays interoperable; reads map it onto the

@@ -28,10 +28,17 @@ from ic_spark.compaction.manifest import CommitConflictError
 class IcebergView:
     """A Hadoop-layout Iceberg view (view-spec v1 metadata)."""
 
-    def __init__(self, location: str, file_io: dict | None = None):
+    def __init__(
+        self,
+        location: str,
+        file_io: dict | None = None,
+        *,
+        single_writer: bool = False,
+    ):
         from ic_spark.compaction.metafs import MetaFS
 
         self.file_io = file_io
+        self._single_writer = single_writer
         self._mfs = MetaFS(location, file_io)
         self.root = self._mfs.root if self._mfs.is_local else location
         self.metadata_dir = os.path.join(self.root, "metadata")
@@ -46,8 +53,9 @@ class IcebergView:
         dialect: str = "spark",
         properties: dict | None = None,
         file_io: dict | None = None,
+        single_writer: bool = False,
     ) -> "IcebergView":
-        view = cls(location, file_io=file_io)
+        view = cls(location, file_io=file_io, single_writer=single_writer)
         if view.version() is not None:
             raise ValueError(f"view already exists at {location}")
         now = int(time.time() * 1000)
@@ -97,8 +105,14 @@ class IcebergView:
 
     def _commit_metadata(self, meta: dict, expected_version: int | None) -> None:
         # Same seam discipline as IcebergTable._commit_metadata: local
-        # keeps O_EXCL byte-for-byte, object-store exclusive create is
-        # probe-then-PUT (see compaction/metafs).
+        # keeps O_EXCL byte-for-byte; object-store exclusive create is
+        # probe-then-PUT, so it is gated behind an explicit
+        # single-writer declaration (see compaction/metafs).
+        from ic_spark.compaction.metafs import check_remote_commit_safety
+
+        check_remote_commit_safety(
+            self._mfs, self._single_writer, meta.get("properties"), "view metadata"
+        )
         self._mfs.makedirs(self.metadata_dir)
         current = self.version()
         if current != expected_version:

@@ -850,7 +850,7 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
             starts = offs[:-1] - offs[0]
             # Zero-shingle rows (can't occur — the size(__h) > 0 guard
             # precedes this map) would corrupt reduceat segments.
-            if n > 1 and (np.diff(offs) == 0).any() or len(values) == 0:
+            if (np.diff(offs) == 0).any() or len(values) == 0:
                 raise ValueError("minhash: empty shingle array")
             # (perms, rows): one reduceat per permutation keeps peak
             # memory at one |H| buffer, not a (perms x |H|) matrix.

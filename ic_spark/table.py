@@ -37,14 +37,21 @@ class Table:
 
     @classmethod
     def at(
-        cls, spark: SparkSession, location: str, file_io: dict | None = None
+        cls,
+        spark: SparkSession,
+        location: str,
+        file_io: dict | None = None,
+        single_writer: bool = False,
     ) -> "Table":
         """``file_io`` routes the table's METADATA plane through the
-        pyarrow fileio seam (object-store roots; compaction/metafs)."""
+        pyarrow fileio seam (object-store roots; compaction/metafs).
+        ``single_writer=True`` declares this process the sole committer
+        — required for Hadoop-flavor commits on object-store roots
+        (multi-writer deployments commit via SQL/REST catalog CAS)."""
         from ic_spark.compaction.iceberg_meta import IcebergTable
         from ic_spark.compaction.manifest import ManifestTable
 
-        spec = IcebergTable(location, file_io=file_io)
+        spec = IcebergTable(location, file_io=file_io, single_writer=single_writer)
         if spec.version() is not None:
             return cls(spark, spec)
         return cls(spark, ManifestTable(location, file_io=file_io))
@@ -58,6 +65,7 @@ class Table:
         partition_by: list[str] | None = None,
         spec_metadata: bool = True,
         file_io: dict | None = None,
+        single_writer: bool = False,
     ) -> "Table":
         """New empty table; ``spec_metadata=True`` (default) writes real
         Iceberg v2 metadata, else the JSON-manifest analog."""
@@ -68,7 +76,11 @@ class Table:
             return cls(
                 spark,
                 IcebergTable.create(
-                    location, schema, partition_by=partition_by, file_io=file_io
+                    location,
+                    schema,
+                    partition_by=partition_by,
+                    file_io=file_io,
+                    single_writer=single_writer,
                 ),
             )
         # JSON flavor: register the same schema/partitioning instead of

@@ -70,3 +70,36 @@ def test_pack_shards_under_checkpoint_dir(spark, tmp_path):
     finally:
         _restore_no_checkpoint_dir(sc)
     assert got == want
+
+
+def test_reliable_checkpoint_warns_without_cleaner_config(spark, tmp_path):
+    """r11 ADVICE: Spark never deletes reliable checkpoint data unless
+    spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+    SparkContext-creation-time config) — stable_checkpoint must warn
+    once per session when a dir is configured without it."""
+    import warnings as _w
+
+    from ic_spark.plans import checkpoint as ck
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckw"))
+    try:
+        assert (
+            sc.getConf()
+            .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+            .lower()
+            != "true"
+        )
+        ck._warned_no_cleanup = False
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            ck.stable_checkpoint(spark.range(10)).count()
+            ck.stable_checkpoint(spark.range(10)).count()  # once only
+        hits = [
+            c for c in caught if "cleanCheckpoints" in str(c.message)
+        ]
+        assert len(hits) == 1
+        assert issubclass(hits[0].category, RuntimeWarning)
+    finally:
+        ck._warned_no_cleanup = False
+        _restore_no_checkpoint_dir(sc)

@@ -120,7 +120,9 @@ def test_iceberg_table_lifecycle_through_injected_fs(spark, tmp_path):
     schema = StructType(
         [StructField("id", IntegerType()), StructField("name", StringType())]
     )
-    tbl = IcebergTable.create(loc, schema, file_io=_fio())
+    tbl = IcebergTable.create(
+        loc, schema, file_io=_fio(), single_writer=True
+    )
     assert tbl._mfs.fs is not None
     assert tbl.version() == 1
 
@@ -224,7 +226,7 @@ def test_table_facade_through_injected_fs(spark, tmp_path):
 
     loc = str(tmp_path / "facade_tbl")
     schema = StructType([StructField("id", IntegerType())])
-    t = Table.create(spark, loc, schema, file_io=_fio())
+    t = Table.create(spark, loc, schema, file_io=_fio(), single_writer=True)
     assert t.inner._mfs.fs is not None
 
     t.append(spark.range(0, 100).selectExpr("cast(id as int) id"))
@@ -237,7 +239,7 @@ def test_table_facade_through_injected_fs(spark, tmp_path):
     assert t.read().count() == 90
 
     # re-open by location with the same connector
-    t2 = Table.at(spark, loc, file_io=_fio())
+    t2 = Table.at(spark, loc, file_io=_fio(), single_writer=True)
     assert t2.inner._mfs.fs is not None
     assert t2.read().count() == 90
 
@@ -292,3 +294,127 @@ def test_distributed_dv_commit_through_injected_fs(spark, tmp_path):
         spark, table, F.col("id") % 4 == 1, distributed=True
     )
     assert read_table(spark, table).count() == 20
+
+
+def test_hadoop_flavor_refuses_remote_commit_without_declaration(tmp_path):
+    """VERDICT r11 #1: Hadoop-catalog version-file commits on an
+    object-store MetaFS root are probe-then-PUT (two racers can both
+    win) — the commit must refuse loudly unless the deployment declares
+    single-writer, instead of silently degrading to best-effort."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.metafs import UnsafeRemoteCommitError
+
+    schema = StructType([StructField("id", IntegerType())])
+
+    # undeclared: even CREATE (the first commit) refuses
+    with pytest.raises(UnsafeRemoteCommitError, match="single-writer"):
+        IcebergTable.create(str(tmp_path / "nope"), schema, file_io=_fio())
+    assert not os.path.exists(str(tmp_path / "nope/metadata"))
+
+    # table-property opt-in: the declaration travels WITH the table
+    loc = str(tmp_path / "prop_tbl")
+    tbl = IcebergTable.create(
+        loc, schema, properties={"commit.single-writer": "true"},
+        file_io=_fio(),
+    )
+    assert tbl.version() == 1
+
+    # a second handle without the kwarg still commits (property wins)
+    d = tmp_path / "prop_tbl/metadata"
+    assert d.is_dir()
+    h2 = IcebergTable(loc, file_io=_fio())
+    h2._commit_metadata(h2.metadata(), expected_version=h2.version())
+    assert h2.version() == 2
+
+    # kwarg opt-in on a property-less table
+    loc2 = str(tmp_path / "kw_tbl")
+    IcebergTable.create(loc2, schema, file_io=_fio(), single_writer=True)
+    undeclared = IcebergTable(loc2, file_io=_fio())
+    with pytest.raises(UnsafeRemoteCommitError):
+        undeclared._commit_metadata(
+            undeclared.metadata(), expected_version=undeclared.version()
+        )
+    # reads never gate
+    assert undeclared.metadata()["format-version"] == 2
+
+    # local roots keep the pre-seam behavior: no declaration needed
+    IcebergTable.create(str(tmp_path / "local_tbl"), schema)
+
+
+def test_view_commit_gated_on_remote_root(tmp_path):
+    """IcebergView metadata shares the version-file protocol, so it
+    shares the gate."""
+    from ic_spark.compaction.metafs import UnsafeRemoteCommitError
+    from ic_spark.compaction.views import IcebergView
+
+    with pytest.raises(UnsafeRemoteCommitError, match="view metadata"):
+        IcebergView.create(
+            str(tmp_path / "v"), "SELECT 1 AS x", file_io=_fio()
+        )
+    v = IcebergView.create(
+        str(tmp_path / "v2"), "SELECT 1 AS x", file_io=_fio(),
+        single_writer=True,
+    )
+    assert v.version() == 1
+
+
+def test_racing_committers_sql_catalog_exactly_one_wins(spark, tmp_path):
+    """Two committers racing from the same base version through the
+    SQL catalog CAS: every attempt either lands or raises
+    CommitConflictError — never a silent overwrite.  The invariant that
+    proves exactly-one-wins: snapshots present == successful commits,
+    and the version advanced by exactly that count."""
+    import threading
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ic_spark.compaction.manifest import CommitConflictError
+    from ic_spark.compaction.sql_catalog import SqlCatalog
+
+    cat = SqlCatalog(
+        str(tmp_path / "catalog.db"), str(tmp_path / "wh"), file_io=_fio()
+    )
+    cat.create_namespace("ns")
+    schema = StructType([StructField("id", IntegerType())])
+    cat.create_table("ns", "race", schema)
+
+    d1 = _write_one_parquet(
+        spark, str(tmp_path / "wh/ns/race/d1"), [(1,)], "id int"
+    )
+    payload = [{"path": d1, "sequence_number": None, "content": "DATA",
+                "file_size_in_bytes": os.path.getsize(d1),
+                "record_count": 1}]
+
+    outcomes: list[str] = []
+    lock = threading.Lock()
+    ROUNDS, RACERS = 6, 2
+    for _ in range(ROUNDS):
+        barrier = threading.Barrier(RACERS)
+
+        def racer():
+            handle = cat.load_table("ns", "race")  # own handle, shared base
+            barrier.wait()
+            try:
+                handle.append_snapshot(list(payload))
+                with lock:
+                    outcomes.append("win")
+            except CommitConflictError:
+                with lock:
+                    outcomes.append("conflict")
+
+        threads = [threading.Thread(target=racer) for _ in range(RACERS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert len(outcomes) == ROUNDS * RACERS
+    wins = outcomes.count("win")
+    assert wins >= ROUNDS  # at least one winner per round
+    final = cat.load_table("ns", "race")
+    # exactly-one-wins: every successful commit is visible as its own
+    # snapshot (a lost-update would collapse two wins into one)
+    assert len(final.snapshots()) == wins
+    assert final.version() == 1 + wins
