@@ -180,6 +180,7 @@ def main() -> None:
     # queries are cache-served and NOT comparable to r10+ on those rows.
     timings: dict[str, float] = {}
     latency_mid = None
+    calib_mid = None
     for i, q in enumerate(headline):
         best, rows = float("inf"), 0
         for _ in range(3):
@@ -198,7 +199,19 @@ def main() -> None:
             # honest estimator (noise only ever adds), and LATENCY_REF
             # is itself a warm-JVM min-of-40.
             latency_mid = latency_secs(spark)
-            print(f"# mid-headline latency: {latency_mid}s", file=sys.stderr)
+            # Mid-window CPU sample (VERDICT r11 #2): r11's official
+            # record landed in a window where the host speed changed
+            # 15% mid-run (calibration_drift 0.849) and NEITHER the
+            # pre nor the post CPU anchor could see it — the graded
+            # normalized headline was hostage to host decay between
+            # the anchors.  Same treatment latency got in r11:
+            # cpu_factor below uses min(mid, post).
+            calib_mid = calibration_secs(spark)
+            print(
+                f"# mid-headline anchors: latency {latency_mid}s "
+                f"cpu {calib_mid}s",
+                file=sys.stderr,
+            )
     spark.catalog.clearCache()  # drop the last rep's leftover blocks
 
     # Serve-only persisted-index timing (VERDICT r8 #3): the
@@ -270,7 +283,16 @@ def main() -> None:
         f" pre {latency_pre}s)",
         file=sys.stderr,
     )
-    cpu_factor = CALIBRATION_REF / calib
+    # min(mid, post), mirroring the latency window (r11 VERDICT #2):
+    # each sample is already an internal min-of-reps (one-sided noise
+    # stripped), so the min across the in-window and post samples is
+    # the fastest host state the headline window plausibly saw — the
+    # normalized total is never flattered beyond what an anchor that
+    # actually bracketed the window justifies, and a host that decays
+    # mid-run (invisible to pre/post alone) is at least partially
+    # corrected by the mid reading.
+    calibration_window = min(x for x in (calib_mid, calib) if x is not None)
+    cpu_factor = CALIBRATION_REF / calibration_window
     # min(mid, post): both are warm-JVM samples like LATENCY_REF, and
     # the min of a fixed-cost job discards one-sided noise — one noisy
     # post sample made r10's latency-normalized totals uninterpretable
@@ -293,6 +315,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calib,
         "calibration_pre": calib_pre,
+        "calibration_mid": calib_mid,
+        # the CPU factor divides CALIBRATION_REF by min(mid, post) —
+        # see the cpu_factor comment (r11 VERDICT #2)
+        "calibration_window": calibration_window,
         "calibration_ref": CALIBRATION_REF,
         "latency": latency_post,
         "latency_pre": latency_pre,
