@@ -1513,6 +1513,52 @@ class _IndexFS:
             and i.base_name.endswith(".parquet")
         ]
 
+    def makedirs(self, *parts: str) -> None:
+        import os
+
+        if self.fs is None:
+            os.makedirs(self._p(*parts), exist_ok=True)
+        else:
+            self.fs.create_dir(self._p(*parts), recursive=True)
+
+    def unlink(self, *parts: str) -> None:
+        """Remove one file (missing tolerated — replay pre-deletes)."""
+        import os
+
+        p = self._p(*parts)
+        try:
+            if self.fs is None:
+                os.remove(p)
+            else:
+                self.fs.delete_file(p)
+        except (FileNotFoundError, OSError):
+            pass
+
+    def move(self, src: str, dst: str) -> None:
+        """Publish one staged file under its final name: POSIX
+        ``os.replace`` locally (atomic, overwrites), pyarrow ``move``
+        through the connector (on real object stores copy+delete whose
+        final PUT is atomic at object granularity).  ``src``/``dst``
+        are ``/``-joined paths relative to the index root."""
+        import os
+
+        if self.fs is None:
+            os.replace(self._p(src), self._p(dst))
+        else:
+            self.fs.move(self._p(src), self._p(dst))
+
+    def isdir(self, *parts: str) -> bool:
+        import os
+
+        if self.fs is None:
+            return os.path.isdir(self._p(*parts))
+        from pyarrow import fs as pafs
+
+        return (
+            self.fs.get_file_info([self._p(*parts)])[0].type
+            == pafs.FileType.Directory
+        )
+
     def rmtree(self, subdir: str) -> None:
         """Remove a superseded codes generation (missing-ok)."""
         if self.fs is None:

@@ -434,6 +434,7 @@ def ivfpq_index_append_sink(
     vec_col: str = "embedding",
     use_arrow: bool = False,
     stream_id: str | None = None,
+    file_io: dict | None = None,
 ):
     """``foreachBatch`` callable maintaining a persisted IVF-PQ ANN
     index (operators/similarity.py::build_ivf_pq_index) from a stream
@@ -463,11 +464,19 @@ def ivfpq_index_append_sink(
     replay) cannot leave stale files serving duplicate neighbor rows.
     Crash-safe: the delete only runs while the batch is uncommitted in
     the checkpoint, i.e. the engine is guaranteed to replay it.
+
+    ``file_io`` routes the publish plane — index.json read, the
+    pre-delete sweep, the stage→codes renames and the stage cleanup —
+    through the pyarrow fileio seam (:class:`_IndexFS`), the same
+    treatment build/append/compact/serve got in r9-r10; local paths
+    keep the ``os.replace`` fast path byte-for-byte.  The staged
+    encode itself still writes through Spark's Hadoop layer (data
+    plane) with the caller's ``dir_path`` spelling.
     """
     import hashlib
-    import json
 
     from ic_spark.operators.similarity import (
+        _IndexFS,
         _fold_hwm,
         _ivfpq_encode_corpus,
     )
@@ -477,8 +486,12 @@ def ivfpq_index_append_sink(
     )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        with open(os.path.join(dir_path, "index.json")) as f:
-            meta = json.load(f)
+        ifs = _IndexFS(dir_path, file_io)
+        meta = ifs.read_json("index.json")
+        if meta is None:
+            raise FileNotFoundError(
+                f"no index.json at {dir_path}: build_ivf_pq_index first"
+            )
         if batch_id <= _fold_hwm(meta.get("folded_batches")).get(shash, -1):
             # compact_ivf_pq_index folded this batch's files into
             # part-* names; its rows are already served.  A crash-
@@ -501,42 +514,37 @@ def ivfpq_index_append_sink(
         # two queries feeding one index both start at batch 0, and an
         # unscoped stage path would let one query's mode("overwrite")
         # delete the other's stage mid-publish.
-        stage = os.path.join(
-            dir_path, f"_stage-batch-{shash}{batch_id:08d}"
+        stage_name = f"_stage-batch-{shash}{batch_id:08d}"
+        # Spark writes the staged encode (data plane, Hadoop layer,
+        # caller spelling); everything after is seam-routed metadata.
+        cb.write.mode("overwrite").partitionBy("__cell").parquet(
+            os.path.join(dir_path, stage_name)
         )
-        cb.write.mode("overwrite").partitionBy("__cell").parquet(stage)
-        codes = os.path.join(dir_path, meta.get("codes_dir", "codes"))
+        codes_name = meta.get("codes_dir", "codes")
         # Replay idempotence regardless of parallelism: clear this
         # batch's files everywhere first (a replay may produce fewer
         # files per cell, or skip cells the original wrote).
         prefix = f"b{shash}{batch_id:08d}-"
-        if os.path.isdir(codes):
-            for cell in os.listdir(codes):
-                cdir = os.path.join(codes, cell)
-                if not cell.startswith("__cell=") or not os.path.isdir(cdir):
-                    continue
-                for f in os.listdir(cdir):
-                    if f.startswith(prefix) and f.endswith(".parquet"):
-                        os.remove(os.path.join(cdir, f))
-        published = 0
-        for cell in sorted(os.listdir(stage)):
+        for cell in ifs.ls(codes_name):
             if not cell.startswith("__cell="):
                 continue
-            dst_dir = os.path.join(codes, cell)
-            os.makedirs(dst_dir, exist_ok=True)
+            for f in ifs.ls(codes_name, cell):
+                if f.startswith(prefix) and f.endswith(".parquet"):
+                    ifs.unlink(codes_name, cell, f)
+        published = 0
+        for cell in ifs.ls(stage_name):
+            if not cell.startswith("__cell="):
+                continue
+            ifs.makedirs(codes_name, cell)
             parts = sorted(
-                f
-                for f in os.listdir(os.path.join(stage, cell))
-                if f.endswith(".parquet")
+                f for f in ifs.ls(stage_name, cell) if f.endswith(".parquet")
             )
             for i, f in enumerate(parts):
-                os.replace(
-                    os.path.join(stage, cell, f),
-                    os.path.join(dst_dir, f"{prefix}{i:04d}.parquet"),
+                ifs.move(
+                    f"{stage_name}/{cell}/{f}",
+                    f"{codes_name}/{cell}/{prefix}{i:04d}.parquet",
                 )
                 published += 1
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
+        ifs.rmtree(stage_name)
 
     return write_batch

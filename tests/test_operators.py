@@ -3548,6 +3548,84 @@ def test_index_fs_remote_root_isolation(tmp_path):
     ifs.rmtree("codes")  # missing-ok, like shutil.rmtree(ignore_errors)
 
 
+def test_streaming_sink_publish_through_injected_fs(spark, tmp_path):
+    """VERDICT r11 #3: the ANN streaming sink's batch publish
+    (index.json read, replay pre-delete sweep, stage→codes renames,
+    stage cleanup) was the last local-rename-only index plane — it now
+    routes through _IndexFS.  Full publish→serve→replay→compact
+    lifecycle against an injected SubTreeFileSystem, DPP pin holding."""
+    import json
+    import os
+
+    import pyarrow.fs as pafs
+
+    from ic_spark.operators.similarity import (
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_index_top_k,
+    )
+    from ic_spark.streaming.sink import ivfpq_index_append_sink
+    from ic_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    fio = {
+        "pyarrow_filesystem": pafs.SubTreeFileSystem(
+            "/", pafs.LocalFileSystem()
+        )
+    }
+    idx = str(tmp_path / "sink_idx")
+    e = load_table(spark, SF_DIR, "embeddings")
+    build_ivf_pq_index(
+        e.where(F.col("vec_id") >= 100), idx, nlist=8, m=8, ksub=16,
+        file_io=fio,
+    )
+
+    sink = ivfpq_index_append_sink(idx, file_io=fio)
+    sink(e.where(F.col("vec_id") < 100), 3)
+    # published under deterministic b-names via the connector; the
+    # stage dir was cleaned through the connector too
+    import glob
+
+    bfiles = glob.glob(os.path.join(idx, "codes", "*", "b*.parquet"))
+    assert bfiles, "sink published nothing"
+    assert all("b00000003-" in os.path.basename(f) for f in bfiles)
+    assert not [n for n in os.listdir(idx) if n.startswith("_stage-batch-")]
+
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_pq_index_top_k(spark, idx, q, k=10, nprobe=3, file_io=fio)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    served = sorted(tuple(r) for r in out.collect())
+    assert {r[0] for r in served} == {0, 1, 2, 3, 4}
+
+    # at-least-once replay through the seam: pre-delete sweeps the
+    # first publish's files, the re-publish serves identical rows
+    sink(e.where(F.col("vec_id") < 100), 3)
+    bfiles2 = glob.glob(os.path.join(idx, "codes", "*", "b*.parquet"))
+    assert sorted(bfiles2) == sorted(bfiles)
+    replay = sorted(
+        tuple(r)
+        for r in ivf_pq_index_top_k(
+            spark, idx, q, k=10, nprobe=3, file_io=fio
+        ).collect()
+    )
+    assert replay == served
+
+    # compact folds the streamed batch (ledger via connector); a
+    # crash-replay of the folded batch is a no-op
+    meta = compact_ivf_pq_index(spark, idx, file_io=fio)
+    assert meta["folded_batches"] == [":3"]
+    sink(e.where(F.col("vec_id") < 100), 3)
+    assert not glob.glob(os.path.join(idx, "codes-v2", "*", "b*.parquet"))
+    # missing index.json fails loudly instead of AttributeError
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="index.json"):
+        ivfpq_index_append_sink(str(tmp_path / "nowhere"), file_io=fio)(
+            e.limit(1), 0
+        )
+
+
 def test_arrow_cell_assigners_zero_norm_centroid_matches_expression(
     spark,
 ):
