@@ -789,7 +789,15 @@ def minhash_signatures(
         out_schema = StructType(
             [base.schema["id"], StructField("sig", ArrayType(LongType()), True)]
         )
-        return base.mapInArrow(_arrow_minhash_batches(a, b), out_schema)
+        # Belt-and-braces post-barrier filter: the token-count
+        # predicate above already excludes zero-shingle rows, and the
+        # kernel emits EMPTY signatures (not an error) for any that
+        # slip through a filterless caller — a barrier-side filter
+        # cannot be substituted into the scan (the r11 pushdown-
+        # substitution class), so this costs one int compare per row.
+        return base.mapInArrow(_arrow_minhash_batches(a, b), out_schema).where(
+            F.size("sig") > 0
+        )
     # One JVM-side parse: building num_hashes transforms from F.lit
     # Columns costs ~10 py4j round trips per permutation (~1 s of
     # driver time per query at 64 perms); the SQL string yields the
@@ -848,10 +856,37 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                 offs[0] : offs[-1]
             ].astype(np.int64, copy=False)
             starts = offs[:-1] - offs[0]
-            # Zero-shingle rows (can't occur — the size(__h) > 0 guard
-            # precedes this map) would corrupt reduceat segments.
-            if (np.diff(offs) == 0).any() or len(values) == 0:
-                raise ValueError("minhash: empty shingle array")
+            empty = np.diff(offs) == 0
+            if empty.any() or len(values) == 0:
+                # Zero-shingle rows (docs shorter than shingle_n, or
+                # NULL text — unreachable via minhash_signatures'
+                # token-count pre-filter, but a filterless caller must
+                # not crash or corrupt segments, r12): emit an EMPTY
+                # signature the post-barrier size(sig) filter drops.
+                # reduceat over the non-empty starts alone is exact:
+                # empty rows contribute no values, so consecutive
+                # non-empty starts are still true segment boundaries.
+                ne = ~empty
+                k = int(ne.sum())
+                out = np.empty((len(A), k), dtype=np.int64)
+                if k:
+                    starts_ne = starts[ne]
+                    for j in range(len(A)):
+                        out[j] = np.minimum.reduceat(
+                            (A[j] * values + B[j]) % P, starts_ne
+                        )
+                lengths = np.where(empty, 0, len(A))
+                offsets = np.concatenate(
+                    [[0], np.cumsum(lengths)]
+                ).astype(np.int32)
+                sig = pa.ListArray.from_arrays(
+                    pa.array(offsets),
+                    pa.array(out.T.ravel(), type=pa.int64()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, sig], names=[batch.schema.names[0], "sig"]
+                )
+                continue
             # (perms, rows): one reduceat per permutation keeps peak
             # memory at one |H| buffer, not a (perms x |H|) matrix.
             out = np.empty((len(A), n), dtype=np.int64)

@@ -159,7 +159,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # strings at all.  Jaccard values are identical barring 64-bit
     # collisions inside one pair (~|sh|^2/2^64 — negligible), same
     # trade token_jaccard_pairs documents.
-    sh = (
+    # Checkpoint sh (r12): it feeds BOTH the sh_a and sh_b joins, and
+    # without a barrier each join re-runs the corpus scan + semi-join +
+    # shingle pass — at 100 TB that is scanning the whole corpus twice
+    # to shingle ~0.1% of it.  The materialized frame is candidate-set
+    # sized (near-dup density x corpus), never corpus-scale.
+    sh = stable_checkpoint(
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
@@ -404,7 +409,9 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     from ic_spark.functions.text import word_shingles
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    sh = (
+    # checkpointed for the same two-consumer reason as the production
+    # twin (r12): one corpus scan + shingle pass, not two
+    sh = stable_checkpoint(
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),

@@ -3793,6 +3793,68 @@ def test_minhash_short_docs_have_no_signature(spark, use_arrow):
     assert pairs == {(3, 4)}  # and no short-doc candidate explosion
 
 
+def test_minhash_arrow_kernel_tolerates_filterless_empty_rows(spark):
+    """r12: the Arrow kernel itself (not just the pre-filtered query
+    path) must neither crash nor corrupt reduceat segments when a
+    FILTERLESS caller feeds zero-shingle rows — it emits empty
+    signatures, and surviving rows' signatures stay bit-equal to the
+    expression path (empty rows interleaved between them)."""
+    import pyspark.sql.functions as F
+
+    from ic_spark.functions.text import hashed_word_shingles
+    from ic_spark.operators.dedup import (
+        _arrow_minhash_batches,
+        minhash_perms,
+        minhash_signatures,
+    )
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "xy"),  # 1 token: zero shingles
+            (3, None),  # NULL text
+            (4, ""),  # empty text
+            (5, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    a, b = minhash_perms(16, 42)
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(
+            hashed_word_shingles(F.col("text"), 3),
+            lambda h: F.pmod(h, F.lit(2**31).cast("long")),
+        ).alias("__h"),
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("sig", ArrayType(LongType()), True),
+        ]
+    )
+    raw = base.mapInArrow(_arrow_minhash_batches(a, b), schema).collect()
+    by_id = {r.id: list(r.sig) for r in raw}
+    assert set(by_id) == {1, 2, 3, 4, 5}
+    assert by_id[2] == [] and by_id[3] == [] and by_id[4] == []
+    # surviving rows bit-equal to the expression path
+    expr = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(
+            docs, "doc_id", "text", num_hashes=16, use_arrow=False
+        ).collect()
+    }
+    assert by_id[1] == expr[1] and by_id[5] == expr[5]
+    # and the public path drops them identically to the expression path
+    arrow_ids = {
+        r.id
+        for r in minhash_signatures(
+            docs, "doc_id", "text", num_hashes=16, use_arrow=True
+        ).collect()
+    }
+    assert arrow_ids == set(expr) == {1, 5}
+
+
 def test_interval_join_inverted_interval_no_bucket_explosion(spark):
     """One corrupt interval with end <= start (e.g. an epoch-0
     sentinel) must register ONE bucket, not a multi-million-element
