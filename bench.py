@@ -425,7 +425,16 @@ def main() -> None:
         ran_probes = True
         sf10_timings = run_sf10_probe(spark)
         record["sf10_queries"] = sf10_timings
-        record["sf10_value"] = round(sum(sf10_timings.values()), 3)
+        # frozen membership: the r12 serve/skew rows stay out of the
+        # cross-round total (see SF10_VALUE_MEMBERS)
+        record["sf10_value"] = round(
+            sum(
+                t
+                for n, t in sf10_timings.items()
+                if n in SF10_VALUE_MEMBERS
+            ),
+            3,
+        )
     if ran_probes:
         # Post-PROBE anchors (r10 review find): the sf1/skew probes run
         # entirely after the headline post-anchors, so a CPU-steal
@@ -584,6 +593,11 @@ SF10_PROBE_QUERIES = [
     "sim_ivfpq_topk",
     "mor_full_merge_on_read",
 ]
+# sf10_value sums exactly the r11 membership forever (the r10 ADVICE
+# rule that kept sf1_value stable when the serve row joined): the r12
+# serve + skew rows land in sf10_queries but never inflate the
+# cross-round total.
+SF10_VALUE_MEMBERS = frozenset(SF10_PROBE_QUERIES)
 
 
 def _perm_map(i: str | int) -> str:
@@ -629,7 +643,102 @@ def run_sf10_probe(spark) -> dict[str, float]:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         print(f"# sf10 {name}: {timings[name]}s ({rows} rows)", file=sys.stderr)
+
+    # Serve-only persisted-index row at 100x (VERDICT r11 #5): the
+    # production-serve claim (DPP keeps serve ~nprobe/nlist of the
+    # INDEX) was measured only to sf1.  Same protocol: one untimed
+    # build, DPP pin asserted, then serve-only reps (min-of-2 like the
+    # rest of this probe).
+    indexed = REGISTRY["sim_ivfpq_indexed_topk"].fn
+    out = indexed(spark, sf10_dir)  # builds the per-process sf10 index
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():  # raise: python -O safe
+        raise AssertionError("sf10 serve path lost its DPP pin")
+    best, rows = float("inf"), 0
+    for _ in range(2):
+        start = time.perf_counter()
+        rows = indexed(spark, sf10_dir).count()
+        best = min(best, time.perf_counter() - start)
+    timings["sim_ivfpq_index_serve"] = round(best, 3)
+    print(
+        f"# sf10 sim_ivfpq_index_serve: {timings['sim_ivfpq_index_serve']}s"
+        f" ({rows} rows, DPP pinned)",
+        file=sys.stderr,
+    )
+    from ic_spark.queries.llm import ivfpq_index_release
+
+    ivfpq_index_release(sf10_dir)
+
+    # Skew leg at 100x (VERDICT r11 #5): the hot-LSH-bucket transform
+    # of the sf1 skew probe applied to the sf10 corpus — adversarial
+    # candidate explosions the verify stage must absorb at scale; the
+    # plain sf10 dedup_minhash_lsh row above is its uniform twin.
+    skew_docs = ensure_sf10_skew_lsh(spark, sf10_dir)
+    q = REGISTRY["dedup_minhash_lsh"]
+    best, rows = float("inf"), 0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        rows = q.fn(spark, skew_docs).count()
+        best = min(best, time.perf_counter() - start)
+    timings["dedup_minhash_lsh_skew"] = round(best, 3)
+    print(
+        f"# sf10 dedup_minhash_lsh_skew: "
+        f"{timings['dedup_minhash_lsh_skew']}s ({rows} rows; uniform twin "
+        f"{timings['dedup_minhash_lsh']}s)",
+        file=sys.stderr,
+    )
     return timings
+
+
+def ensure_sf10_skew_lsh(spark, sf10_dir: str) -> str:
+    """sf10 documents with the sf1 skew probe's hot-LSH-bucket
+    transform (shared corpus-foreign token prefix on hot long docs);
+    only documents.parquet is materialized — the minhash query reads
+    nothing else.
+
+    Hot fraction is 1% here (vs the sf1 leg's 10%) so the ABSOLUTE
+    hot-doc count matches the sf1 leg (~5k docs): candidate-pair
+    enumeration is quadratic in the hot-set size by the operator's
+    semantics (every colliding pair must be verified), so scaling the
+    hot set 10x with the corpus measures a 100x-bigger adversarial
+    workload, not the engine at scale — a first attempt with 10% hot
+    at sf10 (~50k hot docs → ~100M pairs x two ~300-hash arrays)
+    exhausted local disk in shuffle spill.  Holding the hot-set size
+    fixed asks the honest question: does hot-bucket overhead stay flat
+    when the surrounding corpus grows 10x?"""
+    import pyspark.sql.functions as F
+
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_SKEW_DIR", "/tmp/ic_spark_sf10_skew"
+    )
+    marker = os.path.join(out_dir, "_GENERATED")
+    stamp = f"{sf10_dir}|prefix={SKEW_PREFIX_TOKENS}|hot=1pct|v2"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return out_dir
+        import shutil as _sh
+
+        _sh.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf10_dir, "documents.parquet"))
+    hot = F.col("doc_id") % 100 == 0
+    long_enough = F.size(F.split(F.col("text"), " ")) >= 60
+    prefix = " ".join(f"zq{i}" for i in range(SKEW_PREFIX_TOKENS))
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                hot & long_enough, F.concat(F.lit(prefix + " "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
 
 
 def run_sf1_probe(spark) -> tuple[dict[str, float], float]:
