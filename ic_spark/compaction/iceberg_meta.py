@@ -1701,6 +1701,44 @@ class IcebergTable:
         ]
         return self._commit_snapshot(meta, version, kept + new, operation)
 
+    # -- table properties ----------------------------------------------
+
+    def set_properties(self, updates: dict[str, str]) -> None:
+        """Merge ``updates`` into table ``properties`` as one commit
+        (Iceberg ``UpdateProperties``; the REST catalog's
+        set-properties update reaches the same metadata field).  The
+        way an EXISTING table declares ``commit.single-writer=true`` —
+        note that on an object-store root this very commit is itself
+        gated, so the declaring handle must be constructed with
+        ``single_writer=True``; the property then covers every later
+        handle."""
+        if not updates:
+            raise ValueError("set_properties: empty updates")
+        # version FIRST, then that exact version's metadata (r9 find)
+        version = self.version()
+        meta = self.metadata(version)
+        new_meta = dict(meta)
+        props = dict(meta.get("properties", {}))
+        props.update({str(k): str(v) for k, v in updates.items()})
+        new_meta["properties"] = props
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(new_meta, expected_version=version)
+
+    def remove_properties(self, keys: list[str]) -> None:
+        """Remove property ``keys`` (missing tolerated) as one commit."""
+        version = self.version()
+        meta = self.metadata(version)
+        new_meta = dict(meta)
+        props = dict(meta.get("properties", {}))
+        for k in keys:
+            props.pop(k, None)
+        new_meta["properties"] = props
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(new_meta, expected_version=version)
+
+    def properties(self) -> dict[str, str]:
+        return dict(self.metadata().get("properties", {}))
+
     # -- snapshot refs (Iceberg metadata ``refs``: tags + branches) ----
 
     def set_ref(self, name: str, snapshot_id: int, ref_type: str = "tag") -> None:

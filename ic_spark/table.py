@@ -276,6 +276,17 @@ class Table:
 
         return column_ndv_estimates(self.spark, self.inner)
 
+    def set_properties(self, updates: dict[str, str]) -> None:
+        """Merge table properties as one commit (spec flavor only —
+        the JSON ManifestTable has no properties field)."""
+        self.inner.set_properties(updates)
+
+    def remove_properties(self, keys: list[str]) -> None:
+        self.inner.remove_properties(keys)
+
+    def properties(self) -> dict[str, str]:
+        return self.inner.properties()
+
     def set_ref(self, name: str, snapshot_id: int, **kw) -> None:
         self.inner.set_ref(name, snapshot_id, **kw)
 

@@ -602,3 +602,52 @@ def test_coerce_partition_value_aware_timestamps_use_utc_epoch():
     ) == utc_noon
     # Naive values keep exact naive-epoch arithmetic (UTC sessions).
     assert _coerce_partition_value(t, "2024-06-01 12:00:00") == utc_noon
+
+
+def test_set_remove_properties_roundtrip(tmp_path, simple_schema):
+    """UpdateProperties surface (r12): merge + remove as single
+    commits, version-then-metadata discipline, properties() view."""
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+
+    tbl = IcebergTable.create(
+        str(tmp_path / "pt"), simple_schema,
+        properties={"owner": "a"},
+    )
+    v1 = tbl.version()
+    tbl.set_properties({"commit.single-writer": "true", "owner": "b"})
+    assert tbl.version() == v1 + 1
+    assert tbl.properties() == {
+        "owner": "b", "commit.single-writer": "true"
+    }
+    tbl.remove_properties(["owner", "not-there"])
+    assert tbl.properties() == {"commit.single-writer": "true"}
+    with pytest.raises(ValueError, match="empty"):
+        tbl.set_properties({})
+
+
+def test_set_properties_declares_single_writer_on_remote_root(tmp_path, simple_schema):
+    """The documented migration path: a single_writer=True handle
+    declares commit.single-writer on an EXISTING remote-root table,
+    after which undeclared handles commit."""
+    import pyarrow.fs as pafs
+
+    from ic_spark.compaction.iceberg_meta import IcebergTable
+    from ic_spark.compaction.metafs import UnsafeRemoteCommitError
+
+    fio = {
+        "pyarrow_filesystem": pafs.SubTreeFileSystem(
+            "/", pafs.LocalFileSystem()
+        )
+    }
+    loc = str(tmp_path / "rt")
+    IcebergTable.create(loc, simple_schema, file_io=fio, single_writer=True)
+
+    undeclared = IcebergTable(loc, file_io=fio)
+    with pytest.raises(UnsafeRemoteCommitError):
+        undeclared.set_properties({"x": "1"})
+
+    declaring = IcebergTable(loc, file_io=fio, single_writer=True)
+    declaring.set_properties({"commit.single-writer": "true"})
+    # now the property travels with the table: undeclared handles commit
+    undeclared.set_properties({"x": "1"})
+    assert undeclared.properties()["x"] == "1"
