@@ -19,7 +19,6 @@ one commit behind does one commit's work — never a table scan.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,7 +30,11 @@ class ChangelogFeed:
     ``checkpoint_path`` stores the last snapshot id whose batch was
     fully handled; a fresh checkpoint starts from ``from_snapshot_id``
     (exclusive — that snapshot's state is the baseline, its successors
-    are delivered).
+    are delivered).  ``file_io`` routes the progress record through
+    the pyarrow fileio seam (r12 — a restartable feed on a different
+    machine needs its checkpoint on durable storage, same as Spark's
+    own streaming checkpoints); local paths keep the POSIX
+    temp+``os.replace`` publish byte-for-byte.
     """
 
     def __init__(
@@ -40,13 +43,19 @@ class ChangelogFeed:
         table,
         checkpoint_path: str,
         from_snapshot_id: int | None = None,
+        file_io: dict | None = None,
     ):
+        from ic_spark.compaction.metafs import MetaFS
+
         self.spark = spark
         self.table = table
         self.checkpoint_path = checkpoint_path
-        if os.path.exists(checkpoint_path):
-            with open(checkpoint_path) as f:
-                self._last = json.load(f)["last_snapshot_id"]
+        self._mfs = MetaFS(
+            os.path.dirname(checkpoint_path) or ".", file_io
+        )
+        self._ckpt = self._mfs.path(os.path.basename(checkpoint_path))
+        if self._mfs.exists(self._ckpt):
+            self._last = self._mfs.read_json(self._ckpt)["last_snapshot_id"]
         else:
             if from_snapshot_id is None:
                 raise ValueError(
@@ -60,10 +69,11 @@ class ChangelogFeed:
         return self._last
 
     def _commit_checkpoint(self, sid: int) -> None:
-        tmp = f"{self.checkpoint_path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_snapshot_id": sid}, f)
-        os.replace(tmp, self.checkpoint_path)  # atomic progress record
+        # atomic progress record: temp+rename locally, single-object
+        # PUT through the connector (readers see old or new, never torn)
+        self._mfs.write_json_atomic(
+            self._ckpt, {"last_snapshot_id": sid}, indent=None
+        )
         self._last = sid
 
     def pending(self) -> list[int]:
