@@ -110,9 +110,14 @@ def test_cited_query_names_exist():
         if any(name in q for q in REGISTRY):
             continue
         if re.search(rf"`{name}`|\b{name}\b \(", text) and "_" in name:
-            # cited emphatically -> must exist somewhere in the repo
-            hit = False
+            # cited emphatically -> must exist somewhere in the repo.
+            # bench.py is part of the search scope: bench-only timing
+            # rows (sim_ivfpq_index_serve, dedup_minhash_lsh_skew) are
+            # legitimate citable names that never enter the registry.
+            hit = name in open(os.path.join(REPO, "bench.py")).read()
             for root, _, files in os.walk(os.path.join(REPO, "ic_spark")):
+                if hit:
+                    break
                 for f in files:
                     if f.endswith(".py") and name in open(os.path.join(root, f)).read():
                         hit = True
