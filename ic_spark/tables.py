@@ -79,6 +79,31 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def maybe_broadcast_derived(
+    df: DataFrame, sf_dir: str, source_names: list[str]
+) -> DataFrame:
+    """Broadcast-hint a DERIVED frame (join/filter of base tables) only
+    when the sum of its source tables' on-disk bytes is provably small.
+
+    The same discipline as :func:`maybe_broadcast`, extended to
+    intermediate results: a join of pruned/filtered inputs is bounded
+    above by its sources' total size, so the gate is safe for any
+    filtered subset or inner join of them (an inner join on a key
+    FK→PK never multiplies rows beyond the fact side).  Above the gate
+    — or when any source is unstatable — no hint is emitted and AQE's
+    runtime statistics decide, exactly like the base-table helper.
+    """
+    total = 0
+    for name in source_names:
+        size = _source_bytes(table_path(sf_dir, name))
+        if size is None:
+            return df
+        total += size
+    if total <= _BROADCAST_HINT_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any externally-created SparkSession (e.g. the driver's)
     behave like ours: ns-timestamp parquet readable, UTC wall clock so
