@@ -963,6 +963,7 @@ def minhash_lsh_candidates(
     salt: str = "auto",
     detect_sample: float = 0.05,
     max_hot_collect: int = 4096,
+    big_side: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
 
@@ -1008,6 +1009,19 @@ def minhash_lsh_candidates(
     key instead of xxhash64-compressing them — join semantics are
     identical (the hash only narrows the shuffled key to 8 bytes), and
     a DuckDB oracle can build the same string key.
+
+    ``big_side=True`` (r12): pin the uniform-path self-join to a
+    SHUFFLED HASH join, mirroring the salted path's existing hint.
+    The banded frame sits above a checkpoint + explode, so Catalyst's
+    size estimate is unreliable and the planner broadcast an 800k-row
+    build side at 10x scale (a driver-side single-threaded hash build
+    of corpus × bands rows; measured 1.4-1.7 s vs 0.9-1.0 s for the
+    partition-wise build at sf1, 3/3 interleaved legs, candidate set
+    identical).  Callers gate the flag on the corpus SOURCE size
+    (explode-aware: bands × on-disk bytes vs the broadcast threshold)
+    — a provably tiny corpus keeps the planner's broadcast, which wins
+    at fixture scale; unknown sizes count as big, the only safe answer
+    at 100 TB where the build side can never broadcast.
     """
 
     banded = lsh_band_keys(signatures, bands, rows_per_band, portable)
@@ -1040,6 +1054,8 @@ def minhash_lsh_candidates(
         # Uniform corpus: the plain banded self-join, zero overhead.
         a = banded.alias("a")
         b = banded.alias("b")
+        if big_side:
+            b = b.hint("shuffle_hash")
         return (
             a.join(
                 b,

@@ -53,6 +53,20 @@ _JACCARD_BLOCK = ["lang", "source"]
 _JACCARD_THRESHOLD = 0.8
 
 
+def _lsh_big_side(sf_dir: str) -> bool:
+    """Join-strategy gate for the LSH candidate self-join (r12): the
+    banded side is corpus × bands rows, so broadcast is only sane when
+    the corpus SOURCE is tiny even after the explode — gate
+    bands × on-disk bytes against Spark's default broadcast threshold.
+    Unknown size (object store) counts as big: at scale the build side
+    can never broadcast, and the shuffled-hash join is the designed
+    strategy (the salted path already pins it)."""
+    from ic_spark.tables import _source_bytes, table_path
+
+    src = _source_bytes(table_path(sf_dir, "documents"))
+    return src is None or src * _MINHASH_BANDS > (10 << 20)
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -142,7 +156,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
         shingle_n=_MINHASH_N, use_arrow=True
     ))
     cands = stable_checkpoint(minhash_lsh_candidates(
-        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R,
+        big_side=_lsh_big_side(sf_dir),
     ))
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
@@ -404,7 +419,8 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
         portable=True,
     ))
     cands = stable_checkpoint(minhash_lsh_candidates(
-        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True
+        sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True,
+        big_side=_lsh_big_side(sf_dir),
     ))
     from ic_spark.functions.text import word_shingles
 
