@@ -915,43 +915,40 @@ def lsh_band_keys(
 
     The banding step of :func:`minhash_lsh_candidates`, exposed so
     diagnostics (e.g. the bench skew probe's enumerated-pair counter)
-    use the SAME key construction the candidate join shuffles on."""
+    use the SAME key construction the candidate join shuffles on.
 
-    def band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return joined if portable else F.xxhash64(joined)
-
+    Built as ONE ``F.expr`` SQL parse (r12): composing the guard +
+    explode + per-band slice/hash from Column objects cost ~250 py4j
+    round trips — 0.2-1.0 s of pure driver time per call, paid TWICE
+    per dedup query (banded frame + the sampled probe) at every scale
+    factor.  The SQL string parses JVM-side into the identical
+    Catalyst tree (same guard, same band keys, pinned by the candidate
+    -set and portable-oracle tests)."""
     # A signature shorter than bands×rows_per_band would slice EMPTY
     # arrays for the overflow bands — every document gets the identical
     # hash-of-'' bucket key, the S-curve semantics silently vanish, and
     # the candidate self-join enumerates all n(n-1)/2 pairs.  Fail loud
     # per row instead (codegen'd comparison; negligible cost).
     need = bands * rows_per_band
-    guard = F.when(F.size("sig") >= need, F.col("sig")).otherwise(
-        F.raise_error(
-            F.format_string(
-                "minhash signature has %s hashes; "
-                f"bands*rows_per_band needs {need}",
-                F.size("sig"),
-            )
-        )
+    guard_sql = (
+        f"CASE WHEN size(`sig`) >= {need} THEN `sig` "
+        "ELSE raise_error(format_string("
+        f"'minhash signature has %s hashes; bands*rows_per_band needs {need}',"
+        " size(`sig`))) END"
     )
-    signatures = signatures.withColumn("sig", guard)
-    return signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b).alias("bhash")),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
+    joined = (
+        f"concat_ws(',', transform(slice(`sig`, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> CAST(x AS STRING)))"
+    )
+    band_key = joined if portable else f"xxhash64({joined})"
+    bk_sql = (
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bhash', {band_key})))"
+    )
+    signatures = signatures.withColumn("sig", F.expr(guard_sql))
+    return signatures.select("id", F.expr(bk_sql).alias("bk")).select(
+        "id", "bk.band", "bk.bhash"
+    )
 
 
 def minhash_lsh_candidates(
