@@ -113,10 +113,48 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Lazy-DataFrame memo: (session id, resolved path, mtime_ns, size) →
+# DataFrame.  spark.read.parquet costs ~0.1 s of driver time per call
+# (py4j round trips + DataSource resolution + footer schema read), and
+# query fns re-load the same fixture tables on every invocation.  A
+# DataFrame is an immutable LAZY plan — reusing it re-scans the parquet
+# on every action, so this caches METADATA ONLY, never results (the
+# same reuse Spark's own catalog performs for managed tables via its
+# relation cache).  The mtime/size stat in the key makes overwrites
+# refresh-correct: regenerated fixtures (e.g. the bench's stale-probe
+# data) get a fresh read and a fresh file listing.  Unstatable paths
+# (object-store URIs) skip the memo and stay fresh-per-call.
+_DF_MEMO: dict = {}
+_DF_MEMO_MAX = 512
+
+
+def _df_memo_key(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (id(spark), os.path.realpath(path), st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = _df_memo_key(spark, path)
+    if key is not None:
+        cached = _DF_MEMO.get((key, name))
+        if cached is not None:
+            return cached
+    df = _load_table_fresh(spark, path, name)
+    if key is not None:
+        if len(_DF_MEMO) >= _DF_MEMO_MAX:
+            _DF_MEMO.clear()
+        _DF_MEMO[(key, name)] = df
+    return df
+
+
+def _load_table_fresh(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos via
         # spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
