@@ -904,26 +904,51 @@ def mor_changelog_scan(spark: SparkSession, sf_dir: str):
     appends, under the strict sequence guard)."""
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ic_spark.compaction.changelog import read_changelog
     from ic_spark.compaction.deletes import (
         _next_sequence_number,
-        write_equality_deletes,
+        _write_single_file,
     )
     from ic_spark.compaction.manifest import ManifestTable
+    from ic_spark.compaction.metafs import table_mfs
+    from ic_spark.compaction.request import FileContent
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
     )
     tmp = tempfile.mkdtemp(prefix="mor_cl_")
     t = ManifestTable(os.path.join(tmp, "t"))
+    mfs = table_mfs(t)
 
-    def append(df, tag):
+    # The three fixture files (even append, odd append, the equality-
+    # delete key file) are INDEPENDENT single-task write jobs — only
+    # the snapshot COMMITS are ordered (even=seq 1, odd=seq 2,
+    # delete=seq 3).  Write them concurrently from a driver thread
+    # pool (Spark schedules concurrent jobs FIFO and back-fills idle
+    # executors — optimization guide §2.6), then commit in order; the
+    # resulting table state is byte-identical to the serial version.
+    def write(df, tag):
         p = os.path.join(tmp, tag)
         df.coalesce(1).write.mode("overwrite").parquet(p)
-        f = next(
+        return next(
             os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
         )
+
+    dels = o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_even = pool.submit(write, o.where(F.col("o_orderkey") % 2 == 0), "even")
+        f_odd = pool.submit(write, o.where(F.col("o_orderkey") % 2 == 1), "odd")
+        # same write write_equality_deletes performs (distinct key set
+        # via _write_single_file into the table root); the commit half
+        # of that helper is replayed below at the right sequence
+        f_del = pool.submit(
+            _write_single_file, dels.distinct(), os.path.join(t.root, "eq-del-cl"), mfs
+        )
+        even_f, odd_f, del_f = f_even.result(), f_odd.result(), f_del.result()
+
+    def append(f):
         return t.append_snapshot(
             [
                 {
@@ -935,13 +960,18 @@ def mor_changelog_scan(spark: SparkSession, sf_dir: str):
             ]
         )
 
-    snap0 = append(o.where(F.col("o_orderkey") % 2 == 0), "even")
-    append(o.where(F.col("o_orderkey") % 2 == 1), "odd")
-    write_equality_deletes(
-        spark,
-        t,
-        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
-        ["o_orderkey"],
+    snap0 = append(even_f)
+    append(odd_f)
+    t.append_snapshot(
+        [
+            {
+                "path": del_f,
+                "sequence_number": _next_sequence_number(t),
+                "content": FileContent.EQUALITY_DELETES.name,
+                "equality_ids": ["o_orderkey"],
+                "file_size_in_bytes": mfs.size(del_f),
+            }
+        ]
     )
     return read_changelog(spark, t, snap0).select(
         "_change_type", "o_orderkey", "o_totalprice", "_change_ordinal"
