@@ -627,57 +627,42 @@ def pq_codebooks(
         # m × ksub rows (an index parameter).  The previous shape (a
         # single row of m·ksub·(dsub+1) conditional aggregates) built
         # a thousand-expression aggregate that dominated wall time.
+        # The exploded (subspace, code, sub-vector) frame and the means
+        # aggregate are built as ONE SQL parse each (plus the Arrow
+        # encoder Column): the per-j listcomp of F.struct/F.slice/
+        # F.element_at calls cost ~700 py4j round trips per refine
+        # round — the lsh_band_keys single-parse fix applied here.
         if use_arrow:
             enc = _arrow_pq_encoder(books)
+            entries = ", ".join(
+                f"struct({j} AS __j, element_at(`__codes`, {j + 1}) AS __c,"
+                f" slice(`__v`, {j * dsub + 1}, {dsub}) AS __sv)"
+                for j in range(m)
+            )
             assigned = (
                 corpus.select(
                     enc(_as_dl(vec_col)).alias("__codes"),
                     _as_dl(vec_col).alias("__v"),
                 )
-                .select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(j).alias("__j"),
-                                    F.element_at(
-                                        F.col("__codes"), j + 1
-                                    ).alias("__c"),
-                                    F.slice(
-                                        F.col("__v"), j * dsub + 1, dsub
-                                    ).alias("__sv"),
-                                )
-                                for j in range(m)
-                            ]
-                        )
-                    ).alias("__a")
-                )
-                .select("__a.__j", "__a.__c", "__a.__sv")
+                .selectExpr(f"explode(array({entries})) AS __a")
+                .selectExpr("__a.__j", "__a.__c", "__a.__sv")
             )
         else:
-            assigned = corpus.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("__j"),
-                                _pq_sub_code(
-                                    vec_col, books[j], j, dsub
-                                ).alias("__c"),
-                                F.slice(
-                                    _as_dl(vec_col), j * dsub + 1, dsub
-                                ).alias("__sv"),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("__a")
-            ).select("__a.__j", "__a.__c", "__a.__sv")
+            v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+            entries = ", ".join(
+                f"struct({j} AS __j,"
+                f" {_pq_sub_code_sql(vec_col, books[j], j, dsub)} AS __c,"
+                f" slice({v}, {j * dsub + 1}, {dsub}) AS __sv)"
+                for j in range(m)
+            )
+            assigned = corpus.selectExpr(
+                f"explode(array({entries})) AS __a"
+            ).selectExpr("__a.__j", "__a.__c", "__a.__sv")
         means = (
             assigned.groupBy("__j", "__c")
             .agg(
                 *[
-                    F.avg(F.element_at("__sv", t + 1)).alias(f"__m{t}")
+                    F.expr(f"avg(element_at(`__sv`, {t + 1})) AS __m{t}")
                     for t in range(dsub)
                 ]
             )
@@ -688,10 +673,11 @@ def pq_codebooks(
     return books
 
 
-def _pq_sub_code(vec_col: str, book: list[list[float]], j: int, dsub: int) -> F.Column:
-    """0-based index of the nearest (L2) centroid of subspace ``j`` —
-    one ``F.expr`` parse, centroids inlined as literals, single pass
-    via max over (-distance, -index) structs (ties → lowest index)."""
+def _pq_sub_code_sql(vec_col: str, book: list[list[float]], j: int, dsub: int) -> str:
+    """SQL text of :func:`_pq_sub_code` — callers composing several
+    subspaces into one expression (the refine loop's exploded
+    assignment) concatenate these into a SINGLE parse instead of m
+    separate ``F.expr`` round trips."""
     v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     sub = f"slice({v}, {j * dsub + 1}, {dsub})"
     terms = []
@@ -699,9 +685,14 @@ def _pq_sub_code(vec_col: str, book: list[list[float]], j: int, dsub: int) -> F.
         ca = "array(" + ", ".join(f"{float(x)!r}D" for x in cent) + ")"
         d = f"aggregate(zip_with({sub}, {ca}, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
         terms.append(f"struct(-({d}) AS nd, {-ci} AS ni)")
-    return F.expr(
-        f"CAST(-array_max(array({', '.join(terms)})).ni AS INT)"
-    )
+    return f"CAST(-array_max(array({', '.join(terms)})).ni AS INT)"
+
+
+def _pq_sub_code(vec_col: str, book: list[list[float]], j: int, dsub: int) -> F.Column:
+    """0-based index of the nearest (L2) centroid of subspace ``j`` —
+    one ``F.expr`` parse, centroids inlined as literals, single pass
+    via max over (-distance, -index) structs (ties → lowest index)."""
+    return F.expr(_pq_sub_code_sql(vec_col, book, j, dsub))
 
 
 def _arrow_pq_encoder(books: list[list[list[float]]]):
@@ -1066,14 +1057,12 @@ def pq_top_k(
             F.col(id_col).alias("query_id"),
             F.expr(_lut_expr_sql(books, dsub, v)).alias("__lut"),
         )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda c, lut: F.element_at(lut, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one SQL parse — same Catalyst tree as the F.aggregate/F.zip_with
+    # Column build, minus ~30 py4j round trips of lambda plumbing
+    adc = F.expr(
+        "aggregate(zip_with(`codes`, `__lut`,"
+        " (c, lut) -> element_at(lut, c + 1)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     scored = (
         enc.crossJoin(F.broadcast(q))
@@ -1351,14 +1340,12 @@ def _ivfpq_query_side(
 
 def _ivfpq_adc_topk(cb, q, k):
     """ADC scoring + per-query top-k over (corpus codes ⋈ query LUTs)."""
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda c, lut: F.element_at(lut, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one SQL parse — same Catalyst tree as the F.aggregate/F.zip_with
+    # Column build, minus ~30 py4j round trips of lambda plumbing
+    adc = F.expr(
+        "aggregate(zip_with(`codes`, `__lut`,"
+        " (c, lut) -> element_at(lut, c + 1)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     scored = (
         cb.join(F.broadcast(q), on="__cell")
