@@ -74,6 +74,11 @@ def hashed_word_shingles(text: Column | str, n: int = 3) -> Column:
     expression", reproduced on 4.1).  Not oracle-portable — MinHash's
     portable twin keeps md5 over string shingles.
     """
+    if isinstance(text, str):
+        # Plain column name: ONE SQL parse of the identical tree — the
+        # nested-lambda Column build below costs ~250 py4j round trips
+        # per call (the lsh_band_keys single-parse fix, r12).
+        return F.expr(hashed_word_shingles_sql(f"`{text}`", n))
     t = tokens(text)
     ht = F.transform(t, lambda w: F.xxhash64(w))
 
@@ -87,6 +92,20 @@ def hashed_word_shingles(text: Column | str, n: int = 3) -> Column:
         ).otherwise(F.array().cast("array<long>"))
 
     return F.element_at(F.transform(F.array(ht), body), 1)
+
+
+def hashed_word_shingles_sql(col_sql: str, n: int = 3) -> str:
+    """SQL text of :func:`hashed_word_shingles` over the column
+    expression ``col_sql`` — same Catalyst tree (CASE WHEN == when/
+    otherwise, single-element-array let-binding preserved), parsed
+    once."""
+    return (
+        f"element_at(transform(array(transform(split({col_sql}, ' '), "
+        f"w -> xxhash64(w))), h -> CASE WHEN size(h) >= {n} THEN "
+        f"transform(sequence(0, size(h) - {n}), "
+        f"i -> xxhash64(slice(h, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)"
+    )
 
 
 def portable_hash60(c: Column) -> Column:

@@ -748,11 +748,13 @@ def minhash_signatures(
         # Production path (r11): composite token-hash shingles — no
         # shingle strings built; ~4x cheaper base pass (the signature
         # stage dominated this operator's cold wall).
-        from ic_spark.functions.text import hashed_word_shingles
+        from ic_spark.functions.text import hashed_word_shingles_sql
 
-        hashes = F.transform(
-            hashed_word_shingles(F.col(content_col), shingle_n),
-            lambda h: F.pmod(h, F.lit(2**31).cast("long")),
+        # one parse for the whole shingle+reduce pipeline (the Column
+        # build cost ~250 py4j round trips per call — r12)
+        hashes = F.expr(
+            f"transform({hashed_word_shingles_sql(f'`{content_col}`', shingle_n)},"
+            f" h -> pmod(h, CAST({2**31} AS BIGINT)))"
         )
     # Docs shorter than shingle_n have NO shingles (word_shingles' r9
     # contract) and therefore no signature: an empty array previously

@@ -183,8 +183,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
+            # string-name form -> single SQL parse inside (r12)
             F.array_sort(
-                F.array_distinct(hashed_word_shingles(F.col("text"), 3))
+                F.array_distinct(hashed_word_shingles("text", 3))
             ).alias("sh"),
         )
     )
