@@ -126,17 +126,19 @@ def remove_contaminated_spans(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    # Per-doc token counts come from tok_pos (already computed — the
-    # old third full scan re-tokenized the whole corpus just for
-    # F.size; r10 review find).  The id-only anchor keeps NULL-text
-    # docs in the output with NULL removed_tokens, like F.size(NULL).
-    counts = tok_pos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("__ntok")
+    # Per-doc token counts ride the anchor scan as nullif(size(toks), 0)
+    # (r12, guide §2.2): the previous shape re-derived tok_pos — Spark
+    # shares no subplans, so "reuse" was a SECOND full scan + tokenize +
+    # posexplode of the corpus plus a count aggregate and an extra join.
+    # nullif(size, 0) is exactly the left-join-miss semantics it
+    # replaces: a 0-token doc produced no tok_pos rows (count NULL) and
+    # a NULL-text doc has size NULL — both stay NULL removed_tokens.
+    anchor = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.nullif(F.size(toks_col), F.lit(0)).cast("long").alias("__ntok"),
     )
-    anchor = train.select(F.col(id_col).alias("doc_id"))
     return (
-        anchor.join(counts, on="doc_id", how="left")
-        .join(rebuilt, on="doc_id", how="left")
+        anchor.join(rebuilt, on="doc_id", how="left")
         .select(
             "doc_id",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
