@@ -272,15 +272,10 @@ def _dot_sql(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 
-def _centroid_cosines(vec_col: str, cents: list[list[float]]) -> F.Column:
-    """array<double> of cosine(vec, centroid_i) — centroids inlined as
-    literals so assignment runs inside the scan, no join.
-
-    Built as ONE ``F.expr`` SQL string: constructing it from per-literal
-    ``F.lit`` Columns costs nlist x dim py4j round trips (~2 s of driver
-    time per query at 16 x 64) vs one millisecond parse.  Centroid norms
-    are precomputed driver-side (``_py_dot`` is fold-order identical),
-    which also removes nlist x dim wasted multiplies per corpus row."""
+def _centroid_cosines_sql(vec_col: str, cents: list[list[float]]) -> str:
+    """SQL text of the centroid-cosine array — see
+    :func:`_centroid_cosines`; exposed so callers can compose larger
+    expressions into ONE parse instead of py4j Column plumbing."""
     import math
 
     v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
@@ -290,7 +285,30 @@ def _centroid_cosines(vec_col: str, cents: list[list[float]]) -> F.Column:
         ca = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
         cnorm = f"{math.sqrt(_py_dot(c, c))!r}D"
         terms.append(f"({_dot_sql(v, ca)} / ({vnorm} * {cnorm}))")
-    return F.expr("array(" + ", ".join(terms) + ")")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def _centroid_cosines(vec_col: str, cents: list[list[float]]) -> F.Column:
+    """array<double> of cosine(vec, centroid_i) — centroids inlined as
+    literals so assignment runs inside the scan, no join.
+
+    Built as ONE ``F.expr`` SQL string: constructing it from per-literal
+    ``F.lit`` Columns costs nlist x dim py4j round trips (~2 s of driver
+    time per query at 16 x 64) vs one millisecond parse.  Centroid norms
+    are precomputed driver-side (``_py_dot`` is fold-order identical),
+    which also removes nlist x dim wasted multiplies per corpus row."""
+    return F.expr(_centroid_cosines_sql(vec_col, cents))
+
+
+def _ranked_cells_sql(vec_col: str, cents: list[list[float]]) -> str:
+    """SQL text of the (cosine, -index) struct array ranking shared by
+    the nearest-cell and top-nprobe expressions: ascending struct sort
+    puts (cos desc, idx asc) at the END, indexes stored negated so the
+    natural tie order matches ORDER BY cos DESC, idx."""
+    return (
+        f"zip_with({_centroid_cosines_sql(vec_col, cents)}, "
+        f"sequence(-1, {-len(cents)}, -1), (c, ni) -> struct(c, ni))"
+    )
 
 
 def _nearest_centroid_idx(vec_col: str, cents: list[list[float]]) -> F.Column:
@@ -299,15 +317,25 @@ def _nearest_centroid_idx(vec_col: str, cents: list[list[float]]) -> F.Column:
 
     Single-pass: max over (cosine, -index) structs evaluates the cosine
     array once per row — ``array_position(arr, array_max(arr))`` walks
-    the (expensive, interpreted) array expression twice."""
-    best = F.array_max(
-        F.zip_with(
-            _centroid_cosines(vec_col, cents),
-            F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-            lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
-        )
+    the (expensive, interpreted) array expression twice.  ONE SQL parse
+    (r12): the zip_with/struct/getfield plumbing as Column calls cost
+    ~60 py4j round trips per call site; the parsed tree is identical."""
+    return F.expr(
+        f"CAST((-(array_max({_ranked_cells_sql(vec_col, cents)}).ni)) AS INT)"
     )
-    return (-best["ni"]).cast("int")
+
+
+def _top_cells_sql(vec_col: str, cents: list[list[float]], nprobe: int) -> str:
+    """SQL text of the top-``nprobe`` probe-cell array (1-based cell
+    ids, cosine desc, index asc ties) — the expression-path query-side
+    ranking shared by :func:`ivf_top_k` and :func:`_ivfpq_query_side`,
+    as ONE parse (r12; same Catalyst tree as the former reverse/
+    array_sort/transform Column composition)."""
+    return (
+        f"transform(slice(reverse(array_sort("
+        f"{_ranked_cells_sql(vec_col, cents)})), 1, {nprobe}), "
+        f"s -> CAST((-(s.ni)) AS INT))"
+    )
 
 
 def _as_matrix(vecs):
@@ -426,19 +454,7 @@ def ivf_top_k(
     if use_arrow:
         probe_cells = _arrow_top_cells(cents, nprobe)(_as_dl(vec_col))
     else:
-        coss = _centroid_cosines(vec_col, cents)
-        ranked = F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    coss,
-                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
-                )
-            )
-        )
-        probe_cells = F.transform(
-            F.slice(ranked, 1, nprobe), lambda s: (-s["ni"]).cast("int")
-        )
+        probe_cells = F.expr(_top_cells_sql(vec_col, cents, nprobe))
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -1298,21 +1314,8 @@ def _ivfpq_query_side(
             _arrow_top_cells(cents, nprobe)(_as_dl(vec_col))
         )
     else:
-        coss = _centroid_cosines(vec_col, cents)
-        ranked = F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    coss,
-                    F.sequence(F.lit(-1), F.lit(-len(cents)), F.lit(-1)),
-                    lambda c, ni: F.struct(c.alias("c"), ni.alias("ni")),
-                )
-            )
-        )
         probe_cells = F.explode(
-            F.transform(
-                F.slice(ranked, 1, nprobe),
-                lambda s: (-s["ni"]).cast("int"),
-            )
+            F.expr(_top_cells_sql(vec_col, cents, nprobe))
         )
     qprobe = queries.select(
         F.col(id_col).alias("query_id"),
