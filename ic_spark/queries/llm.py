@@ -53,6 +53,66 @@ _JACCARD_BLOCK = ["lang", "source"]
 _JACCARD_THRESHOLD = 0.8
 
 
+def _verify_pairs_single_pass(cands, sh, threshold: float = 0.5):
+    """Exact-Jaccard verification of LSH candidate pairs in ONE pass
+    over the shingle frame (r13, VERDICT r12 #2).
+
+    The r12 shape joined a CHECKPOINTED shingle frame twice (as sh_a
+    and sh_b) — the checkpoint existed only because two joins consumed
+    the frame, and without a barrier each join re-ran the corpus scan +
+    semi-join + shingle pass.  Fused shape: explode each candidate pair
+    into its two member ids, join the (un-materialized) shingle frame
+    ONCE, and regroup by pair — the heavy shingle arrays cross exactly
+    one exchange (the pair groupBy) and the third checkpoint
+    materialization disappears.  Candidate pairs are distinct with
+    id_a < id_b, so each group holds exactly its two member rows and
+    ``first(..., ignorenulls)`` is deterministic (one non-null per
+    side).  Results are row-identical to the two-join shape (pinned by
+    the portable oracle + the production/portable equality test).
+
+    ``sh`` must be (doc_id, sh) with one row per candidate doc;
+    ``cands`` is consumed twice (member-id semi-join upstream + the
+    pair explode here) and should be checkpointed by the caller.
+    """
+    pe = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    pairs = (
+        sh.join(pe, on="doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+        # Length filter (J >= t needs min >= t*max shingles): two int
+        # compares ahead of each intersect — result-identical.
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+            >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    raw = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            # filter on the RAW ratio like the oracle; round for display
+            F.round(raw, 6).alias("jaccard"),
+            raw.alias("__raw"),
+        )
+        .where(F.col("__raw") >= threshold)
+        .drop("__raw")
+    )
+
+
 def _lsh_big_side(sf_dir: str) -> bool:
     """Join-strategy gate for the LSH candidate self-join (r12): the
     banded side is corpus × bands rows, so broadcast is only sane when
@@ -174,12 +234,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # strings at all.  Jaccard values are identical barring 64-bit
     # collisions inside one pair (~|sh|^2/2^64 — negligible), same
     # trade token_jaccard_pairs documents.
-    # Checkpoint sh (r12): it feeds BOTH the sh_a and sh_b joins, and
-    # without a barrier each join re-runs the corpus scan + semi-join +
-    # shingle pass — at 100 TB that is scanning the whole corpus twice
-    # to shingle ~0.1% of it.  The materialized frame is candidate-set
-    # sized (near-dup density x corpus), never corpus-scale.
-    sh = stable_checkpoint(
+    # No checkpoint on sh (r13): _verify_pairs_single_pass consumes it
+    # exactly once, so the r12 barrier (which existed because the
+    # sh_a/sh_b joins were two consumers) is gone — two checkpoint
+    # materializations for the whole query instead of three.
+    sh = (
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
@@ -189,34 +248,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
             ).alias("sh"),
         )
     )
-    pairs = (
-        # No broadcast hints: the candidate set (and its shingle
-        # arrays) scales with near-dup density x corpus size — a hard
-        # hint OOMs the driver on dup-heavy corpora. AQE broadcasts at
-        # runtime while the sides are actually small.
-        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
-        # Length filter (J >= 0.5 needs min >= 0.5*max shingles): two
-        # int compares ahead of each intersect — result-identical.
-        .where(
-            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
-            >= 0.5 * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    raw = inter.cast("double") / union.cast("double")
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            # filter on the RAW ratio like the oracle; round for display
-            F.round(raw, 6).alias("jaccard"),
-            raw.alias("__raw"),
-        )
-        .where(F.col("__raw") >= 0.5)
-        .drop("__raw")
-    )
+    # No broadcast hints inside: the candidate set (and its shingle
+    # arrays) scales with near-dup density x corpus size — a hard
+    # hint OOMs the driver on dup-heavy corpora. AQE broadcasts at
+    # runtime while the sides are actually small.
+    return _verify_pairs_single_pass(cands, sh, threshold=0.5)
 
 
 @query(
@@ -426,33 +462,18 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     from ic_spark.functions.text import word_shingles
 
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    # checkpointed for the same two-consumer reason as the production
-    # twin (r12): one corpus scan + shingle pass, not two
-    sh = stable_checkpoint(
+    # No checkpoint on sh (r13): single consumer via the fused verify —
+    # same reasoning as the production twin.  The length filter inside
+    # the fused verify is result-identical here too (J >= t implies
+    # min >= t*max since J <= min/max).
+    sh = (
         d.join(cand_ids, on="doc_id", how="left_semi")
         .select(
             F.col("doc_id"),
             F.array_distinct(word_shingles(F.col("text"), _MINHASH_N)).alias("sh"),
         )
     )
-    pairs = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), on="id_a")
-        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), on="id_b")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    raw = inter.cast("double") / union.cast("double")
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            # filter on the RAW ratio like the oracle; round for display
-            F.round(raw, 6).alias("jaccard"),
-            raw.alias("__raw"),
-        )
-        .where(F.col("__raw") >= 0.5)
-        .drop("__raw")
-    )
+    return _verify_pairs_single_pass(cands, sh, threshold=0.5)
 
 
 _SIMHASH_BITS = 60
