@@ -78,7 +78,13 @@ def hashed_word_shingles(text: Column | str, n: int = 3) -> Column:
         # Plain column name: ONE SQL parse of the identical tree — the
         # nested-lambda Column build below costs ~250 py4j round trips
         # per call (the lsh_band_keys single-parse fix, r12).
-        return F.expr(hashed_word_shingles_sql(f"`{text}`", n))
+        # Backticks are escaped (r12 ADVICE); note the quoted form
+        # resolves the whole string as ONE top-level column name —
+        # a dotted name is NOT a nested-field path here (pass a
+        # Column built with F.col for that).
+        return F.expr(
+            hashed_word_shingles_sql("`" + text.replace("`", "``") + "`", n)
+        )
     t = tokens(text)
     ht = F.transform(t, lambda w: F.xxhash64(w))
 

@@ -236,16 +236,15 @@ def ivf_centroids(
             _nearest_centroid_idx(vec_col, cents).alias("__cell"),
             _as_dl(vec_col).alias("__v"),
         )
+        # ONE SQL parse for the dim-length avg array (the per-dim
+        # F.avg/F.element_at Column build cost ~2*dim py4j calls per
+        # refine round); identical Catalyst tree.
+        mean_sql = "array(" + ", ".join(
+            f"avg(element_at(`__v`, {i + 1}))" for i in range(len(cents[0]))
+        ) + ")"
         means = (
             assigned.groupBy("__cell")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.element_at("__v", i + 1))
-                        for i in range(len(cents[0]))
-                    ]
-                ).alias("__mean")
-            )
+            .agg(F.expr(mean_sql).alias("__mean"))
             .collect()
         )
         for r in means:
@@ -674,18 +673,16 @@ def pq_codebooks(
             assigned = corpus.selectExpr(
                 f"explode(array({entries})) AS __a"
             ).selectExpr("__a.__j", "__a.__c", "__a.__sv")
+        mean_fields = ", ".join(
+            f"avg(element_at(`__sv`, {t + 1})) AS __m{t}" for t in range(dsub)
+        )
         means = (
             assigned.groupBy("__j", "__c")
-            .agg(
-                *[
-                    F.expr(f"avg(element_at(`__sv`, {t + 1})) AS __m{t}")
-                    for t in range(dsub)
-                ]
-            )
+            .agg(F.expr(f"struct({mean_fields})").alias("__m"))
             .collect()
         )
         for r in means:
-            books[r["__j"]][r["__c"]] = [r[f"__m{t}"] for t in range(dsub)]
+            books[r["__j"]][r["__c"]] = list(r["__m"])
     return books
 
 

@@ -113,18 +113,43 @@ def _verify_pairs_single_pass(cands, sh, threshold: float = 0.5):
     )
 
 
-def _lsh_big_side(sf_dir: str) -> bool:
+def _broadcast_threshold_bytes(spark: SparkSession | None) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (r12 ADVICE: mirror the planner's ACTUAL decision instead of
+    hard-coding its default).  Falls back to Spark's default 10 MiB
+    when no session is at hand or the value is unparsable."""
+    default = 10 << 20
+    if spark is None:
+        return default
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s = raw.strip().lower()
+        if s.endswith("b"):
+            s = s[:-1]
+        mult = 1
+        for suf, m_ in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                        ("t", 1 << 40), ("p", 1 << 50)):
+            if s.endswith(suf):
+                mult, s = m_, s[:-1]
+                break
+        return int(s) * mult
+    except Exception:
+        return default
+
+
+def _lsh_big_side(sf_dir: str, spark: SparkSession | None = None) -> bool:
     """Join-strategy gate for the LSH candidate self-join (r12): the
     banded side is corpus × bands rows, so broadcast is only sane when
     the corpus SOURCE is tiny even after the explode — gate
-    bands × on-disk bytes against Spark's default broadcast threshold.
+    bands × on-disk bytes against the session's broadcast threshold
+    (the planner's own gate; default 10 MiB when unknown).
     Unknown size (object store) counts as big: at scale the build side
     can never broadcast, and the shuffled-hash join is the designed
     strategy (the salted path already pins it)."""
     from ic_spark.tables import _source_bytes, table_path
 
     src = _source_bytes(table_path(sf_dir, "documents"))
-    return src is None or src * _MINHASH_BANDS > (10 << 20)
+    return src is None or src * _MINHASH_BANDS > _broadcast_threshold_bytes(spark)
 
 
 @query(
@@ -217,7 +242,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     ))
     cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R,
-        big_side=_lsh_big_side(sf_dir),
+        big_side=_lsh_big_side(sf_dir, spark),
     ))
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
@@ -457,7 +482,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     ))
     cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True,
-        big_side=_lsh_big_side(sf_dir),
+        big_side=_lsh_big_side(sf_dir, spark),
     ))
     from ic_spark.functions.text import word_shingles
 

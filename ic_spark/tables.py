@@ -124,7 +124,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # refresh-correct: regenerated fixtures (e.g. the bench's stale-probe
 # data) get a fresh read and a fresh file listing.  Unstatable paths
 # (object-store URIs) skip the memo and stay fresh-per-call.
-_DF_MEMO: dict = {}
+from collections import OrderedDict
+
+_DF_MEMO: OrderedDict = OrderedDict()
 _DF_MEMO_MAX = 512
 
 
@@ -133,7 +135,22 @@ def _df_memo_key(spark: SparkSession, path: str):
         st = os.stat(path)
     except OSError:
         return None
-    return (id(spark), os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    mtime, size = st.st_mtime_ns, st.st_size
+    if os.path.isdir(path):
+        # A directory's own mtime only changes when entries are
+        # added/removed/renamed — an in-place rewrite of an existing
+        # part file would return a memoized plan whose cached file
+        # listing has stale lengths (r12 ADVICE).  Fold every file's
+        # mtime/size into the key instead.
+        try:
+            for root, _, files in os.walk(path):
+                for f in files:
+                    fst = os.stat(os.path.join(root, f))
+                    mtime = max(mtime, fst.st_mtime_ns)
+                    size += fst.st_size
+        except OSError:
+            return None
+    return (id(spark), os.path.realpath(path), mtime, size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,11 +161,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key is not None:
         cached = _DF_MEMO.get((key, name))
         if cached is not None:
+            _DF_MEMO.move_to_end((key, name))
             return cached
     df = _load_table_fresh(spark, path, name)
     if key is not None:
-        if len(_DF_MEMO) >= _DF_MEMO_MAX:
-            _DF_MEMO.clear()
+        # LRU eviction (r12 VERDICT minor): a scan sweeping many SF
+        # dirs in one session evicts oldest-first instead of thrashing
+        # the whole memo at the cap.
+        while len(_DF_MEMO) >= _DF_MEMO_MAX:
+            _DF_MEMO.popitem(last=False)
         _DF_MEMO[(key, name)] = df
     return df
 

@@ -99,6 +99,12 @@ def test_cited_query_names_exist():
         "pipeline_", "json_",
     )
     missing = []
+    # bench.py is part of the search scope: bench-only timing rows
+    # (sim_ivfpq_index_serve, dedup_minhash_lsh_skew) are legitimate
+    # citable names that never enter the registry.  Read once, with a
+    # context manager (r12 ADVICE: the per-name re-open leaked handles).
+    with open(os.path.join(REPO, "bench.py")) as fh:
+        bench_text = fh.read()
     for name in set(re.findall(r"\b([a-z][a-z0-9_]{3,})\b", text)):
         if not name.startswith(known_prefixes):
             continue
@@ -111,17 +117,16 @@ def test_cited_query_names_exist():
             continue
         if re.search(rf"`{name}`|\b{name}\b \(", text) and "_" in name:
             # cited emphatically -> must exist somewhere in the repo.
-            # bench.py is part of the search scope: bench-only timing
-            # rows (sim_ivfpq_index_serve, dedup_minhash_lsh_skew) are
-            # legitimate citable names that never enter the registry.
-            hit = name in open(os.path.join(REPO, "bench.py")).read()
+            hit = name in bench_text
             for root, _, files in os.walk(os.path.join(REPO, "ic_spark")):
                 if hit:
                     break
                 for f in files:
-                    if f.endswith(".py") and name in open(os.path.join(root, f)).read():
-                        hit = True
-                        break
+                    if f.endswith(".py"):
+                        with open(os.path.join(root, f)) as fh:
+                            if name in fh.read():
+                                hit = True
+                                break
                 if hit:
                     break
             if not hit:
