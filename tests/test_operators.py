@@ -337,6 +337,45 @@ def test_minhash_portable_equals_x64_pairs(spark):
     assert a == b
 
 
+def test_verify_pairs_single_pass_equals_two_join(spark):
+    """The r13 fused verify (explode pair -> one shingle join -> regroup)
+    must emit exactly what the r12 two-join shape emitted: same pairs,
+    same jaccard values — including a no-shingle-overlap pair (dropped
+    by the threshold) and a length-filtered pair."""
+    from ic_spark.queries.llm import _verify_pairs_single_pass
+
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_a long, id_b long"
+    )
+    sh = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40]),
+            (2, [10, 20, 30, 50]),
+            (3, [99]),            # length-filtered vs doc 1 (1 < 0.5*4)
+            (4, [70, 80, 90, 95]),  # zero overlap with doc 2
+        ],
+        "doc_id long, sh array<long>",
+    )
+    got = sorted(map(tuple, _verify_pairs_single_pass(cands, sh, 0.5).collect()))
+    # reference: the explicit two-join spelling
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})
+    j = cands.join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    raw = inter.cast("double") / union.cast("double")
+    want = sorted(
+        map(
+            tuple,
+            j.select("id_a", "id_b", F.round(raw, 6).alias("jaccard"), raw.alias("r"))
+            .where(F.col("r") >= 0.5)
+            .drop("r")
+            .collect(),
+        )
+    )
+    assert got == want == [(1, 2, 0.6)]
+
+
 def test_simhash_portable_properties(spark, docs_df):
     """Portable (md5, 60-bit) simhash preserves the production
     variant's contract: exact dups identical, near dups closer than
