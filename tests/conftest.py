@@ -2,10 +2,33 @@
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from ic_spark.session import get_spark
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast tier by default (VERDICT r12 #1): the full suite outgrew the
+    driver's verify window (~45 min; the r12 verify was truncated at
+    ~69% with zero failures, so every round's tests_ok signal was
+    lost).  Tests measured >6 s are marked ``slow`` and skipped unless
+    RUN_SLOW=1 — the default run keeps the oracle sweep, the plan pins,
+    and every sub-6s operator/metadata test (~500 tests, <15 min).
+    Builders MUST run ``RUN_SLOW=1 python -m pytest tests/`` (the full
+    709-test suite) before closing a round; the driver's default run is
+    the fast tier.  An explicit ``-m`` selection bypasses the gate so
+    ``-m slow`` still works."""
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow tier (set RUN_SLOW=1 for the full suite)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 SF_DIR = "/root/testdata/sf0.001"
 

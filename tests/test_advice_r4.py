@@ -15,6 +15,7 @@ Each test pins one reviewed hazard:
 
 from __future__ import annotations
 
+import pytest
 import datetime
 import os
 
@@ -59,6 +60,7 @@ def _seed_spec_table(spark, tmp_path, name="t"):
     return tbl
 
 
+@pytest.mark.slow
 def test_merge_into_after_key_rename(spark, tmp_path):
     """MERGE keyed on a RENAMED column: the touch probe must read old
     parquet footers (written under the old name) through the
@@ -123,6 +125,7 @@ def test_dv_broadcast_sizing_by_cardinality(spark):
     assert _maybe_broadcast(df, [pq]) is not df
 
 
+@pytest.mark.slow
 def test_dv_task_record_count_sums_per_vector_entries(spark, tmp_path):
     """Spec-metadata tables expand one puffin file into per-vector
     manifest entries; the deduped scan task must carry the SUM of the

@@ -219,6 +219,7 @@ def test_sql_catalog_purge_refuses_outside_warehouse(spark, tmp_path):
     assert (outside / "keep.txt").exists()
 
 
+@pytest.mark.slow
 def test_dv_commit_auto_routes_distributed_on_file_count(
     spark, tmp_path, monkeypatch
 ):

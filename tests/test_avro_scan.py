@@ -172,6 +172,7 @@ def test_avro_path_pos_hidden_columns(spark, tmp_path):
         assert ids == sorted(ids)  # pos follows decode (write) order
 
 
+@pytest.mark.slow
 def test_mor_over_avro_data_files(spark, tmp_path):
     """Merge-on-read with BOTH delete flavors over Avro data files:
     position deletes hit exact (file, pos) pairs; equality deletes obey
@@ -217,6 +218,7 @@ def test_mor_over_avro_data_files(spark, tmp_path):
     assert ids == [0, 2, 3, 4, 5, 7]  # pos-delete killed 1, eq-delete killed 6
 
 
+@pytest.mark.slow
 def test_mor_mixed_parquet_and_avro_groups(spark, tmp_path):
     """One request mixing Parquet and Avro data files — per-(seq, format)
     scan groups union into one plan."""
@@ -240,6 +242,7 @@ def test_mor_mixed_parquet_and_avro_groups(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == [0, 1, 2, 10, 11]
 
 
+@pytest.mark.slow
 def test_mor_orc_equality_and_position_deletes(spark, tmp_path):
     orc = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
@@ -291,6 +294,7 @@ def test_mor_orc_equality_and_position_deletes(spark, tmp_path):
     assert got == sorted({1, 2, 3} - {second_id})
 
 
+@pytest.mark.slow
 def test_mixed_format_table_deletes_and_merge(spark, tmp_path):
     """Predicate deletes and MERGE over a table holding BOTH avro and
     parquet data files: the probe/delete scans are format-aware, so
@@ -361,6 +365,7 @@ def test_file_format_survives_proto_roundtrip(spark):
     assert [t.file_format for t in back.data_files] == ["avro", "parquet", "orc"]
 
 
+@pytest.mark.slow
 def test_avro_distributed_roundtrip_property(spark, tmp_path):
     """Randomized rows (nullable strings, longs, doubles incl. edge
     values) survive write_container → distributed scan bit-exact."""

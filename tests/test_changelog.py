@@ -284,6 +284,7 @@ def test_changelog_feed_microbatches_and_replay(spark, tmp_path):
         ChangelogFeed(spark, tbl, str(tmp_path / "other.ckpt"))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("flavor", ["spec", "json"])
 @pytest.mark.parametrize("seed", [11, 29])
 def test_changelog_replay_reconstructs_table(spark, tmp_path, flavor, seed):
@@ -360,6 +361,7 @@ def test_changelog_replay_reconstructs_table(spark, tmp_path, flavor, seed):
     assert +state2 == final
 
 
+@pytest.mark.slow
 def test_changelog_feed_replicates_table(spark, tmp_path):
     """End-to-end CDC replication: a ChangelogFeed applies each source
     commit to an independent target table (position deletes for DELETE
@@ -505,6 +507,7 @@ def test_net_changes_per_commit_attribution(spark):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("flavor", ["spec", "json"])
 def test_changelog_feed_crash_replay_exactly_once(spark, tmp_path, flavor):
     """At-least-once delivery + idempotent sink == exactly-once EFFECT:

@@ -79,6 +79,7 @@ def test_partitioned_fanout_write_nonparquet(spark, tmp_path, fmt):
     assert cols == ["id", "v"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["avro", "orc"])
 def test_partition_spec_transform_write_nonparquet(spark, tmp_path, fmt):
     """Iceberg-transform fanout: the DERIVED column goes to directory
@@ -114,6 +115,7 @@ def test_partition_spec_transform_write_nonparquet(spark, tmp_path, fmt):
     assert sorted(r.id for r in df.collect()) == list(range(40))
 
 
+@pytest.mark.slow
 def test_partitioned_max_records_split(spark, tmp_path):
     """File splitting applies per partition group."""
     rows = [(i, "a" if i < 20 else "b") for i in range(30)]
@@ -137,6 +139,7 @@ def test_partitioned_max_records_split(spark, tmp_path):
         assert seg in ("g=a", "g=b")
 
 
+@pytest.mark.slow
 def test_full_compact_partitioned_avro_manifest_partition_values(spark, tmp_path):
     """Orchestrator integration: an ad-hoc partition_by full_compact
     INTO avro lands partition values in the committed manifest entries,
@@ -166,6 +169,7 @@ def test_full_compact_partitioned_avro_manifest_partition_values(spark, tmp_path
     assert total == 30
 
 
+@pytest.mark.slow
 def test_partitioned_nan_values_share_one_group(spark, tmp_path):
     """NaN partition keys share a partition (arrow NaN != NaN would
     otherwise split every NaN row into its own one-row file)."""
@@ -187,6 +191,7 @@ def test_partitioned_nan_values_share_one_group(spark, tmp_path):
     assert counts == [10, 20]
 
 
+@pytest.mark.slow
 def test_avro_unsupported_compression_gated(spark, tmp_path):
     rows = [(1, "a", 1.0)]
     f = _src_file(spark, tmp_path, rows, "id int, name string, v double")
@@ -230,6 +235,7 @@ def _tbl_with_partitioned_compact(spark, tmp_path, fmt, rows, schema, pcols):
     return t, df
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["parquet", "avro"])
 def test_partitioned_read_back_fills_partition_column(spark, tmp_path, fmt):
     """Identity partition columns dropped from the data pages are
@@ -246,6 +252,7 @@ def test_partitioned_read_back_fills_partition_column(spark, tmp_path, fmt):
     assert out == sorted(rows)
 
 
+@pytest.mark.slow
 def test_partitioned_read_equality_delete_on_partition_col(spark, tmp_path):
     """Fill happens BEFORE delete application: an equality delete keyed
     on the partition column must match real values, not page nulls."""
@@ -262,6 +269,7 @@ def test_partitioned_read_equality_delete_on_partition_col(spark, tmp_path):
     assert out == sorted((i, i % 3) for i in range(12) if i % 3 != 1)
 
 
+@pytest.mark.slow
 def test_partitioned_recompaction_materializes_column(spark, tmp_path):
     """Re-compacting a partitioned table writes the filled values back
     into data pages (no silent null corruption on rewrite)."""
@@ -279,6 +287,7 @@ def test_partitioned_recompaction_materializes_column(spark, tmp_path):
     assert out == sorted(rows)
 
 
+@pytest.mark.slow
 def test_partitioned_plus_plain_files_mixed_read(spark, tmp_path):
     """Mixed layout: files that DO carry the column in their pages win
     (coalesce order) while dropped-column files fill from metadata."""
@@ -300,6 +309,7 @@ def test_partitioned_plus_plain_files_mixed_read(spark, tmp_path):
     assert out == sorted(rows + extra, key=repr)
 
 
+@pytest.mark.slow
 def test_changelog_over_partitioned_table_fills_partition_column(spark, tmp_path):
     """The changelog reader shares _scan_with_hidden_cols, so DELETE
     rows sourced from hive-layout files carry real partition values,
@@ -324,6 +334,7 @@ def test_changelog_over_partitioned_table_fills_partition_column(spark, tmp_path
     assert dels == [(4, 1), (7, 1)]
 
 
+@pytest.mark.slow
 def test_partition_fill_plan_broadcast_no_regexp(spark, tmp_path):
     """Plan pin: the partition-value fill is a plain broadcast hash
     equi-join on the unmodified hidden path column — no per-row regexp,
@@ -341,6 +352,7 @@ def test_partition_fill_plan_broadcast_no_regexp(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan  # data side never shuffles
 
 
+@pytest.mark.slow
 def test_binpack_into_avro(spark, tmp_path):
     """compact_small_files(data_file_format=) merges the small tail
     INTO avro — rolling format migration without a whole-table rewrite;
@@ -395,6 +407,7 @@ def test_scan_path_variants_uri_encoding():
     ]
 
 
+@pytest.mark.slow
 def test_partitioned_read_with_space_in_value(spark, tmp_path):
     """End to end: a partition value containing a space round-trips
     through hive dirs, URI-encoded scan paths, and the fill join."""
@@ -408,6 +421,7 @@ def test_partitioned_read_with_space_in_value(spark, tmp_path):
     assert out == sorted(rows)
 
 
+@pytest.mark.slow
 def test_partitioned_orc_read_stays_native(spark, tmp_path):
     """The partition fill needs only the path column, which ORC's
     NATIVE vectorized reader exposes via _metadata.file_path — the
@@ -426,6 +440,7 @@ def test_partitioned_orc_read_stays_native(spark, tmp_path):
     assert got == sorted(rows)
 
 
+@pytest.mark.slow
 def test_incremental_scan_reads_appended_avro(spark, tmp_path):
     """incremental_tasks threads file_format: an appended avro data
     file must route through the avro scan, not the parquet reader."""
@@ -460,6 +475,7 @@ def test_incremental_scan_reads_appended_avro(spark, tmp_path):
     assert rows == [(2, "b"), (3, "c")]
 
 
+@pytest.mark.slow
 def test_delete_maintenance_keeps_live_deletes_on_encoded_paths(spark, tmp_path):
     """rewrite_position_deletes judged liveness by stripping only
     '^file:' — on hive dirs with spaces the recorded delete paths are
@@ -495,6 +511,7 @@ def test_partitioned_read_with_nonascii_value(spark, tmp_path):
     assert out == sorted(rows)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["parquet", "avro"])
 def test_partitioned_adversarial_values_roundtrip(spark, tmp_path, fmt):
     """Partition values containing every escaping hazard — space, '=',
@@ -630,6 +647,7 @@ def test_fill_converts_iceberg_internal_partition_reps():
     assert fill_partition_values(None, spec, ice) is None
 
 
+@pytest.mark.slow
 def test_iceberg_date_identity_partition_fill_reads_real_dates(spark, tmp_path):
     """A REAL-Iceberg-written table names identity partition fields
     after their source column and stores DATE values as epoch-days
@@ -704,6 +722,7 @@ def test_iceberg_date_identity_partition_fill_reads_real_dates(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_incremental_tasks_converts_partition_under_each_entrys_spec(
     spark, tmp_path
 ):
@@ -775,6 +794,7 @@ def test_incremental_tasks_converts_partition_under_each_entrys_spec(
     assert by_path[fb] == {"id": "2"} or by_path[fb] == {"id": 2}, by_path[fb]
 
 
+@pytest.mark.slow
 def test_partition_evolution_append_preserves_old_spec_values(spark, tmp_path):
     """LATENT BUG (found via the incremental-spec test): every commit
     rewrites ALL live entries into fresh manifests, and encoding
@@ -855,6 +875,7 @@ def test_partition_evolution_append_preserves_old_spec_values(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_foreign_timestamp_identity_partition_survives_commits(spark, tmp_path):
     """Foreign-written identity(timestamptz) partitions store long
     micros; carried entries must re-encode (typed long field +

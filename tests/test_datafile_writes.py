@@ -78,6 +78,7 @@ def test_rewrite_roundtrip_with_stats_and_splitting(spark, tmp_path, fmt):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["avro", "orc"])
 def test_written_files_serve_mor_position_deletes(spark, tmp_path, fmt):
     """The written files enter a table as first-class data files: the
@@ -188,6 +189,7 @@ def test_full_compact_into_format(spark, tmp_path, fmt):
     assert sorted(r.id for r in lo.collect()) == [45, 46, 47, 48, 49]
 
 
+@pytest.mark.slow
 def test_avro_write_gates(spark, tmp_path):
     # nested (incl. logical-type leaves) is supported since r9; the
     # remaining schema gate is non-string map keys (an Avro spec limit)
@@ -234,6 +236,7 @@ def test_avro_write_gates(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_no_empty_files_and_null_stats(spark, tmp_path):
     """Empty partitions emit no files; null values count into
     null_count and don't poison min/max."""
@@ -306,6 +309,7 @@ def test_avro_container_multiblock_stream_roundtrip(tmp_path):
     assert recs == rows
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["avro", "orc"])
 def test_unbounded_write_rolls_at_flush_bytes(spark, tmp_path, fmt, monkeypatch):
     """With max_records_per_file=0 the writer must not buffer a whole
@@ -359,6 +363,7 @@ def test_unbounded_write_rolls_at_flush_bytes(spark, tmp_path, fmt, monkeypatch)
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["avro", "orc"])
 def test_write_to_file_uri_and_scheme_gate(spark, tmp_path, fmt):
     """Overwrite cleanup runs through the Hadoop FS layer and the codec
@@ -465,6 +470,7 @@ def test_local_write_path_single_slash_scheme_gate():
             local_write_path(bad)
 
 
+@pytest.mark.slow
 def test_partitioned_write_under_file_uri_with_equals_ancestor(spark, tmp_path):
     """Partition values derive from path segments BELOW the output dir;
     with a file: URI dir_path the relpath must run against the stripped
@@ -494,6 +500,7 @@ def test_partitioned_write_under_file_uri_with_equals_ancestor(spark, tmp_path):
         assert m.partition_values["pv"] in ("a", "b")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["avro", "orc"])
 def test_write_through_injected_pyarrow_filesystem(spark, tmp_path, fmt):
     """Remote-store write path, emulated: a picklable pyarrow
@@ -545,6 +552,7 @@ def test_write_through_injected_pyarrow_filesystem(spark, tmp_path, fmt):
     )
 
 
+@pytest.mark.slow
 def test_write_through_injected_fs_partitioned(spark, tmp_path):
     """Hive fanout through the injected FS: partition dirs are created
     through the connector and partition values decode from the

@@ -155,6 +155,7 @@ def test_incremental_append_scan(spark, table_with_data, tmp_path):
         read_incremental(spark, table, s1)
 
 
+@pytest.mark.slow
 def test_incremental_dedup_against_corpus(spark, tmp_path):
     """Continuous-ingest dedup: a snapshot delta is deduped against the
     pre-existing corpus (anti-join on content hashes) AND within itself
@@ -204,6 +205,7 @@ def test_incremental_dedup_against_corpus(spark, tmp_path):
     assert [r.doc_id for r in out2.collect()] == [21]
 
 
+@pytest.mark.slow
 def test_merge_upsert_lifecycle(spark, tmp_path):
     """Upsert commits data + equality delete at ONE sequence: matched
     keys replaced, new keys inserted, batch's own rows survive; a later
@@ -356,6 +358,7 @@ def test_register_mor_view_sql(spark, table_with_data):
     assert "PushedFilters: [" in plan and "l_orderkey" in plan
 
 
+@pytest.mark.slow
 def test_externally_spelled_position_deletes_apply(spark, tmp_path):
     """Position-delete files written by OTHER engines record the
     manifest's plain path, while the scan's hidden path column spells

@@ -173,6 +173,7 @@ def test_create_writes_spec_metadata(tmp_path, simple_schema):
         IcebergTable.create(loc, simple_schema)
 
 
+@pytest.mark.slow
 def test_append_scan_sequence_inheritance(spark, tmp_path, simple_schema):
     loc = str(tmp_path / "tbl")
     tbl = IcebergTable.create(loc, simple_schema)
@@ -214,6 +215,7 @@ def test_append_scan_sequence_inheritance(spark, tmp_path, simple_schema):
     assert lows[1] == b"\x01\x00\x00\x00"  # id field-id=1, int 1 LE
 
 
+@pytest.mark.slow
 def test_mor_plan_from_spec_metadata(spark, tmp_path):
     """Data + equality-delete files committed to spec metadata plan into
     the SAME MoR DataFrame the JSON manifest produces."""
@@ -261,6 +263,7 @@ def test_commit_conflict_on_version_race(tmp_path, simple_schema, spark):
         tbl.append_snapshot([entry])
 
 
+@pytest.mark.slow
 def test_rewrite_commit_and_stale_plan_rejected(spark, tmp_path, simple_schema):
     loc = str(tmp_path / "tbl")
     tbl = IcebergTable.create(loc, simple_schema)
@@ -284,6 +287,7 @@ def test_rewrite_commit_and_stale_plan_rejected(spark, tmp_path, simple_schema):
         tbl.commit_rewrite([], {f2}, expected_snapshot_id=sid1)
 
 
+@pytest.mark.slow
 def test_expire_snapshots_returns_orphans(spark, tmp_path, simple_schema):
     loc = str(tmp_path / "tbl")
     tbl = IcebergTable.create(loc, simple_schema)
@@ -303,6 +307,7 @@ def test_expire_snapshots_returns_orphans(spark, tmp_path, simple_schema):
     assert [t.data_file_path for t in data] == [f2]
 
 
+@pytest.mark.slow
 def test_refs_survive_expiration(spark, tmp_path, simple_schema):
     """Spec ``refs``: a tag pins its snapshot (and that snapshot's
     files) through expire_snapshots; time travel through the tag keeps
@@ -337,6 +342,7 @@ def test_refs_survive_expiration(spark, tmp_path, simple_schema):
     assert len(tbl.snapshots()) == 1
 
 
+@pytest.mark.slow
 def test_incremental_and_mor_read_over_spec_metadata(spark, tmp_path, simple_schema):
     """Spec-metadata parity for the consumption paths: incremental
     append scans between snapshots, and the full read_table MoR read
@@ -385,6 +391,7 @@ def test_incremental_and_mor_read_over_spec_metadata(spark, tmp_path, simple_sch
         tbl.incremental_tasks(sid1)
 
 
+@pytest.mark.slow
 def test_metadata_tables_over_spec_metadata(spark, tmp_path, simple_schema):
     """The snapshots/files/history/refs metadata tables and file-level
     CDC read spec-format Avro metadata through the same surface as the
@@ -428,6 +435,7 @@ def test_metadata_tables_over_spec_metadata(spark, tmp_path, simple_schema):
     assert {(r.change, r.path) for r in diff} == {("added", f2), ("removed", f1)}
 
 
+@pytest.mark.slow
 def test_full_compact_over_spec_metadata(spark, tmp_path):
     """The SAME orchestrator that drives the JSON manifest runs the full
     compact cycle over real Iceberg metadata."""
@@ -495,6 +503,7 @@ def test_update_schema_commits_new_schema_version(spark, tmp_path):
         tbl.rename_column("ghost", "x")
 
 
+@pytest.mark.slow
 def test_full_compact_upgrades_old_schema_files(spark, tmp_path):
     """End-to-end: files written under schema v0, table evolved
     (rename + widen + add), compaction with NO explicit schema rewrites
@@ -533,6 +542,7 @@ def test_full_compact_upgrades_old_schema_files(spark, tmp_path):
     assert got == {1: (1.5, None), 2: (2.5, None), 3: (3.5, "x")}
 
 
+@pytest.mark.slow
 def test_spec_branch_writes_and_fast_forward(spark, tmp_path, simple_schema):
     """Branch commits over spec metadata: refs move, main doesn't, and
     fast_forward proves ancestry via parent-snapshot-id."""

@@ -42,6 +42,7 @@ def _write_one_parquet(spark, path, rows, schema):
     return os.path.join(path, files[0])
 
 
+@pytest.mark.slow
 def test_manifest_table_lifecycle_through_injected_fs(spark, tmp_path):
     """append → eq-deletes → DVs → full_compact → expire → orphan sweep
     with manifest.json and every listing routed through the connector."""
@@ -101,6 +102,7 @@ def test_manifest_table_lifecycle_through_injected_fs(spark, tmp_path):
     assert read_table(spark, table).count() == 17  # live data untouched
 
 
+@pytest.mark.slow
 def test_iceberg_table_lifecycle_through_injected_fs(spark, tmp_path):
     """Spec-format flavor: create → append → DVs → full_compact →
     expire, with metadata JSON, version files, version hint, and Avro
@@ -263,6 +265,7 @@ def test_rest_catalog_client_threads_file_io(tmp_path):
         srv.stop()
 
 
+@pytest.mark.slow
 def test_distributed_dv_commit_through_injected_fs(spark, tmp_path):
     """The executor-side DV writer ships the pickled connector: puffin
     bytes land through the seam, manifest rows carry caller spellings,

@@ -114,6 +114,7 @@ def test_streaming_append_sink_exactly_once(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_dedup_append_sink(spark, tmp_path):
     """Dedup-on-ingest: each micro-batch is deduped against the
     committed corpus and within itself before appending."""
@@ -221,6 +222,7 @@ def test_vacuum_unlinks_only_table_local_orphans(spark, tmp_path):
     assert sorted(r.id for r in read_table(spark, table).collect()) == [100, 101, 102, 103]
 
 
+@pytest.mark.slow
 def test_streaming_upsert_sink_cdc(spark, tmp_path):
     """Keyed micro-batches upsert: later batches replace same-key rows,
     replays are no-ops, and the final state equals last-writer-wins."""
@@ -316,6 +318,7 @@ def test_write_audit_publish(spark, tmp_path):
     assert refs == [("audit-base", 1, "tag")]
 
 
+@pytest.mark.slow
 def test_streaming_dv_delete_sink(spark, tmp_path):
     """CDC delete batches land as deletion vectors: per-batch key sets
     become per-file bitmaps, later batches supersede by union, replays
@@ -530,6 +533,7 @@ def test_streaming_sinks_over_spec_metadata(spark, tmp_path):
         sink_mod._live_paths = orig
 
 
+@pytest.mark.slow
 def test_streaming_span_dedup_sink(spark, tmp_path):
     """Continuous-ingest substring-span dedup: per-batch spans equal the
     BATCH operator over everything-ingested-so-far restricted to the
@@ -711,6 +715,7 @@ def test_streaming_span_dedup_partial_crash_replay(spark, tmp_path):
     assert spans == sorted(map(tuple, spans0.collect()))
 
 
+@pytest.mark.slow
 def test_ivfpq_index_streaming_append_sink(spark, tmp_path):
     """Streaming ANN index maintenance: micro-batches of embeddings
     fold into a persisted IVF-PQ index (frozen quantizers); the served

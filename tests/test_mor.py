@@ -449,6 +449,7 @@ def test_partitioned_rewrite_stats_have_partition_values(spark, mor_files, tmp_p
         assert st["min"] == st["max"] == f.partition_values["name"]
 
 
+@pytest.mark.slow
 def test_schema_evolution_added_column(spark, tmp_path):
     """Old data files written before a column was added must compact
     cleanly under the NEW schema: the request schema drives every scan,
@@ -483,6 +484,7 @@ def test_schema_evolution_added_column(spark, tmp_path):
     assert sum(f.record_count for f in resp.data_files) == 10
 
 
+@pytest.mark.slow
 def test_compact_small_files_binpack(spark, tmp_path):
     """Binpack maintenance: small files merge, large files stay, deletes
     apply to rewritten rows but remain in the manifest, and the final
@@ -697,6 +699,7 @@ def test_remove_orphan_files(spark, tmp_path):
     assert os.path.exists(f) and os.path.exists(staged)
 
 
+@pytest.mark.slow
 def test_convert_equality_deletes_to_position(spark, tmp_path):
     """Eq->pos conversion: visible rows identical, eq files replaced by
     one position-delete file, and rows re-inserted AFTER conversion
@@ -873,6 +876,7 @@ def test_compression_codec_knob(spark, tmp_path):
 # name-mapping fallback (schema.name-mapping.default analog).
 
 
+@pytest.mark.slow
 def test_schema_evolution_widening_promotions(spark, tmp_path):
     """Old int/float columns read as long/double under the new schema;
     values are exact."""
@@ -919,6 +923,7 @@ def test_schema_evolution_decimal_precision_widening(spark, tmp_path):
     assert out[0].amt == Decimal("1.25")
 
 
+@pytest.mark.slow
 def test_schema_evolution_illegal_narrowing_rejected(spark, tmp_path):
     """Spark's reader would silently misread decimal(5,2) under an int
     schema (1.25 -> 125); the footer validator must reject it at plan
@@ -947,6 +952,7 @@ def test_schema_evolution_illegal_narrowing_rejected(spark, tmp_path):
         build_merge_on_read(spark, req2)
 
 
+@pytest.mark.slow
 def test_schema_evolution_rename_via_name_mapping(spark, tmp_path):
     """Files written before a rename resolve through name_mapping; new
     files use the current name; values line up row-for-row."""
@@ -974,6 +980,7 @@ def test_schema_evolution_rename_via_name_mapping(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c", 4: None}
 
 
+@pytest.mark.slow
 def test_schema_evolution_rename_plus_widen_plus_add(spark, tmp_path):
     """The combined case: rename AND widen one column across the rename,
     plus an added column, with deletes applied on top."""

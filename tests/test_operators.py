@@ -137,6 +137,7 @@ def test_substring_dup_spans_exact(spark):
     assert got2 == [(1, 1, 10, 10), (1, 20, 29, 10), (2, 1, 10, 10)]
 
 
+@pytest.mark.slow
 def test_incremental_substring_spans_matches_batch(spark):
     """Streaming == batch over a randomized append sequence: for each
     appended batch, incremental spans (probing the committed gram
@@ -376,6 +377,7 @@ def test_verify_pairs_single_pass_equals_two_join(spark):
     assert got == want == [(1, 2, 0.6)]
 
 
+@pytest.mark.slow
 def test_simhash_portable_properties(spark, docs_df):
     """Portable (md5, 60-bit) simhash preserves the production
     variant's contract: exact dups identical, near dups closer than
@@ -391,6 +393,7 @@ def test_simhash_portable_properties(spark, docs_df):
     assert d_near < d_far
 
 
+@pytest.mark.slow
 def test_pq_topk_quantized_search(spark):
     """Product quantization: codes are deterministic, ADC scores match
     a Python reference exactly (same fold order), cluster structure
@@ -1085,6 +1088,7 @@ def test_two_stage_agg_equals_plain(spark):
     )
 
 
+@pytest.mark.slow
 def test_interval_join_bucket_boundaries(spark):
     """Bucketed keyless interval join == naive theta join, including
     intervals that span buckets and end exactly on boundaries."""
@@ -1195,6 +1199,7 @@ def test_zorder_key_matches_reference_morton(spark):
         assert got3[(x, y, z)] == morton([x & 0x1FFFFF, y, z], 21), (x, y, z)
 
 
+@pytest.mark.slow
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     """Z-ordered rewrite: per-file footer ranges are narrow in BOTH
     interleaved columns, unlike a single-column sort."""
@@ -2076,6 +2081,7 @@ def test_ivfpq_topk_composed_search(spark):
         assert abs(ref - d0) < 1e-6, (qid, ref, d0)
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_refinement(spark):
     """Recall floor vs exact L2 brute force on the fixture embeddings,
     and Lloyd-refined residual codebooks must not degrade it — the
@@ -2147,6 +2153,7 @@ def test_ivfpq_plan_no_corpus_float_shuffle(spark):
                 assert "__pqv" not in ln and "codes" not in ln, ln
 
 
+@pytest.mark.slow
 def test_ivfpq_seed_and_arrow_refine_paths_identical(spark):
     """The r7 fixed-cost cuts must not move a single float: (a) the
     driver-side seed residuals (_py_nearest_cell fold replica) produce
@@ -3005,6 +3012,7 @@ def test_flac_in_ogg_roundtrip():
     assert via is not None and (via[0][:, 0] == np.asarray(samples)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_arrow", [False, True])
 def test_ivfpq_persisted_index_equals_inmemory(spark, tmp_path, use_arrow):
     """build_ivf_pq_index + ivf_pq_index_top_k answer EXACTLY what the
@@ -3106,6 +3114,7 @@ def test_ivfpq_index_append_equals_frozen_union(spark, tmp_path):
     assert any(r[1] < 100 for r in served)
 
 
+@pytest.mark.slow
 def test_ivfpq_index_compaction_preserves_serving_and_dpp(spark, tmp_path):
     """Small-files maintenance for the persisted index: N appends
     accumulate files per __cell= directory; compact_ivf_pq_index
@@ -3171,6 +3180,7 @@ def test_ivfpq_index_compaction_preserves_serving_and_dpp(spark, tmp_path):
     assert final == before
 
 
+@pytest.mark.slow
 def test_ivfpq_index_compaction_guards_and_rebuild_cleanup(spark, tmp_path):
     """Compaction coordination guards: an in-flight streaming publish
     (_stage-batch-* present) refuses to compact; batch ids folded into
@@ -3281,6 +3291,7 @@ def test_ivfpq_fold_ledger_scoped_by_stream_id(spark, tmp_path):
     assert n_after == n_before
 
 
+@pytest.mark.slow
 def test_ivfpq_fold_ledger_bounded_by_high_water_mark(spark, tmp_path):
     """The fold ledger stores one HIGH-WATER MARK per stream hash, not
     every batch id ever folded (r9 review find: the exhaustive list
@@ -3392,6 +3403,7 @@ def test_r9_text_and_zorder_edge_semantics(spark):
     assert q.digit_frac == 0.0 and q.upper_frac == 0.0
 
 
+@pytest.mark.slow
 def test_ivfpq_rebuild_folds_streaming_batches_and_guards_inflight(
     spark, tmp_path
 ):
@@ -3469,6 +3481,7 @@ def test_iceberg_hash_null_maps_to_null():
     assert got == [1488055340, None]
 
 
+@pytest.mark.slow
 def test_ivfpq_index_metadata_plane_through_injected_fs(spark, tmp_path):
     """VERDICT r9 #4: the persisted-index METADATA plane (index.json
     read/write, the _stage-batch-* guard, fold-ledger file listing,
@@ -3587,6 +3600,7 @@ def test_index_fs_remote_root_isolation(tmp_path):
     ifs.rmtree("codes")  # missing-ok, like shutil.rmtree(ignore_errors)
 
 
+@pytest.mark.slow
 def test_streaming_sink_publish_through_injected_fs(spark, tmp_path):
     """VERDICT r11 #3: the ANN streaming sink's batch publish
     (index.json read, replay pre-delete sweep, stage→codes renames,

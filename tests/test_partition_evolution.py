@@ -349,6 +349,7 @@ def test_iceberg_table_spec_evolution_and_compact(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == list(range(400))
 
 
+@pytest.mark.slow
 def test_iceberg_scan_tasks_prunes_on_bounds_and_partition(spark, tmp_path):
     """Spec-metadata planning-time skipping: data files prune on Avro
     manifest lower/upper bounds AND on partition tuples evaluated per
@@ -945,6 +946,7 @@ def test_stats_pruning_sound_across_domains_and_spellings(data):
         )
 
 
+@pytest.mark.slow
 def test_temporal_bounds_serialize_roundtrip_and_scan_pruning(spark, tmp_path):
     """Iceberg temporal bounds (spec Appendix D: date = int32 epoch
     days, timestamp(tz) = int64 epoch micros) now serialize from the

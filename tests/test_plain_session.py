@@ -11,6 +11,7 @@ anywhere surfaces here instead of in the driver's report.
 
 from __future__ import annotations
 
+import pytest
 from ic_spark.queries import REGISTRY
 
 # sf0.01, not the tests' default sf0.001: overflow/strict-cast bugs are
@@ -18,6 +19,7 @@ from ic_spark.queries import REGISTRY
 SWEEP_SF_DIR = "/root/testdata/sf0.01"
 
 
+@pytest.mark.slow
 def test_full_registry_runs_under_ansi_session(spark):
     ns = spark.newSession()
     ns.conf.set("spark.sql.ansi.enabled", "true")

@@ -3,6 +3,7 @@ on randomized inputs — catches edge cases fixed fixtures miss."""
 
 from __future__ import annotations
 
+import pytest
 import pandas as pd
 import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
@@ -71,6 +72,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     ),
     width=st.sampled_from([7, 100, 256]),
 )
+@pytest.mark.slow
 def test_interval_join_matches_naive(spark, points, intervals, width):
     """Bucketed interval join == naive cross-join filter for arbitrary
     bucket widths and interval shapes."""
@@ -105,6 +107,7 @@ def test_interval_join_matches_naive(spark, points, intervals, width):
     ),
     width=st.sampled_from([7, 100, 256]),
 )
+@pytest.mark.slow
 def test_overlap_join_matches_naive(spark, lefts, rights, width):
     """Bucketed interval-OVERLAP join == naive theta join — canonical-
     bucket emission must produce each overlapping pair exactly once.
@@ -141,6 +144,7 @@ def test_overlap_join_matches_naive(spark, lefts, rights, width):
     assert normalize(fast_rows) == normalize(map(tuple, naive.collect()))
 
 
+@pytest.mark.slow
 def test_rewrite_max_records_per_file(spark, tmp_path):
     """max_records_per_file bounds output file sizes (writer knob)."""
     import os
@@ -211,6 +215,7 @@ def test_roaring32_bitmap_container_boundary():
     ),
     k=st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 def test_substring_spans_invariants(spark, docs, k):
     """Random token docs: spans are in-bounds, >= k tokens, disjoint
@@ -274,6 +279,7 @@ def test_substring_spans_invariants(spark, docs, k):
     ),
     k=st.integers(min_value=2, max_value=5),
 )
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 def test_decontaminate_invariants(spark, docs, k):
     """Random split: kept + removed token counts balance; a clean doc

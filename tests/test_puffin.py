@@ -116,6 +116,7 @@ def test_puffin_container_roundtrip(tmp_path):
         read_puffin(b"nope")
 
 
+@pytest.mark.slow
 def test_dv_delete_lifecycle(spark, tmp_path):
     """write_deletion_vectors → MoR read applies the bitmaps; a second
     DV write supersedes + unions; maintenance leaves DVs alone; DuckDB
@@ -212,6 +213,7 @@ def test_dv_coexists_with_parquet_position_deletes(spark, tmp_path):
     assert ids == list(range(5, 45))
 
 
+@pytest.mark.slow
 def test_convert_position_deletes_to_dvs(spark, tmp_path):
     """Parquet position-delete files upgrade to one puffin DV entry;
     visible rows identical before/after; dangling positions dropped."""
@@ -394,6 +396,7 @@ def test_deletion_vector_file_multi_dv(tmp_path):
     assert back == {"/data/a.parquet": [0, 5, 7], "/data/b.parquet": [2]}
 
 
+@pytest.mark.slow
 def test_distributed_dv_commit_matches_driver_path(spark, tmp_path):
     """commit_deletion_vectors_distributed must produce the SAME table
     state as the driver-side path: per-referenced-file bitmap bytes

@@ -153,6 +153,7 @@ def test_equality_delete_written_before_rename_still_applies(spark, tmp_path):
     assert rows == [i for i in range(30) if i not in (3, 4, 5)]
 
 
+@pytest.mark.slow
 def test_position_delete_files_use_spec_column_names(spark, tmp_path):
     """New position-delete files carry the Iceberg spec's column names
     (file_path, pos) so real Iceberg readers interop; tables mixing
@@ -242,6 +243,7 @@ def test_orc_empty_projection_refused(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_orc_distributed_timestamps_match_native_under_non_utc_os_tz(tmp_path):
     """Plain ORC timestamps decode as reader-LOCAL wall-clock (Spark's
     JVM-default-tz semantics; pyarrow matches).  The distributed scan

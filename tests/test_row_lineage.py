@@ -11,6 +11,7 @@ its outputs (null ``first_row_id`` on the new entries, per the spec's
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -45,6 +46,7 @@ def _mk_lineage_table(spark, base, with_record_count=True):
     return t, f1, f2
 
 
+@pytest.mark.slow
 def test_enable_backfills_and_appends_claim_ranges(spark, tmp_path):
     """Enable backfills live files (footer-read when record_count is
     absent), appends claim disjoint ranges, next_row_id advances."""
@@ -75,6 +77,7 @@ def test_enable_backfills_and_appends_claim_ranges(spark, tmp_path):
     assert frid == {f1: 0, f2: 10}
 
 
+@pytest.mark.slow
 def test_lineage_survives_deletes_and_compaction(spark, tmp_path):
     """Position + equality deletes drop rows; full_compact preserves
     every SURVIVOR's (_row_id, _last_updated_sequence_number) exactly,
@@ -122,6 +125,7 @@ def test_lineage_survives_deletes_and_compaction(spark, tmp_path):
     assert set(read_table(spark, t).columns) == {"id", "name", "v"}
 
 
+@pytest.mark.slow
 def test_post_compaction_appends_and_second_compaction(spark, tmp_path):
     """Ids keep advancing after a compaction (no reuse, no collision);
     a second compaction over mixed materialized + plain files still
@@ -162,6 +166,7 @@ def test_post_compaction_appends_and_second_compaction(spark, tmp_path):
     assert t.next_row_id == 20
 
 
+@pytest.mark.slow
 def test_lineage_on_spec_metadata_table(spark, tmp_path):
     """The same lifecycle over the SPEC-metadata flavor (IcebergTable):
     enable upgrades to format-version 3 + next-row-id, backfills live
@@ -210,6 +215,7 @@ def test_lineage_on_spec_metadata_table(spark, tmp_path):
     assert set(read_table(spark, t).columns) == {"id", "name", "v"}
 
 
+@pytest.mark.slow
 def test_read_incremental_with_lineage(spark, tmp_path):
     """Incremental consumers get the durable row identity: ids of the
     appended range only, matching the full-table lineage read."""
@@ -235,6 +241,7 @@ def test_read_incremental_with_lineage(spark, tmp_path):
     assert "_row_id" in empty.columns and empty.count() == 0
 
 
+@pytest.mark.slow
 def test_lineage_invariants_random_histories(spark, tmp_path):
     """Property sweep over randomized table histories (appends of
     varying sizes, position deletes, equality deletes, compactions at
@@ -323,6 +330,7 @@ def test_lineage_invariants_random_histories(spark, tmp_path):
         snapshot_state()
 
 
+@pytest.mark.slow
 def test_changelog_with_lineage(spark, tmp_path):
     """CDC change rows carry the durable identity: INSERTs get the ids
     assigned to the appended files, DELETEs get the ids of the rows the
@@ -364,6 +372,7 @@ def test_changelog_with_lineage(spark, tmp_path):
         read_changelog(spark, plain, 0, with_lineage=True)
 
 
+@pytest.mark.slow
 def test_attach_lineage_routes_pinned_equal(spark, tmp_path):
     """The Arrow-batch map route (forced with arrow_threshold=0)
     returns EXACTLY the literal route's rows, and neither plan
@@ -395,6 +404,7 @@ def test_attach_lineage_routes_pinned_equal(spark, tmp_path):
         assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_changelog_compute_updates_by_lineage(spark, tmp_path):
     """v3's core CDC use case: ``compute_updates=True`` pairs
     same-commit DELETE+INSERT by ``_row_id`` with NO identifier
@@ -459,6 +469,7 @@ def test_changelog_compute_updates_by_lineage(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_lineage_preserved_by_binpack_and_row_ops(spark, tmp_path):
     """EVERY rewrite path preserves row identity, not just full_compact:
     binpack (compact_small_files) materializes ids with no new claims;
@@ -522,6 +533,7 @@ def test_lineage_preserved_by_binpack_and_row_ops(spark, tmp_path):
     assert got[9] == (*before[9], 9.0)  # untouched row fully intact
 
 
+@pytest.mark.slow
 def test_lineage_commit_conflict_leaves_no_stale_ids(spark, tmp_path):
     """A commit that loses the optimistic-concurrency race must leave
     the caller's entry dicts unstamped and next_row_id untouched, so a
@@ -546,6 +558,7 @@ def test_lineage_commit_conflict_leaves_no_stale_ids(spark, tmp_path):
     assert {d.first_row_id for d in data if d.data_file_path == f3} == {16}
 
 
+@pytest.mark.slow
 def test_lineage_requires_record_count_and_flag(spark, tmp_path):
     import pytest
 

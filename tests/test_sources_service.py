@@ -102,6 +102,7 @@ def test_lpt_edge_cases():
 # ------------------------------------------------------------ service
 
 
+@pytest.mark.slow
 def test_service_rewrite_files_json_contract(spark, tmp_path):
     # Build a tiny data file + position-delete file.
     src = spark.createDataFrame(

@@ -102,6 +102,7 @@ def test_stream_static_join_equals_batch(spark):
     assert normalize(map(tuple, got.collect())) == normalize(map(tuple, want.collect()))
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_equals_batch(spark):
     """Watermarked stream-stream join with a mandatory time bound ==
     the equivalent batch interval join (availableNow drains both

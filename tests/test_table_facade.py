@@ -8,6 +8,7 @@ import pytest
 from ic_spark.table import Table
 
 
+@pytest.mark.slow
 def test_facade_full_lifecycle_spec_flavor(spark, tmp_path):
     """create → append → DV delete → merge → analyze → compact → read,
     all through one handle over spec metadata."""
