@@ -31,6 +31,35 @@ def get_spark(app_name: str = "ic_spark", shuffle_partitions: str | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parallelismFirst stays at Spark's default (true): the r13
+        # interleaved A/B of `false` (coalesce toward the advisory
+        # size) serialized every sort-merge row at fixture scale —
+        # mor_full_merge_on_read 0.98 -> 1.75 s (3/3 pairs) because the
+        # 20 MB join inputs coalesced to one partition and the
+        # sort-merge ran single-threaded.  Negative result recorded in
+        # OPTIMIZATION_r13.md; the knob remains env-overridable for
+        # clusters whose shuffles are block-count-bound.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m"),
+        )
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join at
+        # runtime when every post-shuffle partition of the build side
+        # is small (default 0 = never; guide §3.1).  The per-task hash
+        # build is bounded by the post-shuffle partition size, so this
+        # cannot OOM where the sort-merge would not have spilled
+        # anyway.  r13 interleaved A/B: mor_full_merge_on_read's two
+        # delete-side SMJs become SHJs, 0.98 -> 0.81 s (3/3 pairs);
+        # dedup_token_jaccard/prepare_training improve, nothing
+        # regresses (VERDICT r12 #4).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_BYTES", "64m"),
+        )
         .config("spark.sql.shuffle.partitions", shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
         # Arrow for the pandas_udf / applyInPandas boundary (vectorized
         # transfer instead of pickled rows).
