@@ -785,18 +785,47 @@ def minhash_signatures(
         # in the LSH candidates plan); (2) the kernel reads the Arrow
         # ListArray's flat values/offsets buffers directly — no
         # Series-of-ndarray boxing, no per-batch np.concatenate.
-        # Shingling + base hashing stay JVM-side expressions.
         from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-        out_schema = StructType(
-            [base.schema["id"], StructField("sig", ArrayType(LongType()), True)]
-        )
-        # Belt-and-braces post-barrier filter: the token-count
+        # Belt-and-braces post-barrier filter below: the token-count
         # predicate above already excludes zero-shingle rows, and the
-        # kernel emits EMPTY signatures (not an error) for any that
+        # kernels emit EMPTY signatures (not an error) for any that
         # slip through a filterless caller — a barrier-side filter
         # cannot be substituted into the scan (the r11 pushdown-
         # substitution class), so this costs one int compare per row.
+        if not portable:
+            # Production path (r13): only split + per-token xxhash64
+            # stay JVM-side; the per-shingle composite hash
+            # (xxhash64 over each n-token-hash window) moves into the
+            # kernel as a vectorized XXH64 hashLong fold over the flat
+            # token-hash buffer.  The interpreted per-shingle
+            # slice+hash+pmod transforms were ~3.5 s of the sf10
+            # signature stage (measured noop-sink: full chain 4.3–4.7 s
+            # vs token-hash-only 0.8–1.3 s); the same fold is ~6
+            # vectorized passes in numpy.  Bit-equal by construction
+            # (Spark's xxhash64 over ARRAY<BIGINT> is exactly the
+            # seed-chained hashLong fold the kernel implements; pinned
+            # by test_minhash_arrow_equals_expression).
+            tok_hashes = F.expr(
+                f"transform(split(`{content_col}`, ' '), w -> xxhash64(w))"
+            )
+            tbase = (
+                _spread(df)
+                .where(F.size(tokens(F.col(content_col))) >= shingle_n)
+                .select(F.col(id_col).alias("id"), tok_hashes.alias("__ht"))
+            )
+            out_schema = StructType(
+                [tbase.schema["id"], StructField("sig", ArrayType(LongType()), True)]
+            )
+            return tbase.mapInArrow(
+                _arrow_minhash_from_token_hashes(a, b, shingle_n), out_schema
+            ).where(F.size("sig") > 0)
+        # Portable base hashes have no JVM-free equivalent (md5 over
+        # shingle strings) — keep the shingle hashes JVM-side and run
+        # only the permutation passes in the kernel.
+        out_schema = StructType(
+            [base.schema["id"], StructField("sig", ArrayType(LongType()), True)]
+        )
         return base.mapInArrow(_arrow_minhash_batches(a, b), out_schema).where(
             F.size("sig") > 0
         )
@@ -911,6 +940,126 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                     np.arange(0, (n + 1) * len(A), len(A), dtype=np.int32)
                 ),
                 pa.array(out.T.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig], names=[batch.schema.names[0], "sig"]
+            )
+
+    return fn
+
+
+def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
+    """Signature kernel taking TOKEN hashes (r13): computes the
+    composite per-shingle hash — Spark's ``xxhash64(slice(ht, i, n))``,
+    i.e. the seed-42 hashLong fold over each n-token-hash window —
+    the 31-bit ``pmod`` wrap, and the permutation minima, all
+    vectorized over the batch's flat token-hash buffer.
+
+    Bit-equal to the expression pipeline by construction: Spark hashes
+    an ``ARRAY<BIGINT>`` by folding ``XXH64.hashLong(elem, seed)`` with
+    the running hash as seed (seed 42), which is exactly the fold
+    below; ``pmod(x, 2^31)`` equals ``x & 0x7FFFFFFF`` in two's
+    complement.  Pinned against the expression path in
+    ``test_minhash_arrow_equals_expression``.
+
+    Why it exists: the per-shingle interpreted ``xxhash64(slice(...))``
+    + ``pmod`` higher-order transforms were ~75% of the JVM signature
+    pass at sf10; here each shingle window is six vectorized uint64
+    passes (and the JVM keeps only split + per-token xxhash64, whose
+    variable-length string hashing has no sane numpy form).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    A = np.asarray(a, dtype=np.int64)
+    B = np.asarray(b, dtype=np.int64)
+    P = np.int64(2147483647)
+    # XXH64 constants (public algorithm; same values as Spark's XXH64)
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    SEED = np.uint64(42)
+    M31 = np.uint64(0x7FFFFFFF)
+    U64 = np.uint64(64)
+    U27, U29, U31, U32, U33 = (np.uint64(x) for x in (27, 29, 31, 32, 33))
+
+    def _hash_long(inp, seed):
+        """Vectorized Spark ``XXH64.hashLong(inp, seed)`` (uint64 in/out)."""
+        h = seed + (P5 + np.uint64(8))
+        k1 = inp * P2
+        k1 = (k1 << U31) | (k1 >> (U64 - U31))
+        k1 = k1 * P1
+        h = h ^ k1
+        h = ((h << U27) | (h >> (U64 - U27))) * P1 + P4
+        h = h ^ (h >> U33)
+        h = h * P2
+        h = h ^ (h >> U29)
+        h = h * P3
+        return h ^ (h >> U32)
+
+    def fn(batches):
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0)
+            lists = batch.column(1)
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            tvals = lists.values.to_numpy(zero_copy_only=False)[
+                offs[0] : offs[-1]
+            ]
+            tvals = np.ascontiguousarray(tvals, dtype=np.int64).view(np.uint64)
+            row_starts = offs[:-1] - offs[0]
+            lens = np.diff(offs)
+            sh_lens = np.maximum(lens - (n - 1), 0)
+            empty = sh_lens == 0
+            W = len(tvals) - n + 1
+            if W <= 0 or not (~empty).any():
+                # every row too short for one shingle: all-empty sigs
+                sig = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(nrows + 1, dtype=np.int32)),
+                    pa.array([], type=pa.int64()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, sig], names=[batch.schema.names[0], "sig"]
+                )
+                continue
+            # Fold over the n aligned slices of the flat buffer: window
+            # i covers tokens [i, i+n).  Windows that straddle a row
+            # boundary are computed (vectorization over the flat buffer
+            # is the point) and compacted away below.
+            h = _hash_long(tvals[0:W], SEED)
+            for k in range(1, n):
+                h = _hash_long(tvals[k : k + W], h)
+            # keep only in-row windows: row r owns [row_starts[r],
+            # row_starts[r] + sh_lens[r]) — disjoint, ascending, so the
+            # interval-delta cumsum builds the mask in O(W)
+            delta = np.zeros(W + 1, dtype=np.int64)
+            rs = row_starts[~empty]
+            rl = sh_lens[~empty]
+            delta[rs] += 1
+            delta[rs + rl] -= 1
+            valid = np.cumsum(delta[:-1]) > 0
+            # pmod(x, 2^31) == x & 0x7FFFFFFF in two's complement
+            values = (h[valid] & M31).view(np.int64)
+            starts_ne = np.concatenate(
+                [[0], np.cumsum(rl)[:-1]]
+            ).astype(np.int64)
+            k_ne = len(rl)
+            out = np.empty((len(A), k_ne), dtype=np.int64)
+            tmp = np.empty_like(values)
+            for j in range(len(A)):
+                np.multiply(values, A[j], out=tmp)
+                np.add(tmp, B[j], out=tmp)
+                np.remainder(tmp, P, out=tmp)
+                out[j] = np.minimum.reduceat(tmp, starts_ne)
+            lengths = np.where(empty, 0, len(A))
+            offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+            sig = pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(out.T.ravel(), type=pa.int64()),
             )
             yield pa.RecordBatch.from_arrays(
                 [ids, sig], names=[batch.schema.names[0], "sig"]
