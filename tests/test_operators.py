@@ -338,6 +338,38 @@ def test_minhash_portable_equals_x64_pairs(spark):
     assert a == b
 
 
+def test_minhash_token_hash_kernel_edge_rows(spark):
+    """The r13 token-hash kernel (composite shingle hash computed
+    inside the Arrow kernel) must stay bit-equal to the expression
+    path on the adversarial shapes the flat-buffer windowing could
+    get wrong: rows shorter than the shingle width interleaved with
+    long rows (cross-row garbage windows must be compacted away),
+    empty text, repeated tokens, and a doc exactly at the width."""
+    rows = [
+        (1, "a"),
+        (2, "a b"),
+        (3, "a b c"),
+        (4, ""),
+        (5, "x " * 300 + "y"),
+        (6, "t t t t t"),
+        (7, "a b c d e f g"),
+        (8, "q r"),  # short row BETWEEN long rows
+        (9, "m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ea = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(df, "doc_id", "text", use_arrow=True).collect()
+    }
+    ex = {
+        r["id"]: tuple(r["sig"])
+        for r in minhash_signatures(df, "doc_id", "text", use_arrow=False).collect()
+    }
+    assert ea == ex
+    # docs with < 3 tokens have no signature at all
+    assert sorted(ea) == [3, 5, 6, 7, 9]
+
+
 def test_verify_pairs_single_pass_equals_two_join(spark):
     """The r13 fused verify (explode pair -> one shingle join -> regroup)
     must emit exactly what the r12 two-join shape emitted: same pairs,
