@@ -851,6 +851,61 @@ def minhash_signatures(
     return base.select("id", sig.alias("sig"))
 
 
+def _perm_minima(values, starts, A, B, P, block: int | None = 65536):
+    """Per-segment minima of the 64 affine permutations — the shared
+    hot loop of both signature kernels: ``out[j, s] = min over segment
+    s of (A[j]*values + B[j]) mod P``.
+
+    ``block`` cache-blocks the loop (r13 second half): the unblocked
+    spelling makes ``4 × len(A)`` full passes over the batch's shingle
+    buffer (~5 MB at the default 10k-row Arrow batch), which is
+    L3-traffic 64 times over — and with 32 workers sharing the LLC the
+    per-worker share is L2-sized anyway.  Processing ``block`` values
+    at a time (cut at segment boundaries; 64k × 8 B = 512 KB stays
+    L2-resident) runs all permutations per block before moving on, so
+    the buffer crosses the cache hierarchy once instead of 64 times.
+    Bit-identical by construction: the same ops run on the same
+    elements, only the iteration order changes (measured 1.1–2.3x on
+    the loop depending on buffer size; pinned by the signature-equality
+    tests).  ``None`` keeps the unblocked order (A/B instrument).
+
+    Returns an ``(len(A), n_segments)`` int64 matrix.
+    """
+    import numpy as np
+
+    k = len(starts)
+    out = np.empty((len(A), k), dtype=np.int64)
+    if block is None:
+        tmp = np.empty_like(values)
+        for j in range(len(A)):
+            np.multiply(values, A[j], out=tmp)
+            np.add(tmp, B[j], out=tmp)
+            np.remainder(tmp, P, out=tmp)
+            out[j] = np.minimum.reduceat(tmp, starts)
+        return out
+    nv = len(values)
+    ends = np.append(starts[1:], nv)
+    tmp = np.empty(min(nv, block * 2), dtype=np.int64)
+    i0 = 0
+    while i0 < k:
+        # grow the block whole segments at a time (>= 1 per block)
+        i1 = int(np.searchsorted(starts, starts[i0] + block, side="left"))
+        i1 = min(max(i1, i0 + 1), k)
+        s0, s1 = int(starts[i0]), int(ends[i1 - 1])
+        v = values[s0:s1]
+        ls = starts[i0:i1] - s0
+        if len(v) > len(tmp):  # one oversized segment
+            tmp = np.empty(len(v), dtype=np.int64)
+        t = tmp[: len(v)]
+        for j in range(len(A)):
+            np.multiply(v, A[j], out=t)
+            np.add(t, B[j], out=t)
+            np.remainder(t, P, out=t)
+            out[j, i0:i1] = np.minimum.reduceat(t, ls)
+        i0 = i1
+    return out
+
+
 def _arrow_minhash_batches(a: list[int], b: list[int]):
     """Vectorized signature kernel for ``mapInArrow`` — identical int64
     arithmetic to the expression path ((a_j*h + b_j) mod p, exact in
@@ -899,15 +954,10 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                 # non-empty starts are still true segment boundaries.
                 ne = ~empty
                 k = int(ne.sum())
-                out = np.empty((len(A), k), dtype=np.int64)
                 if k:
-                    starts_ne = starts[ne]
-                    tmp = np.empty_like(values)
-                    for j in range(len(A)):
-                        np.multiply(values, A[j], out=tmp)
-                        np.add(tmp, B[j], out=tmp)
-                        np.remainder(tmp, P, out=tmp)
-                        out[j] = np.minimum.reduceat(tmp, starts_ne)
+                    out = _perm_minima(values, starts[ne], A, B, P)
+                else:
+                    out = np.empty((len(A), 0), dtype=np.int64)
                 lengths = np.where(empty, 0, len(A))
                 offsets = np.concatenate(
                     [[0], np.cumsum(lengths)]
@@ -921,20 +971,10 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                 )
                 continue
             # (perms, rows): one reduceat per permutation keeps peak
-            # memory at one |H| buffer, not a (perms x |H|) matrix.
-            # In-place affine map into ONE reused temp (r13): the
-            # allocating spelling `(A[j]*values + B[j]) % P` makes three
-            # |H|-sized temporaries per permutation — 64 perms of pure
-            # memory traffic; out= kwargs cut it to one buffer, 1.7x on
-            # the kernel's hot loop (bit-identical: remainder == % for
-            # the non-negative operands here).
-            out = np.empty((len(A), n), dtype=np.int64)
-            tmp = np.empty_like(values)
-            for j in range(len(A)):
-                np.multiply(values, A[j], out=tmp)
-                np.add(tmp, B[j], out=tmp)
-                np.remainder(tmp, P, out=tmp)
-                out[j] = np.minimum.reduceat(tmp, starts)
+            # memory at one block-sized temp, not a (perms x |H|)
+            # matrix — the in-place + cache-blocked loop lives in
+            # _perm_minima (r13).
+            out = _perm_minima(values, starts, A, B, P)
             sig = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n + 1) * len(A), len(A), dtype=np.int32)
@@ -1047,14 +1087,7 @@ def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
             starts_ne = np.concatenate(
                 [[0], np.cumsum(rl)[:-1]]
             ).astype(np.int64)
-            k_ne = len(rl)
-            out = np.empty((len(A), k_ne), dtype=np.int64)
-            tmp = np.empty_like(values)
-            for j in range(len(A)):
-                np.multiply(values, A[j], out=tmp)
-                np.add(tmp, B[j], out=tmp)
-                np.remainder(tmp, P, out=tmp)
-                out[j] = np.minimum.reduceat(tmp, starts_ne)
+            out = _perm_minima(values, starts_ne, A, B, P)
             lengths = np.where(empty, 0, len(A))
             offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
             sig = pa.ListArray.from_arrays(
