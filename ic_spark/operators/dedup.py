@@ -1025,19 +1025,39 @@ def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
     U64 = np.uint64(64)
     U27, U29, U31, U32, U33 = (np.uint64(x) for x in (27, 29, 31, 32, 33))
 
-    def _hash_long(inp, seed):
-        """Vectorized Spark ``XXH64.hashLong(inp, seed)`` (uint64 in/out)."""
-        h = seed + (P5 + np.uint64(8))
-        k1 = inp * P2
-        k1 = (k1 << U31) | (k1 >> (U64 - U31))
-        k1 = k1 * P1
-        h = h ^ k1
-        h = ((h << U27) | (h >> (U64 - U27))) * P1 + P4
-        h = h ^ (h >> U33)
-        h = h * P2
-        h = h ^ (h >> U29)
-        h = h * P3
-        return h ^ (h >> U32)
+    def _hash_long(inp, seed, o, t):
+        """Vectorized Spark ``XXH64.hashLong(inp, seed)`` (uint64),
+        fully in-place (r13 second half): ``o`` receives the result,
+        ``t`` is scratch — the allocating spelling made ~8 W-sized
+        temporaries per fold call (3 calls per batch), pure memory
+        traffic; out= kwargs cut it to two reused buffers (measured
+        1.8x on the fold, bit-identical — same ops, same order).
+        ``seed`` is a scalar or an array not aliased with ``o``/``t``
+        (callers rotate buffers)."""
+        np.multiply(inp, P2, out=t)
+        np.left_shift(t, U31, out=o)
+        np.right_shift(t, U64 - U31, out=t)
+        np.bitwise_or(o, t, out=o)
+        np.multiply(o, P1, out=o)  # k1
+        if isinstance(seed, np.ndarray):
+            np.add(seed, P5 + np.uint64(8), out=t)
+            np.bitwise_xor(o, t, out=o)
+        else:
+            np.bitwise_xor(o, seed + (P5 + np.uint64(8)), out=o)
+        np.left_shift(o, U27, out=t)
+        np.right_shift(o, U64 - U27, out=o)
+        np.bitwise_or(t, o, out=o)
+        np.multiply(o, P1, out=o)
+        np.add(o, P4, out=o)
+        np.right_shift(o, U33, out=t)
+        np.bitwise_xor(o, t, out=o)
+        np.multiply(o, P2, out=o)
+        np.right_shift(o, U29, out=t)
+        np.bitwise_xor(o, t, out=o)
+        np.multiply(o, P3, out=o)
+        np.right_shift(o, U32, out=t)
+        np.bitwise_xor(o, t, out=o)
+        return o
 
     def fn(batches):
         for batch in batches:
@@ -1070,9 +1090,12 @@ def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
             # i covers tokens [i, i+n).  Windows that straddle a row
             # boundary are computed (vectorization over the flat buffer
             # is the point) and compacted away below.
-            h = _hash_long(tvals[0:W], SEED)
+            b0 = np.empty(W, dtype=np.uint64)
+            b1 = np.empty(W, dtype=np.uint64)
+            scratch = np.empty(W, dtype=np.uint64)
+            h = _hash_long(tvals[0:W], SEED, b0, scratch)
             for k in range(1, n):
-                h = _hash_long(tvals[k : k + W], h)
+                h = _hash_long(tvals[k : k + W], h, b1 if h is b0 else b0, scratch)
             # keep only in-row windows: row r owns [row_starts[r],
             # row_starts[r] + sh_lens[r]) — disjoint, ascending, so the
             # interval-delta cumsum builds the mask in O(W)
