@@ -785,7 +785,12 @@ def minhash_signatures(
         # in the LSH candidates plan); (2) the kernel reads the Arrow
         # ListArray's flat values/offsets buffers directly — no
         # Series-of-ndarray boxing, no per-batch np.concatenate.
-        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
 
         # Belt-and-braces post-barrier filter below: the token-count
         # predicate above already excludes zero-shingle rows, and the
@@ -815,7 +820,10 @@ def minhash_signatures(
                 .select(F.col(id_col).alias("id"), tok_hashes.alias("__ht"))
             )
             out_schema = StructType(
-                [tbase.schema["id"], StructField("sig", ArrayType(LongType()), True)]
+                [
+                    tbase.schema["id"],
+                    StructField("sig", ArrayType(IntegerType()), True),
+                ]
             )
             return tbase.mapInArrow(
                 _arrow_minhash_from_token_hashes(a, b, shingle_n), out_schema
@@ -824,7 +832,10 @@ def minhash_signatures(
         # shingle strings) — keep the shingle hashes JVM-side and run
         # only the permutation passes in the kernel.
         out_schema = StructType(
-            [base.schema["id"], StructField("sig", ArrayType(LongType()), True)]
+            [
+                base.schema["id"],
+                StructField("sig", ArrayType(IntegerType()), True),
+            ]
         )
         return base.mapInArrow(_arrow_minhash_batches(a, b), out_schema).where(
             F.size("sig") > 0
@@ -840,10 +851,17 @@ def minhash_signatures(
     # ranks shingles identically and array_min degenerates to an
     # affine map of the ONE smallest base hash — 64 copies of a single
     # minhash, banding all-or-nothing, S-curve gone.
+    #
+    # Element type INT, not BIGINT (r13 second half, guide §2.3
+    # "narrower types"): every element is mod 2^31-1, so the cast is
+    # lossless (ANSI-safe) and halves the signature frame's bytes —
+    # the checkpointed materialization the LSH queries pay at corpus
+    # scale (sf10: ~4.6 -> ~2.9 s) and every downstream band slice.
+    # Values are unchanged as integers; band keys stringify the same.
     sig = F.expr(
         "array("
         + ", ".join(
-            f"array_min(transform(`__h`, h -> pmod({a[j]}L * h + {b[j]}L, 2147483647L)))"
+            f"CAST(array_min(transform(`__h`, h -> pmod({a[j]}L * h + {b[j]}L, 2147483647L))) AS INT)"
             for j in range(num_hashes)
         )
         + ")"
@@ -874,7 +892,11 @@ def _perm_minima(values, starts, A, B, P, block: int | None = 65536):
     import numpy as np
 
     k = len(starts)
-    out = np.empty((len(A), k), dtype=np.int64)
+    # int32 output (r13): every element is mod 2^31-1, and the narrower
+    # matrix halves the signature bytes the callers serialize to Arrow
+    # and the queries checkpoint (assignment from the int64 reduceat
+    # rows casts losslessly)
+    out = np.empty((len(A), k), dtype=np.int32)
     if block is None:
         tmp = np.empty_like(values)
         for j in range(len(A)):
@@ -957,14 +979,14 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                 if k:
                     out = _perm_minima(values, starts[ne], A, B, P)
                 else:
-                    out = np.empty((len(A), 0), dtype=np.int64)
+                    out = np.empty((len(A), 0), dtype=np.int32)
                 lengths = np.where(empty, 0, len(A))
                 offsets = np.concatenate(
                     [[0], np.cumsum(lengths)]
                 ).astype(np.int32)
                 sig = pa.ListArray.from_arrays(
                     pa.array(offsets),
-                    pa.array(out.T.ravel(), type=pa.int64()),
+                    pa.array(out.T.ravel(), type=pa.int32()),
                 )
                 yield pa.RecordBatch.from_arrays(
                     [ids, sig], names=[batch.schema.names[0], "sig"]
@@ -979,7 +1001,7 @@ def _arrow_minhash_batches(a: list[int], b: list[int]):
                 pa.array(
                     np.arange(0, (n + 1) * len(A), len(A), dtype=np.int32)
                 ),
-                pa.array(out.T.ravel()),
+                pa.array(out.T.ravel(), type=pa.int32()),
             )
             yield pa.RecordBatch.from_arrays(
                 [ids, sig], names=[batch.schema.names[0], "sig"]
@@ -1080,7 +1102,7 @@ def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
                 # every row too short for one shingle: all-empty sigs
                 sig = pa.ListArray.from_arrays(
                     pa.array(np.zeros(nrows + 1, dtype=np.int32)),
-                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int32()),
                 )
                 yield pa.RecordBatch.from_arrays(
                     [ids, sig], names=[batch.schema.names[0], "sig"]
@@ -1115,7 +1137,7 @@ def _arrow_minhash_from_token_hashes(a: list[int], b: list[int], n: int):
             offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
             sig = pa.ListArray.from_arrays(
                 pa.array(offsets),
-                pa.array(out.T.ravel(), type=pa.int64()),
+                pa.array(out.T.ravel(), type=pa.int32()),
             )
             yield pa.RecordBatch.from_arrays(
                 [ids, sig], names=[batch.schema.names[0], "sig"]

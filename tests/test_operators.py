@@ -3892,7 +3892,13 @@ def test_minhash_arrow_kernel_tolerates_filterless_empty_rows(spark):
         minhash_perms,
         minhash_signatures,
     )
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     docs = spark.createDataFrame(
         [
@@ -3915,7 +3921,8 @@ def test_minhash_arrow_kernel_tolerates_filterless_empty_rows(spark):
     schema = StructType(
         [
             StructField("id", LongType(), True),
-            StructField("sig", ArrayType(LongType()), True),
+            # int elements since r13 (mod 2^31-1 values, lossless)
+            StructField("sig", ArrayType(IntegerType()), True),
         ]
     )
     raw = base.mapInArrow(_arrow_minhash_batches(a, b), schema).collect()
