@@ -37,6 +37,20 @@ from ic_spark.functions.text import (
 )
 
 
+# _spread decision memo: (session id, analyzed-plan semanticHash,
+# target) -> bool (repartition or not).  The ``df.rdd`` partition-count
+# probe runs the full optimizer + physical planning + file-split
+# computation DRIVER-SIDE — measured 190-700 ms per call at sf0.1,
+# paid at query-BUILD time inside every timed rep — while the decision
+# is a property of the (static within a session) source layout.
+# semanticHash needs analysis only (~1-30 ms).  A memoized decision is
+# advisory: it can only pick between two result-identical plans for
+# the row set, and within one session it is MORE stable than
+# re-probing (the same query always gets the same plan shape).
+_SPREAD_MEMO: dict = {}
+_SPREAD_MEMO_MAX = 512
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-wide parallelism before a heavy per-row map.
 
@@ -48,9 +62,19 @@ def _spread(df: DataFrame) -> DataFrame:
     would be pure cost).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    pk = _plan_key(df)
+    key = None
+    if pk is not None:
+        key = (id(df.sparkSession), pk, target)
+        hit = _SPREAD_MEMO.get(key)
+        if hit is not None:
+            return df.repartition(target) if hit else df
+    narrow = df.rdd.getNumPartitions() < target
+    if key is not None:
+        if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+            _SPREAD_MEMO.clear()
+        _SPREAD_MEMO[key] = narrow
+    return df.repartition(target) if narrow else df
 
 
 def _content_key(c: Column, normalize: bool) -> Column:
