@@ -1241,8 +1241,19 @@ def minhash_lsh_candidates(
     detect_sample: float = 0.05,
     max_hot_collect: int = 4096,
     big_side: bool = False,
+    probe_memo_key=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding → (id_a, id_b).
+
+    ``probe_memo_key`` (r13): stable identity for the hot-key probe
+    memo.  The default key is the semanticHash of ``signatures`` —
+    which is USELESS when the caller checkpoints the signature frame
+    first, because every checkpoint wraps a fresh RDD and hashes
+    differently, so repeat invocations re-ran the probe job every time
+    (measured: one sample+aggregate+collect per bench rep).  Callers
+    that checkpoint should pass the plan key of the UNCHECKPOINTED
+    pipeline (see dedup_minhash_lsh); the memo stays advisory-only
+    (a stale entry can only pick a different result-identical plan).
 
     Explode each signature into ``bands`` (band_idx, band_hash) keys;
     pairs agreeing on ANY band meet in an equi-join on the band key.
@@ -1322,7 +1333,9 @@ def minhash_lsh_candidates(
         # unrelated corpora sharing these params.
         memo_key=(
             None
-            if (_pk := _plan_key(signatures)) is None
+            if (_pk := (probe_memo_key
+                        if probe_memo_key is not None
+                        else _plan_key(signatures))) is None
             else ("lsh", _pk, bands, rows_per_band, portable, bucket_target,
                detect_sample, max_hot_collect)
         ),

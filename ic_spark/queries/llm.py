@@ -236,13 +236,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     # with a checkpoint dir (r10 VERDICT #5).
     from ic_spark.plans.checkpoint import stable_checkpoint
 
-    sigs = stable_checkpoint(minhash_signatures(
+    raw_sigs = minhash_signatures(
         d, "doc_id", "text", num_hashes=_MINHASH_NUM,
         shingle_n=_MINHASH_N, use_arrow=True
-    ))
+    )
+    # Probe-memo key from the UNCHECKPOINTED pipeline (r13): every
+    # checkpoint wraps a fresh RDD, so keying on the checkpointed frame
+    # made repeat invocations re-run the hot-key probe job every time.
+    from ic_spark.operators.dedup import _plan_key
+
+    sigs_key = _plan_key(raw_sigs)
+    sigs = stable_checkpoint(raw_sigs)
     cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R,
         big_side=_lsh_big_side(sf_dir, spark),
+        probe_memo_key=sigs_key,
     ))
     # Verify candidates with exact 3-shingle Jaccard.  Shingles are
     # only materialized for documents that appear in a candidate pair
@@ -476,13 +484,19 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str):
     # checkpoint, not persist: see dedup_minhash_lsh (r10)
     from ic_spark.plans.checkpoint import stable_checkpoint
 
-    sigs = stable_checkpoint(minhash_signatures(
+    raw_sigs = minhash_signatures(
         d, "doc_id", "text", num_hashes=_MINHASH_NUM, shingle_n=_MINHASH_N,
         portable=True,
-    ))
+    )
+    # stable probe-memo key: see dedup_minhash_lsh (r13)
+    from ic_spark.operators.dedup import _plan_key
+
+    sigs_key = _plan_key(raw_sigs)
+    sigs = stable_checkpoint(raw_sigs)
     cands = stable_checkpoint(minhash_lsh_candidates(
         sigs, bands=_MINHASH_BANDS, rows_per_band=_MINHASH_R, portable=True,
         big_side=_lsh_big_side(sf_dir, spark),
+        probe_memo_key=sigs_key,
     ))
     from ic_spark.functions.text import word_shingles
 
